@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.schema.StockSchema
+
+/** Bar ingestion (SURVEY.md §2.1).
+  *
+  * Reference behavior reproduced:
+  *  - S1 header CSV scan with comma separator (`G_2_rf_nordd.py:24`,
+  *    `G_2_rf_rdd.py:51`). The reference relies on `inferSchema=True`; we read
+  *    with the explicit 60-column [[StockSchema.schema]] by default (single
+  *    pass, stable types) and keep inference as an opt-in ingest mode.
+  *  - S2 smoke path: optional row limit (`G_2_rf_rdd.py:52`, commented
+  *    `limit(1000)` debug read).
+  *  - legacy time-parser policy, set by every reference script
+  *    (`G_2_rf_nordd.py:21`).
+  */
+object CsvBarSource {
+
+  def load(
+      spark: SparkSession,
+      path: String,
+      schema: StructType = StockSchema.schema,
+      inferSchema: Boolean = false,
+      limit: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
+    val reader = spark.read.option("header", "true").option("sep", ",")
+    val df =
+      if (inferSchema) reader.option("inferSchema", "true").csv(path)
+      else reader.schema(schema).csv(path)
+    limit.fold(df)(df.limit)
+  }
+}
+
+/** Parquet round-trip replacing the reference's RDD pickle file
+  * (S3/S4: `G_2_data_exploration.ipynb` cells 45, 47-48 —
+  * `rdd.saveAsPickleFile` / `sparkContext.pickleFile` / `toDF`).
+  * Parquet keeps the data columnar, splittable and predicate-pushdown-able,
+  * which an opaque pickle/object file is not — at 100 TB this is the
+  * difference between pruned column scans and full deserialization.
+  */
+object ParquetRoundTrip {
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
+
+/** Loader for the driver-generated synthetic tables (TESTDATA.md). */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
