@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline extension
+  * (builder brief: language-ID, quality scoring, token counting, document
+  * fingerprinting). All pure Catalyst expressions — codegen'd, no UDFs —
+  * so they run inside whole-stage codegen and scale linearly with input.
+  *
+  * Every function has a DuckDB SQL twin (same md5-based hashing, same
+  * regexes) in [[TextSql]] so results hash-match the oracle bit-exactly.
+  */
+object TextFunctions {
+
+  /** Portable 32-bit hash: first 8 hex digits of md5 as a non-negative
+    * long. Identical in DuckDB via `CAST('0x'||substr(md5(s),1,8) AS
+    * BIGINT)`. Used (instead of Spark's murmur3 `hash`) wherever the
+    * oracle must reproduce the value. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Second independent 32-bit hash from the other md5 half. */
+  def hash32b(c: Column): Column =
+    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
+  /** Whitespace tokenisation (the BPE-ish regex variant splits on
+    * non-word boundaries too). */
+  def tokens(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
+
+  /** Token count without materialising the token array. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Word k-shingles: contiguous k-token spans joined by a single space.
+    * Empty array when the doc has fewer than k tokens. */
+  def wordShingles(c: Column, k: Int): Column = {
+    val w = tokens(c)
+    when(size(w) >= k,
+      transform(sequence(lit(0), size(w) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Quality-scoring ingredients: length, alpha ratio, digit ratio,
+    * punctuation-ish ratio, mean token length, stopword ratio. */
+  def charRatio(c: Column, charClass: String): Column =
+    when(length(c) > 0,
+      length(regexp_replace(c, s"[^$charClass]", "")).cast("double") /
+        length(c).cast("double")).otherwise(lit(0.0))
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+  /** Count of occurrences of token `t` (word-boundary matched). */
+  def wordCount(c: Column, t: String): Column =
+    size(regexp_extract_all(c, lit(s"\\b${java.util.regex.Pattern.quote(t)}\\b"), lit(0)))
+
+  def stopwordRatio(c: Column): Column = {
+    val total = tokenCount(c)
+    val hits = stopwords.map(wordCount(c, _)).reduce(_ + _)
+    when(total > 0, hits.cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: stopword presence, sane mean token
+    * length, low digit noise. Heuristic — the point is the shape (cheap,
+    * columnar, one pass), not linguistic truth. */
+  def qualityScore(c: Column): Column = {
+    val meanTok = when(tokenCount(c) > 0,
+      length(regexp_replace(c, "\\s+", "")).cast("double") /
+        tokenCount(c).cast("double")).otherwise(lit(0.0))
+    val tokLenOk = when(meanTok >= 3 && meanTok <= 10, lit(1.0)).otherwise(lit(0.0))
+    val digitPenalty = charRatio(c, "0-9")
+    greatest(lit(0.0), least(lit(1.0),
+      lit(0.5) * stopwordRatio(c) * lit(5.0) + lit(0.3) * tokLenOk
+        + lit(0.2) * (lit(1.0) - digitPenalty * lit(5.0))))
+  }
+
+  /** Language-ID by stopword-list hits (n-gram heuristic family). Scores
+    * each candidate language by marker-word occurrences; returns the
+    * argmax with 'en' as tiebreak/default. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "es" -> Seq("el", "los", "y", "es"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  def langScore(c: Column, lang: String): Column =
+    langMarkers.toMap.apply(lang).map(wordCount(c, _)).reduce(_ + _)
+
+  def langId(c: Column): Column = {
+    // argmax with first-listed language winning ties (stable in both
+    // engines because the comparison chain is identical)
+    val scored = langMarkers.map { case (l, _) => (l, langScore(c, l)) }
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestL, bestS), (l, s)) =>
+        (when(s > bestS, lit(l)).otherwise(bestL),
+          when(s > bestS, s).otherwise(bestS))
+    }._1
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalised, lowercased
+    * text — the exact-dedup key. */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+}
+
+/** DuckDB SQL twins of [[TextFunctions]] — same constants, same regexes.
+  * Kept adjacent so the two sides can't drift apart silently. */
+object TextSql {
+  def hash32(e: String): String =
+    s"CAST(('0x' || substr(md5($e),1,8)) AS BIGINT)"
+  def hash32b(e: String): String =
+    s"CAST(('0x' || substr(md5($e),9,8)) AS BIGINT)"
+  def tokens(e: String): String = s"regexp_extract_all($e, '\\S+')"
+  def tokenCount(e: String): String = s"len(${tokens(e)})"
+  def wordCount(e: String, t: String): String =
+    s"len(regexp_extract_all($e, '\\b$t\\b'))"
+  def stopwordCount(e: String): String =
+    TextFunctions.stopwords.map(wordCount(e, _)).mkString("(", " + ", ")")
+  def fingerprint(e: String): String =
+    s"md5(lower(regexp_replace(trim($e), '\\s+', ' ', 'g')))"
+}

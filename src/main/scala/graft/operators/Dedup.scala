@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the training-data pipeline extension:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup keys on a 128-bit fingerprint, so the shuffle carries
+  *    (16-byte key, id) pairs — never the document bodies;
+  *  - MinHash signatures are computed in one codegen'd projection (no
+  *    explode: `array_min` over a `transform` of the shingle array), then
+  *    LSH banding turns the quadratic all-pairs problem into an equi-join
+  *    on (band, band-hash) — the only shuffle is by band key;
+  *  - SimHash reduces each doc to one 32-bit value; near-dup candidates
+  *    join on the value (or on rotated prefixes for hamming-distance>0).
+  *
+  * All hashing is the md5-based portable [[graft.functions.TextFunctions.hash32]]
+  * so the DuckDB oracle reproduces every bit.
+  */
+object Dedup {
+
+  /** MinHash parameters — shared verbatim with the SQL twins in
+    * [[graft.queries.TextQueryCatalog]]. p is prime > 2^32; a_i < 2^20
+    * keeps a_i * h + b_i < 2^63 (no overflow, both engines use int64). */
+  val MinhashP: Long = 4294967311L
+  val MinhashA: Seq[Long] = Seq(179424673L, 179425457L, 179425819L,
+    179426321L, 373587883L, 373587911L, 373587971L, 373588073L)
+  val MinhashB: Seq[Long] = Seq(1L, 7919L, 104729L, 1299709L,
+    15485863L, 32452843L, 49979687L, 67867967L)
+  val ShingleK = 3
+  /** 8 hashes in 4 bands of 2: candidates share at least one band. */
+  val BandSize = 2
+
+  /** Exact dedup: keep the smallest id per normalised-text fingerprint.
+    * Equivalent to `dropDuplicates` but deterministic about WHICH row
+    * survives (dropDuplicates keeps an arbitrary row — fine for the
+    * operator, wrong for an oracle). */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("fp", fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** The i-th minhash value over a shingle array column. */
+  def minhashValue(shingles: Column, i: Int): Column = {
+    val hashed = transform(shingles,
+      s => (lit(MinhashA(i)) * hash32(s) + lit(MinhashB(i))) % lit(MinhashP))
+    array_min(hashed)
+  }
+
+  /** Per-doc MinHash signature: id + mh0..mh7. One projection, no shuffle,
+    * no explode. Docs with < K tokens get null signatures (array_min of
+    * empty) — callers filter or treat null as its own bucket. */
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = wordShingles(col(textCol), ShingleK)
+    val sig = MinhashA.indices.map(i => minhashValue(sh, i).as(s"mh$i"))
+    docs.select((col(idCol) +: sig): _*)
+  }
+
+  /** LSH banding: explode each signature into (band, bandKey) and
+    * self-join band-wise → candidate near-duplicate pairs (a < b).
+    * The join key is (band index, concatenated band hashes), so only
+    * same-band collisions meet — never the full cross product. */
+  def lshCandidatePairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // docs with < K tokens have null signatures; exclude them (a null band
+    // key would also join differently across engines)
+    val sigs = minhashSignatures(docs, idCol, textCol)
+      .filter(col("mh0").isNotNull)
+    val nBands = MinhashA.size / BandSize
+    val banded = (0 until nBands).map { b =>
+      val keyCols = (0 until BandSize).map(j => col(s"mh${b * BandSize + j}"))
+      sigs.select(col(idCol).as("id"), lit(b).as("band"),
+        concat_ws(",", keyCols: _*).as("band_key"))
+    }.reduce(_ unionAll _)
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") &&
+          col("l.band_key") === col("r.band_key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash over whitespace tokens: per bit, majority vote of the
+    * tokens' hash bits (+1/-1). Computed as 32 conditional sums inside one
+    * aggregate-free projection over the token array (no explode). */
+  def simhash(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    val bits = (0 until 32).map { j =>
+      val vote = aggregate(
+        transform(toks, t =>
+          when(shiftright(hash32(t), j).bitwiseAND(lit(1L)) === 1, lit(1))
+            .otherwise(lit(-1))),
+        lit(0L), (acc, x) => acc + x)
+      when(vote > 0, lit(1L) * lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  def simhashDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), simhash(col(textCol)).as("simhash"))
+
+  /** n-gram (word-shingle) Jaccard similarity between two text columns,
+    * via distinct-set sizes: |A∩B| = |A|+|B|-|A∪B|. */
+  def ngramJaccard(a: Column, b: Column, k: Int = ShingleK): Column = {
+    val sa = array_distinct(wordShingles(a, k))
+    val sb = array_distinct(wordShingles(b, k))
+    val union = array_distinct(concat(sa, sb))
+    val inter = size(sa) + size(sb) - size(union)
+    when(size(union) > 0,
+      inter.cast("double") / size(union).cast("double")).otherwise(lit(0.0))
+  }
+}

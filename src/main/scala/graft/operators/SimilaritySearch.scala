@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.hash32
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbour search over an embedding column
+  * (similarity-search extension).
+  *
+  * Baseline: brute-force cosine top-k — one codegen'd projection + top-k
+  * (`orderBy.limit` → Spark plans TakeOrderedAndProject: per-partition
+  * heaps, no global sort materialisation).
+  *
+  * Scale path: IVF-style bucketing. Assign every vector to its nearest of
+  * C centroids once (cost N·C), store bucketed; at query time probe only
+  * the P nearest buckets (cost ~N·P/C + C). Centroids here are chosen
+  * deterministically (hash-sampled rows) rather than k-means-trained —
+  * the partition/probe plumbing is the point; swapping in trained
+  * centroids is a drop-in. An LSH variant (random signed projections →
+  * bucket join) shares the same shape via [[SimilaritySearch.lshBuckets]].
+  */
+object SimilaritySearch {
+
+  /** Brute-force cosine top-k against one query vector (given as a column
+    * expression, e.g. a literal array or a scalar-subquery result). */
+  def bruteForceTopK(embeddings: DataFrame, queryVec: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(idCol), cosineExact(col(vecCol), queryVec).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+
+  /** All-pairs top-k via self-join (small N / verification use). */
+  def bruteForceAllPairs(embeddings: DataFrame, simThreshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val l = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    l.join(r, col("id_a") < col("id_b"))
+      .withColumn("sim", cosineExact(col("va"), col("vb")))
+      .filter(col("sim") >= simThreshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** IVF assignment: nearest centroid id per vector. `centroids` must be
+    * broadcast-sized (C ≤ a few thousand). */
+  def ivfAssign(embeddings: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cidCol: String = "centroid_id", cvecCol: String = "centroid"): DataFrame = {
+    val joined = embeddings.crossJoin(broadcast(centroids))
+      .withColumn("dist", -cosine(col(vecCol), col(cvecCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("dist"), col(cidCol))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col(cidCol).as("bucket"))
+  }
+
+  /** Oracle-exact IVF assignment: argmax of decimal-stabilised cosine,
+    * ties broken by centroid id. Same shape as [[ivfAssign]] but every
+    * similarity is bit-reproducible in DuckDB. */
+  def ivfAssignExact(embeddings: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val joined = embeddings.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosineExact(col(vecCol), col("centroid")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id").as("bucket"))
+  }
+
+  /** Deterministic pseudo-centroids: the C vectors with smallest
+    * hash32(id) — stands in for k-means output, keeps tests seedless. */
+  def hashSampledCentroids(embeddings: DataFrame, c: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(idCol), col(vecCol))
+      .orderBy(hash32(col(idCol).cast("string")), col(idCol))
+      .limit(c)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid"))
+
+  /** Query against an IVF-bucketed table probing `probes` buckets. */
+  def ivfQuery(bucketed: DataFrame, centroids: DataFrame, queryVec: Column,
+      k: Int, probes: Int): DataFrame = {
+    val probeBuckets = centroids
+      .withColumn("qsim", cosine(col("centroid"), queryVec))
+      .orderBy(col("qsim").desc, col("centroid_id"))
+      .limit(probes)
+      .select(col("centroid_id").as("bucket"))
+    bucketed.join(broadcast(probeBuckets), Seq("bucket"))
+      .select(col("vec_id"), cosineExact(col("embedding"), queryVec).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** LSH signed-random-projection bucket id: sign bits of dot products
+    * with `nPlanes` pseudo-random hyperplanes derived from the portable
+    * hash (deterministic, seedless, oracle-reproducible). */
+  def lshBuckets(embeddings: DataFrame, nPlanes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // plane p component j = hash32("p:j") scaled to [-1,1)
+    def planeComp(p: Int, j: Column): Column =
+      (hash32(concat_ws(":", lit(p), j)).cast("double") /
+        lit(2147483648.0)) - lit(1.0)
+    val dim = size(col(vecCol))
+    val bucketBits = (0 until nPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(col(vecCol),
+          transform(sequence(lit(0), dim - 1), j => planeComp(p, j)),
+          (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    embeddings.select(col(idCol), col(vecCol),
+      bucketBits.reduce(_ + _).as("bucket"))
+  }
+
+  /** Oracle-exact LSH buckets: the plane dot products fold in decimal so
+    * the sign decision is bit-reproducible in DuckDB. */
+  def lshBucketsExact(embeddings: DataFrame, nPlanes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // exact-fold sizing — see VectorFunctions.DElem/DAcc
+    val DElem = DecimalType(25, 12)
+    val DAcc = DecimalType(37, 12)
+    def planeComp(p: Int, j: Column): Column =
+      (hash32(concat_ws(":", lit(p), j)).cast("double") /
+        lit(2147483648.0)) - lit(1.0)
+    val dim = size(col(vecCol))
+    val bucketBits = (0 until nPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(col(vecCol),
+          transform(sequence(lit(0), dim - 1), j => planeComp(p, j)),
+          (x, h) => (x.cast("double") * h).cast(DElem)),
+        lit(java.math.BigDecimal.ZERO).cast(DAcc),
+        (acc, x) => (acc + x).cast(DAcc)).cast("double")
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    embeddings.select(col(idCol),
+      bucketBits.reduce(_ + _).as("bucket"))
+  }
+}

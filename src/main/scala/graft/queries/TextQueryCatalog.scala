@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.{TextSql => T}
+import graft.operators.Dedup
+
+import Oracle.table
+
+/** Text-analysis + dedup catalog over `documents` (training-data pipeline
+  * extension). The DuckDB SQL twins are GENERATED from the same constants
+  * (hash params, stopword lists, shingle k) as the Spark expressions, so
+  * the two sides cannot drift. */
+object TextQueryCatalog {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Token counting + basic stats. */
+  val qt1TokenStats: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_measured"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("n_nonws_chars"))
+
+  /** Quality-scoring ingredients (ratios kept as exact int counts over
+    * int counts → identical double division in both engines). */
+  val qt2Quality: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        stopwords.map(wordCount(col("text"), _)).reduce(_ + _)
+          .as("n_stopwords"),
+        (stopwords.map(wordCount(col("text"), _)).reduce(_ + _).cast("double")
+          / tokenCount(col("text")).cast("double")).as("stopword_ratio"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+          / tokenCount(col("text")).cast("double")).as("mean_token_len"))
+
+  /** Language-ID heuristic: stopword-marker argmax vs the labelled lang. */
+  val qt3LangId: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        langId(col("text")).as("lang_pred"),
+        langScore(col("text"), "en").as("s_en"),
+        langScore(col("text"), "de").as("s_de"))
+
+  /** Exact dedup via 128-bit fingerprint (hash-groupBy). */
+  val qt4ExactDedup: Q = (s, dir) =>
+    Dedup.exactDedup(table(s, dir, "documents"))
+
+  /** MinHash signatures (8 portable hash functions over word 3-shingles). */
+  val qt5Minhash: Q = (s, dir) =>
+    Dedup.minhashSignatures(table(s, dir, "documents"))
+
+  /** LSH banded candidate pairs from the MinHash signatures. */
+  val qt6LshPairs: Q = (s, dir) =>
+    Dedup.lshCandidatePairs(table(s, dir, "documents"))
+
+  /** n-gram Jaccard similarity of consecutive doc ids (linear proxy for
+    * pairwise near-dup scoring; the quadratic version goes through LSH). */
+  val qt7NgramJaccard: Q = (s, dir) => {
+    val d = table(s, dir, "documents")
+    val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        Dedup.ngramJaccard(col("text_a"), col("text_b")).as("jaccard"))
+  }
+
+  /** 32-bit SimHash per document. */
+  val qt8Simhash: Q = (s, dir) =>
+    Dedup.simhashDedup(table(s, dir, "documents"))
+
+  /** Multimodal column plumbing: opaque binary payload + typed metadata.
+    * The payload here is the doc text's bytes (deterministic stand-in for
+    * image/audio bytes — the real decode is stubbed, see
+    * `graft.operators.Multimodal`); the metadata extraction (sizes, fake
+    * dimensions from the portable hash) is the real Spark-side shape. */
+  val qt9MultimodalMeta: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        (hash32(col("payload").cast("string")) % 1920).as("fake_width"),
+        (hash32b(col("payload").cast("string")) % 1080).as("fake_height"))
+
+  val defs: Map[String, Q] = Map(
+    "qt1_token_stats" -> qt1TokenStats,
+    "qt2_quality" -> qt2Quality,
+    "qt3_langid" -> qt3LangId,
+    "qt4_exact_dedup" -> qt4ExactDedup,
+    "qt5_minhash" -> qt5Minhash,
+    "qt6_lsh_pairs" -> qt6LshPairs,
+    "qt7_ngram_jaccard" -> qt7NgramJaccard,
+    "qt8_simhash" -> qt8Simhash,
+    "qt9_multimodal_meta" -> qt9MultimodalMeta)
+
+  // ---------- generated DuckDB twins ----------
+
+  private def langScoreSql(lang: String): String =
+    langMarkers.toMap.apply(lang).map(T.wordCount("text", _))
+      .mkString("(", " + ", ")")
+
+  /** DuckDB expression list for the 8 minhash values over shingles `sh`. */
+  private def minhashSqlCols: String =
+    Dedup.MinhashA.indices.map { i =>
+      val a = Dedup.MinhashA(i); val b = Dedup.MinhashB(i)
+      s"list_min([($a * ${T.hash32("s")} + $b) % ${Dedup.MinhashP} for s in sh]) AS mh$i"
+    }.mkString(",\n  ")
+
+  private val shingleSql: String =
+    s"""[w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       | for i in range(1, len(w) - ${Dedup.ShingleK - 2})]""".stripMargin
+
+  private val sigCte: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, ${T.tokens("text")} AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, $shingleSql AS sh FROM words),
+       |sig AS (
+       |  SELECT doc_id, $minhashSqlCols FROM sh)""".stripMargin
+
+  private def simhashBitSql(j: Int): String =
+    s"""(CASE WHEN coalesce(list_sum([CASE WHEN (${T.hash32("t")} >> $j) & 1 = 1
+       | THEN 1 ELSE -1 END for t in w]), 0) > 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "qt1_token_stats" ->
+      s"""SELECT doc_id, ${T.tokenCount("text")} AS n_tokens,
+         |  length(text) AS n_chars_measured,
+         |  length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonws_chars
+         |FROM documents""".stripMargin,
+    "qt2_quality" ->
+      s"""SELECT doc_id, ${T.tokenCount("text")} AS n_tokens,
+         |  ${T.stopwordCount("text")} AS n_stopwords,
+         |  (CAST(${T.stopwordCount("text")} AS DOUBLE)
+         |    / CAST(${T.tokenCount("text")} AS DOUBLE)) AS stopword_ratio,
+         |  (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |    / CAST(${T.tokenCount("text")} AS DOUBLE)) AS mean_token_len
+         |FROM documents""".stripMargin,
+    "qt3_langid" -> {
+      val scores = langMarkers.map { case (l, _) =>
+        s"${langScoreSql(l)} AS s_$l" }.mkString(",\n  ")
+      val langs = langMarkers.map(_._1)
+      val m = langs.map("s_" + _).mkString("greatest(", ", ", ")")
+      val pred = langs.map(l => s"WHEN s_$l = $m THEN '$l'")
+        .mkString("CASE ", " ", " END")
+      s"""WITH scored AS (SELECT doc_id, lang, $scores FROM documents)
+         |SELECT doc_id, lang, $pred AS lang_pred, s_en, s_de FROM scored""".stripMargin
+    },
+    "qt4_exact_dedup" ->
+      s"""SELECT ${T.fingerprint("text")} AS fp, min(doc_id) AS keep_id,
+         |  count(*) AS n_copies
+         |FROM documents GROUP BY 1""".stripMargin,
+    "qt5_minhash" ->
+      s"""$sigCte
+         |SELECT * FROM sig""".stripMargin,
+    "qt6_lsh_pairs" -> {
+      val nBands = Dedup.MinhashA.size / Dedup.BandSize
+      val bandRows = (0 until nBands).map { bnd =>
+        val key = (0 until Dedup.BandSize)
+          .map(j => s"CAST(mh${bnd * Dedup.BandSize + j} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id AS id, $bnd AS band, $key AS band_key FROM sig WHERE mh0 IS NOT NULL"
+      }.mkString("\n  UNION ALL ")
+      s"""$sigCte,
+         |banded AS (
+         |  $bandRows)
+         |SELECT DISTINCT l.id AS id_a, r.id AS id_b
+         |FROM banded l JOIN banded r
+         |  ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id""".stripMargin
+    },
+    "qt7_ngram_jaccard" -> {
+      val sh = (t: String) =>
+        s"""list_distinct([w_$t[i] || ' ' || w_$t[i+1] || ' ' || w_$t[i+2]
+           | for i in range(1, len(w_$t) - ${Dedup.ShingleK - 2})])""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ${T.tokens("a.text")} AS w_a, ${T.tokens("b.text")} AS w_b
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         |sets AS (
+         |  SELECT id_a, id_b, ${sh("a")} AS sa, ${sh("b")} AS sb FROM pairs),
+         |sizes AS (
+         |  SELECT id_a, id_b, len(sa) AS na, len(sb) AS nb,
+         |    len(list_distinct(list_concat(sa, sb))) AS nu FROM sets)
+         |SELECT id_a, id_b,
+         |  CASE WHEN nu > 0
+         |    THEN CAST(na + nb - nu AS DOUBLE) / CAST(nu AS DOUBLE)
+         |    ELSE 0.0 END AS jaccard
+         |FROM sizes""".stripMargin
+    },
+    "qt8_simhash" ->
+      s"""WITH words AS (SELECT doc_id, ${T.tokens("text")} AS w FROM documents)
+         |SELECT doc_id,
+         |  (${(0 until 32).map(simhashBitSql).mkString("\n   + ")}) AS simhash
+         |FROM words""".stripMargin,
+    "qt9_multimodal_meta" ->
+      s"""WITH payloads AS (
+         |  SELECT doc_id, CAST(text AS BLOB) AS payload FROM documents)
+         |SELECT doc_id, octet_length(payload) AS n_bytes,
+         |  ${T.hash32("CAST(payload AS VARCHAR)")} % 1920 AS fake_width,
+         |  ${T.hash32b("CAST(payload AS VARCHAR)")} % 1080 AS fake_height
+         |FROM payloads""".stripMargin)
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.SimilaritySearch
+
+import Oracle.table
+
+/** Similarity-search catalog over `embeddings` (`vec_id, embedding:
+  * array<float>, label`). Dot products fold in exact decimal (see
+  * [[graft.functions.VectorFunctions]]) so the DuckDB twins reproduce
+  * every bit; the SQL side uses list comprehensions over 1-indexed lists.
+  */
+object VectorQueryCatalog {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Brute-force cosine top-k against the vec_id=0 query vector —
+    * the ANN baseline. */
+  val qv1Knn: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    SimilaritySearch.bruteForceTopK(
+      emb.crossJoin(broadcast(q)), col("qv"), 10)
+  }
+
+  /** Cosine of consecutive vec_id pairs (linear all-pairs proxy). */
+  val qv2ConsecutiveCosine: Q = (s, dir) => {
+    val e = table(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        cosineExact(col("va"), col("vb")).as("sim"))
+  }
+
+  /** LSH bucket histogram (signed random projections, 8 planes). */
+  val qv3LshBuckets: Q = (s, dir) =>
+    SimilaritySearch.lshBucketsExact(table(s, dir, "embeddings"), 8)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+
+  /** IVF assignment histogram: 16 deterministic pseudo-centroids,
+    * argmax-cosine bucket per vector (the partition step of the ANN
+    * scale path). */
+  val qv4IvfAssign: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val cents = SimilaritySearch.hashSampledCentroids(emb, 16)
+    val assigned = SimilaritySearch.ivfAssignExact(emb, cents)
+    assigned.groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"))
+  }
+
+  /** Embedding-cosine near-duplicate detection: same-label consecutive
+    * pairs over a similarity threshold (dedup-by-embedding shape). */
+  val qv5EmbedDedup: Q = (s, dir) => {
+    val e = table(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("label").as("label_a"),
+      col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+      col("embedding").as("vb"))
+    a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 5
+        && col("label_a") === col("label_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineExact(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") > 0.2)
+  }
+
+  val defs: Map[String, Q] = Map(
+    "qv1_knn" -> qv1Knn,
+    "qv2_consecutive_cosine" -> qv2ConsecutiveCosine,
+    "qv3_lsh_buckets" -> qv3LshBuckets,
+    "qv4_ivf_assign" -> qv4IvfAssign,
+    "qv5_embed_dedup" -> qv5EmbedDedup)
+
+  // ---------- generated DuckDB twins ----------
+
+  /** Exact decimal dot product of two DuckDB lists (1-indexed). */
+  private def dotSql(a: String, b: String): String =
+    s"""CAST(list_sum([CAST((CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))
+       | AS DECIMAL(38,12)) for i in range(1, len($a) + 1)]) AS DOUBLE)""".stripMargin
+
+  private def cosineSql(a: String, b: String): String =
+    s"""(CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) > 0
+       | THEN ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))
+       | ELSE 0.0 END)""".stripMargin
+
+  /** hash32 of an int expression rendered as its decimal string. */
+  private def hash32OfInt(e: String): String =
+    s"CAST(('0x' || substr(md5(CAST($e AS VARCHAR)),1,8)) AS BIGINT)"
+
+  private val centroidsSql: String =
+    s"""SELECT vec_id AS centroid_id, embedding AS centroid
+       |FROM embeddings
+       |ORDER BY ${hash32OfInt("vec_id")}, vec_id LIMIT 16""".stripMargin
+
+  /** One LSH plane component j (0-based) for plane p. */
+  private def planeCompSql(p: Int): String =
+    s"""[(CAST(CAST(('0x' || substr(md5($p || ':' || CAST(i - 1 AS VARCHAR)),1,8))
+       | AS BIGINT) AS DOUBLE) / 2147483648.0) - 1.0
+       | for i in range(1, len(embedding) + 1)]""".stripMargin
+
+  private def planeBitSql(p: Int): String =
+    s"""(CASE WHEN CAST(list_sum([CAST((CAST(embedding[i] AS DOUBLE) * h$p[i])
+       | AS DECIMAL(38,12)) for i in range(1, len(embedding) + 1)]) AS DOUBLE) >= 0
+       | THEN ${1L << p} ELSE 0 END)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "qv1_knn" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${cosineSql("embedding", "qv")} AS sim
+         |FROM embeddings CROSS JOIN q
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "qv2_consecutive_cosine" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosineSql("a.embedding", "b.embedding")} AS sim
+         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin,
+    "qv3_lsh_buckets" -> {
+      val planes = (0 until 8).map(p => s"${planeCompSql(p)} AS h$p")
+        .mkString(",\n  ")
+      val bits = (0 until 8).map(planeBitSql).mkString("\n   + ")
+      s"""WITH planes AS (SELECT vec_id, embedding, $planes FROM embeddings),
+         |bucketed AS (SELECT vec_id, ($bits) AS bucket FROM planes)
+         |SELECT bucket, count(*) AS n_vectors FROM bucketed GROUP BY bucket""".stripMargin
+    },
+    "qv4_ivf_assign" ->
+      s"""WITH cents AS ($centroidsSql),
+         |scored AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    ${cosineSql("e.embedding", "c.centroid")} AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |ranked AS (
+         |  SELECT vec_id, centroid_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, centroid_id) AS rn
+         |  FROM scored)
+         |SELECT centroid_id AS bucket, count(*) AS n_vectors
+         |FROM ranked WHERE rn = 1 GROUP BY centroid_id""".stripMargin,
+    "qv5_embed_dedup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosineSql("a.embedding", "b.embedding")} AS sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 5
+         |  AND a.label = b.label
+         |WHERE ${cosineSql("a.embedding", "b.embedding")} > 0.2""".stripMargin)
+}
