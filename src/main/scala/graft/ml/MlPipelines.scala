@@ -1,0 +1,133 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.{LinearSVC, RandomForestClassifier}
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
+import org.apache.spark.ml.feature.{PCA, PCAModel, StandardScaler, VectorAssembler}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.stat.Correlation
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.schema.StockSchema
+
+/** The reference's ML operator set (SURVEY.md §2.11 M1–M15), DataFrame-
+  * native (`org.apache.spark.ml`). The reference's mllib/RDD path
+  * (`G_2_rf_rdd.py`, LabeledPoint + Python lambdas) is intentionally NOT
+  * reproduced as an execution strategy — the ml Pipeline computes the same
+  * models without the JVM↔Python row boundary; its hyperparameters (M5)
+  * are mirrored here so metric parity holds.
+  */
+object MlPipelines {
+
+  /** M1 — the reference's four assembler configs (feature-list
+    * cardinalities asserted in FIXTURES.md §2). */
+  object FeatureLists {
+    /** 58 raw features + volume = `G_2_rf_nordd.py:43-50`. */
+    val rfRaw: Seq[String] = StockSchema.rfRawFeatures
+    /** 55-col SVM list (`G_2_svm.py:95-97`). */
+    val svm: Seq[String] = StockSchema.svmFeatures
+    /** 36-col post-FE list (`G_2_rf_nordd_fe.py:316-352`). */
+    val postFe: Seq[String] = graft.operators.FeaturePipeline.featureCols
+  }
+
+  def assembler(inputCols: Seq[String], outputCol: String = "features")
+      : VectorAssembler =
+    new VectorAssembler().setInputCols(inputCols.toArray)
+      .setOutputCol(outputCol)
+
+  /** M2 — StandardScaler with the reference's ACTUAL config: std-only, no
+    * centering (`G_2_rf_pca.py:79-90` uses the defaults; the slide's
+    * "removed the average" claim is not what the code does —
+    * SURVEY.md §2.12.5). */
+  def scaler(inputCol: String, outputCol: String,
+      withMean: Boolean = false): StandardScaler =
+    new StandardScaler().setInputCol(inputCol).setOutputCol(outputCol)
+      .setWithMean(withMean).setWithStd(true)
+
+  /** M3 — PCA, k=12 main config (93.6% variance per ipynb cell 41), k=1
+    * for the correlated-feature group (`G_2_rf_pca.py:100-142`). */
+  def pca(inputCol: String, outputCol: String, k: Int): PCA =
+    new PCA().setInputCol(inputCol).setOutputCol(outputCol).setK(k)
+
+  /** M4 — RF on DataFrames with library defaults, as in
+    * `G_2_rf_nordd.py:57`. */
+  def rfDefault(labelCol: String = "buy_or_sell"): RandomForestClassifier =
+    new RandomForestClassifier().setLabelCol(labelCol)
+      .setFeaturesCol("features")
+
+  /** M5 — RF mirroring the reference's mllib config
+    * (`G_2_rf_rdd.py:163-164`): numTrees=10, gini, maxDepth=10,
+    * maxBins=32, seed=42. */
+  def rfMllibParity(labelCol: String = "buy_or_sell"): RandomForestClassifier =
+    new RandomForestClassifier().setLabelCol(labelCol)
+      .setFeaturesCol("features").setNumTrees(10).setImpurity("gini")
+      .setMaxDepth(10).setMaxBins(32).setSeed(42)
+
+  /** M6 — LinearSVC (`G_2_svm.py:160-161`). */
+  def svm(labelCol: String = "buy_or_sell"): LinearSVC =
+    new LinearSVC().setMaxIter(10).setRegParam(0.1).setLabelCol(labelCol)
+
+  /** M7+M8 — assemble → classify pipeline with the reference's 70/30
+    * split (`G_2_rf_nordd.py:60-66`). Returns (model, predictions). */
+  def fitPredict(data: DataFrame, featureCols: Seq[String],
+      classifier: org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]],
+      seed: Option[Long] = Some(42L),
+      labelCol: String = "buy_or_sell"): (PipelineModel, DataFrame) = {
+    val pipeline = new Pipeline().setStages(Array(
+      assembler(featureCols),
+      classifier.asInstanceOf[org.apache.spark.ml.PipelineStage]))
+    // cache before the double scan: randomSplit plans two weighted samples
+    // of the upstream DAG; the reference re-executes its whole 13-join FE
+    // plan twice because it never caches (SURVEY.md §4.1)
+    val cached = data.cache()
+    val Array(train, test) = seed
+      .map(sd => cached.randomSplit(Array(0.7, 0.3), sd))
+      .getOrElse(cached.randomSplit(Array(0.7, 0.3)))
+    val model = pipeline.fit(train)
+    (model, model.transform(test))
+  }
+
+  /** M10/M11 — evaluation suite. NOTE the reference prints AUC labelled
+    * "Accuracy" (`G_2_rf_nordd.py:72-74`, SURVEY.md §2.12.4); we name
+    * metrics truthfully. */
+  def evaluate(predictions: DataFrame, labelCol: String = "buy_or_sell")
+      : Map[String, Double] = {
+    val auc = new BinaryClassificationEvaluator().setLabelCol(labelCol)
+      .setMetricName("areaUnderROC").evaluate(predictions)
+    val acc = new MulticlassClassificationEvaluator().setLabelCol(labelCol)
+      .setMetricName("accuracy").evaluate(predictions)
+    val f1 = new MulticlassClassificationEvaluator().setLabelCol(labelCol)
+      .setMetricName("f1").evaluate(predictions)
+    Map("areaUnderROC" -> auc, "accuracy" -> acc, "f1" -> f1)
+  }
+
+  /** M14 — confusion matrix natively (vs the reference's
+    * collect()+sklearn, `G_2_svm.py:178-181`): stays distributed. */
+  def confusionMatrix(predictions: DataFrame,
+      labelCol: String = "buy_or_sell"): DataFrame =
+    predictions.groupBy(col(labelCol), col("prediction"))
+      .agg(count(lit(1)).as("n"))
+
+  /** A8 — distributed correlation matrix (vs the reference's
+    * toPandas().corr(), ipynb cell 34). */
+  def correlationMatrix(data: DataFrame, cols: Seq[String]): Vector = {
+    val assembled = assembler(cols, "corr_vec").transform(data)
+    Correlation.corr(assembled, "corr_vec").head.getAs[
+      org.apache.spark.ml.linalg.Matrix](0).toDense.values
+    match { case v => org.apache.spark.ml.linalg.Vectors.dense(v) }
+  }
+
+  /** M3/M15 — scale→PCA→explainedVariance, the `G_2_rf_pca.py:77-142`
+    * shape: returns the PCA model whose `explainedVariance` the reference
+    * prints. */
+  def scaledPca(data: DataFrame, cols: Seq[String], k: Int,
+      prefix: String): (DataFrame, PCAModel) = {
+    val va = assembler(cols, s"${prefix}_features").transform(data)
+    val sc = scaler(s"${prefix}_features", s"scaled_${prefix}_features")
+      .fit(va).transform(va)
+    val model = pca(s"scaled_${prefix}_features", s"pca_${prefix}_features", k)
+      .fit(sc)
+    (model.transform(sc), model)
+  }
+}

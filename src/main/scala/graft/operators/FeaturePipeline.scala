@@ -104,7 +104,15 @@ object FeaturePipeline {
 
   /** Reference-shaped pipeline: every feature computed in its own derived
     * DataFrame and equi-joined back, in the reference's order. Used to
-    * benchmark the join-heavy plan against [[fast]]. */
+    * benchmark the join-heavy plan against [[fast]].
+    *
+    * Each feature frame derives from the STABLE base lineage, not from the
+    * accumulating join result. The reference derives from the accumulating
+    * frame but cuts lineage at every `.rdd`/`toDF` boundary
+    * (`G_2_rf_nordd_fe.py:88-103`); without such a cut, self-joining the
+    * growing plan doubles the logical tree per join — 2^13 nodes by the
+    * last join, which blows up analysis. Values are identical either way
+    * (the consumed source columns pass through the joins unchanged). */
   def faithful(bars: DataFrame, useLead: Boolean = false): DataFrame = {
     val df = DailyAggregates.withDateOnly(bars)
     var data = df.join(DailyAggregates.avgCloseCompat(bars), Seq("date_only"))
@@ -117,7 +125,7 @@ object FeaturePipeline {
     // J3 per-minute feature joins (`G_2_rf_nordd_fe.py:88-169`)
     def joinMinute(d: DataFrame, name: String,
         expr: org.apache.spark.sql.Column, drops: Seq[String]): DataFrame =
-      d.join(d.select(col("date"), expr.as(name)), Seq("date"))
+      d.join(df.select(col("date"), expr.as(name)), Seq("date"))
         .drop(drops: _*)
     data = joinMinute(data, "macd", ColumnFeatures.macd,
       Seq("macd510", "macd520", "macd1020", "macd1520", "macd1226",
@@ -130,16 +138,19 @@ object FeaturePipeline {
     data = joinMinute(data, "rsi", ColumnFeatures.rsi,
       Seq("RSI14", "RSI18", "RSI8"))
 
-    // J2 daily aggregate joins (`G_2_rf_nordd_fe.py:171-313`)
+    // J2 daily aggregate joins (`G_2_rf_nordd_fe.py:171-313`); momentum's
+    // inputs live in the daily-aggregate frame, the rest in the base frame
     def joinDaily(d: DataFrame, name: String,
-        rowExpr: org.apache.spark.sql.Column, drops: Seq[String]): DataFrame = {
-      val dailyAgg = d.select(col("date_only"), rowExpr.as(name))
+        rowExpr: org.apache.spark.sql.Column, drops: Seq[String],
+        src: DataFrame = df): DataFrame = {
+      val dailyAgg = src.select(col("date_only"), rowExpr.as(name))
         .groupBy(col("date_only")).agg(avg(col(name)).as(name))
         .orderBy(col("date_only"))
       d.join(dailyAgg, Seq("date_only")).drop(drops: _*)
     }
     data = joinDaily(data, "momentum", ColumnFeatures.momentum,
-      Seq("MOM20", "MOM15", "MOM10"))
+      Seq("MOM20", "MOM15", "MOM10"),
+      src = DailyAggregates.avgCloseCompat(bars))
     data = joinDaily(data, "sma", ColumnFeatures.smaMean,
       Seq("sma5", "sma10", "sma15", "sma20"))
     data = joinDaily(data, "kama", ColumnFeatures.kamaMean,

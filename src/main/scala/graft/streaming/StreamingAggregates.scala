@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY.md §2.10 / §7.5).
+  *
+  * The reference is pure batch; streaming bars ("Time Series Buffering",
+  * multi-stock streams) are its stated future work
+  * (`G_2_presentation.pdf` p.31-34). This module provides that extension
+  * Spark-first: `readStream` → watermarked tumbling windows reusing the
+  * batch daily-aggregate semantics, plus stateful per-key labeling via
+  * `flatMapGroupsWithState` (the streaming analogue of the batch
+  * lag-window label, which needs remembered state because a stream can't
+  * sort globally).
+  */
+object StreamingAggregates {
+
+  /** File-source stream of bar/event rows. */
+  def readStream(spark: SparkSession, schema: StructType, path: String,
+      tsCol: String = "ts"): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Watermarked tumbling daily aggregate — the streaming twin of
+    * `DailyAggregates.avgOpen`/`avgClose`: one row per (day, key) emitted
+    * once the watermark passes the day boundary. */
+  def dailyAggregate(events: DataFrame, tsCol: String, valueCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 day").as("day_window"))
+      .agg(
+        avg(col(valueCol)).as("avg_value"),
+        count(lit(1)).as("n"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+      .select(col("day_window.start").as("day_start"),
+        col("avg_value"), col("n"), col("min_value"), col("max_value"))
+
+  /** Sliding-window aggregate (the reference's future-work "sliding
+    * window" input shape for sequence models). */
+  def slidingAggregate(events: DataFrame, tsCol: String, valueCol: String,
+      windowLen: String = "10 minutes", slide: String = "1 minute"): DataFrame =
+    events
+      .withWatermark(tsCol, "30 minutes")
+      .groupBy(window(col(tsCol), windowLen, slide))
+      .agg(avg(col(valueCol)).as("avg_value"), count(lit(1)).as("n"))
+
+  case class KeyedValue(key: Long, ts: java.sql.Timestamp, value: Double)
+  case class LabeledValue(key: Long, ts: java.sql.Timestamp, value: Double,
+      buyOrSell: Int)
+  case class LastSeen(value: Double)
+
+  /** Stateful streaming labeler: per key, label each arriving value
+    * against the previously seen one — the streaming equivalent of the
+    * batch `lag(value) over (partition by key order by arrival)` label
+    * (compat LAG semantics: 1 iff previous > current, first row 0). */
+  def statefulLabel(events: Dataset2)(implicit spark: SparkSession)
+      : org.apache.spark.sql.Dataset[LabeledValue] = {
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[LastSeen, LabeledValue](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[KeyedValue], state: GroupState[LastSeen]) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[LabeledValue]
+          var prev = state.getOption
+          rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
+            val label = prev match {
+              case Some(LastSeen(p)) if p > r.value => 1
+              case _ => 0
+            }
+            buf += LabeledValue(r.key, r.ts, r.value, label)
+            prev = Some(LastSeen(r.value))
+          }
+          prev.foreach(state.update)
+          buf.iterator
+      }
+  }
+  type Dataset2 = org.apache.spark.sql.Dataset[KeyedValue]
+
+  /** Drive a streaming query to completion over static files (memory sink)
+    * — the local-smoke harness shape. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode)
+      : StreamingQuery = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q
+  }
+}
