@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{RelationalQueries, TextQueryCatalog, VectorQueryCatalog}
+import graft.queries.{ExtendedQueries, MlQueryCatalog, RelationalQueries, StreamQueryCatalog, TextQueryCatalog, VectorQueryCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,10 +21,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ TextQueryCatalog.defs ++ VectorQueryCatalog.defs
+    RelationalQueries.defs ++ ExtendedQueries.defs ++
+      TextQueryCatalog.defs ++ VectorQueryCatalog.defs ++
+      MlQueryCatalog.defs ++ StreamQueryCatalog.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.sql ++ TextQueryCatalog.sql ++ VectorQueryCatalog.sql
+    RelationalQueries.sql ++ ExtendedQueries.sql ++
+      TextQueryCatalog.sql ++ VectorQueryCatalog.sql ++
+      MlQueryCatalog.sql ++ StreamQueryCatalog.sql
 }

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.TemporalJoins
+
+import Oracle._
+
+/** Operator families beyond the reference's surface that a complete
+  * analytics engine must carry (SURVEY.md §2.4/§2.5 notes, §7.5):
+  * ranking + frame windows, as-of join, sliding-window range join, pivot,
+  * exact correlation, cube. Every query has a DuckDB twin — the as-of
+  * oracle uses DuckDB's own `ASOF JOIN`, i.e. an independent
+  * implementation, not a transliteration of ours.
+  */
+object ExtendedQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Ranking + analytic frames (absent in the reference — SURVEY.md §2.5
+    * "not used"): row_number / rank / dense_rank and a decimal-exact
+    * moving sum, all sharing ONE window partition spec so the plan sorts
+    * each group once. */
+  val q19RankFrames: Q = (s, dir) => {
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    // (…, l_partkey, l_suppkey) is — the full tiebreak makes row_number
+    // and the moving frame deterministic across engines
+    val byLine = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val byQty = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_quantity").desc, col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+    table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        row_number().over(byLine).as("rn"),
+        rank().over(byQty).as("qty_rank"),
+        dense_rank().over(byQty).as("qty_dense_rank"),
+        sum(col("l_quantity").cast(DecimalType(28, 6)))
+          .over(byLine.rowsBetween(-2, 0)).cast("double")
+          .as("moving_qty_3"))
+  }
+
+  /** As-of join (trades ⟕ most recent prior quote per user): purchases
+    * matched to the latest preceding view event. Spark side is the
+    * union+window single-shuffle plan in
+    * [[graft.operators.TemporalJoins.asofBackward]]; the oracle is
+    * DuckDB's native ASOF JOIN. */
+  val q20AsofJoin: Q = (s, dir) => {
+    val e = events(s, dir)
+    val trades = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("trade_value"))
+    val quotes = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    TemporalJoins.asofBackward(trades, quotes, Seq("user_id"),
+      rightPayload = Seq("value"), rightPrefix = "quote_")
+      .withColumnRenamed("quote_value", "quote_val")
+  }
+
+  /** Sliding-window range join: clicks within the 10 minutes before each
+    * error event of the same user, counted per error (zero-click errors
+    * kept). The range predicate runs as a bucketed equi-join
+    * ([[graft.operators.TemporalJoins.recentWindowJoin]]) — never a
+    * nested loop. */
+  val q21RangeJoin: Q = (s, dir) => {
+    val e = events(s, dir)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val matched = TemporalJoins.recentWindowJoin(errors, clicks,
+      Seq("user_id"), "ts", "click_ts", 600L)
+    val counts = matched.groupBy(col("event_id"))
+      .agg(count(col("click_id")).as("n_clicks_inner"))
+    errors.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_clicks_inner"), lit(0L)).as("n_clicks"))
+  }
+
+  /** Pivot (native confusion-matrix shape, SURVEY.md §2.11 M14): order
+    * counts and exact totals per priority × status. Explicit pivot values
+    * keep the output schema static — at scale an implicit pivot would
+    * first run a distinct scan. */
+  val q22Pivot: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
+  /** Exact Pearson correlation (A8 — the reference computes it in pandas;
+    * ours stays distributed): assembled from decimal-exact power sums so
+    * both engines emit identical bits; one partial-aggregable pass. */
+  val q23Corr: Q = (s, dir) => {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    table(s, dir, "lineitem")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sumd(x).as("sx"), sumd(y).as("sy"),
+        sumd(x * x).as("sxx"), sumd(y * y).as("syy"),
+        sumd(x * y).as("sxy"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"))
+  }
+
+  /** Cube (grouping-set family; rollup is q18): counts + exact totals
+    * over all subsets of (returnflag, linestatus). */
+  val q24Cube: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+
+  val defs: Map[String, Q] = Map(
+    "q19_rank_frames" -> q19RankFrames,
+    "q20_asof_join" -> q20AsofJoin,
+    "q21_range_join" -> q21RangeJoin,
+    "q22_pivot" -> q22Pivot,
+    "q23_corr" -> q23Corr,
+    "q24_cube" -> q24Cube)
+
+  val sql: Map[String, String] = Map(
+    "q19_rank_frames" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn,
+        |  rank() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_quantity DESC, l_linenumber, l_partkey, l_suppkey) AS qty_rank,
+        |  dense_rank() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_quantity DESC, l_linenumber, l_partkey, l_suppkey) AS qty_dense_rank,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_qty_3
+        |FROM lineitem""".stripMargin,
+    "q20_asof_join" ->
+      """SELECT t.event_id, t.user_id, CAST(t.ts AS TIMESTAMP) AS ts,
+        |  t.value AS trade_value, q.value AS quote_val,
+        |  CAST(q.ts AS TIMESTAMP) AS quote_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') q
+        |  ON t.user_id = q.user_id AND t.ts >= q.ts""".stripMargin,
+    "q21_range_join" ->
+      """SELECT e.event_id, count(c.event_id) AS n_clicks
+        |FROM events e LEFT JOIN events c
+        |  ON c.user_id = e.user_id AND c.event_type = 'click'
+        |  AND c.ts > e.ts - INTERVAL 10 MINUTE AND c.ts <= e.ts
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id""".stripMargin,
+    "q22_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q23_corr" ->
+      s"""WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  ${sqlSumd("l_quantity")} AS sx,
+         |  ${sqlSumd("l_extendedprice")} AS sy,
+         |  ${sqlSumd("l_quantity * l_quantity")} AS sxx,
+         |  ${sqlSumd("l_extendedprice * l_extendedprice")} AS syy,
+         |  ${sqlSumd("l_quantity * l_extendedprice")} AS sxy
+         |  FROM lineitem)
+         |SELECT n,
+         |  ((n * sxy - sx * sy) /
+         |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+         |    AS corr_qty_price
+         |FROM s""".stripMargin,
+    "q24_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${sqlSumd("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+import graft.streaming.StreamingAggregates
+
+/** Structured Streaming catalog (SURVEY.md §2.10/§7.5): the same parquet
+  * tables consumed through `readStream`, driven to completion with
+  * `Trigger.AvailableNow`, results landed in a memory sink and returned
+  * as a batch DataFrame.
+  *
+  * qs1 is oracle-checked: a complete-mode streaming aggregate over a
+  * finite source must equal the batch aggregate, and the sums fold in
+  * decimal (order-free, exact) so the equality is bit-level. qs2's
+  * per-key stateful labeler is oracle-checked against the batch lag
+  * window — valid because the single-file source arrives as one ordered
+  * batch; the operator itself orders within the batch by ts.
+  */
+object StreamQueryCatalog {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val runId = new AtomicInteger(0)
+
+  /** events.parquet as a stream, with the same TIMESTAMP(NANOS) → micro
+    * NTZ rebuild as the batch reader (`Oracle.events`). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    // the file-stream source rejects a bare file path (basePath must be a
+    // directory); a glob that matches only events.parquet streams it
+    // cleanly with basePath = the sf dir
+    s.readStream.schema(rawSchema).parquet(s"$dir/events.parque[t]")
+      .withColumn("ts",
+        expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+  }
+
+  private def runToTable(df: DataFrame, s: SparkSession,
+      mode: String): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Streaming tumbling daily aggregate (complete mode): the streaming
+    * twin of q9. Decimal sums make the result independent of batch
+    * boundaries and arrival order. */
+  val qs1StreamDaily: Q = (s, dir) => {
+    val agg = eventsStream(s, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(
+        sum(col("value").cast(DecimalType(28, 6))).cast("double")
+          .as("sum_value"),
+        count(lit(1)).as("n"))
+    runToTable(agg, s, "complete")
+      .select(col("w.start").cast("date").as("day"),
+        col("sum_value"), col("n"))
+  }
+
+  /** Stateful streaming labeler (flatMapGroupsWithState): per-user LAG
+    * label, the streaming form of the reference's labeling window
+    * (SURVEY.md §2.5 W1 / §2.10). */
+  val qs2StreamLabel: Q = (s, dir) => {
+    val s2 = s
+    import s2.implicits._
+    val ds = eventsStream(s, dir)
+      .select(col("user_id").as("key"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+      .as[StreamingAggregates.KeyedValue]
+    val labeled = StreamingAggregates.statefulLabel(ds)(s)
+    runToTable(labeled.toDF(), s, "append")
+      .select(col("key").as("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+        col("buyOrSell").as("buy_or_sell"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "qs1_stream_daily" -> qs1StreamDaily,
+    "qs2_stream_label" -> qs2StreamLabel)
+
+  val sql: Map[String, String] = Map(
+    "qs1_stream_daily" ->
+      s"""SELECT CAST(ts AS DATE) AS day,
+         |  ${Oracle.sqlSumd("value")} AS sum_value, count(*) AS n
+         |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin,
+    "qs2_stream_label" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  CASE WHEN lag(value) OVER (PARTITION BY user_id ORDER BY ts) > value
+        |       THEN 1 ELSE 0 END AS buy_or_sell
+        |FROM events""".stripMargin)
+}

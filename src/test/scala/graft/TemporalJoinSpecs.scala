@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TemporalJoins
+
+class TemporalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val trades = Seq(
+    (1L, 10L, ts("2024-01-01 10:00:00"), 5.0),
+    (2L, 10L, ts("2024-01-01 10:05:00"), 6.0),
+    (3L, 10L, ts("2024-01-01 09:00:00"), 7.0), // before any quote
+    (4L, 20L, ts("2024-01-01 10:00:00"), 8.0)  // other key
+  ).toDF("trade_id", "user_id", "ts", "trade_value")
+
+  private lazy val quotes = Seq(
+    (10L, ts("2024-01-01 09:30:00"), 1.0),
+    (10L, ts("2024-01-01 10:00:00"), 2.0), // ties trade 1's ts exactly
+    (10L, ts("2024-01-01 10:04:00"), 3.0),
+    (30L, ts("2024-01-01 09:00:00"), 9.0)  // key with no trades
+  ).toDF("user_id", "ts", "value")
+
+  test("asof backward: latest quote at-or-before each trade, per key") {
+    val out = TemporalJoins.asofBackward(trades, quotes, Seq("user_id"),
+      rightPayload = Seq("value"), rightPrefix = "q_", inner = false)
+      .select($"trade_id", $"q_value")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).contains(2.0)) // equal ts counts (<= semantics)
+    assert(out(2L).contains(3.0)) // strictly latest prior
+    assert(out(3L).isEmpty)       // no prior quote -> null (outer mode)
+    assert(out(4L).isEmpty)       // quotes of other keys invisible
+  }
+
+  test("asof inner mode drops unmatched left rows") {
+    val out = TemporalJoins.asofBackward(trades, quotes, Seq("user_id"),
+      rightPayload = Seq("value"))
+    assert(out.select("trade_id").as[Long].collect().toSet == Set(1L, 2L))
+    // matched quote ts surfaces with the prefix
+    assert(out.columns.contains("asof_ts") && out.columns.contains("asof_value"))
+  }
+
+  test("range join matches only rows inside the window, equi-key") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:10:00")),
+      (2L, 20L, ts("2024-01-01 10:10:00"))
+    ).toDF("eid", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 10:05:00")), // in window
+      (101L, 10L, ts("2024-01-01 10:10:00")), // boundary: inclusive
+      (102L, 10L, ts("2024-01-01 10:00:00")), // boundary: exclusive (> t-600)
+      (103L, 10L, ts("2024-01-01 09:59:00")), // too old
+      (104L, 30L, ts("2024-01-01 10:05:00"))  // wrong key
+    ).toDF("rid", "user_id", "rts")
+    val out = TemporalJoins.recentWindowJoin(left, right, Seq("user_id"),
+      "ts", "rts", 600L)
+    val pairs = out.select($"eid", $"rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 100L), (1L, 101L)))
+    // exploded probe buckets must not duplicate matches
+    assert(out.count() == 2)
+  }
+
+  test("range join window spanning a bucket boundary still matches") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:30"))).toDF("eid", "user_id", "ts")
+    val right = Seq((100L, 10L, ts("2024-01-01 09:52:00")))
+      .toDF("rid", "user_id", "rts") // previous 600s bucket
+    val out = TemporalJoins.recentWindowJoin(left, right, Seq("user_id"),
+      "ts", "rts", 600L)
+    assert(out.count() == 1)
+  }
+}
