@@ -90,9 +90,12 @@ object Dedup {
   def lshCandidatePairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxBucket: Option[Int] = None): DataFrame = {
     // docs with < K tokens have null signatures; exclude them (a null band
-    // key would also join differently across engines)
-    val sigs = minhashSignatures(docs, idCol, textCol)
-      .filter(col("mh0").isNotNull)
+    // key would also join differently across engines). The filter runs on
+    // a cheap token count BEFORE the signature projection — filtering on
+    // mh0.isNotNull instead gets predicate-pushed below the projection and
+    // re-evaluates the whole tokenize+hash pipeline per row
+    val sigs = minhashSignatures(
+      docs.filter(size(tokens(col(textCol))) >= ShingleK), idCol, textCol)
     val nBands = MinhashA.size / BandSize
     val bandStructs = (0 until nBands).map { b =>
       val keyCols = (0 until BandSize).map(j => col(s"mh${b * BandSize + j}"))
@@ -120,19 +123,22 @@ object Dedup {
 
   /** 32-bit SimHash over whitespace tokens: per bit, majority vote of the
     * tokens' hash bits (+1/-1). Computed as 32 conditional sums inside one
-    * aggregate-free projection over the token array (no explode). */
-  def simhash(textCol: Column): Column = {
-    val toks = tokens(textCol)
-    val bits = (0 until 32).map { j =>
-      val vote = aggregate(
-        transform(toks, t =>
-          when(shiftright(hash32(t), j).bitwiseAND(lit(1L)) === 1, lit(1))
-            .otherwise(lit(-1))),
-        lit(0L), (acc, x) => acc + x)
-      when(vote > 0, lit(1L) * lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    * aggregate-free projection over the token array (no explode). The
+    * hashed-token array is let-bound (single-element `transform`, as in
+    * [[graft.functions.TextFunctions.wordShingles]]) so tokenisation and
+    * the per-token md5 run once — not once per bit. */
+  def simhash(textCol: Column): Column =
+    element_at(transform(array(transform(tokens(textCol), hash32(_))), hs => {
+      val bits = (0 until 32).map { j =>
+        val vote = aggregate(
+          transform(hs, h =>
+            when(shiftright(h, j).bitwiseAND(lit(1L)) === 1, lit(1))
+              .otherwise(lit(-1))),
+          lit(0L), (acc, x) => acc + x)
+        when(vote > 0, lit(1L) * lit(1L << j)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }), 1)
 
   def simhashDedup(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
