@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{CsvBarSource, ParquetRoundTrip}
+
+class SourcesSpec extends SparkSpec {
+
+  private def writeCsv(lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory("graft_csv_").toFile
+    val f = new java.io.File(dir, "bars.csv")
+    val w = new java.io.PrintWriter(f)
+    lines.foreach(w.println)
+    w.close()
+    f.getAbsolutePath
+  }
+
+  private val smallSchema = StructType(Seq(
+    StructField("date", TimestampType),
+    StructField("close", DoubleType),
+    StructField("high", DoubleType)))
+
+  test("csv source: header + explicit schema (S1)") {
+    val path = writeCsv(Seq(
+      "date,close,high",
+      "2020-01-06 09:30:00,100.5,101.0",
+      "2020-01-06 09:31:00,100.6,101.2"))
+    val df = CsvBarSource.load(spark, path, schema = smallSchema)
+    assert(df.schema == smallSchema)
+    assert(df.count() == 2)
+    assert(df.agg(max("close")).head.getDouble(0) == 100.6)
+  }
+
+  test("csv source: inference mode and limit smoke path (S2)") {
+    val path = writeCsv(Seq(
+      "date,close,high",
+      "2020-01-06 09:30:00,100.5,101.0",
+      "2020-01-06 09:31:00,100.6,101.2",
+      "2020-01-06 09:32:00,100.7,101.3"))
+    val df = CsvBarSource.load(spark, path, inferSchema = true,
+      limit = Some(2))
+    assert(df.count() == 2)
+    assert(df.schema("close").dataType == DoubleType)
+  }
+
+  test("parquet round-trip preserves schema and values (S3/S4)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_pq_").toString + "/t"
+    val in = Seq((1L, 2.5, "a"), (2L, 3.5, "b")).toDF("id", "v", "s")
+    ParquetRoundTrip.write(in, dir)
+    val back = ParquetRoundTrip.read(spark, dir)
+    // parquet reads back nullable; names and types must round-trip
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      in.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq ==
+      in.orderBy("id").collect().toSeq)
+  }
+}
