@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+import graft.indicators.RecursiveSmooth
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * expressions on the SQL surface. Activate at session build time with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`, or on a
+  * live session via [[GraftExtensions.register]].
+  *
+  * Registered functions:
+  *  - `ema_smooth(x, alpha)` — the recursive exponential smooth
+  *    ([[graft.indicators.ExponentialSmooth]]); window-only, e.g.
+  *    `SELECT ema_smooth(close, 0.2) OVER (PARTITION BY symbol ORDER BY ts
+  *    ROWS UNBOUNDED PRECEDING) FROM bars`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("ema_smooth"),
+      RecursiveSmooth.sqlInfo,
+      RecursiveSmooth.sqlBuilder))
+  }
+}
+
+object GraftExtensions {
+  /** Runtime registration for an already-built session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("ema_smooth"),
+      RecursiveSmooth.sqlInfo,
+      RecursiveSmooth.sqlBuilder)
+}

@@ -121,13 +121,33 @@ object ExtendedQueries {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
 
+  /** Frame-indicator shapes (`graft.indicators.Indicators`) on the events
+    * table: per-key SMA/MOM/min/max over row frames, decimal-stabilised.
+    * The recursive EMA family has no portable SQL twin (first-order
+    * recurrence) — it is cross-checked in `IndicatorSpec` against the
+    * mapPartitions twin instead. */
+  val qi1IndicatorFrames: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val f3 = w.rowsBetween(-2, 0)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("sma3",
+        sum(col("value").cast(DecimalType(28, 6))).over(f3).cast("double")
+          / count(col("value")).over(f3).cast("double"))
+      .withColumn("mom2", col("value") - lag(col("value"), 2).over(w))
+      .withColumn("min3", min(col("value")).over(f3))
+      .withColumn("max3", max(col("value")).over(f3))
+  }
+
   val defs: Map[String, Q] = Map(
     "q19_rank_frames" -> q19RankFrames,
     "q20_asof_join" -> q20AsofJoin,
     "q21_range_join" -> q21RangeJoin,
     "q22_pivot" -> q22Pivot,
     "q23_corr" -> q23Corr,
-    "q24_cube" -> q24Cube)
+    "q24_cube" -> q24Cube,
+    "qi1_indicator_frames" -> qi1IndicatorFrames)
 
   val sql: Map[String, String] = Map(
     "q19_rank_frames" ->
@@ -179,5 +199,17 @@ object ExtendedQueries {
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
          |  ${sqlSumd("l_quantity")} AS sum_qty
          |FROM lineitem
-         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)
+         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "qi1_indicator_frames" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) OVER f3 AS DOUBLE)
+        |    / CAST(count(value) OVER f3 AS DOUBLE) AS sma3,
+        |  value - lag(value, 2) OVER w AS mom2,
+        |  min(value) OVER f3 AS min3,
+        |  max(value) OVER f3 AS max3
+        |FROM events
+        |WINDOW
+        |  w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  f3 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin)
 }
