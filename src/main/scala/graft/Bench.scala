@@ -1,9 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times every catalog query on
+  * `SPARK_GRAFT_SF_DIR`, plus the end-to-end pipeline cells that mirror
+  * BASELINE.md's published runtimes at the reference's own scale
+  * (671,024×60 synthetic bars; disable with SPARK_GRAFT_E2E=0). Emits ONE
+  * JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runE2e = sys.env.getOrElse("SPARK_GRAFT_E2E", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,9 +30,20 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val e2e: Map[String, Double] =
+      if (!runE2e) Map.empty
+      else {
+        val path = bench.SyntheticBars.ensure(spark) // untimed, write-once
+        bench.E2EBench.cells.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, path) } catch { case _: Throwable => () }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+      }
+    val all = results ++ e2e
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (all.nonEmpty) all.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

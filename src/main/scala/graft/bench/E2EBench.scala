@@ -1,0 +1,124 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.MlPipelines
+import graft.operators.{FeaturePipeline, Labeler}
+import graft.schema.StockSchema
+
+/** End-to-end pipelines mirroring the reference's published benchmark
+  * cells (BASELINE.md / `G_2_presentation.pdf` p.23) at the SAME scale:
+  * 671,024 minute bars × 60 columns, load → label → (transform) → train →
+  * evaluate AUC. The reference's numbers are 2′08″–15′02″ on 2–3-worker
+  * Dataproc (and 2′34″+ on a local Docker i7); these run in the bench's
+  * local[N] session, so BENCH vs BASELINE is a same-scale, same-shape
+  * comparison.
+  *
+  * The bar table is generated deterministically once (closed-form columns,
+  * no RNG) and persisted as parquet under /tmp — the timed run reads it
+  * from disk like the reference reads its CSV, so "load" is real I/O.
+  */
+object SyntheticBars {
+
+  val ReferenceRows: Long = 671024L
+
+  /** Deterministic reference-shaped bar table: minute timestamps over
+    * ~391-minute trading days, closed-form price path, every indicator
+    * column a smooth function of the row index (the values only need the
+    * right shape and cardinality — the benchmark measures plan execution,
+    * not financial truth). */
+  def generate(spark: SparkSession, nRows: Long = ReferenceRows): DataFrame = {
+    val base = spark.range(nRows).toDF("i")
+      .withColumn("day", (col("i") / 391).cast("long"))
+      .withColumn("minute", col("i") % 391)
+      .withColumn("date",
+        expr("timestamp_seconds(1420070400 + day * 86400 + (570 + minute) * 60)"))
+      .withColumn("volume", (lit(1000) + col("i") % 97).cast("int"))
+      .withColumn("close",
+        lit(100.0) + lit(5.0) * sin(col("i") / lit(7.0))
+          + col("i") * lit(0.0001))
+      .withColumn("high", col("close") + lit(0.5)
+        + lit(0.1) * cos(col("i") / lit(3.0)))
+      .withColumn("low", col("close") - lit(0.5))
+      .withColumn("open", col("close") - lit(0.1))
+    val withIndicators = StockSchema.indicatorCols
+      .filterNot(Seq("close", "high", "low", "open").contains)
+      .zipWithIndex.foldLeft(base) { case (df, (c, k)) =>
+        df.withColumn(c,
+          col("close") * lit(1.0 + k % 7) + col("i") / lit((k + 2).toDouble))
+      }
+    withIndicators.select(
+      (Seq("date", "volume") ++ StockSchema.indicatorCols).map(col): _*)
+  }
+
+  /** Write-once parquet location; returns the path. */
+  def ensure(spark: SparkSession, nRows: Long = ReferenceRows): String = {
+    val path = s"/tmp/graft_bench_bars_$nRows"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      generate(spark, nRows).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+}
+
+object E2EBench {
+
+  private def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  private def trainAuc(data: DataFrame, features: Seq[String],
+      classifier: org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]])
+      : Double = {
+    val (_, pred) = MlPipelines.fitPredict(data, features, classifier)
+    val auc = MlPipelines.evaluate(pred)("areaUnderROC")
+    pred.unpersist()
+    auc
+  }
+
+  /** `G_2_rf_nordd.py` — RF, raw 59 features, no transform. */
+  def rfRaw(spark: SparkSession, path: String): Double = {
+    val labeled = Labeler.label(load(spark, path))
+    trainAuc(labeled, StockSchema.rfRawFeatures, MlPipelines.rfMllibParity())
+  }
+
+  /** `G_2_rf_nordd_fe.py` — RF after the feature-engineering pipeline
+    * (Spark-first single-shuffle form). */
+  def rfFe(spark: SparkSession, path: String): Double =
+    trainAuc(FeaturePipeline.fast(load(spark, path)),
+      FeaturePipeline.featureCols, MlPipelines.rfMllibParity())
+
+  /** Same cell, but through the reference's literal ~13-join topology —
+    * the plan-shape ablation. */
+  def rfFeFaithful(spark: SparkSession, path: String): Double =
+    trainAuc(FeaturePipeline.faithful(load(spark, path)),
+      FeaturePipeline.featureCols, MlPipelines.rfMllibParity())
+
+  /** `G_2_rf_pca.py` — scale → PCA(k=12) → RF on the component vectors. */
+  def rfPca(spark: SparkSession, path: String): Double = {
+    val labeled = Labeler.label(load(spark, path))
+    val (transformed, _) = MlPipelines.scaledPca(labeled,
+      StockSchema.rfRawFeatures, k = 12, prefix = "all")
+    val rf = MlPipelines.rfMllibParity().setFeaturesCol("pca_all_features")
+    val cached = transformed.cache()
+    val Array(train, test) = cached.randomSplit(Array(0.7, 0.3), 42L)
+    val model = rf.fit(train)
+    val auc = MlPipelines.evaluate(model.transform(test))("areaUnderROC")
+    cached.unpersist()
+    auc
+  }
+
+  /** `G_2_svm.py` — LinearSVC on the 55-column list. */
+  def svmRaw(spark: SparkSession, path: String): Double = {
+    val labeled = Labeler.label(load(spark, path))
+    trainAuc(labeled, StockSchema.svmFeatures, MlPipelines.svm())
+  }
+
+  /** The benchmark cells, keyed like BASELINE.md rows. */
+  val cells: Map[String, (SparkSession, String) => Double] = Map(
+    "e2e_rf_raw" -> rfRaw,
+    "e2e_rf_fe" -> rfFe,
+    "e2e_rf_fe_faithful" -> rfFeFaithful,
+    "e2e_rf_pca" -> rfPca,
+    "e2e_svm_raw" -> svmRaw)
+}

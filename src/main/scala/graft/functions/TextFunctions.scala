@@ -95,14 +95,16 @@ object TextFunctions {
     langMarkers.toMap.apply(lang).map(wordCount(c, _)).reduce(_ + _)
 
   def langId(c: Column): Column = {
-    // argmax with first-listed language winning ties (stable in both
-    // engines because the comparison chain is identical)
-    val scored = langMarkers.map { case (l, _) => (l, langScore(c, l)) }
-    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bestL, bestS), (l, s)) =>
-        (when(s > bestS, lit(l)).otherwise(bestL),
-          when(s > bestS, s).otherwise(bestS))
-    }._1
+    // argmax with first-listed language winning ties (same order as the
+    // SQL twin's CASE chain). Scores are collected into ONE array and
+    // let-bound; a when/otherwise fold would duplicate every regex-count
+    // subtree per comparison — combinatorial re-evaluation that showed up
+    // as a 40× slowdown under full-column execution.
+    val scores = array(langMarkers.map { case (_, ws) =>
+      ws.map(wordCount(c, _)).reduce(_ + _) }: _*)
+    element_at(transform(array(scores), ss =>
+      element_at(typedLit(langMarkers.map(_._1)),
+        array_position(ss, array_max(ss)).cast("int"))), 1)
   }
 
   /** Document fingerprint: md5 of the whitespace-normalised, lowercased
