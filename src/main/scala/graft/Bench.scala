@@ -14,6 +14,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,7 +29,10 @@ object Bench {
       // projection-only query down to a row count
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolate measurements: drop caches the query left behind
+      spark.sharedState.cacheManager.clearCache()
+      name -> dt
     }
     val e2e: Map[String, Double] =
       if (!runE2e) Map.empty
@@ -37,7 +41,9 @@ object Bench {
         bench.E2EBench.cells.map { case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, path) } catch { case _: Throwable => () }
-          name -> (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sharedState.cacheManager.clearCache()
+          name -> dt
         }
       }
     val all = results ++ e2e

@@ -23,14 +23,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ema_smooth"),
       RecursiveSmooth.sqlInfo,
       RecursiveSmooth.sqlBuilder))
+    // J3 self-join-to-projection rewrite; inert unless
+    // spark.graft.rewriteSelfJoin.assumeUniqueKeys=true
+    ext.injectOptimizerRule(_ => graft.plans.SelfJoinRewrite)
   }
 }
 
 object GraftExtensions {
   /** Runtime registration for an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("ema_smooth"),
       RecursiveSmooth.sqlInfo,
       RecursiveSmooth.sqlBuilder)
+    if (!spark.sessionState.experimentalMethods.extraOptimizations
+        .contains(graft.plans.SelfJoinRewrite)) {
+      spark.sessionState.experimentalMethods.extraOptimizations ++=
+        Seq(graft.plans.SelfJoinRewrite)
+    }
+  }
 }
