@@ -115,6 +115,110 @@ object Indicators {
   def atr(trangeCol: Column, w: WindowSpec, n: Int): Column =
     RecursiveSmooth.wilder(trangeCol, n).over(running(w))
 
+  // ---- composite indicators (DataFrame-level: they need materialised
+  // intermediate columns because window expressions cannot nest) ----
+
+  /** KAMA(n): Kaufman's adaptive MA — a varying-α recurrence where
+    * α = sc_t derives from the efficiency ratio over the last n bars.
+    * fast/slow are the classic 2 and 30 EMA lengths. */
+  def withKama(df: DataFrame, w: WindowSpec, n: Int = 10,
+      closeCol: String = "close", out: String = "kama10",
+      fast: Int = 2, slow: Int = 30): DataFrame = {
+    val c = col(closeCol)
+    val fastA = 2.0 / (fast + 1); val slowA = 2.0 / (slow + 1)
+    val d1 = abs(c - lag(c, 1).over(w))
+    val withD = df.withColumn("_kama_d1", d1)
+    val vol = sum(col("_kama_d1")).over(frame(w, n))
+    val er = when(vol > 0, abs(c - lag(c, n).over(w)) / vol).otherwise(lit(0.0))
+    val sc = (er * lit(fastA - slowA) + lit(slowA))
+    withD
+      .withColumn("_kama_sc", sc * sc)
+      .withColumn(out, RecursiveSmooth.smoothVar(c, col("_kama_sc"))
+        .over(running(w)))
+      .drop("_kama_d1", "_kama_sc")
+  }
+
+  /** ADX(n): Wilder's trend strength — directional movements and true
+    * range Wilder-smoothed, DX = spread of the directional indices, ADX =
+    * Wilder smooth of DX. Three recursive smooths + arithmetic, all over
+    * the same running window. */
+  def withAdx(df: DataFrame, w: WindowSpec, n: Int = 14,
+      out: String = "adx14"): DataFrame = {
+    val h = col("high"); val l = col("low"); val c = col("close")
+    val up = h - lag(h, 1).over(w)
+    val down = lag(l, 1).over(w) - l
+    val base = df
+      .withColumn("_pdm", when(up > down && up > 0, up).otherwise(lit(0.0)))
+      .withColumn("_ndm", when(down > up && down > 0, down).otherwise(lit(0.0)))
+      .withColumn("_tr", trange(h, l, c, w))
+    val run = running(w)
+    val sTr = RecursiveSmooth.wilder(col("_tr"), n).over(run)
+    val pdi = lit(100.0) * RecursiveSmooth.wilder(col("_pdm"), n).over(run) / sTr
+    val ndi = lit(100.0) * RecursiveSmooth.wilder(col("_ndm"), n).over(run) / sTr
+    val withDx = base
+      .withColumn("_pdi", pdi).withColumn("_ndi", ndi)
+      .withColumn("_dx", when(col("_pdi") + col("_ndi") > 0,
+        lit(100.0) * abs(col("_pdi") - col("_ndi"))
+          / (col("_pdi") + col("_ndi"))).otherwise(lit(0.0)))
+    withDx
+      .withColumn(out, RecursiveSmooth.wilder(col("_dx"), n).over(run))
+      .drop("_pdm", "_ndm", "_tr", "_pdi", "_ndi", "_dx")
+  }
+
+  /** MFI(n): money-flow index — volume-weighted RSI over typical price;
+    * pure frame sums, no recursion. */
+  def withMfi(df: DataFrame, w: WindowSpec, n: Int = 14,
+      out: String = "mfi14"): DataFrame = {
+    val tp = typPrice(col("high"), col("low"), col("close"))
+    val base = df.withColumn("_tp", tp)
+      .withColumn("_flow", col("_tp") * col("volume").cast("double"))
+      .withColumn("_tp_prev", lag(col("_tp"), 1).over(w))
+    val pos = when(col("_tp") > col("_tp_prev"), col("_flow")).otherwise(lit(0.0))
+    val neg = when(col("_tp") < col("_tp_prev"), col("_flow")).otherwise(lit(0.0))
+    val withFlows = base.withColumn("_pos", pos).withColumn("_neg", neg)
+    val sp = sum(col("_pos")).over(frame(w, n))
+    val sn = sum(col("_neg")).over(frame(w, n))
+    withFlows
+      .withColumn(out, when(sn === 0, lit(100.0))
+        .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + sp / sn)))
+      .drop("_tp", "_flow", "_tp_prev", "_pos", "_neg")
+  }
+
+  /** Ultimate Oscillator (7/14/28): weighted buying-pressure ratios over
+    * three frame lengths. */
+  def withUltosc(df: DataFrame, w: WindowSpec,
+      out: String = "ultosc"): DataFrame = {
+    val h = col("high"); val l = col("low"); val c = col("close")
+    val prevC = lag(c, 1).over(w)
+    val base = df
+      .withColumn("_bp", c - least(l, prevC))
+      .withColumn("_tr2", greatest(h, prevC) - least(l, prevC))
+    def ratio(n: Int): Column = {
+      val num = sum(col("_bp")).over(frame(w, n))
+      val den = sum(col("_tr2")).over(frame(w, n))
+      when(den > 0, num / den).otherwise(lit(0.0))
+    }
+    base
+      .withColumn(out,
+        lit(100.0) * (lit(4.0) * ratio(7) + lit(2.0) * ratio(14) + ratio(28))
+          / lit(7.0))
+      .drop("_bp", "_tr2")
+  }
+
+  /** APO/PPO/MACD — EMA differences (absolute, percentage, 12−26). */
+  def withEmaOscillators(df: DataFrame, w: WindowSpec,
+      closeCol: String = "close"): DataFrame = {
+    val c = col(closeCol)
+    df.withColumn("_ema12", ema(c, w, 12))
+      .withColumn("_ema26", ema(c, w, 26))
+      .withColumn("apo", col("_ema12") - col("_ema26"))
+      .withColumn("ppo", when(col("_ema26") =!= 0,
+        lit(100.0) * (col("_ema12") - col("_ema26")) / col("_ema26"))
+        .otherwise(lit(0.0)))
+      .withColumn("macd1226", col("_ema12") - col("_ema26"))
+      .drop("_ema12", "_ema26")
+  }
+
   /** One-stop enrichment: raw OHLCV bars → the reference's core indicator
     * set. All frame windows share one partition spec, so the plan is a
     * single shuffle + sort followed by window passes. */
@@ -143,8 +247,19 @@ object Indicators {
       .withColumn("diff", c - lag(c, 1).over(w))
       .withColumn("rsi14", rsi(col("diff"), w, 14))
       .withColumn("atr14", atr(col("trange"), w, 14))
+      .transform(withKama(_, w))
+      .transform(withAdx(_, w))
+      .transform(withMfi(_, w))
+      .transform(withUltosc(_, w))
+      .transform(withEmaOscillators(_, w))
       .drop("sma_tp", "diff")
   }
+
+  /** NOT generated (documented gaps, each with a reason): parabolic SAR
+    * (trend-flip state machine — needs a general mapPartitions scan, not a
+    * linear recurrence), HT_TRENDLINE / HT_DCPERIOD (Hilbert-transform
+    * DSP over long history), BETA (rolling regression against a second
+    * market series the reference table does not carry). */
 }
 
 /** mapPartitions twin of the recursive smooth — the cross-check for

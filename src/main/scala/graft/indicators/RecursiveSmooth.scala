@@ -98,11 +98,82 @@ case class ExponentialSmooth(
   override def prettyName: String = "ema_smooth"
 }
 
+/** Varying-coefficient smooth: `s_t = α_t·x_t + (1-α_t)·s_{t-1}` with a
+  * PER-ROW α (KAMA's adaptive smoothing constant). Same window-only,
+  * merge-throws contract as [[ExponentialSmooth]]. */
+case class VaryingExponentialSmooth(
+    child: Expression,
+    alphaChild: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SmoothState] {
+
+  override def children: Seq[Expression] = Seq(child, alphaChild)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def createAggregationBuffer(): SmoothState = SmoothState(None)
+
+  override def update(state: SmoothState, input: InternalRow): SmoothState = {
+    val v = child.eval(input)
+    val a = alphaChild.eval(input)
+    if (v != null && a != null) {
+      val x = v.asInstanceOf[Double]
+      val alpha = a.asInstanceOf[Double]
+      state.value = Some(state.value match {
+        case Some(s) => alpha * x + (1 - alpha) * s
+        case None => x
+      })
+    }
+    state
+  }
+
+  override def merge(a: SmoothState, b: SmoothState): SmoothState =
+    throw new UnsupportedOperationException(
+      "VaryingExponentialSmooth is order-dependent and cannot be merged; " +
+        "use it over an ordered window, not in a groupBy")
+
+  override def eval(state: SmoothState): Any =
+    state.value.map(Double.box).orNull
+
+  override def serialize(state: SmoothState): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(9)
+    state.value match {
+      case Some(v) => b.put(1: Byte).putDouble(v)
+      case None => b.put(0: Byte).putDouble(0.0)
+    }
+    b.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): SmoothState = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+    val defined = b.get() == (1: Byte)
+    val v = b.getDouble
+    SmoothState(if (defined) Some(v) else None)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int)
+      : VaryingExponentialSmooth = copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int)
+      : VaryingExponentialSmooth = copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VaryingExponentialSmooth =
+    copy(child = newChildren(0), alphaChild = newChildren(1))
+  override def prettyName: String = "var_ema_smooth"
+}
+
 object RecursiveSmooth {
 
   private def smoothCol(c: Column, alpha: Double): Column =
     GraftColumnBridge.toColumn(AggregateExpression(
       ExponentialSmooth(GraftColumnBridge.toExpression(c), Literal(alpha)),
+      Complete, isDistinct = false))
+
+  /** Varying-α smooth — apply over a running per-symbol window. */
+  def smoothVar(c: Column, alpha: Column): Column =
+    GraftColumnBridge.toColumn(AggregateExpression(
+      VaryingExponentialSmooth(GraftColumnBridge.toExpression(c),
+        GraftColumnBridge.toExpression(alpha)),
       Complete, isDistinct = false))
 
   /** `ema(c, n)` with the standard α = 2/(n+1); apply

@@ -104,6 +104,43 @@ class IndicatorSpec extends SparkSpec {
     assert(rsiAlt > 0.0 && rsiAlt < 100.0)
   }
 
+  test("varying-alpha smooth matches the hand recurrence") {
+    val df = Seq(("A", 1, 10.0, 1.0), ("A", 2, 20.0, 0.5),
+      ("A", 3, 30.0, 0.1)).toDF("symbol", "t", "x", "a")
+    val out = df.withColumn("s",
+      RecursiveSmooth.smoothVar($"x", $"a")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("t").select($"s").as[Double].collect().toSeq
+    // s1 = 10 (seed); s2 = .5*20+.5*10 = 15; s3 = .1*30+.9*15 = 16.5
+    assert(out == Seq(10.0, 15.0, 16.5))
+  }
+
+  test("composite indicators: kama tracks the series, adx/mfi bounded") {
+    val bars = StockFixture.bars(spark, nDays = 2, minutesPerDay = 60)
+      .withColumn("symbol", lit("SIE"))
+      .select("symbol", "date", "close", "high", "low", "open", "volume")
+    val enriched = Indicators.withUltosc(
+      Indicators.withMfi(
+        Indicators.withAdx(
+          Indicators.withKama(bars, Indicators.symbolWindow("symbol", "date")),
+          Indicators.symbolWindow("symbol", "date")),
+        Indicators.symbolWindow("symbol", "date")),
+      Indicators.symbolWindow("symbol", "date"))
+    val rows = enriched.orderBy($"date".desc).limit(30).collect()
+    val lo = bars.agg(min($"close")).head.getDouble(0)
+    val hi = bars.agg(max($"close")).head.getDouble(0)
+    rows.foreach { r =>
+      val kama = r.getAs[Double]("kama10")
+      assert(kama >= lo - 1 && kama <= hi + 1, s"kama out of range: $kama")
+      val adx = r.getAs[Double]("adx14")
+      assert(adx >= 0.0 && adx <= 100.0, s"adx out of range: $adx")
+      val mfi = r.getAs[Double]("mfi14")
+      assert(mfi >= 0.0 && mfi <= 100.0, s"mfi out of range: $mfi")
+      val uo = r.getAs[Double]("ultosc")
+      assert(uo >= 0.0 && uo <= 100.0, s"ultosc out of range: $uo")
+    }
+  }
+
   test("enrich: one shuffle for all frame windows, row count preserved") {
     val bars = StockFixture.bars(spark, nDays = 2, minutesPerDay = 30)
       .withColumn("symbol", lit("SIE"))
