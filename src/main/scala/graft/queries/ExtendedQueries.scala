@@ -140,7 +140,17 @@ object ExtendedQueries {
       .withColumn("max3", max(col("value")).over(f3))
   }
 
+  /** Semi-structured surface: JSON props extraction (`get_json_object`
+    * path access + typed cast), then a grouped count over the extracted
+    * value — the schema-on-read shape every training-data pipeline hits. */
+  val qj1Json: Q = (s, dir) =>
+    events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("k_bucket", col("k") % 10)
+
   val defs: Map[String, Q] = Map(
+    "qj1_json" -> qj1Json,
     "q19_rank_frames" -> q19RankFrames,
     "q20_asof_join" -> q20AsofJoin,
     "q21_range_join" -> q21RangeJoin,
@@ -150,6 +160,11 @@ object ExtendedQueries {
     "qi1_indicator_frames" -> qi1IndicatorFrames)
 
   val sql: Map[String, String] = Map(
+    "qj1_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+        |FROM events""".stripMargin,
     "q19_rank_frames" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  row_number() OVER (PARTITION BY l_orderkey

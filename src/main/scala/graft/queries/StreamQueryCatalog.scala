@@ -82,9 +82,33 @@ object StreamQueryCatalog {
         col("buyOrSell").as("buy_or_sell"))
   }
 
+  /** Watermarked stream-stream inner join: purchases ⋈ the same user's
+    * views in the preceding hour. Equi-key (user) + two-sided event-time
+    * bounds — the condition set Spark needs to bound join state; with
+    * AvailableNow over a finite source the result equals the batch range
+    * join, so it oracle-checks. */
+  val qs3StreamStreamJoin: Q = (s, dir) => {
+    val ev = eventsStream(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").cast("timestamp").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").cast("timestamp").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+    runToTable(joined, s, "append")
+      .select(col("p_id"), col("v_id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "qs1_stream_daily" -> qs1StreamDaily,
-    "qs2_stream_label" -> qs2StreamLabel)
+    "qs2_stream_label" -> qs2StreamLabel,
+    "qs3_stream_stream_join" -> qs3StreamStreamJoin)
 
   val sql: Map[String, String] = Map(
     "qs1_stream_daily" ->
@@ -95,5 +119,11 @@ object StreamQueryCatalog {
       """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |  CASE WHEN lag(value) OVER (PARTITION BY user_id ORDER BY ts) > value
         |       THEN 1 ELSE 0 END AS buy_or_sell
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    "qs3_stream_stream_join" ->
+      """SELECT p.event_id AS p_id, v.event_id AS v_id
+        |FROM events p JOIN events v
+        |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.user_id = p.user_id
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts""".stripMargin)
 }
