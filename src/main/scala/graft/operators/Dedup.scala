@@ -122,23 +122,27 @@ object Dedup {
   }
 
   /** 32-bit SimHash over whitespace tokens: per bit, majority vote of the
-    * tokens' hash bits (+1/-1). Computed as 32 conditional sums inside one
-    * aggregate-free projection over the token array (no explode). The
+    * tokens' hash bits (+1/-1). ONE fold over the hashed-token array into
+    * a 32-counter vector (a per-bit `aggregate` would traverse the array
+    * 32 times), then one pass mapping positive counters to bits. The
     * hashed-token array is let-bound (single-element `transform`, as in
     * [[graft.functions.TextFunctions.wordShingles]]) so tokenisation and
-    * the per-token md5 run once — not once per bit. */
-  def simhash(textCol: Column): Column =
-    element_at(transform(array(transform(tokens(textCol), hash32(_))), hs => {
-      val bits = (0 until 32).map { j =>
-        val vote = aggregate(
-          transform(hs, h =>
-            when(shiftright(h, j).bitwiseAND(lit(1L)) === 1, lit(1))
-              .otherwise(lit(-1))),
-          lit(0L), (acc, x) => acc + x)
-        when(vote > 0, lit(1L) * lit(1L << j)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _)
-    }), 1)
+    * the per-token md5 run once. */
+  def simhash(textCol: Column): Column = {
+    // bit j of h tested as h & 2^j (no column-indexed shifts in the API)
+    val powers = typedLit((0 until 32).map(j => 1L << j))
+    val votes = aggregate(
+      transform(tokens(textCol), hash32(_)),
+      array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(acc,
+        transform(powers, p =>
+          when(h.bitwiseAND(p) === p, lit(1L)).otherwise(lit(-1L))),
+        (a, v) => a + v))
+    element_at(transform(array(votes), vs =>
+      aggregate(
+        zip_with(vs, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc + b)), 1)
+  }
 
   def simhashDedup(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
