@@ -24,12 +24,30 @@ object TextFunctions {
   def hash32b(c: Column): Column =
     conv(substring(md5(c), 9, 8), 16, 10).cast("long")
 
-  /** Whitespace tokenisation (the BPE-ish regex variant splits on
-    * non-word boundaries too). */
+  /** Whitespace tokenisation. */
   def tokens(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
 
   /** Token count without materialising the token array. */
   def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish pre-tokenisation: word runs OR single non-word-non-space
+    * marks (the GPT-2-style pre-split shape — punctuation becomes its own
+    * token). Explicit character classes, not `\w`, so both regex engines
+    * agree. */
+  val BpeRegex = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit(BpeRegex), lit(0))
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
+  /** Rolling (Rabin–Karp polynomial) fingerprint over token hashes:
+    * `fp = fold(0, (acc, h) → (acc·B + h) mod M)` — order-sensitive (two
+    * docs with the same tokens in different order differ), incremental,
+    * and int64-safe (acc < M = 2³¹−1, B = 31, h < 2³²). */
+  val RollB = 31L
+  val RollM = 2147483647L
+  def rollingFingerprint(c: Column): Column =
+    aggregate(transform(tokens(c), hash32(_)),
+      lit(0L), (acc, h) => (acc * lit(RollB) + h) % lit(RollM))
 
   /** Word k-shingles: contiguous k-token spans joined by a single space.
     * Empty array when the doc has fewer than k tokens.
@@ -128,4 +146,13 @@ object TextSql {
     TextFunctions.stopwords.map(wordCount(e, _)).mkString("(", " + ", ")")
   def fingerprint(e: String): String =
     s"md5(lower(regexp_replace(trim($e), '\\s+', ' ', 'g')))"
+  def bpeTokenCount(e: String): String =
+    s"len(regexp_extract_all($e, '${TextFunctions.BpeRegex}'))"
+  /** DuckDB list_reduce seeds with the first element, so the zero is
+    * prepended to mirror Spark's explicit-zero fold. */
+  def rollingFingerprint(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       | [${hash32("t")} for t in ${tokens(e)}]),
+       | (acc, x) -> (acc * ${TextFunctions.RollB} + x)
+       |   % ${TextFunctions.RollM})""".stripMargin
 }

@@ -17,11 +17,13 @@ object TextQueryCatalog {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Token counting + basic stats. */
+  /** Token counting + basic stats (whitespace AND BPE-ish regex
+    * tokenisers). */
   val qt1TokenStats: Q = (s, dir) =>
     table(s, dir, "documents")
       .select(col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
         length(col("text")).as("n_chars_measured"),
         length(regexp_replace(col("text"), "\\s+", "")).as("n_nonws_chars"))
 
@@ -87,8 +89,16 @@ object TextQueryCatalog {
         (hash32(col("payload").cast("string")) % 1920).as("fake_width"),
         (hash32b(col("payload").cast("string")) % 1080).as("fake_height"))
 
+  /** Rolling (Rabin–Karp) fingerprint — the order-sensitive dedup key;
+    * docs sharing it are candidate exact-order duplicates. */
+  val qt10RollingFp: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        rollingFingerprint(col("text")).as("rolling_fp"))
+
   val defs: Map[String, Q] = Map(
     "qt1_token_stats" -> qt1TokenStats,
+    "qt10_rolling_fp" -> qt10RollingFp,
     "qt2_quality" -> qt2Quality,
     "qt3_langid" -> qt3LangId,
     "qt4_exact_dedup" -> qt4ExactDedup,
@@ -130,8 +140,12 @@ object TextQueryCatalog {
   val sql: Map[String, String] = Map(
     "qt1_token_stats" ->
       s"""SELECT doc_id, ${T.tokenCount("text")} AS n_tokens,
+         |  ${T.bpeTokenCount("text")} AS n_bpe_tokens,
          |  length(text) AS n_chars_measured,
          |  length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonws_chars
+         |FROM documents""".stripMargin,
+    "qt10_rolling_fp" ->
+      s"""SELECT doc_id, ${T.rollingFingerprint("text")} AS rolling_fp
          |FROM documents""".stripMargin,
     "qt2_quality" ->
       s"""SELECT doc_id, ${T.tokenCount("text")} AS n_tokens,
