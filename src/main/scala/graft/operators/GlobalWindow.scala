@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable GLOBAL-order offset windows (SURVEY.md §2.5 W4 / §7.4.2).
+  *
+  * The reference's windows have no partitionBy, which Spark executes as a
+  * single task — its #1 scalability blocker. But an OFFSET function
+  * (lag/lead 1) over a global order does not need a global sort on one
+  * machine: split the order into VALUE-DERIVED range buckets, lag within
+  * each bucket in parallel, then stitch bucket boundaries — each bucket's
+  * first row takes the previous non-empty bucket's last value.
+  *
+  * The buckets come from quantile boundaries computed once and inlined as
+  * literals, NOT from `repartitionByRange`: the range partitioner samples
+  * per execution, and a DataFrame that is executed twice (main pass +
+  * boundary pass) could pick different cuts — silently corrupting the
+  * stitch. A literal bucket expression is identical in every execution.
+  *
+  * Null discipline: the stitched value distinguishes "no previous row"
+  * (global first row → null, matching the unpartitioned window) from "a
+  * previous row whose value is null" via the per-bucket row_number.
+  */
+object GlobalWindow {
+
+  /** `lag(valueCol, 1)` over the global `orderCols` order.
+    *
+    * @param bucketKey numeric, non-decreasing function of the order
+    *                  prefix (e.g. `unix_micros(col("ts"))` when ordering
+    *                  by ts): rows with equal keys must sort adjacently.
+    *                  Quantiles of this key define the parallel buckets.
+    */
+  def lagGlobal(df: DataFrame, orderCols: Seq[String], valueCol: String,
+      out: String, bucketKey: Column,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val oc: Seq[Column] = orderCols.map(col)
+    val parts = numPartitions.getOrElse(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+
+    // pass 0: quantile cuts of the bucket key, collected once → literals
+    val probs = (1 until parts).map(_.toDouble / parts)
+    val cuts: Seq[Double] = if (parts <= 1) Nil else {
+      val arr = df.select(bucketKey.cast("double").as("_bk"))
+        .stat.approxQuantile("_bk", probs.toArray, 0.001)
+      arr.toSeq.distinct.sorted
+    }
+    val bucket: Column =
+      if (cuts.isEmpty) lit(0)
+      else cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(bucketKey.cast("double") > lit(c), 1).otherwise(0)
+      }
+
+    val bucketed = df.withColumn("_bucket", bucket)
+      .repartition(parts, col("_bucket"))
+    val w = Window.partitionBy(col("_bucket")).orderBy(oc: _*)
+    val local = bucketed
+      .withColumn("_rn", row_number().over(w))
+      .withColumn(out, lag(col(valueCol), 1).over(w))
+
+    // per-bucket LAST value: max over the (orderCols..., value) struct —
+    // partial-aggregable, one tiny row per bucket; collected (≤ parts
+    // rows) and forward-filled so buckets preceded by empty buckets still
+    // see the nearest earlier value. Deterministic: buckets are a pure
+    // function of row values.
+    val lastStruct = max(struct((oc :+ col(valueCol).as("_v")): _*))
+    val lastByBucket = bucketed.groupBy(col("_bucket"))
+      .agg(lastStruct.as("_last"))
+      .select(col("_bucket"), col("_last._v").as("_v"))
+      .collect()
+      .map(r => r.getInt(0) -> r.get(1))
+      .toMap
+    val nBuckets = cuts.size + 1
+    val prevLast = new Array[Any](nBuckets)
+    var carry: Any = null
+    (0 until nBuckets).foreach { b =>
+      prevLast(b) = carry
+      lastByBucket.get(b).foreach(v => carry = v)
+    }
+    val spark = df.sparkSession
+    val valueField = df.schema(valueCol)
+    val boundsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_bucket",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      valueField.copy(name = "_prev_last", nullable = true)))
+    val bounds = spark.createDataFrame(
+      java.util.Arrays.asList((0 until nBuckets).map(b =>
+        org.apache.spark.sql.Row(b, prevLast(b))): _*),
+      boundsSchema)
+
+    local
+      .join(broadcast(bounds), Seq("_bucket"), "left")
+      .withColumn(out,
+        when(col("_rn") === 1, col("_prev_last")).otherwise(col(out)))
+      .drop("_bucket", "_rn", "_prev_last")
+  }
+
+  /** The reference's label over the scalable global lag: bit-identical to
+    * `Labeler.label` (unpartitioned window) but parallel. */
+  def lagLabelGlobal(df: DataFrame, orderCols: Seq[String],
+      bucketKey: Column, highCol: String = "high"): DataFrame =
+    lagGlobal(df, orderCols, highCol, "_prev_high", bucketKey)
+      .withColumn("buy_or_sell",
+        when(col("_prev_high") > col(highCol), lit(1)).otherwise(lit(0)))
+      .drop("_prev_high")
+}

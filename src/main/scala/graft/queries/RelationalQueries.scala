@@ -85,16 +85,19 @@ object RelationalQueries {
   }
 
   /** W1 — lag window (the labeling window, `G_2_rf_nordd.py:36`), made
-    * deterministic by the unique `event_id` tiebreak. Unpartitioned on
-    * purpose (compat shape); the partitioned scale variant is q8. */
-  val q7WindowLag: Q = (s, dir) => {
-    val w = Window.orderBy(col("ts"), col("event_id"))
-    events(s, dir)
-      .select(col("event_id"), col("ts"), col("value"))
-      .withColumn("prev_value", lag(col("value"), 1).over(w))
+    * deterministic by the unique `event_id` tiebreak. The SEMANTICS are
+    * the reference's unpartitioned global order, but the PLAN is the
+    * scalable range-partition + boundary-stitch form
+    * ([[graft.operators.GlobalWindow]]) — bit-identical results without
+    * the single-task window (SURVEY.md §2.5 W4). The per-key variant is
+    * q8. */
+  val q7WindowLag: Q = (s, dir) =>
+    graft.operators.GlobalWindow.lagGlobal(
+      events(s, dir).select(col("event_id"), col("ts"), col("value")),
+      Seq("ts", "event_id"), "value", "prev_value",
+      bucketKey = unix_micros(col("ts").cast("timestamp")))
       .withColumn("buy_or_sell",
         when(col("prev_value") > col("value"), lit(1)).otherwise(lit(0)))
-  }
 
   /** W2 + W4 — lead window partitioned by user (the scalable form of the
     * reference's global window, SURVEY.md §2.5 W4). */
