@@ -92,11 +92,13 @@ object SimilaritySearch {
       .limit(c)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid"))
 
-  /** Query against an IVF-bucketed table probing `probes` buckets. */
+  /** Query against an IVF-bucketed table probing `probes` buckets. Probe
+    * selection also uses the exact cosine — C rows, negligible cost, and
+    * the probe choice becomes oracle-reproducible. */
   def ivfQuery(bucketed: DataFrame, centroids: DataFrame, queryVec: Column,
       k: Int, probes: Int): DataFrame = {
     val probeBuckets = centroids
-      .withColumn("qsim", cosine(col("centroid"), queryVec))
+      .withColumn("qsim", cosineExact(col("centroid"), queryVec))
       .orderBy(col("qsim").desc, col("centroid_id"))
       .limit(probes)
       .select(col("centroid_id").as("bucket"))

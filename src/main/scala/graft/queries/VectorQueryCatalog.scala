@@ -82,8 +82,24 @@ object VectorQueryCatalog {
       .filter(col("sim") > 0.2)
   }
 
+  /** End-to-end IVF probe: assign every vector to its centroid bucket,
+    * pick the 4 buckets nearest the query vector, search only those —
+    * the full partition/probe ANN path (≈ probes/C of the corpus scanned
+    * at query time). Query vector collected once (1 row) and inlined. */
+  val qv6IvfQuery: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val cents = SimilaritySearch.hashSampledCentroids(emb, 16)
+    val bucketed = emb.join(
+      SimilaritySearch.ivfAssignExact(emb, cents), Seq("vec_id"))
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0)
+    SimilaritySearch.ivfQuery(bucketed, cents, typedlit(qvec),
+      k = 10, probes = 4)
+  }
+
   val defs: Map[String, Q] = Map(
     "qv1_knn" -> qv1Knn,
+    "qv6_ivf_query" -> qv6IvfQuery,
     "qv2_consecutive_cosine" -> qv2ConsecutiveCosine,
     "qv3_lsh_buckets" -> qv3LshBuckets,
     "qv4_ivf_assign" -> qv4IvfAssign,
@@ -158,5 +174,29 @@ object VectorQueryCatalog {
          |FROM embeddings a JOIN embeddings b
          |  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 5
          |  AND a.label = b.label
-         |WHERE ${cosineSql("a.embedding", "b.embedding")} > 0.2""".stripMargin)
+         |WHERE ${cosineSql("a.embedding", "b.embedding")} > 0.2""".stripMargin,
+    "qv6_ivf_query" ->
+      s"""WITH cents AS ($centroidsSql),
+         |scored AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    ${cosineSql("e.embedding", "c.centroid")} AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id AS bucket FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, centroid_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT centroid_id AS bucket
+         |  FROM cents CROSS JOIN q
+         |  ORDER BY ${cosineSql("centroid", "qv")} DESC, centroid_id
+         |  LIMIT 4)
+         |SELECT e.vec_id, ${cosineSql("e.embedding", "qv")} AS sim
+         |FROM embeddings e
+         |JOIN assigned a ON a.vec_id = e.vec_id
+         |JOIN probes p ON p.bucket = a.bucket
+         |CROSS JOIN q
+         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)
 }
