@@ -114,11 +114,48 @@ object E2EBench {
     trainAuc(labeled, StockSchema.svmFeatures, MlPipelines.svm())
   }
 
+  /** `G_2_rf_rdd.py` — the reference's mllib/RDD path reproduced
+    * literally (BASELINE.md "RF-RDD" rows): DataFrame → RDD[LabeledPoint]
+    * → `mllib.tree.RandomForest.trainClassifier` with the exact config
+    * (numTrees=10, gini, maxDepth=10, maxBins=32, seed=42), split 70/30
+    * seed 42, AUC via mllib BinaryClassificationMetrics. Kept ONLY as the
+    * benchmark-parity variant — the engine's real path is the ml
+    * Pipeline (SURVEY.md §1.5). */
+  def rfMllib(spark: SparkSession, path: String): Double = {
+    import org.apache.spark.mllib.evaluation.BinaryClassificationMetrics
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.regression.LabeledPoint
+    import org.apache.spark.mllib.tree.RandomForest
+    val labeled = Labeler.label(load(spark, path))
+    val featCols = StockSchema.rfRawFeatures
+    val idx = featCols.map(labeled.schema.fieldIndex)
+    val labelIdx = labeled.schema.fieldIndex("buy_or_sell")
+    val lp = labeled.rdd.map { r =>
+      val arr = idx.map { i =>
+        val v = r.get(i)
+        v match {
+          case d: java.lang.Double => d.doubleValue()
+          case n: java.lang.Integer => n.doubleValue()
+          case _ => 0.0
+        }
+      }.toArray
+      LabeledPoint(r.getInt(labelIdx).toDouble, OldVectors.dense(arr))
+    }
+    val Array(train, test) = lp.randomSplit(Array(0.7, 0.3), seed = 42L)
+    val model = RandomForest.trainClassifier(train, numClasses = 2,
+      categoricalFeaturesInfo = Map.empty[Int, Int], numTrees = 10,
+      featureSubsetStrategy = "auto", impurity = "gini", maxDepth = 10,
+      maxBins = 32, seed = 42)
+    val scoreAndLabel = test.map(p => (model.predict(p.features), p.label))
+    new BinaryClassificationMetrics(scoreAndLabel).areaUnderROC()
+  }
+
   /** The benchmark cells, keyed like BASELINE.md rows. */
   val cells: Map[String, (SparkSession, String) => Double] = Map(
     "e2e_rf_raw" -> rfRaw,
     "e2e_rf_fe" -> rfFe,
     "e2e_rf_fe_faithful" -> rfFeFaithful,
     "e2e_rf_pca" -> rfPca,
-    "e2e_svm_raw" -> svmRaw)
+    "e2e_svm_raw" -> svmRaw,
+    "e2e_rf_mllib" -> rfMllib)
 }
