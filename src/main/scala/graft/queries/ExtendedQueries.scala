@@ -149,8 +149,44 @@ object ExtendedQueries {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .withColumn("k_bucket", col("k") % 10)
 
+  /** Sessionization: gap-based session ids per user (30-minute timeout)
+    * — one cumulative-sum window pass, the canonical clickstream/
+    * training-data grouping operator. */
+  val q25Sessionize: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("new_session",
+        when(unix_micros(col("ts").cast("timestamp"))
+          - unix_micros(lag(col("ts"), 1).over(w).cast("timestamp"))
+          > 1800L * 1000000L, lit(1)).otherwise(lit(0)))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .drop("new_session")
+  }
+
+  /** Exact lower-median per group via row_number — rank-selected, no
+    * float interpolation, so both engines agree bit-exactly (a
+    * percentile_cont oracle would hinge on interpolation arithmetic). */
+  val q26Median: Q = (s, dir) => {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+    val n = Window.partitionBy(col("l_returnflag"))
+    table(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(n))
+      .filter(col("rn") === floor((col("cnt") + 1) / lit(2)))
+      .select(col("l_returnflag"), col("l_quantity").as("median_qty"))
+  }
+
   val defs: Map[String, Q] = Map(
     "qj1_json" -> qj1Json,
+    "q25_sessionize" -> q25Sessionize,
+    "q26_median" -> q26Median,
     "q19_rank_frames" -> q19RankFrames,
     "q20_asof_join" -> q20AsofJoin,
     "q21_range_join" -> q21RangeJoin,
@@ -165,6 +201,28 @@ object ExtendedQueries {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
         |FROM events""".stripMargin,
+    "q25_sessionize" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |FROM (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |        - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (
+        |            PARTITION BY user_id ORDER BY ts, event_id))
+        |        > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events)""".stripMargin,
+    "q26_median" ->
+      """SELECT l_returnflag, l_quantity AS median_qty FROM (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber, l_partkey,
+        |        l_suppkey) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem)
+        |WHERE rn = (cnt + 1) // 2""".stripMargin,
     "q19_rank_frames" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  row_number() OVER (PARTITION BY l_orderkey
