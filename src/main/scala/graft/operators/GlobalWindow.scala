@@ -96,6 +96,67 @@ object GlobalWindow {
       .drop("_bucket", "_rn", "_prev_last")
   }
 
+  /** `lead(valueCol, 1)` over the global order — the mirror image:
+    * per-bucket lead, each bucket's LAST row stitched with the next
+    * non-empty bucket's FIRST value (backward fill). */
+  def leadGlobal(df: DataFrame, orderCols: Seq[String], valueCol: String,
+      out: String, bucketKey: Column,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val oc: Seq[Column] = orderCols.map(col)
+    val parts = numPartitions.getOrElse(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val probs = (1 until parts).map(_.toDouble / parts)
+    val cuts: Seq[Double] = if (parts <= 1) Nil else {
+      val arr = df.select(bucketKey.cast("double").as("_bk"))
+        .stat.approxQuantile("_bk", probs.toArray, 0.001)
+      arr.toSeq.distinct.sorted
+    }
+    val bucket: Column =
+      if (cuts.isEmpty) lit(0)
+      else cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(bucketKey.cast("double") > lit(c), 1).otherwise(0)
+      }
+    val bucketed = df.withColumn("_bucket", bucket)
+      .repartition(parts, col("_bucket"))
+    val w = Window.partitionBy(col("_bucket")).orderBy(oc: _*)
+    val wDesc = Window.partitionBy(col("_bucket"))
+      .orderBy(oc.map(_.desc): _*)
+    val local = bucketed
+      .withColumn("_rn_desc", row_number().over(wDesc))
+      .withColumn(out, lead(col(valueCol), 1).over(w))
+
+    val firstStruct = min(struct((oc :+ col(valueCol).as("_v")): _*))
+    val firstByBucket = bucketed.groupBy(col("_bucket"))
+      .agg(firstStruct.as("_first"))
+      .select(col("_bucket"), col("_first._v").as("_v"))
+      .collect()
+      .map(r => r.getInt(0) -> r.get(1))
+      .toMap
+    val nBuckets = cuts.size + 1
+    val nextFirst = new Array[Any](nBuckets)
+    var carry: Any = null
+    ((nBuckets - 1) to 0 by -1).foreach { b =>
+      nextFirst(b) = carry
+      firstByBucket.get(b).foreach(v => carry = v)
+    }
+    val spark = df.sparkSession
+    val valueField = df.schema(valueCol)
+    val boundsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_bucket",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      valueField.copy(name = "_next_first", nullable = true)))
+    val bounds = spark.createDataFrame(
+      java.util.Arrays.asList((0 until nBuckets).map(b =>
+        org.apache.spark.sql.Row(b, nextFirst(b))): _*),
+      boundsSchema)
+
+    local
+      .join(broadcast(bounds), Seq("_bucket"), "left")
+      .withColumn(out,
+        when(col("_rn_desc") === 1, col("_next_first")).otherwise(col(out)))
+      .drop("_bucket", "_rn_desc", "_next_first")
+  }
+
   /** The reference's label over the scalable global lag: bit-identical to
     * `Labeler.label` (unpartitioned window) but parallel. */
   def lagLabelGlobal(df: DataFrame, orderCols: Seq[String],

@@ -39,6 +39,19 @@ class GlobalWindowSpec extends SparkSpec {
     assert(scalable == compat)
   }
 
+  test("leadGlobal == unpartitioned lead, incl. nulls and empty buckets") {
+    val df = (1 to 300).map { i =>
+      (i.toLong, if (i % 13 == 0) null else java.lang.Double.valueOf(i * 2.5))
+    }.toDF("k", "v").repartition(5)
+    val viaGlobal = GlobalWindow.leadGlobal(df, Seq("k"), "v", "next",
+      bucketKey = col("k"), numPartitions = Some(9))
+      .orderBy("k").select($"k", $"next").collect().toSeq
+    val viaSingle = df
+      .withColumn("next", lead($"v", 1).over(Window.orderBy($"k")))
+      .orderBy("k").select($"k", $"next").collect().toSeq
+    assert(viaGlobal == viaSingle)
+  }
+
   test("plan has no single-partition exchange") {
     val bars = StockFixture.bars(spark, nDays = 2, minutesPerDay = 30)
     val plan = GlobalWindow.lagLabelGlobal(bars, Seq("date"), unix_micros(col("date")))
