@@ -67,18 +67,19 @@ object FeaturePipeline {
     val withDay = DailyAggregates.withDateOnly(bars)
 
     // ONE aggregation pass for everything keyed by day. avg_close_prev_day
-    // uses the deterministic compat ordering (SURVEY.md §2.5 W3).
-    val lagClose = lag(col("close"), 1).over(
-      org.apache.spark.sql.expressions.Window
-        .orderBy(col("date_only"), col("date")))
-    val daily = withDay
-      .select(col("date_only"), col("date"), col("close"), col("open"),
+    // uses the deterministic compat ordering (SURVEY.md §2.5 W3), computed
+    // with the scalable global-lag plan (GlobalWindow) — identical values
+    // to an unpartitioned window without its single-task sort (W4).
+    val daily = GlobalWindow.lagGlobal(
+      withDay.select(col("date_only"), col("date"), col("close"),
+        col("open"),
         ColumnFeatures.smaMean.as("sma_row"),
         ColumnFeatures.kamaMean.as("kama_row"),
         ColumnFeatures.adxMean.as("adx_row"),
         ColumnFeatures.rocMean.as("roc_row"),
-        ColumnFeatures.trimaMean.as("trima_row"))
-      .withColumn("lag_close", lagClose)
+        ColumnFeatures.trimaMean.as("trima_row")),
+      Seq("date_only", "date"), "close", "lag_close",
+      bucketKey = unix_micros(col("date").cast("timestamp")))
       .groupBy(col("date_only"))
       .agg(
         avg(col("close")).as("avg_close"),
@@ -91,7 +92,19 @@ object FeaturePipeline {
         avg(col("trima_row")).as("trima"))
       .withColumn("momentum", col("avg_close") - col("avg_close_prev_day"))
 
-    val labeled = Labeler.label(withDay, useLead = useLead)
+    // label over the scalable global window too (lead for the intent
+    // variant, lag for compat) — the fast pipeline plans with NO
+    // single-partition exchange at any stage
+    val labeled =
+      if (useLead)
+        GlobalWindow.leadGlobal(withDay, Seq("date"), "high", "_off_high",
+          bucketKey = unix_micros(col("date").cast("timestamp")))
+          .withColumn("buy_or_sell",
+            when(col("_off_high") > col("high"), lit(1)).otherwise(lit(0)))
+          .drop("_off_high")
+      else
+        GlobalWindow.lagLabelGlobal(withDay, Seq("date"),
+          bucketKey = unix_micros(col("date").cast("timestamp")))
 
     labeled
       .join(broadcast(daily), Seq("date_only"))

@@ -142,6 +142,13 @@ class FeaturePipelineSpec extends SparkSpec {
     assert(g("sma") > 0 && g("kama") > 0)
     assert(math.abs(g("momentum") - (g("avg_close") - g("avg_close_prev_day"))) < 1e-12)
   }
+
+  test("fast pipeline plans with no single-partition exchange (W4)") {
+    val plan = FeaturePipeline.fast(bars)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in the fast pipeline:\n$plan")
+  }
 }
 
 class DedupSpec extends SparkSpec {
