@@ -44,9 +44,17 @@ object StreamQueryCatalog {
   private def runToTable(df: DataFrame, s: SparkSession,
       mode: String): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .queryName(name).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // stateful operators open several state stores PER shuffle partition;
+    // at local bench scale that fixed cost dominates — run the micro-batch
+    // with few state partitions (results are partitioning-independent:
+    // decimal aggregates, set-valued joins, per-key state)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
