@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtendedQueries, MlQueryCatalog, RelationalQueries, StreamQueryCatalog, TextQueryCatalog, VectorQueryCatalog}
+import graft.queries.{AnalyticsQueries, ExtendedQueries, MlQueryCatalog, RelationalQueries, StreamQueryCatalog, TextQueryCatalog, VectorQueryCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,6 +22,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ ExtendedQueries.defs ++
+      AnalyticsQueries.defs ++
       TextQueryCatalog.defs ++ VectorQueryCatalog.defs ++
       MlQueryCatalog.defs ++ StreamQueryCatalog.defs
 
@@ -29,6 +30,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.sql ++ ExtendedQueries.sql ++
+      AnalyticsQueries.sql ++
       TextQueryCatalog.sql ++ VectorQueryCatalog.sql ++
       MlQueryCatalog.sql ++ StreamQueryCatalog.sql
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ml.MlPipelines
-import graft.operators.{FeaturePipeline, Labeler}
+import graft.operators.{FeaturePipeline, GlobalWindow}
 import graft.schema.StockSchema
 
 /** End-to-end pipelines mirroring the reference's published benchmark
@@ -67,6 +67,16 @@ object E2EBench {
   private def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** The reference's LAG label, planned scalably: `Labeler.label` with no
+    * partition columns executes the window as ONE task and every
+    * downstream ML stage (scaler/PCA/RF/SVM treeAggregate rounds) inherits
+    * that single partition — training runs one-core. `GlobalWindow`
+    * computes the bit-identical label with range buckets + boundary
+    * stitch, so training parallelizes across the session's cores. */
+  private def labelScalable(df: DataFrame): DataFrame =
+    GlobalWindow.lagLabelGlobal(df, Seq("date"),
+      bucketKey = unix_micros(col("date")))
+
   private def trainAuc(data: DataFrame, features: Seq[String],
       classifier: org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]])
       : Double = {
@@ -78,7 +88,7 @@ object E2EBench {
 
   /** `G_2_rf_nordd.py` — RF, raw 59 features, no transform. */
   def rfRaw(spark: SparkSession, path: String): Double = {
-    val labeled = Labeler.label(load(spark, path))
+    val labeled = labelScalable(load(spark, path))
     trainAuc(labeled, StockSchema.rfRawFeatures, MlPipelines.rfMllibParity())
   }
 
@@ -96,7 +106,7 @@ object E2EBench {
 
   /** `G_2_rf_pca.py` — scale → PCA(k=12) → RF on the component vectors. */
   def rfPca(spark: SparkSession, path: String): Double = {
-    val labeled = Labeler.label(load(spark, path))
+    val labeled = labelScalable(load(spark, path))
     val (transformed, _) = MlPipelines.scaledPca(labeled,
       StockSchema.rfRawFeatures, k = 12, prefix = "all")
     val rf = MlPipelines.rfMllibParity().setFeaturesCol("pca_all_features")
@@ -110,7 +120,7 @@ object E2EBench {
 
   /** `G_2_svm.py` — LinearSVC on the 55-column list. */
   def svmRaw(spark: SparkSession, path: String): Double = {
-    val labeled = Labeler.label(load(spark, path))
+    val labeled = labelScalable(load(spark, path))
     trainAuc(labeled, StockSchema.svmFeatures, MlPipelines.svm())
   }
 
@@ -126,7 +136,7 @@ object E2EBench {
     import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
     import org.apache.spark.mllib.regression.LabeledPoint
     import org.apache.spark.mllib.tree.RandomForest
-    val labeled = Labeler.label(load(spark, path))
+    val labeled = labelScalable(load(spark, path))
     val featCols = StockSchema.rfRawFeatures
     val idx = featCols.map(labeled.schema.fieldIndex)
     val labelIdx = labeled.schema.fieldIndex("buy_or_sell")

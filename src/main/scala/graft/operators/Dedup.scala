@@ -148,6 +148,51 @@ object Dedup {
       textCol: String = "text"): DataFrame =
     docs.select(col(idCol), simhash(col(textCol)).as("simhash"))
 
+  /** Near-duplicate CLUSTERS: connected components over the LSH
+    * candidate-pair graph, labelling every document with the smallest
+    * doc id reachable through near-dup pairs (singletons label
+    * themselves). This is the step that turns candidate pairs into a
+    * dedup decision — keep `cluster_id`, drop the rest.
+    *
+    * Algorithm: iterative min-label propagation (the standard distributed
+    * connected-components loop — e.g. GraphX's `ConnectedComponents` and
+    * the Hash-to-Min family): each round every node takes the min of its
+    * own label and its neighbours' labels; converges in O(component
+    * diameter) rounds. LSH components are near-cliques of duplicates, so
+    * the diameter — and the round count — is tiny regardless of corpus
+    * size. Each round is one shuffled join + aggregate, fully
+    * distributed; `localCheckpoint` cuts the growing lineage so round N
+    * doesn't replay rounds 1..N-1. The driver only sees the one-long
+    * convergence counter per round. */
+  def dupClusters(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxIter: Int = 20): DataFrame = {
+    val pairs = lshCandidatePairs(docs, idCol, textCol)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint() // pairs are tiny relative to the corpus; computed once
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels.select(col("id").as("dst"),
+        col("label").as("_nl")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("_nl")).as("nbr_label"))
+      val updated = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"),
+          (col("nbr_label") < col("label")).as("_chg"))
+      val next = updated.select(col("id"), col("label"),
+        coalesce(col("_chg"), lit(false)).as("_chg")).localCheckpoint()
+      converged = next.filter(col("_chg")).limit(1).count() == 0L
+      labels = next.select(col("id"), col("label"))
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   /** n-gram (word-shingle) Jaccard similarity between two text columns,
     * via distinct-set sizes: |A∩B| = |A|+|B|-|A∪B|. */
   def ngramJaccard(a: Column, b: Column, k: Int = ShingleK): Column = {

@@ -119,18 +119,21 @@ object RelationalQueries {
 
   /** A1+W3 — the reference's exact avg_close/avg_close_prev_day shape
     * (`G_2_rf_nordd_fe.py:47`) on events: lag inside a subquery, then
-    * daily aggregate, deterministic tiebreak on event_id. */
-  val q10AvgPrevDay: Q = (s, dir) => {
-    val w = Window.orderBy(col("date_only"), col("ts"), col("event_id"))
-    events(s, dir)
-      .withColumn("date_only", to_date(col("ts")))
-      .select(col("date_only"), col("ts"), col("event_id"), col("value"))
-      .withColumn("lag_value", lag(col("value"), 1).over(w))
+    * daily aggregate, deterministic tiebreak on event_id. Global-order
+    * SEMANTICS, scalable PLAN: the lag runs through
+    * [[graft.operators.GlobalWindow]] (range buckets + boundary stitch)
+    * instead of a single-task unpartitioned window (SURVEY.md §2.5 W4). */
+  val q10AvgPrevDay: Q = (s, dir) =>
+    graft.operators.GlobalWindow.lagGlobal(
+      events(s, dir)
+        .withColumn("date_only", to_date(col("ts")))
+        .select(col("date_only"), col("ts"), col("event_id"), col("value")),
+      Seq("date_only", "ts", "event_id"), "value", "lag_value",
+      bucketKey = unix_micros(col("ts").cast("timestamp")))
       .groupBy(col("date_only"))
       .agg(
         avgd(col("value")).as("avg_value"),
         avgd(col("lag_value")).as("avg_value_prev"))
-  }
 
   /** P6/A5 — dropDuplicates (duplicate guard, ipynb cell 15). */
   val q11Distinct: Q = (s, dir) =>

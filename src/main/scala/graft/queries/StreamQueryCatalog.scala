@@ -113,10 +113,27 @@ object StreamQueryCatalog {
       .select(col("p_id"), col("v_id"))
   }
 
+  /** Streaming deduplication: `dropDuplicatesWithinWatermark` on the
+    * (user_id, event_type) key. With a watermark horizon wider than the
+    * finite source's time span, no state expires mid-run, so the result
+    * equals batch DISTINCT — which is the oracle. The projected output
+    * (keys only) keeps the check independent of WHICH duplicate survives
+    * (streaming keeps the first-arrived, an arrival-order artifact). */
+  val qs4StreamDedup: Q = (s, dir) => {
+    val dedup = eventsStream(s, dir)
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", "365 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    runToTable(dedup, s, "append")
+      .select(col("user_id"), col("event_type"))
+  }
+
   val defs: Map[String, Q] = Map(
     "qs1_stream_daily" -> qs1StreamDaily,
     "qs2_stream_label" -> qs2StreamLabel,
-    "qs3_stream_stream_join" -> qs3StreamStreamJoin)
+    "qs3_stream_stream_join" -> qs3StreamStreamJoin,
+    "qs4_stream_dedup" -> qs4StreamDedup)
 
   val sql: Map[String, String] = Map(
     "qs1_stream_daily" ->
@@ -133,5 +150,7 @@ object StreamQueryCatalog {
         |FROM events p JOIN events v
         |  ON p.event_type = 'purchase' AND v.event_type = 'view'
         |  AND v.user_id = p.user_id
-        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts""".stripMargin)
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts""".stripMargin,
+    "qs4_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events")
 }

@@ -96,7 +96,15 @@ object TextQueryCatalog {
       .select(col("doc_id"),
         rollingFingerprint(col("text")).as("rolling_fp"))
 
+  /** Near-dup clusters: connected components over the LSH pair graph
+    * (iterative min-label propagation, [[Dedup.dupClusters]]); the oracle
+    * recomputes the same components with a recursive CTE — an independent
+    * algorithm, not a transliteration. */
+  val qt11DupClusters: Q = (s, dir) =>
+    Dedup.dupClusters(table(s, dir, "documents"))
+
   val defs: Map[String, Q] = Map(
+    "qt11_dup_clusters" -> qt11DupClusters,
     "qt1_token_stats" -> qt1TokenStats,
     "qt10_rolling_fp" -> qt10RollingFp,
     "qt2_quality" -> qt2Quality,
@@ -132,6 +140,22 @@ object TextQueryCatalog {
        |  SELECT doc_id, $shingleSql AS sh FROM words),
        |sig AS (
        |  SELECT doc_id, $minhashSqlCols FROM sh)""".stripMargin
+
+  private lazy val qt6Sql: String = {
+    val nBands = Dedup.MinhashA.size / Dedup.BandSize
+    val bandRows = (0 until nBands).map { bnd =>
+      val key = (0 until Dedup.BandSize)
+        .map(j => s"CAST(mh${bnd * Dedup.BandSize + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id AS id, $bnd AS band, $key AS band_key FROM sig WHERE mh0 IS NOT NULL"
+    }.mkString("\n  UNION ALL ")
+    s"""$sigCte,
+       |banded AS (
+       |  $bandRows)
+       |SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |FROM banded l JOIN banded r
+       |  ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id""".stripMargin
+  }
 
   private def simhashBitSql(j: Int): String =
     s"""(CASE WHEN coalesce(list_sum([CASE WHEN (${T.hash32("t")} >> $j) & 1 = 1
@@ -172,21 +196,20 @@ object TextQueryCatalog {
     "qt5_minhash" ->
       s"""$sigCte
          |SELECT * FROM sig""".stripMargin,
-    "qt6_lsh_pairs" -> {
-      val nBands = Dedup.MinhashA.size / Dedup.BandSize
-      val bandRows = (0 until nBands).map { bnd =>
-        val key = (0 until Dedup.BandSize)
-          .map(j => s"CAST(mh${bnd * Dedup.BandSize + j} AS VARCHAR)")
-          .mkString(" || ',' || ")
-        s"SELECT doc_id AS id, $bnd AS band, $key AS band_key FROM sig WHERE mh0 IS NOT NULL"
-      }.mkString("\n  UNION ALL ")
-      s"""$sigCte,
-         |banded AS (
-         |  $bandRows)
-         |SELECT DISTINCT l.id AS id_a, r.id AS id_b
-         |FROM banded l JOIN banded r
-         |  ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id""".stripMargin
-    },
+    "qt6_lsh_pairs" -> qt6Sql,
+    "qt11_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$qt6Sql
+         |),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id""".stripMargin,
     "qt7_ngram_jaccard" -> {
       val sh = (t: String) =>
         s"""list_distinct([w_$t[i] || ' ' || w_$t[i+1] || ' ' || w_$t[i+2]

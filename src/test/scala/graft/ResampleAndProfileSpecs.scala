@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Profile, Resample}
+
+/** Specs for the round-2 operators: OHLC resampling, gap-fill/LOCF,
+  * column profiling, near-dup clustering. */
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // two keys, two 5-min buckets, deliberate ts collision for the tiebreak
+  lazy val ticks = Seq(
+    ("A", ts("2020-01-06 09:30:05"), 1L, 10.0),
+    ("A", ts("2020-01-06 09:31:00"), 2L, 14.0),
+    ("A", ts("2020-01-06 09:31:00"), 3L, 8.0), // same ts: id 2 before id 3
+    ("A", ts("2020-01-06 09:34:59"), 4L, 12.0),
+    ("A", ts("2020-01-06 09:36:00"), 5L, 20.0),
+    ("B", ts("2020-01-06 09:30:30"), 6L, 5.0)
+  ).toDF("sym", "ts", "id", "v")
+
+  test("ohlc: open/high/low/close/n per (key, bucket), deterministic ties") {
+    val bars = Resample.ohlc(ticks, "ts", "v", 300L, Seq("sym"), Seq("id"))
+      .orderBy($"sym", $"bucket").collect()
+    assert(bars.length == 3)
+    val a0 = bars(0) // A, first 5-min bucket
+    assert(a0.getAs[Double]("open") == 10.0)
+    assert(a0.getAs[Double]("high") == 14.0)
+    assert(a0.getAs[Double]("low") == 8.0)
+    assert(a0.getAs[Double]("close") == 12.0)
+    assert(a0.getAs[Long]("n") == 4L)
+    assert(a0.getAs[Double]("avg_value") == 11.0)
+    val a1 = bars(1)
+    assert(a1.getAs[Double]("open") == 20.0 &&
+      a1.getAs[Double]("close") == 20.0 && a1.getAs[Long]("n") == 1L)
+    val b0 = bars(2)
+    assert(b0.getAs[String]("sym") == "B" && b0.getAs[Double]("open") == 5.0)
+  }
+
+  test("ohlc plans exactly one shuffle (windows + aggregate co-partition)") {
+    val plan = Resample.ohlc(ticks, "ts", "v", 300L, Seq("sym"), Seq("id"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
+  test("gapFillLocf: dense spine, forward-filled values") {
+    val sparse = Seq(("A", 10L, 1.0), ("A", 13L, 4.0), ("B", 5L, 9.0))
+      .toDF("sym", "bucket", "close")
+    val filled = Resample.gapFillLocf(sparse, Seq("sym"), "close")
+      .orderBy($"sym", $"bucket")
+      .select($"sym", $"bucket", $"close_ff").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(filled.toSeq == Seq(
+      ("A", 10L, 1.0), ("A", 11L, 1.0), ("A", 12L, 1.0), ("A", 13L, 4.0),
+      ("B", 5L, 9.0)))
+  }
+}
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: per-column nulls and exact distincts in one pass") {
+    val df = Seq(
+      (Some(1), Some("x")), (Some(1), None), (None, Some("y"))
+    ).toDF("a", "b")
+    val p = Profile.profile(df, Seq("a", "b"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(p("a") == ((1L, 1L)))
+    assert(p("b") == ((1L, 2L)))
+  }
+}
+
+class DupClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dupClusters: transitive chains collapse to the min id") {
+    // three copies of one text (pairwise LSH hits → one cluster) plus two
+    // singletons with distinct texts
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (10L, dup), (11L, dup), (12L, dup),
+      (20L, "completely different words forming another document body here"),
+      (30L, "short")
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.dupClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(10L) == 10L && clusters(11L) == 10L &&
+      clusters(12L) == 10L)
+    assert(clusters(20L) == 20L && clusters(30L) == 30L)
+  }
+}
