@@ -195,9 +195,15 @@ object Dedup {
 
   /** n-gram (word-shingle) Jaccard similarity between two text columns,
     * via distinct-set sizes: |A∩B| = |A|+|B|-|A∪B|. */
-  def ngramJaccard(a: Column, b: Column, k: Int = ShingleK): Column = {
-    val sa = array_distinct(wordShingles(a, k))
-    val sb = array_distinct(wordShingles(b, k))
+  def ngramJaccard(a: Column, b: Column, k: Int = ShingleK): Column =
+    jaccardOfDistinctSets(
+      array_distinct(wordShingles(a, k)), array_distinct(wordShingles(b, k)))
+
+  /** Jaccard of two ALREADY-DISTINCT shingle arrays — the form to use
+    * when the sets are precomputed once per document and reused across
+    * pairs (see qt7: shingling on both sides of a self-join doubles the
+    * tokenise+shingle work). */
+  def jaccardOfDistinctSets(sa: Column, sb: Column): Column = {
     val union = array_distinct(concat(sa, sb))
     val inter = size(sa) + size(sb) - size(union)
     when(size(union) > 0,

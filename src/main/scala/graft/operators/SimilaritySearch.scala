@@ -38,7 +38,11 @@ object SimilaritySearch {
     val l = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val r = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     l.join(r, col("id_a") < col("id_b"))
-      .withColumn("sim", cosineExact(col("va"), col("vb")))
+      .select(col("id_a"), col("id_b"),
+        cosineExact(col("va"), col("vb")).as("sim"),
+        // pushdown fence (see qv5): keeps the threshold predicate ABOVE
+        // this projection so the cosine evaluates once per pair
+        monotonically_increasing_id().as("_fence"))
       .filter(col("sim") >= simThreshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -166,24 +166,70 @@ object ExtendedQueries {
       .drop("new_session")
   }
 
-  /** Exact lower-median per group via row_number — rank-selected, no
-    * float interpolation, so both engines agree bit-exactly (a
-    * percentile_cont oracle would hinge on interpolation arithmetic). */
+  /** Exact lower-median per group — rank-selected, no float
+    * interpolation, so both engines agree bit-exactly (a percentile_cont
+    * oracle would hinge on interpolation arithmetic).
+    *
+    * Two-phase count-histogram plan: aggregate (group, value) counts
+    * (partial-aggregable — the full table never sorts), then pick the
+    * value whose cumulative count first reaches the lower-median rank
+    * with a window over the TINY histogram. The naive plan — row_number
+    * over Window.partitionBy(group) on the raw table — sorts the whole
+    * table across only #groups tasks (3 here): at 100 TB that is 3 tasks
+    * doing everything. The histogram plan's heavy phase is a plain
+    * parallel aggregation; the window touches #distinct-values rows. */
   val q26Median: Q = (s, dir) => {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), col("l_suppkey"))
-    val n = Window.partitionBy(col("l_returnflag"))
-    table(s, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
-        col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(n))
-      .filter(col("rn") === floor((col("cnt") + 1) / lit(2)))
+    val hist = table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("l_returnflag"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("target", floor((sum(col("cnt")).over(tot) + 1) / lit(2)))
+      .filter(col("cum") >= col("target") &&
+        col("cum") - col("cnt") < col("target"))
       .select(col("l_returnflag"), col("l_quantity").as("median_qty"))
   }
 
+  /** Rolling regression slope (the BETA-family indicator COVERAGE.md
+    * lists as a gap — same math as rolling β, with the per-user event
+    * INDEX as the reference series): per-user 10-row frame, least-squares
+    * slope of value per event step from decimal-exact power sums.
+    *
+    * Numerics: the abscissa is `row_number` (small exact ints), NOT epoch
+    * time — with raw epoch seconds x² ≈ 3·10¹⁸, `n·Σx² − (Σx)²` cancels
+    * below double precision and the slope is rounding noise. Index sums
+    * stay ≤ 10⁹, every product is computed decimal×decimal (no
+    * double-product-then-round step, which the two engines round
+    * differently), so the slope is bit-identical and numerically sane.
+    * Both window passes share one partition+order spec — one sort.
+    * Degenerate frames (zero index variance) are NULL in both engines. */
+  val qi2RollingTrend: Q = (s, dir) => {
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val w = wo.rowsBetween(-9, 0)
+    val xd = col("rn").cast(DecimalType(18, 0))
+    val yd = col("value").cast(DecimalType(18, 6))
+    def sd(c: Column): Column = sum(c).over(w).cast("double")
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("n", count(lit(1)).over(w).cast("double"))
+      .withColumn("sx", sd(xd)).withColumn("sy", sd(yd))
+      .withColumn("sxx", sd(xd * xd)).withColumn("sxy", sd(xd * yd))
+      .withColumn("trend",
+        when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0.0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("trend"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "qi2_rolling_trend" -> qi2RollingTrend,
     "qj1_json" -> qj1Json,
     "q25_sessionize" -> q25Sessionize,
     "q26_median" -> q26Median,
@@ -196,6 +242,28 @@ object ExtendedQueries {
     "qi1_indicator_frames" -> qi1IndicatorFrames)
 
   val sql: Map[String, String] = Map(
+    "qi2_rolling_trend" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |sums AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(count(*) OVER f AS DOUBLE) AS n,
+        |    CAST(sum(CAST(rn AS DECIMAL(18,0))) OVER f AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER f AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(rn AS DECIMAL(18,0)) * CAST(rn AS DECIMAL(18,0)))
+        |      OVER f AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(rn AS DECIMAL(18,0)) * CAST(value AS DECIMAL(18,6)))
+        |      OVER f AS DOUBLE) AS sxy
+        |  FROM base
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts, value,
+        |  CASE WHEN n * sxx - sx * sx <> 0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS trend
+        |FROM sums""".stripMargin,
     "qj1_json" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

@@ -61,14 +61,21 @@ object TextQueryCatalog {
     Dedup.lshCandidatePairs(table(s, dir, "documents"))
 
   /** n-gram Jaccard similarity of consecutive doc ids (linear proxy for
-    * pairwise near-dup scoring; the quadratic version goes through LSH). */
+    * pairwise near-dup scoring; the quadratic version goes through LSH).
+    * Each doc's distinct shingle set is computed ONCE and materialised
+    * (localCheckpoint) before the self-join — deriving shingles from text
+    * on both join sides would tokenise + shingle every document twice
+    * (at 100 TB: persist the shingle projection, then join). */
   val qt7NgramJaccard: Q = (s, dir) => {
-    val d = table(s, dir, "documents")
-    val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
-    val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    val sets = table(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(wordShingles(col("text"), Dedup.ShingleK)).as("sh"))
+      .localCheckpoint()
+    val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+    val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sb"))
     a.join(b, col("id_b") === col("id_a") + 1)
       .select(col("id_a"), col("id_b"),
-        Dedup.ngramJaccard(col("text_a"), col("text_b")).as("jaccard"))
+        Dedup.jaccardOfDistinctSets(col("sa"), col("sb")).as("jaccard"))
   }
 
   /** 32-bit SimHash per document. */

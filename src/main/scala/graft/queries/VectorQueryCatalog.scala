@@ -78,8 +78,14 @@ object VectorQueryCatalog {
     a.join(b, Seq("id_b"))
       .filter(col("label_a") === col("label_b"))
       .select(col("id_a"), col("id_b"),
-        cosineExactPre(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+        cosineExactPre(col("va"), col("vb"), col("na"), col("nb")).as("sim"),
+        // pushdown fence: PushPredicateThroughNonJoin only fires when every
+        // projected field is deterministic — without the fence the sim>0.2
+        // predicate is cloned BELOW this projection and the decimal cosine
+        // evaluates twice per pair (once in the Filter, once here)
+        monotonically_increasing_id().as("_fence"))
       .filter(col("sim") > 0.2)
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 
   /** End-to-end IVF probe: assign every vector to its centroid bucket,
