@@ -104,17 +104,25 @@ object E2EBench {
     trainAuc(FeaturePipeline.faithful(load(spark, path)),
       FeaturePipeline.featureCols, MlPipelines.rfMllibParity())
 
-  /** `G_2_rf_pca.py` — scale → PCA(k=12) → RF on the component vectors. */
+  /** `G_2_rf_pca.py` — scale → PCA(k=12) → RF on the component vectors.
+    * `labeled` is cached before the fits: scaler.fit, pca.fit and the
+    * final transform each scan it, and uncached each scan re-executes the
+    * whole label-window plan (the reference re-executes its DAG the same
+    * way — SURVEY.md §4.1; caching here is the engine-side fix). The
+    * trained features are re-projected narrow (label + PCA vector only)
+    * before the training cache. */
   def rfPca(spark: SparkSession, path: String): Double = {
-    val labeled = labelScalable(load(spark, path))
+    val labeled = labelScalable(load(spark, path)).cache()
     val (transformed, _) = MlPipelines.scaledPca(labeled,
       StockSchema.rfRawFeatures, k = 12, prefix = "all")
     val rf = MlPipelines.rfMllibParity().setFeaturesCol("pca_all_features")
-    val cached = transformed.cache()
+    val cached = transformed
+      .select(col("buy_or_sell"), col("pca_all_features")).cache()
     val Array(train, test) = cached.randomSplit(Array(0.7, 0.3), 42L)
     val model = rf.fit(train)
     val auc = MlPipelines.evaluate(model.transform(test))("areaUnderROC")
     cached.unpersist()
+    labeled.unpersist()
     auc
   }
 

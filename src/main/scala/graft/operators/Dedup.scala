@@ -170,7 +170,12 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint() // pairs are tiny relative to the corpus; computed once
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("label"))
+    // the loop runs over PAIRED nodes only — an unpaired document can
+    // never change its label, so the per-round joins touch the pair
+    // graph (≪ corpus), and the full corpus is stitched back in one
+    // final left join
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
       .localCheckpoint()
     var iter = 0
     var converged = false
@@ -183,14 +188,16 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"),
-          (col("nbr_label") < col("label")).as("_chg"))
-      val next = updated.select(col("id"), col("label"),
-        coalesce(col("_chg"), lit(false)).as("_chg")).localCheckpoint()
+          coalesce(col("nbr_label") < col("label"), lit(false)).as("_chg"))
+      val next = updated.localCheckpoint()
       converged = next.filter(col("_chg")).limit(1).count() == 0L
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    docs.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
   }
 
   /** n-gram (word-shingle) Jaccard similarity between two text columns,

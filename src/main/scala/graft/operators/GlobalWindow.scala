@@ -25,35 +25,58 @@ import org.apache.spark.sql.functions._
   */
 object GlobalWindow {
 
+  /** Literal bucket cuts for `bucketKey`: equal-width spans of the
+    * observed [min, max] by default (ONE cheap min/max aggregate — the
+    * stitch is correct for ANY monotonic bucketing, empty buckets
+    * included, so balance only affects parallelism, not results), or
+    * approx-quantile cuts when the caller knows the key is skewed. */
+  private def bucketCuts(df: DataFrame, bucketKey: Column, parts: Int,
+      quantileBuckets: Boolean): Seq[Double] = {
+    if (parts <= 1) return Nil
+    if (quantileBuckets) {
+      val probs = (1 until parts).map(_.toDouble / parts)
+      df.select(bucketKey.cast("double").as("_bk"))
+        .stat.approxQuantile("_bk", probs.toArray, 0.001)
+        .toSeq.distinct.sorted
+    } else {
+      val mm = df.agg(min(bucketKey.cast("double")),
+        max(bucketKey.cast("double"))).head()
+      if (mm.isNullAt(0) || mm.isNullAt(1)) Nil
+      else {
+        val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+        if (hi <= lo) Nil
+        else (1 until parts).map(i => lo + (hi - lo) * i / parts)
+          .distinct.sorted
+      }
+    }
+  }
+
   /** `lag(valueCol, 1)` over the global `orderCols` order.
     *
     * @param bucketKey numeric, non-decreasing function of the order
     *                  prefix (e.g. `unix_micros(col("ts"))` when ordering
     *                  by ts): rows with equal keys must sort adjacently.
-    *                  Quantiles of this key define the parallel buckets.
+    *                  Value-derived cuts of this key define the parallel
+    *                  buckets.
     */
   def lagGlobal(df: DataFrame, orderCols: Seq[String], valueCol: String,
       out: String, bucketKey: Column,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      quantileBuckets: Boolean = false): DataFrame = {
     val oc: Seq[Column] = orderCols.map(col)
     val parts = numPartitions.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
 
-    // pass 0: quantile cuts of the bucket key, collected once → literals
-    val probs = (1 until parts).map(_.toDouble / parts)
-    val cuts: Seq[Double] = if (parts <= 1) Nil else {
-      val arr = df.select(bucketKey.cast("double").as("_bk"))
-        .stat.approxQuantile("_bk", probs.toArray, 0.001)
-      arr.toSeq.distinct.sorted
-    }
+    // pass 0: bucket cuts collected once → literals
+    val cuts = bucketCuts(df, bucketKey, parts, quantileBuckets)
     val bucket: Column =
       if (cuts.isEmpty) lit(0)
       else cuts.foldLeft(lit(0)) { (acc, c) =>
         acc + when(bucketKey.cast("double") > lit(c), 1).otherwise(0)
       }
 
-    val bucketed = df.withColumn("_bucket", bucket)
-      .repartition(parts, col("_bucket"))
+    val withBucket = df.withColumn("_bucket", bucket)
+    val bucketed = withBucket.repartition(parts, col("_bucket"))
     val w = Window.partitionBy(col("_bucket")).orderBy(oc: _*)
     val local = bucketed
       .withColumn("_rn", row_number().over(w))
@@ -63,9 +86,16 @@ object GlobalWindow {
     // partial-aggregable, one tiny row per bucket; collected (≤ parts
     // rows) and forward-filled so buckets preceded by empty buckets still
     // see the nearest earlier value. Deterministic: buckets are a pure
-    // function of row values.
+    // function of row values. Aggregated from a NARROW projection of the
+    // pre-repartition frame: map-side partial aggregation collapses each
+    // scan partition to ≤ parts rows, so this boundary pass shuffles a
+    // few bytes — aggregating the repartitioned frame instead would
+    // re-execute the full-width bucket shuffle a second time (this is a
+    // separate action; Exchange reuse never crosses actions).
     val lastStruct = max(struct((oc :+ col(valueCol).as("_v")): _*))
-    val lastByBucket = bucketed.groupBy(col("_bucket"))
+    val lastByBucket = withBucket
+      .select((col("_bucket") +: oc :+ col(valueCol)): _*)
+      .groupBy(col("_bucket"))
       .agg(lastStruct.as("_last"))
       .select(col("_bucket"), col("_last._v").as("_v"))
       .collect()
@@ -101,23 +131,19 @@ object GlobalWindow {
     * non-empty bucket's FIRST value (backward fill). */
   def leadGlobal(df: DataFrame, orderCols: Seq[String], valueCol: String,
       out: String, bucketKey: Column,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      quantileBuckets: Boolean = false): DataFrame = {
     val oc: Seq[Column] = orderCols.map(col)
     val parts = numPartitions.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
-    val probs = (1 until parts).map(_.toDouble / parts)
-    val cuts: Seq[Double] = if (parts <= 1) Nil else {
-      val arr = df.select(bucketKey.cast("double").as("_bk"))
-        .stat.approxQuantile("_bk", probs.toArray, 0.001)
-      arr.toSeq.distinct.sorted
-    }
+    val cuts = bucketCuts(df, bucketKey, parts, quantileBuckets)
     val bucket: Column =
       if (cuts.isEmpty) lit(0)
       else cuts.foldLeft(lit(0)) { (acc, c) =>
         acc + when(bucketKey.cast("double") > lit(c), 1).otherwise(0)
       }
-    val bucketed = df.withColumn("_bucket", bucket)
-      .repartition(parts, col("_bucket"))
+    val withBucket = df.withColumn("_bucket", bucket)
+    val bucketed = withBucket.repartition(parts, col("_bucket"))
     val w = Window.partitionBy(col("_bucket")).orderBy(oc: _*)
     val wDesc = Window.partitionBy(col("_bucket"))
       .orderBy(oc.map(_.desc): _*)
@@ -125,8 +151,11 @@ object GlobalWindow {
       .withColumn("_rn_desc", row_number().over(wDesc))
       .withColumn(out, lead(col(valueCol), 1).over(w))
 
+    // narrow boundary pass — see lagGlobal's note
     val firstStruct = min(struct((oc :+ col(valueCol).as("_v")): _*))
-    val firstByBucket = bucketed.groupBy(col("_bucket"))
+    val firstByBucket = withBucket
+      .select((col("_bucket") +: oc :+ col(valueCol)): _*)
+      .groupBy(col("_bucket"))
       .agg(firstStruct.as("_first"))
       .select(col("_bucket"), col("_first._v").as("_v"))
       .collect()
