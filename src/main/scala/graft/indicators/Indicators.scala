@@ -255,11 +255,12 @@ object Indicators {
       .drop("sma_tp", "diff")
   }
 
-  /** NOT generated (documented gaps, each with a reason): parabolic SAR
-    * (trend-flip state machine — needs a general mapPartitions scan, not a
-    * linear recurrence), HT_TRENDLINE / HT_DCPERIOD (Hilbert-transform
-    * DSP over long history), BETA (rolling regression against a second
-    * market series the reference table does not carry). */
+  /** Parabolic SAR: now generated — [[ParabolicSar.sar]] (trend-flip
+    * state machine as a window aggregate). BETA-family rolling-regression
+    * math: `qi2_rolling_trend` (decimal-exact power sums; feed it a
+    * second market series for literal β). NOT generated (documented
+    * gaps): HT_TRENDLINE / HT_DCPERIOD — Hilbert-transform DSP over long
+    * history, out of scope for a SQL-window surface. */
 }
 
 /** mapPartitions twin of the recursive smooth — the cross-check for

@@ -129,7 +129,29 @@ object StreamQueryCatalog {
       .select(col("user_id"), col("event_type"))
   }
 
+  /** APPEND-mode watermarked daily aggregate — the scale-realistic output
+    * mode (complete mode re-emits the whole result table every batch and
+    * holds all state forever; append emits each window once and expires
+    * its state). With AvailableNow the final micro-batch advances the
+    * watermark to max(ts) − delay, so exactly the windows whose END ≤
+    * that bound emit — which is what the oracle recomputes in SQL. Sums
+    * fold in decimal: emitted values are batch-boundary independent. */
+  val qs5StreamAppendDaily: Q = (s, dir) => {
+    val agg = eventsStream(s, dir)
+      .select(col("ts").cast("timestamp").as("ts"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(
+        sum(col("value").cast(DecimalType(28, 6))).cast("double")
+          .as("sum_value"),
+        count(lit(1)).as("n"))
+    runToTable(agg, s, "append")
+      .select(col("w.start").cast("date").as("day"),
+        col("sum_value"), col("n"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "qs5_stream_append_daily" -> qs5StreamAppendDaily,
     "qs1_stream_daily" -> qs1StreamDaily,
     "qs2_stream_label" -> qs2StreamLabel,
     "qs3_stream_stream_join" -> qs3StreamStreamJoin,
@@ -152,5 +174,13 @@ object StreamQueryCatalog {
         |  AND v.user_id = p.user_id
         |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts""".stripMargin,
     "qs4_stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events")
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "qs5_stream_append_daily" ->
+      s"""SELECT CAST(ts AS DATE) AS day,
+         |  ${Oracle.sqlSumd("value")} AS sum_value, count(*) AS n
+         |FROM events
+         |GROUP BY CAST(ts AS DATE)
+         |HAVING CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
+         |  <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
+         |     - INTERVAL 1 HOUR""".stripMargin)
 }
