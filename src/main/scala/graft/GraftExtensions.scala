@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ema_smooth"),
       RecursiveSmooth.sqlInfo,
       RecursiveSmooth.sqlBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("parabolic_sar"),
+      graft.indicators.ParabolicSar.sqlInfo,
+      graft.indicators.ParabolicSar.sqlBuilder))
     // J3 self-join-to-projection rewrite; inert unless
     // spark.graft.rewriteSelfJoin.assumeUniqueKeys=true
     ext.injectOptimizerRule(_ => graft.plans.SelfJoinRewrite)
@@ -36,6 +40,10 @@ object GraftExtensions {
       FunctionIdentifier("ema_smooth"),
       RecursiveSmooth.sqlInfo,
       RecursiveSmooth.sqlBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("parabolic_sar"),
+      graft.indicators.ParabolicSar.sqlInfo,
+      graft.indicators.ParabolicSar.sqlBuilder)
     if (!spark.sessionState.experimentalMethods.extraOptimizations
         .contains(graft.plans.SelfJoinRewrite)) {
       spark.sessionState.experimentalMethods.extraOptimizations ++=

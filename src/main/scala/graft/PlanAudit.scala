@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit: for every catalog query, count the physical-plan features
+  * that decide 100 TB behaviour — shuffles, broadcasts, single-partition
+  * exchanges, whole-stage-codegen spans, pushed filters — and print one
+  * markdown table (redirect to PLANS.md).
+  *
+  * `Exchange SinglePartition` is the scale red flag: it serialises the
+  * whole dataset through one task. The only legitimate occurrences are
+  * (a) global scalar aggregates (output is one row — the exchange moves
+  * a handful of partial-agg rows, not data) and (b) final presentation
+  * sorts of tiny results. `PlanAuditSpec` enforces exactly that: any
+  * query with a single-partition exchange must be in the documented
+  * allowlist.
+  */
+object PlanAudit {
+
+  final case class Audit(
+      name: String,
+      exchanges: Int,
+      broadcasts: Int,
+      singlePartition: Int,
+      codegenSpans: Int,
+      pushedFilters: Boolean)
+
+  /** Queries whose plan legitimately carries a single-partition exchange:
+    * 1-row global aggregates and tiny-result presentation sorts. */
+  val singlePartitionAllowlist: Set[String] = Set(
+    "q12_null_guard", // 1-row count compare
+    "q14_summary", // summary() over a handful of stat rows
+    "q15_moments", // 1-row global moments
+    "q23_corr", // 1-row global correlation
+    "q32_approx_agg", // 1-row sketch-vs-exact
+    "q33_profile", // 1-row multi-distinct aggregate, unpivoted after
+    "q9_daily_avg", // ORDER BY of ~30 daily rows (A2 compat shape)
+    "q26_median", // final rank filter over the tiny histogram
+    "qv1_knn", // global top-k: TakeOrdered final stage
+    "qv6_ivf_query", // global top-k over probed buckets
+    "qm2_pca_variance", "qm4_corr_matrix", // driver-built 1-row frames
+    "qt11_dup_clusters" // converged-label broadcast join build side
+  )
+
+  def audit(spark: SparkSession, sfDir: String): Seq[Audit] =
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        Some(Audit(
+          name,
+          "Exchange hashpartitioning".r.findAllIn(plan).size +
+            "Exchange rangepartitioning".r.findAllIn(plan).size,
+          "BroadcastExchange".r.findAllIn(plan).size,
+          "Exchange SinglePartition".r.findAllIn(plan).size,
+          "\\*\\(\\d+\\)".r.findAllIn(plan).map(_.toString).toSet.size,
+          plan.contains("PushedFilters: [") &&
+            !plan.contains("PushedFilters: []")))
+      } catch { case _: Throwable => None }
+      finally spark.sharedState.cacheManager.clearCache()
+    }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = audit(spark, sfDir)
+    println("| query | shuffles | broadcasts | 1-part exchanges | codegen spans | pushed filters |")
+    println("|---|---|---|---|---|---|")
+    rows.foreach { a =>
+      val flag = if (a.singlePartition > 0 &&
+        !singlePartitionAllowlist.contains(a.name)) " ⚠" else ""
+      println(s"| ${a.name}$flag | ${a.exchanges} | ${a.broadcasts} | " +
+        s"${a.singlePartition} | ${a.codegenSpans} | ${a.pushedFilters} |")
+    }
+    spark.stop()
+  }
+}

@@ -156,4 +156,15 @@ object ParabolicSar {
       ParabolicSar(GraftColumnBridge.toExpression(high),
         GraftColumnBridge.toExpression(low)),
       Complete, isDistinct = false))
+
+  /** SQL registration hooks (see [[graft.GraftExtensions]]):
+    * `parabolic_sar(high, low) OVER (...)`. */
+  private[graft] val sqlBuilder: Seq[Expression] => Expression = {
+    case Seq(h, l) => ParabolicSar(h, l)
+    case other => throw new IllegalArgumentException(
+      s"parabolic_sar expects (high, low), got ${other.size} args")
+  }
+  private[graft] val sqlInfo =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[ParabolicSar].getName, "parabolic_sar")
 }

@@ -1,0 +1,20 @@
+package graft
+
+/** The scale gate: no catalog query may plan an `Exchange
+  * SinglePartition` unless it is in the documented allowlist (1-row
+  * global aggregates and tiny-result presentation stages). A regression
+  * here means some query funnels the dataset through one task — the
+  * exact failure mode that made round-1 e2e training single-core. */
+class PlanAuditSpec extends SparkSpec {
+
+  test("no undocumented single-partition exchanges in the catalog") {
+    val audits = PlanAudit.audit(spark, "/root/testdata/sf0.001")
+    assert(audits.size > 50, "audit should cover the whole catalog")
+    val offenders = audits
+      .filter(a => a.singlePartition > 0 &&
+        !PlanAudit.singlePartitionAllowlist.contains(a.name))
+      .map(_.name)
+    assert(offenders.isEmpty,
+      s"single-partition exchange outside allowlist: $offenders")
+  }
+}
