@@ -110,8 +110,18 @@ object TextQueryCatalog {
   val qt11DupClusters: Q = (s, dir) =>
     Dedup.dupClusters(table(s, dir, "documents"))
 
+  /** The dedup DECISION on top of the clusters: one representative per
+    * near-dup cluster (the min id) with the cluster size — the kept
+    * corpus is exactly these `keep_id`s. */
+  val qt12DedupKeep: Q = (s, dir) =>
+    Dedup.dupClusters(table(s, dir, "documents"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cluster_id").as("keep_id"), col("n_members"))
+
   val defs: Map[String, Q] = Map(
     "qt11_dup_clusters" -> qt11DupClusters,
+    "qt12_dedup_keep" -> qt12DedupKeep,
     "qt1_token_stats" -> qt1TokenStats,
     "qt10_rolling_fp" -> qt10RollingFp,
     "qt2_quality" -> qt2Quality,
@@ -164,6 +174,20 @@ object TextQueryCatalog {
        |  ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id""".stripMargin
   }
 
+  private lazy val qt11Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$qt6Sql
+       |),
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+       |SELECT id AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY id""".stripMargin
+
   private def simhashBitSql(j: Int): String =
     s"""(CASE WHEN coalesce(list_sum([CASE WHEN (${T.hash32("t")} >> $j) & 1 = 1
        | THEN 1 ELSE -1 END for t in w]), 0) > 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
@@ -204,19 +228,13 @@ object TextQueryCatalog {
       s"""$sigCte
          |SELECT * FROM sig""".stripMargin,
     "qt6_lsh_pairs" -> qt6Sql,
-    "qt11_dup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
-         |$qt6Sql
-         |),
-         |edges AS (
-         |  SELECT id_a AS s, id_b AS d FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach AS (
-         |  SELECT doc_id AS id, doc_id AS r FROM documents
-         |  UNION
-         |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
-         |SELECT id AS doc_id, min(r) AS cluster_id
-         |FROM reach GROUP BY id""".stripMargin,
+    "qt11_dup_clusters" -> qt11Sql,
+    "qt12_dedup_keep" ->
+      s"""WITH clusters AS (
+         |$qt11Sql
+         |)
+         |SELECT cluster_id AS keep_id, count(*) AS n_members
+         |FROM clusters GROUP BY cluster_id""".stripMargin,
     "qt7_ngram_jaccard" -> {
       val sh = (t: String) =>
         s"""list_distinct([w_$t[i] || ' ' || w_$t[i+1] || ' ' || w_$t[i+2]
