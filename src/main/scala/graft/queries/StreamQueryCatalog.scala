@@ -150,8 +150,24 @@ object StreamQueryCatalog {
         col("sum_value"), col("n"))
   }
 
+  /** Stream-static join: the streaming fact joined to a broadcast-sized
+    * static dimension (here: per-user lifetime event counts computed in
+    * batch). Stateless on the stream side — no watermark, no state
+    * store; each micro-batch hash-joins against the broadcast dim. */
+  val qs6StreamStaticJoin: Q = (s, dir) => {
+    val dim = Oracle.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("user_total"))
+    val joined = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"))
+      .join(broadcast(dim), Seq("user_id"))
+    runToTable(joined, s, "append")
+      .select(col("event_id"), col("user_id"), col("user_total"))
+  }
+
   val defs: Map[String, Q] = Map(
     "qs5_stream_append_daily" -> qs5StreamAppendDaily,
+    "qs6_stream_static_join" -> qs6StreamStaticJoin,
     "qs1_stream_daily" -> qs1StreamDaily,
     "qs2_stream_label" -> qs2StreamLabel,
     "qs3_stream_stream_join" -> qs3StreamStreamJoin,
@@ -182,5 +198,11 @@ object StreamQueryCatalog {
          |GROUP BY CAST(ts AS DATE)
          |HAVING CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
          |  <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
-         |     - INTERVAL 1 HOUR""".stripMargin)
+         |     - INTERVAL 1 HOUR""".stripMargin,
+    "qs6_stream_static_join" ->
+      """SELECT e.event_id, e.user_id, t.user_total
+        |FROM events e
+        |JOIN (SELECT user_id, count(*) AS user_total
+        |      FROM events GROUP BY user_id) t USING (user_id)
+        |WHERE e.event_type = 'purchase'""".stripMargin)
 }

@@ -49,6 +49,19 @@ object ParquetRoundTrip {
     spark.read.parquet(path)
 }
 
+/** JSON-lines round-trip — the interchange format training-data
+  * pipelines ingest raw corpora from (beyond the reference's surface).
+  * Reading with an EXPLICIT schema skips the whole-file inference
+  * pre-scan — at 100 TB, inference doubles the read. */
+object JsonlRoundTrip {
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def read(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read.json(path))(sc => spark.read.schema(sc).json(path))
+}
+
 /** Loader for the driver-generated synthetic tables (TESTDATA.md). */
 object Tables {
   val all: Seq[String] = Seq(

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.{CsvBarSource, ParquetRoundTrip}
+import graft.sources.{CsvBarSource, JsonlRoundTrip, ParquetRoundTrip}
 
 class SourcesSpec extends SparkSpec {
 
@@ -53,6 +53,19 @@ class SourcesSpec extends SparkSpec {
     ParquetRoundTrip.write(in, dir)
     val back = ParquetRoundTrip.read(spark, dir)
     // parquet reads back nullable; names and types must round-trip
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      in.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq ==
+      in.orderBy("id").collect().toSeq)
+  }
+
+  test("jsonl round-trip with explicit schema (no inference scan)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_jl_").toString + "/t"
+    val in = Seq((1L, 2.5, "a"), (2L, 3.5, "b")).toDF("id", "v", "s")
+    JsonlRoundTrip.write(in, dir)
+    val back = JsonlRoundTrip.read(spark, dir, Some(in.schema))
+      .select("id", "v", "s")
     assert(back.schema.map(f => (f.name, f.dataType)) ==
       in.schema.map(f => (f.name, f.dataType)))
     assert(back.orderBy("id").collect().toSeq ==
