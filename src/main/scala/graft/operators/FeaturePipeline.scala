@@ -115,6 +115,53 @@ object FeaturePipeline {
       .drop(consumedCols: _*)
   }
 
+  /** The 100 TB form of [[fast]]: a MULTI-SYMBOL bar table where every
+    * window partitions by instrument symbol — no global-order operator
+    * anywhere, so the plan scales with the symbol count instead of
+    * funnelling through range-bucket stitches. Per symbol, the results
+    * equal [[fast]] applied to that symbol's bars alone
+    * (spec-asserted equivalence).
+    *
+    * Plan shape: ONE aggregation shuffle on (symbol, day), ONE window
+    * shuffle on (symbol), one broadcast join back — the daily table is
+    * #symbols × #days rows (broadcastable into the millions; swap the
+    * broadcast for a plain equi-join beyond that, same semantics). */
+  def fastPerSymbol(bars: DataFrame, symbolCol: String,
+      useLead: Boolean = false): DataFrame = {
+    val withDay = DailyAggregates.withDateOnly(bars)
+    val sym = col(symbolCol)
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy(sym).orderBy(col("date_only"), col("date"))
+    val daily = withDay
+      .select(sym, col("date_only"), col("date"), col("close"), col("open"),
+        ColumnFeatures.smaMean.as("sma_row"),
+        ColumnFeatures.kamaMean.as("kama_row"),
+        ColumnFeatures.adxMean.as("adx_row"),
+        ColumnFeatures.rocMean.as("roc_row"),
+        ColumnFeatures.trimaMean.as("trima_row"))
+      .withColumn("lag_close", lag(col("close"), 1).over(wLag))
+      .groupBy(sym, col("date_only"))
+      .agg(
+        avg(col("close")).as("avg_close"),
+        avg(col("lag_close")).as("avg_close_prev_day"),
+        avg(col("open")).as("avg_open"),
+        avg(col("sma_row")).as("sma"),
+        avg(col("kama_row")).as("kama"),
+        avg(col("adx_row")).as("adx"),
+        avg(col("roc_row")).as("roc"),
+        avg(col("trima_row")).as("trima"))
+      .withColumn("momentum", col("avg_close") - col("avg_close_prev_day"))
+    val labeled = Labeler.label(withDay, useLead = useLead,
+      partitionCols = Seq(symbolCol), orderCols = Seq("date"))
+    labeled
+      .join(broadcast(daily), Seq(symbolCol, "date_only"))
+      .withColumn("macd", ColumnFeatures.macd)
+      .withColumn("bollinger_bands_width", ColumnFeatures.bollingerBandsWidth)
+      .withColumn("com_channel_index", ColumnFeatures.comChannelIndex)
+      .withColumn("rsi", ColumnFeatures.rsi)
+      .drop(consumedCols: _*)
+  }
+
   /** Reference-shaped pipeline: every feature computed in its own derived
     * DataFrame and equi-joined back, in the reference's order. Used to
     * benchmark the join-heavy plan against [[fast]].
