@@ -200,6 +200,40 @@ object Dedup {
         coalesce(col("label"), col(idCol)).as("cluster_id"))
   }
 
+  /** Duplicated-span fraction (the C4/RefinedWeb-style boilerplate
+    * metric): per document, the fraction of its DISTINCT word `k`-grams
+    * that occur in more than one document corpus-wide. Documents with
+    * high `dup_frac` are template/boilerplate candidates; docs with
+    * fewer than k tokens report 0 spans, 0.0 fraction.
+    *
+    * Scale shape: spans are HASHED before the shuffle (the exploded
+    * span→doc table is the big intermediate; 8-byte keys instead of
+    * ~50-byte strings), one groupBy computes corpus span frequencies,
+    * one join + groupBy folds them back per document. Hash collisions
+    * merge unrelated spans — at 32 bits that inflates `dup_frac` by
+    * ~n_spans/2³² (negligible), and the DuckDB twin hashes identically
+    * so the check stays bit-exact. */
+  def dupSpanFraction(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8): DataFrame = {
+    val spans = docs.select(col(idCol),
+      explode(array_distinct(
+        transform(wordShingles(col(textCol), k), hash32(_)))).as("sp"))
+    val freq = spans.groupBy(col("sp"))
+      .agg(count_distinct(col(idCol)).as("ndocs"))
+    val per = spans.join(freq, Seq("sp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        count_if(col("ndocs") > 1).as("n_shared"))
+    docs.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_spans"), lit(0L)) > 0,
+          col("n_shared").cast("double") / col("n_spans").cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   /** n-gram (word-shingle) Jaccard similarity between two text columns,
     * via distinct-set sizes: |A∩B| = |A|+|B|-|A∪B|. */
   def ngramJaccard(a: Column, b: Column, k: Int = ShingleK): Column =

@@ -165,9 +165,38 @@ object StreamQueryCatalog {
       .select(col("event_id"), col("user_id"), col("user_total"))
   }
 
+  /** qs2's per-key lag label on Spark 4's `transformWithState` (named
+    * state + RocksDB provider — the modern arbitrary-state API); same
+    * oracle as qs2, so the two state APIs cross-check each other. */
+  val qs7StreamLabelTws: Q = (s, dir) => {
+    val s2 = s
+    import s2.implicits._
+    val prevProvider =
+      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = eventsStream(s, dir)
+        .select(col("user_id").as("key"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+        .as[StreamingAggregates.KeyedValue]
+      val labeled = StreamingAggregates.statefulLabelTws(ds)(s)
+      runToTable(labeled.toDF(), s, "append")
+        .select(col("key").as("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+          col("buyOrSell").as("buy_or_sell"))
+    } finally prevProvider match {
+      case Some(p) =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   val defs: Map[String, Q] = Map(
     "qs5_stream_append_daily" -> qs5StreamAppendDaily,
     "qs6_stream_static_join" -> qs6StreamStaticJoin,
+    "qs7_stream_label_tws" -> qs7StreamLabelTws,
     "qs1_stream_daily" -> qs1StreamDaily,
     "qs2_stream_label" -> qs2StreamLabel,
     "qs3_stream_stream_join" -> qs3StreamStreamJoin,
@@ -179,6 +208,11 @@ object StreamQueryCatalog {
          |  ${Oracle.sqlSumd("value")} AS sum_value, count(*) AS n
          |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin,
     "qs2_stream_label" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  CASE WHEN lag(value) OVER (PARTITION BY user_id ORDER BY ts) > value
+        |       THEN 1 ELSE 0 END AS buy_or_sell
+        |FROM events""".stripMargin,
+    "qs7_stream_label_tws" ->
       """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |  CASE WHEN lag(value) OVER (PARTITION BY user_id ORDER BY ts) > value
         |       THEN 1 ELSE 0 END AS buy_or_sell

@@ -119,9 +119,15 @@ object TextQueryCatalog {
       .agg(count(lit(1)).as("n_members"))
       .select(col("cluster_id").as("keep_id"), col("n_members"))
 
+  /** Duplicated-span fraction (C4-style boilerplate metric): fraction of
+    * each doc's distinct 8-gram spans occurring in >1 document. */
+  val qt13DupSpans: Q = (s, dir) =>
+    Dedup.dupSpanFraction(table(s, dir, "documents"))
+
   val defs: Map[String, Q] = Map(
     "qt11_dup_clusters" -> qt11DupClusters,
     "qt12_dedup_keep" -> qt12DedupKeep,
+    "qt13_dup_spans" -> qt13DupSpans,
     "qt1_token_stats" -> qt1TokenStats,
     "qt10_rolling_fp" -> qt10RollingFp,
     "qt2_quality" -> qt2Quality,
@@ -228,6 +234,30 @@ object TextQueryCatalog {
       s"""$sigCte
          |SELECT * FROM sig""".stripMargin,
     "qt6_lsh_pairs" -> qt6Sql,
+    "qt13_dup_spans" -> {
+      val k = 8
+      val shingle = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH words AS (
+         |  SELECT doc_id, ${T.tokens("text")} AS w FROM documents),
+         |spans AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [${T.hash32(s"($shingle)")}
+         |     for i in range(1, len(w) - ${k - 2})])) AS sp
+         |  FROM words),
+         |freq AS (
+         |  SELECT sp, count(DISTINCT doc_id) AS ndocs
+         |  FROM spans GROUP BY sp),
+         |per AS (
+         |  SELECT s.doc_id, count(*) AS n_spans,
+         |    count(*) FILTER (WHERE f.ndocs > 1) AS n_shared
+         |  FROM spans s JOIN freq f USING (sp) GROUP BY s.doc_id)
+         |SELECT d.doc_id, coalesce(p.n_spans, 0) AS n_spans,
+         |  coalesce(p.n_shared, 0) AS n_shared,
+         |  CASE WHEN coalesce(p.n_spans, 0) > 0
+         |    THEN CAST(p.n_shared AS DOUBLE) / CAST(p.n_spans AS DOUBLE)
+         |    ELSE 0.0 END AS dup_frac
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+    },
     "qt11_dup_clusters" -> qt11Sql,
     "qt12_dedup_keep" ->
       s"""WITH clusters AS (

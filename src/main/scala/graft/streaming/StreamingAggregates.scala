@@ -80,6 +80,43 @@ object StreamingAggregates {
   }
   type Dataset2 = org.apache.spark.sql.Dataset[KeyedValue]
 
+  /** [[statefulLabel]] on Spark 4's `transformWithState` API (the
+    * successor to flatMapGroupsWithState: named state variables, TTL,
+    * timers, RocksDB-backed). Same semantics — per-key LAG label with
+    * in-batch ts ordering — so the two APIs cross-check each other
+    * against one oracle. Requires the RocksDB state-store provider
+    * (set by the caller; see `StreamQueryCatalog.qs7`). */
+  class LagLabelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, KeyedValue, LabeledValue] {
+    @transient private var last:
+      org.apache.spark.sql.streaming.ValueState[Double] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[Double]("last",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[KeyedValue],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[LabeledValue] =
+      rows.toSeq.sortBy(_.ts.getTime).iterator.map { r =>
+        val label =
+          if (last.exists() && last.get() > r.value) 1 else 0
+        last.update(r.value)
+        LabeledValue(r.key, r.ts, r.value, label)
+      }
+  }
+
+  def statefulLabelTws(events: Dataset2)(implicit spark: SparkSession)
+      : org.apache.spark.sql.Dataset[LabeledValue] = {
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new LagLabelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+  }
+
   /** Drive a streaming query to completion over static files (memory sink)
     * — the local-smoke harness shape. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode)
