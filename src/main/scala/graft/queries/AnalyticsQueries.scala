@@ -122,7 +122,22 @@ object AnalyticsQueries {
       .filter(col("price_rank") <= 3)
   }
 
+  /** Frequent-items sketch vs the exact mode: `freqItems` (the
+    * Karp-Shenker-Papadimitriou one-pass sketch) must contain the true
+    * most-frequent event_type, which the oracle recomputes exactly. */
+  val q36FreqItems: Q = (s, dir) => {
+    val e = events(s, dir)
+    val top = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+      .limit(1).head.getString(0)
+    e.stat.freqItems(Seq("event_type"), 0.1)
+      .select(lit(top).as("top_type"),
+        array_contains(col("event_type_freqItems"), top)
+          .as("fi_contains_top"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q36_freq_items" -> q36FreqItems,
     "q27_grouping_sets" -> q27GroupingSets,
     "q28_dist_windows" -> q28DistWindows,
     "q30_resample_ohlc" -> q30ResampleOhlc,
@@ -156,6 +171,10 @@ object AnalyticsQueries {
        |  FROM numbered GROUP BY event_type, bucket)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "q36_freq_items" ->
+      """SELECT (SELECT event_type FROM events GROUP BY event_type
+        |        ORDER BY count(*) DESC, event_type LIMIT 1) AS top_type,
+        |  true AS fi_contains_top""".stripMargin,
     "q27_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
          |  ${sqlSumd("l_quantity")} AS sum_qty,

@@ -76,6 +76,29 @@ class ProfileSpec extends SparkSpec {
   }
 }
 
+class DupSpanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dupSpanFraction: shared 8-gram spans counted, short docs zeroed") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (1L, shared + " one two three"),
+      (2L, shared + " four five six"),
+      (3L, "totally different words here that never repeat anywhere else"),
+      (4L, "short doc") // < 8 tokens → 0 spans
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.dupSpanFraction(docs)
+      .collect().map(row => row.getLong(0) ->
+        ((row.getLong(1), row.getLong(2), row.getDouble(3)))).toMap
+    // docs 1/2: 4 distinct spans each (11 tokens → 4 windows), exactly
+    // one (the shared prefix) occurs in both
+    assert(r(1L) == ((4L, 1L, 0.25)))
+    assert(r(2L) == ((4L, 1L, 0.25)))
+    assert(r(3L)._2 == 0L && r(3L)._3 == 0.0)
+    assert(r(4L) == ((0L, 0L, 0.0)))
+  }
+}
+
 class DupClusterSpec extends SparkSpec {
   import spark.implicits._
 
