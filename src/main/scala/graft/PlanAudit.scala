@@ -34,6 +34,7 @@ object PlanAudit {
     "q23_corr", // 1-row global correlation
     "q32_approx_agg", // 1-row sketch-vs-exact
     "q33_profile", // 1-row multi-distinct aggregate, unpivoted after
+    "q36_freq_items", // 1-row global frequent-items sketch
     "q9_daily_avg", // ORDER BY of ~30 daily rows (A2 compat shape)
     "q26_median", // final rank filter over the tiny histogram
     "qv1_knn", // global top-k: TakeOrdered final stage
