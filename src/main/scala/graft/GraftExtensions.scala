@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("parabolic_sar"),
       graft.indicators.ParabolicSar.sqlInfo,
       graft.indicators.ParabolicSar.sqlBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f32"),
+      graft.functions.FloatDot.sqlInfo,
+      graft.functions.FloatDot.sqlBuilder))
     // J3 self-join-to-projection rewrite; inert unless
     // spark.graft.rewriteSelfJoin.assumeUniqueKeys=true
     ext.injectOptimizerRule(_ => graft.plans.SelfJoinRewrite)
@@ -44,6 +48,10 @@ object GraftExtensions {
       FunctionIdentifier("parabolic_sar"),
       graft.indicators.ParabolicSar.sqlInfo,
       graft.indicators.ParabolicSar.sqlBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_f32"),
+      graft.functions.FloatDot.sqlInfo,
+      graft.functions.FloatDot.sqlBuilder)
     if (!spark.sessionState.experimentalMethods.extraOptimizations
         .contains(graft.plans.SelfJoinRewrite)) {
       spark.sessionState.experimentalMethods.extraOptimizations ++=

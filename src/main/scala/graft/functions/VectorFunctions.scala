@@ -53,9 +53,20 @@ object VectorFunctions {
     when(denom > 0, dotExact(a, b) / denom).otherwise(lit(0.0))
   }
 
-  /** Production dot product: double fold, no decimal hop (fastest; order
-    * of summation = array order, deterministic within Spark). */
+  /** Production dot product: the native codegen'd [[FloatDot]]
+    * expression (HOF folds are CodegenFallback — interpreted per
+    * element; the custom expression is a primitive loop inside
+    * whole-stage codegen). Summation order = array order, so values are
+    * bit-identical to the HOF double fold it replaced ([[dotHof]],
+    * kept for the equality spec). */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      FloatDot(org.apache.spark.sql.GraftColumnBridge.toExpression(a),
+        org.apache.spark.sql.GraftColumnBridge.toExpression(b)))
+
+  /** The higher-order-function double fold (pre-FloatDot production
+    * path) — retained as the cross-check twin. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 

@@ -80,9 +80,11 @@ object AnalyticsQueries {
     val e = events(s, dir)
     val exactP50 = e.groupBy().agg(
       expr("percentile(value, 0.5)").as("_p50")).head.getDouble(0)
+    // rsd = 0.01: the default 0.05 makes a 5% gate a ±1σ coin flip (it
+    // failed at sf0.1); at 1% relative error the 5% gate is ~5σ
     e.agg(
       count_distinct(col("user_id")).as("exact_users"),
-      approx_count_distinct(col("user_id")).as("_approx_users"),
+      approx_count_distinct(col("user_id"), 0.01).as("_approx_users"),
       expr("approx_percentile(value, 0.5)").as("_approx_p50"))
       .select(col("exact_users"),
         (abs(col("_approx_users") - col("exact_users")).cast("double")

@@ -21,6 +21,22 @@ class GlobalWindowSpec extends SparkSpec {
     assert(viaGlobal == viaSingle)
   }
 
+  test("lagGlobal quantile-bucket mode (skew path) == unpartitioned lag") {
+    // heavily skewed key: 90% of rows share one bucketKey region
+    val df = (1 to 400).map { i =>
+      val k = if (i <= 360) i.toLong else 100000L + i
+      (k, i * 0.5)
+    }.toDF("k", "v").repartition(5)
+    val viaGlobal = GlobalWindow.lagGlobal(df, Seq("k"), "v", "prev",
+      bucketKey = col("k"), numPartitions = Some(8),
+      quantileBuckets = true)
+      .orderBy("k").select($"k", $"prev").collect().toSeq
+    val viaSingle = df
+      .withColumn("prev", lag($"v", 1).over(Window.orderBy($"k")))
+      .orderBy("k").select($"k", $"prev").collect().toSeq
+    assert(viaGlobal == viaSingle)
+  }
+
   test("lagGlobal handles more partitions than rows (empty ranges)") {
     val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
     val out = GlobalWindow.lagGlobal(df, Seq("k"), "v", "prev",
