@@ -103,9 +103,25 @@ object VectorQueryCatalog {
       k = 10, probes = 4)
   }
 
+  /** qv1 on the PRODUCTION scoring path: the codegen'd
+    * [[graft.functions.FloatDot]] double fold instead of the decimal
+    * hop. Oracle-exact because the oracle's `list_reduce` is the same
+    * sequential left fold over the same widened doubles — so the fast
+    * path is verified bit-for-bit too, not just the decimal path. */
+  val qv7KnnCodegen: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val q = typedlit(qvec)
+    emb.select(col("vec_id"), cosine(col("embedding"), q).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val defs: Map[String, Q] = Map(
     "qv1_knn" -> qv1Knn,
     "qv6_ivf_query" -> qv6IvfQuery,
+    "qv7_knn_codegen" -> qv7KnnCodegen,
     "qv2_consecutive_cosine" -> qv2ConsecutiveCosine,
     "qv3_lsh_buckets" -> qv3LshBuckets,
     "qv4_ivf_assign" -> qv4IvfAssign,
@@ -143,10 +159,29 @@ object VectorQueryCatalog {
        | AS DECIMAL(38,12)) for i in range(1, len(embedding) + 1)]) AS DOUBLE) >= 0
        | THEN ${1L << p} ELSE 0 END)""".stripMargin
 
+  /** Sequential double left-fold dot — mirrors [[graft.functions.FloatDot]]'s
+    * ascending-order double accumulation (DuckDB `list_reduce` folds
+    * left-to-right; `0.0 + x = x` under IEEE, so the prepended zero seed
+    * matches the expression's `acc = 0.0` start). */
+  private def dotSeqSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0,
+       | [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+       |  for i in range(1, len($a) + 1)]), (x, y) -> x + y)""".stripMargin
+
+  private def cosineSeqSql(a: String, b: String): String =
+    s"""(CASE WHEN sqrt(${dotSeqSql(a, a)}) * sqrt(${dotSeqSql(b, b)}) > 0
+       | THEN ${dotSeqSql(a, b)} / (sqrt(${dotSeqSql(a, a)}) * sqrt(${dotSeqSql(b, b)}))
+       | ELSE 0.0 END)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "qv1_knn" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, ${cosineSql("embedding", "qv")} AS sim
+         |FROM embeddings CROSS JOIN q
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "qv7_knn_codegen" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${cosineSeqSql("embedding", "qv")} AS sim
          |FROM embeddings CROSS JOIN q
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "qv2_consecutive_cosine" ->

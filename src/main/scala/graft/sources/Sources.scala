@@ -62,6 +62,21 @@ object JsonlRoundTrip {
     schema.fold(spark.read.json(path))(sc => spark.read.schema(sc).json(path))
 }
 
+/** Hive-style partitioned parquet lake layout (`.../day=2020-01-06/...`)
+  * — the standard 100 TB table layout. Queries filtering on the
+  * partition column prune whole directories BEFORE any I/O
+  * (`PartitionFilters` in the scan node, asserted in `SourcesSpec`),
+  * which is the difference between scanning one day and scanning eight
+  * years. Partition columns should be low-cardinality (day, symbol) —
+  * a high-cardinality partition key explodes the file count. */
+object PartitionedLake {
+  def write(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
+
 /** Loader for the driver-generated synthetic tables (TESTDATA.md). */
 object Tables {
   val all: Seq[String] = Seq(

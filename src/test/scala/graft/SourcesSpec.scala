@@ -59,6 +59,20 @@ class SourcesSpec extends SparkSpec {
       in.orderBy("id").collect().toSeq)
   }
 
+  test("partitioned lake: partition filter prunes at the scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake_").toString + "/t"
+    val in = (1 to 100).map(i => (i.toLong, s"2020-01-0${i % 5 + 1}", i * 1.5))
+      .toDF("id", "day", "v")
+    graft.sources.PartitionedLake.write(in, dir, Seq("day"))
+    val q = graft.sources.PartitionedLake.read(spark, dir)
+      .filter($"day" === "2020-01-03")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("2020-01-03"), plan)
+    assert(q.count() == in.filter($"day" === "2020-01-03").count())
+  }
+
   test("jsonl round-trip with explicit schema (no inference scan)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_jl_").toString + "/t"
