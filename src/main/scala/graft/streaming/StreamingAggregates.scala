@@ -126,4 +126,41 @@ object StreamingAggregates {
       .trigger(Trigger.AvailableNow()).start()
     q
   }
+
+  /** `foreachBatch` sink reusing BATCH aggregation logic per micro-batch
+    * (SURVEY.md §7.5): each batch's rows aggregate with the caller's
+    * batch function, then upsert into a partitioned parquet sink by
+    * dynamic partition OVERWRITE on the day key.
+    *
+    * Idempotence: update-mode emits a (day, aggregate) row whenever a
+    * day's state changes; overwriting that day's partition with the
+    * latest value makes replays and batch-boundary changes converge to
+    * the same files — the exactly-once-by-overwrite pattern Structured
+    * Streaming recommends for file sinks with aggregations (which the
+    * built-in file sink cannot do: it is append-only).
+    */
+  def foreachBatchDaily(events: DataFrame, tsCol: String, valueCol: String,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    val spark = events.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    events
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(window(org.apache.spark.sql.functions.col(tsCol), "1 day")
+        .as("w"))
+      .agg(
+        sum(org.apache.spark.sql.functions.col(valueCol)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double").as("sum_value"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").cast("date").as("day"),
+        col("sum_value"), col("n"))
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite")
+          .partitionBy("day").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+  }
 }

@@ -140,6 +140,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch daily sink: batch logic per micro-batch, idempotent overwrite") {
+    val src = java.nio.file.Files.createTempDirectory("graft-fb-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-fb-out").toString
+    val ckp = java.nio.file.Files.createTempDirectory("graft-fb-ckp").toString
+    val batch = graft.queries.Oracle.events(spark, "/root/testdata/sf0.001")
+      .select($"ts".cast("timestamp").as("ts"), $"value")
+    batch.write.mode("overwrite").parquet(src)
+    val stream = StreamingAggregates.readStream(spark, batch.schema, src)
+    val q = StreamingAggregates.foreachBatchDaily(
+      stream, "ts", "value", out, ckp)
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Double]("sum_value"), r.getAs[Long]("n")))).toMap
+    val want = batch
+      .groupBy($"ts".cast("date").as("day"))
+      .agg(sum($"value".cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .cast("double").as("sum_value"), count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Double]("sum_value"), r.getAs[Long]("n")))).toMap
+    // decimal sums are batch-boundary independent: every written day is
+    // bit-exact; update mode + dynamic overwrite makes the sink converge
+    assert(got.nonEmpty && got.keySet.subsetOf(want.keySet))
+    got.foreach { case (d, v) => assert(want(d) == v, s"day $d") }
+  }
+
   test("stateful streaming label matches batch lag semantics per key") {
     implicit val s = spark
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2").toString
