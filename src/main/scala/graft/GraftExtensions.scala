@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f32"),
       graft.functions.FloatDot.sqlInfo,
       graft.functions.FloatDot.sqlBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("ht_dcperiod"),
+      graft.indicators.HilbertTransform.dcSqlInfo,
+      graft.indicators.HilbertTransform.sqlBuilder(trend = false)))
+    ext.injectFunction((
+      FunctionIdentifier("ht_trendline"),
+      graft.indicators.HilbertTransform.tlSqlInfo,
+      graft.indicators.HilbertTransform.sqlBuilder(trend = true)))
     // J3 self-join-to-projection rewrite; inert unless
     // spark.graft.rewriteSelfJoin.assumeUniqueKeys=true
     ext.injectOptimizerRule(_ => graft.plans.SelfJoinRewrite)
@@ -52,6 +60,14 @@ object GraftExtensions {
       FunctionIdentifier("dot_f32"),
       graft.functions.FloatDot.sqlInfo,
       graft.functions.FloatDot.sqlBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("ht_dcperiod"),
+      graft.indicators.HilbertTransform.dcSqlInfo,
+      graft.indicators.HilbertTransform.sqlBuilder(trend = false))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("ht_trendline"),
+      graft.indicators.HilbertTransform.tlSqlInfo,
+      graft.indicators.HilbertTransform.sqlBuilder(trend = true))
     if (!spark.sessionState.experimentalMethods.extraOptimizations
         .contains(graft.plans.SelfJoinRewrite)) {
       spark.sessionState.experimentalMethods.extraOptimizations ++=

@@ -255,12 +255,12 @@ object Indicators {
       .drop("sma_tp", "diff")
   }
 
-  /** Parabolic SAR: now generated — [[ParabolicSar.sar]] (trend-flip
-    * state machine as a window aggregate). BETA-family rolling-regression
-    * math: `qi2_rolling_trend` (decimal-exact power sums; feed it a
-    * second market series for literal β). NOT generated (documented
-    * gaps): HT_TRENDLINE / HT_DCPERIOD — Hilbert-transform DSP over long
-    * history, out of scope for a SQL-window surface. */
+  /** Every indicator family in the reference schema is now generated:
+    * parabolic SAR ([[ParabolicSar.sar]], trend-flip state machine),
+    * HT_DCPERIOD / HT_TRENDLINE ([[HilbertTransform]], Ehlers homodyne
+    * discriminator as a window aggregate), and the BETA-family
+    * rolling-regression math (`qi2_rolling_trend`; feed it a second
+    * market series for literal β). */
 }
 
 /** mapPartitions twin of the recursive smooth — the cross-check for
