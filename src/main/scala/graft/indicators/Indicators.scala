@@ -252,6 +252,13 @@ object Indicators {
       .transform(withMfi(_, w))
       .transform(withUltosc(_, w))
       .transform(withEmaOscillators(_, w))
+      // the stateful running-window families share the same
+      // partition+order spec, so they join the same single sort
+      .withColumn("sar", ParabolicSar.sar(h, l).over(running(w)))
+      .withColumn("ht_dcperiod",
+        HilbertTransform.dcPeriod(c).over(running(w)))
+      .withColumn("ht_trendline",
+        HilbertTransform.trendline(c).over(running(w)))
       .drop("sma_tp", "diff")
   }
 
