@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.{Profile, Resample}
 
@@ -138,8 +139,34 @@ object AnalyticsQueries {
           .as("fi_contains_top"))
   }
 
+  /** Time-based RANGE frame (vs q19's row frames): rolling 1-hour
+    * event count and exact sum per user — the frame is defined by the
+    * TIME distance, not the row count, so bursts widen the frame.
+    * Ordered on epoch seconds (both engines use the same numeric range
+    * semantics). Plus first_value/nth_value over the running row frame.
+    */
+  val q37TimeRangeFrame: Q = (s, dir) => {
+    val sec = unix_micros(col("ts").cast("timestamp")) / lit(1000000L)
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
+      .rangeBetween(-3600L, 0L)
+    val run = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        sec.as("epoch_s"))
+      .withColumn("n_last_hour", count(lit(1)).over(byTime))
+      .withColumn("sum_last_hour",
+        sum(col("value").cast(DecimalType(28, 6))).over(byTime)
+          .cast("double"))
+      .withColumn("first_val", first(col("value")).over(run))
+      .withColumn("second_val", nth_value(col("value"), 2).over(run))
+      .drop("epoch_s")
+  }
+
   val defs: Map[String, Q] = Map(
     "q36_freq_items" -> q36FreqItems,
+    "q37_time_range_frame" -> q37TimeRangeFrame,
     "q27_grouping_sets" -> q27GroupingSets,
     "q28_dist_windows" -> q28DistWindows,
     "q30_resample_ohlc" -> q30ResampleOhlc,
@@ -173,6 +200,20 @@ object AnalyticsQueries {
        |  FROM numbered GROUP BY event_type, bucket)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "q37_time_range_frame" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  count(*) OVER tw AS n_last_hour,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) OVER tw AS DOUBLE)
+        |    AS sum_last_hour,
+        |  first_value(value) OVER rw AS first_val,
+        |  nth_value(value, 2) OVER rw AS second_val
+        |FROM (SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) / 1000000
+        |        AS epoch_s FROM events)
+        |WINDOW
+        |  tw AS (PARTITION BY user_id ORDER BY epoch_s
+        |         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+        |  rw AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "q36_freq_items" ->
       """SELECT (SELECT event_type FROM events GROUP BY event_type
         |        ORDER BY count(*) DESC, event_type LIMIT 1) AS top_type,
