@@ -124,10 +124,19 @@ object TextQueryCatalog {
   val qt13DupSpans: Q = (s, dir) =>
     Dedup.dupSpanFraction(table(s, dir, "documents"))
 
+  /** The COMPOSITE quality score (qt2 checks its ingredients): stopword
+    * presence + sane mean token length + low digit noise, clamped to
+    * [0,1]. Every arithmetic step mirrors the SQL twin exactly, so the
+    * composite is bit-checked end to end. */
+  val qt14QualityScore: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+
   val defs: Map[String, Q] = Map(
     "qt11_dup_clusters" -> qt11DupClusters,
     "qt12_dedup_keep" -> qt12DedupKeep,
     "qt13_dup_spans" -> qt13DupSpans,
+    "qt14_quality_score" -> qt14QualityScore,
     "qt1_token_stats" -> qt1TokenStats,
     "qt10_rolling_fp" -> qt10RollingFp,
     "qt2_quality" -> qt2Quality,
@@ -234,6 +243,23 @@ object TextQueryCatalog {
       s"""$sigCte
          |SELECT * FROM sig""".stripMargin,
     "qt6_lsh_pairs" -> qt6Sql,
+    "qt14_quality_score" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(${T.stopwordCount("text")} AS DOUBLE) AS hits,
+         |  CAST(${T.tokenCount("text")} AS DOUBLE) AS total,
+         |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |    AS nonws,
+         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |    AS digits,
+         |  CAST(length(text) AS DOUBLE) AS len
+         |FROM documents)
+         |SELECT doc_id, greatest(0.0, least(1.0,
+         |  0.5 * (CASE WHEN total > 0 THEN hits / total ELSE 0.0 END) * 5.0
+         |  + 0.3 * (CASE WHEN total > 0 AND nonws / total >= 3
+         |             AND nonws / total <= 10 THEN 1.0 ELSE 0.0 END)
+         |  + 0.2 * (1.0 - (CASE WHEN len > 0 THEN digits / len
+         |                  ELSE 0.0 END) * 5.0))) AS quality
+         |FROM t""".stripMargin,
     "qt13_dup_spans" -> {
       val k = 8
       val shingle = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
