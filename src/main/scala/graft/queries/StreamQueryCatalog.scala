@@ -193,10 +193,31 @@ object StreamQueryCatalog {
     }
   }
 
+  /** STREAMING OHLC bars — the streaming form of q30's resampler. The
+    * batch operator selects open/close with ordered row_number windows,
+    * which streaming state cannot express; the streaming form uses the
+    * min_by/max_by aggregates instead (mergeable state: one (ts, value)
+    * extremum pair per side). Deterministic because event timestamps
+    * are unique; oracle = DuckDB arg_min/arg_max. */
+  val qs8StreamOhlc: Q = (s, dir) => {
+    val agg = eventsStream(s, dir)
+      .withColumn("bucket",
+        graft.operators.Resample.bucketId(col("ts"), 300L))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max_by(col("value"), col("ts")).as("close"),
+        min(col("value")).as("low"),
+        max(col("value")).as("high"),
+        count(lit(1)).as("n"))
+    runToTable(agg, s, "complete")
+  }
+
   val defs: Map[String, Q] = Map(
     "qs5_stream_append_daily" -> qs5StreamAppendDaily,
     "qs6_stream_static_join" -> qs6StreamStaticJoin,
     "qs7_stream_label_tws" -> qs7StreamLabelTws,
+    "qs8_stream_ohlc" -> qs8StreamOhlc,
     "qs1_stream_daily" -> qs1StreamDaily,
     "qs2_stream_label" -> qs2StreamLabel,
     "qs3_stream_stream_join" -> qs3StreamStreamJoin,
@@ -238,5 +259,14 @@ object StreamQueryCatalog {
         |FROM events e
         |JOIN (SELECT user_id, count(*) AS user_total
         |      FROM events GROUP BY user_id) t USING (user_id)
-        |WHERE e.event_type = 'purchase'""".stripMargin)
+        |WHERE e.event_type = 'purchase'""".stripMargin,
+    "qs8_stream_ohlc" ->
+      """SELECT event_type,
+        |  CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 300000000) AS BIGINT)
+        |    AS bucket,
+        |  arg_min(value, ts) AS open,
+        |  arg_max(value, ts) AS close,
+        |  min(value) AS low, max(value) AS high, count(*) AS n
+        |FROM events
+        |GROUP BY event_type, bucket""".stripMargin)
 }
