@@ -54,6 +54,11 @@ object Tuning {
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // runtime Bloom-filter pruning: a selective join's build side
+      // injects a Bloom filter into the probe-side scan — at 100 TB
+      // this skips row groups before the shuffle, the runtime analogue
+      // of static partition pruning
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> broadcastBytes.toString))
   }
 

@@ -75,6 +75,24 @@ object PartitionedLake {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Clustered write: RANGE-repartition by the cluster key (disjoint
+    * key span per file — a hash repartition would scatter every key
+    * range across every file), then sort within partitions. Each file
+    * AND each parquet row group then covers a narrow key range, so
+    * min/max footer statistics skip both for key predicates — data
+    * skipping WITHOUT the directory explosion a high-cardinality
+    * partition column would cause. Partition on the low-cardinality
+    * column (day), cluster on the high-cardinality one (symbol, user). */
+  def writeClustered(df: DataFrame, path: String,
+      clusterCols: Seq[String], numFiles: Int = 0): Unit = {
+    val cols = clusterCols.map(org.apache.spark.sql.functions.col)
+    val rep =
+      if (numFiles > 0) df.repartitionByRange(numFiles, cols: _*)
+      else df.repartitionByRange(cols: _*)
+    rep.sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }
 
 /** Loader for the driver-generated synthetic tables (TESTDATA.md). */

@@ -73,6 +73,26 @@ class SourcesSpec extends SparkSpec {
     assert(q.count() == in.filter($"day" === "2020-01-03").count())
   }
 
+  test("clustered write: each file covers a disjoint narrow key range") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_clus_").toString + "/t"
+    val in = (1 to 10000).map(i => ((i * 7919) % 100L, i.toLong))
+      .toDF("key", "payload")
+    graft.sources.PartitionedLake.writeClustered(in, dir, Seq("key"),
+      numFiles = 4)
+    // per-file min/max of the cluster key must not overlap across files
+    // (that disjointness is exactly what row-group stats pruning needs)
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"key").as("lo"), max($"key").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
   test("jsonl round-trip with explicit schema (no inference scan)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_jl_").toString + "/t"
