@@ -23,7 +23,8 @@ object PlanAudit {
       broadcasts: Int,
       singlePartition: Int,
       codegenSpans: Int,
-      pushedFilters: Boolean)
+      pushedFilters: Boolean,
+      error: Option[String] = None)
 
   /** Queries whose plan legitimately carries a single-partition exchange:
     * 1-row global aggregates and tiny-result presentation sorts. */
@@ -36,6 +37,12 @@ object PlanAudit {
     "q33_profile", // 1-row multi-distinct aggregate, unpivoted after
     "q36_freq_items", // 1-row global frequent-items sketch
     "q9_daily_avg", // ORDER BY of ~30 daily rows (A2 compat shape)
+    // GlobalWindow's small-input fast path (stats-gated, 64 MiB default)
+    // legitimately uses one unpartitioned window at audit scale; the
+    // large-input plan is asserted single-partition-free in
+    // GlobalWindowSpec with the fast path disabled.
+    "q7_window_lag",
+    "q10_avg_prev_day",
     "q26_median", // final rank filter over the tiny histogram
     "qv1_knn", // global top-k: TakeOrdered final stage
     "qv6_ivf_query", // global top-k over probed buckets
@@ -43,11 +50,14 @@ object PlanAudit {
     "qt11_dup_clusters" // converged-label broadcast join build side
   )
 
+  /** One row per catalog query, always — a query that fails to plan
+    * becomes an explicit error row instead of silently vanishing from
+    * the single-partition gate (fatal errors still propagate). */
   def audit(spark: SparkSession, sfDir: String): Seq[Audit] =
-    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        Some(Audit(
+        Audit(
           name,
           "Exchange hashpartitioning".r.findAllIn(plan).size +
             "Exchange rangepartitioning".r.findAllIn(plan).size,
@@ -55,8 +65,12 @@ object PlanAudit {
           "Exchange SinglePartition".r.findAllIn(plan).size,
           "\\*\\(\\d+\\)".r.findAllIn(plan).map(_.toString).toSet.size,
           plan.contains("PushedFilters: [") &&
-            !plan.contains("PushedFilters: []")))
-      } catch { case _: Throwable => None }
+            !plan.contains("PushedFilters: []"))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Audit(name, 0, 0, 0, 0, pushedFilters = false,
+            error = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
       finally spark.sharedState.cacheManager.clearCache()
     }
 
@@ -71,8 +85,11 @@ object PlanAudit {
     println("| query | shuffles | broadcasts | 1-part exchanges | codegen spans | pushed filters |")
     println("|---|---|---|---|---|---|")
     rows.foreach { a =>
-      val flag = if (a.singlePartition > 0 &&
-        !singlePartitionAllowlist.contains(a.name)) " ⚠" else ""
+      val flag =
+        if (a.error.isDefined) s" ✗ ${a.error.get}"
+        else if (a.singlePartition > 0 &&
+          !singlePartitionAllowlist.contains(a.name)) " ⚠"
+        else ""
       println(s"| ${a.name}$flag | ${a.exchanges} | ${a.broadcasts} | " +
         s"${a.singlePartition} | ${a.codegenSpans} | ${a.pushedFilters} |")
     }

@@ -56,9 +56,13 @@ object VectorFunctions {
   /** Production dot product: the native codegen'd [[FloatDot]]
     * expression (HOF folds are CodegenFallback — interpreted per
     * element; the custom expression is a primitive loop inside
-    * whole-stage codegen). Summation order = array order, so values are
-    * bit-identical to the HOF double fold it replaced ([[dotHof]],
-    * kept for the equality spec). */
+    * whole-stage codegen). Summation order = array order, so for
+    * NULL-FREE, EQUAL-LENGTH arrays — the embedding-table invariant —
+    * values are bit-identical to the HOF double fold it replaced
+    * ([[dotHof]], kept for the equality spec). Degenerate inputs
+    * diverge by design: a null ELEMENT contributes 0 (the HOF fold
+    * poisons the whole sum to NULL) and a length mismatch folds the
+    * common prefix (the HOF returns NULL). */
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.toColumn(
       FloatDot(org.apache.spark.sql.GraftColumnBridge.toExpression(a),

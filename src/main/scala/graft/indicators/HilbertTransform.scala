@@ -27,8 +27,8 @@ private[indicators] final class HtState extends Serializable {
   * indicators the reference consumes as precomputed columns
   * (SURVEY.md §1.2), closing the last COVERAGE.md indicator gap.
   *
-  * Algorithm: Ehlers' homodyne discriminator as published (and as
-  * TA-Lib implements it): 4-bar WMA smoothing → 7-tap Hilbert FIR for
+  * Algorithm: Ehlers' homodyne discriminator (as published in "Rocket
+  * Science for Traders"): 4-bar WMA smoothing → 7-tap Hilbert FIR for
   * detrender and quadrature → complex product with the 1-bar-delayed
   * phasor → recursively smoothed real/imag parts → period from the
   * phase delta, clamped to [6, 50] and rate-limited → double-smoothed
@@ -36,8 +36,14 @@ private[indicators] final class HtState extends Serializable {
   * of the instantaneous trend (mean of the last ⌊smoothPeriod+0.5⌋
   * closes).
   *
-  * The engine convention emits null for the warm-up rows (TA-Lib's
-  * unstable period: 32 bars for DCPERIOD, 63 for TRENDLINE).
+  * ENGINE CONVENTIONS (documented divergence, not TA-Lib parity): the
+  * warm-up rows emit null (TA-Lib's unstable period: 32 bars for
+  * DCPERIOD, 63 for TRENDLINE), and warm-up history is clamped to the
+  * oldest seen price rather than TA-Lib's WMA priming — so values
+  * within/near the warm-up window differ from TA-Lib's, converging as
+  * the recursive state washes out. The spec pins THIS implementation's
+  * recurrence (self-consistency + structural invariants), not TA-Lib
+  * golden values.
   *
   * Same window-only, merge-throws contract as [[ExponentialSmooth]]:
   * an ordered recurrence has no associative merge. Apply over

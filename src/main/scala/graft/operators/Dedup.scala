@@ -194,6 +194,11 @@ object Dedup {
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters: min-label propagation did not converge in $maxIter " +
+          "rounds — a near-dup chain exceeds that diameter; raise maxIter " +
+          "(partially propagated cluster_ids would be silently wrong)")
     docs.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),

@@ -25,6 +25,24 @@ import org.apache.spark.sql.functions._
   */
 object GlobalWindow {
 
+  /** Below this estimated input size the bucketed path's fixed overhead
+    * (three jobs: cuts aggregate, boundary stitch, main pass) costs more
+    * than the single sort task it avoids, so we fall back to the plain
+    * unpartitioned window — ONE job, one task, fine for megabytes.
+    * Estimated from Catalyst plan statistics (`stats.sizeInBytes`), which
+    * costs no job; unknown stats default to Long.MaxValue-ish → scalable
+    * path, the safe direction. Set to 0 to force the scalable path
+    * (the specs do, so the stitch logic stays exercised). */
+  val SmallInputConfKey = "spark.graft.globalWindow.smallInputMaxBytes"
+  private val SmallInputDefaultBytes: Long = 64L << 20 // 64 MiB
+
+  private def useSmallInputPath(df: DataFrame): Boolean = {
+    val threshold = df.sparkSession.conf
+      .get(SmallInputConfKey, SmallInputDefaultBytes.toString).toLong
+    threshold > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
+  }
+
   /** Literal bucket cuts for `bucketKey`: equal-width spans of the
     * observed [min, max] by default (ONE cheap min/max aggregate — the
     * stitch is correct for ANY monotonic bucketing, empty buckets
@@ -64,6 +82,9 @@ object GlobalWindow {
       numPartitions: Option[Int] = None,
       quantileBuckets: Boolean = false): DataFrame = {
     val oc: Seq[Column] = orderCols.map(col)
+    if (useSmallInputPath(df))
+      return df.withColumn(out,
+        lag(col(valueCol), 1).over(Window.orderBy(oc: _*)))
     val parts = numPartitions.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
 
@@ -134,6 +155,9 @@ object GlobalWindow {
       numPartitions: Option[Int] = None,
       quantileBuckets: Boolean = false): DataFrame = {
     val oc: Seq[Column] = orderCols.map(col)
+    if (useSmallInputPath(df))
+      return df.withColumn(out,
+        lead(col(valueCol), 1).over(Window.orderBy(oc: _*)))
     val parts = numPartitions.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
     val cuts = bucketCuts(df, bucketKey, parts, quantileBuckets)

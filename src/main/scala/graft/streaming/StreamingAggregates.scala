@@ -141,8 +141,6 @@ object StreamingAggregates {
     */
   def foreachBatchDaily(events: DataFrame, tsCol: String, valueCol: String,
       outDir: String, checkpointDir: String): StreamingQuery = {
-    val spark = events.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     events
       .withWatermark(tsCol, "1 hour")
       .groupBy(window(org.apache.spark.sql.functions.col(tsCol), "1 day")
@@ -158,7 +156,11 @@ object StreamingAggregates {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // dynamic overwrite scoped to THIS write (not the shared session
+        // conf, which would silently flip every later partitioned
+        // overwrite in the session into a partial one)
         batch.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy("day").parquet(outDir)
       }
       .trigger(Trigger.AvailableNow()).start()

@@ -8,13 +8,42 @@ import graft.operators.{GlobalWindow, Labeler}
 class GlobalWindowSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Run `body` with the small-input fast path disabled, so the bucketed
+    * stitch logic is what these equality tests actually exercise. */
+  private def forceScalablePath[T](body: => T): T = {
+    spark.conf.set(GlobalWindow.SmallInputConfKey, "0")
+    try body
+    finally spark.conf.unset(GlobalWindow.SmallInputConfKey)
+  }
+
+  test("lagGlobal small-input fast path == unpartitioned lag") {
+    // default threshold (64 MiB) triggers the fast path on this input;
+    // equality must hold on either path
+    val df = (1 to 200).map { i =>
+      (i.toLong, if (i % 11 == 0) null else java.lang.Double.valueOf(i * 0.5))
+    }.toDF("k", "v").repartition(3)
+    val fast = GlobalWindow.lagGlobal(df, Seq("k"), "v", "prev",
+      bucketKey = col("k"))
+      .orderBy("k").select($"k", $"prev").collect().toSeq
+    val single = df
+      .withColumn("prev", lag($"v", 1).over(Window.orderBy($"k")))
+      .orderBy("k").select($"k", $"prev").collect().toSeq
+    assert(fast == single)
+    // and the fast path really is one plain window (no bucket column)
+    val plan = GlobalWindow.lagGlobal(df, Seq("k"), "v", "prev",
+      bucketKey = col("k")).queryExecution.executedPlan.toString
+    assert(!plan.contains("_bucket"), "fast path should skip bucketing")
+  }
+
   test("lagGlobal == unpartitioned lag, incl. null values in the column") {
     val df = (1 to 500).map { i =>
       (i.toLong, if (i % 17 == 0) null else java.lang.Double.valueOf(i * 1.5))
     }.toDF("k", "v").repartition(7) // scrambled input layout
-    val viaGlobal = GlobalWindow.lagGlobal(df, Seq("k"), "v", "prev",
-      bucketKey = col("k"), numPartitions = Some(8))
-      .orderBy("k").select($"k", $"prev").collect().toSeq
+    val viaGlobal = forceScalablePath {
+      GlobalWindow.lagGlobal(df, Seq("k"), "v", "prev",
+        bucketKey = col("k"), numPartitions = Some(8))
+        .orderBy("k").select($"k", $"prev").collect().toSeq
+    }
     val viaSingle = df
       .withColumn("prev", lag($"v", 1).over(Window.orderBy($"k")))
       .orderBy("k").select($"k", $"prev").collect().toSeq
@@ -27,10 +56,12 @@ class GlobalWindowSpec extends SparkSpec {
       val k = if (i <= 360) i.toLong else 100000L + i
       (k, i * 0.5)
     }.toDF("k", "v").repartition(5)
-    val viaGlobal = GlobalWindow.lagGlobal(df, Seq("k"), "v", "prev",
-      bucketKey = col("k"), numPartitions = Some(8),
-      quantileBuckets = true)
-      .orderBy("k").select($"k", $"prev").collect().toSeq
+    val viaGlobal = forceScalablePath {
+      GlobalWindow.lagGlobal(df, Seq("k"), "v", "prev",
+        bucketKey = col("k"), numPartitions = Some(8),
+        quantileBuckets = true)
+        .orderBy("k").select($"k", $"prev").collect().toSeq
+    }
     val viaSingle = df
       .withColumn("prev", lag($"v", 1).over(Window.orderBy($"k")))
       .orderBy("k").select($"k", $"prev").collect().toSeq
@@ -39,17 +70,21 @@ class GlobalWindowSpec extends SparkSpec {
 
   test("lagGlobal handles more partitions than rows (empty ranges)") {
     val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
-    val out = GlobalWindow.lagGlobal(df, Seq("k"), "v", "prev",
-      bucketKey = col("k"), numPartitions = Some(16))
-      .orderBy("k").select($"prev").collect()
-      .map(r => Option(r.get(0))).toSeq
+    val out = forceScalablePath {
+      GlobalWindow.lagGlobal(df, Seq("k"), "v", "prev",
+        bucketKey = col("k"), numPartitions = Some(16))
+        .orderBy("k").select($"prev").collect()
+        .map(r => Option(r.get(0))).toSeq
+    }
     assert(out == Seq(None, Some(10.0), Some(20.0)))
   }
 
   test("lagLabelGlobal == compat Labeler.label on the fixture") {
     val bars = StockFixture.bars(spark, nDays = 3, minutesPerDay = 50)
-    val scalable = GlobalWindow.lagLabelGlobal(bars, Seq("date"), unix_micros(col("date")))
-      .orderBy("date").select($"buy_or_sell").as[Int].collect().toSeq
+    val scalable = forceScalablePath {
+      GlobalWindow.lagLabelGlobal(bars, Seq("date"), unix_micros(col("date")))
+        .orderBy("date").select($"buy_or_sell").as[Int].collect().toSeq
+    }
     val compat = Labeler.label(bars)
       .orderBy("date").select($"buy_or_sell").as[Int].collect().toSeq
     assert(scalable == compat)
@@ -59,19 +94,23 @@ class GlobalWindowSpec extends SparkSpec {
     val df = (1 to 300).map { i =>
       (i.toLong, if (i % 13 == 0) null else java.lang.Double.valueOf(i * 2.5))
     }.toDF("k", "v").repartition(5)
-    val viaGlobal = GlobalWindow.leadGlobal(df, Seq("k"), "v", "next",
-      bucketKey = col("k"), numPartitions = Some(9))
-      .orderBy("k").select($"k", $"next").collect().toSeq
+    val viaGlobal = forceScalablePath {
+      GlobalWindow.leadGlobal(df, Seq("k"), "v", "next",
+        bucketKey = col("k"), numPartitions = Some(9))
+        .orderBy("k").select($"k", $"next").collect().toSeq
+    }
     val viaSingle = df
       .withColumn("next", lead($"v", 1).over(Window.orderBy($"k")))
       .orderBy("k").select($"k", $"next").collect().toSeq
     assert(viaGlobal == viaSingle)
   }
 
-  test("plan has no single-partition exchange") {
+  test("scalable path's plan has no single-partition exchange") {
     val bars = StockFixture.bars(spark, nDays = 2, minutesPerDay = 30)
-    val plan = GlobalWindow.lagLabelGlobal(bars, Seq("date"), unix_micros(col("date")))
-      .queryExecution.executedPlan.toString
+    val plan = forceScalablePath {
+      GlobalWindow.lagLabelGlobal(bars, Seq("date"), unix_micros(col("date")))
+        .queryExecution.executedPlan.toString
+    }
     assert(!plan.contains("Exchange SinglePartition"),
       s"single-partition exchange found:\n$plan")
   }

@@ -144,10 +144,15 @@ class FeaturePipelineSpec extends SparkSpec {
   }
 
   test("fast pipeline plans with no single-partition exchange (W4)") {
-    val plan = FeaturePipeline.fast(bars)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange SinglePartition"),
-      s"single-partition exchange in the fast pipeline:\n$plan")
+    // disable GlobalWindow's small-input fast path: this asserts the
+    // LARGE-input plan shape, which the tiny fixture would otherwise skip
+    spark.conf.set(graft.operators.GlobalWindow.SmallInputConfKey, "0")
+    try {
+      val plan = FeaturePipeline.fast(bars)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"single-partition exchange in the fast pipeline:\n$plan")
+    } finally spark.conf.unset(graft.operators.GlobalWindow.SmallInputConfKey)
   }
 }
 

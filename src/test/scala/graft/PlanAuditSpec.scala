@@ -9,7 +9,11 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no undocumented single-partition exchanges in the catalog") {
     val audits = PlanAudit.audit(spark, "/root/testdata/sf0.001")
-    assert(audits.size > 50, "audit should cover the whole catalog")
+    assert(audits.size == SparkEntry.queries.size,
+      "audit must cover every catalog query exactly once")
+    val failed = audits.filter(_.error.isDefined)
+    assert(failed.isEmpty, "queries failed to plan: " +
+      failed.map(a => s"${a.name} (${a.error.get})").mkString("; "))
     val offenders = audits
       .filter(a => a.singlePartition > 0 &&
         !PlanAudit.singlePartitionAllowlist.contains(a.name))
