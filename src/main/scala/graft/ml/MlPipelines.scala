@@ -102,6 +102,38 @@ object MlPipelines {
     Map("areaUnderROC" -> auc, "accuracy" -> acc, "f1" -> f1)
   }
 
+  /** M13 — CrossValidator + ParamGridBuilder. The reference IMPORTS
+    * these (`G_2_rf_rdd.py:32`) but never calls them — a dead import; a
+    * complete ML surface still offers the working form. 3-fold CV over
+    * a grid spanning the reference's RF config (numTrees {10, 20} ×
+    * maxDepth {5, 10}; its own point numTrees=10/maxDepth=10 is in the
+    * grid), AUC objective, parallelism 2 (grid points train
+    * concurrently — each fit is already data-parallel, so modest
+    * task-level parallelism is the right multiplier, not #gridpoints).
+    * Returns the fitted CrossValidatorModel; `avgMetrics` aligns with
+    * `getEstimatorParamMaps` for grid inspection. */
+  def crossValidate(data: DataFrame, featureCols: Seq[String],
+      labelCol: String = "buy_or_sell", numFolds: Int = 3,
+      seed: Long = 42L)
+      : org.apache.spark.ml.tuning.CrossValidatorModel = {
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val rf = rfMllibParity(labelCol)
+    val pipeline = new Pipeline().setStages(Array(assembler(featureCols), rf))
+    val grid = new ParamGridBuilder()
+      .addGrid(rf.numTrees, Array(10, 20))
+      .addGrid(rf.maxDepth, Array(5, 10))
+      .build()
+    new CrossValidator()
+      .setEstimator(pipeline)
+      .setEvaluator(new BinaryClassificationEvaluator()
+        .setLabelCol(labelCol).setMetricName("areaUnderROC"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(numFolds)
+      .setSeed(seed)
+      .setParallelism(2)
+      .fit(data.cache())
+  }
+
   /** M14 — confusion matrix natively (vs the reference's
     * collect()+sklearn, `G_2_svm.py:178-181`): stays distributed. */
   def confusionMatrix(predictions: DataFrame,

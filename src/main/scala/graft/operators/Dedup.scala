@@ -148,6 +148,60 @@ object Dedup {
       textCol: String = "text"): DataFrame =
     docs.select(col(idCol), simhash(col(textCol)).as("simhash"))
 
+  /** SimHash near-duplicate pairs at hamming distance ≤ `maxDist` —
+    * the banded form of the hamming join this file's header promises.
+    *
+    * Pigeonhole banding: partition the 32 simhash bits into `maxDist+1`
+    * contiguous blocks; two hashes within distance `maxDist` have at
+    * most `maxDist` differing bits, so at least one block matches
+    * EXACTLY. Candidates therefore equi-join on (block, block_value) —
+    * the same explode → one shuffle → in-bucket pair generation shape
+    * as [[lshCandidatePairs]] — and each candidate pair is then
+    * exact-verified with `bit_count(a XOR b)`. Recall is exact (a
+    * guarantee of the pigeonhole, unlike MinHash-LSH's probabilistic
+    * recall); the verify step provides the precision.
+    *
+    * Scale: the shuffle carries (8-byte id, 8-byte hash) per block row —
+    * `maxDist+1` rows per document, no text. Bucket skew concentrates
+    * docs sharing a block value; as in LSH, a bucket hit by a large
+    * fraction of the corpus carries no near-dup signal — cap it with
+    * `maxBucket` at 100 TB. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 15, "maxDist must be in [1, 15]")
+    val nBlocks = maxDist + 1
+    val w = 32 / nBlocks // last block absorbs the remainder bits
+    val sh = docs.select(col(idCol).as("id"),
+      simhash(col(textCol)).as("sh"))
+    val blockStructs = (0 until nBlocks).map { b =>
+      val width = if (b == nBlocks - 1) 32 - b * w else w
+      struct(lit(b).as("blk"),
+        shiftrightunsigned(col("sh"), b * w)
+          .bitwiseAND(lit((1L << width) - 1)).as("blk_val"))
+    }
+    val buckets = sh
+      .select(col("id"), col("sh"),
+        explode(array(blockStructs: _*)).as("bk"))
+      .groupBy(col("bk.blk"), col("bk.blk_val"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sh")))).as("ms"))
+      .filter(size(col("ms")) > 1 &&
+        maxBucket.map(m => size(col("ms")) <= m).getOrElse(lit(true)))
+    val ms = col("ms")
+    buckets
+      .select(explode(flatten(
+        transform(sequence(lit(1), size(ms) - 1), i =>
+          transform(slice(ms, i + 1, size(ms) - i), m2 =>
+            struct(element_at(ms, i).getField("id").as("id_a"),
+              m2.getField("id").as("id_b"),
+              bit_count(element_at(ms, i).getField("sh")
+                .bitwiseXOR(m2.getField("sh"))).as("hamming"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the LSH
     * candidate-pair graph, labelling every document with the smallest
     * doc id reachable through near-dup pairs (singletons label

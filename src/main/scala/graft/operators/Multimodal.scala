@@ -9,13 +9,17 @@ import org.apache.spark.sql.types._
   * run decode / feature-extract / frame-sample as partition-wise batch
   * transforms.
   *
-  * The Spark-side plumbing — schema, partition sizing, batch shape,
-  * metadata projection — is real and tested. The actual media decode is
-  * STUBBED (this environment has no image/audio codecs): [[FakeCodec]]
-  * is a clearly-marked deterministic stand-in that "decodes" bytes into a
-  * fixed-size feature vector (byte histogram + moments). Swapping in a
-  * real codec is a one-function change inside the same `mapPartitions`
-  * shape (the Scala analogue of a Python `mapInPandas` batch UDF).
+  * Decode is REAL for two container formats that need no native libs:
+  * [[Multimodal.WavCodec]] (RIFF/WAVE 16-bit PCM — header parse +
+  * sample statistics) and [[Multimodal.BmpCodec]] (uncompressed
+  * 24/32-bpp BITMAPINFOHEADER — dimension parse + channel means), both
+  * pure-JVM byte parsers. Kinds with no pure-JVM decoder (video; this
+  * container ships no codec libraries) fall back to [[FakeCodec]], a
+  * clearly-marked deterministic byte-histogram stand-in that otherwise
+  * serves as the test double. All codecs share the [[MediaCodec]]
+  * partition-wise batch interface (the Scala shape of a `mapInPandas`
+  * batch UDF), so swapping a real video decoder in is a one-object
+  * change.
   *
   * Scale notes: media blobs make rows wide — the module repartitions by
   * target partition BYTES (not row count) before decode so a partition's
@@ -52,10 +56,120 @@ object Multimodal {
       .withColumn("meta_sample_rate",
         when(col("kind") === "audio", lit(16000)))
 
-  /** ??? REAL CODEC GOES HERE ??? — deterministic stand-in: 16-bin byte
+  /** Byte payload → fixed-size feature vector. Implementations must be
+    * total: unparseable payloads return the all-zero vector (a poisoned
+    * blob must not kill a 100 TB decode stage; zero vectors are
+    * filterable downstream). */
+  trait MediaCodec extends Serializable {
+    def featureDim: Int
+    def decodeToFeatures(payload: Array[Byte]): Array[Float]
+    protected final def zeros: Array[Float] = new Array[Float](featureDim)
+  }
+
+  /** REAL audio decode: RIFF/WAVE container, PCM (format 1) 16-bit
+    * little-endian. Walks the chunk list (fmt / data may be preceded by
+    * LIST etc.), parses channel count / sample rate / bit depth, decodes
+    * the PCM samples, and emits
+    * `[channels, sampleRate, bitsPerSample, framesPerChannel,
+    *   durationSec, meanAmp, rms, peakAmp]` (amplitudes in [-1, 1]).
+    * Anything non-WAV or non-16-bit-PCM → zero vector. */
+  object WavCodec extends MediaCodec {
+    val featureDim = 8
+    def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
+      if (payload == null || payload.length < 44) return zeros
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int): String =
+        new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return zeros
+      var off = 12
+      var channels = 0; var sampleRate = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= payload.length) {
+        val id = tag(off)
+        val len = bb.getInt(off + 4)
+        if (len < 0 || off + 8 + len > payload.length) return zeros
+        id match {
+          case "fmt " =>
+            if (len < 16 || bb.getShort(off + 8) != 1) return zeros // PCM only
+            channels = bb.getShort(off + 10)
+            sampleRate = bb.getInt(off + 12)
+            bits = bb.getShort(off + 22)
+          case "data" => dataOff = off + 8; dataLen = len
+          case _ => () // skip LIST/fact/...
+        }
+        off += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (channels <= 0 || sampleRate <= 0 || bits != 16 || dataOff < 0)
+        return zeros
+      val nSamples = dataLen / 2
+      if (nSamples == 0) return zeros
+      var sum = 0.0; var sumSq = 0.0; var peak = 0.0
+      var i = 0
+      while (i < nSamples) {
+        val a = bb.getShort(dataOff + 2 * i) / 32768.0
+        sum += a; sumSq += a * a
+        val abs = math.abs(a); if (abs > peak) peak = abs
+        i += 1
+      }
+      val frames = nSamples / channels
+      Array(channels.toFloat, sampleRate.toFloat, bits.toFloat,
+        frames.toFloat, (frames.toDouble / sampleRate).toFloat,
+        (sum / nSamples).toFloat,
+        math.sqrt(sumSq / nSamples).toFloat, peak.toFloat)
+    }
+  }
+
+  /** REAL image decode: BMP with a 40-byte BITMAPINFOHEADER,
+    * uncompressed (BI_RGB) 24- or 32-bpp. Parses dimensions, walks the
+    * (bottom-up or top-down, 4-byte-row-aligned) BGR(A) pixel array and
+    * emits `[width, height, bpp, meanR, meanG, meanB]` (means in
+    * [0, 1]). Anything else → zero vector. */
+  object BmpCodec extends MediaCodec {
+    val featureDim = 6
+    def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
+      if (payload == null || payload.length < 54) return zeros
+      if (payload(0) != 'B' || payload(1) != 'M') return zeros
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val dataOff = bb.getInt(10)
+      if (bb.getInt(14) != 40) return zeros // BITMAPINFOHEADER only
+      val width = bb.getInt(18)
+      val rawHeight = bb.getInt(22) // negative = top-down
+      val bpp = bb.getShort(28).toInt
+      if (bb.getInt(30) != 0) return zeros // BI_RGB (uncompressed) only
+      val height = math.abs(rawHeight)
+      if (width <= 0 || height == 0 || (bpp != 24 && bpp != 32)) return zeros
+      val bytesPerPx = bpp / 8
+      val rowStride = ((width * bytesPerPx + 3) / 4) * 4
+      if (dataOff < 54 || dataOff.toLong + rowStride.toLong * height
+          > payload.length) return zeros
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < height) {
+        var x = 0
+        val row = dataOff + y * rowStride
+        while (x < width) {
+          val p = row + x * bytesPerPx
+          sb += payload(p) & 0xff
+          sg += payload(p + 1) & 0xff
+          sr += payload(p + 2) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = width.toLong * height * 255
+      Array(width.toFloat, height.toFloat, bpp.toFloat,
+        sr.toFloat / n, sg.toFloat / n, sb.toFloat / n)
+    }
+  }
+
+  /** Deterministic stand-in — the fallback for kinds with no pure-JVM
+    * decoder (video) and the test double for plumbing specs: 16-bin byte
     * histogram (normalised) + mean byte + length, as Array[Float].
-    * Marked fake; only the surrounding plumbing is the deliverable. */
-  object FakeCodec {
+    * Clearly fake by construction; real decode lives in [[WavCodec]] /
+    * [[BmpCodec]]. */
+  object FakeCodec extends MediaCodec {
     val featureDim = 18
     def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
       val hist = new Array[Float](16)
@@ -72,23 +186,35 @@ object Multimodal {
     }
   }
 
+  /** Kind → decoder: the real codecs where a pure-JVM parse exists, the
+    * marked stand-in elsewhere. */
+  def codecFor(kind: String): MediaCodec = kind match {
+    case "audio" => WavCodec
+    case "image" => BmpCodec
+    case _ => FakeCodec
+  }
+
   private val featureType = ArrayType(FloatType, containsNull = false)
 
   /** Decode/feature-extract as a partition-wise batch transform — the
     * Scala shape of a `mapInPandas` batch UDF: iterator in, iterator out,
-    * one task per partition, no per-row JVM boundary. */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
+    * one task per partition, no per-row JVM boundary. By default each
+    * row's decoder is chosen from its `kind` column ([[codecFor]]: real
+    * WAV/BMP parse for audio/image); pass `codec` to force one decoder
+    * for every row. */
+  def extractFeatures(media: DataFrame,
+      codec: Option[MediaCodec] = None): DataFrame = {
     val outSchema = StructType(
       media.schema.fields.filterNot(_.name == "payload") :+
         StructField("features", featureType, nullable = false))
     val payloadIdx = media.schema.fieldIndex("payload")
+    val kindIdx = media.schema.fieldIndex("kind")
     val keepIdx = media.schema.fields.indices.filterNot(_ == payloadIdx)
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     media.mapPartitions { rows =>
       rows.map { r =>
-        val feats = FakeCodec.decodeToFeatures(
-          r.getAs[Array[Byte]](payloadIdx))
+        val c = codec.getOrElse(codecFor(r.getString(kindIdx)))
+        val feats = c.decodeToFeatures(r.getAs[Array[Byte]](payloadIdx))
         Row.fromSeq(keepIdx.map(r.get) :+ feats.toSeq)
       }
     }(encoder)

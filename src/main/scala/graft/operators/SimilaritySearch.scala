@@ -15,11 +15,15 @@ import graft.functions.VectorFunctions._
   *
   * Scale path: IVF-style bucketing. Assign every vector to its nearest of
   * C centroids once (cost N·C), store bucketed; at query time probe only
-  * the P nearest buckets (cost ~N·P/C + C). Centroids here are chosen
-  * deterministically (hash-sampled rows) rather than k-means-trained —
-  * the partition/probe plumbing is the point; swapping in trained
-  * centroids is a drop-in. An LSH variant (random signed projections →
-  * bucket join) shares the same shape via [[SimilaritySearch.lshBuckets]].
+  * the P nearest buckets (cost ~N·P/C + C). Centroids come either from
+  * [[SimilaritySearch.kmeansCentroids]] (trained, the production choice)
+  * or [[SimilaritySearch.hashSampledCentroids]] (deterministic, for
+  * oracle-reproducible tests — k-means isn't SQL-expressible). Quality is
+  * measured, not assumed: [[SimilaritySearch.recallAtK]] scores any
+  * approximate result set against the brute-force ground truth (the
+  * qv8 catalog query + `IvfRecallSpec`). An LSH variant (random signed
+  * projections → bucket join) shares the same shape via
+  * [[SimilaritySearch.lshBuckets]].
   */
 object SimilaritySearch {
 
@@ -85,6 +89,41 @@ object SimilaritySearch {
         .as("best"))
       .select(col(idCol), (-col("best.neg_cid")).as("bucket"))
   }
+
+  /** Trained IVF centroids: `ml.KMeans` over the embedding column
+    * (Lloyd's with k-means|| init — a few distributed passes over the
+    * data, each a treeAggregate; the model is C vectors on the driver,
+    * broadcast back out). Same `(centroid_id, centroid)` shape as
+    * [[hashSampledCentroids]], so it drops into [[ivfAssign]] /
+    * [[ivfAssignExact]] / [[ivfQuery]] unchanged. */
+  def kmeansCentroids(embeddings: DataFrame, c: Int, seed: Long = 42L,
+      maxIter: Int = 20, vecCol: String = "embedding"): DataFrame = {
+    val feats = embeddings.select(
+      org.apache.spark.ml.functions.array_to_vector(col(vecCol))
+        .as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(c).setSeed(seed).setMaxIter(maxIter).fit(feats)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // float centroids: same element type as the embedding column, so the
+    // codegen'd FloatDot fast path accepts them (exact-decimal consumers
+    // widen to double/decimal regardless)
+    model.clusterCenters.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+      .toDF("centroid_id", "centroid")
+  }
+
+  /** Recall@k of an approximate result set against ground truth: the
+    * fraction of `truth`'s ids that `approx` found. Both inputs are
+    * top-k frames (≤ k rows) — this is a driver-scale join, the
+    * measurement harness for any ANN variant. */
+  def recallAtK(truth: DataFrame, approx: DataFrame,
+      idCol: String = "vec_id"): DataFrame =
+    truth.select(col(idCol))
+      .join(approx.select(col(idCol), lit(1).as("_hit")), Seq(idCol), "left")
+      .agg(count(lit(1)).as("k"), count(col("_hit")).as("n_hit"))
+      .select(col("k"), col("n_hit"),
+        (col("n_hit").cast("double") / col("k")).as("recall"))
 
   /** Deterministic pseudo-centroids: the C vectors with smallest
     * hash32(id) — stands in for k-means output, keeps tests seedless. */

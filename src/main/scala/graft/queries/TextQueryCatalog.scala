@@ -132,7 +132,16 @@ object TextQueryCatalog {
     table(s, dir, "documents")
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
 
+  /** SimHash near-dup pairs at hamming ≤ 3 via pigeonhole banding
+    * ([[Dedup.simhashPairs]]). The oracle recomputes the pair set by
+    * BRUTE FORCE (all-pairs bit_count(xor)) — an independent method, so
+    * a banding bug that misses a pair fails the hash compare: the
+    * pigeonhole recall guarantee is itself what's being checked. */
+  val qt15SimhashPairs: Q = (s, dir) =>
+    Dedup.simhashPairs(table(s, dir, "documents"))
+
   val defs: Map[String, Q] = Map(
+    "qt15_simhash_pairs" -> qt15SimhashPairs,
     "qt11_dup_clusters" -> qt11DupClusters,
     "qt12_dedup_keep" -> qt12DedupKeep,
     "qt13_dup_spans" -> qt13DupSpans,
@@ -206,6 +215,14 @@ object TextQueryCatalog {
   private def simhashBitSql(j: Int): String =
     s"""(CASE WHEN coalesce(list_sum([CASE WHEN (${T.hash32("t")} >> $j) & 1 = 1
        | THEN 1 ELSE -1 END for t in w]), 0) > 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
+
+  /** Shared simhash table CTE (qt8 result shape) for qt8 and qt15. */
+  private lazy val simhashCte: String =
+    s"""WITH words AS (SELECT doc_id, ${T.tokens("text")} AS w FROM documents),
+       |sh_tbl AS (
+       |  SELECT doc_id,
+       |    (${(0 until 32).map(simhashBitSql).mkString("\n     + ")}) AS simhash
+       |  FROM words)""".stripMargin
 
   val sql: Map[String, String] = Map(
     "qt1_token_stats" ->
@@ -311,10 +328,14 @@ object TextQueryCatalog {
          |FROM sizes""".stripMargin
     },
     "qt8_simhash" ->
-      s"""WITH words AS (SELECT doc_id, ${T.tokens("text")} AS w FROM documents)
-         |SELECT doc_id,
-         |  (${(0 until 32).map(simhashBitSql).mkString("\n   + ")}) AS simhash
-         |FROM words""".stripMargin,
+      s"""$simhashCte
+         |SELECT doc_id, simhash FROM sh_tbl""".stripMargin,
+    "qt15_simhash_pairs" ->
+      s"""$simhashCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sh_tbl a JOIN sh_tbl b ON b.doc_id > a.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "qt9_multimodal_meta" ->
       s"""WITH payloads AS (
          |  SELECT doc_id, CAST(text AS BLOB) AS payload FROM documents)

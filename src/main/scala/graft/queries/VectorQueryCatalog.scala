@@ -118,7 +118,30 @@ object VectorQueryCatalog {
       .limit(10)
   }
 
+  /** IVF recall@10: the probes=4 IVF result scored against the
+    * brute-force top-10 ground truth — the measured answer to "how much
+    * does the ANN shortcut cost?". Deterministic hash-sampled centroids
+    * keep every step DuckDB-reproducible, so the recall VALUE itself
+    * hash-checks; the k-means-trained variant (not SQL-expressible) is
+    * held to recall ≥ 0.9 in `IvfRecallSpec`. */
+  val qv8IvfRecall: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val cents = SimilaritySearch.hashSampledCentroids(emb, 16)
+    val bucketed = emb.join(
+      SimilaritySearch.ivfAssignExact(emb, cents), Seq("vec_id"))
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val approx = SimilaritySearch.ivfQuery(bucketed, cents, typedlit(qvec),
+      k = 10, probes = 4)
+    val truth = SimilaritySearch.bruteForceTopK(
+      emb.crossJoin(broadcast(
+        emb.filter(col("vec_id") === 0).select(col("embedding").as("qv")))),
+      col("qv"), 10)
+    SimilaritySearch.recallAtK(truth, approx)
+  }
+
   val defs: Map[String, Q] = Map(
+    "qv8_ivf_recall" -> qv8IvfRecall,
     "qv1_knn" -> qv1Knn,
     "qv6_ivf_query" -> qv6IvfQuery,
     "qv7_knn_codegen" -> qv7KnnCodegen,
@@ -216,6 +239,39 @@ object VectorQueryCatalog {
          |  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 5
          |  AND a.label = b.label
          |WHERE ${cosineSql("a.embedding", "b.embedding")} > 0.2""".stripMargin,
+    "qv8_ivf_recall" ->
+      s"""WITH cents AS ($centroidsSql),
+         |scored AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    ${cosineSql("e.embedding", "c.centroid")} AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id AS bucket FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, centroid_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT centroid_id AS bucket
+         |  FROM cents CROSS JOIN q
+         |  ORDER BY ${cosineSql("centroid", "qv")} DESC, centroid_id
+         |  LIMIT 4),
+         |approx AS (
+         |  SELECT e.vec_id
+         |  FROM embeddings e
+         |  JOIN assigned a ON a.vec_id = e.vec_id
+         |  JOIN probes p ON p.bucket = a.bucket
+         |  CROSS JOIN q
+         |  ORDER BY ${cosineSql("e.embedding", "qv")} DESC, e.vec_id
+         |  LIMIT 10),
+         |truth AS (
+         |  SELECT vec_id FROM embeddings CROSS JOIN q
+         |  ORDER BY ${cosineSql("embedding", "qv")} DESC, vec_id
+         |  LIMIT 10)
+         |SELECT count(*) AS k, count(a.vec_id) AS n_hit,
+         |  CAST(count(a.vec_id) AS DOUBLE) / count(*) AS recall
+         |FROM truth t LEFT JOIN approx a ON a.vec_id = t.vec_id""".stripMargin,
     "qv6_ivf_query" ->
       s"""WITH cents AS ($centroidsSql),
          |scored AS (

@@ -29,6 +29,19 @@ class MlPipelinesSpec extends SparkSpec {
     assert(cm.map(_.getLong(2)).sum == preds.count())
   }
 
+  test("M13: CrossValidator over the RF grid picks a best model") {
+    val data = graft.operators.Labeler.label(bars)
+    val cv = MlPipelines.crossValidate(
+      data, Seq("close", "high", "low", "open", "volume"), numFolds = 2)
+    assert(cv.avgMetrics.length == 4, "2x2 grid -> 4 avg metrics")
+    assert(cv.avgMetrics.forall(m => m >= 0.0 && m <= 1.0))
+    val preds = cv.bestModel.transform(data)
+    assert(preds.columns.contains("prediction"))
+    // best grid point's metric is the max of the averaged fold metrics
+    val best = cv.avgMetrics.max
+    assert(cv.avgMetrics.contains(best))
+  }
+
   test("LinearSVC trains with the reference hyperparameters") {
     val data = graft.operators.Labeler.label(bars)
     val (_, preds) = MlPipelines.fitPredict(
@@ -80,7 +93,9 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("feature extraction: fixed dim, deterministic, payload dropped") {
-    val feats = Multimodal.extractFeatures(media)
+    // forced FakeCodec: this test covers the PLUMBING (schema, batch
+    // shape, determinism); real decode is MultimodalCodecSpec's job
+    val feats = Multimodal.extractFeatures(media, Some(Multimodal.FakeCodec))
     assert(!feats.columns.contains("payload"))
     val rows = feats.select($"media_id", $"features").collect()
     assert(rows.length == media.count())
@@ -91,7 +106,7 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(f.take(16).sum - 1.0f) < 1e-3)
     }
     // deterministic: run twice, same values
-    val again = Multimodal.extractFeatures(media)
+    val again = Multimodal.extractFeatures(media, Some(Multimodal.FakeCodec))
       .select($"media_id", $"features").collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{BmpCodec, FakeCodec, WavCodec}
+
+/** Real-decode gate: the WAV and BMP codecs must parse handcrafted,
+  * byte-exact container fixtures — not just survive the plumbing. */
+class MultimodalCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Canonical 44-byte-header RIFF/WAVE, PCM 16-bit LE. */
+  private def wavBytes(channels: Int, sampleRate: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Uncompressed 24-bpp bottom-up BMP; `pixelsTopDown(y)(x) = (r,g,b)`. */
+  private def bmpBytes(pixelsTopDown: Array[Array[(Int, Int, Int)]])
+      : Array[Byte] = {
+    val h = pixelsTopDown.length
+    val w = pixelsTopDown(0).length
+    val rowStride = ((w * 3 + 3) / 4) * 4
+    val dataLen = rowStride * h
+    val bb = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putInt(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // bottom-up: file row 0 = image row h-1; BGR order; rows zero-padded
+    for (y <- (h - 1) to 0 by -1) {
+      val row = new Array[Byte](rowStride)
+      for (x <- 0 until w) {
+        val (r, g, b) = pixelsTopDown(y)(x)
+        row(x * 3) = b.toByte; row(x * 3 + 1) = g.toByte
+        row(x * 3 + 2) = r.toByte
+      }
+      bb.put(row)
+    }
+    bb.array()
+  }
+
+  test("WavCodec decodes a PCM fixture byte-exactly") {
+    // stereo 8kHz, 2 frames: L=16384,R=-16384,L=32767,R=0
+    val f = WavCodec.decodeToFeatures(
+      wavBytes(2, 8000, Array[Short](16384, -16384, 32767, 0)))
+    assert(f(0) == 2f && f(1) == 8000f && f(2) == 16f) // ch, rate, bits
+    assert(f(3) == 2f) // frames per channel
+    assert(f(4) == 2f / 8000f) // duration
+    val amps = Seq(16384, -16384, 32767, 0).map(_ / 32768.0)
+    assert(math.abs(f(5) - amps.sum / 4) < 1e-6) // mean
+    assert(math.abs(f(6) - math.sqrt(amps.map(a => a * a).sum / 4)) < 1e-6)
+    assert(math.abs(f(7) - 32767.0 / 32768.0) < 1e-6) // peak
+  }
+
+  test("WavCodec rejects non-WAV and truncated payloads as zero vectors") {
+    assert(WavCodec.decodeToFeatures("not audio at all".getBytes)
+      .forall(_ == 0f))
+    val wav = wavBytes(1, 16000, Array[Short](100, 200, 300))
+    assert(WavCodec.decodeToFeatures(wav.take(30)).forall(_ == 0f))
+    assert(WavCodec.decodeToFeatures(null).forall(_ == 0f))
+    // data chunk length pointing past the payload must not be trusted
+    val bad = wav.clone()
+    bad(40) = 0x7f.toByte // inflate data length field
+    assert(WavCodec.decodeToFeatures(bad).forall(_ == 0f))
+  }
+
+  test("BmpCodec decodes a 24-bpp fixture byte-exactly") {
+    // 3x2 image with known channel sums; width 3 forces row padding
+    val px = Array(
+      Array((255, 0, 0), (0, 255, 0), (0, 0, 255)),
+      Array((10, 20, 30), (40, 50, 60), (70, 80, 90)))
+    val f = BmpCodec.decodeToFeatures(bmpBytes(px))
+    assert(f(0) == 3f && f(1) == 2f && f(2) == 24f)
+    val n = 6.0 * 255
+    assert(math.abs(f(3) - (255 + 10 + 40 + 70) / n) < 1e-6)
+    assert(math.abs(f(4) - (255 + 20 + 50 + 80) / n) < 1e-6)
+    assert(math.abs(f(5) - (255 + 30 + 60 + 90) / n) < 1e-6)
+  }
+
+  test("BmpCodec rejects compressed/odd-bpp/truncated as zero vectors") {
+    val good = bmpBytes(Array(Array((1, 2, 3))))
+    assert(BmpCodec.decodeToFeatures(good.take(40)).forall(_ == 0f))
+    val compressed = good.clone()
+    compressed(30) = 1 // BI_RLE8
+    assert(BmpCodec.decodeToFeatures(compressed).forall(_ == 0f))
+    assert(BmpCodec.decodeToFeatures("BMnope".getBytes).forall(_ == 0f))
+  }
+
+  test("extractFeatures dispatches by kind: real codecs for audio/image") {
+    val wav = wavBytes(1, 16000, Array[Short](1000, -1000))
+    val bmp = bmpBytes(Array(Array((100, 150, 200))))
+    val media = Seq(
+      (1L, "audio", wav), (2L, "image", bmp),
+      (3L, "video", "raw frames".getBytes))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+    val out = Multimodal.extractFeatures(media)
+      .select($"media_id", $"features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out(1L).length == WavCodec.featureDim && out(1L)(1) == 16000f)
+    assert(out(2L).length == BmpCodec.featureDim && out(2L)(0) == 1f)
+    assert(out(3L).length == FakeCodec.featureDim) // fallback, marked fake
+  }
+}

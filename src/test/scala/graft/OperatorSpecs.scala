@@ -216,6 +216,25 @@ class DedupSpec extends SparkSpec {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sh(0L), sh(3L)) < hamming(sh(0L), sh(4L)))
   }
+
+  test("simhashPairs == brute-force hamming join (pigeonhole recall is exact)") {
+    // real corpus: every (id_a, id_b, hamming) with distance <= maxDist
+    // must match the quadratic reference exactly, for several maxDist
+    // (different block widths: 16, 10, 8 bits)
+    val corpus = spark.read.parquet(sf("documents"))
+    val sh = Dedup.simhashDedup(corpus).select($"doc_id", $"simhash")
+    for (maxDist <- Seq(1, 2, 3)) {
+      val brute = sh.as("a").join(sh.as("b"), $"b.doc_id" > $"a.doc_id")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+          bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
+        .filter($"hamming" <= maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val banded = Dedup.simhashPairs(corpus, maxDist = maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == brute,
+        s"maxDist=$maxDist: banded ${banded.size} pairs != brute ${brute.size}")
+    }
+  }
 }
 
 class VectorFunctionsSpec extends SparkSpec {
