@@ -6,10 +6,45 @@ import org.apache.spark.sql.functions._
 import graft.operators.{FeaturePipeline, GlobalWindow}
 
 /** Scaling probe: times the DATA PLANE (scalable label + feature
-  * pipeline, no ML training) at 1× and 10× the reference row count.
-  * Near-linear growth is the evidence that the plans have no
-  * super-linear stage (global sorts, quadratic joins) hiding at the
-  * bench's default scale. Results quoted in SCALE.md. */
+  * pipeline, no ML training) at 1× and 10× the reference row count,
+  * and the DEDUP LOOP (LSH clusters + span fractions) at 1× and 10×
+  * the sf0.1 document count. Near-linear growth is the evidence that
+  * the plans have no super-linear stage (global sorts, quadratic
+  * joins) hiding at the bench's default scale; the cluster-loop round
+  * count is the measured component diameter. Results quoted in
+  * SCALE.md. */
+object SyntheticDocs {
+
+  /** Deterministic corpus with planted near-dup structure: docs come in
+    * groups of 5 sharing a 40-word body drawn from a hashed vocabulary;
+    * group members 1–4 get one extra member-specific word (so groups
+    * are near-dup CLIQUES — high shingle overlap, small diameter — the
+    * LSH-component shape real corpora produce), and every 7th group is
+    * fully unique (singletons stay singletons). */
+  def generate(spark: SparkSession, nDocs: Long): org.apache.spark.sql.DataFrame =
+    spark.range(nDocs).toDF("doc_id")
+      .withColumn("grp", col("doc_id") - col("doc_id") % 5)
+      .withColumn("seed",
+        when(col("grp") % 35 === 0, col("doc_id")).otherwise(col("grp")))
+      .withColumn("text", concat_ws(" ",
+        concat(lit("w"),
+          pmod(hash(col("seed") * 41), lit(5000))).as("first") +: (1 until 40)
+          .map(j => concat(lit("w"),
+            pmod(hash(col("seed") * 41 + lit(j * 7)), lit(5000)))): _*))
+      .withColumn("text",
+        when(col("doc_id") % 5 =!= 0,
+          concat(col("text"), lit(" x"), col("doc_id") % 5))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("text"))
+
+  def ensure(spark: SparkSession, nDocs: Long): String = {
+    val path = s"/tmp/graft_bench_docs_$nDocs"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      generate(spark, nDocs).write.mode("overwrite").parquet(path)
+    path
+  }
+}
+
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -35,11 +70,39 @@ object ScaleProbe {
       }
       (label, fe)
     }
+    def runDedup(nDocs: Long): (Double, Int, Double) = {
+      val path = SyntheticDocs.ensure(spark, nDocs)
+      spark.read.parquet(path).queryExecution.toRdd.count() // warm cache
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      var rounds = 0
+      val cc = t {
+        val (out, r) = graft.operators.Dedup
+          .dupClustersWithRounds(spark.read.parquet(path))
+        rounds = r
+        out.queryExecution.toRdd.count()
+      }
+      val spans = t {
+        graft.operators.Dedup.dupSpanFraction(spark.read.parquet(path))
+          .queryExecution.toRdd.count()
+      }
+      (cc, rounds, spans)
+    }
+
     run(SyntheticBars.ReferenceRows) // JIT warmup pass, discarded
     val (l1, f1) = run(SyntheticBars.ReferenceRows)
     val (l10, f10) = run(SyntheticBars.ReferenceRows * 10)
     println(f"[scale-probe] label 1x: $l1%.1f s   10x: $l10%.1f s   ratio ${l10 / l1}%.1f")
     println(f"[scale-probe] fe    1x: $f1%.1f s   10x: $f10%.1f s   ratio ${f10 / f1}%.1f")
+
+    runDedup(5000) // dedup JIT warmup, discarded
+    val (c1, r1, s1) = runDedup(5000) // sf0.1-equivalent corpus
+    val (c10, r10, s10) = runDedup(50000)
+    println(f"[scale-probe] clusters 1x: $c1%.1f s ($r1 rounds)   " +
+      f"10x: $c10%.1f s ($r10 rounds)   ratio ${c10 / c1}%.1f")
+    println(f"[scale-probe] spans    1x: $s1%.1f s   10x: $s10%.1f s   " +
+      f"ratio ${s10 / s1}%.1f")
     spark.stop()
   }
 }

@@ -219,7 +219,15 @@ object Dedup {
     * doesn't replay rounds 1..N-1. The driver only sees the one-long
     * convergence counter per round. */
   def dupClusters(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxIter: Int = 20): DataFrame = {
+      textCol: String = "text", maxIter: Int = 20): DataFrame =
+    dupClustersWithRounds(docs, idCol, textCol, maxIter)._1
+
+  /** [[dupClusters]] plus the number of propagation rounds it took to
+    * converge — the loop is eager (one count per round), so the round
+    * count is exact by return time; `ScaleProbe` quotes it in SCALE.md
+    * as the measured component diameter. */
+  def dupClustersWithRounds(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxIter: Int = 20): (DataFrame, Int) = {
     val pairs = lshCandidatePairs(docs, idCol, textCol)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -253,10 +261,11 @@ object Dedup {
         s"dupClusters: min-label propagation did not converge in $maxIter " +
           "rounds — a near-dup chain exceeds that diameter; raise maxIter " +
           "(partially propagated cluster_ids would be silently wrong)")
-    docs.select(col(idCol))
+    val out = docs.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("label"), col(idCol)).as("cluster_id"))
+    (out, iter)
   }
 
   /** Duplicated-span fraction (the C4/RefinedWeb-style boilerplate
