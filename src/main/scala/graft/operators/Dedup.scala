@@ -312,6 +312,39 @@ object Dedup {
     * when the sets are precomputed once per document and reused across
     * pairs (see qt7: shingling on both sides of a self-join doubles the
     * tokenise+shingle work). */
+  /** MinHash Jaccard ESTIMATE vs the true shingle Jaccard, per LSH
+    * candidate pair — the measured accuracy of the sketch that drives
+    * the banding decision. The estimate is the agreeing-slot fraction
+    * of the two signatures (each slot agrees with probability J, so
+    * E[estimate] = J with σ = √(J(1−J)/8) at 8 slots); the true
+    * Jaccard joined alongside exposes the estimator error pair by
+    * pair. At corpus scale, persist the signature and shingle-set
+    * projections — here each is recomputed once, which the oracle
+    * scale tolerates. */
+  def minhashJaccardEstimate(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pairs = lshCandidatePairs(docs, idCol, textCol)
+    val sigs = minhashSignatures(docs, idCol, textCol)
+    val sets = docs.select(col(idCol),
+      array_distinct(wordShingles(col(textCol), ShingleK)).as("_sh"))
+    val sa = sigs.select((col(idCol).as("id_a") +:
+      MinhashA.indices.map(i => col(s"mh$i").as(s"a_mh$i"))): _*)
+    val sb = sigs.select((col(idCol).as("id_b") +:
+      MinhashA.indices.map(i => col(s"mh$i").as(s"b_mh$i"))): _*)
+    val agree = MinhashA.indices
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .join(sets.select(col(idCol).as("id_a"), col("_sh").as("_sha")),
+        Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("_sh").as("_shb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (agree.cast("double") / lit(MinhashA.size)).as("mh_est"),
+        jaccardOfDistinctSets(col("_sha"), col("_shb")).as("jaccard"))
+  }
+
   def jaccardOfDistinctSets(sa: Column, sb: Column): Column = {
     val union = array_distinct(concat(sa, sb))
     val inter = size(sa) + size(sb) - size(union)

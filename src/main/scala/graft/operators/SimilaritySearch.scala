@@ -173,6 +173,81 @@ object SimilaritySearch {
       bucketBits.reduce(_ + _).as("bucket"))
   }
 
+  /** Embedding near-duplicate pairs THE SCALE WAY: SRP-LSH bucket join +
+    * exact-cosine verify. Each vector hashes to one `nPlanes`-bit bucket
+    * ([[lshBucketsExact]]); candidates are same-bucket pairs (one
+    * shuffle by bucket — the quadratic term is confined to buckets, as
+    * in text LSH), verified with the decimal-exact cosine against
+    * `simThreshold`. Contrast with the all-pairs or id-band forms
+    * (`bruteForceAllPairs`, qv5): this is the shape that survives a
+    * corpus where N² is unthinkable. Norms are hoisted below the join
+    * (computed once per vector, not once per pair side); the fence
+    * keeps the threshold predicate above the projection so the cosine
+    * evaluates once per pair. Recall is governed by nPlanes: same-bucket
+    * collision probability for angle θ is (1 − θ/π)^nPlanes — fewer
+    * planes = wider buckets = higher recall and more verify work. */
+  def lshNearDupPairs(embeddings: DataFrame, nPlanes: Int,
+      simThreshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Option[Int] = None): DataFrame = {
+    val buckets = lshBucketsExact(embeddings, nPlanes, idCol, vecCol, dim)
+    val e = embeddings.join(buckets, Seq(idCol))
+      .select(col(idCol), col(vecCol), col("bucket"),
+        sqrt(norm2Exact(col(vecCol))).as("_n"))
+    val l = e.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("_n").as("na"))
+    val r = e.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("_n").as("nb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineExactPre(col("va"), col("vb"), col("na"), col("nb")).as("sim"),
+        monotonically_increasing_id().as("_fence"))
+      .filter(col("sim") >= simThreshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Batch kNN JOIN: the top-k corpus neighbours for EACH of a set of
+    * query vectors (the retrieval-evaluation / hard-negative-mining
+    * workload; qv1's single-vector top-k is the degenerate case).
+    *
+    * Two-phase top-k, because the naive form — one window over all N·Q
+    * scored rows — shuffles the entire scored table by query:
+    * phase 1 reduces each of `nShards` deterministic corpus shards to
+    * its local top-k per query (partial-aggregable groupBy; shard size
+    * bounds the collect), phase 2 windows over only Q·shards·k
+    * survivors. The scored table itself never crosses the wire.
+    * Queries broadcast (Q is small by assumption); ties break to the
+    * smallest id in both phases, keeping the result total-ordered and
+    * oracle-reproducible. */
+  def knnJoin(embeddings: DataFrame, queries: DataFrame, k: Int,
+      nShards: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding", qidCol: String = "query_id",
+      qvecCol: String = "qvec"): DataFrame = {
+    val e = embeddings.select(col(idCol), col(vecCol),
+      sqrt(norm2Exact(col(vecCol))).as("_ne"))
+    val q = queries.select(col(qidCol), col(qvecCol),
+      sqrt(norm2Exact(col(qvecCol))).as("_nq"))
+    val scored = e.crossJoin(broadcast(q))
+      .select(col(qidCol), col(idCol),
+        cosineExactPre(col(vecCol), col(qvecCol), col("_ne"), col("_nq"))
+          .as("sim"))
+    // (sim desc, id asc) as one sortable struct: negate the id
+    val local = scored
+      .withColumn("shard", pmod(col(idCol), lit(nShards)))
+      .groupBy(col(qidCol), col("shard"))
+      .agg(slice(
+        sort_array(collect_list(struct(col("sim"),
+          (-col(idCol)).as("nid"))), asc = false), 1, k).as("top"))
+    val survivors = local
+      .select(col(qidCol), explode(col("top")).as("t"))
+      .select(col(qidCol), (-col("t.nid")).as(idCol), col("t.sim").as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol))
+    survivors.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col(qidCol), col(idCol), col("sim"))
+  }
+
   /** Driver-side twin of [[graft.functions.TextFunctions.hash32]]: first 8
     * hex digits of md5 as a non-negative long — used to precompute plane
     * components that depend only on constants. */

@@ -140,8 +140,34 @@ object TextQueryCatalog {
   val qt15SimhashPairs: Q = (s, dir) =>
     Dedup.simhashPairs(table(s, dir, "documents"))
 
+  /** MinHash Jaccard estimate vs true shingle Jaccard per LSH candidate
+    * pair ([[Dedup.minhashJaccardEstimate]]) — the sketch's measured
+    * accuracy, bit-checked end to end. */
+  val qt16MinhashEst: Q = (s, dir) =>
+    Dedup.minhashJaccardEstimate(table(s, dir, "documents"))
+
+  /** Deterministic stratified sampling for corpus curation: hash-bucket
+    * sampling with per-language rates (downsample the dominant 'en',
+    * keep the tail languages at 3× the rate) and a minimum-length
+    * floor — the language-balancing + quality-gating step of a
+    * training-data pipeline. Hash-threshold sampling is reproducible,
+    * join-free, and composable (re-running with a higher rate yields a
+    * superset — the buckets are stable). */
+  val qt17StratifiedSample: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        pmod(hash32(concat(lit("smp:"), col("doc_id").cast("string"))),
+          lit(100)).as("sample_bucket"))
+      .withColumn("_rate",
+        when(col("lang") === "en", lit(20)).otherwise(lit(60)))
+      .filter(col("sample_bucket") < col("_rate") &&
+        tokenCount(col("text")) >= 10)
+      .select(col("doc_id"), col("lang"), col("sample_bucket"))
+
   val defs: Map[String, Q] = Map(
     "qt15_simhash_pairs" -> qt15SimhashPairs,
+    "qt16_minhash_est" -> qt16MinhashEst,
+    "qt17_stratified_sample" -> qt17StratifiedSample,
     "qt11_dup_clusters" -> qt11DupClusters,
     "qt12_dedup_keep" -> qt12DedupKeep,
     "qt13_dup_spans" -> qt13DupSpans,
@@ -182,7 +208,9 @@ object TextQueryCatalog {
        |sig AS (
        |  SELECT doc_id, $minhashSqlCols FROM sh)""".stripMargin
 
-  private lazy val qt6Sql: String = {
+  /** `banded AS (...), pairs AS (...)` CTE bodies (assume `sig` from
+    * [[sigCte]] is in scope) — shared by qt6, qt16. */
+  private lazy val pairsCtes: String = {
     val nBands = Dedup.MinhashA.size / Dedup.BandSize
     val bandRows = (0 until nBands).map { bnd =>
       val key = (0 until Dedup.BandSize)
@@ -190,13 +218,18 @@ object TextQueryCatalog {
         .mkString(" || ',' || ")
       s"SELECT doc_id AS id, $bnd AS band, $key AS band_key FROM sig WHERE mh0 IS NOT NULL"
     }.mkString("\n  UNION ALL ")
-    s"""$sigCte,
-       |banded AS (
-       |  $bandRows)
-       |SELECT DISTINCT l.id AS id_a, r.id AS id_b
-       |FROM banded l JOIN banded r
-       |  ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id""".stripMargin
+    s"""banded AS (
+       |  $bandRows),
+       |pairs AS (
+       |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id)""".stripMargin
   }
+
+  private lazy val qt6Sql: String =
+    s"""$sigCte,
+       |$pairsCtes
+       |SELECT id_a, id_b FROM pairs""".stripMargin
 
   private lazy val qt11Sql: String =
     s"""WITH RECURSIVE pairs AS (
@@ -260,6 +293,42 @@ object TextQueryCatalog {
       s"""$sigCte
          |SELECT * FROM sig""".stripMargin,
     "qt6_lsh_pairs" -> qt6Sql,
+    "qt16_minhash_est" -> {
+      val agree = Dedup.MinhashA.indices
+        .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+        .mkString("\n      + ")
+      s"""$sigCte,
+         |$pairsCtes,
+         |est AS (
+         |  SELECT p.id_a, p.id_b,
+         |    CAST(($agree) AS DOUBLE) / ${Dedup.MinhashA.size} AS mh_est
+         |  FROM pairs p
+         |  JOIN sig a ON a.doc_id = p.id_a
+         |  JOIN sig b ON b.doc_id = p.id_b),
+         |tru AS (
+         |  SELECT p.id_a, p.id_b,
+         |    CASE WHEN len(list_distinct(list_concat(
+         |           list_distinct(sa.sh), list_distinct(sb.sh)))) > 0
+         |      THEN CAST(len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
+         |             - len(list_distinct(list_concat(
+         |                 list_distinct(sa.sh), list_distinct(sb.sh)))) AS DOUBLE)
+         |        / CAST(len(list_distinct(list_concat(
+         |            list_distinct(sa.sh), list_distinct(sb.sh)))) AS DOUBLE)
+         |      ELSE 0.0 END AS jaccard
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.id_a
+         |  JOIN sh sb ON sb.doc_id = p.id_b)
+         |SELECT e.id_a, e.id_b, e.mh_est, t.jaccard
+         |FROM est e JOIN tru t ON t.id_a = e.id_a AND t.id_b = e.id_b""".stripMargin
+    },
+    "qt17_stratified_sample" ->
+      s"""SELECT doc_id, lang, sample_bucket FROM (
+         |  SELECT doc_id, lang, text,
+         |    ${T.hash32("'smp:' || CAST(doc_id AS VARCHAR)")} % 100
+         |      AS sample_bucket,
+         |    CASE WHEN lang = 'en' THEN 20 ELSE 60 END AS rate
+         |  FROM documents) t
+         |WHERE sample_bucket < rate AND ${T.tokenCount("text")} >= 10""".stripMargin,
     "qt14_quality_score" ->
       s"""WITH t AS (SELECT doc_id,
          |  CAST(${T.stopwordCount("text")} AS DOUBLE) AS hits,

@@ -140,8 +140,29 @@ object VectorQueryCatalog {
     SimilaritySearch.recallAtK(truth, approx)
   }
 
+  /** Embedding near-dup THE SCALE WAY ([[SimilaritySearch.lshNearDupPairs]]):
+    * SRP-LSH bucket join + exact-cosine verify — one shuffle by bucket,
+    * quadratic work confined to buckets (qv5's id-band join is the
+    * bounded-window proxy; this is the whole-corpus form). 6 planes =
+    * 64 buckets over the 500-vector table. */
+  val qv9LshNearDup: Q = (s, dir) =>
+    SimilaritySearch.lshNearDupPairs(table(s, dir, "embeddings"),
+      nPlanes = 6, simThreshold = 0.2)
+
+  /** Batch kNN join: top-5 corpus neighbours for each of the 10 query
+    * vectors vec_id < 10, via the two-phase sharded top-k (the scored
+    * N·Q table never shuffles). */
+  val qv10KnnJoin: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    SimilaritySearch.knnJoin(emb, queries, k = 5)
+  }
+
   val defs: Map[String, Q] = Map(
     "qv8_ivf_recall" -> qv8IvfRecall,
+    "qv9_lsh_near_dup" -> qv9LshNearDup,
+    "qv10_knn_join" -> qv10KnnJoin,
     "qv1_knn" -> qv1Knn,
     "qv6_ivf_query" -> qv6IvfQuery,
     "qv7_knn_codegen" -> qv7KnnCodegen,
@@ -196,7 +217,38 @@ object VectorQueryCatalog {
        | THEN ${dotSeqSql(a, b)} / (sqrt(${dotSeqSql(a, a)}) * sqrt(${dotSeqSql(b, b)}))
        | ELSE 0.0 END)""".stripMargin
 
+  /** planes + bucketed CTE bodies for an nPlanes SRP-LSH bucket table
+    * (keeps the embedding column for downstream cosines). */
+  private def lshBucketCtes(nPlanes: Int): String = {
+    val planes = (0 until nPlanes).map(p => s"${planeCompSql(p)} AS h$p")
+      .mkString(",\n  ")
+    val bits = (0 until nPlanes).map(planeBitSql).mkString("\n   + ")
+    s"""planes AS (SELECT vec_id, embedding, $planes FROM embeddings),
+       |bucketed AS (SELECT vec_id, embedding, ($bits) AS bucket
+       |             FROM planes)""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "qv9_lsh_near_dup" ->
+      s"""WITH ${lshBucketCtes(6)}
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosineSql("a.embedding", "b.embedding")} AS sim
+         |FROM bucketed a JOIN bucketed b
+         |  ON a.bucket = b.bucket AND b.vec_id > a.vec_id
+         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.2""".stripMargin,
+    "qv10_knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    ${cosineSql("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |ranked AS (
+         |  SELECT query_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, vec_id, sim FROM ranked WHERE rn <= 5""".stripMargin,
     "qv1_knn" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, ${cosineSql("embedding", "qv")} AS sim
