@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** Property-style cross-checks for the round-3 operators on randomized
+  * (seeded) data — stronger than the fixed-table oracle because the
+  * inputs vary: the two-phase kNN join must equal the naive window
+  * top-k, LSH near-dup must be a subset of brute force (precision) with
+  * every exact-dup pair found (recall floor: identical vectors share
+  * every bucket), and the sampling buckets must be monotone in the
+  * rate. */
+class Round3PropertySpecs extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(4242)
+  private def randVec(dim: Int): Array[Float] =
+    Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+
+  private lazy val emb = {
+    // 120 random vectors + 10 planted exact duplicates of the first 10
+    val base = (0 until 120).map(i => (i.toLong, randVec(16)))
+    val dups = (0 until 10).map(i => ((200 + i).toLong, base(i)._2.clone))
+    (base ++ dups).toDF("vec_id", "embedding").cache()
+  }
+
+  test("knnJoin (two-phase sharded) == naive window top-k") {
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val sharded = SimilaritySearch.knnJoin(emb, queries, k = 7, nShards = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val naive = {
+      val scored = emb.crossJoin(broadcast(queries))
+        .select($"query_id", $"vec_id",
+          graft.functions.VectorFunctions
+            .cosineExact($"embedding", $"qvec").as("sim"))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"sim".desc, $"vec_id")
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 7)
+        .select($"query_id", $"vec_id", $"sim")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    assert(sharded == naive)
+  }
+
+  test("lshNearDupPairs: perfect precision, finds every exact duplicate") {
+    val pairs = SimilaritySearch
+      .lshNearDupPairs(emb, nPlanes = 6, simThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // precision: every returned pair is genuinely above threshold (the
+    // exact verify guarantees it; this asserts the plumbing kept it)
+    assert(pairs.forall(_._3 >= 0.5))
+    // recall floor: identical vectors agree on every plane -> same
+    // bucket -> the 10 planted exact-dup pairs (sim 1.0) must all appear
+    val found = pairs.filter(p => p._3 >= 1.0 - 1e-12)
+      .map(p => (p._1, p._2)).toSet
+    (0 until 10).foreach { i =>
+      assert(found.contains((i.toLong, (200 + i).toLong)),
+        s"planted exact dup ($i, ${200 + i}) not found")
+    }
+  }
+
+  test("minhash estimate is 1 exactly for identical docs, in [0,1] always") {
+    val docs = (0 until 30).map { i =>
+      val words = (0 until 20)
+        .map(j => s"w${math.abs((i / 3 * 31 + j * 7) % 50)}")
+      (i.toLong, words.mkString(" ")) // groups of 3 identical docs
+    }.toDF("doc_id", "text")
+    val est = Dedup.minhashJaccardEstimate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(est.nonEmpty)
+    est.foreach { case (a, b, e, j) =>
+      assert(e >= 0.0 && e <= 1.0 && j >= 0.0 && j <= 1.0)
+      if (j == 1.0) assert(e == 1.0,
+        s"identical docs ($a,$b) must have estimate 1, got $e")
+    }
+  }
+
+  test("hash-bucket sampling is monotone in the rate (stable buckets)") {
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"lang${i % 3}", s"some text for doc $i padding"))
+      .toDF("doc_id", "lang", "text")
+    def sample(rate: Int) = docs
+      .select($"doc_id", pmod(graft.functions.TextFunctions.hash32(
+        concat(lit("smp:"), $"doc_id".cast("string"))), lit(100))
+        .as("bucket"))
+      .filter($"bucket" < rate)
+      .select($"doc_id").as[Long].collect().toSet
+    val s20 = sample(20)
+    val s60 = sample(60)
+    assert(s20.subsetOf(s60), "raising the rate must only add documents")
+    assert(s60.size > s20.size)
+    // rate approximates fraction (hash uniformity, loose bound)
+    assert(math.abs(s60.size / 200.0 - 0.6) < 0.15)
+  }
+}
