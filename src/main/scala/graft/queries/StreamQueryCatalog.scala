@@ -213,7 +213,30 @@ object StreamQueryCatalog {
     runToTable(agg, s, "complete")
   }
 
+  /** STREAMING corpus curation: the LLM-pipeline quality gate
+    * (`TextFunctions.qualityScore` + token floor) applied to a document
+    * STREAM — stateless (no watermark, no state store), so each
+    * micro-batch filters and emits independently; with AvailableNow
+    * over the finite source the kept set equals the batch filter, which
+    * is the oracle. This is the "filter at ingest, not after landing"
+    * shape of a 100 TB ingestion pipeline. */
+  val qs9StreamQualityFilter: Q = (s, dir) => {
+    val path = s"$dir/documents.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    val docs = s.readStream.schema(rawSchema)
+      .parquet(s"$dir/documents.parque[t]")
+    val gated = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text"))
+          .as("quality"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .as("n_tokens"))
+      .filter(col("quality") >= 0.6 && col("n_tokens") >= 25)
+    runToTable(gated, s, "append")
+  }
+
   val defs: Map[String, Q] = Map(
+    "qs9_stream_quality" -> qs9StreamQualityFilter,
     "qs5_stream_append_daily" -> qs5StreamAppendDaily,
     "qs6_stream_static_join" -> qs6StreamStaticJoin,
     "qs7_stream_label_tws" -> qs7StreamLabelTws,
@@ -224,6 +247,15 @@ object StreamQueryCatalog {
     "qs4_stream_dedup" -> qs4StreamDedup)
 
   val sql: Map[String, String] = Map(
+    "qs9_stream_quality" ->
+      s"""WITH q AS (
+         |${TextQueryCatalog.qt14Sql}
+         |)
+         |SELECT q.doc_id, q.quality,
+         |  ${graft.functions.TextSql.tokenCount("d.text")} AS n_tokens
+         |FROM q JOIN documents d ON d.doc_id = q.doc_id
+         |WHERE q.quality >= 0.6
+         |  AND ${graft.functions.TextSql.tokenCount("d.text")} >= 25""".stripMargin,
     "qs1_stream_daily" ->
       s"""SELECT CAST(ts AS DATE) AS day,
          |  ${Oracle.sqlSumd("value")} AS sum_value, count(*) AS n

@@ -249,6 +249,26 @@ object TextQueryCatalog {
     s"""(CASE WHEN coalesce(list_sum([CASE WHEN (${T.hash32("t")} >> $j) & 1 = 1
        | THEN 1 ELSE -1 END for t in w]), 0) > 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
 
+  /** qt14's composite quality query — shared verbatim with the
+    * streaming quality gate's oracle (`StreamQueryCatalog.qs9`). */
+  private[queries] lazy val qt14Sql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(${T.stopwordCount("text")} AS DOUBLE) AS hits,
+       |  CAST(${T.tokenCount("text")} AS DOUBLE) AS total,
+       |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |    AS nonws,
+       |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+       |    AS digits,
+       |  CAST(length(text) AS DOUBLE) AS len
+       |FROM documents)
+       |SELECT doc_id, greatest(0.0, least(1.0,
+       |  0.5 * (CASE WHEN total > 0 THEN hits / total ELSE 0.0 END) * 5.0
+       |  + 0.3 * (CASE WHEN total > 0 AND nonws / total >= 3
+       |             AND nonws / total <= 10 THEN 1.0 ELSE 0.0 END)
+       |  + 0.2 * (1.0 - (CASE WHEN len > 0 THEN digits / len
+       |                  ELSE 0.0 END) * 5.0))) AS quality
+       |FROM t""".stripMargin
+
   /** Shared simhash table CTE (qt8 result shape) for qt8 and qt15. */
   private lazy val simhashCte: String =
     s"""WITH words AS (SELECT doc_id, ${T.tokens("text")} AS w FROM documents),
@@ -329,23 +349,7 @@ object TextQueryCatalog {
          |    CASE WHEN lang = 'en' THEN 20 ELSE 60 END AS rate
          |  FROM documents) t
          |WHERE sample_bucket < rate AND ${T.tokenCount("text")} >= 10""".stripMargin,
-    "qt14_quality_score" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  CAST(${T.stopwordCount("text")} AS DOUBLE) AS hits,
-         |  CAST(${T.tokenCount("text")} AS DOUBLE) AS total,
-         |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-         |    AS nonws,
-         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-         |    AS digits,
-         |  CAST(length(text) AS DOUBLE) AS len
-         |FROM documents)
-         |SELECT doc_id, greatest(0.0, least(1.0,
-         |  0.5 * (CASE WHEN total > 0 THEN hits / total ELSE 0.0 END) * 5.0
-         |  + 0.3 * (CASE WHEN total > 0 AND nonws / total >= 3
-         |             AND nonws / total <= 10 THEN 1.0 ELSE 0.0 END)
-         |  + 0.2 * (1.0 - (CASE WHEN len > 0 THEN digits / len
-         |                  ELSE 0.0 END) * 5.0))) AS quality
-         |FROM t""".stripMargin,
+    "qt14_quality_score" -> qt14Sql,
     "qt13_dup_spans" -> {
       val k = 8
       val shingle = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")

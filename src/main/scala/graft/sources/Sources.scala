@@ -95,6 +95,73 @@ object PartitionedLake {
   }
 }
 
+/** Z-ORDER clustering: multi-dimensional data skipping. A plain
+  * clustered write ([[PartitionedLake.writeClustered]]) gives each file
+  * a narrow range of ONE key — predicates on a second column still scan
+  * every file. Interleaving the bits of several keys into one z-value
+  * and range-writing on THAT gives every file a narrow range of EVERY
+  * participating column (locality of the Z curve), so min/max footer
+  * stats skip files for predicates on any of them — the Delta/Iceberg
+  * `OPTIMIZE ZORDER BY` layout, built from plain Spark operators.
+  *
+  * Columns are scaled to `bits`-bit integers with min/max collected in
+  * ONE aggregate (literal cuts, same rationale as `GlobalWindow` —
+  * never derive file layout from a re-executed sampler). */
+object ZOrder {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Interleave the low `bits` bits of non-negative long columns:
+    * result bit (j·n + d) = bit j of column d (n = #columns). Total
+    * bits·n must fit a long. */
+  def interleave(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty && bits * cols.size <= 63,
+      s"bits*cols = ${bits * cols.size} exceeds long range")
+    val n = cols.size
+    val terms = for {
+      (c, d) <- cols.zipWithIndex
+      j <- 0 until bits
+    } yield shiftleft(
+      shiftrightunsigned(c.cast("long"), j).bitwiseAND(lit(1L)),
+      j * n + d)
+    terms.reduce(_ + _)
+  }
+
+  /** The z-value for arbitrary numeric columns: min/max-scale each to
+    * [0, 2^bits) using the supplied per-column (min, max) literals,
+    * then interleave. */
+  def zValue(cols: Seq[Column], ranges: Seq[(Double, Double)],
+      bits: Int): Column = {
+    val top = (1L << bits) - 1
+    val scaled = cols.zip(ranges).map { case (c, (lo, hi)) =>
+      if (hi <= lo) lit(0L)
+      else least(lit(top), greatest(lit(0L),
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * top)
+          .cast("long")))
+    }
+    interleave(scaled, bits)
+  }
+
+  /** Z-ordered write: one min/max aggregate → literal ranges → range
+    * repartition + sort on the z-value → parquet. Every file covers a
+    * narrow span of every `zCols` member. */
+  def write(df: DataFrame, path: String, zCols: Seq[String],
+      bits: Int = 12, numFiles: Int = 0): Unit = {
+    val aggs = zCols.flatMap(c => Seq(
+      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val ranges = zCols.indices
+      .map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+    val z = zValue(zCols.map(col), ranges, bits)
+    val withZ = df.withColumn("_z", z)
+    val rep =
+      if (numFiles > 0) withZ.repartitionByRange(numFiles, col("_z"))
+      else withZ.repartitionByRange(col("_z"))
+    rep.sortWithinPartitions(col("_z")).drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+}
+
 /** Loader for the driver-generated synthetic tables (TESTDATA.md). */
 object Tables {
   val all: Seq[String] = Seq(
