@@ -79,6 +79,16 @@ object VectorFunctions {
     when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
   }
 
+  /** [[cosine]] with caller-supplied norms (each `sqrt(dot(v, v))` of
+    * its side) — the fast-path twin of [[cosineExactPre]]: hoists the
+    * two norms out of a pair loop, bit-identical to [[cosine]] on the
+    * same inputs. */
+  def cosinePre(a: Column, b: Column, normA: Column,
+      normB: Column): Column = {
+    val denom = normA * normB
+    when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
+  }
+
   /** L2-normalise an embedding (for cosine-as-dot at query time). */
   def l2Normalize(a: Column): Column = {
     val n = sqrt(dot(a, a))

@@ -189,10 +189,14 @@ object SimilaritySearch {
   def lshNearDupPairs(embeddings: DataFrame, nPlanes: Int,
       simThreshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding", dim: Option[Int] = None): DataFrame = {
-    val buckets = lshBucketsExact(embeddings, nPlanes, idCol, vecCol, dim)
+    val buckets = lshBucketsFloat(embeddings, nPlanes, idCol, vecCol, dim)
+    // the verify also runs the PRODUCTION scoring path (codegen'd
+    // FloatDot cosine, norms hoisted) — bit-reproducible in the oracle
+    // via DuckDB's sequential double fold, per the qv7 pattern
     val e = embeddings.join(buckets, Seq(idCol))
       .select(col(idCol), col(vecCol), col("bucket"),
-        sqrt(norm2Exact(col(vecCol))).as("_n"))
+        sqrt(graft.functions.VectorFunctions.dot(col(vecCol), col(vecCol)))
+          .as("_n"))
     val l = e.select(col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("va"), col("_n").as("na"))
     val r = e.select(col("bucket"), col(idCol).as("id_b"),
@@ -200,7 +204,8 @@ object SimilaritySearch {
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosineExactPre(col("va"), col("vb"), col("na"), col("nb")).as("sim"),
+        graft.functions.VectorFunctions
+          .cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("sim"),
         monotonically_increasing_id().as("_fence"))
       .filter(col("sim") >= simThreshold)
       .select(col("id_a"), col("id_b"), col("sim"))
@@ -255,6 +260,34 @@ object SimilaritySearch {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  /** PRODUCTION LSH buckets: the same md5-derived planes as
+    * [[lshBucketsExact]], rounded to float literals and scored with the
+    * codegen'd [[graft.functions.FloatDot]] — the whole projection stays
+    * inside whole-stage codegen (no decimal hops, no interpreted HOF
+    * lambdas), and the sign decision is STILL bit-reproducible in
+    * DuckDB: double→float plane rounding and the sequential double fold
+    * are both IEEE operations the twin mirrors (`CAST(… AS REAL)` +
+    * `list_sum` over doubles). This is the variant a 10⁹-embedding
+    * bucketing pass should run; [[lshBucketsExact]] remains the
+    * decimal-fold cross-check. */
+  def lshBucketsFloat(embeddings: DataFrame, nPlanes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Option[Int] = None): DataFrame = {
+    val d = dim.orElse(
+      embeddings.select(size(col(vecCol)).as("d")).take(1)
+        .headOption.map(_.getInt(0)))
+      .getOrElse(0)
+    val bucketBits = (0 until nPlanes).map { p =>
+      val plane: Array[Float] = (0 until d).map(j =>
+        ((hash32Local(s"$p:$j").toDouble / 2147483648.0) - 1.0).toFloat)
+        .toArray
+      val dotv = graft.functions.VectorFunctions.dot(
+        col(vecCol), typedLit(plane))
+      when(dotv >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    embeddings.select(col(idCol), bucketBits.reduce(_ + _).as("bucket"))
   }
 
   /** Oracle-exact LSH buckets: the plane dot products fold in decimal so

@@ -218,11 +218,24 @@ object VectorQueryCatalog {
        | ELSE 0.0 END)""".stripMargin
 
   /** planes + bucketed CTE bodies for an nPlanes SRP-LSH bucket table
-    * (keeps the embedding column for downstream cosines). */
+    * on the PRODUCTION float path (`lshBucketsFloat`): plane components
+    * rounded through REAL exactly as the Spark side rounds its double
+    * literals to float, dot as `list_sum` over doubles (DuckDB's
+    * sequential left fold == FloatDot's accumulation order). Keeps the
+    * embedding column for downstream cosines. */
   private def lshBucketCtes(nPlanes: Int): String = {
-    val planes = (0 until nPlanes).map(p => s"${planeCompSql(p)} AS h$p")
-      .mkString(",\n  ")
-    val bits = (0 until nPlanes).map(planeBitSql).mkString("\n   + ")
+    val planes = (0 until nPlanes).map { p =>
+      val comp = s"(CAST(CAST(('0x' || substr(md5($p || ':' || " +
+        "CAST(i - 1 AS VARCHAR)),1,8)) AS BIGINT) AS DOUBLE) " +
+        "/ 2147483648.0) - 1.0"
+      s"""[CAST($comp AS REAL)
+         | for i in range(1, len(embedding) + 1)] AS h$p""".stripMargin
+    }.mkString(",\n  ")
+    val bits = (0 until nPlanes).map { p =>
+      s"""(CASE WHEN list_sum([CAST(embedding[i] AS DOUBLE) * CAST(h$p[i] AS DOUBLE)
+         | for i in range(1, len(embedding) + 1)]) >= 0
+         | THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString("\n   + ")
     s"""planes AS (SELECT vec_id, embedding, $planes FROM embeddings),
        |bucketed AS (SELECT vec_id, embedding, ($bits) AS bucket
        |             FROM planes)""".stripMargin
@@ -232,10 +245,10 @@ object VectorQueryCatalog {
     "qv9_lsh_near_dup" ->
       s"""WITH ${lshBucketCtes(6)}
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  ${cosineSql("a.embedding", "b.embedding")} AS sim
+         |  ${cosineSeqSql("a.embedding", "b.embedding")} AS sim
          |FROM bucketed a JOIN bucketed b
          |  ON a.bucket = b.bucket AND b.vec_id > a.vec_id
-         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.2""".stripMargin,
+         |WHERE ${cosineSeqSql("a.embedding", "b.embedding")} >= 0.2""".stripMargin,
     "qv10_knn_join" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id < 10),
