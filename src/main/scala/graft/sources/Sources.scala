@@ -95,6 +95,70 @@ object PartitionedLake {
   }
 }
 
+/** Small-file COMPACTION for a partitioned lake — the standard
+  * maintenance pass: streaming sinks and incremental loads leave
+  * thousands of KB-sized files per partition, and at 100 TB the
+  * resulting task count and footer-read overhead dominate scan time.
+  * `compact` rewrites each hive partition into ⌈bytes / targetBytes⌉
+  * files, preserving the partition layout (the rewrite is per-partition
+  * overwrite — an atomic-swap pattern; readers of other partitions are
+  * untouched).
+  */
+object Compaction {
+  import org.apache.spark.sql.functions._
+
+  /** File count + bytes per hive partition directory (driver-side file
+    * listing — metadata only, no data read). */
+  def partitionStats(spark: SparkSession, path: String)
+      : Seq[(String, Int, Long)] = {
+    def walk(dir: java.io.File, rel: String): Seq[(String, Int, Long)] = {
+      val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+      val subdirs = entries.filter(f => f.isDirectory &&
+        f.getName.contains("="))
+      if (subdirs.nonEmpty)
+        subdirs.toSeq.flatMap(d => walk(d,
+          if (rel.isEmpty) d.getName else s"$rel/${d.getName}"))
+      else {
+        val parquets = entries.filter(f =>
+          f.isFile && f.getName.endsWith(".parquet"))
+        if (parquets.isEmpty) Nil
+        else Seq((rel, parquets.length, parquets.map(_.length()).sum))
+      }
+    }
+    walk(new java.io.File(path), "")
+  }
+
+  /** Compact every partition whose file count exceeds
+    * `maxFilesPerPartition`: read just that partition, coalesce to
+    * ⌈bytes / targetBytes⌉ output files, overwrite it in place.
+    * Returns the partitions rewritten. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20,
+      maxFilesPerPartition: Int = 4): Seq[String] = {
+    val toFix = partitionStats(spark, path)
+      .filter(_._2 > maxFilesPerPartition)
+    toFix.map { case (rel, _, bytes) =>
+      val dir = s"$path/$rel"
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      val part = spark.read.parquet(dir)
+      // rewrite through a temp dir, then swap — the overwrite of the
+      // live dir would otherwise race its own input scan
+      val tmp = s"$dir/_compact_tmp"
+      part.coalesce(nOut).write.mode("overwrite").parquet(tmp)
+      val dirF = new java.io.File(dir)
+      dirF.listFiles().filter(f => f.isFile &&
+        (f.getName.endsWith(".parquet") || f.getName.startsWith("_"))
+        && !f.getName.startsWith("_compact")).foreach(_.delete())
+      val tmpF = new java.io.File(tmp)
+      tmpF.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => f.renameTo(new java.io.File(dirF, f.getName)))
+      tmpF.listFiles().foreach(_.delete())
+      tmpF.delete()
+      rel
+    }
+  }
+}
+
 /** Z-ORDER clustering: multi-dimensional data skipping. A plain
   * clustered write ([[PartitionedLake.writeClustered]]) gives each file
   * a narrow range of ONE key — predicates on a second column still scan
