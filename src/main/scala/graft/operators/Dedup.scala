@@ -121,14 +121,21 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash over whitespace tokens: per bit, majority vote of the
-    * tokens' hash bits (+1/-1). ONE fold over the hashed-token array into
-    * a 32-counter vector (a per-bit `aggregate` would traverse the array
-    * 32 times), then one pass mapping positive counters to bits. The
-    * hashed-token array is let-bound (single-element `transform`, as in
-    * [[graft.functions.TextFunctions.wordShingles]]) so tokenisation and
-    * the per-token md5 run once. */
-  def simhash(textCol: Column): Column = {
+  /** 32-bit SimHash over whitespace tokens: per bit, majority vote of
+    * the tokens' hash bits (+1/−1). PRODUCTION path: the native
+    * codegen'd [[graft.functions.SimHash32]] expression — md5 + votes +
+    * bit-pack in one primitive loop inside whole-stage codegen
+    * (the declarative fold below is CodegenFallback-interpreted). */
+  def simhash(textCol: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      graft.functions.SimHash32(
+        org.apache.spark.sql.GraftColumnBridge.toExpression(
+          tokens(textCol))))
+
+  /** The declarative HOF twin of [[simhash]] (pre-SimHash32 production
+    * path) — ONE fold over the hashed-token array into a 32-counter
+    * vector, retained as the bit-equality cross-check. */
+  def simhashHof(textCol: Column): Column = {
     // bit j of h tested as h & 2^j (no column-indexed shifts in the API)
     val powers = typedLit((0 until 32).map(j => 1L << j))
     val votes = aggregate(
@@ -180,24 +187,31 @@ object Dedup {
         shiftrightunsigned(col("sh"), b * w)
           .bitwiseAND(lit((1L << width) - 1)).as("blk_val"))
     }
-    val buckets = sh
+    // in-bucket pairs as a bucket-key SELF-JOIN (codegen'd sort-merge +
+    // primitive filters) rather than collect_list + nested array
+    // transforms (CodegenFallback — interpreted per candidate); the
+    // shuffle volume is identical (the banded table, both sides)
+    val banded = sh
+      .select(col("id"), col("sh"), explode(array(blockStructs: _*)).as("bk"))
       .select(col("id"), col("sh"),
-        explode(array(blockStructs: _*)).as("bk"))
-      .groupBy(col("bk.blk"), col("bk.blk_val"))
-      .agg(sort_array(collect_list(struct(col("id"), col("sh")))).as("ms"))
-      .filter(size(col("ms")) > 1 &&
-        maxBucket.map(m => size(col("ms")) <= m).getOrElse(lit(true)))
-    val ms = col("ms")
-    buckets
-      .select(explode(flatten(
-        transform(sequence(lit(1), size(ms) - 1), i =>
-          transform(slice(ms, i + 1, size(ms) - i), m2 =>
-            struct(element_at(ms, i).getField("id").as("id_a"),
-              m2.getField("id").as("id_b"),
-              bit_count(element_at(ms, i).getField("sh")
-                .bitwiseXOR(m2.getField("sh"))).as("hamming"))))))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+        col("bk.blk").as("blk"), col("bk.blk_val").as("blk_val"))
+    val capped = maxBucket match {
+      case Some(m) =>
+        val sizes = banded.groupBy(col("blk"), col("blk_val"))
+          .agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") <= m)
+          .select(col("blk"), col("blk_val"))
+        banded.join(sizes, Seq("blk", "blk_val"))
+      case None => banded
+    }
+    val l = capped.select(col("blk"), col("blk_val"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = capped.select(col("blk"), col("blk_val"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("blk", "blk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
   }

@@ -217,6 +217,46 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(0L), sh(3L)) < hamming(sh(0L), sh(4L)))
   }
 
+  test("native SimHash32 == declarative HOF fold, incl. unicode and corpus") {
+    // synthetic edge cases + the real corpus: the codegen'd expression
+    // must reproduce the interpreted fold bit for bit
+    val edge = Seq((100L, ""), (101L, "one"), (102L, "ünïcödé tøkens 漢字 mixed"),
+      (103L, "a b c d e f g h i j k l m n o p q r s t"),
+      (104L, "  padded   whitespace   runs  "))
+      .toDF("doc_id", "text")
+    val corpus = spark.read.parquet(sf("documents"))
+      .select($"doc_id", $"text")
+    for (df <- Seq(edge, corpus.limit(200))) {
+      val both = df.select($"doc_id",
+        Dedup.simhash($"text").as("fast"),
+        Dedup.simhashHof($"text").as("hof")).collect()
+      both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"simhash mismatch for doc ${r.getLong(0)}"))
+    }
+  }
+
+  test("SimHash32 doGenCode actually compiles (no silent fallback)") {
+    // CODEGEN_ONLY + fallback=false: a Janino failure in the generated
+    // code fails the query instead of silently interpreting nullSafeEval
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = spark.read.parquet(sf("documents")).limit(50)
+        .select(Dedup.simhash($"text").as("sh"))
+        .agg(countDistinct($"sh")).head.getLong(0)
+      assert(n > 1)
+    } finally {
+      def restore(k: String, v: Option[String]): Unit = v match {
+        case Some(p) => spark.conf.set(k, p)
+        case None => spark.conf.unset(k)
+      }
+      restore("spark.sql.codegen.factoryMode", prevFactory)
+      restore("spark.sql.codegen.fallback", prevFallback)
+    }
+  }
+
   test("simhashPairs == brute-force hamming join (pigeonhole recall is exact)") {
     // real corpus: every (id_a, id_b, hamming) with distance <= maxDist
     // must match the quadratic reference exactly, for several maxDist
