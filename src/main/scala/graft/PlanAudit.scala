@@ -47,7 +47,8 @@ object PlanAudit {
     "qv1_knn", // global top-k: TakeOrdered final stage
     "qv6_ivf_query", // global top-k over probed buckets
     "qm2_pca_variance", "qm4_corr_matrix", // driver-built 1-row frames
-    "qt11_dup_clusters" // converged-label broadcast join build side
+    "qt11_dup_clusters", // converged-label broadcast join build side
+    "qt20_top_tfidf" // 1-row corpus-count aggregate (broadcast N)
   )
 
   /** One row per catalog query, always — a query that fails to plan

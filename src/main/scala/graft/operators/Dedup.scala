@@ -32,6 +32,8 @@ object Dedup {
   val MinhashB: Seq[Long] = Seq(1L, 7919L, 104729L, 1299709L,
     15485863L, 32452843L, 49979687L, 67867967L)
   val ShingleK = 3
+  /** Span length for duplicated-span / contamination checks (C4-ish). */
+  val SpanK = 8
   /** 8 hashes in 4 bands of 2: candidates share at least one band. */
   val BandSize = 2
 
@@ -296,7 +298,7 @@ object Dedup {
     * ~n_spans/2³² (negligible), and the DuckDB twin hashes identically
     * so the check stays bit-exact. */
   def dupSpanFraction(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", k: Int = 8): DataFrame = {
+      textCol: String = "text", k: Int = SpanK): DataFrame = {
     val spans = docs.select(col(idCol),
       explode(array_distinct(
         transform(wordShingles(col(textCol), k), hash32(_)))).as("sp"))

@@ -164,7 +164,97 @@ object TextQueryCatalog {
         tokenCount(col("text")) >= 10)
       .select(col("doc_id"), col("lang"), col("sample_bucket"))
 
+  /** Gopher-style repetition metrics per document: duplicate-bigram
+    * fraction and most-frequent-bigram fraction over word 2-grams
+    * (the "repetitious text" quality signals — boilerplate and
+    * keyword-stuffed docs score high on both). Shape: explode hashed
+    * bigrams → two partial-agg hash shuffles keyed by (doc, bigram)
+    * then doc — codegen'd end to end, no window, linear at corpus
+    * scale. Docs with < 2 tokens emit zero metrics via the left join
+    * (same convention as qt13). */
+  val qt18Repetition: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val per = docs
+      .select(col("doc_id"),
+        explode(transform(wordShingles(col("text"), 2), hash32(_))).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("nb"),
+        count(lit(1)).as("nd"),
+        max(col("c")).as("tc"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nd"), lit(0L)).as("n_distinct_bigrams"),
+        when(col("nb") > 0, (col("nb") - col("nd")).cast("double")
+          / col("nb").cast("double"))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"),
+        when(col("nb") > 0,
+          col("tc").cast("double") / col("nb").cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Benchmark-contamination check: for every corpus document, the
+    * fraction of its distinct hashed 8-gram spans that appear in a
+    * held-out "benchmark" set (here the deterministic doc_id % 50 == 0
+    * slice — in production, the eval suites). The benchmark span set is
+    * tiny and fixed-size while the corpus grows, so it BROADCASTS: the
+    * probe is one map-side hash join over the corpus spans, no shuffle
+    * of the corpus side — the only scale-correct shape at 100 TB. */
+  val qt19Contamination: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val spans = docs.select(col("doc_id"),
+      explode(array_distinct(
+        transform(wordShingles(col("text"), Dedup.SpanK), hash32(_))))
+        .as("sp"))
+    val benchSpans = spans.filter(col("doc_id") % 50 === 0)
+      .select(col("sp")).distinct().withColumn("_hit", lit(1))
+    val per = spans.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(benchSpans), Seq("sp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ns"), count(col("_hit")).as("nc"))
+    docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ns"), lit(0L)).as("n_spans"),
+        coalesce(col("nc"), lit(0L)).as("n_contaminated"),
+        when(col("ns") > 0,
+          col("nc").cast("double") / col("ns").cast("double"))
+          .otherwise(lit(0.0)).as("contaminated_frac"))
+  }
+
+  /** Corpus-weighted term salience: the top TF-IDF term per document
+    * (idf kept RATIONAL — tf·N/df as exact integer product over integer
+    * divisor, so both engines round the one double division
+    * identically; a log-idf would hash-diverge via libm). df comes from
+    * the (doc, term) counts, N broadcasts as a 1-row aggregate, and the
+    * per-doc argmax is a row_number window partitioned by doc_id —
+    * high-cardinality keys, no global sort. */
+  val qt20TopTfidf: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(s, dir, "documents")
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("tok").as("top_term"),
+        col("tf"), col("df"), col("score"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "qt18_repetition" -> qt18Repetition,
+    "qt19_contamination" -> qt19Contamination,
+    "qt20_top_tfidf" -> qt20TopTfidf,
     "qt15_simhash_pairs" -> qt15SimhashPairs,
     "qt16_minhash_est" -> qt16MinhashEst,
     "qt17_stratified_sample" -> qt17StratifiedSample,
@@ -278,6 +368,76 @@ object TextQueryCatalog {
        |  FROM words)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "qt18_repetition" -> {
+      val bigram = s"(w[i] || ' ' || w[i+1])"
+      s"""WITH words AS (
+         |  SELECT doc_id, ${T.tokens("text")} AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(
+         |    [${T.hash32(bigram)} for i in range(1, len(w))]) AS bg
+         |  FROM words),
+         |cnt AS (
+         |  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+         |per AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+         |    count(*) AS nd, max(c) AS tc
+         |  FROM cnt GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(p.nb, 0) AS n_bigrams,
+         |  coalesce(p.nd, 0) AS n_distinct_bigrams,
+         |  CASE WHEN p.nb > 0
+         |    THEN CAST(p.nb - p.nd AS DOUBLE) / CAST(p.nb AS DOUBLE)
+         |    ELSE 0.0 END AS dup_bigram_frac,
+         |  CASE WHEN p.nb > 0
+         |    THEN CAST(p.tc AS DOUBLE) / CAST(p.nb AS DOUBLE)
+         |    ELSE 0.0 END AS top_bigram_frac
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+    },
+    "qt19_contamination" -> {
+      val k = Dedup.SpanK
+      val span = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH words AS (
+         |  SELECT doc_id, ${T.tokens("text")} AS w FROM documents),
+         |spans AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [${T.hash32(s"($span)")}
+         |     for i in range(1, len(w) - ${k - 2})])) AS sp
+         |  FROM words),
+         |bench AS (
+         |  SELECT DISTINCT sp FROM spans WHERE doc_id % 50 = 0),
+         |per AS (
+         |  SELECT s.doc_id, count(*) AS ns,
+         |    count(*) FILTER (WHERE b.sp IS NOT NULL) AS nc
+         |  FROM spans s LEFT JOIN bench b ON b.sp = s.sp
+         |  WHERE s.doc_id % 50 <> 0
+         |  GROUP BY s.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(p.ns, 0) AS n_spans,
+         |  coalesce(p.nc, 0) AS n_contaminated,
+         |  CASE WHEN p.ns > 0
+         |    THEN CAST(p.nc AS DOUBLE) / CAST(p.ns AS DOUBLE)
+         |    ELSE 0.0 END AS contaminated_frac
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |WHERE d.doc_id % 50 <> 0""".stripMargin
+    },
+    "qt20_top_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${T.tokens("text")}) AS tok FROM documents),
+         |tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (
+         |  SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT t.doc_id, t.tok, t.tf, d.df,
+         |    CAST(t.tf * n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE) AS score
+         |  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rn
+         |  FROM scored)
+         |SELECT doc_id, tok AS top_term, tf, df, score
+         |FROM ranked WHERE rn = 1""".stripMargin,
     "qt1_token_stats" ->
       s"""SELECT doc_id, ${T.tokenCount("text")} AS n_tokens,
          |  ${T.bpeTokenCount("text")} AS n_bpe_tokens,
