@@ -322,4 +322,90 @@ object SimilaritySearch {
     embeddings.select(col(idCol),
       bucketBits.reduce(_ + _).as("bucket"))
   }
+
+  // ---------- product quantization (IVF-PQ's compression half) ----------
+
+  /** PQ defaults: 8 subspaces × 16 codes — a dim-64 float vector (256 B)
+    * compresses to 8 nibbles (4 B), the 64× shrink that lets a 100 TB
+    * embedding corpus live in executor memory for ADC scanning. K=16 is
+    * deliberately small so the DuckDB twin stays tractable; production
+    * would use K=256 with the identical plan shape. */
+  val PqM = 8
+  val PqK = 16
+
+  /** Deterministic codebook source: the K corpus vectors in
+    * hash32(id) order (same convention as [[hashSampledCentroids]] —
+    * k-means-trained codebooks drop in unchanged, but aren't
+    * SQL-expressible for the oracle). Codebook entry (m, k) is the m-th
+    * subvector of sample k. Tiny (K rows) — collected once, inlined as
+    * literals, never joined. */
+  def pqSampleVectors(embeddings: DataFrame, k: Int = PqK,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Array[Float]] =
+    embeddings.select(col(idCol), col(vecCol))
+      .orderBy(hash32(col(idCol).cast("string")), col(idCol))
+      .limit(k)
+      .collect().map(_.getSeq[Float](1).toArray).toSeq
+
+  /** Sequential-fold squared L2 distance between a subvector column and
+    * a literal codebook subvector: Σ (a_i − c_i)² over doubles in array
+    * order — DuckDB's `list_sum` folds identically, so the argmin (and
+    * therefore every code) is oracle-reproducible bit for bit. */
+  private def pqD2(sub: Column, c: Array[Float]): Column =
+    aggregate(
+      zip_with(sub, typedLit(c.map(_.toDouble).toSeq), (x, h) =>
+        (x.cast("double") - h) * (x.cast("double") - h)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ encode: per subspace m, the index of the nearest codebook entry
+    * (squared-L2 argmin, ties to the smallest index via the FIRST-match
+    * `array_position`). Map-only — M·K·(D/M) = K·D multiplies per row,
+    * no shuffle, embarrassingly parallel at any corpus size. Output:
+    * `idCol, pq0..pq{M-1}` (int codes). */
+  def pqEncode(embeddings: DataFrame, sample: Seq[Array[Float]],
+      m: Int = PqM, idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val d = dim / m
+    val codeCols = (0 until m).map { mi =>
+      val sub = slice(col(vecCol), mi * d + 1, d)
+      val dists = array(sample.map(s =>
+        pqD2(sub, s.slice(mi * d, mi * d + d))): _*)
+      (array_position(dists, array_min(dists)) - 1)
+        .cast("int").as(s"pq$mi")
+    }
+    embeddings.select(col(idCol) +: codeCols: _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k: the query stays un-quantized; each
+    * database vector's distance is approximated as Σ_m LUT[m][code_m]
+    * where LUT[m][k] = d²(query subvector m, codebook entry (m,k)).
+    * The LUT (M·K doubles) is computed ONCE — by the same Spark
+    * expression the encoder uses, over a one-row frame, so its
+    * arithmetic bit-matches the oracle — and inlined as literal arrays:
+    * the scan is then pure per-row lookups + an M-term sequential sum,
+    * no join, followed by a TakeOrdered top-k. This is the IVF-PQ probe
+    * inner loop. */
+  def pqAdcTopK(encoded: DataFrame, sample: Seq[Array[Float]],
+      queryVec: Array[Float], k: Int, m: Int = PqM,
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = encoded.sparkSession
+    val dim = sample.head.length
+    val d = dim / m
+    val one = spark.range(1).select(
+      typedLit(queryVec.toSeq).as("q"))
+    val lutCols = for (mi <- 0 until m; ki <- sample.indices)
+      yield pqD2(slice(col("q"), mi * d + 1, d),
+        sample(ki).slice(mi * d, mi * d + d)).as(s"l_${mi}_$ki")
+    val lutRow = one.select(lutCols: _*).head()
+    val lut: Seq[Seq[Double]] = (0 until m).map(mi =>
+      sample.indices.map(ki => lutRow.getDouble(mi * sample.size + ki)))
+    val adc = (0 until m).map(mi =>
+      element_at(typedLit(lut(mi)), col(s"pq$mi") + 1))
+      .reduce(_ + _) // left-assoc chain == list_sum's sequential fold
+    encoded.select(col(idCol), adc.as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -159,7 +159,35 @@ object VectorQueryCatalog {
     SimilaritySearch.knnJoin(emb, queries, k = 5)
   }
 
+  /** PQ codes for the whole corpus ([[SimilaritySearch.pqEncode]]):
+    * 8 subspaces × 16 deterministic codebook entries, squared-L2
+    * argmin per subspace — map-only, zero shuffles. The oracle
+    * recomputes every code from the same hash-sampled codebook via a
+    * rank-over-cross-join argmin (an independent formulation of the
+    * same minimisation). */
+  val qv11PqEncode: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    SimilaritySearch.pqEncode(emb, SimilaritySearch.pqSampleVectors(emb))
+  }
+
+  /** ADC top-10 for query vec 0 over the PQ-encoded corpus
+    * ([[SimilaritySearch.pqAdcTopK]]): per-row LUT lookups + an M-term
+    * sequential sum, then TakeOrdered — the IVF-PQ probe inner loop.
+    * The query's own row must rank first (its ADC distance is the
+    * minimum achievable sum by construction), which the oracle check
+    * enforces for free. */
+  val qv12PqAdc: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val sample = SimilaritySearch.pqSampleVectors(emb)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    SimilaritySearch.pqAdcTopK(
+      SimilaritySearch.pqEncode(emb, sample), sample, qvec, k = 10)
+  }
+
   val defs: Map[String, Q] = Map(
+    "qv11_pq_encode" -> qv11PqEncode,
+    "qv12_pq_adc" -> qv12PqAdc,
     "qv8_ivf_recall" -> qv8IvfRecall,
     "qv9_lsh_near_dup" -> qv9LshNearDup,
     "qv10_knn_join" -> qv10KnnJoin,
@@ -241,7 +269,76 @@ object VectorQueryCatalog {
        |             FROM planes)""".stripMargin
   }
 
+  /** Shared PQ CTEs: deterministic codebook (same hash32-ordered sample
+    * as the Spark side, k = sample rank), per-(vector, subspace, code)
+    * squared-L2 via the same sequential `list_sum` double fold, then the
+    * argmin as rank-over-cross-join — an independent formulation of the
+    * encoder's columnar argmin. Subspace width 8 = dim 64 / M
+    * (TESTDATA.md's embedding dimension). */
+  private val PqSubDim = 8
+
+  private def pqCtes: String = {
+    val m = SimilaritySearch.PqM
+    val k = SimilaritySearch.PqK
+    val sd = PqSubDim
+    s"""sample AS (
+       |  SELECT k, embedding FROM (
+       |    SELECT row_number() OVER (
+       |        ORDER BY ${hash32OfInt("vec_id")}, vec_id) - 1 AS k,
+       |      embedding
+       |    FROM embeddings) WHERE k < $k),
+       |cb AS (
+       |  SELECT t.m, s.k,
+       |    [s.embedding[t.m * $sd + i] for i in range(1, ${sd + 1})] AS cvec
+       |  FROM sample s CROSS JOIN generate_series(0, ${m - 1}) t(m)),
+       |scored AS (
+       |  SELECT e.vec_id, c.m, c.k,
+       |    list_sum([
+       |      (CAST(e.embedding[c.m * $sd + i] AS DOUBLE)
+       |         - CAST(c.cvec[i] AS DOUBLE))
+       |      * (CAST(e.embedding[c.m * $sd + i] AS DOUBLE)
+       |         - CAST(c.cvec[i] AS DOUBLE))
+       |      for i in range(1, ${sd + 1})]) AS d2
+       |  FROM embeddings e CROSS JOIN cb c),
+       |codes AS (
+       |  SELECT vec_id, m, CAST(k AS INTEGER) AS code FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |        ORDER BY d2 ASC, k ASC) AS rn
+       |    FROM scored) WHERE rn = 1)""".stripMargin
+  }
+
+  private def pqPivotCols: String =
+    (0 until SimilaritySearch.PqM)
+      .map(mi => s"MAX(CASE WHEN m = $mi THEN code END) AS pq$mi")
+      .mkString(",\n  ")
+
   val sql: Map[String, String] = Map(
+    "qv11_pq_encode" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id,
+         |  $pqPivotCols
+         |FROM codes GROUP BY vec_id""".stripMargin,
+    "qv12_pq_adc" -> {
+      val sd = PqSubDim
+      s"""WITH $pqCtes,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |lut AS (
+         |  SELECT c.m, c.k,
+         |    list_sum([
+         |      (CAST(q.qv[c.m * $sd + i] AS DOUBLE)
+         |         - CAST(c.cvec[i] AS DOUBLE))
+         |      * (CAST(q.qv[c.m * $sd + i] AS DOUBLE)
+         |         - CAST(c.cvec[i] AS DOUBLE))
+         |      for i in range(1, ${sd + 1})]) AS d2
+         |  FROM cb c CROSS JOIN q),
+         |adc AS (
+         |  SELECT cd.vec_id, list_sum(list(l.d2 ORDER BY cd.m)) AS adc
+         |  FROM codes cd JOIN lut l ON l.m = cd.m AND l.k = cd.code
+         |  GROUP BY cd.vec_id)
+         |SELECT vec_id, adc FROM adc
+         |ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin
+    },
     "qv9_lsh_near_dup" ->
       s"""WITH ${lshBucketCtes(6)}
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

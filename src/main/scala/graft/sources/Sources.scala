@@ -62,6 +62,26 @@ object JsonlRoundTrip {
     schema.fold(spark.read.json(path))(sc => spark.read.schema(sc).json(path))
 }
 
+/** ORC round-trip — the other columnar interchange format large
+  * warehouses standardise on (Hive/Trino lakes). Same scale properties
+  * as parquet: splittable stripes, column projection, predicate
+  * pushdown (min/max stripe stats + optional bloom filters via
+  * `orc.bloom.filter.columns`), so a 2-column projection reads 2
+  * columns, not the row. Everything downstream is format-agnostic —
+  * the catalog queries run unchanged over an ORC-backed table. */
+object OrcRoundTrip {
+  def write(df: DataFrame, path: String,
+      bloomCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (bloomCols.nonEmpty)
+      w.option("orc.bloom.filter.columns", bloomCols.mkString(","))
+    else w).orc(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+}
+
 /** Hive-style partitioned parquet lake layout (`.../day=2020-01-06/...`)
   * — the standard 100 TB table layout. Queries filtering on the
   * partition column prune whole directories BEFORE any I/O

@@ -78,6 +78,46 @@ class Round3PropertySpecs extends SparkSpec {
     }
   }
 
+  test("PQ encode: codes in range, identical vectors -> identical codes") {
+    val dim = 16
+    val m = 4 // 4 subspaces of 4 dims on the random fixture
+    val sample = SimilaritySearch.pqSampleVectors(emb, k = 8)
+    val codes = SimilaritySearch.pqEncode(emb, sample, m = m).collect()
+      .map(r => r.getLong(0) -> (1 to m).map(r.getInt)).toMap
+    assert(codes.values.forall(_.forall(c => c >= 0 && c < 8)))
+    // the 10 planted exact duplicates must encode identically
+    (0 until 10).foreach { i =>
+      assert(codes(i.toLong) == codes((200 + i).toLong),
+        s"dup pair ($i, ${200 + i}) encoded differently")
+    }
+    // a codebook sample vector's own code in each subspace is the one
+    // with zero distance to itself -> its ADC self-distance is 0
+    val sampleIds = emb.select($"vec_id")
+      .orderBy(graft.functions.TextFunctions.hash32($"vec_id".cast("string")),
+        $"vec_id").limit(8).as[Long].collect()
+    val adc = SimilaritySearch.pqAdcTopK(
+      SimilaritySearch.pqEncode(emb, sample, m = m), sample,
+      sample.head, k = 3, m = m).collect()
+    assert(adc.head.getDouble(1) == 0.0)
+    assert(adc.exists(r =>
+      r.getLong(0) == sampleIds.head && r.getDouble(1) == 0.0))
+  }
+
+  test("PQ ADC: query row achieves the minimum lookup sum") {
+    val sample = SimilaritySearch.pqSampleVectors(emb, k = 8)
+    val q = emb.filter($"vec_id" === 42).select($"embedding")
+      .head.getSeq[Float](0).toArray
+    val all = SimilaritySearch.pqAdcTopK(
+      SimilaritySearch.pqEncode(emb, sample, m = 4), sample, q,
+      k = 200, m = 4).collect()
+    // adc(42) = sum of per-subspace minima of the LUT -> nothing beats it
+    val ofQuery = all.find(_.getLong(0) == 42L).get.getDouble(1)
+    assert(ofQuery == all.head.getDouble(1),
+      s"query adc $ofQuery != min ${all.head.getDouble(1)}")
+    // adc ascending
+    assert(all.map(_.getDouble(1)).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   test("hash-bucket sampling is monotone in the rate (stable buckets)") {
     val docs = (0 until 200)
       .map(i => (i.toLong, s"lang${i % 3}", s"some text for doc $i padding"))
