@@ -103,6 +103,37 @@ object ScaleProbe {
       f"10x: $c10%.1f s ($r10 rounds)   ratio ${c10 / c1}%.1f")
     println(f"[scale-probe] spans    1x: $s1%.1f s   10x: $s10%.1f s   " +
       f"ratio ${s10 / s1}%.1f")
+
+    // curation shapes: repetition metrics (two keyed partial-agg
+    // shuffles) and the broadcast contamination probe (corpus side
+    // never shuffles) over the same synthetic corpora
+    def runCuration(nDocs: Long): (Double, Double) = {
+      val path = SyntheticDocs.ensure(spark, nDocs)
+      spark.read.parquet(path).queryExecution.toRdd.count() // warm cache
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def docs = spark.read.parquet(path)
+        .withColumn("lang", lit("en")).withColumn("source", lit("probe"))
+        .withColumn("n_chars", length(col("text")))
+      val dir = s"$path/_as_table"
+      if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists())
+        docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rep = t {
+        graft.queries.TextQueryCatalog.qt18Repetition(spark, dir)
+          .queryExecution.toRdd.count()
+      }
+      val con = t {
+        graft.queries.TextQueryCatalog.qt19Contamination(spark, dir)
+          .queryExecution.toRdd.count()
+      }
+      (rep, con)
+    }
+    runCuration(5000) // JIT warmup, discarded
+    val (rep1, con1) = runCuration(5000)
+    val (rep10, con10) = runCuration(50000)
+    println(f"[scale-probe] repetition    1x: $rep1%.1f s   10x: $rep10%.1f s   ratio ${rep10 / rep1}%.1f")
+    println(f"[scale-probe] contamination 1x: $con1%.1f s   10x: $con10%.1f s   ratio ${con10 / con1}%.1f")
     spark.stop()
   }
 }
