@@ -40,7 +40,49 @@ object TemporalJoins {
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String = "ts", rightTs: String = "ts",
       rightPayload: Seq[String] = Seq("value"),
-      rightPrefix: String = "asof_", inner: Boolean = true): DataFrame = {
+      rightPrefix: String = "asof_", inner: Boolean = true): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, rightPayload, rightPrefix,
+      inner, direction = "backward")
+
+  /** Forward as-of join: the right row with the SMALLEST `rightTs >=
+    * leftTs` per key group (pandas `merge_asof(direction='forward')`).
+    * Same single-shuffle union+window shape as backward, traversed in
+    * descending ts order. */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String = "ts", rightTs: String = "ts",
+      rightPayload: Seq[String] = Seq("value"),
+      rightPrefix: String = "asof_", inner: Boolean = true,
+      toleranceSec: Option[Long] = None): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, rightPayload, rightPrefix,
+      inner, direction = "forward", toleranceSec = toleranceSec)
+
+  /** Nearest as-of join: the closer of the backward and forward matches
+    * (ties break BACKWARD, pandas convention). One shuffle, two window
+    * sorts over the same partitioning. */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String = "ts", rightTs: String = "ts",
+      rightPayload: Seq[String] = Seq("value"),
+      rightPrefix: String = "asof_", inner: Boolean = true,
+      toleranceSec: Option[Long] = None): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, rightPayload, rightPrefix,
+      inner, direction = "nearest", toleranceSec = toleranceSec)
+
+  /** The generalized as-of core. `direction`: backward | forward |
+    * nearest; `toleranceSec` invalidates matches farther than the
+    * tolerance from `leftTs` (they become null, so `inner` drops them) —
+    * the full pandas `merge_asof` surface. Plan shape: ONE shuffle by
+    * key; backward/forward sort once, nearest sorts twice over the same
+    * Exchange (both windows share the partitioning, so Catalyst plans a
+    * single exchange and two Sort nodes — still no join operator and
+    * still linear). */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String = "ts", rightTs: String = "ts",
+      rightPayload: Seq[String] = Seq("value"),
+      rightPrefix: String = "asof_", inner: Boolean = true,
+      direction: String = "backward",
+      toleranceSec: Option[Long] = None): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"unknown as-of direction $direction")
     val lpCols = left.columns.toSeq
     val rpCols = (rightPayload :+ rightTs).distinct
     val lpType = left.select(struct(lpCols.map(col): _*).as("s"))
@@ -59,13 +101,41 @@ object TemporalJoins {
         lit(null).cast(lpType).as("_lp"),
         struct(rpCols.map(col): _*).as("_rp")): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, col("_side").asc)
+    // backward scans ascending (right-before-left on ts ties makes `<=`
+    // inclusive); forward scans descending with the same tie rule for `>=`
+    def win(desc: Boolean) = Window.partitionBy(keys.map(col): _*)
+      .orderBy(if (desc) col("_ts").desc else col("_ts").asc,
+        col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l2.unionByName(r2)
-      .withColumn("_match", last(col("_rp"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+    def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+    def diffAbs(m: Column): Column =
+      abs(micros(col("_ts")) - micros(m.getField(rightTs)))
 
+    val matched = direction match {
+      case "backward" => l2.unionByName(r2)
+        .withColumn("_match", last(col("_rp"), ignoreNulls = true)
+          .over(win(desc = false)))
+      case "forward" => l2.unionByName(r2)
+        .withColumn("_match", last(col("_rp"), ignoreNulls = true)
+          .over(win(desc = true)))
+      case "nearest" =>
+        val u = l2.unionByName(r2)
+          .withColumn("_mb", last(col("_rp"), ignoreNulls = true)
+            .over(win(desc = false)))
+          .withColumn("_mf", last(col("_rp"), ignoreNulls = true)
+            .over(win(desc = true)))
+        u.withColumn("_match",
+          when(col("_mb").isNull, col("_mf"))
+            .when(col("_mf").isNull, col("_mb"))
+            .when(diffAbs(col("_mb")) <= diffAbs(col("_mf")), col("_mb"))
+            .otherwise(col("_mf")))
+          .drop("_mb", "_mf")
+    }
+    val toleranced = toleranceSec.fold(matched) { t =>
+      matched.withColumn("_match",
+        when(diffAbs(col("_match")) <= t * 1000000L, col("_match")))
+    }
+    val carried = toleranced.filter(col("_side") === 1)
     val filtered = if (inner) carried.filter(col("_match").isNotNull)
       else carried
     filtered.select(

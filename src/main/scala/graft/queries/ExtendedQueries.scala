@@ -60,6 +60,39 @@ object ExtendedQueries {
       .withColumnRenamed("quote_value", "quote_val")
   }
 
+  /** Forward as-of with a one-hour tolerance
+    * ([[graft.operators.TemporalJoins.asofForward]]): each purchase
+    * matched to the NEXT view of the same user within 3600 s — the
+    * "what did they see right after buying" join. The oracle recomputes
+    * it as a rank-over-theta-join (independent formulation). */
+  val q38AsofForward: Q = (s, dir) => {
+    val e = events(s, dir)
+    val trades = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("trade_value"))
+    val quotes = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    TemporalJoins.asofForward(trades, quotes, Seq("user_id"),
+      rightPayload = Seq("value"), rightPrefix = "quote_",
+      toleranceSec = Some(3600))
+      .withColumnRenamed("quote_value", "quote_val")
+  }
+
+  /** Nearest as-of ([[graft.operators.TemporalJoins.asofNearest]]):
+    * each purchase matched to the temporally closest view either side
+    * (ties backward, pandas convention). */
+  val q39AsofNearest: Q = (s, dir) => {
+    val e = events(s, dir)
+    val trades = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("trade_value"))
+    val quotes = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    TemporalJoins.asofNearest(trades, quotes, Seq("user_id"),
+      rightPayload = Seq("value"), rightPrefix = "quote_")
+      .withColumnRenamed("quote_value", "quote_val")
+  }
+
   /** Sliding-window range join: clicks within the 10 minutes before each
     * error event of the same user, counted per error (zero-click errors
     * kept). The range predicate runs as a bucketed equi-join
@@ -235,6 +268,8 @@ object ExtendedQueries {
     "q26_median" -> q26Median,
     "q19_rank_frames" -> q19RankFrames,
     "q20_asof_join" -> q20AsofJoin,
+    "q38_asof_forward" -> q38AsofForward,
+    "q39_asof_nearest" -> q39AsofNearest,
     "q21_range_join" -> q21RangeJoin,
     "q22_pivot" -> q22Pivot,
     "q23_corr" -> q23Corr,
@@ -310,6 +345,33 @@ object ExtendedQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') q
         |  ON t.user_id = q.user_id AND t.ts >= q.ts""".stripMargin,
+    "q38_asof_forward" ->
+      """WITH t AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |q AS (SELECT * FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT t.event_id, t.user_id, CAST(t.ts AS TIMESTAMP) AS ts,
+        |    t.value AS trade_value, q.value AS quote_val,
+        |    CAST(q.ts AS TIMESTAMP) AS quote_ts,
+        |    row_number() OVER (PARTITION BY t.event_id
+        |      ORDER BY q.ts ASC) AS rn
+        |  FROM t JOIN q ON t.user_id = q.user_id AND q.ts >= t.ts
+        |    AND q.ts <= t.ts + INTERVAL 3600 SECOND)
+        |SELECT event_id, user_id, ts, trade_value, quote_val, quote_ts
+        |FROM m WHERE rn = 1""".stripMargin,
+    "q39_asof_nearest" ->
+      """WITH t AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |q AS (SELECT * FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT t.event_id, t.user_id, CAST(t.ts AS TIMESTAMP) AS ts,
+        |    t.value AS trade_value, q.value AS quote_val,
+        |    CAST(q.ts AS TIMESTAMP) AS quote_ts,
+        |    row_number() OVER (PARTITION BY t.event_id
+        |      ORDER BY (CASE WHEN q.ts <= t.ts THEN t.ts - q.ts
+        |                ELSE q.ts - t.ts END) ASC,
+        |               (CASE WHEN q.ts <= t.ts THEN 0 ELSE 1 END) ASC) AS rn
+        |  FROM t JOIN q ON t.user_id = q.user_id)
+        |SELECT event_id, user_id, ts, trade_value, quote_val, quote_ts
+        |FROM m WHERE rn = 1""".stripMargin,
     "q21_range_join" ->
       """SELECT e.event_id, count(c.event_id) AS n_clicks
         |FROM events e LEFT JOIN events c

@@ -44,6 +44,45 @@ class TemporalJoinSpec extends SparkSpec {
     assert(out.columns.contains("asof_ts") && out.columns.contains("asof_value"))
   }
 
+  test("asof forward: earliest quote at-or-after each trade, per key") {
+    val out = TemporalJoins.asofForward(trades, quotes, Seq("user_id"),
+      rightPayload = Seq("value"), rightPrefix = "q_", inner = false)
+      .select($"trade_id", $"q_value")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).contains(2.0)) // equal ts counts (>= semantics)
+    assert(out(2L).isEmpty)       // no later quote for user 10
+    assert(out(3L).contains(1.0)) // next quote after 09:00 is 09:30
+    assert(out(4L).isEmpty)
+  }
+
+  test("asof forward tolerance: match farther than the bound is nulled") {
+    // trade 3 at 09:00 -> next quote 09:30 (1800 s away)
+    def run(tol: Long) = TemporalJoins.asofForward(trades, quotes,
+      Seq("user_id"), rightPayload = Seq("value"), rightPrefix = "q_",
+      inner = false, toleranceSec = Some(tol))
+      .select($"trade_id", $"q_value")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(run(1800L)(3L).contains(1.0)) // boundary: inclusive
+    assert(run(1799L)(3L).isEmpty)
+  }
+
+  test("asof nearest: closer side wins, ties break backward") {
+    val out = TemporalJoins.asofNearest(trades, quotes, Seq("user_id"),
+      rightPayload = Seq("value"), rightPrefix = "q_", inner = false)
+      .select($"trade_id", $"q_value")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).contains(2.0)) // exact hit
+    assert(out(2L).contains(3.0)) // 10:04 (60 s back) vs nothing forward
+    assert(out(3L).contains(1.0)) // only a forward match exists
+    // tie: trade at 10:02 sits 120 s from 10:00 and 10:04 -> backward
+    val tied = Seq((9L, 10L, ts("2024-01-01 10:02:00"), 1.0))
+      .toDF("trade_id", "user_id", "ts", "trade_value")
+    val t = TemporalJoins.asofNearest(tied, quotes, Seq("user_id"),
+      rightPayload = Seq("value"), rightPrefix = "q_")
+      .select($"q_value").head.getDouble(0)
+    assert(t == 2.0, s"tie must break backward, got $t")
+  }
+
   test("range join matches only rows inside the window, equi-key") {
     val left = Seq(
       (1L, 10L, ts("2024-01-01 10:10:00")),
