@@ -134,6 +134,48 @@ object ScaleProbe {
     val (rep10, con10) = runCuration(50000)
     println(f"[scale-probe] repetition    1x: $rep1%.1f s   10x: $rep10%.1f s   ratio ${rep10 / rep1}%.1f")
     println(f"[scale-probe] contamination 1x: $con1%.1f s   10x: $con10%.1f s   ratio ${con10 / con1}%.1f")
+
+    // hot-key join, three mitigations measured head to head: 16M fact
+    // rows with 90% on ONE key, joined to a 2000-key dim too large to
+    // broadcast (threshold forced off to model the big-dim case).
+    // (a) plain sort-merge join, AQE off — the hot key's entire fact
+    //     slice sorts in one task (the 100 TB failure mode);
+    // (b) AQE skew-join — runtime splitting of the oversized partition
+    //     (thresholds lowered to the probe's data size);
+    // (c) SkewTools.saltedJoin, AQE off — planned n=16 salting.
+    def runSkewJoin(): (Double, Double, Double) = {
+      val nFact = 16000000L
+      def fact = spark.range(nFact).select(
+        when(pmod(col("id"), lit(10)) < 9, lit(0L))
+          .otherwise(pmod(col("id"), lit(2000))).as("k"),
+        col("id").as("v"))
+      def dim = spark.range(2000).select(
+        col("id").as("k"), (col("id") * 7).as("dval"))
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plain = t { fact.join(dim, "k").queryExecution.toRdd.count() }
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      val aqe = t { fact.join(dim, "k").queryExecution.toRdd.count() }
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val salted = t {
+        graft.operators.SkewTools.saltedJoin(fact, dim, Seq("k"), 16)
+          .queryExecution.toRdd.count()
+      }
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      (plain, aqe, salted)
+    }
+    runSkewJoin() // JIT warmup, discarded
+    val (pl, aq, sa) = runSkewJoin()
+    println(f"[scale-probe] hot-key join  plain: $pl%.1f s   aqe-skew: $aq%.1f s   salted(16): $sa%.1f s")
     spark.stop()
   }
 }
