@@ -235,7 +235,44 @@ object StreamQueryCatalog {
     runToTable(gated, s, "append")
   }
 
+  /** Contamination gate AT INGEST: the streaming form of qt19 — each
+    * arriving document's distinct 8-gram spans checked against the
+    * STATIC benchmark span set (the fixed eval suites). Stateless and
+    * append-only: the span set is corpus-size-independent, so it rides
+    * along as a broadcast value (here a literal array + array_intersect;
+    * at production span-set sizes, the identical plan with the qt19
+    * broadcast join or a Bloom filter) — no watermark, no state store,
+    * per-row cost only. Oracle: the batch qt19 SQL verbatim. */
+  val qs10StreamContamination: Q = (s, dir) => {
+    import graft.functions.TextFunctions.{hash32, wordShingles}
+    import graft.operators.Dedup
+    val s2 = s
+    import s2.implicits._
+    def spansOf(c: org.apache.spark.sql.Column) =
+      array_distinct(transform(wordShingles(c, Dedup.SpanK), hash32(_)))
+    val benchSpans = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 50 === 0)
+      .select(explode(spansOf(col("text"))).as("sp"))
+      .distinct().orderBy(col("sp")).as[Long].collect().toSeq
+    val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    val docs = s.readStream.schema(rawSchema)
+      .parquet(s"$dir/documents.parque[t]")
+    val gated = docs
+      .filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), spansOf(col("text")).as("sp"))
+      .select(col("doc_id"),
+        size(col("sp")).cast("long").as("n_spans"),
+        size(array_intersect(col("sp"), typedlit(benchSpans)))
+          .cast("long").as("n_contaminated"))
+      .select(col("doc_id"), col("n_spans"), col("n_contaminated"),
+        when(col("n_spans") > 0,
+          col("n_contaminated").cast("double") / col("n_spans").cast("double"))
+          .otherwise(lit(0.0)).as("contaminated_frac"))
+    runToTable(gated, s, "append")
+  }
+
   val defs: Map[String, Q] = Map(
+    "qs10_stream_contamination" -> qs10StreamContamination,
     "qs9_stream_quality" -> qs9StreamQualityFilter,
     "qs5_stream_append_daily" -> qs5StreamAppendDaily,
     "qs6_stream_static_join" -> qs6StreamStaticJoin,
@@ -247,6 +284,8 @@ object StreamQueryCatalog {
     "qs4_stream_dedup" -> qs4StreamDedup)
 
   val sql: Map[String, String] = Map(
+    "qs10_stream_contamination" ->
+      TextQueryCatalog.sql("qt19_contamination"),
     "qs9_stream_quality" ->
       s"""WITH q AS (
          |${TextQueryCatalog.qt14Sql}
