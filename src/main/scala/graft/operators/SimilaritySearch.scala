@@ -347,6 +347,28 @@ object SimilaritySearch {
       .limit(k)
       .collect().map(_.getSeq[Float](1).toArray).toSeq
 
+  /** Per-subspace k-means codebooks — REAL PQ training (an independent
+    * K-means per subspace over that subspace's slices) — stitched back
+    * into the [[pqEncode]] sample shape: stitched sample k = the
+    * concatenation of every subspace's k-th centroid, lossless because
+    * the encoder re-slices by subspace. Not SQL-expressible (k-means),
+    * so its quality is MEASURED (`PqRecallSpec`, SCALE.md) while the
+    * hash-sampled codebook carries the oracle check. */
+  def pqTrainedSample(embeddings: DataFrame, m: Int = PqM, k: Int = PqK,
+      seed: Long = 42L, vecCol: String = "embedding"): Seq[Array[Float]] = {
+    val dim = embeddings.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val d = dim / m
+    val perSub = (0 until m).map { mi =>
+      kmeansCentroids(
+        embeddings.select(slice(col(vecCol), mi * d + 1, d).as(vecCol)),
+        k, seed = seed + mi, vecCol = vecCol)
+        .orderBy(col("centroid_id"))
+        .collect().map(_.getSeq[Float](1).toArray)
+    }
+    (0 until k).map(ki => (0 until m).flatMap(mi => perSub(mi)(ki)).toArray)
+  }
+
   /** Sequential-fold squared L2 distance between a subvector column and
     * a literal codebook subvector: Σ (a_i − c_i)² over doubles in array
     * order — DuckDB's `list_sum` folds identically, so the argmin (and
@@ -406,6 +428,25 @@ object SimilaritySearch {
       .reduce(_ + _) // left-assoc chain == list_sum's sequential fold
     encoded.select(col(idCol), adc.as("adc"))
       .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** ADC shortlist + exact re-rank — how PQ is actually deployed: the
+    * compressed scan shortlists `shortlist` candidates (cheap, whole
+    * corpus), then ONLY those rows' full vectors are fetched and
+    * re-scored with the exact squared-L2 fold. Quantization error cost
+    * becomes a recall-vs-shortlist-size knob instead of a hard ceiling
+    * (measured in `PqRecallSpec`/SCALE.md). The candidate set is ≤
+    * shortlist rows, so the re-rank join broadcasts. */
+  def pqAdcRescoreTopK(embeddings: DataFrame, sample: Seq[Array[Float]],
+      queryVec: Array[Float], k: Int, shortlist: Int,
+      m: Int = PqM, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val short = pqAdcTopK(pqEncode(embeddings, sample, m, idCol, vecCol),
+      sample, queryVec, shortlist, m, idCol)
+    embeddings.join(broadcast(short.select(col(idCol))), Seq(idCol))
+      .select(col(idCol), pqD2(col(vecCol), queryVec).as("d2"))
+      .orderBy(col("d2").asc, col(idCol).asc)
       .limit(k)
   }
 }
