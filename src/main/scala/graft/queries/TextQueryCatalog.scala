@@ -251,7 +251,36 @@ object TextQueryCatalog {
         col("tf"), col("df"), col("score"))
   }
 
+  /** The CAPSTONE curation query — the whole pipeline composed into the
+    * materialized kept-corpus decision: a document survives iff it is
+    * (1) its near-dup cluster's representative (min-id of its LSH
+    * connected component), (2) above the quality gate (same thresholds
+    * as the qs9 streaming gate), (3) under the benchmark-contamination
+    * ceiling, and (4) not itself a benchmark doc. One output row per
+    * kept doc with the evidence columns. Each stage keeps its own
+    * scale shape (bucketed LSH + pair-graph CC, map-only scoring,
+    * broadcast span probe); the composition adds only doc_id
+    * equi-joins. */
+  val qt21CuratedCorpus: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val reps = Dedup.dupClusters(docs)
+      .filter(col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"))
+    val quality = docs.select(col("doc_id"),
+      qualityScore(col("text")).as("quality"),
+      tokenCount(col("text")).as("n_tokens"))
+    qt19Contamination(s, dir)
+      .select(col("doc_id"), col("contaminated_frac"))
+      .join(reps, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .filter(col("quality") >= 0.6 && col("n_tokens") >= 25 &&
+        col("contaminated_frac") < 0.5)
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("contaminated_frac"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "qt21_curated_corpus" -> qt21CuratedCorpus,
     "qt18_repetition" -> qt18Repetition,
     "qt19_contamination" -> qt19Contamination,
     "qt20_top_tfidf" -> qt20TopTfidf,
@@ -359,6 +388,36 @@ object TextQueryCatalog {
        |                  ELSE 0.0 END) * 5.0))) AS quality
        |FROM t""".stripMargin
 
+  /** qt19's contamination query — shared verbatim with the streaming
+    * gate (`StreamQueryCatalog.qs10`) and embedded as a CTE in qt21. */
+  private[queries] lazy val qt19Sql: String = {
+    val k = Dedup.SpanK
+    val span = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""WITH words AS (
+       |  SELECT doc_id, ${T.tokens("text")} AS w FROM documents),
+       |spans AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [${T.hash32(s"($span)")}
+       |     for i in range(1, len(w) - ${k - 2})])) AS sp
+       |  FROM words),
+       |bench AS (
+       |  SELECT DISTINCT sp FROM spans WHERE doc_id % 50 = 0),
+       |per AS (
+       |  SELECT s.doc_id, count(*) AS ns,
+       |    count(*) FILTER (WHERE b.sp IS NOT NULL) AS nc
+       |  FROM spans s LEFT JOIN bench b ON b.sp = s.sp
+       |  WHERE s.doc_id % 50 <> 0
+       |  GROUP BY s.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(p.ns, 0) AS n_spans,
+       |  coalesce(p.nc, 0) AS n_contaminated,
+       |  CASE WHEN p.ns > 0
+       |    THEN CAST(p.nc AS DOUBLE) / CAST(p.ns AS DOUBLE)
+       |    ELSE 0.0 END AS contaminated_frac
+       |FROM documents d LEFT JOIN per p USING (doc_id)
+       |WHERE d.doc_id % 50 <> 0""".stripMargin
+  }
+
   /** Shared simhash table CTE (qt8 result shape) for qt8 and qt15. */
   private lazy val simhashCte: String =
     s"""WITH words AS (SELECT doc_id, ${T.tokens("text")} AS w FROM documents),
@@ -393,33 +452,27 @@ object TextQueryCatalog {
          |    ELSE 0.0 END AS top_bigram_frac
          |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
     },
-    "qt19_contamination" -> {
-      val k = Dedup.SpanK
-      val span = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
-      s"""WITH words AS (
-         |  SELECT doc_id, ${T.tokens("text")} AS w FROM documents),
-         |spans AS (
-         |  SELECT doc_id, unnest(list_distinct(
-         |    [${T.hash32(s"($span)")}
-         |     for i in range(1, len(w) - ${k - 2})])) AS sp
-         |  FROM words),
-         |bench AS (
-         |  SELECT DISTINCT sp FROM spans WHERE doc_id % 50 = 0),
-         |per AS (
-         |  SELECT s.doc_id, count(*) AS ns,
-         |    count(*) FILTER (WHERE b.sp IS NOT NULL) AS nc
-         |  FROM spans s LEFT JOIN bench b ON b.sp = s.sp
-         |  WHERE s.doc_id % 50 <> 0
-         |  GROUP BY s.doc_id)
-         |SELECT d.doc_id,
-         |  coalesce(p.ns, 0) AS n_spans,
-         |  coalesce(p.nc, 0) AS n_contaminated,
-         |  CASE WHEN p.ns > 0
-         |    THEN CAST(p.nc AS DOUBLE) / CAST(p.ns AS DOUBLE)
-         |    ELSE 0.0 END AS contaminated_frac
-         |FROM documents d LEFT JOIN per p USING (doc_id)
-         |WHERE d.doc_id % 50 <> 0""".stripMargin
-    },
+    "qt19_contamination" -> qt19Sql,
+    "qt21_curated_corpus" ->
+      s"""WITH clusters AS (
+         |$qt11Sql
+         |),
+         |quality AS (
+         |${qt14Sql}
+         |),
+         |contam AS (
+         |$qt19Sql
+         |)
+         |SELECT d.doc_id, q.quality,
+         |  ${T.tokenCount("d.text")} AS n_tokens,
+         |  c.contaminated_frac
+         |FROM documents d
+         |JOIN clusters cl ON cl.doc_id = d.doc_id
+         |  AND cl.cluster_id = d.doc_id
+         |JOIN quality q ON q.doc_id = d.doc_id
+         |JOIN contam c ON c.doc_id = d.doc_id
+         |WHERE q.quality >= 0.6 AND ${T.tokenCount("d.text")} >= 25
+         |  AND c.contaminated_frac < 0.5""".stripMargin,
     "qt20_top_tfidf" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(${T.tokens("text")}) AS tok FROM documents),
