@@ -83,6 +83,52 @@ class TemporalJoinSpec extends SparkSpec {
     assert(t == 2.0, s"tie must break backward, got $t")
   }
 
+  test("asof all directions == brute force on randomized (seeded) data") {
+    val rnd = new scala.util.Random(1234)
+    val base = ts("2024-01-01 00:00:00").getTime
+    def randTs() = new Timestamp(base + rnd.nextInt(100000) * 1000L)
+    val l = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, randTs()))
+      .toDF("lid", "user_id", "ts")
+    // dedupe (key, ts) — with duplicates the surviving payload is
+    // engine-order-dependent (documented caller contract)
+    val rRows = (1 to 200).map(i =>
+      ((rnd.nextInt(5) + 1).toLong, randTs(), i.toDouble))
+      .groupBy(x => (x._1, x._2.getTime)).map(_._2.head).toSeq
+    val r = rRows.toDF("user_id", "ts", "value")
+    // brute force on the driver: per left row scan all right rows
+    val rByKey = rRows.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(x => (x._2.getTime, x._3))
+    }
+    val lRows = l.collect().map(x => (x.getLong(0), x.getLong(1),
+      x.getTimestamp(2).getTime))
+    def expect(dir: String): Map[Long, Option[Double]] =
+      lRows.map { case (lid, k, t) =>
+        val cand = rByKey.getOrElse(k, Seq())
+        val bwd = cand.filter(_._1 <= t).sortBy(_._1).lastOption
+        val fwd = cand.filter(_._1 >= t).sortBy(_._1).headOption
+        val m = dir match {
+          case "backward" => bwd
+          case "forward" => fwd
+          case "nearest" => (bwd, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (t - b._1 <= f._1 - t) Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+        }
+        lid -> m.map(_._2)
+      }.toMap
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val got = TemporalJoins.asof(l, r, Seq("user_id"),
+        rightPayload = Seq("value"), rightPrefix = "m_", inner = false,
+        direction = dir)
+        .select($"lid", $"m_value")
+        .collect().map(x => x.getLong(0) -> Option(x.get(1))
+          .map(_.asInstanceOf[Double])).toMap
+      assert(got == expect(dir), s"direction $dir diverges from brute force")
+    }
+  }
+
   test("range join matches only rows inside the window, equi-key") {
     val left = Seq(
       (1L, 10L, ts("2024-01-01 10:10:00")),
