@@ -89,13 +89,14 @@ object Dedup {
     * task — that is the LSH contract, not an implementation artifact; at
     * 100 TB, cap pathological buckets with `maxBucket` (standard practice:
     * a bucket hit by half the corpus carries no near-dup signal anyway). */
-  def lshCandidatePairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxBucket: Option[Int] = None): DataFrame = {
-    // docs with < K tokens have null signatures; exclude them (a null band
-    // key would also join differently across engines). The filter runs on
-    // a cheap token count BEFORE the signature projection — filtering on
-    // mh0.isNotNull instead gets predicate-pushed below the projection and
-    // re-evaluates the whole tokenize+hash pipeline per row
+  /** Banded `(id, band, band_key)` rows — the LSH bucket table shared by
+    * the batch pair generator and the incremental streaming index
+    * ([[graft.streaming.IncrementalDedup]]). Docs with < K tokens have
+    * null signatures and are excluded BEFORE the signature projection
+    * (filtering on mh0.isNotNull gets predicate-pushed below the
+    * projection and re-evaluates the whole tokenize+hash pipeline). */
+  def bandedSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     val sigs = minhashSignatures(
       docs.filter(size(tokens(col(textCol))) >= ShingleK), idCol, textCol)
     val nBands = MinhashA.size / BandSize
@@ -103,10 +104,15 @@ object Dedup {
       val keyCols = (0 until BandSize).map(j => col(s"mh${b * BandSize + j}"))
       struct(lit(b).as("band"), concat_ws(",", keyCols: _*).as("band_key"))
     }
-    val banded = sigs
+    sigs
       .select(col(idCol).as("id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
+  }
+
+  def lshCandidatePairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxBucket: Option[Int] = None): DataFrame = {
+    val banded = bandedSignatures(docs, idCol, textCol)
     val buckets = banded
       .groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))

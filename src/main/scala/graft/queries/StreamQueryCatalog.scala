@@ -271,7 +271,29 @@ object StreamQueryCatalog {
     runToTable(gated, s, "append")
   }
 
+  /** Incremental streaming LSH near-dup detection
+    * ([[graft.streaming.IncrementalDedup]]): the corpus arrives in 4
+    * micro-batches (split into 4 files, maxFilesPerTrigger=1); each
+    * batch probes the accumulated signature index and appends candidate
+    * pairs. The deduped union over all batches must equal — and is
+    * oracle-checked against — the one-shot batch LSH pair set (qt6's
+    * SQL): micro-batch boundaries cannot change the answer. */
+  val qs11StreamLshIncremental: Q = (s, dir) => {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_qs11_").toString
+    s.read.parquet(s"$dir/documents.parquet").repartition(4)
+      .write.mode("overwrite").parquet(s"$work/in")
+    val schema = s.read.parquet(s"$work/in").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+    val q = graft.streaming.IncrementalDedup.start(stream,
+      s"$work/idx", s"$work/pairs", s"$work/ckp")
+    q.awaitTermination()
+    graft.streaming.IncrementalDedup.pairs(s, s"$work/pairs")
+  }
+
   val defs: Map[String, Q] = Map(
+    "qs11_stream_lsh_incremental" -> qs11StreamLshIncremental,
     "qs10_stream_contamination" -> qs10StreamContamination,
     "qs9_stream_quality" -> qs9StreamQualityFilter,
     "qs5_stream_append_daily" -> qs5StreamAppendDaily,
@@ -284,6 +306,8 @@ object StreamQueryCatalog {
     "qs4_stream_dedup" -> qs4StreamDedup)
 
   val sql: Map[String, String] = Map(
+    "qs11_stream_lsh_incremental" ->
+      TextQueryCatalog.sql("qt6_lsh_pairs"),
     "qs10_stream_contamination" ->
       TextQueryCatalog.sql("qt19_contamination"),
     "qs9_stream_quality" ->
