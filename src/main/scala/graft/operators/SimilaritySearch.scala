@@ -431,6 +431,36 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** PRODUCTION encode path: all codes packed into one long by the
+    * codegen'd [[graft.functions.PqEncode32]] — one fused primitive
+    * loop per row instead of m·k interpreted HOF folds, and the packed
+    * long IS the 100 TB index's storage layout (4 bits/code). Codes are
+    * bit-identical to [[pqEncode]]'s columns (spec-pinned); unpack with
+    * [[pqUnpack]]. */
+  def pqEncodePacked(embeddings: DataFrame, sample: Seq[Array[Float]],
+      m: Int = PqM, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val d = dim / m
+    val k = sample.size
+    val flat = new Array[Float](m * k * d)
+    for (mi <- 0 until m; ki <- 0 until k; di <- 0 until d)
+      flat((mi * k + ki) * d + di) = sample(ki)(mi * d + di)
+    embeddings.select(col(idCol),
+      org.apache.spark.sql.GraftColumnBridge.toColumn(
+        graft.functions.PqEncode32(
+          org.apache.spark.sql.GraftColumnBridge.toExpression(col(vecCol)),
+          flat, m, k, d)).as("pq_packed"))
+  }
+
+  /** Unpack a [[pqEncodePacked]] long back into per-subspace code
+    * columns `pq0..pq{m-1}`. */
+  def pqUnpack(packed: Column, m: Int = PqM): Seq[Column] =
+    (0 until m).map(mi =>
+      shiftrightunsigned(packed, 4 * mi).bitwiseAND(lit(15L))
+        .cast("int").as(s"pq$mi"))
+
   /** ADC shortlist + exact re-rank — how PQ is actually deployed: the
     * compressed scan shortlists `shortlist` candidates (cheap, whole
     * corpus), then ONLY those rows' full vectors are fetched and

@@ -185,7 +185,19 @@ object VectorQueryCatalog {
       SimilaritySearch.pqEncode(emb, sample), sample, qvec, k = 10)
   }
 
+  /** The PACKED production encode ([[SimilaritySearch.pqEncodePacked]],
+    * codegen'd [[graft.functions.PqEncode32]]): one long per vector.
+    * The oracle recomputes every code independently and packs with
+    * integer shifts — so the custom expression's fused loop is held to
+    * the same bits as the declarative argmin. */
+  val qv13PqPacked: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    SimilaritySearch.pqEncodePacked(emb,
+      SimilaritySearch.pqSampleVectors(emb))
+  }
+
   val defs: Map[String, Q] = Map(
+    "qv13_pq_packed" -> qv13PqPacked,
     "qv11_pq_encode" -> qv11PqEncode,
     "qv12_pq_adc" -> qv12PqAdc,
     "qv8_ivf_recall" -> qv8IvfRecall,
@@ -318,6 +330,13 @@ object VectorQueryCatalog {
       s"""WITH $pqCtes
          |SELECT vec_id,
          |  $pqPivotCols
+         |FROM codes GROUP BY vec_id""".stripMargin,
+    "qv13_pq_packed" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id,
+         |  CAST(sum(CAST(code AS BIGINT)
+         |    * (CAST(1 AS BIGINT) << CAST(4 * m AS INTEGER))) AS BIGINT)
+         |    AS pq_packed
          |FROM codes GROUP BY vec_id""".stripMargin,
     "qv12_pq_adc" -> {
       val sd = PqSubDim

@@ -103,6 +103,31 @@ class Round3PropertySpecs extends SparkSpec {
       r.getLong(0) == sampleIds.head && r.getDouble(1) == 0.0))
   }
 
+  test("PqEncode32 packed == declarative encode, and codegen compiles") {
+    val sample = SimilaritySearch.pqSampleVectors(emb, k = 8)
+    val m = 4
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val packed = SimilaritySearch.pqEncodePacked(emb, sample, m = m)
+      val unpacked = packed.select(
+        $"vec_id" +: SimilaritySearch.pqUnpack($"pq_packed", m = m): _*)
+        .collect().map(r => r.getLong(0) -> (1 to m).map(r.getInt)).toMap
+      val declarative = SimilaritySearch.pqEncode(emb, sample, m = m)
+        .collect().map(r => r.getLong(0) -> (1 to m).map(r.getInt)).toMap
+      assert(unpacked == declarative)
+    } finally {
+      def restore(key: String, v: Option[String]): Unit = v match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+      restore("spark.sql.codegen.factoryMode", prevFactory)
+      restore("spark.sql.codegen.fallback", prevFallback)
+    }
+  }
+
   test("PQ ADC: query row achieves the minimum lookup sum") {
     val sample = SimilaritySearch.pqSampleVectors(emb, k = 8)
     val q = emb.filter($"vec_id" === 42).select($"embedding")
