@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.FloatDot.sqlInfo,
       graft.functions.FloatDot.sqlBuilder))
     ext.injectFunction((
+      FunctionIdentifier("simhash32"),
+      graft.functions.SimHash32.sqlInfo,
+      graft.functions.SimHash32.sqlBuilder))
+    ext.injectFunction((
       FunctionIdentifier("ht_dcperiod"),
       graft.indicators.HilbertTransform.dcSqlInfo,
       graft.indicators.HilbertTransform.sqlBuilder(trend = false)))
@@ -60,6 +64,10 @@ object GraftExtensions {
       FunctionIdentifier("dot_f32"),
       graft.functions.FloatDot.sqlInfo,
       graft.functions.FloatDot.sqlBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash32"),
+      graft.functions.SimHash32.sqlInfo,
+      graft.functions.SimHash32.sqlBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("ht_dcperiod"),
       graft.indicators.HilbertTransform.dcSqlInfo,

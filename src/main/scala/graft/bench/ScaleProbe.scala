@@ -176,6 +176,37 @@ object ScaleProbe {
     runSkewJoin() // JIT warmup, discarded
     val (pl, aq, sa) = runSkewJoin()
     println(f"[scale-probe] hot-key join  plain: $pl%.1f s   aqe-skew: $aq%.1f s   salted(16): $sa%.1f s")
+
+    // PQ encode: interpreted HOF folds vs the codegen'd packed
+    // expression on the same 200k dim-64 synthetic vectors — the
+    // per-row cost that dominates a corpus-wide compression pass
+    def runPqEncode(): (Double, Double) = {
+      val path = "/tmp/graft_bench_vecs_200k"
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        spark.range(200000).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            ((pmod(hash(col("id") * 31 + j), lit(1000)).cast("float")
+              / lit(500f)) - lit(1f)).cast("float")).as("embedding"))
+          .write.mode("overwrite").parquet(path)
+      val emb = spark.read.parquet(path)
+      emb.queryExecution.toRdd.count() // warm cache
+      val sample = graft.operators.SimilaritySearch.pqSampleVectors(emb)
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val hof = t {
+        graft.operators.SimilaritySearch.pqEncode(emb, sample)
+          .queryExecution.toRdd.count()
+      }
+      val fused = t {
+        graft.operators.SimilaritySearch.pqEncodePacked(emb, sample)
+          .queryExecution.toRdd.count()
+      }
+      (hof, fused)
+    }
+    runPqEncode() // JIT warmup, discarded
+    val (hof, fused) = runPqEncode()
+    println(f"[scale-probe] pq encode 200k: declarative $hof%.1f s   codegen packed $fused%.1f s   ratio ${hof / fused}%.1f")
     spark.stop()
   }
 }

@@ -108,4 +108,19 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression)
       : SimHash32 = copy(child = newChild)
+
+  override def prettyName: String = "simhash32"
+}
+
+object SimHash32 {
+  /** SQL registration hooks (see [[graft.GraftExtensions]]):
+    * `simhash32(tokens)` over an `array<string>`. */
+  private[graft] val sqlBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => SimHash32(a)
+    case other => throw new IllegalArgumentException(
+      s"simhash32 expects (tokens), got ${other.size} args")
+  }
+  private[graft] val sqlInfo =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[SimHash32].getName, "simhash32")
 }

@@ -461,6 +461,16 @@ object SimilaritySearch {
       shiftrightunsigned(packed, 4 * mi).bitwiseAND(lit(15L))
         .cast("int").as(s"pq$mi"))
 
+  /** ADC top-k directly over the PACKED code column — the real scan:
+    * two bit ops per subspace unpack the code inline, then the same
+    * literal-LUT lookups. Delegates to [[pqAdcTopK]] after unpacking. */
+  def pqAdcTopKPacked(packed: DataFrame, sample: Seq[Array[Float]],
+      queryVec: Array[Float], k: Int, m: Int = PqM,
+      idCol: String = "vec_id"): DataFrame =
+    pqAdcTopK(
+      packed.select(col(idCol) +: pqUnpack(col("pq_packed"), m): _*),
+      sample, queryVec, k, m, idCol)
+
   /** ADC shortlist + exact re-rank — how PQ is actually deployed: the
     * compressed scan shortlists `shortlist` candidates (cheap, whole
     * corpus), then ONLY those rows' full vectors are fetched and

@@ -235,6 +235,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash32 is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    spark.read.parquet(sf("documents"))
+      .createOrReplaceTempView("docs_simhash_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  simhash32(regexp_extract_all(text, '\\S+', 0)) AS sh
+        |FROM docs_simhash_sql ORDER BY doc_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = spark.read.parquet(sf("documents"))
+      .select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol)
+  }
+
   test("SimHash32 doGenCode actually compiles (no silent fallback)") {
     // CODEGEN_ONLY + fallback=false: a Janino failure in the generated
     // code fails the query instead of silently interpreting nullSafeEval

@@ -128,6 +128,19 @@ class Round3PropertySpecs extends SparkSpec {
     }
   }
 
+  test("ADC over packed codes == ADC over columnar codes") {
+    val sample = SimilaritySearch.pqSampleVectors(emb, k = 8)
+    val q = emb.filter($"vec_id" === 7).select($"embedding")
+      .head.getSeq[Float](0).toArray
+    val viaPacked = SimilaritySearch.pqAdcTopKPacked(
+      SimilaritySearch.pqEncodePacked(emb, sample, m = 4), sample, q,
+      k = 20, m = 4).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val viaCols = SimilaritySearch.pqAdcTopK(
+      SimilaritySearch.pqEncode(emb, sample, m = 4), sample, q,
+      k = 20, m = 4).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaPacked.toSeq == viaCols.toSeq)
+  }
+
   test("PQ ADC: query row achieves the minimum lookup sum") {
     val sample = SimilaritySearch.pqSampleVectors(emb, k = 8)
     val q = emb.filter($"vec_id" === 42).select($"embedding")
