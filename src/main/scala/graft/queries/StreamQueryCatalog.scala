@@ -292,7 +292,34 @@ object StreamQueryCatalog {
     graft.streaming.IncrementalDedup.pairs(s, s"$work/pairs")
   }
 
+  /** Streaming session windows (`session_window`, complete mode): per-user
+    * gap-based sessions on the native stateful session operator — the
+    * streaming twin of q25's batch gaps-and-islands. Complete mode on the
+    * finite AvailableNow source emits every session exactly once (append
+    * mode would withhold the per-user tail sessions, whose end the final
+    * watermark never passes). Gap = 8 h: the synthetic per-user cadence
+    * has ~7.4 h median spacing, so sessions genuinely merge (a 30-min gap
+    * would make nearly every event a singleton). `session_window` ends at
+    * last-event ts + gap, and a new session starts at diff >= gap — the
+    * oracle reproduces both (max(ts) + INTERVAL 8 HOUR, >= cut).
+    *
+    * Scale shape: sessions are per-user state, partitioned by user_id
+    * across the shuffle — state size is O(open sessions), not O(events),
+    * and merging is local to a partition. */
+  val qs12StreamSessions: Q = (s, dir) => {
+    val agg = eventsStream(s, dir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .groupBy(col("user_id"), session_window(col("ts"), "8 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(agg, s, "complete")
+      .select(col("user_id"),
+        col("sw.start").cast("timestamp_ntz").as("session_start"),
+        col("sw.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "qs12_stream_sessions" -> qs12StreamSessions,
     "qs11_stream_lsh_incremental" -> qs11StreamLshIncremental,
     "qs10_stream_contamination" -> qs10StreamContamination,
     "qs9_stream_quality" -> qs9StreamQualityFilter,
@@ -306,6 +333,24 @@ object StreamQueryCatalog {
     "qs4_stream_dedup" -> qs4StreamDedup)
 
   val sql: Map[String, String] = Map(
+    "qs12_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |        PARTITION BY user_id ORDER BY ts)) >= 28800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 8 HOUR AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
     "qs11_stream_lsh_incremental" ->
       TextQueryCatalog.sql("qt6_lsh_pairs"),
     "qs10_stream_contamination" ->
