@@ -211,6 +211,51 @@ object SimilaritySearch {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** SemDeDup — semantic near-dup pruning confined to embedding
+    * clusters (the SemDeDup shape: cluster, then pairwise-compare ONLY
+    * within a cluster): every vector is assigned to its argmax-cosine
+    * centroid, same-cluster pairs above `tau` mark the LARGER id as
+    * pruned, so the min-id member of each semantic-dup group survives.
+    * The cluster partition is what makes the quadratic term tractable —
+    * candidate pairs are per-cluster (one shuffle keyed by cluster),
+    * identical in shape to the in-bucket LSH joins; at 100 TB you raise
+    * C so N²/C per cluster stays bounded, exactly as the paper does.
+    *
+    * Runs the PRODUCTION scoring path end to end: codegen'd FloatDot
+    * cosines for both the assignment argmax and the pair verify
+    * (bit-reproducible in the oracle via DuckDB's sequential double
+    * fold), norms hoisted below the joins, argmax as a partial-agg
+    * max-struct (the shuffle carries no embedding payload). */
+  def semDedup(embeddings: DataFrame, centroids: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.{cosinePre, dot}
+    val e0 = embeddings.select(col(idCol), col(vecCol),
+      sqrt(dot(col(vecCol), col(vecCol))).as("_n"))
+    val c = centroids.select(col("centroid_id"), col("centroid"),
+      sqrt(dot(col("centroid"), col("centroid"))).as("_nc"))
+    val assigned = e0.crossJoin(broadcast(c))
+      .select(col(idCol),
+        cosinePre(col(vecCol), col("centroid"), col("_n"), col("_nc"))
+          .as("sim"),
+        col("centroid_id"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("sim"), (-col("centroid_id")).as("neg_cid")))
+        .as("best"))
+      .select(col(idCol), (-col("best.neg_cid")).as("cluster"))
+    val e = e0.join(assigned, Seq(idCol)).localCheckpoint()
+    val l = e.select(col("cluster"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("_n").as("na"))
+    val r = e.select(col("cluster"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("_n").as("nb"))
+    val dominated = l.join(r, Seq("cluster"))
+      .filter(col("id_a") < col("id_b") &&
+        cosinePre(col("va"), col("vb"), col("na"), col("nb")) >= tau)
+      .select(col("id_b").as(idCol)).distinct()
+    e.select(col(idCol), col("cluster"))
+      .join(dominated.withColumn("_d", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("_d").isNotNull.as("pruned"))
+  }
+
   /** Batch kNN JOIN: the top-k corpus neighbours for EACH of a set of
     * query vectors (the retrieval-evaluation / hard-negative-mining
     * workload; qv1's single-vector top-k is the degenerate case).

@@ -279,7 +279,50 @@ object TextQueryCatalog {
         col("contaminated_frac"))
   }
 
+  /** Corpus-trained bigram-LM fluency score — the CCNet-style "does this
+    * read like the corpus" quality signal, with the LM trained ON the
+    * corpus itself: score(doc) = Σ C(bigram) / Σ C(prefix) over the doc's
+    * bigram OCCURRENCES (repeats count) — the count-pooled conditional
+    * probability P(w2 | w1). Kept RATIONAL: two exact integer sums and
+    * ONE double division at the end. A per-bigram log-prob sum would
+    * hash-diverge via libm, and per-bigram division would make the
+    * result depend on float fold order; the pooled ratio has neither
+    * hazard and still ranks run-on gibberish below corpus-like prose.
+    *
+    * Shape: the model is one partial-agg shuffle keyed by bigram
+    * (vocab-sized output ≪ corpus); prefix totals aggregate the MODEL,
+    * not the corpus; scoring is one equi-join of the exploded doc
+    * bigrams against the enriched model, then a doc-keyed partial agg.
+    * The exploded bigram frame is localCheckpointed so the model pass
+    * and the scoring join tokenise each document once, not twice (at
+    * 100 TB: persist the bigram projection). Nothing is quadratic,
+    * nothing sorts globally. */
+  val qt22LmFluency: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val bg = docs.select(col("doc_id"),
+      explode(wordShingles(col("text"), 2)).as("bigram"))
+      .localCheckpoint()
+    val model = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val prefix = model
+      .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val enriched = model.join(prefix,
+      substring_index(col("bigram"), " ", 1) === col("w1"))
+      .select(col("bigram"), col("c2"), col("c1"))
+    val per = bg.join(enriched, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"), sum(col("c2")).as("s2"),
+        sum(col("c1")).as("s1"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        when(col("nb") > 0,
+          col("s2").cast("double") / col("s1").cast("double"))
+          .as("fluency"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "qt22_lm_fluency" -> qt22LmFluency,
     "qt21_curated_corpus" -> qt21CuratedCorpus,
     "qt18_repetition" -> qt18Repetition,
     "qt19_contamination" -> qt19Contamination,
@@ -427,6 +470,36 @@ object TextQueryCatalog {
        |  FROM words)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "qt22_lm_fluency" -> {
+      val bigram = s"(w[i] || ' ' || w[i+1])"
+      s"""WITH words AS (
+         |  SELECT doc_id, ${T.tokens("text")} AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(
+         |    [$bigram for i in range(1, len(w))]) AS bigram
+         |  FROM words),
+         |model AS (
+         |  SELECT bigram, CAST(count(*) AS BIGINT) AS c2
+         |  FROM bg GROUP BY bigram),
+         |prefix AS (
+         |  SELECT split_part(bigram, ' ', 1) AS w1,
+         |    CAST(sum(c2) AS BIGINT) AS c1
+         |  FROM model GROUP BY 1),
+         |enriched AS (
+         |  SELECT m.bigram, m.c2, p.c1 FROM model m
+         |  JOIN prefix p ON split_part(m.bigram, ' ', 1) = p.w1),
+         |per AS (
+         |  SELECT b.doc_id, count(*) AS nb,
+         |    CAST(sum(e.c2) AS BIGINT) AS s2,
+         |    CAST(sum(e.c1) AS BIGINT) AS s1
+         |  FROM bg b JOIN enriched e USING (bigram)
+         |  GROUP BY b.doc_id)
+         |SELECT d.doc_id, coalesce(p.nb, 0) AS n_bigrams,
+         |  CASE WHEN p.nb > 0
+         |    THEN CAST(p.s2 AS DOUBLE) / CAST(p.s1 AS DOUBLE)
+         |  END AS fluency
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+    },
     "qt18_repetition" -> {
       val bigram = s"(w[i] || ' ' || w[i+1])"
       s"""WITH words AS (

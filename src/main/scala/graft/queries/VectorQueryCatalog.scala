@@ -196,7 +196,18 @@ object VectorQueryCatalog {
       SimilaritySearch.pqSampleVectors(emb))
   }
 
+  /** SemDeDup ([[SimilaritySearch.semDedup]]): 64 deterministic
+    * clusters, τ = 0.2 — per vector, its cluster and whether a
+    * smaller-id cluster-mate above τ prunes it. The oracle recomputes
+    * the float argmax assignment (rank-over-cross-join) and every
+    * in-cluster pair cosine with the same sequential double fold. */
+  val qv14SemDedup: Q = (s, dir) =>
+    SimilaritySearch.semDedup(table(s, dir, "embeddings"),
+      SimilaritySearch.hashSampledCentroids(table(s, dir, "embeddings"), 64),
+      tau = 0.2)
+
   val defs: Map[String, Q] = Map(
+    "qv14_semdedup" -> qv14SemDedup,
     "qv13_pq_packed" -> qv13PqPacked,
     "qv11_pq_encode" -> qv11PqEncode,
     "qv12_pq_adc" -> qv12PqAdc,
@@ -358,6 +369,30 @@ object VectorQueryCatalog {
          |SELECT vec_id, adc FROM adc
          |ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin
     },
+    "qv14_semdedup" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS centroid_id, embedding AS centroid
+         |  FROM embeddings
+         |  ORDER BY ${hash32OfInt("vec_id")}, vec_id LIMIT 64),
+         |scored AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    ${cosineSeqSql("e.embedding", "c.centroid")} AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id AS cluster FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, centroid_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |dominated AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE ${cosineSeqSql("ea.embedding", "eb.embedding")} >= 0.2)
+         |SELECT a.vec_id, a.cluster, d.vec_id IS NOT NULL AS pruned
+         |FROM assigned a LEFT JOIN dominated d ON d.vec_id = a.vec_id""".stripMargin,
     "qv9_lsh_near_dup" ->
       s"""WITH ${lshBucketCtes(6)}
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

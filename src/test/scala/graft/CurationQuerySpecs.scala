@@ -46,6 +46,23 @@ class CurationQuerySpecs extends SparkSpec {
     assert(out(3L).getDouble(4) == 1.0 / 3.0)
   }
 
+  test("qt22 lm fluency: hand-computed pooled conditional probability") {
+    val dir = docsDir(Seq(
+      0L -> "a b a c", // bigrams: ab,ba,ac
+      1L -> "a b",     // bigram: ab
+      2L -> "x"))      // no bigrams
+    // model: ab->2, ba->1, ac->1; prefixes: a->3 (ab+ac), b->1
+    // doc0: s2 = 2+1+1 = 4, s1 = 3+1+3 = 7; doc1: s2 = 2, s1 = 3
+    val out = byId(TextQueryCatalog.qt22LmFluency(spark, dir))
+    assert(out(0L).getLong(1) == 3 && out(0L).getDouble(2) == 4.0 / 7.0)
+    assert(out(1L).getLong(1) == 1 && out(1L).getDouble(2) == 2.0 / 3.0)
+    assert(out(2L).getLong(1) == 0 && out(2L).isNullAt(2))
+    // a fully-predictable corpus pools to exactly 1.0
+    val uni = byId(TextQueryCatalog.qt22LmFluency(spark,
+      docsDir(Seq(10L -> "a b a b", 11L -> "a b"))))
+    assert(uni(10L).getDouble(2) == 1.0 && uni(11L).getDouble(2) == 1.0)
+  }
+
   test("qt19 contamination: copy of benchmark doc -> 1.0, disjoint -> 0.0") {
     val bench = "t1 t2 t3 t4 t5 t6 t7 t8 t9" // doc_id 0 (% 50 == 0)
     val dir = docsDir(Seq(
