@@ -129,6 +129,27 @@ object TextFunctions {
     * text — the exact-dedup key. */
   def fingerprint(c: Column): Column =
     md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  /** PII patterns shared with the SQL twin. Deliberately conservative
+    * subsets of the Java + RE2 common syntax: character classes and
+    * bounded repetition only — no lookaround, no backreferences — so
+    * Spark (java.util.regex) and DuckDB (RE2) match IDENTICAL spans.
+    * Replacement order matters and is fixed: email first (its local
+    * part can contain digits and dots that the IP pattern would
+    * otherwise bite into), then IPv4, then phone. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+  val PiiRes: Seq[(String, String)] = Seq(
+    EmailRe -> "<EMAIL>", Ipv4Re -> "<IP>", PhoneRe -> "<PHONE>")
+
+  def piiCount(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0)))
+
+  /** Redact all PII spans, in the fixed pattern order. */
+  def redactPii(c: Column): Column =
+    PiiRes.foldLeft(c) { case (acc, (re, tag)) =>
+      regexp_replace(acc, re, tag) }
 }
 
 /** DuckDB SQL twins of [[TextFunctions]] — same constants, same regexes.
@@ -155,4 +176,11 @@ object TextSql {
        | [${hash32("t")} for t in ${tokens(e)}]),
        | (acc, x) -> (acc * ${TextFunctions.RollB} + x)
        |   % ${TextFunctions.RollM})""".stripMargin
+  def piiCount(e: String, re: String): String =
+    s"len(regexp_extract_all($e, '$re'))"
+  /** Same fixed pattern order as [[TextFunctions.redactPii]]; DuckDB
+    * needs the explicit 'g' flag Spark applies implicitly. */
+  def redactPii(e: String): String =
+    TextFunctions.PiiRes.foldLeft(e) { case (acc, (re, tag)) =>
+      s"regexp_replace($acc, '$re', '$tag', 'g')" }
 }

@@ -102,6 +102,25 @@ object MlPipelines {
     Map("areaUnderROC" -> auc, "accuracy" -> acc, "f1" -> f1)
   }
 
+  /** M12 — the reference's RDD-era `mllib.evaluation` metrics
+    * (`MulticlassMetrics` / `BinaryClassificationMetrics`,
+    * `G_2_rf_rdd.py:115-121`) offered verbatim for API parity. The
+    * DataFrame evaluators in [[evaluate]] are the production path
+    * (codegen'd, no RDD hop); `MlAndExtensionSpecs` asserts the two
+    * agree on accuracy/F1/AUC, so this twin is verified, not vestigial. */
+  def evaluateMllib(predictions: DataFrame,
+      labelCol: String = "buy_or_sell"): Map[String, Double] = {
+    import org.apache.spark.mllib.evaluation.{
+      BinaryClassificationMetrics, MulticlassMetrics}
+    val scoreAndLabel = predictions
+      .select(col("prediction").cast("double"), col(labelCol).cast("double"))
+      .rdd.map(r => (r.getDouble(0), r.getDouble(1)))
+    val mc = new MulticlassMetrics(scoreAndLabel)
+    val bin = new BinaryClassificationMetrics(scoreAndLabel)
+    Map("accuracy" -> mc.accuracy, "f1" -> mc.weightedFMeasure,
+      "areaUnderROC" -> bin.areaUnderROC())
+  }
+
   /** M13 — CrossValidator + ParamGridBuilder. The reference IMPORTS
     * these (`G_2_rf_rdd.py:32`) but never calls them — a dead import; a
     * complete ML surface still offers the working form. 3-fold CV over

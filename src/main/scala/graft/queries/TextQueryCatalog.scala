@@ -321,7 +321,85 @@ object TextQueryCatalog {
           .as("fluency"))
   }
 
+  /** PII redaction — the scrubbing pass every training corpus gets
+    * before the tokenizer sees it. The corpus text is deterministically
+    * salted with synthetic PII (an email, an IPv4, a phone) derived from
+    * doc_id — the same construction in the SQL twin — so the patterns
+    * are actually EXERCISED, not vacuously counted on PII-free prose.
+    * Patterns live in [[graft.functions.TextFunctions.PiiRes]] (one
+    * definition, both engines); replacement order is fixed there.
+    * Shape: map-only regex work inside whole-stage codegen — embarrass-
+    * ingly parallel, the 100 TB cost is exactly one scan. */
+  val qt23PiiRedact: Q = (s, dir) => {
+    val salted = table(s, dir, "documents")
+      .select(col("doc_id"), concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0.7 call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    salted.select(col("doc_id"),
+      piiCount(col("text"), EmailRe).cast("long").as("n_emails"),
+      piiCount(col("text"), Ipv4Re).cast("long").as("n_ipv4"),
+      piiCount(col("text"), PhoneRe).cast("long").as("n_phones"),
+      length(redactPii(col("text"))).cast("long").as("redacted_len"),
+      hash32(redactPii(col("text"))).as("redacted_hash"))
+  }
+
+  /** Context-window chunking: split each document into fixed-size
+    * non-overlapping token windows (the pre-tokenisation chunking step
+    * of a training pipeline; the last chunk keeps its ragged tail).
+    * The chunk CONTENT is verified via a portable hash of the re-joined
+    * tokens, so a off-by-one slice fails the oracle. Shape: map-only
+    * explode — output rows ≈ corpus tokens / chunk size, no shuffle. */
+  val ChunkSize = 64
+  val qt24Chunks: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(when(size(col("w")) > 0,
+          sequence(lit(1), size(col("w")), lit(ChunkSize)))
+          .otherwise(array().cast("array<int>")))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long"),
+        slice(col("w"), col("start"), lit(ChunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        hash32(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+
+  /** Sequence-packing manifest — the concat-and-chunk packing LLM
+    * pretraining uses: within a shard, documents are laid end to end
+    * (one separator token each) and the stream is cut into fixed
+    * SeqLen windows; each doc's manifest row records where its tokens
+    * land (start offset, first/last sequence, straddle count).
+    * All integer math — cumsum, subtraction, floor division — so the
+    * oracle hash-matches bit-exactly.
+    * Shape: ONE window partitioned by shard. The global-cumsum scale
+    * hazard is avoided by design: packing is per-shard (shards are
+    * independent streams, count scales with the cluster), never a
+    * single global order — the same reason production packers shard. */
+  val SeqLen = 256
+  val PackShards = 8
+  val qt25SeqPack: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
+        (tokenCount(col("text")) + 1).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("start_offset", col("cum") - col("n_tok"))
+      .select(col("doc_id"), col("shard"),
+        (col("n_tok") - 1).as("n_tokens"), col("start_offset"),
+        expr(s"start_offset div $SeqLen").as("first_seq"),
+        expr(s"(cum - 1) div $SeqLen").as("last_seq"),
+        (expr(s"(cum - 1) div $SeqLen")
+          - expr(s"start_offset div $SeqLen") + 1L).as("n_seqs"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "qt25_seq_pack" -> qt25SeqPack,
+    "qt24_chunks" -> qt24Chunks,
+    "qt23_pii_redact" -> qt23PiiRedact,
     "qt22_lm_fluency" -> qt22LmFluency,
     "qt21_curated_corpus" -> qt21CuratedCorpus,
     "qt18_repetition" -> qt18Repetition,
@@ -470,6 +548,54 @@ object TextQueryCatalog {
        |  FROM words)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "qt23_pii_redact" ->
+      s"""WITH salted AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@mail.example.com from 10.'
+         |    || CAST(doc_id % 256 AS VARCHAR) || '.0.7 call 555-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ${T.piiCount("text", EmailRe)} AS n_emails,
+         |  ${T.piiCount("text", Ipv4Re)} AS n_ipv4,
+         |  ${T.piiCount("text", PhoneRe)} AS n_phones,
+         |  length(${T.redactPii("text")}) AS redacted_len,
+         |  ${T.hash32(T.redactPii("text"))} AS redacted_hash
+         |FROM salted""".stripMargin,
+    "qt24_chunks" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, ${T.tokens("text")} AS w FROM documents),
+         |starts AS (
+         |  SELECT doc_id, w,
+         |    unnest(range(1, len(w) + 1, $ChunkSize)) AS strt
+         |  FROM words),
+         |sliced AS (
+         |  SELECT doc_id,
+         |    CAST((strt - 1) // $ChunkSize AS BIGINT) AS chunk_idx,
+         |    array_slice(w, strt,
+         |      least(strt + ${ChunkSize - 1}, len(w))) AS chunk
+         |  FROM starts)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+         |  ${T.hash32("array_to_string(chunk, ' ')")} AS chunk_hash
+         |FROM sliced""".stripMargin,
+    "qt25_seq_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, doc_id % $PackShards AS shard,
+         |    CAST(${T.tokenCount("text")} + 1 AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM d)
+         |SELECT doc_id, shard, n_tok - 1 AS n_tokens,
+         |  cum - n_tok AS start_offset,
+         |  (cum - n_tok) // $SeqLen AS first_seq,
+         |  (cum - 1) // $SeqLen AS last_seq,
+         |  (cum - 1) // $SeqLen - (cum - n_tok) // $SeqLen + 1 AS n_seqs
+         |FROM c""".stripMargin,
     "qt22_lm_fluency" -> {
       val bigram = s"(w[i] || ' ' || w[i+1])"
       s"""WITH words AS (

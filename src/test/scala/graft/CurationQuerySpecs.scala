@@ -106,4 +106,78 @@ class CurationQuerySpecs extends SparkSpec {
     assert(tfidf.count() == nDocsWithText)
     assert(tfidf.groupBy("doc_id").count().where("count > 1").count() == 0)
   }
+
+  test("redactPii: all three patterns hit, fixed order, clean text intact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.TextFunctions
+    val out = Seq(
+      "call 555-1234 at 10.0.0.7 or bob.smith+x@mail.example.org now",
+      "no pii here, just words and 42 numbers 1.2 and 12-3456")
+      .toDF("t")
+      .select(TextFunctions.redactPii(col("t")).as("r"),
+        TextFunctions.piiCount(col("t"), TextFunctions.EmailRe).as("e"),
+        TextFunctions.piiCount(col("t"), TextFunctions.Ipv4Re).as("i"),
+        TextFunctions.piiCount(col("t"), TextFunctions.PhoneRe).as("p"))
+      .collect()
+    assert(out(0).getString(0) ==
+      "call <PHONE> at <IP> or <EMAIL> now")
+    assert((out(0).getInt(1), out(0).getInt(2), out(0).getInt(3)) == (1, 1, 1))
+    // the second string must pass through untouched: 1.2 is not an IPv4,
+    // 12-3456 is not a phone (needs exactly 3-4 digits)
+    assert(out(1).getString(0) ==
+      "no pii here, just words and 42 numbers 1.2 and 12-3456")
+    assert((out(1).getInt(1), out(1).getInt(2), out(1).getInt(3)) == (0, 0, 0))
+    // qt23 salts every doc with one of each
+    val q = TextQueryCatalog.qt23PiiRedact(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(q.nonEmpty && q.forall(r =>
+      r.getLong(1) == 1 && r.getLong(2) == 1 && r.getLong(3) == 1))
+  }
+
+  test("qt24 chunks: sizes, indices and content of the ragged tail") {
+    import graft.functions.TextFunctions.hash32
+    import org.apache.spark.sql.functions.lit
+    // 130 one-char tokens -> chunks of 64, 64, 2
+    val dir = docsDir(Seq(
+      0L -> (0 until 130).map(i => s"w$i").mkString(" "),
+      1L -> "a b", // single partial chunk
+      2L -> ""))   // zero chunks
+    val rows = TextQueryCatalog.qt24Chunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.size == 4) // doc2 contributes nothing
+    assert(rows((0L, 0L))._1 == 64 && rows((0L, 1L))._1 == 64 &&
+      rows((0L, 2L))._1 == 2 && rows((1L, 0L))._1 == 2)
+    // tail chunk content: exactly tokens 128..129
+    val expected = Seq("x").toDF("x")
+      .select(hash32(lit("w128 w129"))).head.getLong(0)
+    assert(rows((0L, 2L))._2 == expected)
+  }
+
+  test("qt25 seq pack: hand-computed offsets, straddle, shard contiguity") {
+    // shard 0 gets docs 0 and 8 (PackShards = 8): doc0 has 300 tokens
+    // (n_tok 301) -> start 0, spans seqs 0..1 of SeqLen 256; doc8 has
+    // 2 tokens (n_tok 3) -> start 301, seq 1.
+    val dir = docsDir(Seq(
+      0L -> (0 until 300).map(_ => "t").mkString(" "),
+      8L -> "a b",
+      3L -> "only doc in its shard"))
+    val out = TextQueryCatalog.qt25SeqPack(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(out(0L) == ((300L, 0L, 0L, 1L, 2L)))
+    assert(out(8L) == ((2L, 301L, 1L, 1L, 1L)))
+    assert(out(3L) == ((5L, 0L, 0L, 0L, 1L)))
+    // real corpus: per shard the packed stream is gapless — offsets sorted
+    // by doc_id are exactly the running sum of (n_tokens + 1)
+    val real = TextQueryCatalog.qt25SeqPack(spark, "/root/testdata/sf0.001")
+      .collect().groupBy(_.getLong(1))
+    real.values.foreach { rs =>
+      var cum = 0L
+      rs.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(3) == cum); cum += r.getLong(2) + 1
+      }
+    }
+  }
 }

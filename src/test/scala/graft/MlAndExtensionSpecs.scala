@@ -29,6 +29,24 @@ class MlPipelinesSpec extends SparkSpec {
     assert(cm.map(_.getLong(2)).sum == preds.count())
   }
 
+  test("M12: mllib metrics twin agrees with the DataFrame evaluators") {
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    val data = FeaturePipeline.fast(bars)
+    val (_, preds) = MlPipelines.fitPredict(
+      data, MlPipelines.FeatureLists.postFe, MlPipelines.rfMllibParity())
+    val df = MlPipelines.evaluate(preds)
+    val rdd = MlPipelines.evaluateMllib(preds)
+    assert(math.abs(df("accuracy") - rdd("accuracy")) < 1e-12)
+    assert(math.abs(df("f1") - rdd("f1")) < 1e-12)
+    // the mllib twin scores HARD predictions (the reference's RDD path);
+    // compare against the evaluator fed the same hard column, not the
+    // default rawPrediction scores
+    val hardAuc = new BinaryClassificationEvaluator()
+      .setLabelCol("buy_or_sell").setRawPredictionCol("prediction")
+      .setMetricName("areaUnderROC").evaluate(preds)
+    assert(math.abs(hardAuc - rdd("areaUnderROC")) < 1e-12)
+  }
+
   test("M13: CrossValidator over the RF grid picks a best model") {
     val data = graft.operators.Labeler.label(bars)
     val cv = MlPipelines.crossValidate(
