@@ -534,4 +534,33 @@ object SimilaritySearch {
       .orderBy(col("d2").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** The DEPLOYED ANN stack end to end, one query: IVF probe (search
+    * only the P buckets nearest the query — ~N·P/C of the corpus) →
+    * packed-PQ ADC shortlist over the probed rows (the codegen'd
+    * compressed scan, [[pqEncodePacked]] + LUT lookups) → exact
+    * squared-L2 re-rank of the ≤ `shortlist` survivors (broadcast
+    * join). This is the IVF-PQ index read path: every stage cuts the
+    * candidate set before the next pays per-row cost, so query cost at
+    * 100 TB is probe-fraction · compressed-scan + shortlist · D —
+    * never a full-corpus full-width pass. Every stage is deterministic
+    * (hash-sampled centroids/codebook, fixed tiebreaks), so the whole
+    * composition is oracle-checkable bit for bit (`qv15_ivfpq_query`). */
+  def ivfPqQuery(bucketed: DataFrame, centroids: DataFrame,
+      sample: Seq[Array[Float]], queryVec: Array[Float], k: Int,
+      probes: Int, shortlist: Int, m: Int = PqM): DataFrame = {
+    val probeBuckets = centroids
+      .withColumn("qsim",
+        cosineExact(col("centroid"), typedLit(queryVec.toSeq)))
+      .orderBy(col("qsim").desc, col("centroid_id"))
+      .limit(probes)
+      .select(col("centroid_id").as("bucket"))
+    val probed = bucketed.join(broadcast(probeBuckets), Seq("bucket"))
+    val short = pqAdcTopKPacked(
+      pqEncodePacked(probed, sample, m), sample, queryVec, shortlist, m)
+    probed.join(broadcast(short.select(col("vec_id"))), Seq("vec_id"))
+      .select(col("vec_id"), pqD2(col("embedding"), queryVec).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+      .limit(k)
+  }
 }

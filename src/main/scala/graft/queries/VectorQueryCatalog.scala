@@ -206,7 +206,28 @@ object VectorQueryCatalog {
       SimilaritySearch.hashSampledCentroids(table(s, dir, "embeddings"), 64),
       tau = 0.2)
 
+  /** The deployed IVF-PQ read path composed end to end
+    * ([[SimilaritySearch.ivfPqQuery]]): probe the 4 nearest of 16 IVF
+    * buckets, ADC-shortlist 50 candidates over the packed PQ codes
+    * (codegen'd encode), exact-L2 re-rank to the final top-10. The
+    * oracle recomputes all three stages independently — probe set via
+    * rank-over-cross-join, codes via the argmin formulation, ADC via
+    * the LUT join — so a drift in ANY stage (probe choice, one code,
+    * shortlist cut, re-rank order) fails the hash. */
+  val qv15IvfPqQuery: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val cents = SimilaritySearch.hashSampledCentroids(emb, 16)
+    val bucketed = emb.join(
+      SimilaritySearch.ivfAssignExact(emb, cents), Seq("vec_id"))
+    val sample = SimilaritySearch.pqSampleVectors(emb)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    SimilaritySearch.ivfPqQuery(bucketed, cents, sample, qvec,
+      k = 10, probes = 4, shortlist = 50)
+  }
+
   val defs: Map[String, Q] = Map(
+    "qv15_ivfpq_query" -> qv15IvfPqQuery,
     "qv14_semdedup" -> qv14SemDedup,
     "qv13_pq_packed" -> qv13PqPacked,
     "qv11_pq_encode" -> qv11PqEncode,
@@ -331,12 +352,70 @@ object VectorQueryCatalog {
        |    FROM scored) WHERE rn = 1)""".stripMargin
   }
 
+  /** Sequential double left-fold squared-L2 — mirrors the Spark side's
+    * `aggregate(zip_with(...), 0.0, +)` accumulation order exactly
+    * (see [[dotSeqSql]] on why list_reduce + prepended zero, not
+    * list_sum, is the safe twin for a dim-64 double fold). */
+  private def seqD2Sql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0,
+       | [(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |  * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |  for i in range(1, len($a) + 1)]), (x, y) -> x + y)""".stripMargin
+
   private def pqPivotCols: String =
     (0 until SimilaritySearch.PqM)
       .map(mi => s"MAX(CASE WHEN m = $mi THEN code END) AS pq$mi")
       .mkString(",\n  ")
 
   val sql: Map[String, String] = Map(
+    "qv15_ivfpq_query" -> {
+      val sd = PqSubDim
+      s"""WITH cents AS ($centroidsSql),
+         |cscored AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    ${cosineSql("e.embedding", "c.centroid")} AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id AS bucket FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, centroid_id) AS rn
+         |    FROM cscored) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT centroid_id AS bucket
+         |  FROM cents CROSS JOIN q
+         |  ORDER BY ${cosineSql("centroid", "qv")} DESC, centroid_id
+         |  LIMIT 4),
+         |probed AS (
+         |  SELECT e.vec_id, e.embedding
+         |  FROM embeddings e
+         |  JOIN assigned a ON a.vec_id = e.vec_id
+         |  JOIN probes p ON p.bucket = a.bucket),
+         |$pqCtes,
+         |lut AS (
+         |  SELECT c.m, c.k,
+         |    list_sum([
+         |      (CAST(q.qv[c.m * $sd + i] AS DOUBLE)
+         |         - CAST(c.cvec[i] AS DOUBLE))
+         |      * (CAST(q.qv[c.m * $sd + i] AS DOUBLE)
+         |         - CAST(c.cvec[i] AS DOUBLE))
+         |      for i in range(1, ${sd + 1})]) AS d2
+         |  FROM cb c CROSS JOIN q),
+         |adc AS (
+         |  SELECT cd.vec_id, list_sum(list(l.d2 ORDER BY cd.m)) AS adc
+         |  FROM codes cd
+         |  JOIN probed pr ON pr.vec_id = cd.vec_id
+         |  JOIN lut l ON l.m = cd.m AND l.k = cd.code
+         |  GROUP BY cd.vec_id),
+         |short AS (
+         |  SELECT vec_id FROM adc ORDER BY adc ASC, vec_id LIMIT 50)
+         |SELECT pr.vec_id, ${seqD2Sql("pr.embedding", "q.qv")} AS d2
+         |FROM probed pr
+         |JOIN short s ON s.vec_id = pr.vec_id
+         |CROSS JOIN q
+         |ORDER BY d2 ASC, pr.vec_id LIMIT 10""".stripMargin
+    },
     "qv11_pq_encode" ->
       s"""WITH $pqCtes
          |SELECT vec_id,

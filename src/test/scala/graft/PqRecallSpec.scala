@@ -75,4 +75,37 @@ class PqRecallSpec extends SparkSpec {
     info(f"PQ ADC+rescore mean recall@10: shortlist=100 -> $r100%.2f")
     assert(r100 >= r50 - 1e-9)
   }
+
+  test("composed IVF-PQ read path: k rows, inside the probed set, " +
+    "measured recall") {
+    val cents = SimilaritySearch.hashSampledCentroids(emb, 16)
+    val bucketed = emb.join(
+      SimilaritySearch.ivfAssignExact(emb, cents), Seq("vec_id"))
+    val sample = SimilaritySearch.pqSampleVectors(emb)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val res = SimilaritySearch.ivfPqQuery(bucketed, cents, sample, q,
+      k = 10, probes = 4, shortlist = 50).cache()
+    assert(res.count() == 10)
+    // the query's own vector has d2 = 0 and must win if its bucket is
+    // probed (it is: its bucket is the one nearest to itself)
+    assert(res.orderBy(col("d2").asc).head.getLong(0) == 0L)
+    // every result must come from one of the 4 probed buckets (the same
+    // probe rule ivfPqQuery applies: top-4 centroids by exact cosine)
+    import graft.functions.VectorFunctions.cosineExact
+    val probeBuckets = cents
+      .withColumn("qsim", cosineExact(col("centroid"), typedlit(q.toSeq)))
+      .orderBy(col("qsim").desc, col("centroid_id"))
+      .limit(4).select(col("centroid_id").as("bucket"))
+    val probedIds = bucketed.join(probeBuckets, Seq("bucket"))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(res.collect().map(_.getLong(0)).toSet.subsetOf(probedIds))
+    val recall = SimilaritySearch.recallAtK(
+      l2Truth(q), res).head.getDouble(2)
+    info(f"IVF-PQ (probes=4/16, shortlist=50) recall@10 = $recall%.2f")
+    // IVF probing caps recall at what the probed buckets contain; the
+    // hash-sampled codebook floor is deliberately modest
+    assert(recall >= 0.4, f"IVF-PQ recall $recall%.2f < 0.4")
+    res.unpersist()
+  }
 }
