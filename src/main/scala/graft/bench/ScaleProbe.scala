@@ -107,7 +107,7 @@ object ScaleProbe {
     // curation shapes: repetition metrics (two keyed partial-agg
     // shuffles) and the broadcast contamination probe (corpus side
     // never shuffles) over the same synthetic corpora
-    def runCuration(nDocs: Long): (Double, Double) = {
+    def runCuration(nDocs: Long): (Double, Double, Double, Double, Double) = {
       val path = SyntheticDocs.ensure(spark, nDocs)
       spark.read.parquet(path).queryExecution.toRdd.count() // warm cache
       def t(f: => Unit): Double = {
@@ -127,13 +127,28 @@ object ScaleProbe {
         graft.queries.TextQueryCatalog.qt19Contamination(spark, dir)
           .queryExecution.toRdd.count()
       }
-      (rep, con)
+      val pii = t {
+        graft.queries.TextQueryCatalog.qt23PiiRedact(spark, dir)
+          .queryExecution.toRdd.count()
+      }
+      val chk = t {
+        graft.queries.TextQueryCatalog.qt24Chunks(spark, dir)
+          .queryExecution.toRdd.count()
+      }
+      val pak = t {
+        graft.queries.TextQueryCatalog.qt25SeqPack(spark, dir)
+          .queryExecution.toRdd.count()
+      }
+      (rep, con, pii, chk, pak)
     }
     runCuration(5000) // JIT warmup, discarded
-    val (rep1, con1) = runCuration(5000)
-    val (rep10, con10) = runCuration(50000)
+    val (rep1, con1, pii1, chk1, pak1) = runCuration(5000)
+    val (rep10, con10, pii10, chk10, pak10) = runCuration(50000)
     println(f"[scale-probe] repetition    1x: $rep1%.1f s   10x: $rep10%.1f s   ratio ${rep10 / rep1}%.1f")
     println(f"[scale-probe] contamination 1x: $con1%.1f s   10x: $con10%.1f s   ratio ${con10 / con1}%.1f")
+    println(f"[scale-probe] pii-redact    1x: $pii1%.1f s   10x: $pii10%.1f s   ratio ${pii10 / pii1}%.1f")
+    println(f"[scale-probe] chunking      1x: $chk1%.1f s   10x: $chk10%.1f s   ratio ${chk10 / chk1}%.1f")
+    println(f"[scale-probe] seq-packing   1x: $pak1%.1f s   10x: $pak10%.1f s   ratio ${pak10 / pak1}%.1f")
 
     // hot-key join, three mitigations measured head to head: 16M fact
     // rows with 90% on ONE key, joined to a 2000-key dim too large to
