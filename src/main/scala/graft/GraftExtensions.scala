@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // J3 self-join-to-projection rewrite; inert unless
     // spark.graft.rewriteSelfJoin.assumeUniqueKeys=true
     ext.injectOptimizerRule(_ => graft.plans.SelfJoinRewrite)
+    // small-integer band join -> exploded equi-join (semantics-preserving;
+    // on by default, spark.graft.rewriteBandJoin.enabled=false to disable)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }
 
@@ -80,6 +83,11 @@ object GraftExtensions {
         .contains(graft.plans.SelfJoinRewrite)) {
       spark.sessionState.experimentalMethods.extraOptimizations ++=
         Seq(graft.plans.SelfJoinRewrite)
+    }
+    if (!spark.sessionState.experimentalMethods.extraOptimizations
+        .contains(graft.plans.BandJoinRewrite)) {
+      spark.sessionState.experimentalMethods.extraOptimizations ++=
+        Seq(graft.plans.BandJoinRewrite)
     }
   }
 }

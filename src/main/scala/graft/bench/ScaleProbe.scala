@@ -192,6 +192,29 @@ object ScaleProbe {
     val (pl, aq, sa) = runSkewJoin()
     println(f"[scale-probe] hot-key join  plain: $pl%.1f s   aqe-skew: $aq%.1f s   salted(16): $sa%.1f s")
 
+    // band join: the nested-loop plan Spark picks for a non-equi band
+    // condition vs BandJoinRewrite's exploded equi-join, same 200k x 200k
+    // inputs, width-5 band (200k: the quadratic side does 4e10 comparisons, the rewritten side 1M rows)
+    def runBandJoin(): (Double, Double) = {
+      graft.GraftExtensions.register(spark)
+      def a = spark.range(200000).select(col("id").as("ka"))
+      def b = spark.range(200000).select(col("id").as("kb"))
+      def q = a.join(b,
+        col("kb") >= col("ka") + 1 && col("kb") <= col("ka") + 5)
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      spark.conf.set("spark.graft.rewriteBandJoin.enabled", "false")
+      val loop = t { q.queryExecution.toRdd.count() }
+      spark.conf.set("spark.graft.rewriteBandJoin.enabled", "true")
+      val rewritten = t { q.queryExecution.toRdd.count() }
+      (loop, rewritten)
+    }
+    runBandJoin() // JIT warmup, discarded
+    val (bjLoop, bjRw) = runBandJoin()
+    println(f"[scale-probe] band join 200k: nested-loop $bjLoop%.1f s   " +
+      f"rewritten $bjRw%.1f s   ratio ${bjLoop / bjRw}%.1f")
+
     // PQ encode: interpreted HOF folds vs the codegen'd packed
     // expression on the same 200k dim-64 synthetic vectors — the
     // per-row cost that dominates a corpus-wide compression pass

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/** [[graft.plans.BandJoinRewrite]]: a small-integer band join must become
+  * an exploded equi-join — same rows, no nested-loop/cartesian physical
+  * join — and must leave everything it can't prove alone. */
+class BandJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val flag = "spark.graft.rewriteBandJoin.enabled"
+
+  // parquet-backed so LocalRelation constant-folding can't pre-join;
+  // ids dense 0..N with some duplicate values and a NULL key row
+  private def frames(): (DataFrame, DataFrame) = {
+    val a = spark.read.parquet(sf("orders"))
+      .select($"o_orderkey".as("ka"), $"o_custkey".as("va")).limit(500)
+      .union(spark.sql("SELECT CAST(NULL AS BIGINT) AS ka, 1L AS va"))
+    val b = spark.read.parquet(sf("orders"))
+      .select($"o_orderkey".as("kb"), $"o_totalprice".as("vb")).limit(500)
+    (a, b)
+  }
+
+  // string-level count: AQE wraps the tree in AdaptiveSparkPlanExec,
+  // which collect() does not descend into (same approach as PlanAudit)
+  private def nestedLoopOrCartesian(plan: SparkPlan): Int = {
+    val s = plan.toString
+    "BroadcastNestedLoopJoin|CartesianProduct".r
+      .findAllIn(s).size
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def withRule[T](on: Boolean)(f: => T): T = {
+    GraftExtensions.register(spark)
+    spark.conf.set(flag, on.toString)
+    try f finally spark.conf.set(flag, "true")
+  }
+
+  test("band join rewrites: no nested loop, rows identical to rule-off") {
+    val (a, b) = frames()
+    def q = a.join(b, $"kb" >= $"ka" + 1 && $"kb" <= $"ka" + 5)
+    val off = withRule(false)(sortedRows(q))
+    withRule(true) {
+      assert(nestedLoopOrCartesian(q.queryExecution.executedPlan) == 0,
+        s"nested loop survived:\n${q.queryExecution.executedPlan}")
+      assert(sortedRows(q) == off)
+    }
+  }
+
+  test("strict bounds and swapped operand order normalise correctly") {
+    val (a, b) = frames()
+    // kb > ka && ka + 6 > kb  ≡  delta ∈ [1, 5]
+    def strict = a.join(b, $"kb" > $"ka" && $"ka" + 6 > $"kb")
+    def closed = a.join(b, $"kb" >= $"ka" + 1 && $"kb" <= $"ka" + 5)
+    val expected = withRule(false)(sortedRows(closed))
+    withRule(true) {
+      assert(nestedLoopOrCartesian(strict.queryExecution.executedPlan) == 0)
+      assert(sortedRows(strict) == expected)
+    }
+  }
+
+  test("extra conjuncts survive; tightest of several bounds wins") {
+    val (a, b) = frames()
+    def q = a.join(b, $"kb" >= $"ka" + 1 && $"kb" >= $"ka" - 3 &&
+      $"kb" <= $"ka" + 4 && $"va" =!= $"vb")
+    val off = withRule(false)(sortedRows(q))
+    withRule(true) {
+      assert(nestedLoopOrCartesian(q.queryExecution.executedPlan) == 0)
+      assert(sortedRows(q) == off)
+    }
+  }
+
+  test("left-shifted form: bounds written on the left attribute") {
+    val (a, b) = frames()
+    // ka ≤ kb − ... written as ka + c cmp kb from the left side
+    def q = a.join(b, $"ka" + 1 <= $"kb" && $"ka" + 5 >= $"kb")
+    val off = withRule(false)(sortedRows(q))
+    withRule(true) {
+      assert(nestedLoopOrCartesian(q.queryExecution.executedPlan) == 0)
+      assert(sortedRows(q) == off)
+    }
+  }
+
+  test("does not fire: half-open band, too-wide band, non-integer keys") {
+    val (a, b) = frames()
+    withRule(true) {
+      // only a lower bound — no finite band
+      val half = a.join(b, $"kb" >= $"ka" + 1)
+      assert(nestedLoopOrCartesian(half.queryExecution.executedPlan) >= 1)
+      // band wider than maxWidth (default 64)
+      val wide = a.join(b, $"kb" >= $"ka" + 1 && $"kb" <= $"ka" + 1000)
+      assert(nestedLoopOrCartesian(wide.queryExecution.executedPlan) >= 1)
+      // double keys: arithmetic-on-floats is not a safe integer band
+      val da = a.select($"ka".cast("double").as("ka"), $"va")
+      val db = b.select($"kb".cast("double").as("kb"), $"vb")
+      val dbl = da.join(db, $"kb" >= $"ka" + 1 && $"kb" <= $"ka" + 5)
+      assert(nestedLoopOrCartesian(dbl.queryExecution.executedPlan) >= 1)
+    }
+  }
+
+  test("empty band (hi < lo) left untouched, returns zero rows") {
+    val (a, b) = frames()
+    withRule(true) {
+      val q = a.join(b, $"kb" >= $"ka" + 5 && $"kb" <= $"ka" + 1)
+      assert(q.count() == 0)
+    }
+  }
+}
