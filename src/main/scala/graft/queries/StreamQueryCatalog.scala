@@ -271,6 +271,35 @@ object StreamQueryCatalog {
     runToTable(gated, s, "append")
   }
 
+  /** PII scrub AT INGEST: the streaming form of qt23 — every arriving
+    * document is regex-scrubbed (email/IPv4/phone, the shared
+    * [[graft.functions.TextFunctions.PiiRes]] pattern table) before it
+    * ever lands in the lake, which is where redaction must happen in a
+    * real corpus pipeline (once written, unscrubbed bytes replicate).
+    * Stateless, append-only, per-row cost only — no watermark, no
+    * state store; the plan is the identical map-only codegen'd stage
+    * as the batch query, so micro-batch boundaries cannot change any
+    * value. Oracle: the batch qt23 SQL verbatim. */
+  val qs13StreamPiiScrub: Q = (s, dir) => {
+    import graft.functions.TextFunctions._
+    val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    val docs = s.readStream.schema(rawSchema)
+      .parquet(s"$dir/documents.parque[t]")
+    val salted = docs
+      .select(col("doc_id"), concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0.7 call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    val scrubbed = salted.select(col("doc_id"),
+      piiCount(col("text"), EmailRe).cast("long").as("n_emails"),
+      piiCount(col("text"), Ipv4Re).cast("long").as("n_ipv4"),
+      piiCount(col("text"), PhoneRe).cast("long").as("n_phones"),
+      length(redactPii(col("text"))).cast("long").as("redacted_len"),
+      hash32(redactPii(col("text"))).as("redacted_hash"))
+    runToTable(scrubbed, s, "append")
+  }
+
   /** Incremental streaming LSH near-dup detection
     * ([[graft.streaming.IncrementalDedup]]): the corpus arrives in 4
     * micro-batches (split into 4 files, maxFilesPerTrigger=1); each
@@ -319,6 +348,7 @@ object StreamQueryCatalog {
   }
 
   val defs: Map[String, Q] = Map(
+    "qs13_stream_pii_scrub" -> qs13StreamPiiScrub,
     "qs12_stream_sessions" -> qs12StreamSessions,
     "qs11_stream_lsh_incremental" -> qs11StreamLshIncremental,
     "qs10_stream_contamination" -> qs10StreamContamination,
@@ -351,6 +381,8 @@ object StreamQueryCatalog {
         |  MAX(ts) + INTERVAL 8 HOUR AS session_end,
         |  COUNT(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    "qs13_stream_pii_scrub" ->
+      TextQueryCatalog.sql("qt23_pii_redact"),
     "qs11_stream_lsh_incremental" ->
       TextQueryCatalog.sql("qt6_lsh_pairs"),
     "qs10_stream_contamination" ->

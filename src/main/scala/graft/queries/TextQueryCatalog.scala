@@ -547,21 +547,25 @@ object TextQueryCatalog {
        |    (${(0 until 32).map(simhashBitSql).mkString("\n     + ")}) AS simhash
        |  FROM words)""".stripMargin
 
+  /** qt23's PII query — shared verbatim with the streaming ingest
+    * scrubber (`StreamQueryCatalog.qs13`). */
+  private[queries] lazy val qt23Sql: String =
+    s"""WITH salted AS (
+       |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |    || '@mail.example.com from 10.'
+       |    || CAST(doc_id % 256 AS VARCHAR) || '.0.7 call 555-'
+       |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  ${T.piiCount("text", EmailRe)} AS n_emails,
+       |  ${T.piiCount("text", Ipv4Re)} AS n_ipv4,
+       |  ${T.piiCount("text", PhoneRe)} AS n_phones,
+       |  length(${T.redactPii("text")}) AS redacted_len,
+       |  ${T.hash32(T.redactPii("text"))} AS redacted_hash
+       |FROM salted""".stripMargin
+
   val sql: Map[String, String] = Map(
-    "qt23_pii_redact" ->
-      s"""WITH salted AS (
-         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
-         |    || '@mail.example.com from 10.'
-         |    || CAST(doc_id % 256 AS VARCHAR) || '.0.7 call 555-'
-         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
-         |  FROM documents)
-         |SELECT doc_id,
-         |  ${T.piiCount("text", EmailRe)} AS n_emails,
-         |  ${T.piiCount("text", Ipv4Re)} AS n_ipv4,
-         |  ${T.piiCount("text", PhoneRe)} AS n_phones,
-         |  length(${T.redactPii("text")}) AS redacted_len,
-         |  ${T.hash32(T.redactPii("text"))} AS redacted_hash
-         |FROM salted""".stripMargin,
+    "qt23_pii_redact" -> qt23Sql,
     "qt24_chunks" ->
       s"""WITH words AS (
          |  SELECT doc_id, ${T.tokens("text")} AS w FROM documents),
