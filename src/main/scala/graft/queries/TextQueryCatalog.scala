@@ -396,7 +396,44 @@ object TextQueryCatalog {
           - expr(s"start_offset div $SeqLen") + 1L).as("n_seqs"))
   }
 
+  /** Vocabulary build + OOV scoring — the tokenizer-prep step: the
+    * top-V corpus tokens by frequency become the vocabulary (ties at
+    * the cut broken by token text, so the set is deterministic in both
+    * engines), then every document is scored for its out-of-vocabulary
+    * fraction — the signal that drives "train the tokenizer on more of
+    * this" / "this shard is noise" decisions.
+    * Shape: one partial-agg shuffle builds the frequency table; the
+    * top-V cut is a TakeOrdered (per-partition heaps, V rows out — not
+    * a global sort); the vocab (V rows, corpus-size-independent)
+    * BROADCASTS back over the exploded tokens, so the corpus side
+    * never shuffles for the probe — the qt19 contamination shape.
+    * V = 20 here because the synthetic corpus has only 31 distinct
+    * tokens (V above that would make every OOV count vacuously zero);
+    * production V (~50k) changes only the broadcast's size class. */
+  val VocabSize = 20
+  val qt26OovScore: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .localCheckpoint()
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(VocabSize)
+      .select(col("tok"), lit(1).as("_in_vocab"))
+    val per = tok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt"),
+        (count(lit(1)) - count(col("_in_vocab"))).as("noov"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nt"), lit(0L)).as("n_tokens"),
+        coalesce(col("noov"), lit(0L)).as("n_oov"),
+        when(col("nt") > 0,
+          col("noov").cast("double") / col("nt").cast("double"))
+          .otherwise(lit(0.0)).as("oov_frac"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "qt26_oov" -> qt26OovScore,
     "qt25_seq_pack" -> qt25SeqPack,
     "qt24_chunks" -> qt24Chunks,
     "qt23_pii_redact" -> qt23PiiRedact,
@@ -565,6 +602,25 @@ object TextQueryCatalog {
        |FROM salted""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "qt26_oov" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${T.tokens("text")}) AS tok FROM documents),
+         |freq AS (
+         |  SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+         |vocab AS (
+         |  SELECT tok FROM freq ORDER BY c DESC, tok ASC LIMIT $VocabSize),
+         |per AS (
+         |  SELECT t.doc_id, count(*) AS nt,
+         |    count(*) FILTER (WHERE v.tok IS NULL) AS noov
+         |  FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+         |  GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(p.nt, 0) AS n_tokens,
+         |  coalesce(p.noov, 0) AS n_oov,
+         |  CASE WHEN p.nt > 0
+         |    THEN CAST(p.noov AS DOUBLE) / CAST(p.nt AS DOUBLE)
+         |    ELSE 0.0 END AS oov_frac
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
     "qt23_pii_redact" -> qt23Sql,
     "qt24_chunks" ->
       s"""WITH words AS (

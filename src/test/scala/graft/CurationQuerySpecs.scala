@@ -154,6 +154,28 @@ class CurationQuerySpecs extends SparkSpec {
     assert(rows((0L, 2L))._2 == expected)
   }
 
+  test("qt26 oov: frequency cut, lexicographic tie-break, zero-token doc") {
+    // 25 distinct tokens; b01..b20 occur twice (doc1 repeats them),
+    // x21..x25 once -> vocab (V=20) = b01..b20, so doc0 has 5 OOV of 25
+    val freqDir = docsDir(Seq(
+      0L -> (((1 to 20).map(i => f"b$i%02d") ++
+        (21 to 25).map(i => f"x$i%02d")).mkString(" ")),
+      1L -> (1 to 20).map(i => f"b$i%02d").mkString(" ")))
+    val freqOut = byId(TextQueryCatalog.qt26OovScore(spark, freqDir))
+    assert(freqOut(0L).getLong(1) == 25 && freqOut(0L).getLong(2) == 5)
+    assert(freqOut(0L).getDouble(3) == 5.0 / 25.0)
+    assert(freqOut(1L).getLong(2) == 0 && freqOut(1L).getDouble(3) == 0.0)
+    // 21 tokens, all frequency 1: the V=20 cut is broken by token text
+    // ascending, so exactly the lexicographically last token is OOV
+    val tieDir = docsDir(Seq(
+      0L -> (1 to 21).map(i => f"a$i%02d").mkString(" "),
+      1L -> ""))
+    val tieOut = byId(TextQueryCatalog.qt26OovScore(spark, tieDir))
+    assert(tieOut(0L).getLong(1) == 21 && tieOut(0L).getLong(2) == 1)
+    assert(tieOut(0L).getDouble(3) == 1.0 / 21.0)
+    assert(tieOut(1L).getLong(1) == 0 && tieOut(1L).getDouble(3) == 0.0)
+  }
+
   test("qt25 seq pack: hand-computed offsets, straddle, shard contiguity") {
     // shard 0 gets docs 0 and 8 (PackShards = 8): doc0 has 300 tokens
     // (n_tok 301) -> start 0, spans seqs 0..1 of SeqLen 256; doc8 has
