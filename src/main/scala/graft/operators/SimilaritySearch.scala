@@ -555,7 +555,14 @@ object SimilaritySearch {
       .orderBy(col("qsim").desc, col("centroid_id"))
       .limit(probes)
       .select(col("centroid_id").as("bucket"))
+    // materialise the probed slice ONCE: both consumers below (the
+    // ADC-shortlist pass and the re-rank join) would otherwise re-run
+    // the upstream bucket assignment — the dominant cost when
+    // `bucketed` is derived from ivfAssignExact rather than read from
+    // a stored index (in production the index is stored pre-assigned
+    // and this is a cheap partition-pruned scan either way)
     val probed = bucketed.join(broadcast(probeBuckets), Seq("bucket"))
+      .localCheckpoint()
     val short = pqAdcTopKPacked(
       pqEncodePacked(probed, sample, m), sample, queryVec, shortlist, m)
     probed.join(broadcast(short.select(col("vec_id"))), Seq("vec_id"))

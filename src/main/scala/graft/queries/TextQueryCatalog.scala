@@ -83,9 +83,10 @@ object TextQueryCatalog {
     Dedup.simhashDedup(table(s, dir, "documents"))
 
   /** Multimodal column plumbing: opaque binary payload + typed metadata.
-    * The payload here is the doc text's bytes (deterministic stand-in for
-    * image/audio bytes — the real decode is stubbed, see
-    * `graft.operators.Multimodal`); the metadata extraction (sizes, fake
+    * The payload here is the doc text's bytes (a deterministic stand-in
+    * the DuckDB oracle can reproduce; real WAV/BMP container decodes
+    * live in `graft.operators.Multimodal` and are byte-exactness-tested
+    * in `MultimodalCodecSpec`); the metadata extraction (sizes, fake
     * dimensions from the portable hash) is the real Spark-side shape. */
   val qt9MultimodalMeta: Q = (s, dir) =>
     table(s, dir, "documents")

@@ -173,4 +173,64 @@ class Round3PropertySpecs extends SparkSpec {
     // rate approximates fraction (hash uniformity, loose bound)
     assert(math.abs(s60.size / 200.0 - 0.6) < 0.15)
   }
+
+  test("chunking: sizes partition the tokens, indices dense, content " +
+    "reassembles (randomized lengths)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_chunk_prop_").toString
+    // token counts straddling every boundary case: 0, 1, exact multiples
+    // of ChunkSize, one-off either side, and random lengths
+    val lens = Seq(0, 1, 63, 64, 65, 128, 129) ++
+      Seq.fill(20)(rnd.nextInt(400))
+    lens.zipWithIndex
+      .map { case (n, i) =>
+        (i.toLong, (0 until n).map(j => s"t${i}_$j").mkString(" "),
+          "en", "prop", n.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.TextQueryCatalog.qt24Chunks(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = rows.groupBy(_._1)
+    val cs = graft.queries.TextQueryCatalog.ChunkSize
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val chunks = byDoc.getOrElse(i.toLong, Array.empty).sortBy(_._2)
+      assert(chunks.length == (n + cs - 1) / cs,
+        s"doc $i ($n tokens): ${chunks.length} chunks")
+      // indices 0..k-1, all full except a ragged tail, sizes sum to n
+      assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong))
+      assert(chunks.map(_._3).sum == n)
+      chunks.dropRight(1).foreach(c => assert(c._3 == cs))
+    }
+  }
+
+  test("seq packing: gapless per shard, straddle count consistent " +
+    "(randomized lengths)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_pack_prop_").toString
+    (0 until 60)
+      .map { i =>
+        val n = rnd.nextInt(600)
+        (i.toLong, (0 until n).map(j => s"w$j").mkString(" "),
+          "en", "prop", n.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextQueryCatalog.qt25SeqPack(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val L = graft.queries.TextQueryCatalog.SeqLen
+    out.groupBy(_._2).values.foreach { shard =>
+      var cum = 0L
+      shard.sortBy(_._1).foreach {
+        case (_, _, nTok, start, first, last, nSeqs) =>
+          assert(start == cum, "packed stream must be gapless")
+          assert(first == start / L)
+          assert(last == (start + nTok) / L) // (cum-1) with the separator
+          assert(nSeqs == last - first + 1 && nSeqs >= 1)
+          cum += nTok + 1
+      }
+    }
+  }
 }
