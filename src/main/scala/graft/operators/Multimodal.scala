@@ -162,6 +162,48 @@ object Multimodal {
       Array(width.toFloat, height.toFloat, bpp.toFloat,
         sr.toFloat / n, sg.toFloat / n, sb.toFloat / n)
     }
+
+    /** Full pixel decode: (width, height, top-down packed RGB bytes) —
+      * the input to [[Multimodal.resizeImages]]. Same container rules
+      * as [[decodeToFeatures]] (BITMAPINFOHEADER, BI_RGB, 24/32 bpp);
+      * None on anything else. */
+    def decodePixels(payload: Array[Byte])
+        : Option[(Int, Int, Array[Byte])] = {
+      if (payload == null || payload.length < 54) return None
+      if (payload(0) != 'B' || payload(1) != 'M') return None
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val dataOff = bb.getInt(10)
+      if (bb.getInt(14) != 40) return None
+      val width = bb.getInt(18)
+      val rawHeight = bb.getInt(22)
+      val bpp = bb.getShort(28).toInt
+      if (bb.getInt(30) != 0) return None
+      val height = math.abs(rawHeight)
+      if (width <= 0 || height == 0 || (bpp != 24 && bpp != 32)) return None
+      val bytesPerPx = bpp / 8
+      val rowStride = ((width * bytesPerPx + 3) / 4) * 4
+      if (dataOff < 54 || dataOff.toLong + rowStride.toLong * height
+          > payload.length) return None
+      val rgb = new Array[Byte](width * height * 3)
+      var imgY = 0
+      while (imgY < height) {
+        // positive height = bottom-up storage
+        val fileRow = if (rawHeight > 0) height - 1 - imgY else imgY
+        val row = dataOff + fileRow * rowStride
+        var x = 0
+        while (x < width) {
+          val p = row + x * bytesPerPx
+          val o = (imgY * width + x) * 3
+          rgb(o) = payload(p + 2) // R
+          rgb(o + 1) = payload(p + 1) // G
+          rgb(o + 2) = payload(p) // B
+          x += 1
+        }
+        imgY += 1
+      }
+      Some((width, height, rgb))
+    }
   }
 
   /** Deterministic stand-in — the fallback for kinds with no pure-JVM
@@ -228,6 +270,52 @@ object Multimodal {
     val parts = math.max(1,
       (totalBytes / (targetMb.toLong * 1024 * 1024)).toInt)
     media.repartition(parts)
+  }
+
+  /** Image RESIZE as a partition-wise batch transform: decode the BMP
+    * payload, nearest-neighbour downsample to `w`×`h`, emit top-down
+    * packed RGB bytes (3·w·h) in a `thumb` column (empty array for
+    * undecodable payloads — gate on `decoded`). Nearest-neighbour
+    * (src = floor(dst · srcDim / dstDim)) is deterministic integer
+    * math — no resampling-kernel float washes — so the spec pins exact
+    * pixel selection. Same scale shape as [[extractFeatures]]: one
+    * task per partition, no per-row JVM boundary, size partitions
+    * first with [[repartitionByBytes]]. */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, s"target $w x $h")
+    val outSchema = StructType(
+      media.schema.fields.filterNot(_.name == "payload") ++ Seq(
+        StructField("decoded", BooleanType, nullable = false),
+        StructField("thumb", BinaryType, nullable = false)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val keepIdx = media.schema.fields.indices.filterNot(_ == payloadIdx)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val px = BmpCodec.decodePixels(r.getAs[Array[Byte]](payloadIdx))
+        val thumb = px match {
+          case Some((sw, sh, rgb)) =>
+            val out = new Array[Byte](3 * w * h)
+            var ty = 0
+            while (ty < h) {
+              val sy = ty * sh / h
+              var tx = 0
+              while (tx < w) {
+                val sx = tx * sw / w
+                val s = (sy * sw + sx) * 3
+                val d = (ty * w + tx) * 3
+                out(d) = rgb(s); out(d + 1) = rgb(s + 1)
+                out(d + 2) = rgb(s + 2)
+                tx += 1
+              }
+              ty += 1
+            }
+            out
+          case None => Array.empty[Byte]
+        }
+        Row.fromSeq(keepIdx.map(r.get) ++ Seq(px.isDefined, thumb))
+      }
+    }(encoder)
   }
 
   /** Frame-sampling shape for video payloads: emit every `stride`-th

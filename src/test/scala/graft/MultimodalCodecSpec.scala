@@ -100,6 +100,39 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(BmpCodec.decodeToFeatures("BMnope".getBytes).forall(_ == 0f))
   }
 
+  test("BmpCodec.decodePixels: top-down RGB, bottom-up storage unwound") {
+    val px = Array(
+      Array((255, 0, 0), (0, 255, 0)),
+      Array((10, 20, 30), (40, 50, 60)))
+    val Some((w, h, rgb)) = BmpCodec.decodePixels(bmpBytes(px))
+    assert(w == 2 && h == 2)
+    // top-down order: row 0 first, R G B per pixel
+    assert(rgb.map(_ & 0xff).toSeq == Seq(
+      255, 0, 0, 0, 255, 0, 10, 20, 30, 40, 50, 60))
+    assert(BmpCodec.decodePixels("not a bmp".getBytes).isEmpty)
+  }
+
+  test("resizeImages: exact nearest-neighbour pixel selection") {
+    // 4x4 image whose quadrants have distinct colors; a 2x2 resize must
+    // pick the top-left pixel of each quadrant (src = floor(dst*4/2))
+    val q = Array((10, 0, 0), (0, 20, 0), (0, 0, 30), (40, 40, 40))
+    val px = Array.tabulate(4, 4) { (y, x) =>
+      q((y / 2) * 2 + (x / 2))
+    }
+    val media = Seq((1L, "image", bmpBytes(px.map(_.toArray))),
+      (2L, "image", "garbage".getBytes))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+    val out = Multimodal.resizeImages(media, 2, 2)
+      .select($"media_id", $"decoded", $"thumb").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getAs[Array[Byte]](2)))
+      .toMap
+    assert(out(1L)._1)
+    assert(out(1L)._2.map(_ & 0xff).toSeq == Seq(
+      10, 0, 0, 0, 20, 0, 0, 0, 30, 40, 40, 40))
+    assert(!out(2L)._1 && out(2L)._2.isEmpty)
+  }
+
   test("extractFeatures dispatches by kind: real codecs for audio/image") {
     val wav = wavBytes(1, 16000, Array[Short](1000, -1000))
     val bmp = bmpBytes(Array(Array((100, 150, 200))))
