@@ -226,7 +226,27 @@ object VectorQueryCatalog {
       k = 10, probes = 4, shortlist = 50)
   }
 
+  /** FILTERED vector search — metadata predicate composed with the IVF
+    * probe path (the standard vector-db "where label = X" query): the
+    * label filter applies to the bucketed table BEFORE the per-row
+    * cosine, so the probe scans (probes/C · selectivity) of the corpus
+    * — predicate and index multiply, neither disables the other. The
+    * top-k is label-homogeneous by construction, which the oracle
+    * re-derives independently. */
+  val qv16FilteredKnn: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val cents = SimilaritySearch.hashSampledCentroids(emb, 16)
+    val bucketed = emb.join(
+      SimilaritySearch.ivfAssignExact(emb, cents), Seq("vec_id"))
+      .filter(col("label") === 3)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0)
+    SimilaritySearch.ivfQuery(bucketed, cents, typedlit(qvec),
+      k = 10, probes = 4)
+  }
+
   val defs: Map[String, Q] = Map(
+    "qv16_filtered_knn" -> qv16FilteredKnn,
     "qv15_ivfpq_query" -> qv15IvfPqQuery,
     "qv14_semdedup" -> qv14SemDedup,
     "qv13_pq_packed" -> qv13PqPacked,
@@ -368,6 +388,31 @@ object VectorQueryCatalog {
       .mkString(",\n  ")
 
   val sql: Map[String, String] = Map(
+    "qv16_filtered_knn" ->
+      s"""WITH cents AS ($centroidsSql),
+         |cscored AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    ${cosineSql("e.embedding", "c.centroid")} AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id AS bucket FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, centroid_id) AS rn
+         |    FROM cscored) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT centroid_id AS bucket
+         |  FROM cents CROSS JOIN q
+         |  ORDER BY ${cosineSql("centroid", "qv")} DESC, centroid_id
+         |  LIMIT 4)
+         |SELECT e.vec_id, ${cosineSql("e.embedding", "qv")} AS sim
+         |FROM embeddings e
+         |JOIN assigned a ON a.vec_id = e.vec_id
+         |JOIN probes p ON p.bucket = a.bucket
+         |CROSS JOIN q
+         |WHERE e.label = 3
+         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
     "qv15_ivfpq_query" -> {
       val sd = PqSubDim
       s"""WITH cents AS ($centroidsSql),
