@@ -109,4 +109,36 @@ class BandJoinRewriteSpec extends SparkSpec {
       assert(q.count() == 0)
     }
   }
+
+  test("property: random bounds and random comparison encodings " +
+    "always row-match rule-off, and always kill the nested loop") {
+    import org.apache.spark.sql.Column
+    val (a, b) = frames()
+    val rnd = new scala.util.Random(20260813)
+    // four syntactic encodings per bound; all mean delta >= lo / <= hi
+    def lower(lo: Int, enc: Int): Column = enc match {
+      case 0 => $"kb" >= $"ka" + lo
+      case 1 => $"ka" + lo <= $"kb"
+      case 2 => $"kb" > $"ka" + (lo - 1)
+      case 3 => $"ka" + (lo - 1) < $"kb"
+    }
+    def upper(hi: Int, enc: Int): Column = enc match {
+      case 0 => $"kb" <= $"ka" + hi
+      case 1 => $"ka" + hi >= $"kb"
+      case 2 => $"kb" < $"ka" + (hi + 1)
+      case 3 => $"ka" + (hi + 1) > $"kb"
+    }
+    for (_ <- 1 to 8) {
+      val lo = rnd.nextInt(13) - 6 // [-6, 6]
+      val hi = lo + rnd.nextInt(7) // width 1..7
+      val (encL, encU) = (rnd.nextInt(4), rnd.nextInt(4))
+      def q = a.join(b, lower(lo, encL) && upper(hi, encU))
+      val off = withRule(false)(sortedRows(q))
+      withRule(true) {
+        assert(nestedLoopOrCartesian(q.queryExecution.executedPlan) == 0,
+          s"[lo=$lo hi=$hi] nested loop survived")
+        assert(sortedRows(q) == off, s"[lo=$lo hi=$hi] rows differ")
+      }
+    }
+  }
 }
