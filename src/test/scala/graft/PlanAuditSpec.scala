@@ -21,4 +21,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"single-partition exchange outside allowlist: $offenders")
   }
+
+  test("driver contract: every query has an oracle except the ML " +
+    "rows-only four; no orphan oracle SQL") {
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert(oracles.subsetOf(queries),
+      s"oracle SQL without a query: ${oracles -- queries}")
+    val rowsOnly = queries -- oracles
+    assert(rowsOnly == Set("qm1_rf_confusion", "qm2_pca_variance",
+      "qm3_svm_confusion", "qm4_corr_matrix"),
+      s"unexpected rows-only queries (add oracle SQL or justify): " +
+        s"$rowsOnly")
+  }
 }

@@ -117,4 +117,24 @@ class DupClusterSpec extends SparkSpec {
       clusters(12L) == 10L)
     assert(clusters(20L) == 20L && clusters(30L) == 30L)
   }
+
+  test("dupClusters: non-convergence throws instead of returning " +
+    "partially propagated labels") {
+    // a CHAIN (not a clique): doc i = tokens w_i .. w_{i+39}, so only
+    // NEIGHBOURS overlap heavily (Jaccard ~0.95 → every adjacent LSH
+    // link forms, deterministically — the hashes are fixed); the
+    // 12-doc chain has diameter 11, which maxIter = 1 cannot finish
+    val docs = (0 until 12).map { i =>
+      (i.toLong, (0 until 40).map(j => s"w${i + j}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClustersWithRounds(docs, maxIter = 1)._1.collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with enough rounds the same chain collapses to cluster 0
+    val ok = Dedup.dupClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 12).forall(i => ok(i.toLong) == 0L),
+      s"chain must collapse to doc 0: $ok")
+  }
 }
