@@ -433,7 +433,30 @@ object TextQueryCatalog {
           .otherwise(lit(0.0)).as("oov_frac"))
   }
 
+  /** Edit-distance fuzzy matching — the string-level near-dup family
+    * (token/fingerprint methods miss single-character noise; curation
+    * uses edit distance for titles, URLs, short fields). Levenshtein
+    * over the first 40 chars of consecutive docs plus the normalised
+    * similarity 1 − dist/maxLen (exact ints, ONE double division).
+    * Classic DP is O(len²) per pair — which is why it's applied to a
+    * bounded PREFIX and why corpus-scale fuzzy dedup routes through
+    * LSH first (qt6) and edit distance only on candidate pairs. */
+  val qt27Levenshtein: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("pfx"))
+    val a = docs.select(col("doc_id").as("id_a"), col("pfx").as("pa"))
+    val b = docs.select(col("doc_id").as("id_b"), col("pfx").as("pb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"),
+        when(greatest(length(col("pa")), length(col("pb"))) > 0,
+          lit(1.0) - levenshtein(col("pa"), col("pb")).cast("double")
+            / greatest(length(col("pa")), length(col("pb"))).cast("double"))
+          .otherwise(lit(1.0)).as("similarity"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "qt27_levenshtein" -> qt27Levenshtein,
     "qt26_oov" -> qt26OovScore,
     "qt25_seq_pack" -> qt25SeqPack,
     "qt24_chunks" -> qt24Chunks,
@@ -603,6 +626,16 @@ object TextQueryCatalog {
        |FROM salted""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "qt27_levenshtein" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, substr(text, 1, 40) AS pfx FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist,
+         |  CASE WHEN greatest(length(a.pfx), length(b.pfx)) > 0
+         |    THEN 1.0 - CAST(levenshtein(a.pfx, b.pfx) AS DOUBLE)
+         |      / CAST(greatest(length(a.pfx), length(b.pfx)) AS DOUBLE)
+         |    ELSE 1.0 END AS similarity
+         |FROM p a JOIN p b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "qt26_oov" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(${T.tokens("text")}) AS tok FROM documents),
