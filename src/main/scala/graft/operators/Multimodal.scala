@@ -127,23 +127,47 @@ object Multimodal {
     * [0, 1]). Anything else → zero vector. */
   object BmpCodec extends MediaCodec {
     val featureDim = 6
-    def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
-      if (payload == null || payload.length < 54) return zeros
-      if (payload(0) != 'B' || payload(1) != 'M') return zeros
+
+    /** Max accepted dimension: keeps every stride/size computation
+      * comfortably inside Int after the Long-math validation (a hostile
+      * header can claim width 2³⁰ or height −2³¹; math on those must
+      * reject, not wrap into a negative allocation or an OOB walk). */
+    private val MaxDim = 1 << 16
+
+    /** Validated header: (dataOff, width, height, topDown, bytesPerPx,
+      * rowStride). None unless every derived size fits the payload. */
+    private[operators] def header(payload: Array[Byte])
+        : Option[(Int, Int, Int, Boolean, Int, Int)] = {
+      if (payload == null || payload.length < 54) return None
+      if (payload(0) != 'B' || payload(1) != 'M') return None
       val bb = java.nio.ByteBuffer.wrap(payload)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val dataOff = bb.getInt(10)
-      if (bb.getInt(14) != 40) return zeros // BITMAPINFOHEADER only
+      if (bb.getInt(14) != 40) return None // BITMAPINFOHEADER only
       val width = bb.getInt(18)
       val rawHeight = bb.getInt(22) // negative = top-down
       val bpp = bb.getShort(28).toInt
-      if (bb.getInt(30) != 0) return zeros // BI_RGB (uncompressed) only
-      val height = math.abs(rawHeight)
-      if (width <= 0 || height == 0 || (bpp != 24 && bpp != 32)) return zeros
+      if (bb.getInt(30) != 0) return None // BI_RGB (uncompressed) only
+      // Long math + caps: Int.MinValue height survives math.abs, and
+      // width * bytesPerPx can wrap Int — validate before any use
+      val height = math.abs(rawHeight.toLong)
+      if (width <= 0 || width > MaxDim ||
+        height <= 0 || height > MaxDim ||
+        (bpp != 24 && bpp != 32)) return None
       val bytesPerPx = bpp / 8
-      val rowStride = ((width * bytesPerPx + 3) / 4) * 4
-      if (dataOff < 54 || dataOff.toLong + rowStride.toLong * height
-          > payload.length) return zeros
+      val rowStride = ((width.toLong * bytesPerPx + 3) / 4) * 4
+      if (dataOff < 54 ||
+        dataOff.toLong + rowStride * height > payload.length) return None
+      Some((dataOff, width, height.toInt, rawHeight < 0, bytesPerPx,
+        rowStride.toInt))
+    }
+
+    def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
+      val (dataOff, width, height, _, bytesPerPx, rowStride) =
+        header(payload) match {
+          case Some(h) => h
+          case None => return zeros
+        }
       var sr = 0L; var sg = 0L; var sb = 0L
       var y = 0
       while (y < height) {
@@ -159,37 +183,28 @@ object Multimodal {
         y += 1
       }
       val n = width.toLong * height * 255
-      Array(width.toFloat, height.toFloat, bpp.toFloat,
+      Array(width.toFloat, height.toFloat, (bytesPerPx * 8).toFloat,
         sr.toFloat / n, sg.toFloat / n, sb.toFloat / n)
     }
 
     /** Full pixel decode: (width, height, top-down packed RGB bytes) —
       * the input to [[Multimodal.resizeImages]]. Same container rules
-      * as [[decodeToFeatures]] (BITMAPINFOHEADER, BI_RGB, 24/32 bpp);
-      * None on anything else. */
+      * and [[header]] validation as [[decodeToFeatures]]; None on
+      * anything else (a corrupt header must never throw — one bad row
+      * would kill the whole partition task in `resizeImages`). The RGB
+      * buffer is ≤ 3× the validated pixel-array size, so the
+      * allocation is bounded by the payload itself. */
     def decodePixels(payload: Array[Byte])
         : Option[(Int, Int, Array[Byte])] = {
-      if (payload == null || payload.length < 54) return None
-      if (payload(0) != 'B' || payload(1) != 'M') return None
-      val bb = java.nio.ByteBuffer.wrap(payload)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      val dataOff = bb.getInt(10)
-      if (bb.getInt(14) != 40) return None
-      val width = bb.getInt(18)
-      val rawHeight = bb.getInt(22)
-      val bpp = bb.getShort(28).toInt
-      if (bb.getInt(30) != 0) return None
-      val height = math.abs(rawHeight)
-      if (width <= 0 || height == 0 || (bpp != 24 && bpp != 32)) return None
-      val bytesPerPx = bpp / 8
-      val rowStride = ((width * bytesPerPx + 3) / 4) * 4
-      if (dataOff < 54 || dataOff.toLong + rowStride.toLong * height
-          > payload.length) return None
+      val (dataOff, width, height, topDown, bytesPerPx, rowStride) =
+        header(payload) match {
+          case Some(h) => h
+          case None => return None
+        }
       val rgb = new Array[Byte](width * height * 3)
       var imgY = 0
       while (imgY < height) {
-        // positive height = bottom-up storage
-        val fileRow = if (rawHeight > 0) height - 1 - imgY else imgY
+        val fileRow = if (topDown) imgY else height - 1 - imgY
         val row = dataOff + fileRow * rowStride
         var x = 0
         while (x < width) {

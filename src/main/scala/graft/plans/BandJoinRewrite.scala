@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, CreateArray, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, CreateArray, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression, Subtract}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -32,9 +32,15 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    condition (extra equi keys make the join cheaper still);
   *  - multiple lower (upper) bounds collapse to the tightest, which
   *    implies the rest.
-  * Caveat: `aKey + off` uses non-ANSI wrapping arithmetic; keys within
-  * `maxWidth` of the int64 edge could in principle wrap — corpus ids
-  * never live there, and the width guard keeps the window tiny.
+  * The rule fires on LONG keys only. `aKey + off` uses non-ANSI
+  * wrapping arithmetic, so keys within `maxWidth` of the int64 edge
+  * could in principle wrap — corpus ids never live there, and the
+  * width guard keeps the window tiny. 32-bit keys are excluded
+  * outright: ints near 2³¹ are realistic, and there the original
+  * comparison's wrapped arithmetic and the enumerated offsets would
+  * disagree. Bound arithmetic is overflow-safe (BigInt accumulation,
+  * guarded strict-bound shifts), so pathological literal constants
+  * leave the join untouched rather than mis-rewriting it.
   *
   * Config: `spark.graft.rewriteBandJoin.enabled` (default true),
   * `spark.graft.rewriteBandJoin.maxWidth` (default 64 offsets).
@@ -55,14 +61,23 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** Decompose `e` as `attr + c` (int or long attr, literal offset). */
+  /** Decompose `e` as `attr + c` (LONG attr only, literal offset).
+    * Int keys are deliberately excluded: a 32-bit key can plausibly
+    * live near 2³¹, where the original comparison's wrapped arithmetic
+    * and the rewrite's enumerated offsets diverge; for longs the wrap
+    * window (within maxWidth of 2⁶³) holds no realistic keys. Handles
+    * `a + c`, `c + a` and `a - c`. */
   private def linear(e: Expression): Option[(AttributeReference, Long)] =
     e match {
-      case a: AttributeReference
-          if a.dataType == IntegerType || a.dataType == LongType =>
+      case a: AttributeReference if a.dataType == LongType =>
         Some((a, 0L))
-      case Add(a: AttributeReference, IntLit(c), _) => Some((a, c))
-      case Add(IntLit(c), a: AttributeReference, _) => Some((a, c))
+      case Add(a: AttributeReference, IntLit(c), _)
+          if a.dataType == LongType => Some((a, c))
+      case Add(IntLit(c), a: AttributeReference, _)
+          if a.dataType == LongType => Some((a, c))
+      case Subtract(a: AttributeReference, IntLit(c), _)
+          if a.dataType == LongType && c != Long.MinValue =>
+        Some((a, -c))
       case _ => None
     }
 
@@ -72,6 +87,12 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** Shift a strict bound's constant by one (integer domains) — None
+    * on Long overflow rather than a silently wrapped bound. */
+  private def inc(p: (AttributeReference, Long))
+      : Option[(AttributeReference, Long)] =
+    if (p._2 == Long.MaxValue) None else Some((p._1, p._2 + 1))
+
   /** Normalise a comparison conjunct to `p ≤ q` over attr+const sides
     * (strict forms shift the constant — integer domains). */
   private def asLeq(e: Expression)
@@ -80,11 +101,11 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       case LessThanOrEqual(x, y) =>
         for (a <- linear(x); b <- linear(y)) yield (a, b)
       case LessThan(x, y) =>
-        for (a <- linear(x); b <- linear(y)) yield ((a._1, a._2 + 1), b)
+        for (a <- linear(x); b <- linear(y); a1 <- inc(a)) yield (a1, b)
       case GreaterThanOrEqual(x, y) =>
         for (a <- linear(x); b <- linear(y)) yield (b, a)
       case GreaterThan(x, y) =>
-        for (a <- linear(x); b <- linear(y)) yield ((b._1, b._2 + 1), a)
+        for (a <- linear(x); b <- linear(y); b1 <- inc(b)) yield (b1, a)
       case _ => None
     }
 
@@ -93,28 +114,30 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
 
   /** Find one (leftKey, rightKey) pair whose delta `r − l` is bounded on
     * BOTH sides by the conjuncts; returns the tightest band and which
-    * conjuncts it absorbs. */
+    * conjuncts it absorbs. Bound arithmetic runs in BigInt — two Long
+    * constants can subtract past the Long range, and a wrapped bound
+    * would silently change which rows the band admits. */
   private def findBand(conjuncts: Seq[Expression], left: LogicalPlan,
       right: LogicalPlan): Option[Band] = {
     // per (leftAttr, rightAttr) pair: (maxLo, minHi, consumed conjuncts)
     val acc = scala.collection.mutable.LinkedHashMap
       .empty[(Long, Long), (AttributeReference, AttributeReference,
-        Option[Long], Option[Long], Vector[Expression])]
+        Option[BigInt], Option[BigInt], Vector[Expression])]
     conjuncts.foreach { c =>
       asLeq(c).foreach { case ((pa, pc), (qa, qc)) =>
         // p ≤ q. delta = rAttr − lAttr.
         val entry =
           if (left.outputSet.contains(pa) && right.outputSet.contains(qa))
             // lAttr + pc ≤ rAttr + qc  →  delta ≥ pc − qc
-            Some((pa, qa, Some(pc - qc), None))
+            Some((pa, qa, Some(BigInt(pc) - BigInt(qc)), None))
           else if (right.outputSet.contains(pa) && left.outputSet.contains(qa))
             // rAttr + pc ≤ lAttr + qc  →  delta ≤ qc − pc
-            Some((qa, pa, None, Some(qc - pc)))
+            Some((qa, pa, None, Some(BigInt(qc) - BigInt(pc))))
           else None
         entry.foreach { case (l, r, lo, hi) =>
           val key = (l.exprId.id, r.exprId.id)
           val (_, _, lo0, hi0, cs) = acc.getOrElse(key,
-            (l, r, None: Option[Long], None: Option[Long],
+            (l, r, None: Option[BigInt], None: Option[BigInt],
               Vector.empty[Expression]))
           acc(key) = (l, r,
             (lo0 ++ lo).reduceOption(_ max _),
@@ -125,8 +148,9 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     }
     acc.values.collectFirst {
       case (l, r, Some(lo), Some(hi), cs)
-          if hi >= lo && hi - lo + 1 <= maxWidth =>
-        Band(l, r, lo, hi, cs)
+          if hi >= lo && hi - lo + 1 <= maxWidth &&
+            lo >= BigInt(Long.MinValue) && hi <= BigInt(Long.MaxValue) =>
+        Band(l, r, lo.toLong, hi.toLong, cs)
     }
   }
 
@@ -137,10 +161,7 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
         val conjuncts = splitConjuncts(cond)
         findBand(conjuncts, left, right) match {
           case Some(Band(lAttr, rAttr, lo, hi, consumed)) =>
-            val offs: Seq[Expression] = (lo to hi).map { o =>
-              if (lAttr.dataType == LongType) Literal(o)
-              else Literal(o.toInt)
-            }
+            val offs: Seq[Expression] = (lo to hi).map(o => Literal(o))
             val offAttr = AttributeReference("_band_off", lAttr.dataType,
               nullable = false)()
             val exploded = Generate(Explode(CreateArray(offs)),

@@ -281,23 +281,12 @@ object StreamQueryCatalog {
     * as the batch query, so micro-batch boundaries cannot change any
     * value. Oracle: the batch qt23 SQL verbatim. */
   val qs13StreamPiiScrub: Q = (s, dir) => {
-    import graft.functions.TextFunctions._
     val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
     val docs = s.readStream.schema(rawSchema)
       .parquet(s"$dir/documents.parque[t]")
-    val salted = docs
-      .select(col("doc_id"), concat(col("text"),
-        lit(" contact user"), col("doc_id").cast("string"),
-        lit("@mail.example.com from 10."),
-        (col("doc_id") % 256).cast("string"), lit(".0.7 call 555-"),
-        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
-    val scrubbed = salted.select(col("doc_id"),
-      piiCount(col("text"), EmailRe).cast("long").as("n_emails"),
-      piiCount(col("text"), Ipv4Re).cast("long").as("n_ipv4"),
-      piiCount(col("text"), PhoneRe).cast("long").as("n_phones"),
-      length(redactPii(col("text"))).cast("long").as("redacted_len"),
-      hash32(redactPii(col("text"))).as("redacted_hash"))
-    runToTable(scrubbed, s, "append")
+    // the SAME projection object as the batch query — structural
+    // equivalence with qt23 and its oracle, not a hand-kept copy
+    runToTable(TextQueryCatalog.saltedPiiScrub(docs), s, "append")
   }
 
   /** Incremental streaming LSH near-dup detection

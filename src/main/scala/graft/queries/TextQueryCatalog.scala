@@ -331,20 +331,27 @@ object TextQueryCatalog {
     * definition, both engines); replacement order is fixed there.
     * Shape: map-only regex work inside whole-stage codegen — embarrass-
     * ingly parallel, the 100 TB cost is exactly one scan. */
-  val qt23PiiRedact: Q = (s, dir) => {
-    val salted = table(s, dir, "documents")
+  /** The salt + scrub projection itself, shared by the batch query
+    * (qt23) and the streaming ingest scrubber
+    * (`StreamQueryCatalog.qs13`): one definition makes their documented
+    * "identical map-only stage" claim structural — an edit here changes
+    * both sides and the shared oracle together. */
+  def saltedPiiScrub(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), concat(col("text"),
         lit(" contact user"), col("doc_id").cast("string"),
         lit("@mail.example.com from 10."),
         (col("doc_id") % 256).cast("string"), lit(".0.7 call 555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
-    salted.select(col("doc_id"),
-      piiCount(col("text"), EmailRe).cast("long").as("n_emails"),
-      piiCount(col("text"), Ipv4Re).cast("long").as("n_ipv4"),
-      piiCount(col("text"), PhoneRe).cast("long").as("n_phones"),
-      length(redactPii(col("text"))).cast("long").as("redacted_len"),
-      hash32(redactPii(col("text"))).as("redacted_hash"))
-  }
+      .select(col("doc_id"),
+        piiCount(col("text"), EmailRe).cast("long").as("n_emails"),
+        piiCount(col("text"), Ipv4Re).cast("long").as("n_ipv4"),
+        piiCount(col("text"), PhoneRe).cast("long").as("n_phones"),
+        length(redactPii(col("text"))).cast("long").as("redacted_len"),
+        hash32(redactPii(col("text"))).as("redacted_hash"))
+
+  val qt23PiiRedact: Q = (s, dir) =>
+    saltedPiiScrub(table(s, dir, "documents"))
 
   /** Context-window chunking: split each document into fixed-size
     * non-overlapping token windows (the pre-tokenisation chunking step

@@ -85,6 +85,47 @@ class BandJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("subtract-form lower bound rewrites: kb >= ka - 5 && kb <= ka + 5") {
+    val (a, b) = frames()
+    def q = a.join(b, $"kb" >= $"ka" - 5 && $"kb" <= $"ka" + 5)
+    val off = withRule(false)(sortedRows(q))
+    withRule(true) {
+      assert(nestedLoopOrCartesian(q.queryExecution.executedPlan) == 0,
+        "the symmetric-window form must rewrite")
+      assert(sortedRows(q) == off)
+    }
+  }
+
+  test("overflow safety: extreme literal constants leave the join " +
+    "untouched and never fail planning") {
+    val (a, b) = frames()
+    withRule(true) {
+      // bound arithmetic past the Long range: width computation must
+      // not wrap into the <= maxWidth window
+      val huge = a.join(b, $"kb" >= $"ka" - 5000000000000000000L &&
+        $"kb" <= $"ka" + 5000000000000000000L)
+      assert(nestedLoopOrCartesian(huge.queryExecution.executedPlan) >= 1)
+      // strict bound at Long.MaxValue: the +1 shift must bail, not wrap
+      // into lo = Long.MinValue. (Spark itself then folds the
+      // contradictory x > c && x <= c condition to an empty relation,
+      // so the observable contract is: planning succeeds, zero rows.)
+      val edge = a.join(b, $"kb" > $"ka" + Long.MaxValue &&
+        $"kb" <= $"ka" + Long.MaxValue)
+      assert(edge.count() == 0)
+    }
+  }
+
+  test("int32 keys never rewrite (wrap semantics near 2^31 differ)") {
+    val (a0, b0) = frames()
+    val a = a0.select($"ka".cast("int").as("ka"), $"va")
+    val b = b0.select($"kb".cast("int").as("kb"), $"vb")
+    withRule(true) {
+      val q = a.join(b, $"kb" >= $"ka" + 1 && $"kb" <= $"ka" + 5)
+      assert(nestedLoopOrCartesian(q.queryExecution.executedPlan) >= 1,
+        "int keys must stay on the nested-loop path")
+    }
+  }
+
   test("does not fire: half-open band, too-wide band, non-integer keys") {
     val (a, b) = frames()
     withRule(true) {

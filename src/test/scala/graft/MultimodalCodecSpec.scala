@@ -112,6 +112,37 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(BmpCodec.decodePixels("not a bmp".getBytes).isEmpty)
   }
 
+  test("hostile BMP headers reject cleanly: Int.MinValue height, " +
+    "width overflow, giant dims") {
+    val good = bmpBytes(Array(Array((1, 2, 3))))
+    def mutated(off: Int, value: Int): Array[Byte] = {
+      val c = good.clone()
+      ByteBuffer.wrap(c).order(ByteOrder.LITTLE_ENDIAN).putInt(off, value)
+      c
+    }
+    // height = Int.MinValue survives math.abs as a negative — must be
+    // rejected, not turned into a negative allocation
+    val minH = mutated(22, Int.MinValue)
+    assert(BmpCodec.decodePixels(minH).isEmpty)
+    assert(BmpCodec.decodeToFeatures(minH).forall(_ == 0f))
+    // width * bytesPerPx wraps Int to a tiny stride — must be rejected,
+    // not walked past the payload end
+    val wideW = mutated(18, 0x20000000)
+    assert(BmpCodec.decodePixels(wideW).isEmpty)
+    assert(BmpCodec.decodeToFeatures(wideW).forall(_ == 0f))
+    // dims over the cap
+    val bigH = mutated(22, (1 << 16) + 1)
+    assert(BmpCodec.decodePixels(bigH).isEmpty)
+    // and resizeImages flags all of them instead of crashing the task
+    val media = Seq((1L, "image", minH), (2L, "image", wideW),
+      (3L, "image", bigH))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+    val out = Multimodal.resizeImages(media, 2, 2)
+      .select($"decoded").collect()
+    assert(out.length == 3 && out.forall(!_.getBoolean(0)))
+  }
+
   test("resizeImages: exact nearest-neighbour pixel selection") {
     // 4x4 image whose quadrants have distinct colors; a 2x2 resize must
     // pick the top-left pixel of each quadrant (src = floor(dst*4/2))
