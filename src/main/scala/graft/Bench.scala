@@ -5,22 +5,46 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR`, plus the end-to-end pipeline cells that mirror
   * BASELINE.md's published runtimes at the reference's own scale
   * (671,024×60 synthetic bars; disable with SPARK_GRAFT_E2E=0). Emits ONE
-  * JSON line. */
+  * JSON line.
+  *
+  * E2E cells are measured two ways, because interleaved numbers proved
+  * noisy across rounds (a cell can inherit multi-second GC debt from the
+  * ML cell before it — ±40% observed):
+  *  - interleaved (key `e2e_X`): all cells sequentially in the shared
+  *    session, as rounds 1–3 measured them — kept for trend continuity;
+  *  - isolated (key `e2e_X_iso`): each cell in a FRESH SparkSession
+  *    (own SparkContext — broadcast/block-manager state from prior cells
+  *    gone), forced GC before each rep, median of `SPARK_GRAFT_E2E_REPS`
+  *    (default 3) reps. These are the authoritative per-cell numbers for
+  *    BASELINE comparison.
+  * `SPARK_GRAFT_E2E_MODE` = both (default) | interleaved | isolated.
+  * The `total` metric stays interleaved-only so it remains comparable
+  * with BENCH_r01–r03.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runE2e = sys.env.getOrElse("SPARK_GRAFT_E2E", "1") != "0"
-    // optional comma-separated query-name filter for spot measurements
-    val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val spark = SparkSession.builder()
+
+  private def buildSession(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runE2e = sys.env.getOrElse("SPARK_GRAFT_E2E", "1") != "0"
+    val e2eMode = sys.env.getOrElse("SPARK_GRAFT_E2E_MODE", "both")
+    val e2eReps = sys.env.getOrElse("SPARK_GRAFT_E2E_REPS", "3").toInt
+    // optional comma-separated query-name filter for spot measurements
+    // (applies to catalog queries AND e2e cells)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val spark = buildSession(cpus)
     // warmup: JIT + filesystem caches, so the first timed query isn't
     // charged for session spin-up
     try { SparkEntry.entry(spark).queryExecution.toRdd.count() }
@@ -47,23 +71,44 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       name -> dt
     }
-    val e2e: Map[String, Double] =
-      if (!runE2e) Map.empty
-      else {
-        val path = bench.SyntheticBars.ensure(spark) // untimed, write-once
-        bench.E2EBench.cells.map { case (name, fn) =>
+    var interleaved = Map.empty[String, Double]
+    var isolated = Map.empty[String, Double]
+    if (runE2e) {
+      // deterministic cell order (Map iteration order is not)
+      val cells = bench.E2EBench.cells.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+      val path = bench.SyntheticBars.ensure(spark) // untimed, write-once
+      if (e2eMode != "isolated") {
+        interleaved = cells.map { case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, path) } catch { case _: Throwable => () }
           val dt = (System.nanoTime() - t0) / 1e9
           spark.sharedState.cacheManager.clearCache()
           name -> dt
-        }
+        }.toMap
       }
-    val all = results ++ e2e
+      spark.stop()
+      if (e2eMode != "interleaved") {
+        isolated = cells.map { case (name, fn) =>
+          val s = buildSession(cpus)
+          try {
+            val times = (1 to math.max(1, e2eReps)).map { _ =>
+              s.sharedState.cacheManager.clearCache()
+              System.gc()
+              val t0 = System.nanoTime()
+              try { fn(s, path) } catch { case _: Throwable => () }
+              (System.nanoTime() - t0) / 1e9
+            }.sorted
+            (name + "_iso") -> times(times.length / 2)
+          } finally s.stop()
+        }.toMap
+      }
+    } else spark.stop()
+    val all = results ++ interleaved ++ isolated
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (all.nonEmpty) all.values.sum else 0.0
+    // interleaved-only total, comparable with rounds 1-3
+    val total = results.values.sum + interleaved.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }

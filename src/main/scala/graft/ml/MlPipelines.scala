@@ -107,7 +107,11 @@ object MlPipelines {
     * `G_2_rf_rdd.py:115-121`) offered verbatim for API parity. The
     * DataFrame evaluators in [[evaluate]] are the production path
     * (codegen'd, no RDD hop); `MlAndExtensionSpecs` asserts the two
-    * agree on accuracy/F1/AUC, so this twin is verified, not vestigial. */
+    * agree on accuracy/F1, so this twin is verified, not vestigial.
+    * AUC here scores HARD predictions (the RDD path has no raw scores),
+    * which generally differs from [[evaluate]]'s rawPrediction AUC —
+    * hence the distinct `areaUnderROC_hard` key; parity holds only
+    * against an evaluator re-fed the hard `prediction` column. */
   def evaluateMllib(predictions: DataFrame,
       labelCol: String = "buy_or_sell"): Map[String, Double] = {
     import org.apache.spark.mllib.evaluation.{
@@ -118,7 +122,7 @@ object MlPipelines {
     val mc = new MulticlassMetrics(scoreAndLabel)
     val bin = new BinaryClassificationMetrics(scoreAndLabel)
     Map("accuracy" -> mc.accuracy, "f1" -> mc.weightedFMeasure,
-      "areaUnderROC" -> bin.areaUnderROC())
+      "areaUnderROC_hard" -> bin.areaUnderROC())
   }
 
   /** M13 — CrossValidator + ParamGridBuilder. The reference IMPORTS

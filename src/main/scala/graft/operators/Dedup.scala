@@ -241,15 +241,72 @@ object Dedup {
     * doesn't replay rounds 1..N-1. The driver only sees the one-long
     * convergence counter per round. */
   def dupClusters(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxIter: Int = 20): DataFrame =
-    dupClustersWithRounds(docs, idCol, textCol, maxIter)._1
+      textCol: String = "text", maxIter: Int = 20,
+      starFallback: Boolean = true): DataFrame =
+    dupClustersWithRounds(docs, idCol, textCol, maxIter, starFallback)._1
+
+  /** Alternating large-star / small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    * large-star hangs every larger neighbour of u off min(Γ(u) ∪ {u});
+    * small-star re-hangs the smaller neighbourhood. Alternating the two
+    * halves the tree height each round, so it converges in O(log n)
+    * rounds REGARDLESS of component diameter — the fallback for
+    * chain-shaped near-dup graphs where min-label propagation's
+    * O(diameter) rounds exceed maxIter. Per round: two narrow
+    * groupBy+join passes over the EDGE set only (≪ corpus);
+    * `localCheckpoint` cuts lineage as in the main loop. Returns
+    * (v → component-min edges, rounds). */
+  private[graft] def starContract(edges0: DataFrame, maxIter: Int = 50)
+      : (DataFrame, Int) = {
+    var edges = edges0.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetrized graph: m(u) = min(Γ(u) ∪ {u});
+      // emit (v, m(u)) for each neighbour v > u — connectivity-preserving
+      val sym = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mPerU = sym.groupBy(col("src"))
+        .agg(min(col("dst")).as("_mn"))
+        .select(col("src"), least(col("_mn"), col("src")).as("_m"))
+      val ls = sym.join(mPerU, Seq("src"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      // small-star over the hi→lo orientation: m(h) = min of the smaller
+      // neighbourhood; re-hang that neighbourhood (and h) off m
+      val dir = ls.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val mPerH = dir.groupBy(col("src")).agg(min(col("dst")).as("_m"))
+      val next = dir.join(mPerH, Seq("src"))
+        .select(explode(array(col("dst"), col("src"))).as("src"),
+          col("_m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint()
+      converged = next.count() == edges.count() &&
+        next.except(edges).limit(1).count() == 0L
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"starContract did not stabilise in $maxIter rounds — " +
+          "O(log n) convergence makes this unreachable for any graph " +
+          "with < 2^maxIter nodes; the input edge set must be changing " +
+          "under it (non-deterministic source?)")
+    (edges, iter)
+  }
 
   /** [[dupClusters]] plus the number of propagation rounds it took to
     * converge — the loop is eager (one count per round), so the round
     * count is exact by return time; `ScaleProbe` quotes it in SCALE.md
     * as the measured component diameter. */
   def dupClustersWithRounds(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxIter: Int = 20): (DataFrame, Int) = {
+      textCol: String = "text", maxIter: Int = 20,
+      starFallback: Boolean = true): (DataFrame, Int) = {
     val pairs = lshCandidatePairs(docs, idCol, textCol)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -278,11 +335,23 @@ object Dedup {
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
-    if (!converged)
+    if (!converged && !starFallback)
       throw new IllegalStateException(
         s"dupClusters: min-label propagation did not converge in $maxIter " +
           "rounds — a near-dup chain exceeds that diameter; raise maxIter " +
-          "(partially propagated cluster_ids would be silently wrong)")
+          "or enable starFallback (partially propagated cluster_ids would " +
+          "be silently wrong)")
+    if (!converged) {
+      // the chain outran O(diameter) propagation: restart from the
+      // ORIGINAL pair graph with the O(log n)-round star contraction
+      // (partial labels are discarded — correctness over salvage)
+      val (starEdges, starRounds) = starContract(edges)
+      labels = labels.select(col("id"))
+        .join(starEdges.select(col("src").as("id"),
+          col("dst").as("_sl")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("_sl"), col("id")).as("label"))
+      iter += starRounds
+    }
     val out = docs.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),

@@ -43,50 +43,81 @@ object GlobalWindow {
       df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
   }
 
-  /** Literal bucket cuts for `bucketKey`: equal-width spans of the
-    * observed [min, max] by default (ONE cheap min/max aggregate — the
-    * stitch is correct for ANY monotonic bucketing, empty buckets
-    * included, so balance only affects parallelism, not results), or
-    * approx-quantile cuts when the caller knows the key is skewed. */
+  /** When the estimated equal-width occupancy of the fullest bucket
+    * exceeds this multiple of uniform, the adaptive default switches to
+    * quantile cuts (skewed keys would otherwise collapse most rows into
+    * few buckets — correct either way, the stitch is balance-independent,
+    * but parallelism degrades). */
+  private val SkewImbalanceThreshold = 4.0
+
+  /** Literal bucket cuts for `bucketKey`, SKEW-ADAPTIVE by default: one
+    * approx-quantile pass (a partial-aggregable Greenwald-Khanna sketch —
+    * no extra scan vs the old min/max aggregate) yields the key's
+    * quantile grid; from it we estimate what fraction of rows each
+    * EQUAL-WIDTH span of [min, max] would hold. If the fullest span
+    * holds > [[SkewImbalanceThreshold]]× the uniform share, the key is
+    * skewed and the quantile values themselves become the cuts
+    * (balanced occupancy by construction); otherwise the cheaper-to-
+    * reason-about equal-width cuts are kept. `quantileBuckets = true`
+    * forces the quantile path. Either way the cuts are collected ONCE
+    * and inlined as literals, so the main and boundary passes agree —
+    * the stitch is correct for ANY monotonic bucketing, empty buckets
+    * included; balance only affects parallelism, never results. */
   private def bucketCuts(df: DataFrame, bucketKey: Column, parts: Int,
       quantileBuckets: Boolean): Seq[Double] = {
     if (parts <= 1) return Nil
-    if (quantileBuckets) {
-      val probs = (1 until parts).map(_.toDouble / parts)
-      df.select(bucketKey.cast("double").as("_bk"))
-        .stat.approxQuantile("_bk", probs.toArray, 0.001)
-        .toSeq.distinct.sorted
-    } else {
-      val mm = df.agg(min(bucketKey.cast("double")),
-        max(bucketKey.cast("double"))).head()
-      if (mm.isNullAt(0) || mm.isNullAt(1)) Nil
-      else {
-        val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
-        if (hi <= lo) Nil
-        else (1 until parts).map(i => lo + (hi - lo) * i / parts)
-          .distinct.sorted
-      }
+    val probs = (0 to parts).map(_.toDouble / parts) // 0 and 1 = min, max
+    val qs = df.select(bucketKey.cast("double").as("_bk"))
+      .stat.approxQuantile("_bk", probs.toArray, 0.001)
+    if (qs.length < 2) return Nil // no non-null keys
+    val lo = qs.head; val hi = qs.last
+    if (hi <= lo) return Nil // constant key: one bucket
+    val interior = qs.slice(1, qs.length - 1).toSeq.distinct.sorted
+    if (quantileBuckets) return interior
+    // adjacent quantiles bound ~1/parts of the rows each; drop that mass
+    // into the equal-width bin holding the pair's midpoint and compare
+    // the fullest bin against the uniform share of 1.0
+    val width = (hi - lo) / parts
+    val occupancy = new Array[Double](parts)
+    var i = 0
+    while (i < parts) {
+      val mid = (qs(i) + qs(i + 1)) / 2
+      val b = math.min(parts - 1, math.max(0, ((mid - lo) / width).toInt))
+      occupancy(b) += 1.0
+      i += 1
     }
+    if (occupancy.max > SkewImbalanceThreshold) interior
+    else (1 until parts).map(i => lo + (hi - lo) * i / parts)
+      .distinct.sorted
   }
 
-  /** `lag(valueCol, 1)` over the global `orderCols` order.
+  /** `lag(valueCol, offset)` over the global `orderCols` order.
     *
     * @param bucketKey numeric, non-decreasing function of the order
     *                  prefix (e.g. `unix_micros(col("ts"))` when ordering
     *                  by ts): rows with equal keys must sort adjacently.
     *                  Value-derived cuts of this key define the parallel
     *                  buckets.
+    * @param offset    lag distance k ≥ 1. k = 1 stitches with the
+    *                  partial-aggregable per-bucket-LAST boundary pass;
+    *                  k > 1 carries the last k rows per bucket through
+    *                  [[lagGlobalK]]'s tail stitch.
     */
   def lagGlobal(df: DataFrame, orderCols: Seq[String], valueCol: String,
       out: String, bucketKey: Column,
       numPartitions: Option[Int] = None,
-      quantileBuckets: Boolean = false): DataFrame = {
+      quantileBuckets: Boolean = false,
+      offset: Int = 1): DataFrame = {
+    require(offset >= 1, s"offset $offset")
     val oc: Seq[Column] = orderCols.map(col)
     if (useSmallInputPath(df))
       return df.withColumn(out,
-        lag(col(valueCol), 1).over(Window.orderBy(oc: _*)))
+        lag(col(valueCol), offset).over(Window.orderBy(oc: _*)))
     val parts = numPartitions.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
+    if (offset > 1)
+      return lagGlobalK(df, orderCols, valueCol, out, bucketKey, offset,
+        parts, quantileBuckets)
 
     // pass 0: bucket cuts collected once → literals
     val cuts = bucketCuts(df, bucketKey, parts, quantileBuckets)
@@ -145,6 +176,79 @@ object GlobalWindow {
       .withColumn(out,
         when(col("_rn") === 1, col("_prev_last")).otherwise(col(out)))
       .drop("_bucket", "_rn", "_prev_last")
+  }
+
+  /** General-offset global lag, k > 1: per-bucket `lag(k)` in parallel,
+    * then the first k rows of each bucket are stitched from the GLOBAL
+    * k-row tail preceding the bucket. The boundary pass extracts each
+    * bucket's last k `(order, value)` rows from a NARROW projection
+    * (bucket, orderCols, value) — one narrow per-bucket-sort shuffle, no
+    * single-partition exchange anywhere — and the driver walks buckets
+    * in order carrying a ≤ k-element tail (collect is ≤ parts·k tiny
+    * rows). Row r (1-based) of bucket b needs the value k−r+1 positions
+    * from the end of that tail; missing ⇒ null, matching the
+    * unpartitioned window's head-of-frame nulls. */
+  private def lagGlobalK(df: DataFrame, orderCols: Seq[String],
+      valueCol: String, out: String, bucketKey: Column, k: Int,
+      parts: Int, quantileBuckets: Boolean): DataFrame = {
+    val oc: Seq[Column] = orderCols.map(col)
+    val cuts = bucketCuts(df, bucketKey, parts, quantileBuckets)
+    val bucket: Column =
+      if (cuts.isEmpty) lit(0)
+      else cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(bucketKey.cast("double") > lit(c), 1).otherwise(0)
+      }
+    val withBucket = df.withColumn("_bucket", bucket)
+    val bucketed = withBucket.repartition(parts, col("_bucket"))
+    val w = Window.partitionBy(col("_bucket")).orderBy(oc: _*)
+    val local = bucketed
+      .withColumn("_rn", row_number().over(w))
+      .withColumn(out, lag(col(valueCol), k).over(w))
+
+    // last k rows per bucket, oldest-first
+    val wDesc = Window.partitionBy(col("_bucket"))
+      .orderBy(oc.map(_.desc): _*)
+    val tailRows = withBucket
+      .select((col("_bucket") +: oc :+ col(valueCol).as("_v")): _*)
+      .withColumn("_rd", row_number().over(wDesc))
+      .filter(col("_rd") <= k)
+      .select(col("_bucket"), col("_rd"), col("_v"))
+      .collect()
+    val tailByBucket: Map[Int, Seq[Any]] = tailRows
+      .groupBy(_.getInt(0))
+      .map { case (b, rows) =>
+        // _rd = j is the j-th row from the bucket end ⇒ descending _rd
+        // is ascending global position
+        b -> rows.sortBy(-_.getInt(1)).map(_.get(2)).toSeq
+      }
+
+    val nBuckets = cuts.size + 1
+    val boundRows = Seq.newBuilder[org.apache.spark.sql.Row]
+    var tail = Vector.empty[Any] // ≤ k values before the current bucket
+    (0 until nBuckets).foreach { b =>
+      (1 to k).foreach { r =>
+        val back = k - r + 1
+        val v: Any =
+          if (tail.length >= back) tail(tail.length - back) else null
+        boundRows += org.apache.spark.sql.Row(b, r, v)
+      }
+      tail = (tail ++ tailByBucket.getOrElse(b, Seq.empty)).takeRight(k)
+    }
+    val valueField = df.schema(valueCol)
+    val boundsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_bucket",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("_rn",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      valueField.copy(name = "_prev_k", nullable = true)))
+    val bounds = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(boundRows.result(): _*), boundsSchema)
+
+    local
+      .join(broadcast(bounds), Seq("_bucket", "_rn"), "left")
+      .withColumn(out,
+        when(col("_rn") <= k, col("_prev_k")).otherwise(col(out)))
+      .drop("_bucket", "_rn", "_prev_k")
   }
 
   /** `lead(valueCol, 1)` over the global order — the mirror image:

@@ -221,11 +221,110 @@ object Multimodal {
     }
   }
 
+  /** REAL compressed-image decode: JPEG / PNG (and GIF) via
+    * `javax.imageio` — pure-JDK, no native libs. Same total-function
+    * hardening contract as [[BmpCodec]]:
+    *  - a corrupt/truncated payload must return zeros/None, never throw
+    *    (one poisoned blob must not kill a partition task) — every
+    *    imageio failure mode (`IIOException`, runtime exceptions from
+    *    hostile streams) is caught;
+    *  - decoded size is validated BEFORE pixel decode. Unlike BMP, a
+    *    compressed payload does not bound its decoded size — a 100-byte
+    *    "decompression bomb" can claim 2³⁰×2³⁰ — so the reader parses
+    *    the header only (`getWidth/getHeight` with `seekForwardOnly`),
+    *    caps pixels at [[ImageIoCodec.MaxPixels]], and only then
+    *    decodes;
+    *  - the stream is memory-cached (`MemoryCacheImageInputStream`), so
+    *    executor tasks never touch imageio's disk scratch cache.
+    * Emits the [[BmpCodec]] feature shape `[width, height, bpp, meanR,
+    * meanG, meanB]`. */
+  object ImageIoCodec extends MediaCodec {
+    val featureDim = 6
+
+    /** Decoded-size cap: 16.7M px ≈ 50 MB packed RGB — bounds the
+      * allocation a tiny hostile payload can force. */
+    private[operators] val MaxPixels: Long = 1L << 24
+
+    /** Full pixel decode: (width, height, top-down packed RGB bytes),
+      * the [[Multimodal.resizeImages]] input contract. */
+    def decodePixels(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      decodeImage(payload).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w) // ARGB ints, top-down
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          rgb(3 * i) = ((p >> 16) & 0xff).toByte
+          rgb(3 * i + 1) = ((p >> 8) & 0xff).toByte
+          rgb(3 * i + 2) = (p & 0xff).toByte
+          i += 1
+        }
+        (w, h, rgb)
+      }
+
+    def decodeToFeatures(payload: Array[Byte]): Array[Float] =
+      decodeImage(payload) match {
+        case None => zeros
+        case Some(img) =>
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            i += 1
+          }
+          val n = w.toLong * h * 255
+          Array(w.toFloat, h.toFloat,
+            img.getColorModel.getPixelSize.toFloat,
+            sr.toFloat / n, sg.toFloat / n, sb.toFloat / n)
+      }
+
+    private def decodeImage(payload: Array[Byte])
+        : Option[java.awt.image.BufferedImage] = {
+      if (payload == null || payload.length < 8) return None
+      try {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true) // seekForwardOnly, ignoreMetadata
+            val w = reader.getWidth(0) // header-only parse
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+            Option(reader.read(0))
+          } finally reader.dispose()
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Image dispatcher: sniffs the container magic and routes BMP to the
+    * byte-parser [[BmpCodec]] (cheaper: no BufferedImage materialised)
+    * and everything else to [[ImageIoCodec]] (JPEG/PNG/GIF). Same
+    * feature shape either way. */
+  object ImageCodec extends MediaCodec {
+    val featureDim = 6
+    private def isBmp(p: Array[Byte]): Boolean =
+      p != null && p.length >= 2 && p(0) == 'B' && p(1) == 'M'
+    def decodeToFeatures(payload: Array[Byte]): Array[Float] =
+      if (isBmp(payload)) BmpCodec.decodeToFeatures(payload)
+      else ImageIoCodec.decodeToFeatures(payload)
+    def decodePixels(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      if (isBmp(payload)) BmpCodec.decodePixels(payload)
+      else ImageIoCodec.decodePixels(payload)
+  }
+
   /** Deterministic stand-in — the fallback for kinds with no pure-JVM
     * decoder (video) and the test double for plumbing specs: 16-bin byte
     * histogram (normalised) + mean byte + length, as Array[Float].
     * Clearly fake by construction; real decode lives in [[WavCodec]] /
-    * [[BmpCodec]]. */
+    * [[BmpCodec]] / [[ImageIoCodec]]. */
   object FakeCodec extends MediaCodec {
     val featureDim = 18
     def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
@@ -243,11 +342,12 @@ object Multimodal {
     }
   }
 
-  /** Kind → decoder: the real codecs where a pure-JVM parse exists, the
-    * marked stand-in elsewhere. */
+  /** Kind → decoder: the real codecs where a pure-JVM parse exists
+    * (WAV audio; BMP/JPEG/PNG/GIF images), the marked stand-in
+    * elsewhere (video — this container ships no JVM video codec). */
   def codecFor(kind: String): MediaCodec = kind match {
     case "audio" => WavCodec
-    case "image" => BmpCodec
+    case "image" => ImageCodec
     case _ => FakeCodec
   }
 
@@ -287,8 +387,9 @@ object Multimodal {
     media.repartition(parts)
   }
 
-  /** Image RESIZE as a partition-wise batch transform: decode the BMP
-    * payload, nearest-neighbour downsample to `w`×`h`, emit top-down
+  /** Image RESIZE as a partition-wise batch transform: decode the image
+    * payload (BMP/JPEG/PNG via [[ImageCodec]]), nearest-neighbour
+    * downsample to `w`×`h`, emit top-down
     * packed RGB bytes (3·w·h) in a `thumb` column (empty array for
     * undecodable payloads — gate on `decoded`). Nearest-neighbour
     * (src = floor(dst · srcDim / dstDim)) is deterministic integer
@@ -298,6 +399,11 @@ object Multimodal {
     * first with [[repartitionByBytes]]. */
   def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
     require(w > 0 && h > 0, s"target $w x $h")
+    // Same task-kill hardening contract as the decoder, but for
+    // caller-supplied dims: 3·w·h must fit an Int or array alloc and the
+    // sy/sx index math below overflow inside the executor task.
+    require(3L * w * h <= Int.MaxValue,
+      s"target $w x $h: 3*w*h exceeds Int.MaxValue")
     val outSchema = StructType(
       media.schema.fields.filterNot(_.name == "payload") ++ Seq(
         StructField("decoded", BooleanType, nullable = false),
@@ -307,16 +413,16 @@ object Multimodal {
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     media.mapPartitions { rows =>
       rows.map { r =>
-        val px = BmpCodec.decodePixels(r.getAs[Array[Byte]](payloadIdx))
+        val px = ImageCodec.decodePixels(r.getAs[Array[Byte]](payloadIdx))
         val thumb = px match {
           case Some((sw, sh, rgb)) =>
             val out = new Array[Byte](3 * w * h)
             var ty = 0
             while (ty < h) {
-              val sy = ty * sh / h
+              val sy = (ty.toLong * sh / h).toInt
               var tx = 0
               while (tx < w) {
-                val sx = tx * sw / w
+                val sx = (tx.toLong * sw / w).toInt
                 val s = (sy * sw + sx) * 3
                 val d = (ty * w + tx) * 3
                 out(d) = rgb(s); out(d + 1) = rgb(s + 1)

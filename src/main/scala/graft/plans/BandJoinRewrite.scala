@@ -22,8 +22,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * `aKey + off = bKey` — `width·N` extra rows through ONE hash shuffle
   * instead of N·M comparisons.
   *
-  * Semantics preserved exactly (unlike [[SelfJoinRewrite]], no data
-  * assumption is needed, so the rule defaults ON when registered):
+  * Semantics preserved (unlike [[SelfJoinRewrite]], no data assumption
+  * is needed, so the rule defaults ON when registered) — with ONE
+  * documented caveat: long keys within `maxWidth` of the int64 edge,
+  * where wrapping `aKey + off` can disagree with the original band
+  * comparison (see the LONG-keys paragraph below). Everywhere else:
   *  - each qualifying pair matches exactly ONE offset (integer delta) —
   *    no duplicates introduced;
   *  - a NULL key makes the original band predicate null-false and makes

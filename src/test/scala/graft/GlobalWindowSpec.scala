@@ -105,6 +105,70 @@ class GlobalWindowSpec extends SparkSpec {
     assert(viaGlobal == viaSingle)
   }
 
+  test("lagGlobal offset k>1 == unpartitioned lag(k), k in {2, 5}") {
+    // nulls in the value column, scrambled layout, buckets narrower than
+    // k (16 partitions over 120 rows -> ~8-row buckets, so a k=5 stitch
+    // must reach across MULTIPLE preceding buckets, incl. empty ones)
+    val df = (1 to 120).map { i =>
+      (i.toLong, if (i % 7 == 0) null else java.lang.Double.valueOf(i * 1.5))
+    }.toDF("k", "v").repartition(6)
+    for (k <- Seq(2, 5)) {
+      val viaGlobal = forceScalablePath {
+        GlobalWindow.lagGlobal(df, Seq("k"), "v", "prev",
+          bucketKey = col("k"), numPartitions = Some(16), offset = k)
+          .orderBy("k").select($"k", $"prev").collect().toSeq
+      }
+      val viaSingle = df
+        .withColumn("prev", lag($"v", k).over(Window.orderBy($"k")))
+        .orderBy("k").select($"k", $"prev").collect().toSeq
+      assert(viaGlobal == viaSingle, s"offset $k")
+    }
+    // and the k>1 plan has no single-partition exchange either
+    val plan = forceScalablePath {
+      GlobalWindow.lagGlobal(df, Seq("k"), "v", "prev",
+        bucketKey = col("k"), numPartitions = Some(16), offset = 5)
+        .queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange found:\n$plan")
+  }
+
+  test("skew-adaptive default: pathological key skew still yields " +
+    "balanced buckets and unchanged results") {
+    // 95% of rows pile into a tiny corner of the key range — equal-width
+    // cuts would put ~all rows in bucket 0
+    val df = (1 to 1000).map { i =>
+      val k = if (i <= 950) i.toLong else 1000000L + i * 1000L
+      (k, i * 0.5)
+    }.toDF("k", "v").repartition(5)
+    val result = forceScalablePath {
+      GlobalWindow.lagGlobal(df, Seq("k"), "v", "prev",
+        bucketKey = col("k"), numPartitions = Some(8))
+    }
+    val viaGlobal = result.orderBy("k").select($"k", $"prev")
+      .collect().toSeq
+    val viaSingle = df
+      .withColumn("prev", lag($"v", 1).over(Window.orderBy($"k")))
+      .orderBy("k").select($"k", $"prev").collect().toSeq
+    assert(viaGlobal == viaSingle)
+    // occupancy balance: the adaptive default must have switched to
+    // quantile cuts, so no bucket holds the 95% lump — probe the actual
+    // partition sizes of the bucketed output
+    val parts = 8
+    val occ = forceScalablePath {
+      GlobalWindow.lagGlobal(df, Seq("k"), "v", "prev",
+        bucketKey = col("k"), numPartitions = Some(parts))
+        .rdd.mapPartitions(it => Iterator(it.size)).collect()
+    }
+    // equal-width cuts would leave >= 950 rows in one partition; quantile
+    // cuts cap a bucket at ~125 (several buckets may hash-collide into
+    // one partition, so allow headroom above uniform but well below the
+    // lump)
+    val maxPart = occ.max
+    assert(maxPart < 800,
+      s"fullest partition $maxPart of ${occ.toSeq} — skew not mitigated")
+  }
+
   test("scalable path's plan has no single-partition exchange") {
     val bars = StockFixture.bars(spark, nDays = 2, minutesPerDay = 30)
     val plan = forceScalablePath {

@@ -44,7 +44,7 @@ class MlPipelinesSpec extends SparkSpec {
     val hardAuc = new BinaryClassificationEvaluator()
       .setLabelCol("buy_or_sell").setRawPredictionCol("prediction")
       .setMetricName("areaUnderROC").evaluate(preds)
-    assert(math.abs(hardAuc - rdd("areaUnderROC")) < 1e-12)
+    assert(math.abs(hardAuc - rdd("areaUnderROC_hard")) < 1e-12)
   }
 
   test("M13: CrossValidator over the RF grid picks a best model") {

@@ -5,12 +5,45 @@ import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{BmpCodec, FakeCodec, WavCodec}
+import graft.operators.Multimodal.{BmpCodec, FakeCodec, ImageCodec, ImageIoCodec, WavCodec}
 
-/** Real-decode gate: the WAV and BMP codecs must parse handcrafted,
-  * byte-exact container fixtures — not just survive the plumbing. */
+/** Real-decode gate: the WAV, BMP and imageio (JPEG/PNG) codecs must
+  * parse handcrafted, byte-exact container fixtures — not just survive
+  * the plumbing. */
 class MultimodalCodecSpec extends SparkSpec {
   import spark.implicits._
+
+  /** Encode `pixelsTopDown` via ImageIO into `format` ("png"/"jpg"). */
+  private def imageBytes(format: String,
+      pixelsTopDown: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val h = pixelsTopDown.length
+    val w = pixelsTopDown(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pixelsTopDown(y)(x)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** A syntactically valid PNG signature + IHDR (correct CRC) claiming
+    * `w`×`h` — no pixel data; the decompression-bomb probe. */
+  private def pngHeaderOnly(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val body = ByteBuffer.allocate(17).order(ByteOrder.BIG_ENDIAN)
+      .put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte) // bit depth 8, truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val crc = new java.util.zip.CRC32()
+    crc.update(body)
+    val bb = ByteBuffer.allocate(8 + 4 + 17 + 4).order(ByteOrder.BIG_ENDIAN)
+    bb.put(sig).putInt(13).put(body).putInt(crc.getValue.toInt)
+    bb.array()
+  }
 
   /** Canonical 44-byte-header RIFF/WAVE, PCM 16-bit LE. */
   private def wavBytes(channels: Int, sampleRate: Int,
@@ -162,6 +195,84 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(out(1L)._2.map(_ & 0xff).toSeq == Seq(
       10, 0, 0, 0, 20, 0, 0, 0, 30, 40, 40, 40))
     assert(!out(2L)._1 && out(2L)._2.isEmpty)
+  }
+
+  test("ImageIoCodec decodes a PNG fixture byte-exactly (lossless)") {
+    val px = Array(
+      Array((255, 0, 0), (0, 255, 0), (0, 0, 255)),
+      Array((10, 20, 30), (40, 50, 60), (70, 80, 90)))
+    val png = imageBytes("png", px)
+    val f = ImageIoCodec.decodeToFeatures(png)
+    assert(f(0) == 3f && f(1) == 2f && f(2) == 24f)
+    val n = 6.0 * 255
+    assert(math.abs(f(3) - (255 + 10 + 40 + 70) / n) < 1e-6)
+    assert(math.abs(f(4) - (255 + 20 + 50 + 80) / n) < 1e-6)
+    assert(math.abs(f(5) - (255 + 30 + 60 + 90) / n) < 1e-6)
+    val Some((w, h, rgb)) = ImageIoCodec.decodePixels(png)
+    assert(w == 3 && h == 2)
+    assert(rgb.map(_ & 0xff).toSeq == Seq(
+      255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30, 40, 50, 60, 70, 80, 90))
+  }
+
+  test("ImageIoCodec decodes JPEG: exact dims, means within lossy ε") {
+    val px = Array.tabulate(8, 8)((y, x) => (32 * y, 16 * x, 128))
+    val jpg = imageBytes("jpg", px)
+    val f = ImageIoCodec.decodeToFeatures(jpg)
+    assert(f(0) == 8f && f(1) == 8f)
+    val n = 64.0 * 255
+    val meanR = px.flatten.map(_._1).sum / n
+    val meanG = px.flatten.map(_._2).sum / n
+    val meanB = px.flatten.map(_._3).sum / n
+    assert(math.abs(f(3) - meanR) < 0.05, s"R ${f(3)} vs $meanR")
+    assert(math.abs(f(4) - meanG) < 0.05, s"G ${f(4)} vs $meanG")
+    assert(math.abs(f(5) - meanB) < 0.05, s"B ${f(5)} vs $meanB")
+  }
+
+  test("ImageIoCodec hardening: truncated, bomb-header, garbage, null") {
+    val png = imageBytes("png", Array(Array((1, 2, 3), (4, 5, 6))))
+    // truncated mid-IDAT: reader throws internally -> zeros, not a crash
+    assert(ImageIoCodec.decodeToFeatures(png.take(png.length / 2))
+      .forall(_ == 0f))
+    assert(ImageIoCodec.decodePixels(png.take(20)).isEmpty)
+    // decompression bomb: a ~50-byte payload claiming 2^15 x 2^15 px
+    // (1.07e9 px > MaxPixels) must be rejected at the header parse,
+    // BEFORE any pixel allocation
+    val bomb = pngHeaderOnly(1 << 15, 1 << 15)
+    assert(ImageIoCodec.decodePixels(bomb).isEmpty)
+    assert(ImageIoCodec.decodeToFeatures(bomb).forall(_ == 0f))
+    assert(ImageIoCodec.decodeToFeatures("not an image".getBytes)
+      .forall(_ == 0f))
+    assert(ImageIoCodec.decodeToFeatures(null).forall(_ == 0f))
+    // a small claimed size with no pixel data: header parses, read(0)
+    // throws -> None
+    assert(ImageIoCodec.decodePixels(pngHeaderOnly(4, 4)).isEmpty)
+  }
+
+  test("ImageCodec dispatch: BMP -> byte parser, PNG -> imageio; " +
+    "resizeImages handles PNG payloads") {
+    val px = Array(
+      Array((255, 0, 0), (0, 255, 0)),
+      Array((10, 20, 30), (40, 50, 60)))
+    val bmp = bmpBytes(px)
+    val png = imageBytes("png", px)
+    assert(ImageCodec.decodeToFeatures(bmp).toSeq ==
+      BmpCodec.decodeToFeatures(bmp).toSeq)
+    assert(ImageCodec.decodePixels(png).get._3.toSeq ==
+      ImageIoCodec.decodePixels(png).get._3.toSeq)
+    // both containers produce the IDENTICAL pixel stream for the same
+    // image (PNG is lossless), so the resize output matches byte-exactly
+    assert(ImageCodec.decodePixels(bmp).get._3.toSeq ==
+      ImageCodec.decodePixels(png).get._3.toSeq)
+    val q = Array((10, 0, 0), (0, 20, 0), (0, 0, 30), (40, 40, 40))
+    val px4 = Array.tabulate(4, 4)((y, x) => q((y / 2) * 2 + (x / 2)))
+    val media = Seq((1L, "image", imageBytes("png", px4.map(_.toArray))))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+    val out = Multimodal.resizeImages(media, 2, 2)
+      .select($"decoded", $"thumb").collect()
+    assert(out(0).getBoolean(0))
+    assert(out(0).getAs[Array[Byte]](1).map(_ & 0xff).toSeq == Seq(
+      10, 0, 0, 0, 20, 0, 0, 0, 30, 40, 40, 40))
   }
 
   test("extractFeatures dispatches by kind: real codecs for audio/image") {

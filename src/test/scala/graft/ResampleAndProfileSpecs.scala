@@ -118,8 +118,8 @@ class DupClusterSpec extends SparkSpec {
     assert(clusters(20L) == 20L && clusters(30L) == 30L)
   }
 
-  test("dupClusters: non-convergence throws instead of returning " +
-    "partially propagated labels") {
+  test("dupClusters: non-convergence throws (fallback disabled) instead " +
+    "of returning partially propagated labels") {
     // a CHAIN (not a clique): doc i = tokens w_i .. w_{i+39}, so only
     // NEIGHBOURS overlap heavily (Jaccard ~0.95 → every adjacent LSH
     // link forms, deterministically — the hashes are fixed); the
@@ -128,13 +128,44 @@ class DupClusterSpec extends SparkSpec {
       (i.toLong, (0 until 40).map(j => s"w${i + j}").mkString(" "))
     }.toDF("doc_id", "text")
     val e = intercept[IllegalStateException] {
-      Dedup.dupClustersWithRounds(docs, maxIter = 1)._1.collect()
+      Dedup.dupClustersWithRounds(docs, maxIter = 1,
+        starFallback = false)._1.collect()
     }
     assert(e.getMessage.contains("did not converge"))
     // with enough rounds the same chain collapses to cluster 0
-    val ok = Dedup.dupClusters(docs)
+    val ok = Dedup.dupClusters(docs, starFallback = false)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0 until 12).forall(i => ok(i.toLong) == 0L),
       s"chain must collapse to doc 0: $ok")
+  }
+
+  test("dupClusters: large-star/small-star fallback converges the " +
+    "stride chain without raising maxIter") {
+    val docs = (0 until 12).map { i =>
+      (i.toLong, (0 until 40).map(j => s"w${i + j}").mkString(" "))
+    }.toDF("doc_id", "text")
+    // maxIter = 1 starves min-label propagation (diameter 11); the
+    // default star fallback must still produce the full collapse —
+    // and in O(log n) extra rounds, not O(diameter)
+    val (out, rounds) = Dedup.dupClustersWithRounds(docs, maxIter = 1)
+    val ok = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 12).forall(i => ok(i.toLong) == 0L),
+      s"chain must collapse to doc 0: $ok")
+    assert(rounds <= 1 + 8, s"star contraction took $rounds rounds")
+  }
+
+  test("starContract: star graphs, chains and singleton edges reach " +
+    "the component min") {
+    import org.apache.spark.sql.functions.col
+    // components: chain 1-2-3-4-5, pair 10-11, triangle 20-21-22
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L),
+      (11L, 10L), (20L, 21L), (21L, 22L), (22L, 20L))
+      .toDF("src", "dst")
+    val (out, _) = Dedup.starContract(edges)
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(2L, 3L, 4L, 5L).forall(m(_) == 1L))
+    assert(m(11L) == 10L)
+    assert(m.getOrElse(20L, 20L) == 20L) // roots carry no out-edge
+    assert(m(21L) == 20L && m(22L) == 20L)
   }
 }
