@@ -144,7 +144,10 @@ object E2EBench {
     * reach the model. The fits are real timed work (each is a full
     * aggregation pass; that's the +41″ over plain SVM in the baseline);
     * the transforms are lazy projections Catalyst prunes downstream,
-    * in our engine and in the reference alike. */
+    * in our engine and in the reference alike. The two extra scaler
+    * fits mirror the reference's correlated / non-correlated passes in
+    * COST (full-width vectors here — the 22/37-col sublists aren't part
+    * of the engine's schema surface). */
   def svmPca(spark: SparkSession, path: String): Double = {
     val labeled = labelScalable(load(spark, path)).cache()
     val va = MlPipelines.assembler(StockSchema.rfRawFeatures, "all_features")

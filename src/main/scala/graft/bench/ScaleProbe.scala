@@ -90,6 +90,18 @@ object ScaleProbe {
       (cc, rounds, spans)
     }
 
+    // `bars100`: the 100x (67M-row, ~30 GB parquet) data-plane probe
+    // only — run standalone; the table is deleted afterwards
+    if (args.headOption.contains("bars100")) {
+      run(SyntheticBars.ReferenceRows) // JIT warmup pass, discarded
+      val (l1b, f1b) = run(SyntheticBars.ReferenceRows)
+      val (l100, f100) = run(SyntheticBars.ReferenceRows * 100)
+      println(f"[scale-probe] label 1x: $l1b%.1f s   100x: $l100%.1f s   ratio ${l100 / l1b}%.1f")
+      println(f"[scale-probe] fe    1x: $f1b%.1f s   100x: $f100%.1f s   ratio ${f100 / f1b}%.1f")
+      spark.stop()
+      return
+    }
+
     run(SyntheticBars.ReferenceRows) // JIT warmup pass, discarded
     val (l1, f1) = run(SyntheticBars.ReferenceRows)
     val (l10, f10) = run(SyntheticBars.ReferenceRows * 10)

@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Parabolic SAR state: trend direction, extreme point, acceleration
-  * factor, current stop, and the previous bar's low/high for the clamp. */
+  * factor, current stop, and the previous TWO bars' lows/highs for
+  * Wilder's clamp. */
 private[indicators] final case class SarState(
     var started: Boolean,
     var up: Boolean,
@@ -17,6 +18,8 @@ private[indicators] final case class SarState(
     var af: Double,
     var prevLow: Double,
     var prevHigh: Double,
+    var prevLow2: Double,
+    var prevHigh2: Double,
     /** false until the second bar — the first bar has no prior trend and
       * emits null. */
     var emittedFirst: Boolean = false)
@@ -26,13 +29,18 @@ private[indicators] final case class SarState(
   * COVERAGE.md listed as a gap. Like the EMA family it is an ordered
   * recurrence SQL aggregates cannot express, with richer state: per bar,
   *
-  *   sar' = sar + af·(ep − sar), clamped not to enter the previous bar's
-  *   range; on penetration the trend REVERSES (sar := ep, af resets);
-  *   otherwise a new extreme advances ep and accelerates af by `step`
-  *   up to `maxAf`.
+  *   sar' = sar + af·(ep − sar), clamped not to enter the previous TWO
+  *   bars' range (Wilder's rule, as TA-Lib implements it); on
+  *   penetration the trend REVERSES (sar := ep, af resets); otherwise a
+  *   new extreme advances ep and accelerates af by `step` up to `maxAf`.
   *
   * Convention (documented, spec-golded): the first bar seeds an UP trend
-  * with sar = low, ep = high and emits null (no prior trend exists);
+  * with sar = low, ep = high and emits null (no prior trend exists) —
+  * TA-Lib instead picks the initial trend from the first bar-pair's
+  * −DM and seeds ep from bar 1, so values differ through the first
+  * trend leg; from the FIRST REVERSAL on (both variants reset sar := ep
+  * with the same tracked extreme) the outputs are bit-identical, which
+  * `IndicatorGoldenSpec` pins against TA-Lib-algorithm goldens.
   * Wilder's step 0.02 / max 0.20 defaults. Same window-only,
   * merge-throws contract as [[ExponentialSmooth]] — apply over
   * `Window.partitionBy(symbol).orderBy(ts).rowsBetween(unboundedPreceding,
@@ -53,7 +61,7 @@ case class ParabolicSar(
   override def dataType: DataType = DoubleType
 
   override def createAggregationBuffer(): SarState =
-    SarState(started = false, up = true, 0.0, 0.0, Step, 0.0, 0.0,
+    SarState(started = false, up = true, 0.0, 0.0, Step, 0.0, 0.0, 0.0, 0.0,
       emittedFirst = false)
 
   override def update(state: SarState, input: InternalRow): SarState = {
@@ -72,13 +80,15 @@ case class ParabolicSar(
       // we mark sar as NaN-free but remember via prevLow/High
       state.prevLow = low
       state.prevHigh = high
+      state.prevLow2 = low
+      state.prevHigh2 = high
       state.emittedFirst = false
       return state
     }
     var sarNext = state.sar + state.af * (state.ep - state.sar)
     if (state.up) {
-      // the stop may not enter the previous bar's range
-      sarNext = math.min(sarNext, state.prevLow)
+      // the stop may not enter the previous two bars' range
+      sarNext = math.min(sarNext, math.min(state.prevLow, state.prevLow2))
       if (low < sarNext) { // penetrated → reverse down
         state.up = false
         state.sar = state.ep
@@ -92,7 +102,7 @@ case class ParabolicSar(
         }
       }
     } else {
-      sarNext = math.max(sarNext, state.prevHigh)
+      sarNext = math.max(sarNext, math.max(state.prevHigh, state.prevHigh2))
       if (high > sarNext) { // penetrated → reverse up
         state.up = true
         state.sar = state.ep
@@ -106,6 +116,8 @@ case class ParabolicSar(
         }
       }
     }
+    state.prevLow2 = state.prevLow
+    state.prevHigh2 = state.prevHigh
     state.prevLow = low
     state.prevHigh = high
     state.emittedFirst = true
@@ -121,12 +133,13 @@ case class ParabolicSar(
     if (state.started && state.emittedFirst) Double.box(state.sar) else null
 
   override def serialize(state: SarState): Array[Byte] = {
-    val b = java.nio.ByteBuffer.allocate(3 + 5 * 8)
+    val b = java.nio.ByteBuffer.allocate(3 + 7 * 8)
     b.put(if (state.started) 1: Byte else 0: Byte)
     b.put(if (state.up) 1: Byte else 0: Byte)
     b.put(if (state.emittedFirst) 1: Byte else 0: Byte)
     b.putDouble(state.sar).putDouble(state.ep).putDouble(state.af)
     b.putDouble(state.prevLow).putDouble(state.prevHigh)
+    b.putDouble(state.prevLow2).putDouble(state.prevHigh2)
     b.array()
   }
 
@@ -136,7 +149,7 @@ case class ParabolicSar(
     val up = b.get() == (1: Byte)
     val emitted = b.get() == (1: Byte)
     SarState(started, up, b.getDouble, b.getDouble, b.getDouble,
-      b.getDouble, b.getDouble, emitted)
+      b.getDouble, b.getDouble, b.getDouble, b.getDouble, emitted)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ParabolicSar =

@@ -222,7 +222,19 @@ object RelationalQueries {
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
 
+  /** W1 at offset k > 1 — `LAG(value, 3)` over the GLOBAL order, through
+    * [[graft.operators.GlobalWindow]]'s k-row tail stitch: the oracle
+    * proves the stitch carries values across bucket boundaries at
+    * distance 3 — the offset-k extension of q7's scalable plan. */
+  val q40LagK: Q = (s, dir) =>
+    graft.operators.GlobalWindow.lagGlobal(
+      events(s, dir).select(col("event_id"), col("ts"), col("value")),
+      Seq("ts", "event_id"), "value", "prev3_value",
+      bucketKey = unix_micros(col("ts").cast("timestamp")),
+      offset = 3)
+
   val defs: Map[String, Q] = Map(
+    "q40_lag_k" -> q40LagK,
     "q1_agg" -> q1Agg,
     "q2_project" -> q2Project,
     "q3_when" -> q3When,
@@ -243,6 +255,10 @@ object RelationalQueries {
     "q18_rollup" -> q18Rollup)
 
   val sql: Map[String, String] = Map(
+    "q40_lag_k" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  lag(value, 3) OVER (ORDER BY ts, event_id) AS prev3_value
+        |FROM events""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlSumd("l_quantity")} AS sum_qty,

@@ -10,32 +10,35 @@ import graft.indicators.ParabolicSar
 class ParabolicSarSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Independent reference fold (plain Scala, no Spark). */
+  /** Independent reference fold (plain Scala, no Spark) — Wilder's
+    * two-bar clamp, matching the operator's convention. */
   private def refSar(bars: Seq[(Double, Double)]): Seq[Option[Double]] = {
     val step = 0.02; val maxAf = 0.2
     var up = true; var sar = 0.0; var ep = 0.0; var af = step
-    var pl = 0.0; var ph = 0.0
+    var pl = 0.0; var ph = 0.0; var pl2 = 0.0; var ph2 = 0.0
     bars.zipWithIndex.map { case ((h, l), i) =>
       if (i == 0) {
-        up = true; sar = l; ep = h; af = step; pl = l; ph = h
+        up = true; sar = l; ep = h; af = step
+        pl = l; ph = h; pl2 = l; ph2 = h
         None
       } else {
         var next = sar + af * (ep - sar)
         if (up) {
-          next = math.min(next, pl)
+          next = math.min(next, math.min(pl, pl2))
           if (l < next) { up = false; sar = ep; ep = l; af = step }
           else {
             sar = next
             if (h > ep) { ep = h; af = math.min(af + step, maxAf) }
           }
         } else {
-          next = math.max(next, ph)
+          next = math.max(next, math.max(ph, ph2))
           if (h > next) { up = true; sar = ep; ep = h; af = step }
           else {
             sar = next
             if (l < ep) { ep = l; af = math.min(af + step, maxAf) }
           }
         }
+        pl2 = pl; ph2 = ph
         pl = l; ph = h
         Some(sar)
       }
