@@ -251,19 +251,25 @@ object GlobalWindow {
       .drop("_bucket", "_rn", "_prev_k")
   }
 
-  /** `lead(valueCol, 1)` over the global order — the mirror image:
-    * per-bucket lead, each bucket's LAST row stitched with the next
-    * non-empty bucket's FIRST value (backward fill). */
+  /** `lead(valueCol, offset)` over the global order — the mirror image:
+    * per-bucket lead, each bucket's LAST row(s) stitched with the
+    * following buckets' FIRST value(s) (backward fill; offset k > 1 via
+    * [[leadGlobalK]]'s head stitch). */
   def leadGlobal(df: DataFrame, orderCols: Seq[String], valueCol: String,
       out: String, bucketKey: Column,
       numPartitions: Option[Int] = None,
-      quantileBuckets: Boolean = false): DataFrame = {
+      quantileBuckets: Boolean = false,
+      offset: Int = 1): DataFrame = {
+    require(offset >= 1, s"offset $offset")
     val oc: Seq[Column] = orderCols.map(col)
     if (useSmallInputPath(df))
       return df.withColumn(out,
-        lead(col(valueCol), 1).over(Window.orderBy(oc: _*)))
+        lead(col(valueCol), offset).over(Window.orderBy(oc: _*)))
     val parts = numPartitions.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
+    if (offset > 1)
+      return leadGlobalK(df, orderCols, valueCol, out, bucketKey, offset,
+        parts, quantileBuckets)
     val cuts = bucketCuts(df, bucketKey, parts, quantileBuckets)
     val bucket: Column =
       if (cuts.isEmpty) lit(0)
@@ -312,6 +318,75 @@ object GlobalWindow {
       .withColumn(out,
         when(col("_rn_desc") === 1, col("_next_first")).otherwise(col(out)))
       .drop("_bucket", "_rn_desc", "_next_first")
+  }
+
+  /** General-offset global lead, k > 1 — [[lagGlobalK]] mirrored: the
+    * last k rows of each bucket are stitched from the GLOBAL k-row HEAD
+    * following the bucket. Buckets are walked in reverse carrying a ≤ k
+    * head vector (nearest row first); a row r-from-the-end (per-bucket
+    * descending row_number, 1-based) needs the value k−r+1 positions
+    * into that head; missing ⇒ null, matching the unpartitioned
+    * window's end-of-frame nulls. Same narrow boundary pass, no
+    * single-partition exchange. */
+  private def leadGlobalK(df: DataFrame, orderCols: Seq[String],
+      valueCol: String, out: String, bucketKey: Column, k: Int,
+      parts: Int, quantileBuckets: Boolean): DataFrame = {
+    val oc: Seq[Column] = orderCols.map(col)
+    val cuts = bucketCuts(df, bucketKey, parts, quantileBuckets)
+    val bucket: Column =
+      if (cuts.isEmpty) lit(0)
+      else cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(bucketKey.cast("double") > lit(c), 1).otherwise(0)
+      }
+    val withBucket = df.withColumn("_bucket", bucket)
+    val bucketed = withBucket.repartition(parts, col("_bucket"))
+    val w = Window.partitionBy(col("_bucket")).orderBy(oc: _*)
+    val wDesc = Window.partitionBy(col("_bucket"))
+      .orderBy(oc.map(_.desc): _*)
+    val local = bucketed
+      .withColumn("_rd", row_number().over(wDesc))
+      .withColumn(out, lead(col(valueCol), k).over(w))
+
+    // first k rows per bucket, global order (nearest-to-the-front first)
+    val headRows = withBucket
+      .select((col("_bucket") +: oc :+ col(valueCol).as("_v")): _*)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_bucket")).orderBy(oc: _*)))
+      .filter(col("_rn") <= k)
+      .select(col("_bucket"), col("_rn"), col("_v"))
+      .collect()
+    val headByBucket: Map[Int, Seq[Any]] = headRows
+      .groupBy(_.getInt(0))
+      .map { case (b, rows) =>
+        b -> rows.sortBy(_.getInt(1)).map(_.get(2)).toSeq
+      }
+
+    val nBuckets = cuts.size + 1
+    val boundRows = Seq.newBuilder[org.apache.spark.sql.Row]
+    var head = Vector.empty[Any] // ≤ k values after the current bucket
+    ((nBuckets - 1) to 0 by -1).foreach { b =>
+      (1 to k).foreach { r =>
+        val fwd = k - r + 1
+        val v: Any = if (head.length >= fwd) head(fwd - 1) else null
+        boundRows += org.apache.spark.sql.Row(b, r, v)
+      }
+      head = (headByBucket.getOrElse(b, Seq.empty).toVector ++ head).take(k)
+    }
+    val valueField = df.schema(valueCol)
+    val boundsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_bucket",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("_rd",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      valueField.copy(name = "_next_k", nullable = true)))
+    val bounds = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(boundRows.result(): _*), boundsSchema)
+
+    local
+      .join(broadcast(bounds), Seq("_bucket", "_rd"), "left")
+      .withColumn(out,
+        when(col("_rd") <= k, col("_next_k")).otherwise(col(out)))
+      .drop("_bucket", "_rd", "_next_k")
   }
 
   /** The reference's label over the scalable global lag: bit-identical to

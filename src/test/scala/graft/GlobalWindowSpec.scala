@@ -133,6 +133,23 @@ class GlobalWindowSpec extends SparkSpec {
       s"single-partition exchange found:\n$plan")
   }
 
+  test("leadGlobal offset k>1 == unpartitioned lead(k), k in {2, 5}") {
+    val df = (1 to 120).map { i =>
+      (i.toLong, if (i % 7 == 0) null else java.lang.Double.valueOf(i * 1.5))
+    }.toDF("k", "v").repartition(6)
+    for (k <- Seq(2, 5)) {
+      val viaGlobal = forceScalablePath {
+        GlobalWindow.leadGlobal(df, Seq("k"), "v", "next",
+          bucketKey = col("k"), numPartitions = Some(16), offset = k)
+          .orderBy("k").select($"k", $"next").collect().toSeq
+      }
+      val viaSingle = df
+        .withColumn("next", lead($"v", k).over(Window.orderBy($"k")))
+        .orderBy("k").select($"k", $"next").collect().toSeq
+      assert(viaGlobal == viaSingle, s"offset $k")
+    }
+  }
+
   test("skew-adaptive default: pathological key skew still yields " +
     "balanced buckets and unchanged results") {
     // 95% of rows pile into a tiny corner of the key range — equal-width

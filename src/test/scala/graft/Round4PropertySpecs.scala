@@ -40,6 +40,15 @@ class Round4PropertySpecs extends SparkSpec {
           .orderBy("k").select($"k", $"prev").collect().toSeq
         assert(viaGlobal == viaSingle,
           s"trial $trial: n=$n k=$k parts=$parts")
+        val leadGlobalOut = GlobalWindow.leadGlobal(df, Seq("k"), "v",
+          "next", bucketKey = col("k"), numPartitions = Some(parts),
+          offset = k)
+          .orderBy("k").select($"k", $"next").collect().toSeq
+        val leadSingle = df
+          .withColumn("next", lead($"v", k).over(Window.orderBy($"k")))
+          .orderBy("k").select($"k", $"next").collect().toSeq
+        assert(leadGlobalOut == leadSingle,
+          s"lead trial $trial: n=$n k=$k parts=$parts")
       }
     } finally spark.conf.unset(GlobalWindow.SmallInputConfKey)
   }
