@@ -389,6 +389,101 @@ object GlobalWindow {
       .drop("_bucket", "_rd", "_next_k")
   }
 
+  /** GENERAL rows-frame aggregates over the global order — `agg OVER
+    * (ORDER BY … ROWS BETWEEN n−1 PRECEDING AND CURRENT ROW)` without a
+    * single-partition exchange, for ANY window aggregate (sum/avg/min/
+    * max/count/stddev/collect…), not just offsets.
+    *
+    * Mechanism (borrowed rows): each bucket is PREPENDED with the
+    * global last n−1 rows preceding it (they sort first naturally —
+    * their order keys are smaller), the frame runs per bucket, and the
+    * borrowed rows are dropped from the output. A row whose frame
+    * crosses the bucket start then still sees its true n-row history,
+    * and every emitted aggregate is frame-identical to the
+    * unpartitioned window's. The borrowed rows come from the same
+    * driver walk as [[lagGlobalK]] (per-bucket last-(n−1) tails,
+    * concatenated in bucket order and truncated to n−1), collected as
+    * ≤ parts·(n−1) FULL-WIDTH rows — keep n modest (thousands, not
+    * millions; an n-row frame at 100 TB should be a range-join or a
+    * resample instead).
+    *
+    * @param aggs (aggregate expression, output name) pairs; each is
+    *             applied `.over(the n-row frame)`. Entries must be RAW
+    *             aggregate/window functions (post-process casts etc.
+    *             OUTSIDE, on the returned frame — `.over` must attach
+    *             to the aggregate itself), deterministic, and reference
+    *             only `df`'s columns.
+    * @param frameRows n ≥ 1: the frame covers the current row and the
+    *                  n−1 preceding rows in global order.
+    */
+  def rollingGlobal(df: DataFrame, orderCols: Seq[String],
+      aggs: Seq[(Column, String)], frameRows: Int, bucketKey: Column,
+      numPartitions: Option[Int] = None,
+      quantileBuckets: Boolean = false): DataFrame = {
+    require(frameRows >= 1, s"frameRows $frameRows")
+    val oc: Seq[Column] = orderCols.map(col)
+    val n = frameRows
+    if (useSmallInputPath(df)) {
+      val w = Window.orderBy(oc: _*).rowsBetween(-(n - 1), 0)
+      return aggs.foldLeft(df) { case (d, (a, name)) =>
+        d.withColumn(name, a.over(w))
+      }
+    }
+    val parts = numPartitions.getOrElse(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val cuts = bucketCuts(df, bucketKey, parts, quantileBuckets)
+    val bucket: Column =
+      if (cuts.isEmpty) lit(0)
+      else cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(bucketKey.cast("double") > lit(c), 1).otherwise(0)
+      }
+    val withBucket = df.withColumn("_bucket", bucket)
+
+    // per-bucket last n-1 rows, full width (they become borrowed rows)
+    val wDesc = Window.partitionBy(col("_bucket"))
+      .orderBy(oc.map(_.desc): _*)
+    val nCols = df.columns.length
+    val tailRows = withBucket
+      .withColumn("_rd", row_number().over(wDesc))
+      .filter(col("_rd") < n)
+      .collect() // ≤ parts·(n−1) rows: (df cols…, _bucket, _rd)
+    val tailByBucket: Map[Int, Seq[org.apache.spark.sql.Row]] = tailRows
+      .groupBy(_.getInt(nCols))
+      .map { case (b, rows) =>
+        b -> rows.sortBy(r => -r.getInt(nCols + 1)).toSeq // ascending order
+      }
+
+    val nBuckets = cuts.size + 1
+    val borrowed = Seq.newBuilder[org.apache.spark.sql.Row]
+    var carry = Vector.empty[org.apache.spark.sql.Row]
+    (0 until nBuckets).foreach { b =>
+      carry.foreach { r =>
+        borrowed += org.apache.spark.sql.Row.fromSeq(
+          (0 until nCols).map(r.get) ++ Seq(b, true))
+      }
+      carry = (carry ++ tailByBucket.getOrElse(b, Seq.empty))
+        .takeRight(n - 1)
+    }
+    val extSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_bucket",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_borrowed",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val borrowedDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(borrowed.result(): _*), extSchema)
+
+    // no explicit repartition: union would void the co-partitioning and
+    // the window's own hash exchange on _bucket is the single shuffle
+    val main = withBucket.withColumn("_borrowed", lit(false))
+    val w2 = Window.partitionBy(col("_bucket")).orderBy(oc: _*)
+      .rowsBetween(-(n - 1), 0)
+    val withAggs = aggs.foldLeft(main.union(borrowedDf)) {
+      case (d, (a, name)) => d.withColumn(name, a.over(w2))
+    }
+    withAggs.filter(!col("_borrowed")).drop("_bucket", "_borrowed")
+  }
+
   /** The reference's label over the scalable global lag: bit-identical to
     * `Labeler.label` (unpartitioned window) but parallel. */
   def lagLabelGlobal(df: DataFrame, orderCols: Seq[String],

@@ -233,8 +233,28 @@ object RelationalQueries {
       bucketKey = unix_micros(col("ts").cast("timestamp")),
       offset = 3)
 
+  /** W4, general frames — rolling aggregates over the GLOBAL order
+    * (`ROWS BETWEEN 4 PRECEDING AND CURRENT ROW`), through
+    * [[graft.operators.GlobalWindow.rollingGlobal]]'s borrowed-row
+    * stitch: any window aggregate, not just offsets, with no
+    * single-partition exchange. Sum decimal-stabilized per the oracle
+    * recipe (window sum ORDER differs between engines otherwise). */
+  val q41RollingGlobal: Q = (s, dir) =>
+    graft.operators.GlobalWindow.rollingGlobal(
+      events(s, dir).select(col("event_id"), col("ts"), col("value")),
+      Seq("ts", "event_id"),
+      Seq(
+        (sum(col("value").cast("decimal(28,6)")), "roll_sum"),
+        (count(col("value")), "roll_n"),
+        (min(col("value")), "roll_min")),
+      frameRows = 5,
+      bucketKey = unix_micros(col("ts").cast("timestamp")))
+      // post-process OUTSIDE the window (aggs must be raw aggregates)
+      .withColumn("roll_sum", col("roll_sum").cast("double"))
+
   val defs: Map[String, Q] = Map(
     "q40_lag_k" -> q40LagK,
+    "q41_rolling_global" -> q41RollingGlobal,
     "q1_agg" -> q1Agg,
     "q2_project" -> q2Project,
     "q3_when" -> q3When,
@@ -259,6 +279,14 @@ object RelationalQueries {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |  lag(value, 3) OVER (ORDER BY ts, event_id) AS prev3_value
         |FROM events""".stripMargin,
+    "q41_rolling_global" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS roll_sum,
+        |  count(value) OVER w AS roll_n,
+        |  min(value) OVER w AS roll_min
+        |FROM events
+        |WINDOW w AS (ORDER BY ts, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlSumd("l_quantity")} AS sum_qty,

@@ -150,6 +150,36 @@ class GlobalWindowSpec extends SparkSpec {
     }
   }
 
+  test("rollingGlobal: borrowed-row frames == unpartitioned rolling " +
+    "window (sum/avg/min/count, nulls, frames spanning buckets)") {
+    val df = (1 to 120).map { i =>
+      (i.toLong, if (i % 7 == 0) null else java.lang.Double.valueOf(i * 1.5))
+    }.toDF("k", "v").repartition(6)
+    val aggs = Seq(
+      (sum($"v"), "r_sum"), (avg($"v"), "r_avg"),
+      (min($"v"), "r_min"), (count($"v"), "r_n"))
+    for (n <- Seq(1, 5)) {
+      val viaGlobal = forceScalablePath {
+        GlobalWindow.rollingGlobal(df, Seq("k"), aggs, frameRows = n,
+          bucketKey = col("k"), numPartitions = Some(16))
+          .orderBy("k").collect().toSeq
+      }
+      val w = Window.orderBy($"k").rowsBetween(-(n - 1), 0)
+      val viaSingle = aggs.foldLeft(df) { case (d, (a, name)) =>
+        d.withColumn(name, a.over(w))
+      }.orderBy("k").collect().toSeq
+      assert(viaGlobal == viaSingle, s"frameRows $n")
+    }
+    // and no single-partition exchange on the scalable plan
+    val plan = forceScalablePath {
+      GlobalWindow.rollingGlobal(df, Seq("k"), aggs, frameRows = 5,
+        bucketKey = col("k"), numPartitions = Some(16))
+        .queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange found:\n$plan")
+  }
+
   test("skew-adaptive default: pathological key skew still yields " +
     "balanced buckets and unchanged results") {
     // 95% of rows pile into a tiny corner of the key range — equal-width
