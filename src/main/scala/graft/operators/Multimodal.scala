@@ -88,7 +88,8 @@ object Multimodal {
       while (off + 8 <= payload.length) {
         val id = tag(off)
         val len = bb.getInt(off + 4)
-        if (len < 0 || off + 8 + len > payload.length) return zeros
+        // Long math: len near Int.MaxValue must not wrap the bound check
+        if (len < 0 || off.toLong + 8 + len > payload.length) return zeros
         id match {
           case "fmt " =>
             if (len < 16 || bb.getShort(off + 8) != 1) return zeros // PCM only
@@ -320,11 +321,111 @@ object Multimodal {
       else ImageIoCodec.decodePixels(payload)
   }
 
+  /** REAL video decode for the one container family that needs no
+    * native libs: AVI carrying MJPEG (each frame is an ordinary JPEG,
+    * decodable by [[ImageIoCodec]]). The RIFF walk is the same
+    * byte-parser discipline as [[WavCodec]]: validate the `RIFF…AVI `
+    * signature, skip unknown chunks/LISTs, locate the `movi` LIST and
+    * iterate its `##dc`/`##db` video chunks. Every length is
+    * bounds-checked against the payload and frame extraction is capped
+    * at [[AviMjpegCodec.MaxFrames]] (a hostile chunk table must not
+    * balloon the task). Features:
+    * `[nFrames, nDecoded, width, height, meanR, meanG, meanB, isMjpeg]`
+    * — color stats over up to [[AviMjpegCodec.SampleFrames]] evenly
+    * sampled decoded frames; non-AVI / non-decodable → zero vector.
+    * Other video containers (MP4/MKV/…) have no pure-JVM decoder and
+    * stay on [[FakeCodec]] via [[VideoCodec]]'s dispatch. */
+  object AviMjpegCodec extends MediaCodec {
+    val featureDim = 8
+    private[operators] val MaxFrames = 4096
+    private[operators] val SampleFrames = 4
+
+    private[operators] def isAvi(p: Array[Byte]): Boolean =
+      p != null && p.length >= 12 &&
+        p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+    /** MJPEG frame payloads in stream order (bounded by MaxFrames).
+      * Empty for anything that is not a well-formed AVI. */
+    def frames(payload: Array[Byte]): Seq[Array[Byte]] = {
+      if (!isAvi(payload)) return Nil
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int): String =
+        new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val out = Seq.newBuilder[Array[Byte]]
+      var n = 0
+      // walk top-level chunks after the 12-byte RIFF header; descend
+      // into LIST 'movi' (frames live there), skip everything else
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        var off = start
+        while (off + 8 <= end && n < MaxFrames) {
+          val id = tag(off)
+          val len = bb.getInt(off + 4)
+          // Long math: a hostile 32-bit length must not wrap the bound
+          // check (off + 8 + len can exceed Int range) — same contract
+          // as the BMP header validation
+          if (len < 0 || off.toLong + 8 + len > end) return
+          if (id == "LIST" && len >= 4) {
+            val listType = tag(off + 8)
+            if (listType == "movi" && depth < 4)
+              walk(off + 12, off + 8 + len, depth + 1)
+          } else if (id.endsWith("dc") || id.endsWith("db")) {
+            // ##dc / ##db: compressed / uncompressed video data — MJPEG
+            // frames are JPEG payloads (FFD8 magic)
+            if (len >= 2 && (payload(off + 8) & 0xff) == 0xff &&
+              (payload(off + 9) & 0xff) == 0xd8) {
+              out += java.util.Arrays.copyOfRange(payload, off + 8,
+                off + 8 + len)
+              n += 1
+            }
+          }
+          off += 8 + len + (len & 1) // word alignment (len ≤ end − off − 8)
+        }
+      }
+      walk(12, payload.length, 0)
+      out.result()
+    }
+
+    def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
+      val fs = frames(payload)
+      if (fs.isEmpty) return zeros
+      val step = math.max(1, fs.length / SampleFrames)
+      val sampled = fs.indices.by(step).take(SampleFrames).map(fs)
+      var w = 0; var h = 0; var decoded = 0
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      sampled.foreach { f =>
+        val feat = ImageIoCodec.decodeToFeatures(f)
+        if (feat(0) > 0) {
+          decoded += 1
+          if (w == 0) { w = feat(0).toInt; h = feat(1).toInt }
+          sr += feat(3); sg += feat(4); sb += feat(5)
+        }
+      }
+      if (decoded == 0) return zeros
+      Array(fs.length.toFloat, decoded.toFloat, w.toFloat, h.toFloat,
+        (sr / decoded).toFloat, (sg / decoded).toFloat,
+        (sb / decoded).toFloat, 1f)
+    }
+  }
+
+  /** Video dispatcher: RIFF/AVI payloads get the REAL MJPEG decode;
+    * containers with no pure-JVM codec stay on the marked stand-in. */
+  object VideoCodec extends MediaCodec {
+    val featureDim = 18 // FakeCodec-compatible width for the fallback
+    def decodeToFeatures(payload: Array[Byte]): Array[Float] =
+      if (AviMjpegCodec.isAvi(payload)) {
+        val f = AviMjpegCodec.decodeToFeatures(payload)
+        java.util.Arrays.copyOf(f, featureDim) // zero-padded to 18
+      } else FakeCodec.decodeToFeatures(payload)
+  }
+
   /** Deterministic stand-in — the fallback for kinds with no pure-JVM
-    * decoder (video) and the test double for plumbing specs: 16-bin byte
-    * histogram (normalised) + mean byte + length, as Array[Float].
-    * Clearly fake by construction; real decode lives in [[WavCodec]] /
-    * [[BmpCodec]] / [[ImageIoCodec]]. */
+    * decoder (non-AVI video) and the test double for plumbing specs:
+    * 16-bin byte histogram (normalised) + mean byte + length, as
+    * Array[Float]. Clearly fake by construction; real decode lives in
+    * [[WavCodec]] / [[BmpCodec]] / [[ImageIoCodec]] /
+    * [[AviMjpegCodec]]. */
   object FakeCodec extends MediaCodec {
     val featureDim = 18
     def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
@@ -343,11 +444,12 @@ object Multimodal {
   }
 
   /** Kind → decoder: the real codecs where a pure-JVM parse exists
-    * (WAV audio; BMP/JPEG/PNG/GIF images), the marked stand-in
-    * elsewhere (video — this container ships no JVM video codec). */
+    * (WAV audio; BMP/JPEG/PNG/GIF images; AVI/MJPEG video), the marked
+    * stand-in elsewhere (non-AVI video containers ship no JVM codec). */
   def codecFor(kind: String): MediaCodec = kind match {
     case "audio" => WavCodec
     case "image" => ImageCodec
+    case "video" => VideoCodec
     case _ => FakeCodec
   }
 
@@ -439,9 +541,35 @@ object Multimodal {
     }(encoder)
   }
 
+  /** REAL frame sampling for AVI/MJPEG payloads: one row per
+    * `stride`-th extracted frame, carrying the frame's own JPEG bytes —
+    * downstream treats frames as `kind = "image"` rows
+    * ([[extractFeatures]] / [[resizeImages]] decode them via
+    * [[ImageCodec]]). Non-AVI payloads emit no rows. Same
+    * partition-wise batch contract and the same bounded-extraction
+    * guarantees as [[AviMjpegCodec.frames]] (MaxFrames cap, validated
+    * chunk lengths). */
+  def sampleMjpegFrames(media: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride $stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val fs = AviMjpegCodec.frames(r.getAs[Array[Byte]](payloadIdx))
+        fs.indices.by(stride).map(i => Row(r.getLong(idIdx), i, fs(i)))
+      }
+    }(encoder)
+  }
+
   /** Frame-sampling shape for video payloads: emit every `stride`-th
     * fixed-size window of the payload as a "frame" (explode → one row per
-    * frame; a real impl swaps the byte-slice for a codec frame grab). */
+    * frame; [[sampleMjpegFrames]] is the real decode for AVI/MJPEG —
+    * this byte-slice form remains for containers with no JVM codec). */
   def sampleFrames(media: DataFrame, frameBytes: Int = 1024,
       stride: Int = 4): DataFrame = {
     val nFrames = greatest(lit(1),

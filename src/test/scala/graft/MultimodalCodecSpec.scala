@@ -5,7 +5,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{BmpCodec, FakeCodec, ImageCodec, ImageIoCodec, WavCodec}
+import graft.operators.Multimodal.{AviMjpegCodec, BmpCodec, FakeCodec, ImageCodec, ImageIoCodec, VideoCodec, WavCodec}
 
 /** Real-decode gate: the WAV, BMP and imageio (JPEG/PNG) codecs must
   * parse handcrafted, byte-exact container fixtures — not just survive
@@ -109,6 +109,12 @@ class MultimodalCodecSpec extends SparkSpec {
     val bad = wav.clone()
     bad(40) = 0x7f.toByte // inflate data length field
     assert(WavCodec.decodeToFeatures(bad).forall(_ == 0f))
+    // near-Int.MaxValue length would WRAP an int bound check — must
+    // still reject (Long-math contract, same as the AVI walk)
+    val wrap = wav.clone()
+    ByteBuffer.wrap(wrap).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue - 4)
+    assert(WavCodec.decodeToFeatures(wrap).forall(_ == 0f))
   }
 
   test("BmpCodec decodes a 24-bpp fixture byte-exactly") {
@@ -273,6 +279,86 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(out(0).getBoolean(0))
     assert(out(0).getAs[Array[Byte]](1).map(_ & 0xff).toSeq == Seq(
       10, 0, 0, 0, 20, 0, 0, 0, 30, 40, 40, 40))
+  }
+
+  /** Minimal RIFF/AVI wrapping MJPEG frames: RIFF("AVI " LIST("movi"
+    * "00dc"(jpeg)…)). Real AVIs carry an hdrl LIST too; the parser
+    * skips unknown chunks, so the fixture stays minimal. */
+  private def aviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length & 1
+      val bb = ByteBuffer.allocate(8 + data.length + pad)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array()
+    }
+    val movi = "movi".getBytes("US-ASCII") ++
+      frames.flatMap(f => chunk("00dc", f))
+    val list = chunk("LIST", movi)
+    val bb = ByteBuffer.allocate(12 + list.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + list.length)
+      .put("AVI ".getBytes("US-ASCII")).put(list)
+    bb.array()
+  }
+
+  test("AviMjpegCodec: extracts MJPEG frames byte-exactly and decodes " +
+    "their stats") {
+    val px = Array.tabulate(8, 8)((y, x) => (32 * y, 16 * x, 128))
+    val jpeg1 = imageBytes("jpg", px)
+    val jpeg2 = imageBytes("jpg", px.map(_.map { case (r, g, b) => (b, g, r) }))
+    val avi = aviBytes(Seq(jpeg1, jpeg2))
+    val fs = AviMjpegCodec.frames(avi)
+    assert(fs.length == 2)
+    assert(fs(0).toSeq == jpeg1.toSeq && fs(1).toSeq == jpeg2.toSeq)
+    val f = AviMjpegCodec.decodeToFeatures(avi)
+    assert(f(0) == 2f && f(1) == 2f) // frames, decoded
+    assert(f(2) == 8f && f(3) == 8f) // dims from the first frame
+    assert(f(7) == 1f) // isMjpeg
+    // non-AVI and hostile containers reject cleanly
+    assert(AviMjpegCodec.frames("not a video".getBytes).isEmpty)
+    assert(AviMjpegCodec.frames(avi.take(20)).isEmpty)
+    val hostile = avi.clone()
+    // inflate the LIST length beyond the payload: must not over-read
+    ByteBuffer.wrap(hostile).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, Int.MaxValue)
+    assert(AviMjpegCodec.frames(hostile).isEmpty)
+    assert(AviMjpegCodec.decodeToFeatures(hostile).forall(_ == 0f))
+  }
+
+  test("VideoCodec dispatch: AVI -> real MJPEG decode, other video -> " +
+    "marked stand-in") {
+    val jpeg = imageBytes("jpg", Array.tabulate(4, 4)((_, _) => (10, 20, 30)))
+    val avi = aviBytes(Seq(jpeg))
+    val real = VideoCodec.decodeToFeatures(avi)
+    assert(real(0) == 1f && real(7) == 1f) // AviMjpeg features, padded
+    assert(real.length == FakeCodec.featureDim)
+    val fake = VideoCodec.decodeToFeatures("mp4 bytes".getBytes)
+    assert(fake.toSeq ==
+      FakeCodec.decodeToFeatures("mp4 bytes".getBytes).toSeq)
+  }
+
+  test("sampleMjpegFrames explodes real frames; each feeds the image " +
+    "pipeline") {
+    val px4 = Array.tabulate(4, 4)((_, _) => (200, 100, 50))
+    val jpegs = (0 until 3).map(_ => imageBytes("jpg", px4))
+    val media = Seq(
+      (1L, "video", aviBytes(jpegs)),
+      (2L, "video", "no container".getBytes))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+    val frames = Multimodal.sampleMjpegFrames(media).collect()
+    assert(frames.length == 3)
+    assert(frames.forall(_.getLong(0) == 1L)) // non-AVI emitted nothing
+    // every exploded frame decodes as an image
+    frames.foreach { r =>
+      val feat = graft.operators.Multimodal.ImageCodec
+        .decodeToFeatures(r.getAs[Array[Byte]](2))
+      assert(feat(0) == 4f && feat(1) == 4f)
+    }
+    // stride sampling
+    assert(Multimodal.sampleMjpegFrames(media, stride = 2)
+      .collect().map(_.getInt(1)).toSeq.sorted == Seq(0, 2))
   }
 
   test("extractFeatures dispatches by kind: real codecs for audio/image") {
