@@ -68,6 +68,18 @@ object MlPipelines {
   def svm(labelCol: String = "buy_or_sell"): LinearSVC =
     new LinearSVC().setMaxIter(10).setRegParam(0.1).setLabelCol(labelCol)
 
+  /** Beyond-ref companion to M13's CrossValidator: the reference
+    * IMPORTS `GBTClassifier` alongside RF (`G_2_rf_pca.py:24`) but
+    * never instantiates it — another dead import; the complete ML
+    * surface offers the working form. Defaults mirror the RF parity
+    * config where the params correspond (maxDepth/maxBins/seed); GBT's
+    * own iteration count stays at the library's 20. */
+  def gbt(labelCol: String = "buy_or_sell")
+      : org.apache.spark.ml.classification.GBTClassifier =
+    new org.apache.spark.ml.classification.GBTClassifier()
+      .setLabelCol(labelCol).setFeaturesCol("features")
+      .setMaxDepth(10).setMaxBins(32).setSeed(42)
+
   /** M7+M8 — assemble → classify pipeline with the reference's 70/30
     * split (`G_2_rf_nordd.py:60-66`). Returns (model, predictions). */
   def fitPredict(data: DataFrame, featureCols: Seq[String],

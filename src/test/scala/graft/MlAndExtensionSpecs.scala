@@ -47,6 +47,16 @@ class MlPipelinesSpec extends SparkSpec {
     assert(math.abs(hardAuc - rdd("areaUnderROC_hard")) < 1e-12)
   }
 
+  test("GBT (the reference's other dead import) trains and evaluates") {
+    val data = graft.operators.Labeler.label(bars)
+    val (_, preds) = MlPipelines.fitPredict(
+      data, Seq("close", "high", "low", "open", "volume"),
+      MlPipelines.gbt())
+    val m = MlPipelines.evaluate(preds)
+    assert(m("accuracy") >= 0.0 && m("accuracy") <= 1.0)
+    assert(preds.columns.contains("prediction"))
+  }
+
   test("M13: CrossValidator over the RF grid picks a best model") {
     val data = graft.operators.Labeler.label(bars)
     val cv = MlPipelines.crossValidate(
