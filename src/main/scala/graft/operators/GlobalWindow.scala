@@ -484,6 +484,73 @@ object GlobalWindow {
     withAggs.filter(!col("_borrowed")).drop("_bucket", "_borrowed")
   }
 
+  /** RANGE-frame aggregates over the global order — `agg OVER (ORDER BY
+    * key RANGE BETWEEN r PRECEDING AND CURRENT ROW)` without a
+    * single-partition exchange.
+    *
+    * Unlike [[rollingGlobal]] (rows frames → driver walks a k-row
+    * tail), the borrowed set here is VALUE-derived and therefore fully
+    * distributed: a row in bucket c only ever needs history with key in
+    * `[bucketStart(c) − r, bucketStart(c))`, so each row computes — via
+    * a literal (cut, bucket) array, one `filter` + `explode`, ONE scan
+    * — the set of later buckets whose boundary band it falls in, and is
+    * duplicated into them as a borrowed row. No driver collect of data
+    * rows at all; duplication factor is ~`r / bucketSpan + 1`, so keep
+    * `r` well under the bucket span (at 32+ buckets over a day of
+    * ticks, an `r` of minutes duplicates <1% of rows).
+    *
+    * @param orderKey numeric column: BOTH the global sort key and the
+    *                 range dimension (RANGE frames have a single
+    *                 numeric order column). Equal values are peers, as
+    *                 in the unpartitioned window.
+    * @param rangeBefore frame reach r ≥ 0, in `orderKey` units.
+    * @param aggs (raw aggregate, output name) — [[rollingGlobal]] rules.
+    */
+  def rollingGlobalRange(df: DataFrame, orderKey: String,
+      aggs: Seq[(Column, String)], rangeBefore: Long,
+      numPartitions: Option[Int] = None,
+      quantileBuckets: Boolean = false): DataFrame = {
+    require(rangeBefore >= 0, s"rangeBefore $rangeBefore")
+    val key = col(orderKey)
+    if (useSmallInputPath(df)) {
+      val w = Window.orderBy(key).rangeBetween(-rangeBefore, 0)
+      return aggs.foldLeft(df) { case (d, (a, name)) =>
+        d.withColumn(name, a.over(w))
+      }
+    }
+    val parts = numPartitions.getOrElse(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val cuts = bucketCuts(df, key, parts, quantileBuckets)
+    val bucket: Column =
+      if (cuts.isEmpty) lit(0)
+      else cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(key.cast("double") > lit(c), 1).otherwise(0)
+      }
+    // (cut, target bucket) literals: bucket i (i ≥ 1) starts above
+    // cuts(i−1); a row with key in (cut − r, cut] is borrowed into it
+    val bands: Column =
+      if (cuts.isEmpty) array()
+      else array(cuts.zipWithIndex.map { case (c, i) =>
+        struct(lit(i + 1).as("b"), lit(c).as("cut"))
+      }: _*)
+    val own = struct(bucket.as("b"), lit(false).as("brw"))
+    val hits = transform(
+      filter(bands, s => key.cast("double") <= s.getField("cut") &&
+        key.cast("double") > s.getField("cut") - lit(rangeBefore.toDouble)),
+      s => struct(s.getField("b").as("b"), lit(true).as("brw")))
+    val exploded = df
+      .withColumn("_e", explode(concat(array(own), hits)))
+      .withColumn("_bucket", col("_e.b"))
+      .withColumn("_borrowed", col("_e.brw"))
+      .drop("_e")
+    val w2 = Window.partitionBy(col("_bucket")).orderBy(key)
+      .rangeBetween(-rangeBefore, 0)
+    val withAggs = aggs.foldLeft(exploded) { case (d, (a, name)) =>
+      d.withColumn(name, a.over(w2))
+    }
+    withAggs.filter(!col("_borrowed")).drop("_bucket", "_borrowed")
+  }
+
   /** The reference's label over the scalable global lag: bit-identical to
     * `Labeler.label` (unpartitioned window) but parallel. */
   def lagLabelGlobal(df: DataFrame, orderCols: Seq[String],

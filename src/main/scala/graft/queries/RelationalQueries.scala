@@ -252,9 +252,28 @@ object RelationalQueries {
       // post-process OUTSIDE the window (aggs must be raw aggregates)
       .withColumn("roll_sum", col("roll_sum").cast("double"))
 
+  /** W4, time-RANGE frames over the GLOBAL order — last-10-minutes
+    * aggregates per event via
+    * [[graft.operators.GlobalWindow.rollingGlobalRange]]'s distributed
+    * borrowed-band stitch (value-derived duplication, no driver
+    * collect). Epoch micros is both the sort key and range dimension;
+    * duplicate epochs are peers in both engines. */
+  val q42RangeGlobal: Q = (s, dir) =>
+    graft.operators.GlobalWindow.rollingGlobalRange(
+      events(s, dir)
+        .select(col("event_id"), col("value"),
+          unix_micros(col("ts").cast("timestamp")).as("epoch_us")),
+      "epoch_us",
+      Seq(
+        (sum(col("value").cast("decimal(28,6)")), "range_sum"),
+        (count(col("value")), "range_n")),
+      rangeBefore = 600L * 1000 * 1000) // 10 minutes of microseconds
+      .withColumn("range_sum", col("range_sum").cast("double"))
+
   val defs: Map[String, Q] = Map(
     "q40_lag_k" -> q40LagK,
     "q41_rolling_global" -> q41RollingGlobal,
+    "q42_range_global" -> q42RangeGlobal,
     "q1_agg" -> q1Agg,
     "q2_project" -> q2Project,
     "q3_when" -> q3When,
@@ -287,6 +306,14 @@ object RelationalQueries {
         |FROM events
         |WINDOW w AS (ORDER BY ts, event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q42_range_global" ->
+      """SELECT event_id, value,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS epoch_us,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS range_sum,
+        |  count(value) OVER w AS range_n
+        |FROM events
+        |WINDOW w AS (ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlSumd("l_quantity")} AS sum_qty,

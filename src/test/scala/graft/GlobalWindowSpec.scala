@@ -180,6 +180,40 @@ class GlobalWindowSpec extends SparkSpec {
       s"single-partition exchange found:\n$plan")
   }
 
+  test("rollingGlobalRange: distributed borrowed bands == unpartitioned " +
+    "RANGE frame (duplicate keys = peers, bands spanning buckets)") {
+    // sparse keys with DUPLICATES (peers) and gaps larger than the
+    // range, so bands cover zero, some, or many rows
+    val rows = Seq(1L, 1L, 3L, 7L, 8L, 8L, 8L, 15L, 40L, 41L, 43L, 60L,
+      61L, 61L, 90L, 91L, 95L, 120L, 121L, 150L).zipWithIndex.map {
+      case (k, i) =>
+        (k, if (i % 5 == 0) null else java.lang.Double.valueOf(i * 2.0))
+    }
+    val df = rows.toDF("k", "v").repartition(3)
+    for (r <- Seq(0L, 5L, 30L)) {
+      val viaGlobal = forceScalablePath {
+        GlobalWindow.rollingGlobalRange(df, "k",
+          Seq((sum($"v"), "r_sum"), (count($"v"), "r_n")),
+          rangeBefore = r, numPartitions = Some(6))
+          .orderBy($"k", $"v").collect().toSeq
+      }
+      val w = Window.orderBy($"k").rangeBetween(-r, 0)
+      val viaSingle = df
+        .withColumn("r_sum", sum($"v").over(w))
+        .withColumn("r_n", count($"v").over(w))
+        .orderBy($"k", $"v").collect().toSeq
+      assert(viaGlobal == viaSingle, s"range $r")
+    }
+    val plan = forceScalablePath {
+      GlobalWindow.rollingGlobalRange(df, "k",
+        Seq((sum($"v"), "r_sum")), rangeBefore = 5L,
+        numPartitions = Some(6))
+        .queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange found:\n$plan")
+  }
+
   test("skew-adaptive default: pathological key skew still yields " +
     "balanced buckets and unchanged results") {
     // 95% of rows pile into a tiny corner of the key range — equal-width
