@@ -102,6 +102,127 @@ object ScaleProbe {
       return
     }
 
+    // `zorder`: row-group pruning head-to-head — z-ordered vs lead-key-
+    // sorted layout under box / single-dim predicates. Two measures:
+    // parquet footer min/max intersection counts (exactly the stats a
+    // 100 TB scan prunes with — layout quality independent of local I/O
+    // noise) and wall-clock on the filtered scan.
+    if (args.headOption.contains("zorder")) {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val n = 20000000L
+      val files = 256 // one ~80k-row row group per file at this size
+      val df = spark.range(n).select(
+        pmod(hash(col("id")), lit(4096)).as("x"),
+        pmod(hash(col("id") + 1000000007L), lit(4096)).as("y"),
+        col("id").as("payload"))
+      val base = "/tmp/graft_zorder_probe"
+      df.repartitionByRange(files, col("x")).sortWithinPartitions(col("x"))
+        .write.mode("overwrite").parquet(s"$base/linear")
+      graft.sources.ZOrder.write(df, s"$base/zorder", Seq("x", "y"),
+        bits = 12, numFiles = files)
+      // box = 12% of each dim (1.5% of the area); yOnly = the predicate
+      // a lead-key sort cannot prune at all
+      val (xLo, xHi, yLo, yHi) = (1000L, 1499L, 2000L, 2499L)
+      def hits(dir: String, useX: Boolean): (Int, Int) = {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = new Path(dir).getFileSystem(conf)
+        var total = 0; var hit = 0
+        fs.listStatus(new Path(dir))
+          .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+            val r = ParquetFileReader.open(
+              HadoopInputFile.fromPath(f.getPath, conf))
+            try r.getFooter.getBlocks.asScala.foreach { b =>
+              total += 1
+              def rng(name: String): (Long, Long) = {
+                val st = b.getColumns.asScala
+                  .find(_.getPath.toDotString == name).get.getStatistics
+                (st.genericGetMin.asInstanceOf[Number].longValue,
+                  st.genericGetMax.asInstanceOf[Number].longValue)
+              }
+              val (y0, y1) = rng("y")
+              val yHit = y1 >= yLo && y0 <= yHi
+              val xHit = !useX || {
+                val (x0, x1) = rng("x"); x1 >= xLo && x0 <= xHi
+              }
+              if (xHit && yHit) hit += 1
+            } finally r.close()
+          }
+        (hit, total)
+      }
+      def scanT(dir: String, useX: Boolean): Double = {
+        val t0 = System.nanoTime()
+        val d = spark.read.parquet(dir)
+          .filter(col("y").between(yLo, yHi))
+        (if (useX) d.filter(col("x").between(xLo, xHi)) else d)
+          .agg(sum(col("payload"))).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq(("linear-x", s"$base/linear"), ("zorder", s"$base/zorder"))
+        .foreach { case (name, dir) =>
+          val (bh, bt) = hits(dir, useX = true)
+          val (yh, yt) = hits(dir, useX = false)
+          println(f"[scale-probe] $name%-9s box(x,y): $bh/$bt row groups, " +
+            f"${scanT(dir, useX = true)}%.2f s   y-only: $yh/$yt, " +
+            f"${scanT(dir, useX = false)}%.2f s")
+        }
+      spark.stop()
+      return
+    }
+
+    // `globalwindow`: head-to-head of the scalable global-window family
+    // vs the single-partition plans they replace, at 6.7M and 67M rows
+    // (in-plan synthesized narrow table — measures the window compute,
+    // not parquet I/O)
+    if (args.headOption.contains("globalwindow")) {
+      import org.apache.spark.sql.expressions.Window
+      def bars(n: Long) = spark.range(n).select(
+        (col("id") * 60000000L).as("epoch_us"), // one row per minute
+        ((col("id") % 1000) * 0.25).as("close"))
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def probe(n: Long): (Double, Double, Double, Double) = {
+        val b = bars(n)
+        val rowsSingle = t {
+          val w = Window.orderBy(col("epoch_us")).rowsBetween(-99, 0)
+          b.withColumn("s", sum(col("close")).over(w))
+            .queryExecution.toRdd.count()
+        }
+        val rowsGlobal = t {
+          graft.operators.GlobalWindow.rollingGlobal(b, Seq("epoch_us"),
+            Seq((sum(col("close")), "s")), frameRows = 100,
+            bucketKey = col("epoch_us")).queryExecution.toRdd.count()
+        }
+        // 100-minute reach = same 100-row coverage as the rows frame
+        val reach = 100L * 60000000L
+        val rangeSingle = t {
+          val w = Window.orderBy(col("epoch_us")).rangeBetween(-reach, 0)
+          b.withColumn("s", sum(col("close")).over(w))
+            .queryExecution.toRdd.count()
+        }
+        val rangeGlobal = t {
+          graft.operators.GlobalWindow.rollingGlobalRange(b, "epoch_us",
+            Seq((sum(col("close")), "s")), rangeBefore = reach)
+            .queryExecution.toRdd.count()
+        }
+        (rowsSingle, rowsGlobal, rangeSingle, rangeGlobal)
+      }
+      probe(6700000L) // JIT warmup, discarded
+      Seq(6700000L, 67000000L).foreach { n =>
+        val (rs, rg, gs, gg) = probe(n)
+        val m = n / 1000000
+        println(f"[scale-probe] rows-frame ${m}M: single-partition $rs%.1f s" +
+          f"   bucketed $rg%.1f s   speedup ${rs / rg}%.1f")
+        println(f"[scale-probe] range-frame ${m}M: single-partition $gs%.1f s" +
+          f"   bucketed $gg%.1f s   speedup ${gs / gg}%.1f")
+      }
+      spark.stop()
+      return
+    }
+
     run(SyntheticBars.ReferenceRows) // JIT warmup pass, discarded
     val (l1, f1) = run(SyntheticBars.ReferenceRows)
     val (l10, f10) = run(SyntheticBars.ReferenceRows * 10)

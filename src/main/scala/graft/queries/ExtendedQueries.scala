@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.TemporalJoins
+import graft.sources.ZOrder
 
 import Oracle._
 
@@ -261,7 +262,27 @@ object ExtendedQueries {
         col("trend"))
   }
 
+  /** Z-order cell aggregation — the bit-interleaved Morton key from
+    * [[graft.sources.ZOrder.interleave]] used as a first-class VALUE, not
+    * just a write-side sort key: lineitem bucketed on (l_partkey,
+    * l_suppkey) low bytes, rolled up by 256-cell z-grid. The oracle SQL's
+    * interleave expression is RENDERED from the same term loop
+    * ([[ZOrder.sqlInterleave]]), so the hash check proves the bit layout
+    * itself, not just the aggregation — the cross-engine complement to
+    * `ZOrderSpec`'s driver-reference weave check. The key is pure
+    * shift/and/add integer arithmetic — whole-stage codegen, no UDF. */
+  val q43ZOrder: Q = (s, dir) => {
+    val z = ZOrder.interleave(
+      Seq(pmod(col("l_partkey"), lit(256)), pmod(col("l_suppkey"), lit(256))),
+      bits = 8)
+    table(s, dir, "lineitem")
+      .withColumn("zcell", shiftright(z, 8))
+      .groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q43_zorder" -> q43ZOrder,
     "qi2_rolling_trend" -> qi2RollingTrend,
     "qj1_json" -> qj1Json,
     "q25_sessionize" -> q25Sessionize,
@@ -277,6 +298,13 @@ object ExtendedQueries {
     "qi1_indicator_frames" -> qi1IndicatorFrames)
 
   val sql: Map[String, String] = Map(
+    "q43_zorder" ->
+      s"""SELECT ${ZOrder.sqlInterleave(
+             Seq("l_partkey % 256", "l_suppkey % 256"), bits = 8)} >> 8
+         |    AS zcell,
+         |  count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem GROUP BY 1""".stripMargin,
     "qi2_rolling_trend" ->
       """WITH base AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,

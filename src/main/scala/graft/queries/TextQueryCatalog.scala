@@ -462,7 +462,28 @@ object TextQueryCatalog {
           .otherwise(lit(1.0)).as("similarity"))
   }
 
+  /** Group-aware leakage-free train/eval split. A row-level random split
+    * leaks near-identical content across the boundary (documents from one
+    * SOURCE share boilerplate and near-dups), so training pipelines split
+    * by GROUP: every doc of a source lands on the same side, decided by a
+    * portable hash of the group key alone. The assignment is a map-only
+    * codegen'd expression — deterministic across engines and runs,
+    * shuffle-free (adding the split column never moves corpus bytes;
+    * only this report's small aggregate shuffles), and at 100 TB it
+    * composes with any downstream write as a pure projection.
+    * ~80/20 by hash bucket. Oracle recomputes the same md5 bucket in
+    * DuckDB; `Round4PropertySpecs` asserts zero straddling groups. */
+  val qt28GroupSplit: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        when(pmod(hash32(concat(lit("spl:"), col("source"))), lit(100)) < 80,
+          lit("train")).otherwise(lit("test")).as("split"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_groups"))
+
   val defs: Map[String, Q] = Map(
+    "qt28_group_split" -> qt28GroupSplit,
     "qt27_levenshtein" -> qt27Levenshtein,
     "qt26_oov" -> qt26OovScore,
     "qt25_seq_pack" -> qt25SeqPack,
@@ -633,6 +654,13 @@ object TextQueryCatalog {
        |FROM salted""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "qt28_group_split" ->
+      s"""SELECT
+         |  CASE WHEN ${T.hash32("'spl:' || source")} % 100 < 80
+         |    THEN 'train' ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs,
+         |  count(DISTINCT source) AS n_groups
+         |FROM documents GROUP BY 1, 2""".stripMargin,
     "qt27_levenshtein" ->
       s"""WITH p AS (
          |  SELECT doc_id, substr(text, 1, 40) AS pfx FROM documents)

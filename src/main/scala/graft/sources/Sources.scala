@@ -211,6 +211,20 @@ object ZOrder {
     terms.reduce(_ + _)
   }
 
+  /** DuckDB twin of [[interleave]] — rendered from the same term loop,
+    * so the bit layout is identical by construction (the
+    * generate-SQL-from-the-constants oracle recipe). Inputs must be
+    * non-negative, as in [[interleave]]. */
+  def sqlInterleave(exprs: Seq[String], bits: Int): String = {
+    require(exprs.nonEmpty && bits * exprs.size <= 63)
+    val n = exprs.size
+    val terms = for {
+      (e, d) <- exprs.zipWithIndex
+      j <- 0 until bits
+    } yield s"(((($e) >> $j) & 1) << ${j * n + d})"
+    terms.mkString("(", " + ", ")")
+  }
+
   /** The z-value for arbitrary numeric columns: min/max-scale each to
     * [0, 2^bits) using the supplied per-column (min, max) literals,
     * then interleave. */

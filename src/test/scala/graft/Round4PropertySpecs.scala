@@ -95,4 +95,22 @@ class Round4PropertySpecs extends SparkSpec {
         s"trial $trial: $rounds rounds for $nNodes nodes")
     }
   }
+
+  test("qt28 group split: no group straddles the train/test boundary") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.TextQueryCatalog.defs("qt28_group_split")(
+      spark, dir).cache()
+    // if any (lang, source) cell landed on both sides, the per-cell
+    // distinct-group counts would double-count it and the sum would
+    // exceed the corpus total — equality proves zero straddlers THROUGH
+    // the query output, not by re-deriving the assignment
+    val sumGroups = out.agg(sum(col("n_groups"))).head.getLong(0)
+    val pairs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("source")).distinct().count()
+    assert(sumGroups == pairs,
+      s"group cells $sumGroups != distinct (lang, source) $pairs")
+    // both sides populated — the split is not vacuous on this corpus
+    val sides = out.select(col("split")).distinct().count()
+    assert(sides == 2, s"expected train AND test, got $sides side(s)")
+  }
 }
