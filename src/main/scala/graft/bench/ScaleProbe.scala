@@ -167,6 +167,16 @@ object ScaleProbe {
           println(f"[scale-probe] $name%-9s box(x,y): $bh/$bt row groups, " +
             f"${scanT(dir, useX = true)}%.2f s   y-only: $yh/$yt, " +
             f"${scanT(dir, useX = false)}%.2f s")
+          // FILE-level skipping through the stats index (the layer that
+          // shrinks the 100 TB planner's split list, not just the bytes)
+          graft.sources.StatsIndex.build(spark, dir, Seq("x", "y"),
+            s"$dir-idx")
+          val nAll = graft.sources.StatsIndex
+            .prunedFiles(spark, s"$dir-idx", Nil).size
+          val nBox = graft.sources.StatsIndex.prunedFiles(spark, s"$dir-idx",
+            Seq(("x", xLo, xHi), ("y", yLo, yHi))).size
+          println(f"[scale-probe] $name%-9s stats-index files for box: " +
+            f"$nBox/$nAll")
         }
       spark.stop()
       return

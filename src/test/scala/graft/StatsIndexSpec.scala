@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{StatsIndex, ZOrder}
+
+/** File-level skipping index: pruning must be CONSERVATIVE (pruned scan
+  * ≡ full scan for every predicate — the index accelerates, the filter
+  * decides) and, over a z-ordered layout, actually selective (most
+  * files skipped for a small box). */
+class StatsIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base = {
+    val dir = Files.createTempDirectory("graft_sidx_").toString
+    val df = spark.range(200000).select(
+      pmod(hash(col("id")), lit(1024)).as("x"),
+      pmod(hash(col("id") + 7919), lit(1024)).as("y"),
+      col("id").as("payload"))
+    ZOrder.write(df, s"$dir/data", Seq("x", "y"), bits = 10, numFiles = 24)
+    StatsIndex.build(spark, s"$dir/data", Seq("x", "y"), s"$dir/idx")
+    dir
+  }
+
+  test("pruned read equals the full-scan filter on random boxes") {
+    val rnd = new scala.util.Random(4242)
+    val full = spark.read.parquet(s"$base/data")
+    (1 to 5).foreach { trial =>
+      val (xLo, yLo) = (rnd.nextInt(900).toLong, rnd.nextInt(900).toLong)
+      val w = 20 + rnd.nextInt(200)
+      val ranges = Seq(("x", xLo, xLo + w), ("y", yLo, yLo + w))
+      val pruned = StatsIndex.readPruned(spark, s"$base/data", s"$base/idx",
+        ranges)
+      val expect = full
+        .filter(col("x").between(xLo, xLo + w) &&
+          col("y").between(yLo, yLo + w))
+      val (gotN, wantN) = (pruned.count(), expect.count())
+      assert(gotN == wantN, s"trial $trial: $gotN rows pruned vs $wantN full")
+      val gotSum = pruned.agg(sum(col("payload"))).head.getLong(0)
+      val wantSum = expect.agg(sum(col("payload"))).head.getLong(0)
+      assert(gotSum == wantSum, s"trial $trial: payload sums differ")
+    }
+  }
+
+  test("a small box over the z-ordered layout skips most files") {
+    val all = StatsIndex.prunedFiles(spark, s"$base/idx", Nil)
+    assert(all.size >= 16, s"expected many files, got ${all.size}")
+    val hit = StatsIndex.prunedFiles(spark, s"$base/idx",
+      Seq(("x", 100L, 160L), ("y", 700L, 760L)))
+    assert(hit.size < all.size / 2,
+      s"box hit ${hit.size}/${all.size} files — index not selective")
+  }
+
+  test("constraints on an unindexed column keep every file") {
+    val all = StatsIndex.prunedFiles(spark, s"$base/idx", Nil)
+    val kept = StatsIndex.prunedFiles(spark, s"$base/idx",
+      Seq(("payload_missing", 0L, 10L)))
+    assert(kept == all, "unindexed column must never prune")
+  }
+}
