@@ -99,7 +99,11 @@ object Bench {
               try { fn(s, path) } catch { case _: Throwable => () }
               (System.nanoTime() - t0) / 1e9
             }.sorted
-            (name + "_iso") -> times(times.length / 2)
+            // true median: average the two middle elements on even reps
+            val mid = times.length / 2
+            val median = if (times.length % 2 == 1) times(mid)
+              else (times(mid - 1) + times(mid)) / 2
+            (name + "_iso") -> median
           } finally s.stop()
         }.toMap
       }

@@ -90,14 +90,25 @@ object ScaleProbe {
       (cc, rounds, spans)
     }
 
-    // `bars100`: the 100x (67M-row, ~30 GB parquet) data-plane probe
-    // only — run standalone; the table is deleted afterwards
-    if (args.headOption.contains("bars100")) {
+    // `bars30`: the 30x (20M-row, ~8 GB parquet) FULL-WIDTH (60-col)
+    // data-plane probe — the largest full-width scale one box's spill
+    // disk holds: at 100x the label pass's full-frame sort spills
+    // ~2× a 32 GB shuffle and measurably exhausts /tmp (a bench-host
+    // disk limit, not a plan defect — the 100x/67M-row point for the
+    // window COMPUTE is the narrow-table `globalwindow` probe). The
+    // 30x table is deleted afterwards.
+    if (args.headOption.exists(a => a == "bars30" || a == "bars100")) {
+      val mult = 30L
       run(SyntheticBars.ReferenceRows) // JIT warmup pass, discarded
       val (l1b, f1b) = run(SyntheticBars.ReferenceRows)
-      val (l100, f100) = run(SyntheticBars.ReferenceRows * 100)
-      println(f"[scale-probe] label 1x: $l1b%.1f s   100x: $l100%.1f s   ratio ${l100 / l1b}%.1f")
-      println(f"[scale-probe] fe    1x: $f1b%.1f s   100x: $f100%.1f s   ratio ${f100 / f1b}%.1f")
+      val (lN, fN) = run(SyntheticBars.ReferenceRows * mult)
+      println(f"[scale-probe] label 1x: $l1b%.1f s   ${mult}x: $lN%.1f s   ratio ${lN / l1b}%.1f")
+      println(f"[scale-probe] fe    1x: $f1b%.1f s   ${mult}x: $fN%.1f s   ratio ${fN / f1b}%.1f")
+      val big = new java.io.File(
+        s"/tmp/graft_bench_bars_${SyntheticBars.ReferenceRows * mult}")
+      if (big.isDirectory)
+        big.listFiles().foreach(_.delete())
+      big.delete()
       spark.stop()
       return
     }

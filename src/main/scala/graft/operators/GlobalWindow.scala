@@ -55,8 +55,10 @@ object GlobalWindow {
     * no extra scan vs the old min/max aggregate) yields the key's
     * quantile grid; from it we estimate what fraction of rows each
     * EQUAL-WIDTH span of [min, max] would hold. If the fullest span
-    * holds > [[SkewImbalanceThreshold]]× the uniform share, the key is
-    * skewed and the quantile values themselves become the cuts
+    * holds > [[SkewImbalanceThreshold]]× the uniform share (threshold
+    * capped at half the observable maximum, so low-parallelism
+    * sessions still trip it when one span would hold most rows), the
+    * key is skewed and the quantile values themselves become the cuts
     * (balanced occupancy by construction); otherwise the cheaper-to-
     * reason-about equal-width cuts are kept. `quantileBuckets = true`
     * forces the quantile path. Either way the cuts are collected ONCE
@@ -86,10 +88,28 @@ object GlobalWindow {
       occupancy(b) += 1.0
       i += 1
     }
-    if (occupancy.max > SkewImbalanceThreshold) interior
+    // occupancy.max is bounded by `parts` (each unit ≈ 1/parts of the
+    // rows), so at low parallelism the absolute threshold could never
+    // fire (parts = 4 ⇒ max observable = 4, never > 4). Cap the
+    // threshold at parts/2 — "one equal-width bin would hold over half
+    // the rows" is catastrophic at ANY parallelism — so low-parts
+    // sessions still switch to quantile cuts.
+    if (occupancy.max > math.min(SkewImbalanceThreshold, parts / 2.0))
+      interior
     else (1 until parts).map(i => lo + (hi - lo) * i / parts)
       .distinct.sorted
   }
+
+  /** Bucket id for `bucketKey` under the literal `cuts`: the count of
+    * cuts strictly below the key. ONE definition shared by every
+    * global-window variant, so bucket-edge semantics (the `>`
+    * comparison, the double cast) live in exactly one place and the
+    * main/boundary passes of every family agree by construction. */
+  private def bucketColumn(bucketKey: Column, cuts: Seq[Double]): Column =
+    if (cuts.isEmpty) lit(0)
+    else cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(bucketKey.cast("double") > lit(c), 1).otherwise(0)
+    }
 
   /** `lag(valueCol, offset)` over the global `orderCols` order.
     *
@@ -121,11 +141,7 @@ object GlobalWindow {
 
     // pass 0: bucket cuts collected once → literals
     val cuts = bucketCuts(df, bucketKey, parts, quantileBuckets)
-    val bucket: Column =
-      if (cuts.isEmpty) lit(0)
-      else cuts.foldLeft(lit(0)) { (acc, c) =>
-        acc + when(bucketKey.cast("double") > lit(c), 1).otherwise(0)
-      }
+    val bucket: Column = bucketColumn(bucketKey, cuts)
 
     val withBucket = df.withColumn("_bucket", bucket)
     val bucketed = withBucket.repartition(parts, col("_bucket"))
@@ -193,11 +209,7 @@ object GlobalWindow {
       parts: Int, quantileBuckets: Boolean): DataFrame = {
     val oc: Seq[Column] = orderCols.map(col)
     val cuts = bucketCuts(df, bucketKey, parts, quantileBuckets)
-    val bucket: Column =
-      if (cuts.isEmpty) lit(0)
-      else cuts.foldLeft(lit(0)) { (acc, c) =>
-        acc + when(bucketKey.cast("double") > lit(c), 1).otherwise(0)
-      }
+    val bucket: Column = bucketColumn(bucketKey, cuts)
     val withBucket = df.withColumn("_bucket", bucket)
     val bucketed = withBucket.repartition(parts, col("_bucket"))
     val w = Window.partitionBy(col("_bucket")).orderBy(oc: _*)
@@ -271,11 +283,7 @@ object GlobalWindow {
       return leadGlobalK(df, orderCols, valueCol, out, bucketKey, offset,
         parts, quantileBuckets)
     val cuts = bucketCuts(df, bucketKey, parts, quantileBuckets)
-    val bucket: Column =
-      if (cuts.isEmpty) lit(0)
-      else cuts.foldLeft(lit(0)) { (acc, c) =>
-        acc + when(bucketKey.cast("double") > lit(c), 1).otherwise(0)
-      }
+    val bucket: Column = bucketColumn(bucketKey, cuts)
     val withBucket = df.withColumn("_bucket", bucket)
     val bucketed = withBucket.repartition(parts, col("_bucket"))
     val w = Window.partitionBy(col("_bucket")).orderBy(oc: _*)
@@ -333,11 +341,7 @@ object GlobalWindow {
       parts: Int, quantileBuckets: Boolean): DataFrame = {
     val oc: Seq[Column] = orderCols.map(col)
     val cuts = bucketCuts(df, bucketKey, parts, quantileBuckets)
-    val bucket: Column =
-      if (cuts.isEmpty) lit(0)
-      else cuts.foldLeft(lit(0)) { (acc, c) =>
-        acc + when(bucketKey.cast("double") > lit(c), 1).otherwise(0)
-      }
+    val bucket: Column = bucketColumn(bucketKey, cuts)
     val withBucket = df.withColumn("_bucket", bucket)
     val bucketed = withBucket.repartition(parts, col("_bucket"))
     val w = Window.partitionBy(col("_bucket")).orderBy(oc: _*)
@@ -432,11 +436,7 @@ object GlobalWindow {
     val parts = numPartitions.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
     val cuts = bucketCuts(df, bucketKey, parts, quantileBuckets)
-    val bucket: Column =
-      if (cuts.isEmpty) lit(0)
-      else cuts.foldLeft(lit(0)) { (acc, c) =>
-        acc + when(bucketKey.cast("double") > lit(c), 1).otherwise(0)
-      }
+    val bucket: Column = bucketColumn(bucketKey, cuts)
     val withBucket = df.withColumn("_bucket", bucket)
 
     // per-bucket last n-1 rows, full width (they become borrowed rows)
@@ -521,11 +521,7 @@ object GlobalWindow {
     val parts = numPartitions.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
     val cuts = bucketCuts(df, key, parts, quantileBuckets)
-    val bucket: Column =
-      if (cuts.isEmpty) lit(0)
-      else cuts.foldLeft(lit(0)) { (acc, c) =>
-        acc + when(key.cast("double") > lit(c), 1).otherwise(0)
-      }
+    val bucket: Column = bucketColumn(key, cuts)
     // (cut, target bucket) literals: bucket i (i ≥ 1) starts above
     // cuts(i−1); a row with key in (cut − r, cut] is borrowed into it
     val bands: Column =

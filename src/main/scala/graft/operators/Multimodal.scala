@@ -368,7 +368,9 @@ object Multimodal {
           if (len < 0 || off.toLong + 8 + len > end) return
           if (id == "LIST" && len >= 4) {
             val listType = tag(off + 8)
-            if (listType == "movi" && depth < 4)
+            // frames live in LIST 'movi'; interleaved muxers group them
+            // further inside 'rec ' LISTs — descend into both
+            if ((listType == "movi" || listType == "rec ") && depth < 4)
               walk(off + 12, off + 8 + len, depth + 1)
           } else if (id.endsWith("dc") || id.endsWith("db")) {
             // ##dc / ##db: compressed / uncompressed video data — MJPEG
@@ -390,7 +392,9 @@ object Multimodal {
     def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
       val fs = frames(payload)
       if (fs.isEmpty) return zeros
-      val step = math.max(1, fs.length / SampleFrames)
+      // ceil, not floor: floor(len/k) under-strides when k < len < 2k
+      // and the "even" sample collapses to the first k frames
+      val step = math.max(1, (fs.length + SampleFrames - 1) / SampleFrames)
       val sampled = fs.indices.by(step).take(SampleFrames).map(fs)
       var w = 0; var h = 0; var decoded = 0
       var sr = 0.0; var sg = 0.0; var sb = 0.0

@@ -51,12 +51,17 @@ object StatsIndex {
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).toSeq
     val colsB = spark.sparkContext.broadcast(cols)
+    // ship the session's Hadoop conf to the executors as plain entries
+    // (fs.defaultFS, object-store credentials/endpoints, HA nameservice
+    // mappings) — a fresh `new Configuration()` on the executor would
+    // only ever resolve local/default filesystems
+    val confEntries = spark.sparkContext.broadcast(
+      conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray)
     val idx = files.toDF("file")
       .repartition(math.max(1, math.min(files.size, 64)))
       .mapPartitions { it =>
-        // executor-side footer reads; fresh Configuration per task (the
-        // footer path came from the same FS the driver listed)
-        val c = new Configuration()
+        val c = new Configuration(false)
+        confEntries.value.foreach { case (k, v) => c.set(k, v) }
         it.map { row =>
           val f = row.getString(0)
           val r = ParquetFileReader.open(

@@ -250,6 +250,25 @@ class GlobalWindowSpec extends SparkSpec {
       s"fullest partition $maxPart of ${occ.toSeq} — skew not mitigated")
   }
 
+  test("skew-adaptive default fires at LOW parallelism too (parts <= " +
+    "threshold)") {
+    // occupancy.max is bounded by parts, so with parts = 4 an absolute
+    // > 4.0 test could never fire — the capped threshold must still
+    // switch a fully-collapsed key to quantile cuts
+    val df = (1 to 1000).map { i =>
+      val k = if (i <= 950) i.toLong else 1000000L + i * 1000L
+      (k, i * 0.5)
+    }.toDF("k", "v").repartition(5)
+    val occ = forceScalablePath {
+      GlobalWindow.lagGlobal(df, Seq("k"), "v", "prev",
+        bucketKey = col("k"), numPartitions = Some(4))
+        .rdd.mapPartitions(it => Iterator(it.size)).collect()
+    }
+    assert(occ.max < 800,
+      s"fullest partition ${occ.max} of ${occ.toSeq} — low-parts skew " +
+        "not mitigated")
+  }
+
   test("scalable path's plan has no single-partition exchange") {
     val bars = StockFixture.bars(spark, nDays = 2, minutesPerDay = 30)
     val plan = forceScalablePath {

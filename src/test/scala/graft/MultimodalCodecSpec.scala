@@ -326,6 +326,45 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(AviMjpegCodec.decodeToFeatures(hostile).forall(_ == 0f))
   }
 
+  test("AviMjpegCodec: frames inside 'rec ' grouping LISTs are found") {
+    // interleaved muxers wrap each frame group in LIST('rec ') inside
+    // LIST('movi') — the walk must descend both levels
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length & 1
+      val bb = ByteBuffer.allocate(8 + data.length + pad)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array()
+    }
+    val jpeg = imageBytes("jpg", Array.tabulate(2, 2)((_, _) => (9, 9, 9)))
+    val rec = chunk("LIST",
+      "rec ".getBytes("US-ASCII") ++ chunk("00dc", jpeg))
+    val movi = "movi".getBytes("US-ASCII") ++ rec
+    val list = chunk("LIST", movi)
+    val bb = ByteBuffer.allocate(12 + list.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + list.length)
+      .put("AVI ".getBytes("US-ASCII")).put(list)
+    val fs = AviMjpegCodec.frames(bb.array())
+    assert(fs.length == 1 && fs(0).toSeq == jpeg.toSeq)
+  }
+
+  test("AviMjpegCodec: sampling spreads over the clip, not its head") {
+    // 7 frames, first 4 black, last 3 white; ceil stride samples
+    // 0,2,4,6 (2 black + 2 white -> mid-gray mean); a floor stride
+    // would sample 0,1,2,3 and report the clip as all-black
+    val black = imageBytes("jpg", Array.tabulate(2, 2)((_, _) => (0, 0, 0)))
+    val white = imageBytes("jpg",
+      Array.tabulate(2, 2)((_, _) => (255, 255, 255)))
+    val avi = aviBytes(Seq(black, black, black, black, white, white, white))
+    val f = AviMjpegCodec.decodeToFeatures(avi)
+    assert(f(0) == 7f && f(1) == 4f) // 7 frames, 4 sampled+decoded
+    // ImageIo means are normalized to [0,1]: expect ≈0.5 (2 black +
+    // 2 white); an all-black head sample would be ≈0
+    assert(f(4) > 0.2f && f(4) < 0.8f,
+      s"mean R ${f(4)} — sampling collapsed to the clip head")
+  }
+
   test("VideoCodec dispatch: AVI -> real MJPEG decode, other video -> " +
     "marked stand-in") {
     val jpeg = imageBytes("jpg", Array.tabulate(4, 4)((_, _) => (10, 20, 30)))
