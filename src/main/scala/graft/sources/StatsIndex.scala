@@ -44,12 +44,59 @@ object StatsIndex {
     * row, i.e. the file is never skipped. */
   def build(spark: SparkSession, dataDir: String, cols: Seq[String],
       indexDir: String): Unit = {
+    val files = listData(spark, dataDir)
+    statsFor(spark, files, cols)
+      .coalesce(1).write.mode("overwrite").parquet(indexDir)
+  }
+
+  /** Incremental maintenance for an append-mostly lake: footer-read
+    * ONLY files the index has not seen, drop rows for files that
+    * vanished (compaction/expiry), and swap the updated index in
+    * (write aside, then rename — readers see old or new, never a
+    * partial write). Cost ∝ churn, not table size — the operation a
+    * daily-ingest 100 TB table actually runs; a full [[build]] per
+    * ingest would re-read every footer. Returns (added, removed). */
+  def refresh(spark: SparkSession, dataDir: String, cols: Seq[String],
+      indexDir: String): (Int, Int) = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(dataDir).getFileSystem(conf)
-    val files = fs.listStatus(new Path(dataDir))
+    if (!new Path(indexDir).getFileSystem(conf).exists(new Path(indexDir))) {
+      build(spark, dataDir, cols, indexDir)
+      return (listData(spark, dataDir).size, 0)
+    }
+    val current = listData(spark, dataDir)
+    val old = spark.read.parquet(indexDir)
+    val known = old.select(col("file")).distinct().as[String].collect().toSet
+    val added = current.filterNot(known)
+    val removed = (known -- current).toSeq.sorted
+    val kept =
+      if (removed.isEmpty) old
+      else old.join(removed.toDF("file"), Seq("file"), "left_anti")
+    val updated =
+      if (added.isEmpty) kept
+      else kept.unionByName(statsFor(spark, added, cols))
+    val fs = new Path(indexDir).getFileSystem(conf)
+    val tmp = new Path(indexDir + ".swap")
+    updated.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(new Path(indexDir), true)
+    fs.rename(tmp, new Path(indexDir))
+    (added.size, removed.size)
+  }
+
+  private def listData(spark: SparkSession, dataDir: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    new Path(dataDir).getFileSystem(conf)
+      .listStatus(new Path(dataDir))
       .filter(_.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString).toSeq
+      .map(_.getPath.toString).toSeq.sorted
+  }
+
+  /** Distributed footer scan of `files` → one index row per
+    * (file, column). */
+  private def statsFor(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
     val colsB = spark.sparkContext.broadcast(cols)
     // ship the session's Hadoop conf to the executors as plain entries
     // (fs.defaultFS, object-store credentials/endpoints, HA nameservice
@@ -57,7 +104,7 @@ object StatsIndex {
     // only ever resolve local/default filesystems
     val confEntries = spark.sparkContext.broadcast(
       conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray)
-    val idx = files.toDF("file")
+    files.toDF("file")
       .repartition(math.max(1, math.min(files.size, 64)))
       .mapPartitions { it =>
         val c = new Configuration(false)
@@ -97,7 +144,6 @@ object StatsIndex {
         explode(col("stats")).as("s"))
       .select(col("file"), col("row_count"), col("s._1").as("col"),
         col("s._2").as("min"), col("s._3").as("max"))
-    idx.coalesce(1).write.mode("overwrite").parquet(indexDir)
   }
 
   /** Files whose stats intersect EVERY `[lo, hi]` constraint. A file

@@ -53,6 +53,39 @@ class StatsIndexSpec extends SparkSpec {
       s"box hit ${hit.size}/${all.size} files — index not selective")
   }
 
+  test("refresh indexes only the churn and stays correct") {
+    val dir = Files.createTempDirectory("graft_sidx_r_").toString
+    val mk = (lo: Int, n: Int) => (lo until lo + n)
+      .map(i => (i.toLong, (i * 3).toLong)).toDF("x", "payload")
+    mk(0, 1000).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("x"), s"$dir/idx")
+    val before = StatsIndex.prunedFiles(spark, s"$dir/idx", Nil)
+    // append a file covering a disjoint x range
+    mk(5000, 1000).coalesce(1).write.mode("append").parquet(s"$dir/data")
+    val (added, removed) = StatsIndex.refresh(spark, s"$dir/data",
+      Seq("x"), s"$dir/idx")
+    assert(added == 1 && removed == 0, s"churn ($added, $removed)")
+    val after = StatsIndex.prunedFiles(spark, s"$dir/idx", Nil)
+    assert(after.size == before.size + 1)
+    // the new range is found, and only through its own file
+    val hit = StatsIndex.prunedFiles(spark, s"$dir/idx",
+      Seq(("x", 5100L, 5200L)))
+    assert(hit.size == 1, s"expected the appended file only, got $hit")
+    val rows = StatsIndex.readPruned(spark, s"$dir/data", s"$dir/idx",
+      Seq(("x", 5100L, 5200L))).count()
+    assert(rows == 101)
+    // remove the original file: refresh drops its index rows
+    val gone = before.head
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(gone)
+    p.getFileSystem(conf).delete(p, false)
+    val (a2, r2) = StatsIndex.refresh(spark, s"$dir/data", Seq("x"),
+      s"$dir/idx")
+    assert(a2 == 0 && r2 == 1, s"churn ($a2, $r2)")
+    assert(!StatsIndex.prunedFiles(spark, s"$dir/idx", Nil).contains(gone))
+  }
+
   test("constraints on an unindexed column keep every file") {
     val all = StatsIndex.prunedFiles(spark, s"$base/idx", Nil)
     val kept = StatsIndex.prunedFiles(spark, s"$base/idx",
