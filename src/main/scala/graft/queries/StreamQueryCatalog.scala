@@ -336,7 +336,34 @@ object StreamQueryCatalog {
         col("n_events"))
   }
 
+  /** Streaming ingest that lands CLUSTERED, INDEXED files
+    * ([[graft.streaming.LayoutSink]]): the corpus arrives in 4
+    * micro-batches; each batch is z-ordered on (doc_id, n_chars)
+    * before touching disk and the per-file stats index refreshes per
+    * batch (footer-reads only that batch's files). The returned frame
+    * is the LAKE read back through [[graft.sources.StatsIndex
+    * .readPruned]] with a full-range probe — the oracle (plain SELECT
+    * over documents) proves the layout path lost and duplicated
+    * nothing across batch boundaries. `LayoutSinkSpec` separately
+    * checks the index PRUNES correctly after multi-batch ingest. */
+  val qs14StreamLayout: Q = (s, dir) => {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_qs14_").toString
+    s.read.parquet(s"$dir/documents.parquet").repartition(4)
+      .write.mode("overwrite").parquet(s"$work/in")
+    val schema = s.read.parquet(s"$work/in").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+    val q = graft.streaming.LayoutSink.start(stream, s"$work/lake",
+      s"$work/idx", s"$work/ckp", Seq("doc_id", "n_chars"))
+    q.awaitTermination()
+    graft.sources.StatsIndex.readPruned(s, s"$work/lake", s"$work/idx",
+      Seq(("doc_id", Long.MinValue, Long.MaxValue)))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "qs14_stream_layout" -> qs14StreamLayout,
     "qs13_stream_pii_scrub" -> qs13StreamPiiScrub,
     "qs12_stream_sessions" -> qs12StreamSessions,
     "qs11_stream_lsh_incremental" -> qs11StreamLshIncremental,
@@ -352,6 +379,8 @@ object StreamQueryCatalog {
     "qs4_stream_dedup" -> qs4StreamDedup)
 
   val sql: Map[String, String] = Map(
+    "qs14_stream_layout" ->
+      "SELECT doc_id, lang, n_chars FROM documents",
     "qs12_stream_sessions" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

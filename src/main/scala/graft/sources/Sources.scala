@@ -242,9 +242,13 @@ object ZOrder {
 
   /** Z-ordered write: one min/max aggregate → literal ranges → range
     * repartition + sort on the z-value → parquet. Every file covers a
-    * narrow span of every `zCols` member. */
+    * narrow span of every `zCols` member. `mode = "append"` adds
+    * z-clustered files to an existing lake dir (each BATCH's files are
+    * z-local; cross-batch re-clustering is a separate compaction pass —
+    * the standard ingest-then-OPTIMIZE split). */
   def write(df: DataFrame, path: String, zCols: Seq[String],
-      bits: Int = 12, numFiles: Int = 0): Unit = {
+      bits: Int = 12, numFiles: Int = 0,
+      mode: String = "overwrite"): Unit = {
     val aggs = zCols.flatMap(c => Seq(
       min(col(c).cast("double")), max(col(c).cast("double"))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
@@ -256,7 +260,7 @@ object ZOrder {
       if (numFiles > 0) withZ.repartitionByRange(numFiles, col("_z"))
       else withZ.repartitionByRange(col("_z"))
     rep.sortWithinPartitions(col("_z")).drop("_z")
-      .write.mode("overwrite").parquet(path)
+      .write.mode(mode).parquet(path)
   }
 }
 

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.StatsIndex
+import graft.streaming.LayoutSink
+
+/** Streaming ingest → z-ordered lake + live stats index: rows must
+  * round-trip exactly across micro-batch boundaries, and the index
+  * must both PRUNE (batch-local z-files are narrow) and stay CORRECT
+  * (pruned scan ≡ full filter) after multi-batch ingest. */
+class LayoutSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val work = {
+    val dir = Files.createTempDirectory("graft_lsink_").toString
+    val in = (0 until 20000).map { i =>
+      ((i * 7919L) % 4096, (i * 104729L) % 4096, i.toLong)
+    }.toDF("x", "y", "payload")
+    in.repartition(4).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = LayoutSink.start(stream, s"$dir/lake", s"$dir/idx",
+      s"$dir/ckp", Seq("x", "y"), filesPerBatch = 4)
+    q.awaitTermination()
+    dir
+  }
+
+  test("rows round-trip exactly across micro-batches") {
+    val lake = spark.read.parquet(s"$work/lake")
+    assert(lake.count() == 20000)
+    assert(lake.agg(sum($"payload")).head.getLong(0) ==
+      (0L until 20000).sum)
+    assert(lake.select($"payload").distinct().count() == 20000)
+  }
+
+  test("index covers every lake file and pruned scan == full filter") {
+    val lakeFiles = spark.read.parquet(s"$work/lake")
+      .select(input_file_name()).distinct().count()
+    val idxFiles = StatsIndex.prunedFiles(spark, s"$work/idx", Nil).size
+    assert(idxFiles == lakeFiles, s"index $idxFiles vs lake $lakeFiles")
+    val box = Seq(("x", 100L, 600L), ("y", 2000L, 2500L))
+    val got = StatsIndex.readPruned(spark, s"$work/lake", s"$work/idx", box)
+      .agg(count(lit(1)), sum($"payload")).head()
+    val want = spark.read.parquet(s"$work/lake")
+      .filter($"x".between(100, 600) && $"y".between(2000, 2500))
+      .agg(count(lit(1)), sum($"payload")).head()
+    assert(got == want, s"pruned $got vs full $want")
+  }
+
+  test("per-batch z-files still prune a small box") {
+    // 16 files (4 batches x 4); a 12%-per-dim box should not need most
+    // of them even though z-locality is only batch-level
+    val all = StatsIndex.prunedFiles(spark, s"$work/idx", Nil)
+    val hit = StatsIndex.prunedFiles(spark, s"$work/idx",
+      Seq(("x", 1000L, 1500L), ("y", 1000L, 1500L)))
+    assert(all.size >= 12, s"expected >= 12 files, got ${all.size}")
+    assert(hit.size <= all.size / 2,
+      s"box needs ${hit.size}/${all.size} files — batch z-locality lost")
+  }
+}
