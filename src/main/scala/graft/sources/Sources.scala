@@ -262,6 +262,26 @@ object ZOrder {
     rep.sortWithinPartitions(col("_z")).drop("_z")
       .write.mode(mode).parquet(path)
   }
+
+  /** The OPTIMIZE pass: rewrite a lake dir (e.g. one grown by
+    * [[graft.streaming.LayoutSink]]'s batch-local appends) into ONE
+    * globally z-ordered layout, via write-aside + directory swap so
+    * readers see the old or the new layout, never a half-rewrite. If
+    * `indexDir` is given the stats index is refreshed afterwards (old
+    * rows drop, new files footer-read). Run it when batch-local
+    * locality has degraded box pruning — the standard ingest/OPTIMIZE
+    * split Delta/Iceberg schedule out of band. */
+  def optimize(spark: SparkSession, path: String, zCols: Seq[String],
+      bits: Int = 12, numFiles: Int = 0,
+      indexDir: Option[String] = None): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".optimize")
+    write(spark.read.parquet(path), tmp.toString, zCols, bits, numFiles)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(path))
+    indexDir.foreach(idx => StatsIndex.refresh(spark, path, zCols, idx))
+  }
 }
 
 /** Loader for the driver-generated synthetic tables (TESTDATA.md). */

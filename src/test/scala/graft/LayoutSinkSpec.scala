@@ -51,6 +51,38 @@ class LayoutSinkSpec extends SparkSpec {
     assert(got == want, s"pruned $got vs full $want")
   }
 
+  test("OPTIMIZE re-clusters batch-local files into global z-order") {
+    val dir = Files.createTempDirectory("graft_lopt_").toString
+    val in = (0 until 20000).map { i =>
+      ((i * 7919L) % 4096, (i * 104729L) % 4096, i.toLong)
+    }.toDF("x", "y", "payload")
+    in.repartition(4).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    LayoutSink.start(stream, s"$dir/lake", s"$dir/idx", s"$dir/ckp",
+      Seq("x", "y"), filesPerBatch = 4).awaitTermination()
+    val box = Seq(("x", 1000L, 1500L), ("y", 1000L, 1500L))
+    val before = StatsIndex.prunedFiles(spark, s"$dir/idx", box).size
+    graft.sources.ZOrder.optimize(spark, s"$dir/lake", Seq("x", "y"),
+      bits = 10, numFiles = 16, indexDir = Some(s"$dir/idx"))
+    // rows survive the rewrite bit-exactly
+    val lake = spark.read.parquet(s"$dir/lake")
+    assert(lake.count() == 20000 &&
+      lake.agg(sum($"payload")).head.getLong(0) == (0L until 20000).sum)
+    // the refreshed index matches the rewritten lake
+    val idxFiles = StatsIndex.prunedFiles(spark, s"$dir/idx", Nil).size
+    val lakeFiles = lake.select(input_file_name()).distinct().count()
+    assert(idxFiles == lakeFiles)
+    // global z-order: the same box needs no MORE files than the
+    // batch-local layout did out of the same total (16), and few overall
+    val after = StatsIndex.prunedFiles(spark, s"$dir/idx", box).size
+    assert(after <= before, s"box files $before -> $after after OPTIMIZE")
+    // a 12%-per-dim box maps to a handful of Morton-curve segments —
+    // well under half the 16 files (measured: 5)
+    assert(after <= 6, s"global z-order should confine a 12% box: $after")
+  }
+
   test("per-batch z-files still prune a small box") {
     // 16 files (4 batches x 4); a 12%-per-dim box should not need most
     // of them even though z-locality is only batch-level

@@ -86,6 +86,28 @@ class StatsIndexSpec extends SparkSpec {
     assert(!StatsIndex.prunedFiles(spark, s"$dir/idx", Nil).contains(gone))
   }
 
+  test("all-null column stats stay conservative: pruned == full filter") {
+    val dir = Files.createTempDirectory("graft_sidx_n_").toString
+    // file A: y entirely null (no stats) -> indexed full-range, kept;
+    // file B: y populated
+    spark.range(1000).select(col("id").as("x"),
+      lit(null).cast("long").as("y"), col("id").as("payload"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    spark.range(1000, 2000).select(col("id").as("x"),
+      (col("id") % 100).as("y"), col("id").as("payload"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("x", "y"), s"$dir/idx")
+    val got = StatsIndex.readPruned(spark, s"$dir/data", s"$dir/idx",
+      Seq(("y", 10L, 20L))).count()
+    val want = spark.read.parquet(s"$dir/data")
+      .filter(col("y").between(10, 20)).count()
+    assert(got == want && want == 110, s"pruned $got vs full $want")
+    // and the null file itself is never skipped (full-range row)
+    val kept = StatsIndex.prunedFiles(spark, s"$dir/idx",
+      Seq(("y", 10L, 20L)))
+    assert(kept.size == 2, s"all-null file must be kept: $kept")
+  }
+
   test("constraints on an unindexed column keep every file") {
     val all = StatsIndex.prunedFiles(spark, s"$base/idx", Nil)
     val kept = StatsIndex.prunedFiles(spark, s"$base/idx",
