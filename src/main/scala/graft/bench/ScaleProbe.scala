@@ -97,18 +97,17 @@ object ScaleProbe {
     // disk limit, not a plan defect — the 100x/67M-row point for the
     // window COMPUTE is the narrow-table `globalwindow` probe). The
     // 30x table is deleted afterwards.
-    if (args.headOption.exists(a => a == "bars30" || a == "bars100")) {
+    if (args.headOption.contains("bars30")) {
       val mult = 30L
       run(SyntheticBars.ReferenceRows) // JIT warmup pass, discarded
       val (l1b, f1b) = run(SyntheticBars.ReferenceRows)
       val (lN, fN) = run(SyntheticBars.ReferenceRows * mult)
       println(f"[scale-probe] label 1x: $l1b%.1f s   ${mult}x: $lN%.1f s   ratio ${lN / l1b}%.1f")
       println(f"[scale-probe] fe    1x: $f1b%.1f s   ${mult}x: $fN%.1f s   ratio ${fN / f1b}%.1f")
-      val big = new java.io.File(
+      val big = new org.apache.hadoop.fs.Path(
         s"/tmp/graft_bench_bars_${SyntheticBars.ReferenceRows * mult}")
-      if (big.isDirectory)
-        big.listFiles().foreach(_.delete())
-      big.delete()
+      big.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(big, true) // recursive — survives stray subdirs
       spark.stop()
       return
     }

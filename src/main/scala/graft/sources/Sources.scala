@@ -265,21 +265,31 @@ object ZOrder {
 
   /** The OPTIMIZE pass: rewrite a lake dir (e.g. one grown by
     * [[graft.streaming.LayoutSink]]'s batch-local appends) into ONE
-    * globally z-ordered layout, via write-aside + directory swap so
-    * readers see the old or the new layout, never a half-rewrite. If
+    * globally z-ordered layout. Swap = write aside, rename the old lake
+    * to `path + ".old"`, rename the new layout in, then drop the old —
+    * every rename result is CHECKED, and a crash mid-swap leaves the
+    * data recoverable at `.old` (rename it back), never deleted. A
+    * brief not-found window for concurrent readers is inherent to
+    * raw-filesystem swaps; closing it is what a transactional commit
+    * log (Delta's) buys — run OPTIMIZE in a maintenance window. If
     * `indexDir` is given the stats index is refreshed afterwards (old
-    * rows drop, new files footer-read). Run it when batch-local
-    * locality has degraded box pruning — the standard ingest/OPTIMIZE
-    * split Delta/Iceberg schedule out of band. */
+    * rows drop, new files footer-read). */
   def optimize(spark: SparkSession, path: String, zCols: Seq[String],
       bits: Int = 12, numFiles: Int = 0,
       indexDir: Option[String] = None): Unit = {
+    import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".optimize")
+    val fs = new Path(path).getFileSystem(conf)
+    val tmp = new Path(path + ".optimize")
+    val old = new Path(path + ".old")
     write(spark.read.parquet(path), tmp.toString, zCols, bits, numFiles)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(path))
+    fs.delete(old, true) // stale leftover from a prior crashed swap
+    require(fs.rename(new Path(path), old),
+      s"optimize: could not move $path aside — lake untouched")
+    require(fs.rename(tmp, new Path(path)),
+      s"optimize: could not move new layout into $path — " +
+        s"old data preserved at $old (rename it back)")
+    fs.delete(old, true)
     indexDir.foreach(idx => StatsIndex.refresh(spark, path, zCols, idx))
   }
 }

@@ -45,17 +45,22 @@ object StatsIndex {
   def build(spark: SparkSession, dataDir: String, cols: Seq[String],
       indexDir: String): Unit = {
     val files = listData(spark, dataDir)
+    // repartition, not coalesce(1): coalesce would collapse the footer
+    // scan itself into one task (see refresh)
     statsFor(spark, files, cols)
-      .coalesce(1).write.mode("overwrite").parquet(indexDir)
+      .repartition(1).write.mode("overwrite").parquet(indexDir)
   }
 
   /** Incremental maintenance for an append-mostly lake: footer-read
     * ONLY files the index has not seen, drop rows for files that
-    * vanished (compaction/expiry), and swap the updated index in
-    * (write aside, then rename — readers see old or new, never a
-    * partial write). Cost ∝ churn, not table size — the operation a
-    * daily-ingest 100 TB table actually runs; a full [[build]] per
-    * ingest would re-read every footer. Returns (added, removed). */
+    * vanished (compaction/expiry), and swap the updated index in via
+    * a CHECKED two-rename (previous index parked at `.old` until the
+    * new one is in place — a crash mid-swap is recoverable, never a
+    * silent loss; raw-FS swaps do leave a brief not-found window for
+    * concurrent readers, the gap a transactional commit log closes).
+    * Cost ∝ churn, not table size — the operation a daily-ingest
+    * 100 TB table actually runs; a full [[build]] per ingest would
+    * re-read every footer. Returns (added, removed). */
   def refresh(spark: SparkSession, dataDir: String, cols: Seq[String],
       indexDir: String): (Int, Int) = {
     import spark.implicits._
@@ -77,9 +82,22 @@ object StatsIndex {
       else kept.unionByName(statsFor(spark, added, cols))
     val fs = new Path(indexDir).getFileSystem(conf)
     val tmp = new Path(indexDir + ".swap")
-    updated.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(new Path(indexDir), true)
-    fs.rename(tmp, new Path(indexDir))
+    val parked = new Path(indexDir + ".old")
+    // repartition (a shuffle), NOT coalesce: coalesce(1) would collapse
+    // the footer-read stage itself into one task — the shuffle keeps
+    // footer reads parallel and moves only tiny stats rows to the writer
+    updated.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    // checked two-rename swap (same contract as ZOrder.optimize): a
+    // crash mid-swap leaves the previous index recoverable at `.old`,
+    // never silently gone; the brief not-found window for concurrent
+    // readers is inherent to raw-FS swaps
+    fs.delete(parked, true)
+    require(fs.rename(new Path(indexDir), parked),
+      s"refresh: could not move $indexDir aside — index untouched")
+    require(fs.rename(tmp, new Path(indexDir)),
+      s"refresh: could not move new index into $indexDir — " +
+        s"old index preserved at $parked (rename it back)")
+    fs.delete(parked, true)
     (added.size, removed.size)
   }
 

@@ -34,12 +34,18 @@ object LayoutSink {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          ZOrder.write(batch, lakeDir, zCols, bits = bits,
-            numFiles = filesPerBatch, mode = "append")
-          StatsIndex.refresh(batch.sparkSession, lakeDir, zCols, indexDir)
-          ()
-        }
+        // persist once: the emptiness probe, ZOrder.write's min/max
+        // aggregate and the parquet write are three separate actions —
+        // uncached they would re-read the batch's source files 3×
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty) {
+            ZOrder.write(b, lakeDir, zCols, bits = bits,
+              numFiles = filesPerBatch, mode = "append")
+            StatsIndex.refresh(b.sparkSession, lakeDir, zCols, indexDir)
+            ()
+          }
+        } finally { b.unpersist(); () }
       }
       .start()
 }
