@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.SimHash32.sqlInfo,
       graft.functions.SimHash32.sqlBuilder))
     ext.injectFunction((
+      FunctionIdentifier("hilbert2"),
+      graft.functions.HilbertIndex2.sqlInfo,
+      graft.functions.HilbertIndex2.sqlBuilder))
+    ext.injectFunction((
       FunctionIdentifier("ht_dcperiod"),
       graft.indicators.HilbertTransform.dcSqlInfo,
       graft.indicators.HilbertTransform.sqlBuilder(trend = false)))
@@ -71,6 +75,10 @@ object GraftExtensions {
       FunctionIdentifier("simhash32"),
       graft.functions.SimHash32.sqlInfo,
       graft.functions.SimHash32.sqlBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("hilbert2"),
+      graft.functions.HilbertIndex2.sqlInfo,
+      graft.functions.HilbertIndex2.sqlBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("ht_dcperiod"),
       graft.indicators.HilbertTransform.dcSqlInfo,

@@ -281,7 +281,27 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price"))
   }
 
+  /** Hilbert-curve cell aggregation — q43's twin on the CONTINUOUS
+    * space-filling curve: lineitem bucketed on (l_partkey, l_suppkey)
+    * low bytes, Hilbert index via the native codegen'd
+    * [[graft.functions.HilbertIndex2]] expression (the iterative
+    * flip-and-swap bit descent that would blow up ~3^bits as
+    * declarative Columns), rolled up by 256-cell curve segment. The
+    * oracle UNROLLS the same loop as a generated CTE chain
+    * ([[ZOrder.sqlHilbertCte]]) — the hash match proves every level's
+    * rotation arithmetic cross-engine. */
+  val q45Hilbert: Q = (s, dir) => {
+    val h = ZOrder.hilbertValue(
+      pmod(col("l_partkey"), lit(256)), pmod(col("l_suppkey"), lit(256)),
+      bits = 8)
+    table(s, dir, "lineitem")
+      .withColumn("hcell", shiftright(h, 8))
+      .groupBy(col("hcell"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q45_hilbert" -> q45Hilbert,
     "q43_zorder" -> q43ZOrder,
     "qi2_rolling_trend" -> qi2RollingTrend,
     "qj1_json" -> qj1Json,
@@ -298,6 +318,15 @@ object ExtendedQueries {
     "qi1_indicator_frames" -> qi1IndicatorFrames)
 
   val sql: Map[String, String] = Map(
+    "q45_hilbert" -> {
+      val (cte, fin) = ZOrder.sqlHilbertCte(
+        "l_partkey % 256", "l_suppkey % 256", bits = 8,
+        table = "lineitem", carry = Seq("l_extendedprice"))
+      s"""WITH $cte
+         |SELECT hd >> 8 AS hcell, count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM $fin GROUP BY 1""".stripMargin
+    },
     "q43_zorder" ->
       s"""SELECT ${ZOrder.sqlInterleave(
              Seq("l_partkey % 256", "l_suppkey % 256"), bits = 8)} >> 8

@@ -225,6 +225,51 @@ object ZOrder {
     terms.mkString("(", " + ", ")")
   }
 
+  /** 2-D HILBERT curve index as a Column — the continuous space-filling
+    * curve (consecutive indices are always grid-adjacent, unlike
+    * Morton's power-of-two jumps), via the native codegen'd
+    * [[graft.functions.HilbertIndex2]] expression. Inputs are masked
+    * to `bits` low bits. Prefer it over [[interleave]] when box-scan
+    * locality matters more than n-dim generality (Hilbert is 2-D
+    * here; Morton generalizes to any dim count). */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      graft.functions.HilbertIndex2(
+        org.apache.spark.sql.GraftColumnBridge.toExpression(x.cast("long")),
+        org.apache.spark.sql.GraftColumnBridge.toExpression(y.cast("long")),
+        bits))
+
+  /** DuckDB twin of [[hilbertValue]]: the SAME iterative bit descent,
+    * unrolled as a generated CTE chain (level i's (x, y, d) are plain
+    * columns `hx_i/hy_i/hd_i` of CTE `h_i` — no alias shadowing, no
+    * expression blowup; CTEs are cheap named relations). Returns the
+    * full `WITH` body and the final relation name; the final relation
+    * exposes `hd` plus the carried columns. */
+  def sqlHilbertCte(xExpr: String, yExpr: String, bits: Int,
+      table: String, carry: Seq[String]): (String, String) = {
+    require(bits >= 1 && bits <= 31)
+    val mask = (1L << bits) - 1
+    val keep = if (carry.isEmpty) "" else carry.mkString(", ", ", ", "")
+    val h0 = s"h_0 AS (SELECT (($xExpr) & $mask) AS hx_0, " +
+      s"(($yExpr) & $mask) AS hy_0, CAST(0 AS BIGINT) AS hd_0$keep " +
+      s"FROM $table)"
+    val levels = (0 until bits).map { i =>
+      val s = 1L << (bits - 1 - i)
+      val (px, py, pd) = (s"hx_$i", s"hy_$i", s"hd_$i")
+      val rx = s"(CASE WHEN ($px & $s) != 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN ($py & $s) != 0 THEN 1 ELSE 0 END)"
+      s"""h_${i + 1} AS (SELECT
+         |  CASE WHEN $ry = 1 THEN $px
+         |       WHEN $rx = 1 THEN ${s - 1} - $py ELSE $py END AS hx_${i + 1},
+         |  CASE WHEN $ry = 1 THEN $py
+         |       WHEN $rx = 1 THEN ${s - 1} - $px ELSE $px END AS hy_${i + 1},
+         |  $pd + ${s * s} * xor(3 * $rx, $ry) AS hd_${i + 1}$keep
+         |FROM h_$i)""".stripMargin
+    }
+    val fin = s"h_fin AS (SELECT hd_$bits AS hd$keep FROM h_$bits)"
+    ((h0 +: levels :+ fin).mkString(",\n"), "h_fin")
+  }
+
   /** The z-value for arbitrary numeric columns: min/max-scale each to
     * [0, 2^bits) using the supplied per-column (min, max) literals,
     * then interleave. */
