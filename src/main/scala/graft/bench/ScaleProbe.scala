@@ -133,6 +133,14 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$base/linear")
       graft.sources.ZOrder.write(df, s"$base/zorder", Seq("x", "y"),
         bits = 12, numFiles = files)
+      // third layout: HILBERT sort key — same bits, same file count;
+      // the continuous curve should turn fewer box-straddling curve
+      // segments into fewer files touched than Morton
+      df.withColumn("_h",
+        graft.sources.ZOrder.hilbertValue(col("x"), col("y"), 12))
+        .repartitionByRange(files, col("_h"))
+        .sortWithinPartitions(col("_h")).drop("_h")
+        .write.mode("overwrite").parquet(s"$base/hilbert")
       // box = 12% of each dim (1.5% of the area); yOnly = the predicate
       // a lead-key sort cannot prune at all
       val (xLo, xHi, yLo, yHi) = (1000L, 1499L, 2000L, 2499L)
@@ -170,7 +178,8 @@ object ScaleProbe {
           .agg(sum(col("payload"))).head()
         (System.nanoTime() - t0) / 1e9
       }
-      Seq(("linear-x", s"$base/linear"), ("zorder", s"$base/zorder"))
+      Seq(("linear-x", s"$base/linear"), ("zorder", s"$base/zorder"),
+        ("hilbert", s"$base/hilbert"))
         .foreach { case (name, dir) =>
           val (bh, bt) = hits(dir, useX = true)
           val (yh, yt) = hits(dir, useX = false)
