@@ -136,11 +136,8 @@ object ScaleProbe {
       // third layout: HILBERT sort key — same bits, same file count;
       // the continuous curve should turn fewer box-straddling curve
       // segments into fewer files touched than Morton
-      df.withColumn("_h",
-        graft.sources.ZOrder.hilbertValue(col("x"), col("y"), 12))
-        .repartitionByRange(files, col("_h"))
-        .sortWithinPartitions(col("_h")).drop("_h")
-        .write.mode("overwrite").parquet(s"$base/hilbert")
+      graft.sources.ZOrder.hilbertWrite(df, s"$base/hilbert", "x", "y",
+        bits = 12, numFiles = files)
       // box = 12% of each dim (1.5% of the area); yOnly = the predicate
       // a lead-key sort cannot prune at all
       val (xLo, xHi, yLo, yHi) = (1000L, 1499L, 2000L, 2499L)

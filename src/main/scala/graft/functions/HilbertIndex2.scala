@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, ShortType}
 
 /** Native codegen'd 2-D Hilbert curve index: (x, y) → distance along
   * the order-`bits` Hilbert curve.
@@ -103,9 +103,24 @@ case class HilbertIndex2(left: Expression, right: Expression, bits: Int)
 object HilbertIndex2 {
   /** SQL registration ([[graft.GraftExtensions]]):
     * `hilbert2(x, y, bits)` with a foldable integer `bits`. */
+  /** Widen short/int inputs to bigint — the common SQL case
+    * (`x % 256` over an INT column) must not fail the type check.
+    * (`AbstractDataType`/`ImplicitCastInputTypes` are private[sql], so
+    * the widening is explicit here rather than analyzer-driven.) */
+  private def widen(e: Expression): Expression = e.dataType match {
+    case ShortType | IntegerType => Cast(e, LongType)
+    case _ => e
+  }
+
   private[graft] val sqlBuilder: Seq[Expression] => Expression = {
-    case Seq(x, y, b) if b.foldable =>
-      HilbertIndex2(x, y, b.eval().asInstanceOf[Number].intValue())
+    case Seq(x, y, b) =>
+      if (!b.foldable) throw new IllegalArgumentException(
+        "hilbert2: bits must be a literal integer, got a non-constant " +
+          "expression")
+      val v = b.eval()
+      if (v == null) throw new IllegalArgumentException(
+        "hilbert2: bits must not be NULL")
+      HilbertIndex2(widen(x), widen(y), v.asInstanceOf[Number].intValue())
     case other => throw new IllegalArgumentException(
       s"hilbert2 expects (x, y, literal bits), got ${other.size} args")
   }

@@ -274,15 +274,29 @@ object ZOrder {
     * [0, 2^bits) using the supplied per-column (min, max) literals,
     * then interleave. */
   def zValue(cols: Seq[Column], ranges: Seq[(Double, Double)],
+      bits: Int): Column =
+    interleave(cols.zip(ranges).map { case (c, (lo, hi)) =>
+      scaleToBits(c, lo, hi, bits)
+    }, bits)
+
+  /** Min/max-scale a numeric column to [0, 2^bits) — the bucketing
+    * shared by the Morton and Hilbert sort keys. */
+  private def scaleToBits(c: Column, lo: Double, hi: Double,
       bits: Int): Column = {
     val top = (1L << bits) - 1
-    val scaled = cols.zip(ranges).map { case (c, (lo, hi)) =>
-      if (hi <= lo) lit(0L)
-      else least(lit(top), greatest(lit(0L),
-        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * top)
-          .cast("long")))
-    }
-    interleave(scaled, bits)
+    if (hi <= lo) lit(0L)
+    else least(lit(top), greatest(lit(0L),
+      floor((c.cast("double") - lit(lo)) / lit(hi - lo) * top)
+        .cast("long")))
+  }
+
+  /** One min/max aggregate over `cols` → literal (lo, hi) ranges. */
+  private def literalRanges(df: DataFrame,
+      cols: Seq[String]): Seq[(Double, Double)] = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
   }
 
   /** Z-ordered write: one min/max aggregate → literal ranges → range
@@ -293,14 +307,29 @@ object ZOrder {
     * the standard ingest-then-OPTIMIZE split). */
   def write(df: DataFrame, path: String, zCols: Seq[String],
       bits: Int = 12, numFiles: Int = 0,
+      mode: String = "overwrite"): Unit =
+    writeByKey(df, path,
+      zValue(zCols.map(col), literalRanges(df, zCols), bits), numFiles, mode)
+
+  /** HILBERT-ordered write — [[write]]'s 2-D twin on the continuous
+    * curve (measured in SCALE.md: the same box reads fewer files than
+    * the Morton layout). Applies the SAME one-aggregate min/max scaling
+    * as [[write]] before the curve — raw out-of-range values must
+    * never reach [[hilbertValue]]'s low-bit mask, which would alias
+    * distant values into one cell and destroy the locality. */
+  def hilbertWrite(df: DataFrame, path: String, xCol: String, yCol: String,
+      bits: Int = 12, numFiles: Int = 0,
       mode: String = "overwrite"): Unit = {
-    val aggs = zCols.flatMap(c => Seq(
-      min(col(c).cast("double")), max(col(c).cast("double"))))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val ranges = zCols.indices
-      .map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
-    val z = zValue(zCols.map(col), ranges, bits)
-    val withZ = df.withColumn("_z", z)
+    val ranges = literalRanges(df, Seq(xCol, yCol))
+    val h = hilbertValue(
+      scaleToBits(col(xCol), ranges(0)._1, ranges(0)._2, bits),
+      scaleToBits(col(yCol), ranges(1)._1, ranges(1)._2, bits), bits)
+    writeByKey(df, path, h, numFiles, mode)
+  }
+
+  private def writeByKey(df: DataFrame, path: String, key: Column,
+      numFiles: Int, mode: String): Unit = {
+    val withZ = df.withColumn("_z", key)
     val rep =
       if (numFiles > 0) withZ.repartitionByRange(numFiles, col("_z"))
       else withZ.repartitionByRange(col("_z"))

@@ -15,6 +15,12 @@ class HilbertCurveSpec extends SparkSpec {
   private val Lit = (v: Long) =>
     org.apache.spark.sql.catalyst.expressions.Literal(v)
 
+  /** Reference Morton interleave (shared by the adjacency and locality
+    * tests — one definition, no drift). */
+  private def morton(bits: Int)(x: Long, y: Long): Long =
+    (0 until bits).map(j =>
+      (((x >> j) & 1) << (2 * j)) | (((y >> j) & 1) << (2 * j + 1))).sum
+
   /** Independent driver implementation (same public algorithm,
     * written against d→(x,y) inverted, so a shared transcription
     * error cannot cancel): walk d's two-bit quads from the top,
@@ -63,11 +69,8 @@ class HilbertCurveSpec extends SparkSpec {
         s"jump between d=($x1,$y1) and ($x2,$y2)")
     }
     // Morton takes a long jump at the same order: (0..2^b-1) boundary
-    def morton(x: Long, y: Long): Long =
-      (0 until bits).map(j =>
-        (((x >> j) & 1) << (2 * j)) | (((y >> j) & 1) << (2 * j + 1))).sum
     val byMorton = (for (x <- 0L until 32; y <- 0L until 32)
-      yield (x, y)).sortBy { case (x, y) => morton(x, y) }
+      yield (x, y)).sortBy { case (x, y) => morton(bits)(x, y) }
     val maxJump = byMorton.sliding(2).map {
       case Seq((x1, y1), (x2, y2)) => math.abs(x1 - x2) + math.abs(y1 - y2)
     }.max
@@ -88,6 +91,47 @@ class HilbertCurveSpec extends SparkSpec {
     assert(viaDf == viaEval)
   }
 
+  test("hilbert2 is SQL-callable with INT inputs (implicit casts)") {
+    graft.GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT hilbert2(CAST(5 AS INT), CAST(3 AS INT), 8) AS d")
+      .head.getLong(0)
+    val want = graft.functions.HilbertIndex2(Lit(5L), Lit(3L), 8)
+      .eval(null).asInstanceOf[Long]
+    assert(got == want)
+    // diagnostics: non-literal and NULL bits fail with usable messages
+    val e1 = intercept[Exception](
+      spark.sql("SELECT hilbert2(1, 2, id) FROM range(1)").collect())
+    assert(e1.getMessage.contains("literal"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT hilbert2(1, 2, NULL)").collect())
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+  }
+
+  test("hilbertWrite scales out-of-range dims before the curve") {
+    // raw values far beyond 2^bits: without the min/max scale the
+    // low-bit mask would alias distant values and every file would
+    // cover ~the full range of both dims
+    val dir = java.nio.file.Files.createTempDirectory("graft_hw_").toString
+    val in = (0 until 20000).map { i =>
+      (1000000L + (i * 7919L) % 100000, -50000L + (i * 104729L) % 100000,
+        i.toLong)
+    }.toDF("x", "y", "payload")
+    graft.sources.ZOrder.hilbertWrite(in, dir, "x", "y",
+      bits = 10, numFiles = 16)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name()).agg(
+        (max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(spans.length > 4)
+    val avgX = spans.map(_.getLong(1)).sum.toDouble / spans.length
+    val avgY = spans.map(_.getLong(2)).sum.toDouble / spans.length
+    assert(avgX < 60000 && avgY < 60000,
+      s"spans not localised: x $avgX y $avgY of 100000")
+    assert(spark.read.parquet(dir).count() == 20000)
+  }
+
   test("locality: a box straddles fewer Hilbert segments than Morton") {
     // split the order-8 curve into 64 equal segments (files); count
     // segments a 48x48 box touches under each curve — the file-count
@@ -98,13 +142,10 @@ class HilbertCurveSpec extends SparkSpec {
       (for (x <- 100L until 148; y <- 60L until 108)
         yield indexOf(x, y) / segSize).distinct.size
     }
-    def morton(x: Long, y: Long): Long =
-      (0 until bits).map(j =>
-        (((x >> j) & 1) << (2 * j)) | (((y >> j) & 1) << (2 * j + 1))).sum
     def hilbert(x: Long, y: Long): Long =
       graft.functions.HilbertIndex2(Lit(x), Lit(y), bits)
         .eval(null).asInstanceOf[Long]
-    val (hSegs, mSegs) = (segs(hilbert), segs(morton))
+    val (hSegs, mSegs) = (segs(hilbert), segs(morton(bits)))
     assert(hSegs <= mSegs,
       s"hilbert $hSegs segments vs morton $mSegs — locality lost")
   }
