@@ -327,6 +327,23 @@ object ZOrder {
     writeByKey(df, path, h, numFiles, mode)
   }
 
+  /** Curve dispatch shared by [[optimize]] and
+    * [[graft.streaming.LayoutSink]]: "morton" = [[write]] (any dim
+    * count), "hilbert" = [[hilbertWrite]] (2-D, tighter box locality —
+    * SCALE.md). */
+  def curveWrite(df: DataFrame, path: String, zCols: Seq[String],
+      bits: Int, numFiles: Int, mode: String, curve: String): Unit =
+    curve match {
+      case "morton" => write(df, path, zCols, bits, numFiles, mode)
+      case "hilbert" =>
+        require(zCols.size == 2,
+          s"hilbert curve is 2-D; got ${zCols.size} columns")
+        hilbertWrite(df, path, zCols(0), zCols(1), bits, numFiles, mode)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown curve '$other' (morton | hilbert)")
+    }
+
   private def writeByKey(df: DataFrame, path: String, key: Column,
       numFiles: Int, mode: String): Unit = {
     val withZ = df.withColumn("_z", key)
@@ -350,13 +367,15 @@ object ZOrder {
     * rows drop, new files footer-read). */
   def optimize(spark: SparkSession, path: String, zCols: Seq[String],
       bits: Int = 12, numFiles: Int = 0,
-      indexDir: Option[String] = None): Unit = {
+      indexDir: Option[String] = None,
+      curve: String = "morton"): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
     val tmp = new Path(path + ".optimize")
     val old = new Path(path + ".old")
-    write(spark.read.parquet(path), tmp.toString, zCols, bits, numFiles)
+    curveWrite(spark.read.parquet(path), tmp.toString, zCols, bits,
+      numFiles, "overwrite", curve)
     fs.delete(old, true) // stale leftover from a prior crashed swap
     require(fs.rename(new Path(path), old),
       s"optimize: could not move $path aside — lake untouched")

@@ -29,7 +29,7 @@ object LayoutSink {
 
   def start(stream: DataFrame, lakeDir: String, indexDir: String,
       checkpointDir: String, zCols: Seq[String], bits: Int = 10,
-      filesPerBatch: Int = 2): StreamingQuery =
+      filesPerBatch: Int = 2, curve: String = "morton"): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -40,8 +40,8 @@ object LayoutSink {
         val b = batch.persist()
         try {
           if (!b.isEmpty) {
-            ZOrder.write(b, lakeDir, zCols, bits = bits,
-              numFiles = filesPerBatch, mode = "append")
+            ZOrder.curveWrite(b, lakeDir, zCols, bits,
+              numFiles = filesPerBatch, mode = "append", curve = curve)
             StatsIndex.refresh(b.sparkSession, lakeDir, zCols, indexDir)
             ()
           }

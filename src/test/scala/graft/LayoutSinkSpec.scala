@@ -60,12 +60,16 @@ class LayoutSinkSpec extends SparkSpec {
     val stream = spark.readStream
       .schema(spark.read.parquet(s"$dir/in").schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    // ingest AND re-cluster on the hilbert curve — exercises the curve
+    // dispatch end to end (the other tests cover the morton default)
     LayoutSink.start(stream, s"$dir/lake", s"$dir/idx", s"$dir/ckp",
-      Seq("x", "y"), filesPerBatch = 4).awaitTermination()
+      Seq("x", "y"), filesPerBatch = 4, curve = "hilbert")
+      .awaitTermination()
     val box = Seq(("x", 1000L, 1500L), ("y", 1000L, 1500L))
     val before = StatsIndex.prunedFiles(spark, s"$dir/idx", box).size
     graft.sources.ZOrder.optimize(spark, s"$dir/lake", Seq("x", "y"),
-      bits = 10, numFiles = 16, indexDir = Some(s"$dir/idx"))
+      bits = 10, numFiles = 16, indexDir = Some(s"$dir/idx"),
+      curve = "hilbert")
     // rows survive the rewrite bit-exactly
     val lake = spark.read.parquet(s"$dir/lake")
     assert(lake.count() == 20000 &&
