@@ -150,10 +150,14 @@ object E2EBench {
     * of the engine's schema surface). */
   def svmPca(spark: SparkSession, path: String): Double = {
     val labeled = labelScalable(load(spark, path)).cache()
+    // cache the assembled/scaled frames: three scaler fits and two PCA
+    // fits scan them (the reference re-executes the assembly chain per
+    // fit — same replayed WORK here, minus the recomputation sin, like
+    // fitPredict's cache-before-randomSplit)
     val va = MlPipelines.assembler(StockSchema.rfRawFeatures, "all_features")
-      .transform(labeled)
+      .transform(labeled).cache()
     val scaled = MlPipelines.scaler("all_features", "scaled_all_features")
-      .fit(va).transform(va)
+      .fit(va).transform(va).cache()
     MlPipelines.scaler("all_features", "scaled_corr_features").fit(va)
     MlPipelines.scaler("all_features", "scaled_non_corr_features").fit(va)
     val nComp = StockSchema.rfRawFeatures.length
@@ -161,7 +165,7 @@ object E2EBench {
     MlPipelines.pca("scaled_all_features", "pca_all_features", 12).fit(scaled)
     val auc = trainAuc(labeled, StockSchema.svmFeatures,
       MlPipelines.svm(), seed = 123L)
-    labeled.unpersist()
+    scaled.unpersist(); va.unpersist(); labeled.unpersist()
     auc
   }
 
