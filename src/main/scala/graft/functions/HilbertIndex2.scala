@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Native codegen'd 2-D Hilbert curve index: (x, y) → distance along
   * the order-`bits` Hilbert curve.
@@ -108,7 +108,7 @@ object HilbertIndex2 {
     * (`AbstractDataType`/`ImplicitCastInputTypes` are private[sql], so
     * the widening is explicit here rather than analyzer-driven.) */
   private def widen(e: Expression): Expression = e.dataType match {
-    case ShortType | IntegerType => Cast(e, LongType)
+    case ByteType | ShortType | IntegerType => Cast(e, LongType)
     case _ => e
   }
 
@@ -117,10 +117,17 @@ object HilbertIndex2 {
       if (!b.foldable) throw new IllegalArgumentException(
         "hilbert2: bits must be a literal integer, got a non-constant " +
           "expression")
-      val v = b.eval()
-      if (v == null) throw new IllegalArgumentException(
-        "hilbert2: bits must not be NULL")
-      HilbertIndex2(widen(x), widen(y), v.asInstanceOf[Number].intValue())
+      val bits = b.eval() match {
+        case null => throw new IllegalArgumentException(
+          "hilbert2: bits must not be NULL")
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long => l.intValue()
+        case s: java.lang.Short => s.intValue()
+        case bt: java.lang.Byte => bt.intValue()
+        case other => throw new IllegalArgumentException(
+          s"hilbert2: bits must be an integer literal, got $other")
+      }
+      HilbertIndex2(widen(x), widen(y), bits)
     case other => throw new IllegalArgumentException(
       s"hilbert2 expects (x, y, literal bits), got ${other.size} args")
   }

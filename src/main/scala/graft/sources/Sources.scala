@@ -296,7 +296,12 @@ object ZOrder {
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("double")), max(col(c).cast("double"))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+    cols.indices.map { i =>
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"cannot derive a layout range for '${cols(i)}': the input is " +
+          "empty or the column is entirely NULL")
+      (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+    }
   }
 
   /** Z-ordered write: one min/max aggregate → literal ranges → range

@@ -29,12 +29,19 @@ object LayoutSink {
 
   def start(stream: DataFrame, lakeDir: String, indexDir: String,
       checkpointDir: String, zCols: Seq[String], bits: Int = 10,
-      filesPerBatch: Int = 2, curve: String = "morton"): StreamingQuery =
+      filesPerBatch: Int = 2, curve: String = "morton"): StreamingQuery = {
+    // fail fast on misconfiguration — an invalid curve name or arity
+    // must reject HERE, not kill the query when the first non-empty
+    // batch reaches curveWrite mid-ingest
+    require(curve == "morton" || curve == "hilbert",
+      s"unknown curve '$curve' (morton | hilbert)")
+    require(curve != "hilbert" || zCols.size == 2,
+      s"hilbert curve is 2-D; got ${zCols.size} columns")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // persist once: the emptiness probe, ZOrder.write's min/max
+        // persist once: the emptiness probe, the curve write's min/max
         // aggregate and the parquet write are three separate actions —
         // uncached they would re-read the batch's source files 3×
         val b = batch.persist()
@@ -48,4 +55,5 @@ object LayoutSink {
         } finally { b.unpersist(); () }
       }
       .start()
+  }
 }

@@ -78,13 +78,22 @@ class LayoutSinkSpec extends SparkSpec {
     val idxFiles = StatsIndex.prunedFiles(spark, s"$dir/idx", Nil).size
     val lakeFiles = lake.select(input_file_name()).distinct().count()
     assert(idxFiles == lakeFiles)
-    // global z-order: the same box needs no MORE files than the
+    // global order: the same box needs no MORE files than the
     // batch-local layout did out of the same total (16), and few overall
     val after = StatsIndex.prunedFiles(spark, s"$dir/idx", box).size
     assert(after <= before, s"box files $before -> $after after OPTIMIZE")
-    // a 12%-per-dim box maps to a handful of Morton-curve segments —
-    // well under half the 16 files (measured: 5)
-    assert(after <= 6, s"global z-order should confine a 12% box: $after")
+    // a 12%-per-dim box maps to a handful of Hilbert-curve segments —
+    // well under half the 16 files
+    assert(after <= 6, s"global order should confine a 12% box: $after")
+    // the DEFAULT (morton) optimize path end to end on the same lake:
+    // rows survive a second rewrite and the index keeps matching
+    graft.sources.ZOrder.optimize(spark, s"$dir/lake", Seq("x", "y"),
+      bits = 10, numFiles = 16, indexDir = Some(s"$dir/idx"))
+    val lake2 = spark.read.parquet(s"$dir/lake")
+    assert(lake2.count() == 20000 &&
+      lake2.agg(sum($"payload")).head.getLong(0) == (0L until 20000).sum)
+    val mortonBox = StatsIndex.prunedFiles(spark, s"$dir/idx", box).size
+    assert(mortonBox <= 8, s"morton OPTIMIZE box files: $mortonBox")
   }
 
   test("per-batch z-files still prune a small box") {
