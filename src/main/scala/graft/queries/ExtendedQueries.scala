@@ -300,7 +300,30 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price"))
   }
 
+  /** The whole layout-and-skipping read path, oracle-checked end to
+    * end: lineitem rewritten z-ordered into a temp lake, stats-indexed
+    * ([[graft.sources.StatsIndex]]), then a 2-D box read through
+    * `readPruned` — FILE-level pruning from the index, row-group
+    * pruning from the pushed filter, exact predicate re-applied — and
+    * aggregated. The oracle is the PLAIN filtered aggregate over the
+    * original table: the hash match proves write → index → prune →
+    * filter loses and fabricates nothing (conservative pruning made a
+    * driver-gate guarantee, the batch complement of qs14). */
+  val q46PrunedScan: Q = (s, dir) => {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_q46_").toString
+    ZOrder.write(table(s, dir, "lineitem"), s"$work/lake",
+      Seq("l_partkey", "l_suppkey"), bits = 10, numFiles = 8)
+    graft.sources.StatsIndex.build(s, s"$work/lake",
+      Seq("l_partkey", "l_suppkey"), s"$work/idx")
+    graft.sources.StatsIndex.readPruned(s, s"$work/lake", s"$work/idx",
+      Seq(("l_partkey", 100L, 600L), ("l_suppkey", 10L, 60L)))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q46_pruned_scan" -> q46PrunedScan,
     "q45_hilbert" -> q45Hilbert,
     "q43_zorder" -> q43ZOrder,
     "qi2_rolling_trend" -> qi2RollingTrend,
@@ -318,6 +341,13 @@ object ExtendedQueries {
     "qi1_indicator_frames" -> qi1IndicatorFrames)
 
   val sql: Map[String, String] = Map(
+    "q46_pruned_scan" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 100 AND 600
+         |  AND l_suppkey BETWEEN 10 AND 60
+         |GROUP BY 1""".stripMargin,
     "q45_hilbert" -> {
       val (cte, fin) = ZOrder.sqlHilbertCte(
         "l_partkey % 256", "l_suppkey % 256", bits = 8,
