@@ -20,8 +20,22 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_E2E_MODE` = both (default) | interleaved | isolated.
   * The `total` metric stays interleaved-only so it remains comparable
   * with BENCH_r01–r03.
+  *
+  * Failures are reported distinctly (ADVICE r4): a query/cell that throws
+  * records `null` under `queries` plus an entry in `errors` — never a
+  * misleading time-to-failure masquerading as a measurement.
+  *
+  * The full result also lands as a pretty-printed committed artifact
+  * (`BENCH_FULL_r{N}.json`, N = max existing BENCH_r* + 1, overridable via
+  * `SPARK_GRAFT_BENCH_FULL`): the driver's per-round capture truncates to
+  * ~65 of the ~120 entries, which ate the one number that mattered in r4.
+  * Skipped when `SPARK_GRAFT_ONLY` filters the run (partial results would
+  * clobber the full artifact).
   */
 object Bench {
+
+  /** A cell/query outcome: elapsed seconds, or the failure message. */
+  private type Timing = Either[String, Double]
 
   private def buildSession(cpus: String): SparkSession = {
     val s = SparkSession.builder()
@@ -33,6 +47,19 @@ object Bench {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  private def time(body: => Unit): Timing = {
+    val t0 = System.nanoTime()
+    try { body; Right((System.nanoTime() - t0) / 1e9) }
+    catch {
+      case t: Throwable =>
+        Left(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
+    }
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,22 +84,19 @@ object Bench {
         .queryExecution.toRdd.count()
       spark.sharedState.cacheManager.clearCache()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries
+    val results: Map[String, Timing] = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // toRdd.count() executes the full physical plan including the final
       // projection — a plain count() would let Catalyst prune every
       // projection-only query down to a row count
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val t = time { fn(spark, sfDir).queryExecution.toRdd.count(): Unit }
       // isolate measurements: drop caches the query left behind
       spark.sharedState.cacheManager.clearCache()
-      name -> dt
+      name -> t
     }
-    var interleaved = Map.empty[String, Double]
-    var isolated = Map.empty[String, Double]
+    var interleaved = Map.empty[String, Timing]
+    var isolated = Map.empty[String, Timing]
     if (runE2e) {
       // deterministic cell order (Map iteration order is not)
       val cells = bench.E2EBench.cells.toSeq.sortBy(_._1)
@@ -80,11 +104,9 @@ object Bench {
       val path = bench.SyntheticBars.ensure(spark) // untimed, write-once
       if (e2eMode != "isolated") {
         interleaved = cells.map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          try { fn(spark, path) } catch { case _: Throwable => () }
-          val dt = (System.nanoTime() - t0) / 1e9
+          val t = time { fn(spark, path): Unit }
           spark.sharedState.cacheManager.clearCache()
-          name -> dt
+          name -> t
         }.toMap
       }
       spark.stop()
@@ -92,27 +114,68 @@ object Bench {
         isolated = cells.map { case (name, fn) =>
           val s = buildSession(cpus)
           try {
-            val times = (1 to math.max(1, e2eReps)).map { _ =>
+            val reps = (1 to math.max(1, e2eReps)).map { _ =>
               s.sharedState.cacheManager.clearCache()
               System.gc()
-              val t0 = System.nanoTime()
-              try { fn(s, path) } catch { case _: Throwable => () }
-              (System.nanoTime() - t0) / 1e9
-            }.sorted
-            // true median: average the two middle elements on even reps
-            val mid = times.length / 2
-            val median = if (times.length % 2 == 1) times(mid)
-              else (times(mid - 1) + times(mid)) / 2
-            (name + "_iso") -> median
+              time { fn(s, path): Unit }
+            }
+            val (errs, times) = (reps.collect { case Left(e) => e },
+              reps.collect { case Right(v) => v }.sorted)
+            val outcome: Timing =
+              if (times.isEmpty) Left(errs.head)
+              else {
+                // true median: average the two middle elements on even reps
+                val mid = times.length / 2
+                Right(if (times.length % 2 == 1) times(mid)
+                  else (times(mid - 1) + times(mid)) / 2)
+              }
+            (name + "_iso") -> outcome
           } finally s.stop()
         }.toMap
       }
     } else spark.stop()
     val all = results ++ interleaved ++ isolated
-    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // interleaved-only total, comparable with rounds 1-3
-    val total = results.values.sum + interleaved.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = all.toSeq.sortBy(_._1).map {
+      case (k, Right(v)) => jsonStr(k) + ":" + v
+      case (k, Left(_)) => jsonStr(k) + ":null"
+    }.mkString("{", ",", "}")
+    val errs = all.toSeq.sortBy(_._1).collect {
+      case (k, Left(e)) => jsonStr(k) + ":" + jsonStr(e)
+    }.mkString("{", ",", "}")
+    // interleaved-only total, comparable with rounds 1-3; failures excluded
+    val total = (results ++ interleaved).values
+      .collect { case Right(v) => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // full committed artifact — one key per line so round-over-round git
+    // diffs stay readable; only for unfiltered runs
+    if (only.isEmpty) {
+      val fullOut = sys.env.get("SPARK_GRAFT_BENCH_FULL").getOrElse {
+        // the driver writes BENCH_r{N}.json after each round's run, so at
+        // run time the CURRENT round is max existing + 1 (re-runs within a
+        // round overwrite the same artifact — intended)
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val seen = Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        val n = if (seen.isEmpty) 1 else seen.max + 1
+        f"BENCH_FULL_r$n%02d.json"
+      }
+      val body = new StringBuilder
+      body ++= "{\n"
+      body ++= s"""  "metric": "total",\n  "value": $total,\n  "unit": "sec",\n  "sf": ${jsonStr(sfDir)},\n"""
+      body ++= "  \"queries\": {\n"
+      body ++= all.toSeq.sortBy(_._1).map {
+        case (k, Right(v)) => s"    ${jsonStr(k)}: $v"
+        case (k, Left(_)) => s"    ${jsonStr(k)}: null"
+      }.mkString(",\n")
+      body ++= "\n  },\n  \"errors\": {\n"
+      body ++= all.toSeq.sortBy(_._1).collect {
+        case (k, Left(e)) => s"    ${jsonStr(k)}: ${jsonStr(e)}"
+      }.mkString(",\n")
+      body ++= "\n  }\n}\n"
+      val w = new java.io.PrintWriter(fullOut, "UTF-8")
+      try w.print(body.toString) finally w.close()
+    }
   }
 }

@@ -322,7 +322,37 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price"))
   }
 
+  /** TYPED file-level skipping, oracle-checked end to end: lineitem
+    * rewritten range-clustered on its DOUBLE price column
+    * ([[graft.sources.PartitionedLake.writeClustered]]), stats-indexed,
+    * then read through `readPrunedTyped` with a fractional double box,
+    * a timestamp window and a string range — the three column classes
+    * v1 could not prune at all (they covered 59 of the reference's 60
+    * columns). The oracle is the PLAIN filtered aggregate: the hash
+    * match proves typed pruning (ulp-widened double bounds, unit-
+    * normalized timestamp micros, truncation-safe string bounds) loses
+    * and fabricates nothing. */
+  val q47TypedPrunedScan: Q = (s, dir) => {
+    import graft.sources.StatsIndex
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_q47_").toString
+    graft.sources.PartitionedLake.writeClustered(
+      table(s, dir, "lineitem"), s"$work/lake",
+      Seq("l_extendedprice"), numFiles = 8)
+    StatsIndex.build(s, s"$work/lake",
+      Seq("l_extendedprice", "l_shipdate", "l_returnflag"), s"$work/idx")
+    StatsIndex.readPrunedTyped(s, s"$work/lake", s"$work/idx", Seq(
+      StatsIndex.DoubleRange("l_extendedprice", 10000.5, 30000.25),
+      StatsIndex.TimestampRange("l_shipdate",
+        java.time.Instant.parse("1993-01-01T00:00:00Z"),
+        java.time.Instant.parse("1996-06-30T23:59:59Z")),
+      StatsIndex.StringRange("l_returnflag", "A", "N")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q47_typed_pruned_scan" -> q47TypedPrunedScan,
     "q46_pruned_scan" -> q46PrunedScan,
     "q45_hilbert" -> q45Hilbert,
     "q43_zorder" -> q43ZOrder,
@@ -341,6 +371,15 @@ object ExtendedQueries {
     "qi1_indicator_frames" -> qi1IndicatorFrames)
 
   val sql: Map[String, String] = Map(
+    "q47_typed_pruned_scan" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_extendedprice BETWEEN 10000.5 AND 30000.25
+         |  AND l_shipdate BETWEEN TIMESTAMP '1993-01-01 00:00:00'
+         |    AND TIMESTAMP '1996-06-30 23:59:59'
+         |  AND l_returnflag BETWEEN 'A' AND 'N'
+         |GROUP BY 1""".stripMargin,
     "q46_pruned_scan" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  ${sqlSumd("l_extendedprice")} AS sum_price

@@ -4,8 +4,10 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.jdk.CollectionConverters._
@@ -30,18 +32,71 @@ import scala.jdk.CollectionConverters._
   * matching file list, which is exactly the object Spark's own
   * planner materializes for any scan.
   *
-  * v1 indexes integral columns (the partition/cluster key shape);
+  * v2 stats are TYPED (one kind column + nullable typed bound pairs):
+  *  - `long`: int32/int64 (plus DATE as epoch days, and INT64
+  *    timestamps NORMALIZED TO MICROSECONDS whatever the file's unit);
+  *  - `double`: float/double, bounds widened one ulp outward so
+  *    float→double and long→double conversions can never shave a
+  *    matching file (NaN-polluted stats fall back to full-range —
+  *    parquet writers' NaN ordering is unreliable);
+  *  - `string`: UTF-8 binary, truncated Iceberg-style — min is a
+  *    prefix (a prefix is ≤ the full string), max is the prefix with
+  *    its last char incremented (an upper bound), or NULL = +∞ when no
+  *    char can be incremented;
+  *  - `full`: anything else (decimals, booleans, missing stats) — all
+  *    bounds NULL, so the file is KEPT for every constraint.
   * `readPruned` re-applies the caller's predicate after pruning, so the
   * index is a conservative accelerator — never a correctness surface
   * (`StatsIndexSpec` asserts pruned ≡ full-scan results on random
-  * boxes).
+  * integer AND fractional boxes).
+  *
+  * A v1 (untyped) index directory is detected by its missing `kind`
+  * column and rebuilt in place on the next [[refresh]].
   */
 object StatsIndex {
 
+  /** A typed per-column interval constraint (inclusive both ends). */
+  sealed trait ColRange {
+    def name: String
+    /** The exact predicate [[readPruned]] re-applies post-prune. */
+    def predicate: Column
+  }
+  final case class LongRange(name: String, lo: Long, hi: Long)
+      extends ColRange {
+    def predicate: Column = col(name).between(lo, hi)
+  }
+  final case class DoubleRange(name: String, lo: Double, hi: Double)
+      extends ColRange {
+    require(!lo.isNaN && !hi.isNaN, s"DoubleRange($name): NaN bound")
+    def predicate: Column = col(name).between(lo, hi)
+  }
+  final case class StringRange(name: String, lo: String, hi: String)
+      extends ColRange {
+    def predicate: Column = col(name).between(lo, hi)
+  }
+  /** Inclusive instant range; compared against the index's
+    * micros-normalized timestamp stats. */
+  final case class TimestampRange(name: String, lo: java.time.Instant,
+      hi: java.time.Instant) extends ColRange {
+    def predicate: Column = col(name).between(lit(lo), lit(hi))
+    def loMicros: Long = instantMicrosFloor(lo)
+    def hiMicros: Long = instantMicrosCeil(hi)
+  }
+
+  private def instantMicrosFloor(i: java.time.Instant): Long =
+    math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L),
+      i.getNano / 1000L)
+  private def instantMicrosCeil(i: java.time.Instant): Long =
+    math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L),
+      (i.getNano + 999L) / 1000L)
+
+  /** Max stored UTF-16 chars for string bounds. */
+  private val StringTruncateLen = 64
+
   /** One pass over `dataDir`'s footers → an index parquet at
-    * `indexDir` with one row per (file, column): row count + long
-    * min/max. Missing stats (null-only chunks) produce a full-range
-    * row, i.e. the file is never skipped. */
+    * `indexDir` with one row per (file, column): row count + typed
+    * min/max. Missing stats (null-only chunks, exotic types) produce a
+    * full-range row, i.e. the file is never skipped. */
   def build(spark: SparkSession, dataDir: String, cols: Seq[String],
       indexDir: String): Unit = {
     val files = listData(spark, dataDir)
@@ -71,6 +126,11 @@ object StatsIndex {
     }
     val current = listData(spark, dataDir)
     val old = spark.read.parquet(indexDir)
+    if (!old.columns.contains("kind")) {
+      // v1 (untyped) index — incompatible schema; rebuild from scratch
+      build(spark, dataDir, cols, indexDir)
+      return (current.size, 0)
+    }
     val known = old.select(col("file")).distinct().as[String].collect().toSet
     val added = current.filterNot(known)
     val removed = (known -- current).toSeq.sorted
@@ -101,12 +161,100 @@ object StatsIndex {
     (added.size, removed.size)
   }
 
+  /** Recursive listing (nested/partitioned layouts index their leaf
+    * files); fails fast when the directory holds NO parquet at all — an
+    * empty index would make `readPruned` silently return 0 rows for a
+    * table that exists (ADVICE r4). */
   private def listData(spark: SparkSession, dataDir: String): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    new Path(dataDir).getFileSystem(conf)
-      .listStatus(new Path(dataDir))
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString).toSeq.sorted
+    val fs = new Path(dataDir).getFileSystem(conf)
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(new Path(dataDir), /* recursive = */ true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") &&
+          !name.startsWith(".")) out += f.getPath.toString
+    }
+    val files = out.result().sorted
+    require(files.nonEmpty,
+      s"StatsIndex: no .parquet files under $dataDir (recursive) — " +
+        "refusing to build an empty index that would prune everything")
+    files
+  }
+
+  /** One typed stats row; None everywhere = full-range (never skip). */
+  private final case class Bounds(
+      kind: String,
+      lmin: Option[Long], lmax: Option[Long],
+      dmin: Option[Double], dmax: Option[Double],
+      smin: Option[String], smax: Option[String])
+  private val FullRange = Bounds("full", None, None, None, None, None, None)
+
+  /** Iceberg-style conservative upper bound for a truncated string:
+    * increment the last incrementable char of the prefix; None = +∞. */
+  private def truncatedUpper(s: String): Option[String] = {
+    if (s.length <= StringTruncateLen) return Some(s)
+    val p = s.substring(0, StringTruncateLen).toCharArray
+    var i = p.length - 1
+    while (i >= 0 && p(i) == Char.MaxValue) i -= 1
+    if (i < 0) None
+    else Some(new String(p, 0, i) + (p(i) + 1).toChar)
+  }
+
+  private def boundsOf(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[Bounds] = {
+    val st = cc.getStatistics
+    if (st == null || !st.hasNonNullValue) return None
+    val pt = cc.getPrimitiveType
+    val logical = pt.getLogicalTypeAnnotation
+    (pt.getPrimitiveTypeName, st.genericGetMin, st.genericGetMax) match {
+      case (_, _, _) if logical.isInstanceOf[
+          LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
+        Some(FullRange) // scaled ints — not comparable as raw longs
+      case (PrimitiveTypeName.INT64, lo: Number, hi: Number)
+          if logical.isInstanceOf[
+            LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
+        val unit = logical.asInstanceOf[
+          LogicalTypeAnnotation.TimestampLogicalTypeAnnotation].getUnit
+        import LogicalTypeAnnotation.TimeUnit
+        val (loU, hiU) = unit match {
+          case TimeUnit.MICROS => (lo.longValue(), hi.longValue())
+          case TimeUnit.MILLIS =>
+            (math.multiplyExact(lo.longValue(), 1000L),
+              math.multiplyExact(hi.longValue(), 1000L))
+          case TimeUnit.NANOS =>
+            // floor for min, ceil for max — outward is conservative
+            (Math.floorDiv(lo.longValue(), 1000L),
+              Math.floorDiv(hi.longValue() + 999L, 1000L))
+        }
+        Some(Bounds("long", Some(loU), Some(hiU), None, None, None, None))
+      case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64,
+          lo: Number, hi: Number) =>
+        Some(Bounds("long", Some(lo.longValue()), Some(hi.longValue()),
+          None, None, None, None))
+      case (PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE,
+          lo: Number, hi: Number) =>
+        val (loD, hiD) = (lo.doubleValue(), hi.doubleValue())
+        if (loD.isNaN || hiD.isNaN) Some(FullRange)
+        // one-ulp outward widening: float→double and long-query→double
+        // conversions round either way; widened bounds only weaken
+        // pruning, never exclude a matching file
+        else Some(Bounds("double", None, None,
+          Some(Math.nextDown(loD)), Some(Math.nextUp(hiD)), None, None))
+      case (PrimitiveTypeName.BINARY,
+          lo: org.apache.parquet.io.api.Binary,
+          hi: org.apache.parquet.io.api.Binary)
+          if logical.isInstanceOf[
+            LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        val loS = lo.toStringUsingUTF8
+        val hiS = hi.toStringUsingUTF8
+        Some(Bounds("string", None, None, None, None,
+          Some(loS.substring(0, math.min(loS.length, StringTruncateLen))),
+          truncatedUpper(hiS)))
+      case _ => Some(FullRange)
+    }
   }
 
   /** Distributed footer scan of `files` → one index row per
@@ -135,23 +283,36 @@ object StatsIndex {
             val blocks = r.getFooter.getBlocks.asScala
             val nRows = blocks.map(_.getRowCount).sum
             val stats = colsB.value.map { name =>
-              val ranges = blocks.flatMap { b =>
+              val perChunk = blocks.flatMap { b =>
                 b.getColumns.asScala
                   .find(_.getPath.toDotString == name)
-                  .flatMap { cc =>
-                    val st = cc.getStatistics
-                    if (st == null || !st.hasNonNullValue) None
-                    else (st.genericGetMin, st.genericGetMax) match {
-                      // v1 indexes integral stats; anything else is
-                      // recorded full-range (kept, never skipped)
-                      case (lo: Number, hi: Number) =>
-                        Some((lo.longValue(), hi.longValue()))
-                      case _ => None
-                    }
-                  }
+                  .flatMap(boundsOf)
               }
-              if (ranges.isEmpty) (name, Long.MinValue, Long.MaxValue)
-              else (name, ranges.map(_._1).min, ranges.map(_._2).max)
+              val merged =
+                if (perChunk.isEmpty || perChunk.exists(_.kind == "full"))
+                  FullRange
+                else if (perChunk.map(_.kind).distinct.size > 1) FullRange
+                else perChunk.head.kind match {
+                  case "long" => Bounds("long",
+                    Some(perChunk.flatMap(_.lmin).min),
+                    Some(perChunk.flatMap(_.lmax).max),
+                    None, None, None, None)
+                  case "double" => Bounds("double", None, None,
+                    Some(perChunk.flatMap(_.dmin).min),
+                    Some(perChunk.flatMap(_.dmax).max), None, None)
+                  case _ =>
+                    val uppers = perChunk.map(_.smax)
+                    Bounds("string", None, None, None, None,
+                      Some(perChunk.flatMap(_.smin).min),
+                      // any unbounded chunk upper ⇒ unbounded file upper
+                      if (uppers.exists(_.isEmpty)) None
+                      else Some(uppers.flatten.max))
+                }
+              // plain tuple, not the Bounds case class: encoders for
+              // nested private case classes break Janino codegen
+              // (interpreter fallback) — tuples stay codegen'd
+              (name, merged.kind, merged.lmin, merged.lmax,
+                merged.dmin, merged.dmax, merged.smin, merged.smax)
             }
             (f, nRows, stats)
           } finally r.close()
@@ -161,23 +322,59 @@ object StatsIndex {
       .select(col("file"), col("row_count"),
         explode(col("stats")).as("s"))
       .select(col("file"), col("row_count"), col("s._1").as("col"),
-        col("s._2").as("min"), col("s._3").as("max"))
+        col("s._2").as("kind"),
+        col("s._3").as("lmin"), col("s._4").as("lmax"),
+        col("s._5").as("dmin"), col("s._6").as("dmax"),
+        col("s._7").as("smin"), col("s._8").as("smax"))
   }
 
-  /** Files whose stats intersect EVERY `[lo, hi]` constraint. A file
-    * missing an index row for a constrained column is kept (conservative
-    * — e.g. a column added after the index was built). Metadata-scale:
-    * the index has #files × #cols rows; the collect is the file list. */
-  def prunedFiles(spark: SparkSession, indexDir: String,
-      ranges: Seq[(String, Long, Long)]): Seq[String] = {
+  /** Per-range exclusion predicate over index rows. NULL bounds (full
+    * rows, unbounded string uppers) make these comparisons NULL → the
+    * filter keeps nothing → the file survives. Cross-kind comparisons
+    * are widened conservatively: a long-stat column probed with a
+    * fractional box excludes on `lmax < ceil(lo) || lmin > floor(hi)`
+    * (exact, since the data are integers), and a double-stat column
+    * probed with a long box compares against one-ulp-outward doubles. */
+  private def exclusion(r: ColRange): Column = r match {
+    case LongRange(name, lo, hi) =>
+      col("col") === name && (
+        (col("kind") === "long" && (col("lmax") < lo || col("lmin") > hi)) ||
+        (col("kind") === "double" &&
+          (col("dmax") < Math.nextDown(lo.toDouble) ||
+            col("dmin") > Math.nextUp(hi.toDouble))))
+    case DoubleRange(name, lo, hi) =>
+      // ceil/floor as Long with clamping (a bound beyond Long range
+      // can never exclude via the integer arm)
+      val loCeil = if (lo <= Long.MinValue.toDouble) Long.MinValue
+        else if (lo >= Long.MaxValue.toDouble) Long.MaxValue
+        else math.ceil(lo).toLong
+      val hiFloor = if (hi >= Long.MaxValue.toDouble) Long.MaxValue
+        else if (hi <= Long.MinValue.toDouble) Long.MinValue
+        else math.floor(hi).toLong
+      col("col") === name && (
+        (col("kind") === "double" &&
+          (col("dmax") < lo || col("dmin") > hi)) ||
+        (col("kind") === "long" &&
+          (col("lmax") < loCeil || col("lmin") > hiFloor)))
+    case StringRange(name, lo, hi) =>
+      col("col") === name && col("kind") === "string" &&
+        (col("smax") < lo || col("smin") > hi)
+    case t @ TimestampRange(name, _, _) =>
+      col("col") === name && col("kind") === "long" &&
+        (col("lmax") < t.loMicros || col("lmin") > t.hiMicros)
+  }
+
+  /** Files whose stats intersect EVERY constraint. A file missing an
+    * index row for a constrained column is kept (conservative — e.g. a
+    * column added after the index was built). Metadata-scale: the index
+    * has #files × #cols rows; the collect is the file list. */
+  def prunedTyped(spark: SparkSession, indexDir: String,
+      ranges: Seq[ColRange]): Seq[String] = {
     import spark.implicits._
     val idx = spark.read.parquet(indexDir)
     val all = idx.select(col("file")).distinct()
-    val excluded = ranges.map { case (name, lo, hi) =>
-      idx.filter(col("col") === name &&
-        (col("max") < lo || col("min") > hi))
-        .select(col("file"))
-    }.reduceOption(_ union _)
+    val excluded = ranges.map(r => idx.filter(exclusion(r))
+      .select(col("file"))).reduceOption(_ union _)
     excluded match {
       case None => all.as[String].collect().toSeq.sorted
       case Some(ex) =>
@@ -186,19 +383,29 @@ object StatsIndex {
     }
   }
 
+  /** Long-box compatibility shim over [[prunedTyped]]. */
+  def prunedFiles(spark: SparkSession, indexDir: String,
+      ranges: Seq[(String, Long, Long)]): Seq[String] =
+    prunedTyped(spark, indexDir,
+      ranges.map { case (n, lo, hi) => LongRange(n, lo, hi) })
+
   /** Scan only the files that can satisfy `ranges`, then re-apply the
     * exact predicate — the index prunes, the filter decides. Row-group
     * pruning inside the surviving files still happens via the pushed
     * filter, so the two layers compose. */
-  def readPruned(spark: SparkSession, dataDir: String, indexDir: String,
-      ranges: Seq[(String, Long, Long)]): DataFrame = {
+  def readPrunedTyped(spark: SparkSession, dataDir: String,
+      indexDir: String, ranges: Seq[ColRange]): DataFrame = {
     require(ranges.nonEmpty, "readPruned needs at least one range")
-    val files = prunedFiles(spark, indexDir, ranges)
-    val pred = ranges.map { case (name, lo, hi) =>
-      col(name).between(lo, hi)
-    }.reduce(_ && _)
+    val files = prunedTyped(spark, indexDir, ranges)
+    val pred = ranges.map(_.predicate).reduce(_ && _)
     if (files.isEmpty)
       spark.read.parquet(dataDir).filter(pred).limit(0)
     else spark.read.parquet(files: _*).filter(pred)
   }
+
+  /** Long-box compatibility shim over [[readPrunedTyped]]. */
+  def readPruned(spark: SparkSession, dataDir: String, indexDir: String,
+      ranges: Seq[(String, Long, Long)]): DataFrame =
+    readPrunedTyped(spark, dataDir, indexDir,
+      ranges.map { case (n, lo, hi) => LongRange(n, lo, hi) })
 }

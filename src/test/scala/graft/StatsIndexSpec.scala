@@ -108,6 +108,139 @@ class StatsIndexSpec extends SparkSpec {
     assert(kept.size == 2, s"all-null file must be kept: $kept")
   }
 
+  // --- typed stats (v2): double / timestamp / string pruning ---
+
+  private lazy val typedBase = {
+    val dir = Files.createTempDirectory("graft_sidx_t_").toString
+    // doubles with fractional spread, millis timestamps, short strings —
+    // clustered on the double so files cover narrow price spans
+    val df = spark.range(100000).select(
+      (pmod(hash(col("id")), lit(100000)).cast("double") / 7.0)
+        .as("price"),
+      timestamp_millis(lit(725846400000L) // 1993-01-01 UTC
+        + pmod(hash(col("id") + 13), lit(100000000)).cast("long") * 1000)
+        .as("ts"),
+      concat(lit("cust#"),
+        lpad(pmod(hash(col("id") + 7), lit(1000)).cast("string"), 4, "0"))
+        .as("name"),
+      col("id").as("payload"))
+    graft.sources.PartitionedLake.writeClustered(df, s"$dir/data",
+      Seq("price"), numFiles = 16)
+    StatsIndex.build(spark, s"$dir/data", Seq("price", "ts", "name"),
+      s"$dir/idx")
+    dir
+  }
+
+  test("typed pruned read equals full-scan filter on fractional boxes") {
+    val rnd = new scala.util.Random(777)
+    val full = spark.read.parquet(s"$typedBase/data")
+    // random fractional boxes PLUS the floor/ceil edge: integral bounds
+    // that sit exactly on attainable values (k/7 grid hits integers at
+    // multiples of 7)
+    val boxes = (1 to 4).map { _ =>
+      val lo = rnd.nextDouble() * 12000
+      (lo, lo + rnd.nextDouble() * 2000)
+    } :+ ((3000.0, 3500.0)) // exact-integer edge bounds
+    boxes.zipWithIndex.foreach { case ((lo, hi), trial) =>
+      val pruned = StatsIndex.readPrunedTyped(spark, s"$typedBase/data",
+        s"$typedBase/idx", Seq(StatsIndex.DoubleRange("price", lo, hi)))
+      val expect = full.filter(col("price").between(lo, hi))
+      assert(pruned.count() == expect.count(), s"box $trial rows")
+      val g = pruned.agg(sum(col("payload"))).head.getLong(0)
+      val w = expect.agg(sum(col("payload"))).head.getLong(0)
+      assert(g == w, s"box $trial payload sums differ")
+    }
+  }
+
+  test("a narrow double box over the clustered layout skips most files") {
+    val all = StatsIndex.prunedTyped(spark, s"$typedBase/idx", Nil)
+    assert(all.size >= 8, s"expected many files, got ${all.size}")
+    val hit = StatsIndex.prunedTyped(spark, s"$typedBase/idx",
+      Seq(StatsIndex.DoubleRange("price", 4000.25, 4100.75)))
+    assert(hit.size < all.size / 2,
+      s"double box hit ${hit.size}/${all.size} files — not selective")
+  }
+
+  test("timestamp range pruning is conservative and unit-normalized") {
+    val full = spark.read.parquet(s"$typedBase/data")
+    val lo = java.time.Instant.parse("1993-05-01T00:00:00Z")
+    val hi = java.time.Instant.parse("1993-06-15T12:00:00.000500Z")
+    val pruned = StatsIndex.readPrunedTyped(spark, s"$typedBase/data",
+      s"$typedBase/idx", Seq(StatsIndex.TimestampRange("ts", lo, hi)))
+    val expect = full.filter(col("ts").between(lit(lo), lit(hi)))
+    assert(pruned.count() == expect.count() && expect.count() > 0)
+  }
+
+  test("string range pruning is conservative under truncation") {
+    val dir = Files.createTempDirectory("graft_sidx_s_").toString
+    // keys longer than the 64-char truncation (60-char shared prefix +
+    // tag + id = 69 chars), with the aa/zz tag INSIDE the kept prefix:
+    // min is a prefix (≤ true min), max needs the incremented upper
+    val longKey = (tag: String) => concat(lit("p" * 60 + tag + "-"),
+      lpad(col("id").cast("string"), 6, "0"))
+    spark.range(2000).select(longKey("aa").as("k"), col("id").as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    spark.range(2000).select(longKey("zz").as("k"), col("id").as("v"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("k"), s"$dir/idx")
+    val full = spark.read.parquet(s"$dir/data")
+    val (lo, hi) = ("p" * 60 + "aa-000100", "p" * 60 + "aa-000500")
+    val pruned = StatsIndex.readPrunedTyped(spark, s"$dir/data",
+      s"$dir/idx", Seq(StatsIndex.StringRange("k", lo, hi)))
+    val expect = full.filter(col("k").between(lo, hi))
+    assert(pruned.count() == expect.count() && expect.count() == 401)
+    // the zz file's truncated min ("p"*60 + "zz-0") still sorts above
+    // hi, so it IS skippable even through 64-char truncated stats
+    val kept = StatsIndex.prunedTyped(spark, s"$dir/idx",
+      Seq(StatsIndex.StringRange("k", lo, hi)))
+    assert(kept.size == 1, s"expected the aa file only, got ${kept.size}")
+  }
+
+  test("NaN-polluted double stats fall back to full range (never skip)") {
+    val dir = Files.createTempDirectory("graft_sidx_nan_").toString
+    spark.range(1000).select(
+      when(col("id") % 100 === 0, lit(Double.NaN))
+        .otherwise(col("id").cast("double")).as("d"),
+      col("id").as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("d"), s"$dir/idx")
+    // whatever the writer put in the stats, the file must survive every
+    // box that matches any real value
+    val kept = StatsIndex.prunedTyped(spark, s"$dir/idx",
+      Seq(StatsIndex.DoubleRange("d", 500.0, 600.0)))
+    assert(kept.size == 1, "file with NaN-polluted stats was skipped")
+  }
+
+  test("nested layouts index their leaf files; empty dirs fail fast") {
+    val dir = Files.createTempDirectory("graft_sidx_nest_").toString
+    spark.range(1000).select((col("id") % 7).as("part"),
+      col("id").as("x"))
+      .write.partitionBy("part").mode("overwrite").parquet(s"$dir/data")
+    // v1 listed only the top level → zero files → empty index → silent
+    // 0-row readPruned; v2 must find the leaves (ADVICE r4)
+    StatsIndex.build(spark, s"$dir/data", Seq("x"), s"$dir/idx")
+    val files = StatsIndex.prunedTyped(spark, s"$dir/idx", Nil)
+    assert(files.size >= 7, s"expected per-partition leaves, got $files")
+    val got = StatsIndex.readPruned(spark, s"$dir/data", s"$dir/idx",
+      Seq(("x", 10L, 20L))).count()
+    assert(got == 11, s"nested pruned read returned $got rows")
+    val empty = Files.createTempDirectory("graft_sidx_e_").toString
+    val ex = intercept[IllegalArgumentException] {
+      StatsIndex.build(spark, empty, Seq("x"), s"$empty/idx")
+    }
+    assert(ex.getMessage.contains("no .parquet files"))
+  }
+
+  test("long-box query against double stats stays conservative") {
+    // integral query API over a double column: ulp-widened bounds must
+    // keep every file holding matching values
+    val full = spark.read.parquet(s"$typedBase/data")
+    val pruned = StatsIndex.readPrunedTyped(spark, s"$typedBase/data",
+      s"$typedBase/idx", Seq(StatsIndex.LongRange("price", 2000, 2100)))
+    val expect = full.filter(col("price").between(2000L, 2100L))
+    assert(pruned.count() == expect.count() && expect.count() > 0)
+  }
+
   test("constraints on an unindexed column keep every file") {
     val all = StatsIndex.prunedFiles(spark, s"$base/idx", Nil)
     val kept = StatsIndex.prunedFiles(spark, s"$base/idx",
