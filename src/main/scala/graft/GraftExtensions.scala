@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.HilbertIndex2.sqlInfo,
       graft.functions.HilbertIndex2.sqlBuilder))
     ext.injectFunction((
+      FunctionIdentifier("hilbertn"),
+      graft.functions.HilbertIndexN.sqlInfo,
+      graft.functions.HilbertIndexN.sqlBuilder))
+    ext.injectFunction((
       FunctionIdentifier("ht_dcperiod"),
       graft.indicators.HilbertTransform.dcSqlInfo,
       graft.indicators.HilbertTransform.sqlBuilder(trend = false)))
@@ -79,6 +83,10 @@ object GraftExtensions {
       FunctionIdentifier("hilbert2"),
       graft.functions.HilbertIndex2.sqlInfo,
       graft.functions.HilbertIndex2.sqlBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("hilbertn"),
+      graft.functions.HilbertIndexN.sqlInfo,
+      graft.functions.HilbertIndexN.sqlBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("ht_dcperiod"),
       graft.indicators.HilbertTransform.dcSqlInfo,

@@ -198,6 +198,66 @@ object ScaleProbe {
       return
     }
 
+    // `zorder3d`: the 3-D layout head-to-head — lead-key sort vs 3-D
+    // Morton vs 3-D Hilbert (hilbertWriteN), the dimensionality that
+    // motivated generalizing past HilbertIndex2. Same row-group
+    // footer-stats measure as `zorder`.
+    if (args.headOption.contains("zorder3d")) {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val n = 20000000L
+      val files = 256
+      val df = spark.range(n).select(
+        pmod(hash(col("id")), lit(4096)).as("x"),
+        pmod(hash(col("id") + 1000000007L), lit(4096)).as("y"),
+        pmod(hash(col("id") + 998244353L), lit(4096)).as("z"),
+        col("id").as("payload"))
+      val base = "/tmp/graft_zorder3d_probe"
+      df.repartitionByRange(files, col("x")).sortWithinPartitions(col("x"))
+        .write.mode("overwrite").parquet(s"$base/linear")
+      graft.sources.ZOrder.write(df, s"$base/morton3",
+        Seq("x", "y", "z"), bits = 8, numFiles = files)
+      graft.sources.ZOrder.hilbertWriteN(df, s"$base/hilbert3",
+        Seq("x", "y", "z"), bits = 8, numFiles = files)
+      // box = 20% of each dim (0.8% of the volume); yz = the predicate
+      // shape a lead-key sort cannot prune at all
+      val (lo, hi) = (1000L, 1819L)
+      def hits(dir: String, dims: Seq[String]): (Int, Int) = {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = new Path(dir).getFileSystem(conf)
+        var total = 0; var hit = 0
+        fs.listStatus(new Path(dir))
+          .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+            val r = ParquetFileReader.open(
+              HadoopInputFile.fromPath(f.getPath, conf))
+            try r.getFooter.getBlocks.asScala.foreach { b =>
+              total += 1
+              val ok = dims.forall { name =>
+                val st = b.getColumns.asScala
+                  .find(_.getPath.toDotString == name).get.getStatistics
+                val (v0, v1) = (
+                  st.genericGetMin.asInstanceOf[Number].longValue,
+                  st.genericGetMax.asInstanceOf[Number].longValue)
+                v1 >= lo && v0 <= hi
+              }
+              if (ok) hit += 1
+            } finally r.close()
+          }
+        (hit, total)
+      }
+      Seq(("linear-x", s"$base/linear"), ("morton3", s"$base/morton3"),
+        ("hilbert3", s"$base/hilbert3")).foreach { case (name, dir) =>
+        val (bh, bt) = hits(dir, Seq("x", "y", "z"))
+        val (yzh, yzt) = hits(dir, Seq("y", "z"))
+        println(f"[scale-probe] $name%-9s box(x,y,z): $bh/$bt row groups" +
+          f"   box(y,z): $yzh/$yzt")
+      }
+      spark.stop()
+      return
+    }
+
     // `globalwindow`: head-to-head of the scalable global-window family
     // vs the single-partition plans they replace, at 6.7M and 67M rows
     // (in-plan synthesized narrow table — measures the window compute,

@@ -351,7 +351,24 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price"))
   }
 
+  /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
+    * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
+    * aggregated per curve cell. The oracle UNROLLS the same phases as
+    * a generated CTE chain ([[ZOrder.sqlHilbertNCte]]) — the hash match
+    * proves every (level, dimension) undo step, the Gray encode, the
+    * parity xor and the bit gather cross-engine, in three dimensions. */
+  val q48Hilbert3: Q = (s, dir) => {
+    val h = ZOrder.hilbertValueN(Seq(
+      pmod(col("l_partkey"), lit(64)), pmod(col("l_suppkey"), lit(64)),
+      pmod(col("l_orderkey"), lit(64))), bits = 6)
+    table(s, dir, "lineitem")
+      .withColumn("hcell", shiftright(h, 10))
+      .groupBy(col("hcell"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q48_hilbert3" -> q48Hilbert3,
     "q47_typed_pruned_scan" -> q47TypedPrunedScan,
     "q46_pruned_scan" -> q46PrunedScan,
     "q45_hilbert" -> q45Hilbert,
@@ -371,6 +388,15 @@ object ExtendedQueries {
     "qi1_indicator_frames" -> qi1IndicatorFrames)
 
   val sql: Map[String, String] = Map(
+    "q48_hilbert3" -> {
+      val (cte, fin) = ZOrder.sqlHilbertNCte(
+        Seq("l_partkey % 64", "l_suppkey % 64", "l_orderkey % 64"),
+        bits = 6, table = "lineitem", carry = Seq("l_extendedprice"))
+      s"""WITH $cte
+         |SELECT hd >> 10 AS hcell, count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM $fin GROUP BY 1""".stripMargin
+    },
     "q47_typed_pruned_scan" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  ${sqlSumd("l_extendedprice")} AS sum_price

@@ -270,6 +270,95 @@ object ZOrder {
     ((h0 +: levels :+ fin).mkString(",\n"), "h_fin")
   }
 
+  /** N-dimensional HILBERT curve index as a Column (Skilling transpose
+    * algorithm via the codegen'd [[graft.functions.HilbertIndexN]]) —
+    * the general form for 3-D/4-D clustering column sets; 2 ≤ dims,
+    * dims·bits ≤ 63. Orientation differs from the 2-D
+    * [[hilbertValue]] (both are valid Hilbert curves); adjacency is
+    * what layouts rely on and is spec-checked exhaustively. */
+  def hilbertValueN(cols: Seq[Column], bits: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      graft.functions.HilbertIndexN(
+        cols.map(c =>
+          org.apache.spark.sql.GraftColumnBridge
+            .toExpression(c.cast("long"))), bits))
+
+  /** DuckDB twin of [[hilbertValueN]]: Skilling's phases unrolled as a
+    * generated CTE chain — one CTE per (level, dimension) undo step
+    * (columns `xj_s` of CTE `hn_s`), then Gray-encode / parity-xor /
+    * bit-gather CTEs. Returns the `WITH` body and the final relation
+    * name; the final relation exposes `hd` plus the carried columns.
+    * Same generate-SQL-from-the-constants recipe as [[sqlHilbertCte]],
+    * so `q48_hilbert3` proves every step cross-engine. */
+  def sqlHilbertNCte(exprs: Seq[String], bits: Int,
+      table: String, carry: Seq[String]): (String, String) = {
+    val n = exprs.size
+    require(n >= 2 && bits >= 1 && n * bits <= 63)
+    val mask = (1L << bits) - 1
+    val keep = if (carry.isEmpty) "" else carry.mkString(", ", ", ", "")
+    def xs(s: Int): Seq[String] = (0 until n).map(j => s"x${j}_$s")
+    val init = s"hn_0 AS (SELECT " +
+      exprs.zipWithIndex.map { case (e, j) =>
+        s"(($e) & $mask) AS x${j}_0" }.mkString(", ") +
+      s"$keep FROM $table)"
+    // phase 1: one CTE per (level Q, dimension i) in-place undo step
+    val steps = for {
+      qi <- 0 until (bits - 1)
+      i <- 0 until n
+    } yield {
+      val st = qi * n + i
+      val q = 1L << (bits - 1 - qi)
+      val p = q - 1
+      val prev = xs(st)
+      val cols = (0 until n).map { j =>
+        val e =
+          if (i == 0) {
+            if (j == 0)
+              s"CASE WHEN (${prev(0)} & $q) != 0 THEN xor(${prev(0)}, $p)" +
+                s" ELSE ${prev(0)} END"
+            else prev(j)
+          } else {
+            val t = s"(xor(${prev(0)}, ${prev(i)}) & $p)"
+            if (j == 0)
+              s"CASE WHEN (${prev(i)} & $q) != 0 THEN xor(${prev(0)}, $p)" +
+                s" ELSE xor(${prev(0)}, $t) END"
+            else if (j == i)
+              s"CASE WHEN (${prev(i)} & $q) != 0 THEN ${prev(i)}" +
+                s" ELSE xor(${prev(i)}, $t) END"
+            else prev(j)
+          }
+        s"$e AS x${j}_${st + 1}"
+      }
+      s"hn_${st + 1} AS (SELECT ${cols.mkString(", ")}$keep FROM hn_$st)"
+    }
+    val fSt = (bits - 1) * n
+    val fx = xs(fSt)
+    // Gray encode = cumulative xor across dimensions (X[i] ^= X[i-1]
+    // sequentially ⇒ X[i]' = x0 ^ … ^ xi)
+    val grayExprs = fx.scanLeft("") { (acc, x) =>
+      if (acc.isEmpty) x else s"xor($acc, $x)"
+    }.tail
+    val gray = s"hn_g AS (SELECT " +
+      grayExprs.zipWithIndex.map { case (e, j) => s"$e AS g$j" }
+        .mkString(", ") + s"$keep FROM hn_$fSt)"
+    // parity term t from the LAST dimension's Gray-encoded bits
+    val tExpr = (0 until (bits - 1)).map { qi =>
+      val q = 1L << (bits - 1 - qi)
+      s"(CASE WHEN (g${n - 1} & $q) != 0 THEN ${q - 1} ELSE 0 END)"
+    }.reduce((a, b) => s"xor($a, $b)")
+    val tc = s"hn_t AS (SELECT " +
+      (0 until n).map(j => s"xor(g$j, $tExpr) AS f$j").mkString(", ") +
+      s"$keep FROM hn_g)"
+    // gather: bit k of dim j lands at position k·n + (n-1-j)
+    val gather = (for {
+      j <- 0 until n
+      k <- 0 until bits
+    } yield s"(((f$j >> $k) & 1) << ${k * n + (n - 1 - j)})")
+      .mkString("(", " + ", ")")
+    val fin = s"hn_fin AS (SELECT $gather AS hd$keep FROM hn_t)"
+    (((init +: steps) ++ Seq(gray, tc, fin)).mkString(",\n"), "hn_fin")
+  }
+
   /** The z-value for arbitrary numeric columns: min/max-scale each to
     * [0, 2^bits) using the supplied per-column (min, max) literals,
     * then interleave. */
@@ -332,18 +421,35 @@ object ZOrder {
     writeByKey(df, path, h, numFiles, mode)
   }
 
+  /** [[hilbertWrite]]'s N-dimensional form (3-D/4-D clustering column
+    * sets) on [[hilbertValueN]], with the same one-aggregate min/max
+    * scaling. dims·bits must fit a long — callers with the default
+    * bits=12 and 4+ columns should lower bits (the per-file span is
+    * set by file count anyway; 8 bits = 256 cells/dim is plenty). */
+  def hilbertWriteN(df: DataFrame, path: String, cols: Seq[String],
+      bits: Int = 12, numFiles: Int = 0,
+      mode: String = "overwrite"): Unit = {
+    require(cols.size >= 2 && cols.size * bits <= 63,
+      s"hilbertWriteN: dims·bits = ${cols.size * bits} exceeds long range")
+    val ranges = literalRanges(df, cols)
+    val h = hilbertValueN(cols.zip(ranges).map { case (c, (lo, hi)) =>
+      scaleToBits(col(c), lo, hi, bits)
+    }, bits)
+    writeByKey(df, path, h, numFiles, mode)
+  }
+
   /** Curve dispatch shared by [[optimize]] and
     * [[graft.streaming.LayoutSink]]: "morton" = [[write]] (any dim
-    * count), "hilbert" = [[hilbertWrite]] (2-D, tighter box locality —
-    * SCALE.md). */
+    * count), "hilbert" = [[hilbertWrite]] for 2-D /
+    * [[hilbertWriteN]] beyond (tighter box locality — SCALE.md). */
   def curveWrite(df: DataFrame, path: String, zCols: Seq[String],
       bits: Int, numFiles: Int, mode: String, curve: String): Unit =
     curve match {
       case "morton" => write(df, path, zCols, bits, numFiles, mode)
-      case "hilbert" =>
-        require(zCols.size == 2,
-          s"hilbert curve is 2-D; got ${zCols.size} columns")
+      case "hilbert" if zCols.size == 2 =>
         hilbertWrite(df, path, zCols(0), zCols(1), bits, numFiles, mode)
+      case "hilbert" =>
+        hilbertWriteN(df, path, zCols, bits, numFiles, mode)
       case other =>
         throw new IllegalArgumentException(
           s"unknown curve '$other' (morton | hilbert)")
