@@ -45,6 +45,7 @@ object PlanAudit {
     "q40_lag_k", // same fast path as q7, at offset 3
     "q41_rolling_global", // same fast path, rows-frame aggregates
     "q42_range_global", // same fast path, range-frame aggregates
+    "q49_centered_global", // same fast path, both-sided rows frame
     "q10_avg_prev_day",
     "q26_median", // final rank filter over the tiny histogram
     "qv1_knn", // global top-k: TakeOrdered final stage

@@ -425,10 +425,38 @@ object GlobalWindow {
       numPartitions: Option[Int] = None,
       quantileBuckets: Boolean = false): DataFrame = {
     require(frameRows >= 1, s"frameRows $frameRows")
+    rollingGlobalCentered(df, orderCols, aggs, before = frameRows - 1,
+      after = 0, bucketKey, numPartitions, quantileBuckets)
+  }
+
+  /** BOTH-SIDED rows frames over the global order — `agg OVER (ORDER BY
+    * … ROWS BETWEEN b PRECEDING AND a FOLLOWING)` without a
+    * single-partition exchange; the centered-smoothing shape
+    * ([[rollingGlobal]] is the `a = 0` special case and delegates
+    * here).
+    *
+    * Mechanism: the trailing borrow is [[rollingGlobal]]'s (each bucket
+    * prepended with the global last `before` rows preceding it, from a
+    * forward bucket walk over per-bucket tails); the leading borrow
+    * mirrors it through [[leadGlobalK]]'s reverse walk (each bucket
+    * APPENDED with the global first `after` rows following it, from
+    * per-bucket heads walked back-to-front). Both tails are collected
+    * in ONE boundary pass (two row_numbers over the same bucketed
+    * window — ≤ parts·(before + after) full-width rows; keep the frame
+    * modest, as in [[rollingGlobal]]). Borrowed rows sort into place
+    * naturally (their order keys are smaller / larger than every owned
+    * key, by the bucketKey-monotonicity contract) and are dropped from
+    * the output, so every emitted frame is identical to the
+    * unpartitioned window's — including the truncated frames at the
+    * global edges, where there is nothing to borrow. */
+  def rollingGlobalCentered(df: DataFrame, orderCols: Seq[String],
+      aggs: Seq[(Column, String)], before: Int, after: Int,
+      bucketKey: Column, numPartitions: Option[Int] = None,
+      quantileBuckets: Boolean = false): DataFrame = {
+    require(before >= 0 && after >= 0, s"frame [$before, $after]")
     val oc: Seq[Column] = orderCols.map(col)
-    val n = frameRows
     if (useSmallInputPath(df)) {
-      val w = Window.orderBy(oc: _*).rowsBetween(-(n - 1), 0)
+      val w = Window.orderBy(oc: _*).rowsBetween(-before, after)
       return aggs.foldLeft(df) { case (d, (a, name)) =>
         d.withColumn(name, a.over(w))
       }
@@ -439,30 +467,46 @@ object GlobalWindow {
     val bucket: Column = bucketColumn(bucketKey, cuts)
     val withBucket = df.withColumn("_bucket", bucket)
 
-    // per-bucket last n-1 rows, full width (they become borrowed rows)
+    // ONE boundary pass: per-bucket last `before` AND first `after`
+    // rows, full width (they become borrowed rows)
+    val wAsc = Window.partitionBy(col("_bucket")).orderBy(oc: _*)
     val wDesc = Window.partitionBy(col("_bucket"))
       .orderBy(oc.map(_.desc): _*)
     val nCols = df.columns.length
-    val tailRows = withBucket
+    val boundary = withBucket
+      .withColumn("_ra", row_number().over(wAsc))
       .withColumn("_rd", row_number().over(wDesc))
-      .filter(col("_rd") < n)
-      .collect() // ≤ parts·(n−1) rows: (df cols…, _bucket, _rd)
-    val tailByBucket: Map[Int, Seq[org.apache.spark.sql.Row]] = tailRows
-      .groupBy(_.getInt(nCols))
-      .map { case (b, rows) =>
-        b -> rows.sortBy(r => -r.getInt(nCols + 1)).toSeq // ascending order
-      }
+      .filter(col("_rd") <= before || col("_ra") <= after)
+      .collect() // ≤ parts·(before+after) rows: (df cols…, _bucket, _ra, _rd)
+    def byBucket(keep: org.apache.spark.sql.Row => Boolean,
+        rank: org.apache.spark.sql.Row => Int) =
+      boundary.filter(keep).groupBy(_.getInt(nCols))
+        .map { case (b, rows) => b -> rows.sortBy(rank).toSeq }
+    // tails ascending by global order (= descending _rd)
+    val tailByBucket = byBucket(_.getInt(nCols + 2) <= before,
+      r => -r.getInt(nCols + 2))
+    // heads ascending by global order (= ascending _ra)
+    val headByBucket = byBucket(_.getInt(nCols + 1) <= after,
+      r => r.getInt(nCols + 1))
 
     val nBuckets = cuts.size + 1
     val borrowed = Seq.newBuilder[org.apache.spark.sql.Row]
+    def lend(r: org.apache.spark.sql.Row, b: Int): Unit =
+      borrowed += org.apache.spark.sql.Row.fromSeq(
+        (0 until nCols).map(r.get) ++ Seq(b, true))
+    // forward walk: the `before` rows globally preceding each bucket
     var carry = Vector.empty[org.apache.spark.sql.Row]
     (0 until nBuckets).foreach { b =>
-      carry.foreach { r =>
-        borrowed += org.apache.spark.sql.Row.fromSeq(
-          (0 until nCols).map(r.get) ++ Seq(b, true))
-      }
+      carry.foreach(lend(_, b))
       carry = (carry ++ tailByBucket.getOrElse(b, Seq.empty))
-        .takeRight(n - 1)
+        .takeRight(before)
+    }
+    // reverse walk: the `after` rows globally following each bucket
+    var ahead = Vector.empty[org.apache.spark.sql.Row]
+    ((nBuckets - 1) to 0 by -1).foreach { b =>
+      ahead.foreach(lend(_, b))
+      ahead = (headByBucket.getOrElse(b, Seq.empty).toVector ++ ahead)
+        .take(after)
     }
     val extSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields ++ Seq(
@@ -477,7 +521,7 @@ object GlobalWindow {
     // the window's own hash exchange on _bucket is the single shuffle
     val main = withBucket.withColumn("_borrowed", lit(false))
     val w2 = Window.partitionBy(col("_bucket")).orderBy(oc: _*)
-      .rowsBetween(-(n - 1), 0)
+      .rowsBetween(-before, after)
     val withAggs = aggs.foldLeft(main.union(borrowedDf)) {
       case (d, (a, name)) => d.withColumn(name, a.over(w2))
     }
@@ -521,12 +565,22 @@ object GlobalWindow {
     val parts = numPartitions.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
     val cuts = bucketCuts(df, key, parts, quantileBuckets)
+    if (cuts.isEmpty) {
+      // constant or all-null orderKey, or parts <= 1: every row lands in
+      // bucket 0, so the frame degrades to one unpartitioned window —
+      // run it directly. (The band explode below would otherwise build
+      // an empty array() literal whose NULL element type fails analysis
+      // in the filter lambda's getField.)
+      val w = Window.orderBy(key).rangeBetween(-rangeBefore, 0)
+      return aggs.foldLeft(df) { case (d, (a, name)) =>
+        d.withColumn(name, a.over(w))
+      }
+    }
     val bucket: Column = bucketColumn(key, cuts)
     // (cut, target bucket) literals: bucket i (i ≥ 1) starts above
     // cuts(i−1); a row with key in (cut − r, cut] is borrowed into it
     val bands: Column =
-      if (cuts.isEmpty) array()
-      else array(cuts.zipWithIndex.map { case (c, i) =>
+      array(cuts.zipWithIndex.map { case (c, i) =>
         struct(lit(i + 1).as("b"), lit(c).as("cut"))
       }: _*)
     val own = struct(bucket.as("b"), lit(false).as("brw"))

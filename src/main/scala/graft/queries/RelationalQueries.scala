@@ -252,6 +252,26 @@ object RelationalQueries {
       // post-process OUTSIDE the window (aggs must be raw aggregates)
       .withColumn("roll_sum", col("roll_sum").cast("double"))
 
+  /** W4, CENTERED frames over the GLOBAL order — `ROWS BETWEEN 3
+    * PRECEDING AND 3 FOLLOWING` (the centered-smoothing shape real TA
+    * uses) through
+    * [[graft.operators.GlobalWindow.rollingGlobalCentered]]'s
+    * both-sided borrowed-row stitch: each bucket borrows its global
+    * preceding tail AND following head, so the oracle proves both
+    * walks carry rows across bucket boundaries — including the
+    * truncated frames at the global edges. */
+  val q49CenteredGlobal: Q = (s, dir) =>
+    graft.operators.GlobalWindow.rollingGlobalCentered(
+      events(s, dir).select(col("event_id"), col("ts"), col("value")),
+      Seq("ts", "event_id"),
+      Seq(
+        (sum(col("value").cast("decimal(28,6)")), "c_sum"),
+        (count(col("value")), "c_n"),
+        (max(col("value")), "c_max")),
+      before = 3, after = 3,
+      bucketKey = unix_micros(col("ts").cast("timestamp")))
+      .withColumn("c_sum", col("c_sum").cast("double"))
+
   /** W4, time-RANGE frames over the GLOBAL order — last-10-minutes
     * aggregates per event via
     * [[graft.operators.GlobalWindow.rollingGlobalRange]]'s distributed
@@ -274,6 +294,7 @@ object RelationalQueries {
     "q40_lag_k" -> q40LagK,
     "q41_rolling_global" -> q41RollingGlobal,
     "q42_range_global" -> q42RangeGlobal,
+    "q49_centered_global" -> q49CenteredGlobal,
     "q1_agg" -> q1Agg,
     "q2_project" -> q2Project,
     "q3_when" -> q3When,
@@ -314,6 +335,14 @@ object RelationalQueries {
         |FROM events
         |WINDOW w AS (ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
         |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q49_centered_global" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS c_sum,
+        |  count(value) OVER w AS c_n,
+        |  max(value) OVER w AS c_max
+        |FROM events
+        |WINDOW w AS (ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlSumd("l_quantity")} AS sum_qty,

@@ -1,6 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.sources.{StatsIndex, ZOrder}
@@ -18,12 +22,25 @@ import graft.sources.{StatsIndex, ZOrder}
   * Z-locality is per-batch; cross-batch consolidation is a separate
   * compaction pass (the standard ingest/OPTIMIZE split).
   *
-  * Delivery: `foreachBatch` is at-least-once across failures — a batch
-  * retried after a crash mid-write can leave duplicate files. The
-  * transactional fix is a commit log (what Delta's log provides); this
-  * sink documents the boundary rather than hiding it. Within a healthy
-  * run (the spec's scope, and AvailableNow drains) each batch lands
-  * exactly once.
+  * Delivery: EXACTLY-ONCE across crash/retry, via a minimal
+  * batchId-keyed commit log at `lakeDir/_graft_log/<batchId>.manifest`
+  * (the underscore prefix hides it from Spark reads and
+  * [[StatsIndex]]'s listing). Per batch, the single-writer streaming
+  * query: (1) skips batches whose manifest already exists (replay
+  * after a restart at the checkpoint boundary); (2) deletes data
+  * files not referenced by any manifest — the orphans of a previous
+  * attempt that crashed after writing but before committing; (3)
+  * appends the batch and commits the file list as one
+  * write-then-atomic-rename manifest; (4) refreshes the index — so
+  * the plain `spark.read.parquet(lakeDir)` contract holds again the
+  * moment a retry runs, and [[readCommitted]] holds even INSIDE the
+  * crash window (it scans only manifest-listed files). The index is
+  * refreshed only after commit, on a cleaned lake, so it never
+  * references an orphan. `LayoutSinkSpec` injects the
+  * crash-after-write and asserts each row lands exactly once.
+  * [[ZOrder.optimize]] rewrites the lake via a whole-directory swap,
+  * which retires the log with the files it described — a compacted
+  * lake reads plainly.
   */
 object LayoutSink {
 
@@ -35,25 +52,139 @@ object LayoutSink {
     // batch reaches curveWrite mid-ingest
     require(curve == "morton" || curve == "hilbert",
       s"unknown curve '$curve' (morton | hilbert)")
-    require(curve != "hilbert" || zCols.size == 2,
-      s"hilbert curve is 2-D; got ${zCols.size} columns")
+    require(curve != "hilbert" || zCols.size * bits <= 63,
+      s"hilbert: dims*bits = ${zCols.size * bits} exceeds long range " +
+        "(lower bits for wide clustering column sets)")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // persist once: the emptiness probe, the curve write's min/max
-        // aggregate and the parquet write are three separate actions —
-        // uncached they would re-read the batch's source files 3×
-        val b = batch.persist()
-        try {
-          if (!b.isEmpty) {
-            ZOrder.curveWrite(b, lakeDir, zCols, bits,
-              numFiles = filesPerBatch, mode = "append", curve = curve)
-            StatsIndex.refresh(b.sparkSession, lakeDir, zCols, indexDir)
-            ()
-          }
-        } finally { b.unpersist(); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, lakeDir, indexDir, zCols, bits,
+          filesPerBatch, curve)
       }
       .start()
+  }
+
+  /** One committed micro-batch — the exactly-once unit. Contract:
+    * ONE writer (the streaming query; foreachBatch is serial within
+    * it). `failAfterWrite` is the spec's crash-injection point:
+    * throw after the data lands but before the manifest commits. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+      lakeDir: String, indexDir: String, zCols: Seq[String], bits: Int,
+      filesPerBatch: Int, curve: String,
+      failAfterWrite: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = manifestPath(lakeDir, batchId)
+    if (fs.exists(manifest)) return // replayed after commit: done already
+    // first commit ever: grandfather pre-existing (bootstrap) files
+    // into their own manifest BEFORE any write, so a crash on the very
+    // first batch still leaves its orphans distinguishable from data
+    // the sink must never delete
+    if (!fs.exists(new Path(logDir(lakeDir))))
+      commit(fs, lakeDir, -1L, dataFileNames(fs, lakeDir).toSeq.sorted)
+    // a previous attempt of SOME batch may have crashed between its
+    // write and its commit — remove every unreferenced data file so
+    // the append below starts from exactly the committed lake
+    val committedNow = committedNames(fs, lakeDir)
+    (dataFileNames(fs, lakeDir) -- committedNow).foreach { orphan =>
+      fs.delete(new Path(lakeDir, orphan), false); ()
+    }
+    // persist once: the emptiness probe, the curve write's min/max
+    // aggregate and the parquet write are three separate actions —
+    // uncached they would re-read the batch's source files 3×
+    val b = batch.persist()
+    try {
+      val newFiles =
+        if (b.isEmpty) Seq.empty[String]
+        else {
+          val before = dataFileNames(fs, lakeDir)
+          ZOrder.curveWrite(b, lakeDir, zCols, bits,
+            numFiles = filesPerBatch, mode = "append", curve = curve)
+          (dataFileNames(fs, lakeDir) -- before).toSeq.sorted
+        }
+      if (failAfterWrite)
+        throw new RuntimeException("injected crash before commit")
+      commit(fs, lakeDir, batchId, newFiles)
+      // refresh AFTER commit, on a cleaned lake: the index never sees
+      // an orphan (mid-crash-window the sink is down, so no refresh
+      // runs until the retry has cleaned up)
+      if (newFiles.nonEmpty) {
+        StatsIndex.refresh(spark, lakeDir, zCols, indexDir); ()
+      }
+    } finally { b.unpersist(); () }
+  }
+
+  /** Exactly-once read surface: only manifest-listed files, so a
+    * crash window's uncommitted orphans are invisible. Falls back to
+    * the plain directory read when no commit log exists (a compacted
+    * or non-sink lake). Fails fast if a committed file is missing —
+    * that is real corruption (an external rewrite keeps the log only
+    * if it keeps the files; [[ZOrder.optimize]] swaps both away). */
+  def readCommitted(spark: SparkSession, lakeDir: String): DataFrame = {
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(logDir(lakeDir))))
+      return spark.read.parquet(lakeDir)
+    val names = committedNames(fs, lakeDir).toSeq.sorted
+    if (names.isEmpty) return spark.read.parquet(lakeDir).limit(0)
+    names.foreach { n =>
+      require(fs.exists(new Path(lakeDir, n)),
+        s"readCommitted: committed file $n missing from $lakeDir — " +
+          "lake rewritten without retiring the commit log")
+    }
+    spark.read.parquet(names.map(n => s"$lakeDir/$n"): _*)
+  }
+
+  private def logDir(lakeDir: String): String = s"$lakeDir/_graft_log"
+
+  private def manifestPath(lakeDir: String, batchId: Long): Path =
+    new Path(logDir(lakeDir), s"$batchId.manifest")
+
+  /** Flat *.parquet names under the lake (the sink writes flat). */
+  private def dataFileNames(fs: FileSystem, lakeDir: String): Set[String] = {
+    val dir = new Path(lakeDir)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith(".")).toSet
+  }
+
+  /** Union of every manifest's file list. */
+  private def committedNames(fs: FileSystem, lakeDir: String): Set[String] = {
+    val log = new Path(logDir(lakeDir))
+    if (!fs.exists(log)) return Set.empty
+    fs.listStatus(log).iterator
+      .filter(_.getPath.getName.endsWith(".manifest"))
+      .flatMap { m =>
+        val in = fs.open(m.getPath)
+        try {
+          val bytes = new Array[Byte](m.getLen.toInt)
+          in.readFully(0, bytes)
+          new String(bytes, UTF_8).split("\n").iterator
+            .map(_.trim).filter(_.nonEmpty)
+        } finally in.close()
+      }.toSet
+  }
+
+  /** Write-then-rename commit: the manifest appears atomically or not
+    * at all (a crashed half-written `.tmp-` never matches the
+    * `.manifest` suffix readers look for). */
+  private def commit(fs: FileSystem, lakeDir: String, batchId: Long,
+      files: Seq[String]): Unit = {
+    val log = new Path(logDir(lakeDir))
+    fs.mkdirs(log)
+    val tmp = new Path(log,
+      s".tmp-$batchId-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(files.mkString("\n").getBytes(UTF_8))
+    finally out.close()
+    val dst = manifestPath(lakeDir, batchId)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      require(fs.exists(dst),
+        s"commit: could not publish manifest for batch $batchId")
+    }
   }
 }

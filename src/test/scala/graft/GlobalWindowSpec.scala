@@ -180,6 +180,37 @@ class GlobalWindowSpec extends SparkSpec {
       s"single-partition exchange found:\n$plan")
   }
 
+  test("rollingGlobalCentered: both-sided borrowed rows == unpartitioned " +
+    "asymmetric ROWS frames (edges truncated, frames crossing buckets)") {
+    val df = (1 to 200).map(i => (i.toLong, (i * 7 % 13) * 1.0))
+      .toDF("k", "v").repartition(5)
+    for ((b, a) <- Seq((3, 3), (0, 4), (5, 2), (2, 0), (0, 0))) {
+      val viaGlobal = forceScalablePath {
+        GlobalWindow.rollingGlobalCentered(df, Seq("k"),
+          Seq((sum($"v"), "c_sum"), (count($"v"), "c_n"),
+            (max($"v"), "c_max")),
+          before = b, after = a, bucketKey = col("k"),
+          numPartitions = Some(8))
+          .orderBy($"k").collect().toSeq
+      }
+      val w = Window.orderBy($"k").rowsBetween(-b, a)
+      val viaSingle = df
+        .withColumn("c_sum", sum($"v").over(w))
+        .withColumn("c_n", count($"v").over(w))
+        .withColumn("c_max", max($"v").over(w))
+        .orderBy($"k").collect().toSeq
+      assert(viaGlobal == viaSingle, s"frame [$b preceding, $a following]")
+    }
+    val plan = forceScalablePath {
+      GlobalWindow.rollingGlobalCentered(df, Seq("k"),
+        Seq((sum($"v"), "c_sum")), before = 3, after = 3,
+        bucketKey = col("k"), numPartitions = Some(8))
+        .queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange found:\n$plan")
+  }
+
   test("rollingGlobalRange: distributed borrowed bands == unpartitioned " +
     "RANGE frame (duplicate keys = peers, bands spanning buckets)") {
     // sparse keys with DUPLICATES (peers) and gaps larger than the
@@ -212,6 +243,26 @@ class GlobalWindowSpec extends SparkSpec {
     }
     assert(!plan.contains("Exchange SinglePartition"),
       s"single-partition exchange found:\n$plan")
+  }
+
+  test("rollingGlobalRange: constant orderKey (empty cuts) degrades to " +
+    "the single-bucket window instead of failing analysis") {
+    // every key identical → bucketCuts returns no cuts; the scalable
+    // path must short-circuit (an empty band array() literal would be
+    // NULL-typed and fail the filter lambda's getField at analysis)
+    val df = (1 to 50).map(i => (7L, i * 1.5)).toDF("k", "v").repartition(4)
+    val viaGlobal = forceScalablePath {
+      GlobalWindow.rollingGlobalRange(df, "k",
+        Seq((sum($"v"), "r_sum"), (count($"v"), "r_n")),
+        rangeBefore = 5L, numPartitions = Some(6))
+        .orderBy($"v").collect().toSeq
+    }
+    val w = Window.orderBy($"k").rangeBetween(-5L, 0)
+    val viaSingle = df
+      .withColumn("r_sum", sum($"v").over(w))
+      .withColumn("r_n", count($"v").over(w))
+      .orderBy($"v").collect().toSeq
+    assert(viaGlobal == viaSingle)
   }
 
   test("skew-adaptive default: pathological key skew still yields " +

@@ -96,6 +96,55 @@ class LayoutSinkSpec extends SparkSpec {
     assert(mortonBox <= 8, s"morton OPTIMIZE box files: $mortonBox")
   }
 
+  test("exactly-once: a batch retried after crash-before-commit lands " +
+    "each row once; replay after commit is a no-op") {
+    val dir = Files.createTempDirectory("graft_lxo_").toString
+    val lake = s"$dir/lake"
+    def mkBatch(from: Int, until: Int) = (from until until).map { i =>
+      ((i * 7919L) % 4096, (i * 104729L) % 4096, i.toLong)
+    }.toDF("x", "y", "payload")
+    def process(df: org.apache.spark.sql.DataFrame, id: Long,
+        crash: Boolean = false): Unit =
+      LayoutSink.processBatch(df, id, lake, s"$dir/idx", Seq("x", "y"),
+        bits = 10, filesPerBatch = 2, curve = "morton",
+        failAfterWrite = crash)
+    process(mkBatch(0, 1000), 0)
+    // batch 1, attempt 1: data files land, the manifest does not
+    intercept[RuntimeException] { process(mkBatch(1000, 2000), 1,
+      crash = true) }
+    // inside the crash window the committed read surface is unscathed
+    assert(LayoutSink.readCommitted(spark, lake).count() == 1000)
+    // the retry (what a restarted query replays) cleans the orphans
+    // and commits — each row exactly once, even for the PLAIN reader
+    process(mkBatch(1000, 2000), 1)
+    val full = spark.read.parquet(lake)
+    assert(full.count() == 2000)
+    assert(full.select($"payload").distinct().count() == 2000)
+    assert(full.agg(sum($"payload")).head.getLong(0) == (0L until 2000).sum)
+    assert(LayoutSink.readCommitted(spark, lake).count() == 2000)
+    // the post-commit index saw only committed files
+    val idxFiles = StatsIndex.prunedFiles(spark, s"$dir/idx", Nil).size
+    val lakeFiles = full.select(input_file_name()).distinct().count()
+    assert(idxFiles == lakeFiles, s"index $idxFiles vs lake $lakeFiles")
+    // replay AFTER commit (restart at the checkpoint boundary): no-op
+    process(mkBatch(1000, 2000), 1)
+    assert(spark.read.parquet(lake).count() == 2000)
+    // crash on the FIRST batch of a fresh lake: the bootstrap manifest
+    // keeps the retry from mistaking pre-existing data for orphans
+    // while still cleaning the crashed attempt's files
+    val lake2 = s"$dir/lake2"
+    mkBatch(0, 500).write.parquet(lake2) // bootstrap data, no log
+    intercept[RuntimeException] {
+      LayoutSink.processBatch(mkBatch(500, 900), 0, lake2, s"$dir/idx2",
+        Seq("x", "y"), 10, 2, "morton", failAfterWrite = true)
+    }
+    LayoutSink.processBatch(mkBatch(500, 900), 0, lake2, s"$dir/idx2",
+      Seq("x", "y"), 10, 2, "morton")
+    val full2 = spark.read.parquet(lake2)
+    assert(full2.count() == 900)
+    assert(full2.select($"payload").distinct().count() == 900)
+  }
+
   test("per-batch z-files still prune a small box") {
     // 16 files (4 batches x 4); a 12%-per-dim box should not need most
     // of them even though z-locality is only batch-level
