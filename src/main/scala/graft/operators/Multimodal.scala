@@ -9,17 +9,19 @@ import org.apache.spark.sql.types._
   * run decode / feature-extract / frame-sample as partition-wise batch
   * transforms.
   *
-  * Decode is REAL for two container formats that need no native libs:
+  * Decode is REAL wherever a pure-JVM parse exists:
   * [[Multimodal.WavCodec]] (RIFF/WAVE 16-bit PCM — header parse +
-  * sample statistics) and [[Multimodal.BmpCodec]] (uncompressed
-  * 24/32-bpp BITMAPINFOHEADER — dimension parse + channel means), both
-  * pure-JVM byte parsers. Kinds with no pure-JVM decoder (video; this
-  * container ships no codec libraries) fall back to [[FakeCodec]], a
-  * clearly-marked deterministic byte-histogram stand-in that otherwise
-  * serves as the test double. All codecs share the [[MediaCodec]]
-  * partition-wise batch interface (the Scala shape of a `mapInPandas`
-  * batch UDF), so swapping a real video decoder in is a one-object
-  * change.
+  * sample statistics), [[Multimodal.BmpCodec]] (uncompressed 24/32-bpp
+  * BITMAPINFOHEADER byte parser), [[Multimodal.ImageIoCodec]]
+  * (JPEG/PNG/GIF via `javax.imageio`), [[Multimodal.AviMjpegCodec]]
+  * (RIFF/AVI walk + per-frame JPEG decode), and
+  * [[Multimodal.Mp4MetaCodec]] (ISO-BMFF box walk — container METADATA
+  * only; no pure-JVM H.264/AAC codec exists, so MP4/MKV frame content
+  * falls back to [[FakeCodec]], a clearly-marked deterministic
+  * byte-histogram stand-in that otherwise serves as the test double).
+  * All codecs share the [[MediaCodec]] partition-wise batch interface
+  * (the Scala shape of a `mapInPandas` batch UDF), so swapping a real
+  * video decoder in is a one-object change.
   *
   * Scale notes: media blobs make rows wide — the module repartitions by
   * target partition BYTES (not row count) before decode so a partition's
@@ -413,13 +415,164 @@ object Multimodal {
     }
   }
 
+  /** MP4 / ISO-BMFF container METADATA parse — pure JVM, no codec.
+    * Walks the box tree (`ftyp` → major brand; `moov`→`mvhd` → timescale
+    * + duration; per `trak`: `tkhd` → 16.16 fixed-point pixel dims,
+    * `mdia`→`hdlr` → handler type (vide/soun), `mdia`→`minf`→`stbl`→
+    * `stsd` → first sample-entry fourcc). FRAME DATA IS NOT DECODED —
+    * no pure-JVM H.264/H.265/AAC codec exists; MP4 content features stay
+    * on the documented [[FakeCodec]] stand-in. What IS real here is
+    * everything a corpus-curation pass filters on: duration, resolution,
+    * track layout, codec id.
+    *
+    * Hardening per the shared byte-parser contract ([[WavCodec]] /
+    * [[BmpCodec]] / [[AviMjpegCodec]]): every box size is Long-checked
+    * against its enclosing bound (a hostile 32-bit or 64-bit size must
+    * not wrap), `size==1` 64-bit largesize and `size==0`
+    * rest-of-enclosure are handled, and the walk is capped at
+    * [[Mp4MetaCodec.MaxBoxes]] boxes / [[Mp4MetaCodec.MaxDepth]] depth
+    * so a box bomb cannot spin a task. Any violation rejects the whole
+    * payload (None / zero vector) — a poisoned blob must not kill or
+    * stall a 100 TB metadata pass. Both `mvhd`/`tkhd` version 0 (32-bit
+    * times) and version 1 (64-bit times) layouts are parsed. */
+  object Mp4MetaCodec extends MediaCodec {
+    val featureDim = 8
+    val MaxBoxes = 4096
+    val MaxDepth = 8
+
+    final case class TrackInfo(handler: String, width: Int, height: Int,
+      fourcc: String)
+    final case class Mp4Info(majorBrand: String, timescale: Long,
+      durationSec: Double, tracks: Seq[TrackInfo]) {
+      def videoTracks: Seq[TrackInfo] = tracks.filter(_.handler == "vide")
+      def audioTracks: Seq[TrackInfo] = tracks.filter(_.handler == "soun")
+    }
+
+    private[operators] def isMp4(p: Array[Byte]): Boolean =
+      p != null && p.length >= 12 &&
+        p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
+
+    /** Full container metadata, or None for anything that is not a
+      * well-formed `ftyp`-led ISO-BMFF file (including bombs/overflows —
+      * rejection, not best-effort, on structural violations). */
+    def parse(payload: Array[Byte]): Option[Mp4Info] = {
+      if (!isMp4(payload)) return None
+      val bb = java.nio.ByteBuffer.wrap(payload) // ISO-BMFF is big-endian
+      def tag(off: Long): String =
+        new String(payload, off.toInt, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+      def u32(off: Long): Long = bb.getInt(off.toInt) & 0xffffffffL
+      var boxes = 0
+      var ok = true
+      var majorBrand = ""
+      var timescale = 0L
+      var durationTs = -1L
+      val tracks = Seq.newBuilder[TrackInfo]
+      // Shared walker: f sees (type, payloadStart, payloadEnd). The box
+      // counter is global across nesting levels (bomb cap), and the size
+      // checks are arranged so no Long addition can overflow: size is
+      // compared against `end - off`, never added to `off` first.
+      def forBoxes(start: Long, end: Long, depth: Int)(
+          f: (String, Long, Long) => Unit): Unit = {
+        var off = start
+        while (ok && off + 8 <= end) {
+          boxes += 1
+          if (boxes > MaxBoxes || depth > MaxDepth) { ok = false; return }
+          var size = u32(off)
+          var hdr = 8L
+          if (size == 1) { // 64-bit largesize follows the type
+            if (off + 16 > end) { ok = false; return }
+            size = bb.getLong(off.toInt + 8); hdr = 16
+          } else if (size == 0) size = end - off // rest of enclosure
+          if (size < hdr || size > end - off) { ok = false; return }
+          f(tag(off + 4), off + hdr, off + size)
+          off += size
+        }
+      }
+      forBoxes(0, payload.length.toLong, 0) {
+        case ("ftyp", s, e) => if (e - s >= 4) majorBrand = tag(s)
+        case ("moov", ms, me) =>
+          forBoxes(ms, me, 1) {
+            case ("mvhd", s, e) if e - s >= 4 =>
+              (payload(s.toInt) & 0xff) match {
+                case 1 if e - s >= 32 => // v1: 64-bit creation/mod/duration
+                  timescale = u32(s + 20)
+                  durationTs = bb.getLong(s.toInt + 24)
+                case 0 if e - s >= 24 =>
+                  timescale = u32(s + 12)
+                  durationTs = u32(s + 16)
+                case _ => ()
+              }
+            case ("trak", ts, te) =>
+              var handler = ""; var w = 0; var h = 0; var fourcc = ""
+              forBoxes(ts, te, 2) {
+                case ("tkhd", s, e) if e - s >= 1 =>
+                  // v0: width/height (16.16 fixed) at +76; v1's 64-bit
+                  // times push them to +88
+                  val wOff = if ((payload(s.toInt) & 0xff) == 1) 88L else 76L
+                  if (e - s >= wOff + 8) {
+                    w = (u32(s + wOff) >> 16).toInt
+                    h = (u32(s + wOff + 4) >> 16).toInt
+                  }
+                case ("mdia", ds, de) =>
+                  forBoxes(ds, de, 3) {
+                    case ("hdlr", s, e) if e - s >= 12 =>
+                      handler = tag(s + 8) // after version/flags+pre_defined
+                    case ("minf", fs, fe) =>
+                      forBoxes(fs, fe, 4) {
+                        case ("stbl", ss, se) =>
+                          forBoxes(ss, se, 5) {
+                            // stsd: version/flags, entry_count, then the
+                            // first sample entry (size, format fourcc)
+                            case ("stsd", s, e)
+                                if e - s >= 16 && u32(s + 4) >= 1 =>
+                              fourcc = tag(s + 12)
+                            case _ => ()
+                          }
+                        case _ => ()
+                      }
+                    case _ => ()
+                  }
+                case _ => ()
+              }
+              tracks += TrackInfo(handler, w, h, fourcc)
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (!ok || timescale <= 0) None
+      else Some(Mp4Info(majorBrand, timescale,
+        if (durationTs >= 0) durationTs.toDouble / timescale else 0.0,
+        tracks.result()))
+    }
+
+    /** `[isMp4, durationSec, timescale, nTracks, nVideoTracks,
+      *   nAudioTracks, width, height]` — container metadata only. */
+    def decodeToFeatures(payload: Array[Byte]): Array[Float] =
+      parse(payload) match {
+        case None => zeros
+        case Some(i) =>
+          val v = i.videoTracks.headOption
+          Array(1f, i.durationSec.toFloat, i.timescale.toFloat,
+            i.tracks.size.toFloat, i.videoTracks.size.toFloat,
+            i.audioTracks.size.toFloat,
+            v.map(_.width).getOrElse(0).toFloat,
+            v.map(_.height).getOrElse(0).toFloat)
+      }
+  }
+
   /** Video dispatcher: RIFF/AVI payloads get the REAL MJPEG decode;
-    * containers with no pure-JVM codec stay on the marked stand-in. */
+    * ISO-BMFF (MP4) payloads get REAL container metadata (duration,
+    * dims, tracks, fourcc — [[Mp4MetaCodec]]; frames stay un-decoded);
+    * containers with neither stay on the marked stand-in. */
   object VideoCodec extends MediaCodec {
     val featureDim = 18 // FakeCodec-compatible width for the fallback
     def decodeToFeatures(payload: Array[Byte]): Array[Float] =
       if (AviMjpegCodec.isAvi(payload)) {
         val f = AviMjpegCodec.decodeToFeatures(payload)
+        java.util.Arrays.copyOf(f, featureDim) // zero-padded to 18
+      } else if (Mp4MetaCodec.isMp4(payload)) {
+        val f = Mp4MetaCodec.decodeToFeatures(payload)
         java.util.Arrays.copyOf(f, featureDim) // zero-padded to 18
       } else FakeCodec.decodeToFeatures(payload)
   }
@@ -479,6 +632,49 @@ object Multimodal {
         val c = codec.getOrElse(codecFor(r.getString(kindIdx)))
         val feats = c.decodeToFeatures(r.getAs[Array[Byte]](payloadIdx))
         Row.fromSeq(keepIdx.map(r.get) :+ feats.toSeq)
+      }
+    }(encoder)
+  }
+
+  /** MP4 container metadata as TYPED narrow columns (the qt9 metadata
+    * shape, but parsed from the real container instead of faked):
+    * `mp4_ok, mp4_brand, mp4_duration_sec, mp4_tracks, mp4_video_tracks,
+    * mp4_audio_tracks, mp4_width, mp4_height, mp4_fourcc`. The payload
+    * column is DROPPED on output so downstream metadata-only filters
+    * (`mp4_duration_sec > 3`, `mp4_fourcc = 'avc1'` — the standard
+    * corpus-curation gates) never drag blobs through the plan. One task
+    * per partition ([[Mp4MetaCodec.parse]] per row); size partitions
+    * with [[repartitionByBytes]] first. */
+  def mp4Metadata(media: DataFrame): DataFrame = {
+    val outSchema = StructType(
+      media.schema.fields.filterNot(_.name == "payload") ++ Seq(
+        StructField("mp4_ok", BooleanType, nullable = false),
+        StructField("mp4_brand", StringType, nullable = true),
+        StructField("mp4_duration_sec", DoubleType, nullable = true),
+        StructField("mp4_tracks", IntegerType, nullable = true),
+        StructField("mp4_video_tracks", IntegerType, nullable = true),
+        StructField("mp4_audio_tracks", IntegerType, nullable = true),
+        StructField("mp4_width", IntegerType, nullable = true),
+        StructField("mp4_height", IntegerType, nullable = true),
+        StructField("mp4_fourcc", StringType, nullable = true)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val keepIdx = media.schema.fields.indices.filterNot(_ == payloadIdx)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val base = keepIdx.map(r.get)
+        val extra: Seq[Any] =
+          Mp4MetaCodec.parse(r.getAs[Array[Byte]](payloadIdx)) match {
+            case None =>
+              Seq(false, null, null, null, null, null, null, null, null)
+            case Some(i) =>
+              val v = i.videoTracks.headOption
+              Seq(true, i.majorBrand, i.durationSec, i.tracks.size,
+                i.videoTracks.size, i.audioTracks.size,
+                v.fold(0)(_.width), v.fold(0)(_.height),
+                v.map(_.fourcc).orNull)
+          }
+        Row.fromSeq(base ++ extra)
       }
     }(encoder)
   }

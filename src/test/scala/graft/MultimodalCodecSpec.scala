@@ -5,7 +5,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{AviMjpegCodec, BmpCodec, FakeCodec, ImageCodec, ImageIoCodec, VideoCodec, WavCodec}
+import graft.operators.Multimodal.{AviMjpegCodec, BmpCodec, FakeCodec, ImageCodec, ImageIoCodec, Mp4MetaCodec, VideoCodec, WavCodec}
 
 /** Real-decode gate: the WAV, BMP and imageio (JPEG/PNG) codecs must
   * parse handcrafted, byte-exact container fixtures — not just survive
@@ -398,6 +398,163 @@ class MultimodalCodecSpec extends SparkSpec {
     // stride sampling
     assert(Multimodal.sampleMjpegFrames(media, stride = 2)
       .collect().map(_.getInt(1)).toSeq.sorted == Seq(0, 2))
+  }
+
+  // ---- MP4 / ISO-BMFF fixtures (big-endian box tree, handcrafted) ----
+
+  private def beBytes(n: Int)(fill: ByteBuffer => Unit): Array[Byte] = {
+    val bb = ByteBuffer.allocate(n).order(ByteOrder.BIG_ENDIAN)
+    fill(bb); bb.array()
+  }
+
+  private def mp4Box(tp: String, payloads: Array[Byte]*): Array[Byte] = {
+    val body = payloads.flatten.toArray
+    beBytes(8 + body.length)(
+      _.putInt(8 + body.length).put(tp.getBytes("US-ASCII")).put(body))
+  }
+
+  private def ftypBox(brand: String = "isom"): Array[Byte] =
+    mp4Box("ftyp", brand.getBytes("US-ASCII"), new Array[Byte](4),
+      brand.getBytes("US-ASCII"))
+
+  /** mvhd version 0: timescale at +12, 32-bit duration at +16. */
+  private def mvhdV0(timescale: Int, duration: Int): Array[Byte] =
+    mp4Box("mvhd", beBytes(100) { bb =>
+      bb.putInt(0).putInt(0).putInt(0) // version/flags, creation, modified
+      bb.putInt(timescale).putInt(duration)
+    })
+
+  /** tkhd version 0: 16.16 fixed width/height at +76/+80. */
+  private def tkhdV0(w: Int, h: Int): Array[Byte] =
+    mp4Box("tkhd", beBytes(84) { bb =>
+      bb.putInt(76, w << 16); bb.putInt(80, h << 16)
+    })
+
+  private def trakBox(handler: String, w: Int, h: Int, fourcc: String,
+      tkhd: Option[Array[Byte]] = None): Array[Byte] =
+    mp4Box("trak",
+      tkhd.getOrElse(tkhdV0(w, h)),
+      mp4Box("mdia",
+        mp4Box("hdlr", beBytes(24)(
+          _.putInt(0).putInt(0).put(handler.getBytes("US-ASCII")))),
+        mp4Box("minf", mp4Box("stbl",
+          mp4Box("stsd", beBytes(16)(
+            _.putInt(0).putInt(1).putInt(8)
+              .put(fourcc.getBytes("US-ASCII"))))))))
+
+  /** 3 s, 600-tick timescale, avc1 640x360 video + mp4a audio track. */
+  private def mp4Fixture: Array[Byte] =
+    ftypBox() ++ mp4Box("moov",
+      mvhdV0(600, 1800),
+      trakBox("vide", 640, 360, "avc1"),
+      trakBox("soun", 0, 0, "mp4a"))
+
+  test("Mp4MetaCodec parses the handcrafted fixture exactly") {
+    val info = Mp4MetaCodec.parse(mp4Fixture).get
+    assert(info.majorBrand == "isom")
+    assert(info.timescale == 600L)
+    assert(info.durationSec == 3.0)
+    assert(info.tracks.size == 2)
+    val v = info.videoTracks.head
+    assert(v.width == 640 && v.height == 360 && v.fourcc == "avc1")
+    assert(info.audioTracks.head.fourcc == "mp4a")
+    assert(Mp4MetaCodec.decodeToFeatures(mp4Fixture).toSeq ==
+      Seq(1f, 3f, 600f, 2f, 1f, 1f, 640f, 360f))
+  }
+
+  test("Mp4MetaCodec: version-1 boxes parse at their 64-bit offsets") {
+    // mvhd v1: 64-bit creation/modification, timescale at +20,
+    // 64-bit duration at +24
+    val mvhd1 = mp4Box("mvhd", beBytes(112) { bb =>
+      bb.putInt(0x01000000) // version 1
+      bb.putLong(0L).putLong(0L)
+      bb.putInt(1000).putLong(2500L)
+    })
+    // tkhd v1: width/height pushed from +76 to +88
+    val tkhd1 = mp4Box("tkhd", beBytes(96) { bb =>
+      bb.putInt(0, 0x01000000)
+      bb.putInt(88, 1920 << 16); bb.putInt(92, 1080 << 16)
+    })
+    val mp4 = ftypBox("iso6") ++ mp4Box("moov", mvhd1,
+      trakBox("vide", 0, 0, "hvc1", tkhd = Some(tkhd1)))
+    val info = Mp4MetaCodec.parse(mp4).get
+    assert(info.majorBrand == "iso6")
+    assert(info.durationSec == 2.5)
+    val v = info.videoTracks.head
+    assert(v.width == 1920 && v.height == 1080 && v.fourcc == "hvc1")
+  }
+
+  test("Mp4MetaCodec: size==0 (rest of file) and size==1 (largesize)") {
+    // moov as the last top-level box with size field 0 -> to end of file
+    val moov = mp4Box("moov", mvhdV0(600, 1200))
+    val zeroSized = moov.clone()
+    ByteBuffer.wrap(zeroSized).putInt(0, 0)
+    val i0 = Mp4MetaCodec.parse(ftypBox() ++ zeroSized).get
+    assert(i0.durationSec == 2.0)
+    // size==1: real 64-bit largesize after the type
+    val large = beBytes(16 + moov.length - 8) { bb =>
+      bb.putInt(1).put("moov".getBytes("US-ASCII"))
+        .putLong(16L + moov.length - 8).put(moov.drop(8))
+    }
+    val i1 = Mp4MetaCodec.parse(ftypBox() ++ large).get
+    assert(i1.durationSec == 2.0)
+  }
+
+  test("Mp4MetaCodec hardening: truncation, hostile sizes, box bombs") {
+    assert(Mp4MetaCodec.parse(null).isEmpty)
+    assert(Mp4MetaCodec.parse("not a container".getBytes).isEmpty)
+    assert(Mp4MetaCodec.parse(mp4Fixture.take(10)).isEmpty)
+    // box size past the payload end must reject, not wrap: 0xFFFFFFFE
+    // as u32 exceeds any end-off; near-Int.MaxValue checks Long math
+    for (bad <- Seq(0xFFFFFFFE, Int.MaxValue - 4)) {
+      val m = mp4Fixture.clone()
+      ByteBuffer.wrap(m).putInt(ftypBox().length, bad) // moov size field
+      assert(Mp4MetaCodec.parse(m).isEmpty, s"size $bad accepted")
+    }
+    // hostile negative largesize (top bit set) must reject
+    val neg = beBytes(16)(
+      _.putInt(1).put("moov".getBytes("US-ASCII"))
+        .putLong(java.lang.Long.MIN_VALUE))
+    assert(Mp4MetaCodec.parse(ftypBox() ++ neg).isEmpty)
+    // a box bomb (thousands of 8-byte boxes) trips MaxBoxes -> reject
+    val free = beBytes(8)(_.putInt(8).put("free".getBytes("US-ASCII")))
+    val bomb = ftypBox() ++
+      Array.fill(Mp4MetaCodec.MaxBoxes + 1)(free).flatten
+    assert(Mp4MetaCodec.parse(bomb).isEmpty)
+    // truncated mvhd (too short for its version) -> no timescale -> None
+    val shortMvhd = ftypBox() ++
+      mp4Box("moov", mp4Box("mvhd", new Array[Byte](8)))
+    assert(Mp4MetaCodec.parse(shortMvhd).isEmpty)
+  }
+
+  test("VideoCodec dispatch: MP4 -> real container metadata, " +
+    "zero-padded; other containers stay FakeCodec") {
+    val f = VideoCodec.decodeToFeatures(mp4Fixture)
+    assert(f.length == VideoCodec.featureDim)
+    assert(f.take(8).toSeq == Seq(1f, 3f, 600f, 2f, 1f, 1f, 640f, 360f))
+    assert(f.drop(8).forall(_ == 0f))
+    val junk = "mystery container".getBytes
+    assert(VideoCodec.decodeToFeatures(junk).toSeq ==
+      FakeCodec.decodeToFeatures(junk).toSeq)
+  }
+
+  test("mp4Metadata: typed narrow columns, payload dropped") {
+    val media = Seq((1L, mp4Fixture), (2L, "not an mp4".getBytes))
+      .toDF("media_id", "payload")
+    val out = Multimodal.mp4Metadata(media)
+    assert(!out.columns.contains("payload"))
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    val ok = rows(1L)
+    assert(ok.getBoolean(ok.fieldIndex("mp4_ok")))
+    assert(ok.getString(ok.fieldIndex("mp4_brand")) == "isom")
+    assert(ok.getDouble(ok.fieldIndex("mp4_duration_sec")) == 3.0)
+    assert(ok.getInt(ok.fieldIndex("mp4_tracks")) == 2)
+    assert(ok.getInt(ok.fieldIndex("mp4_width")) == 640)
+    assert(ok.getInt(ok.fieldIndex("mp4_height")) == 360)
+    assert(ok.getString(ok.fieldIndex("mp4_fourcc")) == "avc1")
+    val bad = rows(2L)
+    assert(!bad.getBoolean(bad.fieldIndex("mp4_ok")))
+    assert(bad.isNullAt(bad.fieldIndex("mp4_duration_sec")))
   }
 
   test("extractFeatures dispatches by kind: real codecs for audio/image") {
