@@ -345,7 +345,11 @@ object ZOrder {
     val tExpr = (0 until (bits - 1)).map { qi =>
       val q = 1L << (bits - 1 - qi)
       s"(CASE WHEN (g${n - 1} & $q) != 0 THEN ${q - 1} ELSE 0 END)"
-    }.reduce((a, b) => s"xor($a, $b)")
+    }.reduceOption((a, b) => s"xor($a, $b)")
+      // bits = 1 has no undo levels, so the parity term is literal 0
+      // (reduce over the empty seq would throw — its own require
+      // admits bits >= 1)
+      .getOrElse("0")
     val tc = s"hn_t AS (SELECT " +
       (0 until n).map(j => s"xor(g$j, $tExpr) AS f$j").mkString(", ") +
       s"$keep FROM hn_g)"
@@ -475,7 +479,16 @@ object ZOrder {
     * raw-filesystem swaps; closing it is what a transactional commit
     * log (Delta's) buys — run OPTIMIZE in a maintenance window. If
     * `indexDir` is given the stats index is refreshed afterwards (old
-    * rows drop, new files footer-read). */
+    * rows drop, new files footer-read).
+    *
+    * Sink-managed lakes (a [[CommitLog]] present): only the COMMITTED
+    * view is rewritten — a crashed ingest attempt's uncommitted
+    * orphans are dropped by the swap, NOT baked in (an orphan promoted
+    * to committed data would land twice once its batch replays). The
+    * new layout carries a fresh log: bootstrap manifest `-1` lists
+    * every optimized file, and each previously committed batch id
+    * keeps an empty manifest so a checkpoint replay of it still
+    * no-ops — exactly-once holds ACROSS an optimize. */
   def optimize(spark: SparkSession, path: String, zCols: Seq[String],
       bits: Int = 12, numFiles: Int = 0,
       indexDir: Option[String] = None,
@@ -485,8 +498,26 @@ object ZOrder {
     val fs = new Path(path).getFileSystem(conf)
     val tmp = new Path(path + ".optimize")
     val old = new Path(path + ".old")
-    curveWrite(spark.read.parquet(path), tmp.toString, zCols, bits,
-      numFiles, "overwrite", curve)
+    val hasLog = fs.exists(new Path(CommitLog.logDir(path)))
+    val input =
+      if (hasLog) {
+        val committed = CommitLog.committedNames(fs, path).toSeq.sorted
+        require(committed.nonEmpty,
+          s"optimize: $path has a commit log but no committed files — " +
+            "nothing to rewrite")
+        spark.read.parquet(committed.map(n => s"$path/$n"): _*)
+      } else spark.read.parquet(path)
+    curveWrite(input, tmp.toString, zCols, bits, numFiles, "overwrite",
+      curve)
+    if (hasLog) {
+      // write the new lake's log INSIDE tmp before the swap, so the
+      // published layout is never visible without its log
+      CommitLog.commit(fs, tmp.toString, -1L,
+        CommitLog.dataFileNames(fs, tmp.toString).toSeq.sorted)
+      CommitLog.batchIds(fs, path).filter(_ >= 0L).foreach { id =>
+        CommitLog.commit(fs, tmp.toString, id, Seq.empty)
+      }
+    }
     fs.delete(old, true) // stale leftover from a prior crashed swap
     require(fs.rename(new Path(path), old),
       s"optimize: could not move $path aside — lake untouched")

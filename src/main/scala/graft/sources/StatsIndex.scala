@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets.UTF_8
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
@@ -192,15 +194,80 @@ object StatsIndex {
   private val FullRange = Bounds("full", None, None, None, None, None, None)
 
   /** Iceberg-style conservative upper bound for a truncated string:
-    * increment the last incrementable char of the prefix; None = +∞. */
-  private def truncatedUpper(s: String): Option[String] = {
+    * increment the last incrementable UNIT of the prefix. Surrogate
+    * handling matters for correctness, not just tidiness: Java's UTF-8
+    * encoder silently turns an unpaired surrogate into `?` (0x3F), so
+    * a bound that split a pair or incremented into the surrogate block
+    * would be stored byte-wise SMALLER than the true max and wrongly
+    * prune matching files. Therefore: a pair split by the cut drops
+    * its dangling high half, a whole pair increments as one code
+    * point, 0xD7FF jumps the surrogate block to 0xE000, and 0xFFFF
+    * rolls over to U+10000. Downstream comparisons are UTF-8 byte
+    * order (Spark UTF8String, parquet binary stats) = code-point
+    * order, where a code-point successor is a valid upper bound.
+    * None = +∞. */
+  private[graft] def truncatedUpper(s: String): Option[String] = {
     if (s.length <= StringTruncateLen) return Some(s)
-    val p = s.substring(0, StringTruncateLen).toCharArray
-    var i = p.length - 1
-    while (i >= 0 && p(i) == Char.MaxValue) i -= 1
-    if (i < 0) None
-    else Some(new String(p, 0, i) + (p(i) + 1).toChar)
+    val p = s.toCharArray
+    var end = StringTruncateLen
+    if (Character.isHighSurrogate(p(end - 1))) end -= 1 // don't split a pair
+    var i = end - 1
+    while (i >= 0) {
+      val c = p(i)
+      if (Character.isLowSurrogate(c) && i > 0 &&
+          Character.isHighSurrogate(p(i - 1))) {
+        val cp = Character.toCodePoint(p(i - 1), c)
+        if (cp < Character.MAX_CODE_POINT)
+          return Some(new String(p, 0, i - 1) +
+            new String(Character.toChars(cp + 1)))
+        i -= 2 // U+10FFFF has no successor: move left past the pair
+      } else if (!Character.isSurrogate(c)) {
+        val succ =
+          if (c == 0xD7FF.toChar) "\uE000" // jump over the surrogate block
+          else if (c == Char.MaxValue)
+            new String(Character.toChars(0x10000))
+          else (c + 1).toChar.toString
+        return Some(new String(p, 0, i) + succ)
+      } else i -= 1 // lone surrogate: not a scalar, skip it
+    }
+    None
   }
+
+  /** Prefix truncation for the LOWER bound: a cut that splits a
+    * surrogate pair drops the dangling high half — a shorter prefix is
+    * still ≤ every string it bounds, and the stored value stays valid
+    * UTF-8 (no `?` substitution on write). */
+  private[graft] def truncatedLower(s: String): String = {
+    if (s.length <= StringTruncateLen) return s
+    val end =
+      if (Character.isHighSurrogate(s.charAt(StringTruncateLen - 1)))
+        StringTruncateLen - 1
+      else StringTruncateLen
+    s.substring(0, end)
+  }
+
+  /** UTF-8 byte-order comparison — what Spark's UTF8String and parquet
+    * binary stats use. Java's `String.compareTo` is UTF-16 code-unit
+    * order, which DISAGREES wherever a supplementary code point meets
+    * a char in [0xE000, 0xFFFF]: picking a chunk min/max with the
+    * wrong order could store a bound tighter than the data and prune a
+    * matching file. */
+  private def utf8Lte(a: String, b: String): Boolean = {
+    val x = a.getBytes(UTF_8)
+    val y = b.getBytes(UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+  private def minUtf8(ss: Iterable[String]): String =
+    ss.reduce((a, b) => if (utf8Lte(a, b)) a else b)
+  private def maxUtf8(ss: Iterable[String]): String =
+    ss.reduce((a, b) => if (utf8Lte(a, b)) b else a)
 
   private def boundsOf(
       cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
@@ -230,6 +297,15 @@ object StatsIndex {
               Math.floorDiv(hi.longValue() + 999L, 1000L))
         }
         Some(Bounds("long", Some(loU), Some(hiU), None, None, None, None))
+      case (PrimitiveTypeName.INT32, lo: Number, hi: Number)
+          if logical.isInstanceOf[
+            LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+        // epoch DAYS under their own kind — binned as "long" they would
+        // be compared against micros-normalized timestamp bounds and
+        // exclude every file (silently empty results on the standard
+        // date-typed partition column)
+        Some(Bounds("date", Some(lo.longValue()), Some(hi.longValue()),
+          None, None, None, None))
       case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64,
           lo: Number, hi: Number) =>
         Some(Bounds("long", Some(lo.longValue()), Some(hi.longValue()),
@@ -251,8 +327,7 @@ object StatsIndex {
         val loS = lo.toStringUsingUTF8
         val hiS = hi.toStringUsingUTF8
         Some(Bounds("string", None, None, None, None,
-          Some(loS.substring(0, math.min(loS.length, StringTruncateLen))),
-          truncatedUpper(hiS)))
+          Some(truncatedLower(loS)), truncatedUpper(hiS)))
       case _ => Some(FullRange)
     }
   }
@@ -293,7 +368,7 @@ object StatsIndex {
                   FullRange
                 else if (perChunk.map(_.kind).distinct.size > 1) FullRange
                 else perChunk.head.kind match {
-                  case "long" => Bounds("long",
+                  case k @ ("long" | "date") => Bounds(k,
                     Some(perChunk.flatMap(_.lmin).min),
                     Some(perChunk.flatMap(_.lmax).max),
                     None, None, None, None)
@@ -302,11 +377,14 @@ object StatsIndex {
                     Some(perChunk.flatMap(_.dmax).max), None, None)
                   case _ =>
                     val uppers = perChunk.map(_.smax)
+                    // UTF-8 byte order, not String.compareTo: the index
+                    // comparisons downstream are byte-ordered, and the
+                    // two orders disagree around supplementary chars
                     Bounds("string", None, None, None, None,
-                      Some(perChunk.flatMap(_.smin).min),
+                      Some(minUtf8(perChunk.flatMap(_.smin))),
                       // any unbounded chunk upper ⇒ unbounded file upper
                       if (uppers.exists(_.isEmpty)) None
-                      else Some(uppers.flatten.max))
+                      else Some(maxUtf8(uppers.flatten)))
                 }
               // plain tuple, not the Bounds case class: encoders for
               // nested private case classes break Janino codegen
@@ -337,8 +415,11 @@ object StatsIndex {
     * probed with a long box compares against one-ulp-outward doubles. */
   private def exclusion(r: ColRange): Column = r match {
     case LongRange(name, lo, hi) =>
+      // "date" joins the long arm: a LongRange on a date column means
+      // raw epoch days, the same unit the stats carry
       col("col") === name && (
-        (col("kind") === "long" && (col("lmax") < lo || col("lmin") > hi)) ||
+        (col("kind").isin("long", "date") &&
+          (col("lmax") < lo || col("lmin") > hi)) ||
         (col("kind") === "double" &&
           (col("dmax") < Math.nextDown(lo.toDouble) ||
             col("dmin") > Math.nextUp(hi.toDouble))))
@@ -354,14 +435,23 @@ object StatsIndex {
       col("col") === name && (
         (col("kind") === "double" &&
           (col("dmax") < lo || col("dmin") > hi)) ||
-        (col("kind") === "long" &&
+        (col("kind").isin("long", "date") &&
           (col("lmax") < loCeil || col("lmin") > hiFloor)))
     case StringRange(name, lo, hi) =>
       col("col") === name && col("kind") === "string" &&
         (col("smax") < lo || col("smin") > hi)
     case t @ TimestampRange(name, _, _) =>
-      col("col") === name && col("kind") === "long" &&
-        (col("lmax") < t.loMicros || col("lmin") > t.hiMicros)
+      // date stats are epoch DAYS: compare day-converted bounds with
+      // ±1-day slack so a session-timezone date→timestamp cast (±14 h)
+      // can never turn conservative pruning into wrong exclusion
+      val md = 86400000000L // micros per day
+      val loDay = Math.floorDiv(t.loMicros, md) - 1L
+      val hiDay = Math.floorDiv(t.hiMicros, md) + 1L
+      col("col") === name && (
+        (col("kind") === "long" &&
+          (col("lmax") < t.loMicros || col("lmin") > t.hiMicros)) ||
+        (col("kind") === "date" &&
+          (col("lmax") < loDay || col("lmin") > hiDay)))
   }
 
   /** Files whose stats intersect EVERY constraint. A file missing an

@@ -1,13 +1,11 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets.UTF_8
-
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.sources.{StatsIndex, ZOrder}
+import graft.sources.{CommitLog, StatsIndex, ZOrder}
 
 /** Streaming ingest that lands CLUSTERED, INDEXED data — the shape a
   * 100 TB lake actually ingests with: every micro-batch is z-ordered
@@ -36,11 +34,15 @@ import graft.sources.{StatsIndex, ZOrder}
   * moment a retry runs, and [[readCommitted]] holds even INSIDE the
   * crash window (it scans only manifest-listed files). The index is
   * refreshed only after commit, on a cleaned lake, so it never
-  * references an orphan. `LayoutSinkSpec` injects the
-  * crash-after-write and asserts each row lands exactly once.
-  * [[ZOrder.optimize]] rewrites the lake via a whole-directory swap,
-  * which retires the log with the files it described — a compacted
-  * lake reads plainly.
+  * references an orphan; a replay that finds its manifest already
+  * committed refreshes the index anyway (incremental, cost ∝ unseen
+  * files) — a crash BETWEEN commit and refresh must not leave the
+  * index lagging the lake forever. `LayoutSinkSpec` injects both
+  * crash points and asserts each row lands exactly once.
+  * [[ZOrder.optimize]] reads the COMMITTED view (never a crash
+  * window's orphans) and carries the log's batch ids across its
+  * directory swap, so exactly-once holds across a compaction too.
+  * The log format and readers live in [[graft.sources.CommitLog]].
   */
 object LayoutSink {
 
@@ -52,6 +54,9 @@ object LayoutSink {
     // batch reaches curveWrite mid-ingest
     require(curve == "morton" || curve == "hilbert",
       s"unknown curve '$curve' (morton | hilbert)")
+    require(curve != "hilbert" || zCols.size >= 2,
+      s"hilbert needs >= 2 clustering columns, got ${zCols.size} " +
+        "(use morton for a single-column layout)")
     require(curve != "hilbert" || zCols.size * bits <= 63,
       s"hilbert: dims*bits = ${zCols.size * bits} exceeds long range " +
         "(lower bits for wide clustering column sets)")
@@ -72,24 +77,36 @@ object LayoutSink {
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       lakeDir: String, indexDir: String, zCols: Seq[String], bits: Int,
       filesPerBatch: Int, curve: String,
-      failAfterWrite: Boolean = false): Unit = {
+      failAfterWrite: Boolean = false,
+      failAfterCommit: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifest = manifestPath(lakeDir, batchId)
-    if (fs.exists(manifest)) return // replayed after commit: done already
+    val manifest = CommitLog.manifestPath(lakeDir, batchId)
+    if (fs.exists(manifest)) {
+      // replayed after commit: the DATA is done, but the crash may have
+      // hit between commit and the index refresh — refresh here too
+      // (incremental: footer-reads only files the index hasn't seen;
+      // a fully-converged replay is a metadata no-op) so the index can
+      // never lag the lake past a retry
+      if (CommitLog.dataFileNames(fs, lakeDir).nonEmpty) {
+        StatsIndex.refresh(spark, lakeDir, zCols, indexDir); ()
+      }
+      return
+    }
     // first commit ever: grandfather pre-existing (bootstrap) files
     // into their own manifest BEFORE any write, so a crash on the very
     // first batch still leaves its orphans distinguishable from data
     // the sink must never delete
-    if (!fs.exists(new Path(logDir(lakeDir))))
-      commit(fs, lakeDir, -1L, dataFileNames(fs, lakeDir).toSeq.sorted)
+    if (!fs.exists(new Path(CommitLog.logDir(lakeDir))))
+      CommitLog.commit(fs, lakeDir, -1L,
+        CommitLog.dataFileNames(fs, lakeDir).toSeq.sorted)
     // a previous attempt of SOME batch may have crashed between its
     // write and its commit — remove every unreferenced data file so
     // the append below starts from exactly the committed lake
-    val committedNow = committedNames(fs, lakeDir)
-    (dataFileNames(fs, lakeDir) -- committedNow).foreach { orphan =>
-      fs.delete(new Path(lakeDir, orphan), false); ()
+    val committedNow = CommitLog.committedNames(fs, lakeDir)
+    (CommitLog.dataFileNames(fs, lakeDir) -- committedNow).foreach {
+      orphan => fs.delete(new Path(lakeDir, orphan), false); ()
     }
     // persist once: the emptiness probe, the curve write's min/max
     // aggregate and the parquet write are three separate actions —
@@ -99,14 +116,16 @@ object LayoutSink {
       val newFiles =
         if (b.isEmpty) Seq.empty[String]
         else {
-          val before = dataFileNames(fs, lakeDir)
+          val before = CommitLog.dataFileNames(fs, lakeDir)
           ZOrder.curveWrite(b, lakeDir, zCols, bits,
             numFiles = filesPerBatch, mode = "append", curve = curve)
-          (dataFileNames(fs, lakeDir) -- before).toSeq.sorted
+          (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
         }
       if (failAfterWrite)
         throw new RuntimeException("injected crash before commit")
-      commit(fs, lakeDir, batchId, newFiles)
+      CommitLog.commit(fs, lakeDir, batchId, newFiles)
+      if (failAfterCommit)
+        throw new RuntimeException("injected crash before index refresh")
       // refresh AFTER commit, on a cleaned lake: the index never sees
       // an orphan (mid-crash-window the sink is down, so no refresh
       // runs until the retry has cleaned up)
@@ -125,66 +144,23 @@ object LayoutSink {
   def readCommitted(spark: SparkSession, lakeDir: String): DataFrame = {
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(logDir(lakeDir))))
+    if (!fs.exists(new Path(CommitLog.logDir(lakeDir))))
       return spark.read.parquet(lakeDir)
-    val names = committedNames(fs, lakeDir).toSeq.sorted
-    if (names.isEmpty) return spark.read.parquet(lakeDir).limit(0)
+    val names = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
+    if (names.isEmpty) {
+      // committed view is empty; if uncommitted orphans exist they
+      // donate the schema (zero rows of it), and a lake with no data
+      // files at all has no schema anywhere — return the canonical
+      // empty frame instead of letting parquet schema inference throw
+      return if (CommitLog.dataFileNames(fs, lakeDir).isEmpty)
+        spark.emptyDataFrame
+      else spark.read.parquet(lakeDir).limit(0)
+    }
     names.foreach { n =>
       require(fs.exists(new Path(lakeDir, n)),
         s"readCommitted: committed file $n missing from $lakeDir — " +
           "lake rewritten without retiring the commit log")
     }
     spark.read.parquet(names.map(n => s"$lakeDir/$n"): _*)
-  }
-
-  private def logDir(lakeDir: String): String = s"$lakeDir/_graft_log"
-
-  private def manifestPath(lakeDir: String, batchId: Long): Path =
-    new Path(logDir(lakeDir), s"$batchId.manifest")
-
-  /** Flat *.parquet names under the lake (the sink writes flat). */
-  private def dataFileNames(fs: FileSystem, lakeDir: String): Set[String] = {
-    val dir = new Path(lakeDir)
-    if (!fs.exists(dir)) Set.empty
-    else fs.listStatus(dir).iterator.map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
-        !n.startsWith(".")).toSet
-  }
-
-  /** Union of every manifest's file list. */
-  private def committedNames(fs: FileSystem, lakeDir: String): Set[String] = {
-    val log = new Path(logDir(lakeDir))
-    if (!fs.exists(log)) return Set.empty
-    fs.listStatus(log).iterator
-      .filter(_.getPath.getName.endsWith(".manifest"))
-      .flatMap { m =>
-        val in = fs.open(m.getPath)
-        try {
-          val bytes = new Array[Byte](m.getLen.toInt)
-          in.readFully(0, bytes)
-          new String(bytes, UTF_8).split("\n").iterator
-            .map(_.trim).filter(_.nonEmpty)
-        } finally in.close()
-      }.toSet
-  }
-
-  /** Write-then-rename commit: the manifest appears atomically or not
-    * at all (a crashed half-written `.tmp-` never matches the
-    * `.manifest` suffix readers look for). */
-  private def commit(fs: FileSystem, lakeDir: String, batchId: Long,
-      files: Seq[String]): Unit = {
-    val log = new Path(logDir(lakeDir))
-    fs.mkdirs(log)
-    val tmp = new Path(log,
-      s".tmp-$batchId-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(files.mkString("\n").getBytes(UTF_8))
-    finally out.close()
-    val dst = manifestPath(lakeDir, batchId)
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      require(fs.exists(dst),
-        s"commit: could not publish manifest for batch $batchId")
-    }
   }
 }

@@ -55,6 +55,17 @@ class HilbertNSpec extends SparkSpec {
     checkCurve(n = 2, bits = 5)
   }
 
+  test("bits = 1 degenerates cleanly: curve bijection holds and the " +
+    "CTE twin generates (parity term is literal 0)") {
+    checkCurve(n = 2, bits = 1) // 4 cells: still a bijection + adjacent
+    checkCurve(n = 3, bits = 1)
+    // the SQL twin used to throw empty.reduce at bits = 1 (its require
+    // admits bits >= 1): the parity term must degrade to literal 0
+    val (cte, fin) = graft.sources.ZOrder.sqlHilbertNCte(
+      Seq("x", "y"), bits = 1, "t", carry = Seq("x", "y"))
+    assert(fin == "hn_fin" && cte.contains("hn_fin"))
+  }
+
   test("interpreted eval == codegen through a DataFrame (3-D)") {
     val rnd = new scala.util.Random(4242)
     val pts = Seq.fill(500)((rnd.nextLong().abs % 4096,

@@ -145,6 +145,94 @@ class LayoutSinkSpec extends SparkSpec {
     assert(full2.select($"payload").distinct().count() == 900)
   }
 
+  test("a crash between commit and index refresh converges on replay") {
+    val dir = Files.createTempDirectory("graft_lcir_").toString
+    val lake = s"$dir/lake"
+    def mkBatch(from: Int, until: Int) = (from until until).map { i =>
+      ((i * 7919L) % 4096, (i * 104729L) % 4096, i.toLong)
+    }.toDF("x", "y", "payload")
+    def process(df: org.apache.spark.sql.DataFrame, id: Long,
+        crashPostCommit: Boolean = false): Unit =
+      LayoutSink.processBatch(df, id, lake, s"$dir/idx", Seq("x", "y"),
+        bits = 10, filesPerBatch = 2, curve = "morton",
+        failAfterCommit = crashPostCommit)
+    process(mkBatch(0, 1000), 0)
+    // batch 1 commits its manifest, then dies before the index refresh
+    intercept[RuntimeException] { process(mkBatch(1000, 2000), 1,
+      crashPostCommit = true) }
+    // data is committed...
+    assert(LayoutSink.readCommitted(spark, lake).count() == 2000)
+    // ...but the index lags the lake: a pruned scan would drop rows
+    val lakeFiles = spark.read.parquet(lake)
+      .select(input_file_name()).distinct().count()
+    assert(StatsIndex.prunedFiles(spark, s"$dir/idx", Nil).size
+      < lakeFiles, "precondition: index must lag inside the window")
+    // the replay (restart at the checkpoint boundary) sees the
+    // manifest, skips the data, and converges the index
+    process(mkBatch(1000, 2000), 1)
+    assert(StatsIndex.prunedFiles(spark, s"$dir/idx", Nil).size
+      == lakeFiles)
+    val got = StatsIndex.readPruned(spark, lake, s"$dir/idx",
+      Seq(("x", 0L, 4095L))).count()
+    assert(got == 2000, s"pruned scan sees $got of 2000 after replay")
+  }
+
+  test("OPTIMIZE on a sink lake drops crash orphans and keeps " +
+    "exactly-once across the swap") {
+    val dir = Files.createTempDirectory("graft_lopx_").toString
+    val lake = s"$dir/lake"
+    def mkBatch(from: Int, until: Int) = (from until until).map { i =>
+      ((i * 7919L) % 4096, (i * 104729L) % 4096, i.toLong)
+    }.toDF("x", "y", "payload")
+    def process(df: org.apache.spark.sql.DataFrame, id: Long,
+        crash: Boolean = false): Unit =
+      LayoutSink.processBatch(df, id, lake, s"$dir/idx", Seq("x", "y"),
+        bits = 10, filesPerBatch = 2, curve = "morton",
+        failAfterWrite = crash)
+    process(mkBatch(0, 1000), 0)
+    process(mkBatch(1000, 2000), 1)
+    // batch 2 leaves orphans on disk, no manifest
+    intercept[RuntimeException] { process(mkBatch(2000, 3000), 2,
+      crash = true) }
+    // an operator runs OPTIMIZE inside the outage window: the rewrite
+    // must take the COMMITTED view — orphans are not baked in
+    graft.sources.ZOrder.optimize(spark, lake, Seq("x", "y"),
+      bits = 10, numFiles = 4, indexDir = Some(s"$dir/idx"))
+    assert(spark.read.parquet(lake).count() == 2000,
+      "OPTIMIZE must not promote uncommitted orphans")
+    // the restarted query replays batch 2: lands exactly once
+    process(mkBatch(2000, 3000), 2)
+    // replays of batches committed BEFORE the optimize still no-op
+    // (their ids were carried across the swap)
+    process(mkBatch(1000, 2000), 1)
+    val full = spark.read.parquet(lake)
+    assert(full.count() == 3000)
+    assert(full.select($"payload").distinct().count() == 3000)
+    assert(LayoutSink.readCommitted(spark, lake).count() == 3000)
+  }
+
+  test("readCommitted of a logged lake with no data files is empty, " +
+    "not a schema-inference error") {
+    val dir = Files.createTempDirectory("graft_lemp_").toString
+    val lake = s"$dir/lake"
+    val empty = Seq.empty[(Long, Long, Long)].toDF("x", "y", "payload")
+    LayoutSink.processBatch(empty, 0, lake, s"$dir/idx", Seq("x", "y"),
+      bits = 10, filesPerBatch = 2, curve = "morton")
+    assert(LayoutSink.readCommitted(spark, lake).count() == 0)
+  }
+
+  test("start() rejects a 1-column hilbert layout at configuration " +
+    "time, before any batch runs") {
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$work/in").schema)
+      .parquet(s"$work/in")
+    val e = intercept[IllegalArgumentException] {
+      LayoutSink.start(stream, s"/tmp/never/lake", s"/tmp/never/idx",
+        s"/tmp/never/ckp", Seq("x"), curve = "hilbert")
+    }
+    assert(e.getMessage.contains("2 clustering columns"))
+  }
+
   test("per-batch z-files still prune a small box") {
     // 16 files (4 batches x 4); a 12%-per-dim box should not need most
     // of them even though z-locality is only batch-level

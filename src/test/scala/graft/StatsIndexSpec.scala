@@ -196,6 +196,114 @@ class StatsIndexSpec extends SparkSpec {
     assert(kept.size == 1, s"expected the aa file only, got ${kept.size}")
   }
 
+  test("truncatedUpper: surrogate-aware increments never emit a bound " +
+    "that UTF-8-encodes smaller than the data") {
+    def validUtf16(s: String): Boolean = { // no unpaired surrogates
+      var i = 0
+      while (i < s.length) {
+        if (Character.isHighSurrogate(s.charAt(i))) {
+          if (i + 1 >= s.length ||
+            !Character.isLowSurrogate(s.charAt(i + 1))) return false
+          i += 2
+        } else if (Character.isLowSurrogate(s.charAt(i))) return false
+        else i += 1
+      }
+      true
+    }
+    def utf8Gt(a: String, b: String): Boolean = { // a > b in byte order
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d > 0
+        i += 1
+      }
+      x.length > y.length
+    }
+    val emoji = new String(Character.toChars(0x1F600))
+    val cases = Seq(
+      "a" * 70, // plain ASCII past the cut
+      "a" * 63 + emoji + "tail", // pair SPLIT by the 64-char cut
+      "a" * 62 + emoji + "tail", // whole pair just inside the cut
+      "a" * 63 + 0xD7FF.toChar + "tail", // successor would be a surrogate
+      "a" * 63 + 0xFFFF.toChar + "tail", // BMP max rolls to U+10000
+      new String(Character.toChars(0x10FFFF)) * 33) // no successor
+    for (s <- cases) {
+      StatsIndex.truncatedUpper(s) match {
+        case Some(u) =>
+          assert(validUtf16(u), s"unpaired surrogate in bound for: $s")
+          assert(utf8Gt(u, s), s"bound '$u' not > input (byte order)")
+        case None =>
+          assert(s.forall(c => Character.isSurrogate(c)),
+            s"only an all-supplementary-max string may be unbounded: $s")
+      }
+      assert(validUtf16(StatsIndex.truncatedLower(s)))
+    }
+    // untruncated strings pass through
+    assert(StatsIndex.truncatedUpper("short").contains("short"))
+  }
+
+  test("string bounds around the truncation cut: a pair-splitting max " +
+    "must not prune its own file") {
+    val dir = Files.createTempDirectory("graft_sidx_sur_").toString
+    val emoji = new String(Character.toChars(0x1F600))
+    // the file max is 63 'a's + emoji: the old bound incremented the
+    // split pair's high half into a lone surrogate, which UTF-8-encodes
+    // as '?' (0x3F) — byte-wise BELOW this probe's lo — wrongly pruning
+    // the file that contains the matching row
+    Seq(("a" * 63 + emoji + "m", 1L), ("a" * 10, 2L))
+      .toDF("s", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("s"), s"$dir/idx")
+    val lo = "a" * 63 + "b"
+    val hi = "a" * 63 + new String(Character.toChars(0x10FFFF))
+    val r = StatsIndex.StringRange("s", lo, hi)
+    val full = spark.read.parquet(s"$dir/data")
+      .filter(col("s").between(lo, hi))
+    val pruned = StatsIndex.readPrunedTyped(spark, s"$dir/data",
+      s"$dir/idx", Seq(r))
+    assert(full.count() == 1, "fixture row must match the probe")
+    assert(pruned.count() == 1,
+      "surrogate-mangled upper bound pruned the matching file")
+  }
+
+  test("DATE columns prune under timestamp probes (days vs micros)") {
+    val dir = Files.createTempDirectory("graft_sidx_d_").toString
+    // 800 days from 2020-01-01, clustered so files span narrow ranges
+    val df = spark.range(8000).select(
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+        (col("id") / 10).cast("int")).as("d"),
+      col("id").as("v"))
+    graft.sources.PartitionedLake.writeClustered(df, s"$dir/data",
+      Seq("v"), numFiles = 8)
+    StatsIndex.build(spark, s"$dir/data", Seq("d"), s"$dir/idx")
+    // the index must carry DATE stats under their own kind
+    val kinds = spark.read.parquet(s"$dir/idx")
+      .filter(col("col") === "d").select(col("kind"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    assert(kinds == Seq("date"), s"date column indexed as $kinds")
+    val lo = java.time.Instant.parse("2020-06-01T00:00:00Z")
+    val hi = java.time.Instant.parse("2020-08-15T00:00:00Z")
+    val r = StatsIndex.TimestampRange("d", lo, hi)
+    val full = spark.read.parquet(s"$dir/data")
+      .filter(col("d").between(lit(lo), lit(hi)))
+    val pruned = StatsIndex.readPrunedTyped(spark, s"$dir/data",
+      s"$dir/idx", Seq(r))
+    // correctness: pruned scan == full filter, and the result is real
+    assert(pruned.count() == full.count() && full.count() > 0)
+    // effectiveness: a ~10% window skips files (before the date kind,
+    // day-valued stats compared against micros excluded EVERY file)
+    val kept = StatsIndex.prunedTyped(spark, s"$dir/idx", Seq(r))
+    assert(kept.nonEmpty && kept.size < 8,
+      s"date probe kept ${kept.size}/8 files")
+    // a LongRange in raw epoch days composes with the same stats
+    val d0 = java.time.LocalDate.parse("2020-06-01").toEpochDay
+    val keptLong = StatsIndex.prunedTyped(spark, s"$dir/idx",
+      Seq(StatsIndex.LongRange("d", d0, d0 + 75)))
+    assert(keptLong.nonEmpty && keptLong.size < 8)
+  }
+
   test("NaN-polluted double stats fall back to full range (never skip)") {
     val dir = Files.createTempDirectory("graft_sidx_nan_").toString
     spark.range(1000).select(
