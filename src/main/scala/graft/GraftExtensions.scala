@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.HilbertIndexN.sqlInfo,
       graft.functions.HilbertIndexN.sqlBuilder))
     ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      graft.functions.BloomMightContain.sqlInfo,
+      graft.functions.BloomMightContain.sqlBuilder))
+    ext.injectFunction((
       FunctionIdentifier("ht_dcperiod"),
       graft.indicators.HilbertTransform.dcSqlInfo,
       graft.indicators.HilbertTransform.sqlBuilder(trend = false)))
@@ -87,6 +91,10 @@ object GraftExtensions {
       FunctionIdentifier("hilbertn"),
       graft.functions.HilbertIndexN.sqlInfo,
       graft.functions.HilbertIndexN.sqlBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bloom_might_contain"),
+      graft.functions.BloomMightContain.sqlInfo,
+      graft.functions.BloomMightContain.sqlBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("ht_dcperiod"),
       graft.indicators.HilbertTransform.dcSqlInfo,

@@ -1,9 +1,10 @@
 package graft.sources
 
+import java.io.FileNotFoundException
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 /** The on-disk commit-log format shared by
   * [[graft.streaming.LayoutSink]] (its writer) and [[ZOrder.optimize]]
@@ -12,18 +13,40 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * ingest attempt's uncommitted orphans in as committed data, and the
   * replay of that batch would then land its rows twice).
   *
-  * One manifest per committed batch at
-  * `lakeDir/_graft_log/<batchId>.manifest`, each listing the data-file
-  * names that batch added (newline-separated); bootstrap manifest `-1`
-  * grandfathers files that predate the log. Manifests are IMMUTABLE
-  * once published (write-then-atomic-rename, never rewritten in
-  * place) — the property the parse cache below relies on. */
+  * Two record types under `lakeDir/_graft_log/`, both newline-separated
+  * file-name lists published by write-then-atomic-rename:
+  *
+  *  - `<batchId>.manifest` — the data files that batch ADDED.
+  *    Bootstrap manifest `-1` grandfathers files that predate the log.
+  *  - `<N>.checkpoint` — a full SNAPSHOT of the committed file set
+  *    covering every batch id ≤ N. [[checkpoint]] folds subsumed
+  *    manifests (and any older checkpoint) into one and deletes them,
+  *    so the log the sink lists and parses per batch stays O(batches
+  *    since last checkpoint) instead of O(batches ever) — the same
+  *    listing-cost bound Delta's `_last_checkpoint` provides.
+  *
+  * The committed view is `latest checkpoint ∪ manifests newer than
+  * it`; batch-replay idempotence is [[isCommitted]] (manifest present
+  * OR id ≤ checkpoint id) — a checkpoint must never make a replayed
+  * batch look new, or its rows would land twice. Records are IMMUTABLE
+  * once published (never rewritten in place) — the property the parse
+  * cache below relies on. */
 object CommitLog {
 
   def logDir(lakeDir: String): String = s"$lakeDir/_graft_log"
 
   def manifestPath(lakeDir: String, batchId: Long): Path =
     new Path(logDir(lakeDir), s"$batchId.manifest")
+
+  /** Checkpoints are GENERATION-versioned: `<id>.<gen>.checkpoint`.
+    * Two writers publish at the same id legitimately — the sink's
+    * fold and [[ZOrder.compactSmall]]'s file-swap both snapshot at
+    * the current max batch id — and rename-over-existing is not
+    * atomic (or not possible) on most filesystems, so "same id again"
+    * must be a NEW name. Readers take the highest (id, gen); a
+    * same-id re-publish with a fresh gen atomically wins. */
+  def checkpointPath(lakeDir: String, id: Long, gen: Long): Path =
+    new Path(logDir(lakeDir), s"$id.$gen.checkpoint")
 
   /** Flat `*.parquet` names under the lake (the sink writes flat;
     * `_`/`.` prefixes — the log itself, Spark markers — excluded). */
@@ -35,69 +58,182 @@ object CommitLog {
         !n.startsWith(".")).toSet
   }
 
-  /** Manifest parse cache, keyed by (path, length, modTime): published
-    * manifests never change, so a hit is always valid (a same-named
-    * manifest recreated after an OPTIMIZE swap gets a fresh
+  /** Record parse cache, keyed by (path, length, modTime): published
+    * records never change, so a hit is always valid (a same-named
+    * record recreated after an OPTIMIZE swap gets a fresh
     * length/modTime and misses). Without this, every micro-batch
-    * re-opens every manifest ever written — O(batches) opens per
+    * re-opens every record ever written — O(batches) opens per
     * batch, quadratic I/O over an ingest's life (thousands of
     * object-store GET round-trips per batch by batch 10k). With it,
-    * per batch = one log-dir listing + opens for only manifests added
-    * since the last batch. The listing itself stays O(#manifests);
-    * manifest compaction into a checkpoint file (what Delta does) is
-    * the next step if that listing ever dominates. */
-  private val manifestCache =
+    * per batch = one log-dir listing + opens for only records added
+    * since the last batch; [[checkpoint]] bounds the listing itself. */
+  private val recordCache =
     new ConcurrentHashMap[(String, Long, Long), Seq[String]]()
 
-  /** Union of every manifest's file list. */
-  def committedNames(fs: FileSystem, lakeDir: String): Set[String] = {
-    val log = new Path(logDir(lakeDir))
-    if (!fs.exists(log)) return Set.empty
-    fs.listStatus(log).iterator
-      .filter(_.getPath.getName.endsWith(".manifest"))
-      .flatMap { m =>
-        val key = (m.getPath.toString, m.getLen, m.getModificationTime)
-        var cached = manifestCache.get(key)
-        if (cached == null) {
-          val in = fs.open(m.getPath)
-          try {
-            val bytes = new Array[Byte](m.getLen.toInt)
-            in.readFully(0, bytes)
-            cached = new String(bytes, UTF_8).split("\n").iterator
-              .map(_.trim).filter(_.nonEmpty).toSeq
-          } finally in.close()
-          manifestCache.put(key, cached)
-        }
-        cached
-      }.toSet
+  private def readRecord(fs: FileSystem, m: FileStatus): Seq[String] = {
+    val key = (m.getPath.toString, m.getLen, m.getModificationTime)
+    var cached = recordCache.get(key)
+    if (cached == null) {
+      val in = fs.open(m.getPath)
+      try {
+        val bytes = new Array[Byte](m.getLen.toInt)
+        in.readFully(0, bytes)
+        cached = new String(bytes, UTF_8).split("\n").iterator
+          .map(_.trim).filter(_.nonEmpty).toSeq
+      } finally in.close()
+      recordCache.put(key, cached)
+    }
+    cached
   }
 
-  /** Batch ids with a published manifest (includes bootstrap −1). */
-  def batchIds(fs: FileSystem, lakeDir: String): Seq[Long] = {
+  private def recordId(name: String): Long =
+    name.substring(0, name.indexOf('.')).toLong
+
+  /** (id, gen) of a checkpoint name; bare `<id>.checkpoint` = gen 0. */
+  private def ckptKey(name: String): (Long, Long) = {
+    val parts = name.split('.')
+    (parts(0).toLong, if (parts.length >= 3) parts(1).toLong else 0L)
+  }
+
+  /** One listing of the log dir, split (checkpoints, manifests). */
+  private def listLog(fs: FileSystem,
+      lakeDir: String): (Seq[FileStatus], Seq[FileStatus]) = {
     val log = new Path(logDir(lakeDir))
-    if (!fs.exists(log)) return Seq.empty
-    fs.listStatus(log).iterator.map(_.getPath.getName)
-      .filter(_.endsWith(".manifest"))
-      .map(_.stripSuffix(".manifest").toLong).toSeq.sorted
+    if (!fs.exists(log)) return (Seq.empty, Seq.empty)
+    val all = fs.listStatus(log).toSeq
+    (all.filter(_.getPath.getName.endsWith(".checkpoint")),
+      all.filter(_.getPath.getName.endsWith(".manifest")))
+  }
+
+  /** Union of the newest checkpoint (if any) and every manifest newer
+    * than it. Manifests the checkpoint subsumed may still be on disk
+    * (a crash between checkpoint publish and cleanup) — their contents
+    * are a subset of the checkpoint's, so including them is harmless,
+    * but skipping them avoids reopening files the snapshot already
+    * covers. A concurrent [[checkpoint]] may delete a manifest between
+    * our listing and our read; the retry re-lists and sees the
+    * checkpoint that replaced it. */
+  def committedNames(fs: FileSystem, lakeDir: String): Set[String] = {
+    var attempt = 0
+    while (true) {
+      try {
+        val (ckpts, manifests) = listLog(fs, lakeDir)
+        val ckpt = ckpts.sortBy(s => ckptKey(s.getPath.getName)).lastOption
+        val ckptId = ckpt.map(s => ckptKey(s.getPath.getName)._1)
+          .getOrElse(Long.MinValue)
+        val base = ckpt.map(readRecord(fs, _)).getOrElse(Seq.empty)
+        val newer = manifests
+          .filter(s => recordId(s.getPath.getName) > ckptId)
+          .flatMap(readRecord(fs, _))
+        return (base ++ newer).toSet
+      } catch {
+        case e: FileNotFoundException =>
+          attempt += 1
+          if (attempt >= 3) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Highest batch id the log covers: max over manifest ids and
+    * checkpoint ids (a checkpoint at N covers every id ≤ N).
+    * Long.MinValue when the log is empty. */
+  def maxCommittedId(fs: FileSystem, lakeDir: String): Long = {
+    val (ckpts, manifests) = listLog(fs, lakeDir)
+    val ids = (ckpts ++ manifests).map(s => recordId(s.getPath.getName))
+    if (ids.isEmpty) Long.MinValue else ids.max
+  }
+
+  /** Replay idempotence: has `batchId` already committed? True when
+    * its manifest is on disk OR a checkpoint at id ≥ batchId subsumed
+    * it (the manifest itself may have been cleaned up). */
+  def isCommitted(fs: FileSystem, lakeDir: String, batchId: Long): Boolean = {
+    if (fs.exists(manifestPath(lakeDir, batchId))) return true
+    val (ckpts, _) = listLog(fs, lakeDir)
+    ckpts.exists(s => recordId(s.getPath.getName) >= batchId)
+  }
+
+  /** Number of live records in the log — the sink's trigger for
+    * [[checkpoint]] (listing and union cost grow with this). */
+  def recordCount(fs: FileSystem, lakeDir: String): Int = {
+    val (ckpts, manifests) = listLog(fs, lakeDir)
+    ckpts.size + manifests.size
+  }
+
+  /** Fold the log into one snapshot: write `<N>.checkpoint` (N = the
+    * highest id on disk) holding the full committed set, then delete
+    * the records it subsumes. Crash-safe at every boundary: before the
+    * rename nothing changed; after it, stale subsumed records are
+    * redundant subsets that the next checkpoint's cleanup sweeps.
+    * Single-writer (the sink calls it between batches); concurrent
+    * READERS are safe — see [[committedNames]]'s retry. No-ops on an
+    * empty or already-folded log. */
+  def checkpoint(fs: FileSystem, lakeDir: String): Unit = {
+    val (ckpts, manifests) = listLog(fs, lakeDir)
+    if (ckpts.size + manifests.size <= 1) return // nothing to fold
+    val n = (ckpts ++ manifests).map(s => recordId(s.getPath.getName)).max
+    val latest = ckpts.sortBy(s => ckptKey(s.getPath.getName)).lastOption
+    val snapshotName =
+      latest match {
+        case Some(s) if ckptKey(s.getPath.getName)._1 == n =>
+          // the newest snapshot already covers the max id (only stale
+          // subsumed records remain, e.g. a crash mid-sweep) — no new
+          // write needed, just sweep below
+          s.getPath.getName
+        case _ =>
+          val files = committedNames(fs, lakeDir).toSeq.sorted
+          val gen = latest
+            .map(s => ckptKey(s.getPath.getName)._2 + 1).getOrElse(0L)
+          val dst = checkpointPath(lakeDir, n, gen)
+          writeAtomic(fs, lakeDir, dst, files)
+          dst.getName
+      }
+    // cleanup: everything except the snapshot is now subsumed (every
+    // live id ≤ n by construction, and the snapshot out-ranks same-id
+    // older generations). A crash mid-sweep leaves subsets — correct,
+    // just unswept until the next call. Compare by NAME: listed
+    // statuses carry fully-qualified URIs and Path equality is URI
+    // equality (matching on Path would delete the snapshot itself).
+    (ckpts ++ manifests).foreach { s =>
+      if (s.getPath.getName != snapshotName) {
+        fs.delete(s.getPath, false); ()
+      }
+    }
   }
 
   /** Write-then-rename commit: the manifest appears atomically or not
     * at all (a crashed half-written `.tmp-` never matches the
     * `.manifest` suffix readers look for). */
   def commit(fs: FileSystem, lakeDir: String, batchId: Long,
+      files: Seq[String]): Unit =
+    writeAtomic(fs, lakeDir, manifestPath(lakeDir, batchId), files)
+
+  /** Publish a checkpoint DIRECTLY (no fold), at a generation above
+    * every existing one so it atomically becomes the committed view.
+    * [[ZOrder.optimize]] seeds a rewritten lake's log with it;
+    * [[ZOrder.compactSmall]] uses it to swap compacted file names for
+    * their replacement in one rename. */
+  def commitCheckpoint(fs: FileSystem, lakeDir: String, id: Long,
+      files: Seq[String]): Unit = {
+    val (ckpts, _) = listLog(fs, lakeDir)
+    val gen = ckpts.map(s => ckptKey(s.getPath.getName)._2)
+      .foldLeft(-1L)(math.max) + 1L
+    writeAtomic(fs, lakeDir, checkpointPath(lakeDir, id, gen), files)
+  }
+
+  private def writeAtomic(fs: FileSystem, lakeDir: String, dst: Path,
       files: Seq[String]): Unit = {
     val log = new Path(logDir(lakeDir))
     fs.mkdirs(log)
     val tmp = new Path(log,
-      s".tmp-$batchId-${java.util.UUID.randomUUID()}")
+      s".tmp-${dst.getName}-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(files.mkString("\n").getBytes(UTF_8))
     finally out.close()
-    val dst = manifestPath(lakeDir, batchId)
     if (!fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
       require(fs.exists(dst),
-        s"commit: could not publish manifest for batch $batchId")
+        s"commit: could not publish ${dst.getName}")
     }
   }
 }

@@ -485,10 +485,11 @@ object ZOrder {
     * view is rewritten — a crashed ingest attempt's uncommitted
     * orphans are dropped by the swap, NOT baked in (an orphan promoted
     * to committed data would land twice once its batch replays). The
-    * new layout carries a fresh log: bootstrap manifest `-1` lists
-    * every optimized file, and each previously committed batch id
-    * keeps an empty manifest so a checkpoint replay of it still
-    * no-ops — exactly-once holds ACROSS an optimize. */
+    * new layout carries a one-record log: a checkpoint at the old
+    * log's highest batch id, listing every optimized file — it IS the
+    * committed view, and it marks each previously committed batch id
+    * as done so a streaming replay of any of them still no-ops —
+    * exactly-once holds ACROSS an optimize. */
   def optimize(spark: SparkSession, path: String, zCols: Seq[String],
       bits: Int = 12, numFiles: Int = 0,
       indexDir: Option[String] = None,
@@ -512,11 +513,9 @@ object ZOrder {
     if (hasLog) {
       // write the new lake's log INSIDE tmp before the swap, so the
       // published layout is never visible without its log
-      CommitLog.commit(fs, tmp.toString, -1L,
+      CommitLog.commitCheckpoint(fs, tmp.toString,
+        math.max(CommitLog.maxCommittedId(fs, path), -1L),
         CommitLog.dataFileNames(fs, tmp.toString).toSeq.sorted)
-      CommitLog.batchIds(fs, path).filter(_ >= 0L).foreach { id =>
-        CommitLog.commit(fs, tmp.toString, id, Seq.empty)
-      }
     }
     fs.delete(old, true) // stale leftover from a prior crashed swap
     require(fs.rename(new Path(path), old),
@@ -526,6 +525,68 @@ object ZOrder {
         s"old data preserved at $old (rename it back)")
     fs.delete(old, true)
     indexDir.foreach(idx => StatsIndex.refresh(spark, path, zCols, idx))
+  }
+
+  /** Incremental compaction: fold only the lake's SMALL committed
+    * files (< `minBytes`) into a few curve-ordered ones; every other
+    * file is untouched. Cost ∝ small-file debt, NOT lake size — the
+    * maintenance shape a 100 TB lake needs ([[optimize]]'s whole-lake
+    * rewrite is a maintenance-window tool; a streaming lake growing
+    * `filesPerBatch` files per batch needs debt paid continuously).
+    *
+    * Requires a sink-managed lake (a [[CommitLog]] present):
+    * publication is one atomic log checkpoint whose file list swaps
+    * the compacted names for the new ones, so [[
+    * graft.streaming.LayoutSink.readCommitted]] never sees a row
+    * twice or loses one at ANY crash point. The compacted originals
+    * are deleted only AFTER publish; a crash in between leaves them as
+    * unreferenced orphans that the sink's next-batch sweep (or a
+    * re-run of this) removes. Plain `spark.read.parquet` double-counts
+    * only inside that publish→delete window — same caveat as the
+    * sink's own crash window; `readCommitted` is the contract reader.
+    * The stats index is refreshed LAST; a crash before that leaves it
+    * stale, which fails loudly (missing files in an explicit list),
+    * never silently wrong — any later refresh converges it.
+    *
+    * Returns (filesCompacted, filesWritten); (0, 0) when fewer than
+    * two committed files are under the threshold. */
+  def compactSmall(spark: SparkSession, path: String, zCols: Seq[String],
+      minBytes: Long, bits: Int = 12, numFiles: Int = 0,
+      indexDir: Option[String] = None, curve: String = "morton",
+      failBeforePublish: Boolean = false,
+      failBeforeDelete: Boolean = false): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    require(fs.exists(new Path(CommitLog.logDir(path))),
+      s"compactSmall: $path has no commit log — it only runs on " +
+        "sink-managed lakes (use optimize() for plain directories)")
+    val committed = CommitLog.committedNames(fs, path)
+    val sized = committed.toSeq.sorted
+      .map(n => n -> fs.getFileStatus(new Path(path, n)).getLen)
+    val small = sized.filter(_._2 < minBytes).map(_._1)
+    if (small.size < 2) return (0, 0)
+    val totalBytes = sized.filter(_._2 < minBytes).map(_._2).sum
+    val nf =
+      if (numFiles > 0) numFiles
+      else math.max(1L, (totalBytes + minBytes - 1) / minBytes).toInt
+    val before = CommitLog.dataFileNames(fs, path)
+    curveWrite(spark.read.parquet(small.map(n => s"$path/$n"): _*),
+      path, zCols, bits, numFiles = nf, mode = "append", curve = curve)
+    val newFiles = (CommitLog.dataFileNames(fs, path) -- before)
+      .toSeq.sorted
+    if (failBeforePublish)
+      throw new RuntimeException("injected crash before publish")
+    // one atomic record flips the committed view old→new; its id is
+    // the current max, so batch-replay idempotence is untouched
+    CommitLog.commitCheckpoint(fs, path,
+      math.max(CommitLog.maxCommittedId(fs, path), -1L),
+      ((committed -- small) ++ newFiles).toSeq.sorted)
+    if (failBeforeDelete)
+      throw new RuntimeException("injected crash before orphan delete")
+    small.foreach { n => fs.delete(new Path(path, n), false); () }
+    indexDir.foreach(idx => StatsIndex.refresh(spark, path, zCols, idx))
+    (small.size, newFiles.size)
   }
 }
 

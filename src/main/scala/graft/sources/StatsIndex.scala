@@ -52,8 +52,25 @@ import scala.jdk.CollectionConverters._
   * (`StatsIndexSpec` asserts pruned ≡ full-scan results on random
   * integer AND fractional boxes).
   *
+  * BLOOM sidecar rows (opt-in via `bloomCols`): min/max is useless for
+  * EQUALITY probes on high-cardinality uncorrelated keys — every file
+  * of a lake clustered on (time, symbol) spans nearly the full doc-id
+  * range, so a point lookup still opens every file. For the designated
+  * columns the build adds one `kind = "bloom"` row per file holding a
+  * serialized per-file Bloom filter over `xxhash64` of the values
+  * (built DISTRIBUTED by Spark's own `BloomFilterAggregate`; one
+  * grouped pass per column, scanning only that column). A
+  * [[LongEquals]]/[[StringEquals]] constraint then excludes every file
+  * whose filter rules the key out — O(1) bytes tested per file at
+  * plan time, false-positive rate `bloomFpp` (a false positive only
+  * weakens pruning; the exact predicate still filters). Files without
+  * a bloom row (type not supported, column added later, refresh
+  * without `bloomCols`) are simply never excluded by the bloom arm —
+  * same conservative contract as the stats rows.
+  *
   * A v1 (untyped) index directory is detected by its missing `kind`
-  * column and rebuilt in place on the next [[refresh]].
+  * column and rebuilt in place on the next [[refresh]]; a pre-bloom
+  * index (no `bloom` column) reads as if no file had a bloom row.
   */
 object StatsIndex {
 
@@ -84,6 +101,17 @@ object StatsIndex {
     def loMicros: Long = instantMicrosFloor(lo)
     def hiMicros: Long = instantMicrosCeil(hi)
   }
+  /** Point lookup on an integral column: prunes on min/max AND, when
+    * the index carries a bloom row for the column, on filter
+    * membership — the arm that works when every file spans the full
+    * key range. */
+  final case class LongEquals(name: String, v: Long) extends ColRange {
+    def predicate: Column = col(name) === v
+  }
+  /** Point lookup on a string column; see [[LongEquals]]. */
+  final case class StringEquals(name: String, v: String) extends ColRange {
+    def predicate: Column = col(name) === v
+  }
 
   private def instantMicrosFloor(i: java.time.Instant): Long =
     math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L),
@@ -100,12 +128,25 @@ object StatsIndex {
     * min/max. Missing stats (null-only chunks, exotic types) produce a
     * full-range row, i.e. the file is never skipped. */
   def build(spark: SparkSession, dataDir: String, cols: Seq[String],
-      indexDir: String): Unit = {
+      indexDir: String, bloomCols: Seq[String] = Nil,
+      bloomItems: Long = 1000000L, bloomFpp: Double = 0.03): Unit = {
     val files = listData(spark, dataDir)
     // repartition, not coalesce(1): coalesce would collapse the footer
     // scan itself into one task (see refresh)
-    statsFor(spark, files, cols)
+    rowsFor(spark, files, cols, bloomCols, bloomItems, bloomFpp)
       .repartition(1).write.mode("overwrite").parquet(indexDir)
+  }
+
+  /** Stats rows (footer metadata) plus bloom rows (one grouped data
+    * pass per bloom column) for `files`, under one uniform schema. */
+  private def rowsFor(spark: SparkSession, files: Seq[String],
+      cols: Seq[String], bloomCols: Seq[String], bloomItems: Long,
+      bloomFpp: Double): DataFrame = {
+    val stats = statsFor(spark, files, cols)
+      .withColumn("bloom", lit(null).cast("binary"))
+    if (bloomCols.isEmpty) stats
+    else stats.unionByName(
+      bloomFor(spark, files, bloomCols, bloomItems, bloomFpp))
   }
 
   /** Incremental maintenance for an append-mostly lake: footer-read
@@ -119,20 +160,28 @@ object StatsIndex {
     * 100 TB table actually runs; a full [[build]] per ingest would
     * re-read every footer. Returns (added, removed). */
   def refresh(spark: SparkSession, dataDir: String, cols: Seq[String],
-      indexDir: String): (Int, Int) = {
+      indexDir: String, bloomCols: Seq[String] = Nil,
+      bloomItems: Long = 1000000L, bloomFpp: Double = 0.03): (Int, Int) = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     if (!new Path(indexDir).getFileSystem(conf).exists(new Path(indexDir))) {
-      build(spark, dataDir, cols, indexDir)
+      build(spark, dataDir, cols, indexDir, bloomCols, bloomItems,
+        bloomFpp)
       return (listData(spark, dataDir).size, 0)
     }
     val current = listData(spark, dataDir)
-    val old = spark.read.parquet(indexDir)
-    if (!old.columns.contains("kind")) {
+    val rawOld = spark.read.parquet(indexDir)
+    if (!rawOld.columns.contains("kind")) {
       // v1 (untyped) index — incompatible schema; rebuild from scratch
-      build(spark, dataDir, cols, indexDir)
+      build(spark, dataDir, cols, indexDir, bloomCols, bloomItems,
+        bloomFpp)
       return (current.size, 0)
     }
+    // pre-bloom index: widen to the bloom schema (all-null column) so
+    // the union below lines up; existing files just keep no bloom row
+    val old =
+      if (rawOld.columns.contains("bloom")) rawOld
+      else rawOld.withColumn("bloom", lit(null).cast("binary"))
     val known = old.select(col("file")).distinct().as[String].collect().toSet
     val added = current.filterNot(known)
     val removed = (known -- current).toSeq.sorted
@@ -141,7 +190,8 @@ object StatsIndex {
       else old.join(removed.toDF("file"), Seq("file"), "left_anti")
     val updated =
       if (added.isEmpty) kept
-      else kept.unionByName(statsFor(spark, added, cols))
+      else kept.unionByName(
+        rowsFor(spark, added, cols, bloomCols, bloomItems, bloomFpp))
     val fs = new Path(indexDir).getFileSystem(conf)
     val tmp = new Path(indexDir + ".swap")
     val parked = new Path(indexDir + ".old")

@@ -23,8 +23,11 @@ import graft.sources.{CommitLog, StatsIndex, ZOrder}
   * Delivery: EXACTLY-ONCE across crash/retry, via a minimal
   * batchId-keyed commit log at `lakeDir/_graft_log/<batchId>.manifest`
   * (the underscore prefix hides it from Spark reads and
-  * [[StatsIndex]]'s listing). Per batch, the single-writer streaming
-  * query: (1) skips batches whose manifest already exists (replay
+  * [[StatsIndex]]'s listing), periodically folded into a snapshot
+  * checkpoint ([[graft.sources.CommitLog.checkpoint]]) so log listing
+  * cost stays bounded over an ingest's life. Per batch, the
+  * single-writer streaming query: (1) skips batches already committed
+  * — manifest present or subsumed by a checkpoint (replay
   * after a restart at the checkpoint boundary); (2) deletes data
   * files not referenced by any manifest — the orphans of a previous
   * attempt that crashed after writing but before committing; (3)
@@ -48,7 +51,8 @@ object LayoutSink {
 
   def start(stream: DataFrame, lakeDir: String, indexDir: String,
       checkpointDir: String, zCols: Seq[String], bits: Int = 10,
-      filesPerBatch: Int = 2, curve: String = "morton"): StreamingQuery = {
+      filesPerBatch: Int = 2, curve: String = "morton",
+      checkpointEvery: Int = 16): StreamingQuery = {
     // fail fast on misconfiguration — an invalid curve name or arity
     // must reject HERE, not kill the query when the first non-empty
     // batch reaches curveWrite mid-ingest
@@ -65,7 +69,7 @@ object LayoutSink {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, lakeDir, indexDir, zCols, bits,
-          filesPerBatch, curve)
+          filesPerBatch, curve, checkpointEvery = checkpointEvery)
       }
       .start()
   }
@@ -78,12 +82,12 @@ object LayoutSink {
       lakeDir: String, indexDir: String, zCols: Seq[String], bits: Int,
       filesPerBatch: Int, curve: String,
       failAfterWrite: Boolean = false,
-      failAfterCommit: Boolean = false): Unit = {
+      failAfterCommit: Boolean = false,
+      checkpointEvery: Int = 16): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifest = CommitLog.manifestPath(lakeDir, batchId)
-    if (fs.exists(manifest)) {
+    if (CommitLog.isCommitted(fs, lakeDir, batchId)) {
       // replayed after commit: the DATA is done, but the crash may have
       // hit between commit and the index refresh — refresh here too
       // (incremental: footer-reads only files the index hasn't seen;
@@ -132,6 +136,13 @@ object LayoutSink {
       if (newFiles.nonEmpty) {
         StatsIndex.refresh(spark, lakeDir, zCols, indexDir); ()
       }
+      // fold the log once it outgrows the threshold, so per-batch
+      // listing/parse cost stays O(checkpointEvery), not O(batches
+      // ever). Safe here: single writer, data + index already durable;
+      // a crash mid-fold leaves redundant subset records only.
+      if (checkpointEvery > 0 &&
+          CommitLog.recordCount(fs, lakeDir) > checkpointEvery)
+        CommitLog.checkpoint(fs, lakeDir)
     } finally { b.unpersist(); () }
   }
 

@@ -211,6 +211,123 @@ class LayoutSinkSpec extends SparkSpec {
     assert(LayoutSink.readCommitted(spark, lake).count() == 3000)
   }
 
+  test("log checkpoint folds manifests, bounds the log, and keeps " +
+    "replay + crash-recovery semantics intact") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.CommitLog
+    val dir = Files.createTempDirectory("graft_lckp_").toString
+    val lake = s"$dir/lake"
+    val fs = new Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkBatch(from: Int, until: Int) = (from until until).map { i =>
+      ((i * 7919L) % 4096, (i * 104729L) % 4096, i.toLong)
+    }.toDF("x", "y", "payload")
+    def process(df: org.apache.spark.sql.DataFrame, id: Long,
+        crash: Boolean = false): Unit =
+      LayoutSink.processBatch(df, id, lake, s"$dir/idx", Seq("x", "y"),
+        bits = 10, filesPerBatch = 2, curve = "morton",
+        failAfterWrite = crash, checkpointEvery = 4)
+    (0 until 8).foreach(b => process(mkBatch(b * 500, (b + 1) * 500), b))
+    // the fold keeps the live log at or under the threshold: without
+    // it 9 records would be listed+parsed per batch (8 + bootstrap)
+    assert(CommitLog.recordCount(fs, lake) <= 5,
+      s"log should have folded: ${CommitLog.recordCount(fs, lake)} records")
+    assert(LayoutSink.readCommitted(spark, lake).count() == 4000)
+    // a replay of a batch whose MANIFEST was folded away must still
+    // no-op — the checkpoint id subsumes it (double-land otherwise)
+    process(mkBatch(0, 500), 0)
+    assert(spark.read.parquet(lake).count() == 4000)
+    // crash-before-commit AFTER a fold: the retry's orphan sweep takes
+    // the committed set from the checkpoint and still heals the lake
+    intercept[RuntimeException] { process(mkBatch(4000, 4500), 8,
+      crash = true) }
+    assert(LayoutSink.readCommitted(spark, lake).count() == 4000)
+    process(mkBatch(4000, 4500), 8)
+    val full = spark.read.parquet(lake)
+    assert(full.count() == 4500)
+    assert(full.select($"payload").distinct().count() == 4500)
+    // crash BETWEEN checkpoint publish and manifest cleanup: simulate
+    // by publishing a snapshot at the current max id while the
+    // manifests it subsumes are still on disk — the committed view is
+    // unchanged (subsumed manifests are subsets), and the next fold
+    // sweeps the log down to the single snapshot
+    val before = CommitLog.committedNames(fs, lake)
+    CommitLog.commitCheckpoint(fs, lake,
+      CommitLog.maxCommittedId(fs, lake), before.toSeq.sorted)
+    assert(CommitLog.committedNames(fs, lake) == before)
+    CommitLog.checkpoint(fs, lake)
+    assert(CommitLog.recordCount(fs, lake) == 1)
+    assert(CommitLog.committedNames(fs, lake) == before)
+    // the index tracked every committed file through all of the above
+    val idxFiles = StatsIndex.prunedFiles(spark, s"$dir/idx", Nil).size
+    val lakeFiles = full.select(input_file_name()).distinct().count()
+    assert(idxFiles == lakeFiles, s"index $idxFiles vs lake $lakeFiles")
+  }
+
+  test("compactSmall folds only small committed files, exactly-once " +
+    "at every crash point, and the index converges") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.{CommitLog, ZOrder}
+    val dir = Files.createTempDirectory("graft_lcmp_").toString
+    val lake = s"$dir/lake"
+    val fs = new Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkBatch(from: Int, until: Int) = (from until until).map { i =>
+      ((i * 7919L) % 4096, (i * 104729L) % 4096, i.toLong)
+    }.toDF("x", "y", "payload")
+    def process(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      LayoutSink.processBatch(df, id, lake, s"$dir/idx", Seq("x", "y"),
+        bits = 10, filesPerBatch = 2, curve = "morton")
+    (0 until 6).foreach(b => process(mkBatch(b * 500, (b + 1) * 500), b))
+    val filesBefore = CommitLog.dataFileNames(fs, lake).size
+    assert(filesBefore == 12) // 6 batches x 2 small files of debt
+    // crash BEFORE publish: pure orphans, committed view untouched,
+    // re-runnable immediately
+    intercept[RuntimeException] {
+      ZOrder.compactSmall(spark, lake, Seq("x", "y"),
+        minBytes = 1L << 20, bits = 10, failBeforePublish = true)
+    }
+    assert(LayoutSink.readCommitted(spark, lake).count() == 3000)
+    // crash AFTER publish, before the old files are deleted: the
+    // committed view already swapped — no duplicate, no loss
+    intercept[RuntimeException] {
+      ZOrder.compactSmall(spark, lake, Seq("x", "y"),
+        minBytes = 1L << 20, bits = 10, failBeforeDelete = true)
+    }
+    val committedMid = LayoutSink.readCommitted(spark, lake)
+    assert(committedMid.count() == 3000)
+    assert(committedMid.select($"payload").distinct().count() == 3000)
+    // the next sink batch sweeps the now-unreferenced originals and
+    // the lake converges; a second compact then sees little debt
+    process(mkBatch(3000, 3500), 6)
+    val full = spark.read.parquet(lake)
+    assert(full.count() == 3500)
+    assert(full.select($"payload").distinct().count() == 3500)
+    // clean run over the remaining debt (batch 6's files + leftovers)
+    val (olds, news) = ZOrder.compactSmall(spark, lake, Seq("x", "y"),
+      minBytes = 1L << 20, bits = 10, indexDir = Some(s"$dir/idx"))
+    assert(olds >= 2 && news >= 1 && news < olds,
+      s"compaction should shrink file count: $olds -> $news")
+    val after = spark.read.parquet(lake)
+    assert(after.count() == 3500)
+    assert(after.select($"payload").distinct().count() == 3500)
+    assert(after.agg(sum($"payload")).head.getLong(0) ==
+      (0L until 3500).sum)
+    assert(LayoutSink.readCommitted(spark, lake).count() == 3500)
+    // the refreshed index matches the compacted lake exactly
+    val idxFiles = StatsIndex.prunedFiles(spark, s"$dir/idx", Nil).size
+    val lakeFiles = after.select(input_file_name()).distinct().count()
+    assert(idxFiles == lakeFiles, s"index $idxFiles vs lake $lakeFiles")
+    // replay of an already-committed batch after compaction: no-op
+    // (the swap checkpoint carries the max batch id)
+    process(mkBatch(0, 500), 0)
+    assert(spark.read.parquet(lake).count() == 3500)
+    // files over the threshold are never rewritten: with a tiny
+    // threshold nothing qualifies
+    assert(ZOrder.compactSmall(spark, lake, Seq("x", "y"),
+      minBytes = 1L) == ((0, 0)))
+  }
+
   test("readCommitted of a logged lake with no data files is empty, " +
     "not a schema-inference error") {
     val dir = Files.createTempDirectory("graft_lemp_").toString
