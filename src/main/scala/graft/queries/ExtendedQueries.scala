@@ -351,6 +351,30 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price"))
   }
 
+  /** Bloom-arm file skipping, oracle-checked end to end: lineitem
+    * z-ordered on (partkey, suppkey) — so every file spans nearly the
+    * full `l_orderkey` range and min/max stats CANNOT prune an
+    * orderkey point probe — then stats-indexed with a per-file Bloom
+    * sidecar on `l_orderkey` and read through a [[graft.sources
+    * .StatsIndex.LongEquals]] probe. The oracle is the plain filtered
+    * aggregate: the hash match proves the bloom arm (xxhash64-symmetric
+    * build/probe, int-widening, translation join) loses and fabricates
+    * nothing; a false positive merely keeps an extra file. */
+  val q50BloomPrunedScan: Q = (s, dir) => {
+    import graft.sources.StatsIndex
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_q50_").toString
+    ZOrder.write(table(s, dir, "lineitem"), s"$work/lake",
+      Seq("l_partkey", "l_suppkey"), bits = 10, numFiles = 8)
+    StatsIndex.build(s, s"$work/lake", Seq("l_partkey"), s"$work/idx",
+      bloomCols = Seq("l_orderkey"), bloomItems = 100000,
+      bloomFpp = 0.001)
+    StatsIndex.readPrunedTyped(s, s"$work/lake", s"$work/idx",
+      Seq(StatsIndex.LongEquals("l_orderkey", 1L)))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price"))
+  }
+
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
     * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
     * aggregated per curve cell. The oracle UNROLLS the same phases as
@@ -368,6 +392,7 @@ object ExtendedQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q50_bloom_pruned_scan" -> q50BloomPrunedScan,
     "q48_hilbert3" -> q48Hilbert3,
     "q47_typed_pruned_scan" -> q47TypedPrunedScan,
     "q46_pruned_scan" -> q46PrunedScan,
@@ -388,6 +413,12 @@ object ExtendedQueries {
     "qi1_indicator_frames" -> qi1IndicatorFrames)
 
   val sql: Map[String, String] = Map(
+    "q50_bloom_pruned_scan" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_orderkey = 1
+         |GROUP BY 1""".stripMargin,
     "q48_hilbert3" -> {
       val (cte, fin) = ZOrder.sqlHilbertNCte(
         Seq("l_partkey % 64", "l_suppkey % 64", "l_orderkey % 64"),

@@ -9,8 +9,12 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.util.sketch.{BloomFilter => SketchBloom}
 
 import scala.jdk.CollectionConverters._
 
@@ -58,8 +62,9 @@ import scala.jdk.CollectionConverters._
   * range, so a point lookup still opens every file. For the designated
   * columns the build adds one `kind = "bloom"` row per file holding a
   * serialized per-file Bloom filter over `xxhash64` of the values
-  * (built DISTRIBUTED by Spark's own `BloomFilterAggregate`; one
-  * grouped pass per column, scanning only that column). A
+  * (built DISTRIBUTED by Spark's own `BloomFilterAggregate`; ONE
+  * grouped pass for all bloom columns, scanning only those columns
+  * plus the `_metadata.file_path` column — footers are not re-read). A
   * [[LongEquals]]/[[StringEquals]] constraint then excludes every file
   * whose filter rules the key out — O(1) bytes tested per file at
   * plan time, false-positive rate `bloomFpp` (a false positive only
@@ -147,6 +152,81 @@ object StatsIndex {
     if (bloomCols.isEmpty) stats
     else stats.unionByName(
       bloomFor(spark, files, bloomCols, bloomItems, bloomFpp))
+  }
+
+  /** One `kind = "bloom"` index row per (file, bloom column): a
+    * serialized per-file Bloom filter over `xxhash64` of the column's
+    * values, built in ONE distributed grouped pass (group = the
+    * `_metadata.file_path` Spark attaches to every file-source row;
+    * only the bloom columns are read, so column pruning keeps the pass
+    * narrow). Integral columns are widened to BIGINT before hashing —
+    * `xxhash64` hashes int32 and int64 DIFFERENTLY, so without the
+    * cast a `LongEquals` probe (a bigint literal) would hash to a
+    * different value than the int32 build side and wrongly exclude
+    * every file. Unsupported types fail fast: a silently skipped
+    * column would let the caller believe point probes prune when they
+    * never do.
+    *
+    * The aggregated file-path spelling can differ from [[listData]]'s
+    * canonical one (URI vs Path form), so rows are mapped back through
+    * a broadcast translation of the known spellings; an unmatched
+    * spelling drops the row — a file without a bloom row is merely
+    * never bloom-excluded (and [[refresh]] keys on the stats rows,
+    * which always carry the canonical spelling). A file whose column
+    * is all-null aggregates to a NULL filter and is likewise kept. */
+  private def bloomFor(spark: SparkSession, files: Seq[String],
+      bloomCols: Seq[String], bloomItems: Long, bloomFpp: Double)
+      : DataFrame = {
+    import spark.implicits._
+    require(bloomItems > 0, s"bloomItems must be positive: $bloomItems")
+    require(bloomFpp > 0 && bloomFpp < 1, s"bloomFpp out of (0,1): $bloomFpp")
+    val numBits = SketchBloom.optimalNumOfBits(bloomItems, bloomFpp)
+    val base = spark.read.parquet(files: _*)
+    val types: Map[String, DataType] =
+      base.schema.fields.map(f => f.name -> f.dataType).toMap
+    val hashed: Seq[(String, Column)] = bloomCols.map { name =>
+      types.get(name) match {
+        case Some(ByteType | ShortType | IntegerType | LongType) =>
+          name -> xxhash64(col(name).cast(LongType))
+        case Some(StringType) => name -> xxhash64(col(name))
+        case Some(other) => throw new IllegalArgumentException(
+          s"StatsIndex bloom: column '$name' is $other — bloom rows " +
+            "support integral and string columns (equality probes on " +
+            "fractional/temporal keys are not meaningful prune keys)")
+        case None => throw new IllegalArgumentException(
+          s"StatsIndex bloom: column '$name' not present in $files")
+      }
+    }
+    val aggs = hashed.zipWithIndex.map { case ((_, h), i) =>
+      GraftColumnBridge.toColumn(BloomFilterAggregate(
+        GraftColumnBridge.toExpression(h),
+        Literal(bloomItems), Literal(numBits), 0, 0)
+        .toAggregateExpression()).as(s"__b$i")
+    }
+    val grouped = base
+      .select(col("_metadata.file_path").as("__path") +:
+        bloomCols.map(col): _*)
+      .groupBy(col("__path"))
+      .agg(aggs.head, aggs.tail: _*)
+    val pairs = hashed.zipWithIndex.flatMap { case ((name, _), i) =>
+      Seq(lit(name), col(s"__b$i")) }
+    val stacked = grouped.select(col("__path"),
+      explode(map(pairs: _*)).as(Seq("col", "bloom")))
+    val spellings = files.flatMap { f =>
+      val p = new Path(f)
+      Seq(f, p.toString, p.toUri.toString).distinct.map(sp => (sp, f))
+    }.distinct.toDF("__path", "file")
+    stacked.join(broadcast(spellings), Seq("__path"))
+      .select(col("file"),
+        lit(null).cast("bigint").as("row_count"),
+        col("col"), lit("bloom").as("kind"),
+        lit(null).cast("bigint").as("lmin"),
+        lit(null).cast("bigint").as("lmax"),
+        lit(null).cast("double").as("dmin"),
+        lit(null).cast("double").as("dmax"),
+        lit(null).cast("string").as("smin"),
+        lit(null).cast("string").as("smax"),
+        col("bloom"))
   }
 
   /** Incremental maintenance for an append-mostly lake: footer-read
@@ -490,6 +570,22 @@ object StatsIndex {
     case StringRange(name, lo, hi) =>
       col("col") === name && col("kind") === "string" &&
         (col("smax") < lo || col("smin") > hi)
+    case LongEquals(name, v) =>
+      // a point probe is the degenerate range [v, v] for the stats
+      // arms, PLUS the bloom arm: a bloom row whose filter rules the
+      // key out excludes the file even when its min/max span it
+      col("col") === name && (
+        (col("kind").isin("long", "date") &&
+          (col("lmax") < v || col("lmin") > v)) ||
+        (col("kind") === "double" &&
+          (col("dmax") < Math.nextDown(v.toDouble) ||
+            col("dmin") > Math.nextUp(v.toDouble))) ||
+        bloomExcludes(xxhash64(lit(v))))
+    case StringEquals(name, v) =>
+      col("col") === name && (
+        (col("kind") === "string" &&
+          (col("smax") < v || col("smin") > v)) ||
+        bloomExcludes(xxhash64(lit(v))))
     case t @ TimestampRange(name, _, _) =>
       // date stats are epoch DAYS: compare day-converted bounds with
       // ±1-day slack so a session-timezone date→timestamp cast (±14 h)
@@ -504,6 +600,19 @@ object StatsIndex {
           (col("lmax") < loDay || col("lmin") > hiDay)))
   }
 
+  /** Bloom-arm exclusion over index rows: a `kind = "bloom"` row
+    * whose filter definitively rules the probed hash out. `hash` must
+    * be `xxhash64` of the SAME logical type the build hashed (bigint
+    * for integral columns, string as-is) — [[bloomFor]] widens
+    * integral columns to bigint for exactly this symmetry. A NULL
+    * bloom (pre-bloom index row, all-null column) makes the conjunct
+    * NULL → the row excludes nothing → the file is kept. */
+  private def bloomExcludes(hash: Column): Column =
+    col("kind") === "bloom" &&
+      !GraftColumnBridge.toColumn(graft.functions.BloomMightContain(
+        GraftColumnBridge.toExpression(col("bloom")),
+        GraftColumnBridge.toExpression(hash)))
+
   /** Files whose stats intersect EVERY constraint. A file missing an
     * index row for a constrained column is kept (conservative — e.g. a
     * column added after the index was built). Metadata-scale: the index
@@ -511,7 +620,12 @@ object StatsIndex {
   def prunedTyped(spark: SparkSession, indexDir: String,
       ranges: Seq[ColRange]): Seq[String] = {
     import spark.implicits._
-    val idx = spark.read.parquet(indexDir)
+    val raw = spark.read.parquet(indexDir)
+    // pre-bloom index: widen so the bloom exclusion arm analyses (and
+    // excludes nothing — NULL filters never rule a key out)
+    val idx =
+      if (raw.columns.contains("bloom")) raw
+      else raw.withColumn("bloom", lit(null).cast("binary"))
     val all = idx.select(col("file")).distinct()
     val excluded = ranges.map(r => idx.filter(exclusion(r))
       .select(col("file"))).reduceOption(_ union _)

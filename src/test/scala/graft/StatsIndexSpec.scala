@@ -355,4 +355,169 @@ class StatsIndexSpec extends SparkSpec {
       Seq(("payload_missing", 0L, 10L)))
     assert(kept == all, "unindexed column must never prune")
   }
+
+  // --- bloom sidecar rows: point-probe file pruning ---
+
+  private lazy val bloomBase = {
+    val dir = Files.createTempDirectory("graft_sidx_bl_").toString
+    // lake clustered on (x, y); doc_id/sname are high-cardinality keys
+    // UNCORRELATED with the layout, so every file spans nearly the full
+    // key range and min/max can never prune a point probe — the shape
+    // the bloom arm exists for. doc_id = id * odd-constant is injective
+    // over Long: each key lives in exactly one row, hence one file.
+    val df = spark.range(60000).select(
+      pmod(hash(col("id")), lit(1024)).as("x"),
+      pmod(hash(col("id") + 7919), lit(1024)).as("y"),
+      (col("id") * 2654435761L).as("doc_id"),
+      concat(lit("doc-"), col("id").cast("string")).as("sname"),
+      col("id").as("payload"))
+    ZOrder.write(df, s"$dir/data", Seq("x", "y"), bits = 10, numFiles = 12)
+    StatsIndex.build(spark, s"$dir/data", Seq("x", "y"), s"$dir/idx",
+      bloomCols = Seq("doc_id", "sname"), bloomItems = 20000,
+      bloomFpp = 0.001)
+    dir
+  }
+
+  test("bloom rows prune point probes that min/max cannot") {
+    val all = StatsIndex.prunedTyped(spark, s"$bloomBase/idx", Nil)
+    assert(all.size >= 8, s"expected many files, got ${all.size}")
+    // min/max is useless here: every file spans ~the full doc_id range
+    val byStats = StatsIndex.prunedTyped(spark, s"$bloomBase/idx",
+      Seq(StatsIndex.LongRange("doc_id", 12345L * 2654435761L,
+        12345L * 2654435761L)))
+    assert(byStats.size == all.size,
+      s"uncorrelated key should not range-prune: ${byStats.size}")
+    // a present key: bloom keeps (essentially) only its own file, and
+    // the pruned read is exactly the full-scan filter
+    val present = StatsIndex.LongEquals("doc_id", 12345L * 2654435761L)
+    val kept = StatsIndex.prunedTyped(spark, s"$bloomBase/idx",
+      Seq(present))
+    assert(kept.nonEmpty && kept.size <= 2,
+      s"present-key probe kept ${kept.size}/${all.size} files")
+    val got = StatsIndex.readPrunedTyped(spark, s"$bloomBase/data",
+      s"$bloomBase/idx", Seq(present))
+    assert(got.count() == 1 &&
+      got.select(col("payload")).head.getLong(0) == 12345L)
+    // an absent key: with 12 files x fpp 0.001 the filters rule every
+    // file out (deterministic — Spark's sketch has no random seed)
+    val absent = StatsIndex.LongEquals("doc_id", 13L) // 13 not a multiple
+    val keptAbs = StatsIndex.prunedTyped(spark, s"$bloomBase/idx",
+      Seq(absent))
+    assert(keptAbs.size <= 1,
+      s"absent-key probe kept ${keptAbs.size}/${all.size} files")
+    assert(StatsIndex.readPrunedTyped(spark, s"$bloomBase/data",
+      s"$bloomBase/idx", Seq(absent)).count() == 0)
+    // string point probes prune the same way
+    val sKept = StatsIndex.prunedTyped(spark, s"$bloomBase/idx",
+      Seq(StatsIndex.StringEquals("sname", "doc-777")))
+    assert(sKept.nonEmpty && sKept.size <= 2,
+      s"string probe kept ${sKept.size}/${all.size} files")
+    val sGot = StatsIndex.readPrunedTyped(spark, s"$bloomBase/data",
+      s"$bloomBase/idx", Seq(StatsIndex.StringEquals("sname", "doc-777")))
+    assert(sGot.count() == 1 &&
+      sGot.select(col("payload")).head.getLong(0) == 777L)
+  }
+
+  test("int32 bloom columns hash consistently with bigint probes") {
+    // x is INT32; the build must widen it to BIGINT before xxhash64 or
+    // every probe (a bigint literal) would hash differently and the
+    // bloom arm would wrongly exclude every file. x = 500 appears in
+    // ~every file, so a consistent bloom keeps them all and the pruned
+    // read equals the full filter.
+    val dir = Files.createTempDirectory("graft_sidx_bi_").toString
+    val df = spark.range(50000).select(
+      pmod(hash(col("id")), lit(256)).cast("int").as("x"),
+      col("id").as("payload"))
+    graft.sources.PartitionedLake.writeClustered(df, s"$dir/data",
+      Seq("payload"), numFiles = 6)
+    StatsIndex.build(spark, s"$dir/data", Seq("x"), s"$dir/idx",
+      bloomCols = Seq("x"), bloomItems = 20000, bloomFpp = 0.001)
+    val probe = StatsIndex.LongEquals("x", 77L)
+    val got = StatsIndex.readPrunedTyped(spark, s"$dir/data", s"$dir/idx",
+      Seq(probe)).count()
+    val want = spark.read.parquet(s"$dir/data")
+      .filter(col("x") === 77).count()
+    assert(got == want && want > 0,
+      s"int32/bigint hash mismatch: pruned $got vs full $want")
+  }
+
+  test("point probes against a bloom-less index fall back to stats " +
+    "arms (no MatchError, no analysis error)") {
+    // `base` was built without bloomCols and predates the bloom column
+    val full = spark.read.parquet(s"$base/data")
+    val probe = StatsIndex.LongEquals("x", 500L)
+    val got = StatsIndex.readPrunedTyped(spark, s"$base/data",
+      s"$base/idx", Seq(probe)).count()
+    val want = full.filter(col("x") === 500L).count()
+    assert(got == want && want > 0)
+    // and a clustered key still range-prunes through the stats arm
+    val all = StatsIndex.prunedTyped(spark, s"$base/idx", Nil)
+    val kept = StatsIndex.prunedTyped(spark, s"$base/idx",
+      Seq(StatsIndex.LongEquals("x", 500L)))
+    assert(kept.size < all.size, "stats arm should still prune")
+  }
+
+  test("refresh keeps existing bloom rows and blooms only the churn") {
+    val dir = Files.createTempDirectory("graft_sidx_br_").toString
+    val mk = (lo: Long, n: Int) => spark.range(n).select(
+      (col("id") + lo).as("k"), (col("id") + lo).as("payload"))
+    mk(0, 5000).coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("k"), s"$dir/idx",
+      bloomCols = Seq("k"), bloomItems = 10000, bloomFpp = 0.001)
+    mk(1000000, 5000).coalesce(1).write.mode("append")
+      .parquet(s"$dir/data")
+    val (added, removed) = StatsIndex.refresh(spark, s"$dir/data",
+      Seq("k"), s"$dir/idx", bloomCols = Seq("k"), bloomItems = 10000,
+      bloomFpp = 0.001)
+    assert(added == 1 && removed == 0, s"churn ($added, $removed)")
+    // every file has exactly one bloom row — old rows survived, the
+    // appended file got its own
+    val bloomRows = spark.read.parquet(s"$dir/idx")
+      .filter(col("kind") === "bloom")
+    assert(bloomRows.count() == 2 &&
+      bloomRows.filter(col("bloom").isNotNull).count() == 2)
+    // a key of the OLD file and one of the NEW file each probe to
+    // exactly their own file; a key in neither probes to none
+    Seq(123L -> 1, 1000123L -> 1, 777777L -> 0).foreach {
+      case (k, expect) =>
+        val kept = StatsIndex.prunedTyped(spark, s"$dir/idx",
+          Seq(StatsIndex.LongEquals("k", k)))
+        assert(kept.size == expect, s"key $k kept ${kept.size} files")
+    }
+  }
+
+  test("unsupported bloom column types fail fast at build") {
+    val dir = Files.createTempDirectory("graft_sidx_bt_").toString
+    spark.range(100).select(col("id").cast("double").as("d"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    val ex = intercept[IllegalArgumentException] {
+      StatsIndex.build(spark, s"$dir/data", Seq("d"), s"$dir/idx",
+        bloomCols = Seq("d"))
+    }
+    assert(ex.getMessage.contains("bloom"))
+  }
+
+  test("bloom_might_contain agrees with the sketch library through " +
+    "both the SQL registration and the serialized index bytes") {
+    graft.GraftExtensions.register(spark)
+    val idx = spark.read.parquet(s"$bloomBase/idx")
+      .filter(col("kind") === "bloom" && col("col") === "doc_id")
+    // ground truth, driver-side, via the public sketch API
+    val blooms = idx.select(col("file"), col("bloom")).collect()
+      .map(r => r.getString(0) ->
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          r.getAs[Array[Byte]](1)))
+    val h = 12345L * 2654435761L
+    val want = blooms.map { case (f, b) =>
+      // the engine probes mightContainLong(xxhash64(value)); reproduce
+      // the hash with the engine's own expression for symmetry
+      f -> b.mightContainLong(
+        spark.range(1).select(xxhash64(lit(h))).head.getLong(0))
+    }.toMap
+    val got = idx.selectExpr("file",
+      s"bloom_might_contain(bloom, xxhash64(CAST($h AS BIGINT))) AS m")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got == want, "expression disagrees with sketch ground truth")
+    assert(want.values.exists(identity), "probe key should hit its file")
+  }
 }
