@@ -97,6 +97,11 @@ object Bench {
     }
     var interleaved = Map.empty[String, Timing]
     var isolated = Map.empty[String, Timing]
+    // per-rep iso times for the committed artifact: medians alone made
+    // the r5 svm_pca 26 s-vs-49 s builder/driver discrepancy
+    // unadjudicable (VERDICT r5 ask #3) — with the reps in the artifact,
+    // variance vs level-shift is readable from the JSON itself
+    var isoReps = Map.empty[String, Seq[Timing]]
     if (runE2e) {
       // deterministic cell order (Map iteration order is not)
       val cells = bench.E2EBench.cells.toSeq.sortBy(_._1)
@@ -128,6 +133,7 @@ object Bench {
               System.gc()
               time { fn(s, path): Unit }
             }
+            isoReps += (name + "_iso") -> reps
             val (errs, times) = (reps.collect { case Left(e) => e },
               reps.collect { case Right(v) => v }.sorted)
             val outcome: Timing =
@@ -177,6 +183,15 @@ object Bench {
       body ++= all.toSeq.sortBy(_._1).map {
         case (k, Right(v)) => s"    ${jsonStr(k)}: $v"
         case (k, Left(_)) => s"    ${jsonStr(k)}: null"
+      }.mkString(",\n")
+      body ++= "\n  },\n  \"reps\": {\n"
+      // raw per-rep iso outcomes, in run order (NOT sorted): rep-1-vs-
+      // rep-3 drift (cache warming, JIT residue) stays visible
+      body ++= isoReps.toSeq.sortBy(_._1).map { case (k, rs) =>
+        s"    ${jsonStr(k)}: [" + rs.map {
+          case Right(v) => v.toString
+          case Left(e) => jsonStr(e)
+        }.mkString(", ") + "]"
       }.mkString(",\n")
       body ++= "\n  },\n  \"errors\": {\n"
       body ++= all.toSeq.sortBy(_._1).collect {

@@ -309,9 +309,24 @@ object ExtendedQueries {
     * original table: the hash match proves write → index → prune →
     * filter loses and fabricates nothing (conservative pruning made a
     * driver-gate guarantee, the batch complement of qs14). */
+  /** Temp workspace for the layout queries (q46/q47/q50): each run
+    * writes a full clustered copy of lineitem plus an index, so
+    * repeated bench rounds would leak disk without cleanup — register
+    * recursive deletion at JVM exit (ADVICE r5). */
+  private def tempWork(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(tag)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rec(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rec)
+        f.delete(); ()
+      }
+      try rec(p.toFile) catch { case _: Throwable => () }
+    }))
+    p.toString
+  }
+
   val q46PrunedScan: Q = (s, dir) => {
-    val work = java.nio.file.Files
-      .createTempDirectory("graft_q46_").toString
+    val work = tempWork("graft_q46_")
     ZOrder.write(table(s, dir, "lineitem"), s"$work/lake",
       Seq("l_partkey", "l_suppkey"), bits = 10, numFiles = 8)
     graft.sources.StatsIndex.build(s, s"$work/lake",
@@ -334,8 +349,7 @@ object ExtendedQueries {
     * and fabricates nothing. */
   val q47TypedPrunedScan: Q = (s, dir) => {
     import graft.sources.StatsIndex
-    val work = java.nio.file.Files
-      .createTempDirectory("graft_q47_").toString
+    val work = tempWork("graft_q47_")
     graft.sources.PartitionedLake.writeClustered(
       table(s, dir, "lineitem"), s"$work/lake",
       Seq("l_extendedprice"), numFiles = 8)
@@ -362,8 +376,7 @@ object ExtendedQueries {
     * nothing; a false positive merely keeps an extra file. */
   val q50BloomPrunedScan: Q = (s, dir) => {
     import graft.sources.StatsIndex
-    val work = java.nio.file.Files
-      .createTempDirectory("graft_q50_").toString
+    val work = tempWork("graft_q50_")
     ZOrder.write(table(s, dir, "lineitem"), s"$work/lake",
       Seq("l_partkey", "l_suppkey"), bits = 10, numFiles = 8)
     StatsIndex.build(s, s"$work/lake", Seq("l_partkey"), s"$work/idx",
@@ -373,6 +386,37 @@ object ExtendedQueries {
       Seq(StatsIndex.LongEquals("l_orderkey", 1L)))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price"))
+  }
+
+  /** DOUBLE-point bloom skipping, oracle-checked end to end (r5
+    * VERDICT ask #7): lineitem z-ordered on (partkey, suppkey) — so
+    * every file spans nearly the full price range and min/max stats
+    * CANNOT prune a price point probe — then stats-indexed with a
+    * per-file double bloom sidecar on `l_extendedprice` and read
+    * through a [[graft.sources.StatsIndex.DoubleEquals]] probe. The
+    * probe value comes from the data itself (the first line of the
+    * smallest order — a bounded TakeOrdered single-row collect) so
+    * the query is scale-factor independent; the oracle recomputes it
+    * as a scalar subquery. The
+    * hash match proves the double arm (bit-symmetric xxhash64 on the
+    * widened double, ±0.0/NaN guards, min/max degenerate range)
+    * loses and fabricates nothing. */
+  val q51DoubleBloomScan: Q = (s, dir) => {
+    import graft.sources.StatsIndex
+    val work = tempWork("graft_q51_")
+    val li = table(s, dir, "lineitem")
+    val v = li
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_extendedprice")).head.getDouble(0)
+    ZOrder.write(li, s"$work/lake", Seq("l_partkey", "l_suppkey"),
+      bits = 10, numFiles = 8)
+    StatsIndex.build(s, s"$work/lake", Seq("l_partkey"), s"$work/idx",
+      bloomCols = Seq("l_extendedprice"), bloomItems = 100000,
+      bloomFpp = 0.001)
+    StatsIndex.readPrunedTyped(s, s"$work/lake", s"$work/idx",
+      Seq(StatsIndex.DoubleEquals("l_extendedprice", v)))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
   }
 
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
@@ -392,6 +436,7 @@ object ExtendedQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q51_double_bloom_scan" -> q51DoubleBloomScan,
     "q50_bloom_pruned_scan" -> q50BloomPrunedScan,
     "q48_hilbert3" -> q48Hilbert3,
     "q47_typed_pruned_scan" -> q47TypedPrunedScan,
@@ -413,6 +458,14 @@ object ExtendedQueries {
     "qi1_indicator_frames" -> qi1IndicatorFrames)
 
   val sql: Map[String, String] = Map(
+    "q51_double_bloom_scan" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |WHERE l_extendedprice = (
+         |  SELECT l_extendedprice FROM lineitem
+         |  ORDER BY l_orderkey, l_linenumber LIMIT 1)
+         |GROUP BY 1""".stripMargin,
     "q50_bloom_pruned_scan" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  ${sqlSumd("l_extendedprice")} AS sum_price

@@ -37,14 +37,27 @@ object Oracle {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
-    * natively: read nanos as long and rebuild a micro-precision NTZ
-    * timestamp (the synthetic data is micro-granular, so `div 1000` is
-    * lossless; DuckDB's TIMESTAMP cast truncates identically). */
+  /** Schema-adaptive `events` loader. Generators have shipped `events.ts`
+    * both as parquet TIMESTAMP(NANOS) — which Spark 4 only reads as a raw
+    * nanosecond long under `legacy.parquet.nanosAsLong` — and as native
+    * micro-precision TIMESTAMP (NTZ or LTZ). Inspect the read schema and
+    * normalize every variant to micro-precision TIMESTAMP_NTZ, the type
+    * the whole catalog (and the DuckDB oracle) assumes. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
-        expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.withColumn("ts", normalizeTs(raw, "ts"))
   }
+
+  /** Normalize a timestamp-ish column to TIMESTAMP_NTZ regardless of how
+    * the parquet writer encoded it (nanos-as-long, native micros NTZ/LTZ). */
+  def normalizeTs(df: DataFrame, colName: String): Column =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // legacy nanos-as-long: micro-granular data, so `div 1000` is
+        // lossless; DuckDB's TIMESTAMP cast truncates identically
+        expr(s"timestamp_micros($colName div 1000)").cast("timestamp_ntz")
+      case _ =>
+        col(colName).cast("timestamp_ntz")
+    }
 }

@@ -27,21 +27,21 @@ object StreamQueryCatalog {
 
   private val runId = new AtomicInteger(0)
 
-  /** events.parquet as a stream, with the same TIMESTAMP(NANOS) → micro
-    * NTZ rebuild as the batch reader (`Oracle.events`). */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  /** events.parquet as a stream, with the same schema-adaptive `ts`
+    * normalization as the batch reader (`Oracle.events`): nanos-as-long,
+    * native micros NTZ, and LTZ variants all become TIMESTAMP_NTZ. */
+  private[graft] def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val rawSchema = s.read.parquet(path).schema
+    val raw = s.read.parquet(path)
     // the file-stream source rejects a bare file path (basePath must be a
     // directory); a glob that matches only events.parquet streams it
     // cleanly with basePath = the sf dir
-    s.readStream.schema(rawSchema).parquet(s"$dir/events.parque[t]")
-      .withColumn("ts",
-        expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    s.readStream.schema(raw.schema).parquet(s"$dir/events.parque[t]")
+      .withColumn("ts", graft.queries.Oracle.normalizeTs(raw, "ts"))
   }
 
-  private def runToTable(df: DataFrame, s: SparkSession,
+  private[graft] def runToTable(df: DataFrame, s: SparkSession,
       mode: String): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
     // stateful operators open several state stores PER shuffle partition;

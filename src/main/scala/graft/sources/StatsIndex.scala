@@ -13,7 +13,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.util.sketch.{BloomFilter => SketchBloom}
 
 import scala.jdk.CollectionConverters._
@@ -117,6 +117,26 @@ object StatsIndex {
   final case class StringEquals(name: String, v: String) extends ColRange {
     def predicate: Column = col(name) === v
   }
+  /** Point lookup on a fractional column: the degenerate range [v, v]
+    * for the min/max arms plus, when the index carries a double bloom
+    * row, filter membership. The bloom arm is skipped for v == ±0.0:
+    * SQL equality identifies the two zeros but their IEEE bit patterns
+    * (and thus hashes, absent engine-side normalization) differ, so a
+    * membership miss on one zero could wrongly exclude a file holding
+    * the other — min/max pruning still applies. */
+  final case class DoubleEquals(name: String, v: Double) extends ColRange {
+    def predicate: Column = col(name) === v
+  }
+  /** Point lookup on a timestamp column, pruned against the index's
+    * micros-normalized stats (floor/ceil widening keeps sub-micro
+    * probes conservative); date-kinded stats prune with the same
+    * ±1-day timezone slack as [[TimestampRange]]. */
+  final case class TimestampEquals(name: String, v: java.time.Instant)
+      extends ColRange {
+    def predicate: Column = col(name) === lit(v)
+    def loMicros: Long = instantMicrosFloor(v)
+    def hiMicros: Long = instantMicrosCeil(v)
+  }
 
   private def instantMicrosFloor(i: java.time.Instant): Long =
     math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L),
@@ -169,11 +189,16 @@ object StatsIndex {
     *
     * The aggregated file-path spelling can differ from [[listData]]'s
     * canonical one (URI vs Path form), so rows are mapped back through
-    * a broadcast translation of the known spellings; an unmatched
-    * spelling drops the row — a file without a bloom row is merely
-    * never bloom-excluded (and [[refresh]] keys on the stats rows,
-    * which always carry the canonical spelling). A file whose column
-    * is all-null aggregates to a NULL filter and is likewise kept. */
+    * a broadcast translation of the known spellings. A spelling that
+    * matches NO candidate (e.g. percent-encoding drift on an object
+    * store) would silently drop every bloom row and degrade point
+    * probes to no pruning — so the translation is CHECKED up front:
+    * every distinct `_metadata.file_path` spelling must resolve, else
+    * the build fails fast. A file whose column is all-null still gets
+    * a bloom row: `xxhash64(NULL)` evaluates to the seed (42), so the
+    * filter contains exactly the null-seed hash — safe, because an
+    * equality probe never targets NULL, and a probe value that
+    * happens to collide with the seed hash merely keeps the file. */
   private def bloomFor(spark: SparkSession, files: Seq[String],
       bloomCols: Seq[String], bloomItems: Long, bloomFpp: Double)
       : DataFrame = {
@@ -181,6 +206,23 @@ object StatsIndex {
     require(bloomItems > 0, s"bloomItems must be positive: $bloomItems")
     require(bloomFpp > 0 && bloomFpp < 1, s"bloomFpp out of (0,1): $bloomFpp")
     val numBits = SketchBloom.optimalNumOfBits(bloomItems, bloomFpp)
+    // BloomFilterAggregate SILENTLY caps both parameters at the
+    // session's runtime-bloom maxima (default 4M items / 67M bits): at
+    // this class's motivating scale (~1 GiB files, >4M distinct keys)
+    // the effective false-positive rate would quietly exceed the
+    // requested bloomFpp and pruning would weaken with no signal.
+    // Fail fast instead; callers needing bigger filters raise the conf.
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    require(bloomItems <= maxItems && numBits <= maxBits,
+      s"StatsIndex bloom: bloomItems=$bloomItems / numBits=$numBits " +
+        s"exceed the session caps (maxNumItems=$maxItems, " +
+        s"maxNumBits=$maxBits) — BloomFilterAggregate would silently " +
+        "truncate and the real FPP would exceed the requested " +
+        s"$bloomFpp; raise spark.sql.optimizer.runtime.bloomFilter.* " +
+        "or lower bloomItems/bloomFpp")
     val base = spark.read.parquet(files: _*)
     val types: Map[String, DataType] =
       base.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -189,10 +231,14 @@ object StatsIndex {
         case Some(ByteType | ShortType | IntegerType | LongType) =>
           name -> xxhash64(col(name).cast(LongType))
         case Some(StringType) => name -> xxhash64(col(name))
+        case Some(FloatType | DoubleType) =>
+          // widened to double for the same build/probe hash symmetry
+          // as the integral→bigint cast; probed by [[DoubleEquals]]
+          name -> xxhash64(col(name).cast(DoubleType))
         case Some(other) => throw new IllegalArgumentException(
           s"StatsIndex bloom: column '$name' is $other — bloom rows " +
-            "support integral and string columns (equality probes on " +
-            "fractional/temporal keys are not meaningful prune keys)")
+            "support integral, fractional and string columns " +
+            "(equality probes on temporal keys prune via min/max)")
         case None => throw new IllegalArgumentException(
           s"StatsIndex bloom: column '$name' not present in $files")
       }
@@ -212,10 +258,28 @@ object StatsIndex {
       Seq(lit(name), col(s"__b$i")) }
     val stacked = grouped.select(col("__path"),
       explode(map(pairs: _*)).as(Seq("col", "bloom")))
-    val spellings = files.flatMap { f =>
+    val spellingPairs = files.flatMap { f =>
       val p = new Path(f)
       Seq(f, p.toString, p.toUri.toString).distinct.map(sp => (sp, f))
-    }.distinct.toDF("__path", "file")
+    }.distinct
+    // checked translation: if Spark's _metadata.file_path spelling for
+    // ANY file matches none of the candidates (percent-encoding drift
+    // on object-store paths with spaces/special chars), the join below
+    // would silently drop that file's bloom rows — point-probe pruning
+    // degrades to nothing with zero signal. The distinct-path probe is
+    // metadata-cheap (empty data projection) and turns that silence
+    // into a build-time failure.
+    val knownSpellings = spellingPairs.map(_._1).toSet
+    val actual = base.select(col("_metadata.file_path"))
+      .distinct().as[String].collect()
+    val unmatched = actual.filterNot(knownSpellings)
+    require(unmatched.isEmpty,
+      s"StatsIndex bloom: ${unmatched.length} file-path spelling(s) " +
+        s"from _metadata.file_path match no canonical candidate " +
+        s"(e.g. '${unmatched.headOption.getOrElse("")}') — their bloom " +
+        "rows would be silently dropped and point probes would stop " +
+        "pruning those files")
+    val spellings = spellingPairs.toDF("__path", "file")
     stacked.join(broadcast(spellings), Seq("__path"))
       .select(col("file"),
         lit(null).cast("bigint").as("row_count"),
@@ -586,6 +650,36 @@ object StatsIndex {
         (col("kind") === "string" &&
           (col("smax") < v || col("smin") > v)) ||
         bloomExcludes(xxhash64(lit(v))))
+    case DoubleEquals(name, v) =>
+      // long-kind stats: an integral probe compares exactly in long
+      // space; a non-integer (or non-finite) probe can never equal an
+      // integer column, so every long-stat row is excludable outright
+      val longArm =
+        if (v == math.rint(v) && v >= Long.MinValue.toDouble &&
+            v <= Long.MaxValue.toDouble) {
+          val vl = v.toLong
+          col("kind").isin("long", "date") &&
+            (col("lmax") < vl || col("lmin") > vl)
+        } else col("kind").isin("long", "date")
+      val mm = col("col") === name && (
+        (col("kind") === "double" &&
+          (col("dmax") < v || col("dmin") > v)) ||
+        longArm)
+      // ±0.0 skips the bloom arm (case-class doc); NaN's comparisons
+      // above are all false — the file survives, the exact re-filter
+      // then returns no rows (SQL equality never matches NaN)
+      if (v == 0.0d || v.isNaN) mm
+      else mm || (col("col") === name &&
+        bloomExcludes(xxhash64(lit(v))))
+    case t @ TimestampEquals(name, _) =>
+      val md = 86400000000L // micros per day
+      val loDay = Math.floorDiv(t.loMicros, md) - 1L
+      val hiDay = Math.floorDiv(t.hiMicros, md) + 1L
+      col("col") === name && (
+        (col("kind") === "long" &&
+          (col("lmax") < t.loMicros || col("lmin") > t.hiMicros)) ||
+        (col("kind") === "date" &&
+          (col("lmax") < loDay || col("lmin") > hiDay)))
     case t @ TimestampRange(name, _, _) =>
       // date stats are epoch DAYS: compare day-converted bounds with
       // ±1-day slack so a session-timezone date→timestamp cast (±14 h)
@@ -603,10 +697,13 @@ object StatsIndex {
   /** Bloom-arm exclusion over index rows: a `kind = "bloom"` row
     * whose filter definitively rules the probed hash out. `hash` must
     * be `xxhash64` of the SAME logical type the build hashed (bigint
-    * for integral columns, string as-is) — [[bloomFor]] widens
-    * integral columns to bigint for exactly this symmetry. A NULL
-    * bloom (pre-bloom index row, all-null column) makes the conjunct
-    * NULL → the row excludes nothing → the file is kept. */
+    * for integral columns, double for fractional, string as-is) —
+    * [[bloomFor]] widens columns for exactly this symmetry. A NULL
+    * bloom (pre-bloom index row) makes the conjunct NULL → the row
+    * excludes nothing → the file is kept. An all-null column is NOT
+    * null here: it holds exactly the null-seed hash (`xxhash64(NULL)`
+    * = the seed), so such files CAN be bloom-excluded on point
+    * probes — safe, because equality never matches NULL. */
   private def bloomExcludes(hash: Column): Column =
     col("kind") === "bloom" &&
       !GraftColumnBridge.toColumn(graft.functions.BloomMightContain(

@@ -557,6 +557,75 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(bad.isNullAt(bad.fieldIndex("mp4_duration_sec")))
   }
 
+  /** JPEG-in-MP4 fixture: a real ImageIO JPEG muxed as sample 0 of a
+    * `fourcc` video track, with a correct sample table (stsd + stsz +
+    * stco pointing into mdat). Layout: ftyp, mdat(jpeg), moov. */
+  private def jpegMp4(jpeg: Array[Byte], fourcc: String = "jpeg",
+      stcoOverride: Option[Int] = None): Array[Byte] = {
+    val ftyp = ftypBox()
+    val mdatOff = ftyp.length + 8 // first payload byte of mdat
+    val stbl = mp4Box("stbl",
+      mp4Box("stsd", beBytes(16)(
+        _.putInt(0).putInt(1).putInt(8).put(fourcc.getBytes("US-ASCII")))),
+      // stsz: version/flags, uniform sample size, sample count
+      mp4Box("stsz", beBytes(12)(
+        _.putInt(0).putInt(jpeg.length).putInt(1))),
+      // stco: version/flags, entry count, first chunk offset
+      mp4Box("stco", beBytes(12)(
+        _.putInt(0).putInt(1).putInt(stcoOverride.getOrElse(mdatOff)))))
+    val trak = mp4Box("trak", tkhdV0(4, 4),
+      mp4Box("mdia",
+        mp4Box("hdlr", beBytes(24)(
+          _.putInt(0).putInt(0).put("vide".getBytes("US-ASCII")))),
+        mp4Box("minf", stbl)))
+    ftyp ++ mp4Box("mdat", jpeg) ++
+      mp4Box("moov", mvhdV0(600, 1200), trak)
+  }
+
+  test("Mp4MetaCodec.firstKeyframe: JPEG-in-MP4 sample 0 extracted " +
+    "byte-exactly; non-JPEG codecs and hostile tables reject") {
+    val jpeg = imageBytes("jpg",
+      Array.tabulate(4, 4)((_, _) => (120, 60, 30)))
+    val kf = Mp4MetaCodec.firstKeyframe(jpegMp4(jpeg))
+    assert(kf.isDefined, "keyframe not extracted")
+    assert(kf.get.toSeq == jpeg.toSeq,
+      "keyframe bytes differ from the muxed JPEG")
+    // the extracted frame decodes through the ordinary image pipeline
+    val feat = ImageCodec.decodeToFeatures(kf.get)
+    assert(feat(0) == 4f && feat(1) == 4f)
+    // mjpa samples are JPEGs too — same extraction
+    assert(Mp4MetaCodec.firstKeyframe(jpegMp4(jpeg, "mjpa")).isDefined)
+    // an avc1 track is honestly un-decoded (no pure-JVM H.264)
+    assert(Mp4MetaCodec.firstKeyframe(jpegMp4(jpeg, "avc1")).isEmpty)
+    // hostile stco: offset past the payload end must reject, not read
+    // out of bounds
+    assert(Mp4MetaCodec.firstKeyframe(
+      jpegMp4(jpeg, stcoOverride = Some(1 << 28))).isEmpty)
+    // offset pointing at non-JPEG bytes (the ftyp header) rejects on
+    // the SOI check
+    assert(Mp4MetaCodec.firstKeyframe(
+      jpegMp4(jpeg, stcoOverride = Some(0))).isEmpty)
+    // container metadata still parses for all variants
+    assert(Mp4MetaCodec.parse(jpegMp4(jpeg)).get
+      .videoTracks.head.fourcc == "jpeg")
+  }
+
+  test("sampleMp4Keyframes: one image row per JPEG-in-MP4; H.264 and " +
+    "non-MP4 emit nothing") {
+    val jpeg = imageBytes("jpg",
+      Array.tabulate(4, 4)((_, _) => (10, 200, 90)))
+    val media = Seq(
+      (1L, "video", jpegMp4(jpeg)),
+      (2L, "video", jpegMp4(jpeg, "avc1")),
+      (3L, "video", "no container".getBytes))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+    val frames = Multimodal.sampleMp4Keyframes(media).collect()
+    assert(frames.length == 1 && frames.head.getLong(0) == 1L)
+    assert(frames.head.getInt(1) == 0)
+    assert(frames.head.getAs[Array[Byte]](2).toSeq == jpeg.toSeq)
+  }
+
   test("extractFeatures dispatches by kind: real codecs for audio/image") {
     val wav = wavBytes(1, 16000, Array[Short](1000, -1000))
     val bmp = bmpBytes(Array(Array((100, 150, 200))))

@@ -488,13 +488,108 @@ class StatsIndexSpec extends SparkSpec {
 
   test("unsupported bloom column types fail fast at build") {
     val dir = Files.createTempDirectory("graft_sidx_bt_").toString
-    spark.range(100).select(col("id").cast("double").as("d"))
+    spark.range(100)
+      .select(expr("timestamp_micros(id * 1000000)").as("t"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
     val ex = intercept[IllegalArgumentException] {
-      StatsIndex.build(spark, s"$dir/data", Seq("d"), s"$dir/idx",
-        bloomCols = Seq("d"))
+      StatsIndex.build(spark, s"$dir/data", Seq("t"), s"$dir/idx",
+        bloomCols = Seq("t"))
     }
     assert(ex.getMessage.contains("bloom"))
+  }
+
+  test("bloom parameters beyond the session runtime caps fail fast") {
+    val dir = Files.createTempDirectory("graft_sidx_cap_").toString
+    spark.range(100).select(col("id").as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val ex = intercept[IllegalArgumentException] {
+      StatsIndex.build(spark, s"$dir/data", Seq("k"), s"$dir/idx",
+        bloomCols = Seq("k"), bloomItems = maxItems + 1)
+    }
+    assert(ex.getMessage.contains("cap"))
+  }
+
+  test("double bloom rows prune fractional point probes; zero and NaN " +
+    "probes stay conservative") {
+    val dir = Files.createTempDirectory("graft_sidx_db_").toString
+    // price = id * 1.25 clustered on an UNCORRELATED key, so every
+    // file spans ~the full price range and min/max cannot prune
+    val df = spark.range(60000).select(
+      pmod(hash(col("id")), lit(1000000)).as("shuffle_key"),
+      (col("id") * lit(1.25)).as("price"),
+      col("id").as("payload"))
+    graft.sources.PartitionedLake.writeClustered(df, s"$dir/data",
+      Seq("shuffle_key"), numFiles = 8)
+    StatsIndex.build(spark, s"$dir/data", Seq("shuffle_key"),
+      s"$dir/idx", bloomCols = Seq("price"), bloomItems = 20000,
+      bloomFpp = 0.001)
+    val all = StatsIndex.prunedTyped(spark, s"$dir/idx", Nil)
+    // present value: kept files contain it; pruned read == full filter
+    val v = 12345L * 1.25
+    val got = StatsIndex.readPrunedTyped(spark, s"$dir/data",
+      s"$dir/idx", Seq(StatsIndex.DoubleEquals("price", v)))
+    assert(got.count() == 1 &&
+      got.select(col("payload")).head.getLong(0) == 12345L)
+    // absent value (never a multiple of 1.25): bloom rules ~all out
+    val keptAbs = StatsIndex.prunedTyped(spark, s"$dir/idx",
+      Seq(StatsIndex.DoubleEquals("price", 17.17)))
+    assert(keptAbs.size <= 1,
+      s"absent-value probe kept ${keptAbs.size}/${all.size} files")
+    // 0.0 probe: bloom arm must be skipped (±0.0 hash asymmetry) —
+    // pruned read still equals the full filter (row id=0 exists)
+    val zero = StatsIndex.readPrunedTyped(spark, s"$dir/data",
+      s"$dir/idx", Seq(StatsIndex.DoubleEquals("price", 0.0)))
+    assert(zero.count() ==
+      spark.read.parquet(s"$dir/data")
+        .filter(col("price") === 0.0).count())
+    // NaN probe: conservative (no exclusion), and the exact re-filter
+    // returns nothing — never a wrong exclusion, never a fabrication
+    assert(StatsIndex.readPrunedTyped(spark, s"$dir/data", s"$dir/idx",
+      Seq(StatsIndex.DoubleEquals("price", Double.NaN))).count() == 0)
+  }
+
+  test("TimestampEquals prunes micros-normalized and date-kinded stats " +
+    "conservatively") {
+    val dir = Files.createTempDirectory("graft_sidx_te_").toString
+    // ts ascends over ~70 days; date column mirrors it day-granular
+    val df = spark.range(100000).select(
+      // NTZ: Spark writes LTZ as INT96 (statless in the footer walk);
+      // NTZ is always INT64-micros, the annotated form the index reads
+      expr("timestamp_micros(id * 60000000)").cast("timestamp_ntz")
+        .as("ts"), // 1/minute
+      expr("date_add(DATE '2021-01-01', CAST(id / 1440 AS INT))")
+        .as("d"),
+      col("id").as("payload"))
+    graft.sources.PartitionedLake.writeClustered(df, s"$dir/data",
+      Seq("payload"), numFiles = 8)
+    StatsIndex.build(spark, s"$dir/data", Seq("ts", "d"), s"$dir/idx")
+    val all = StatsIndex.prunedTyped(spark, s"$dir/idx", Nil)
+    // a mid-range instant keeps few files, and the pruned read equals
+    // the full-scan filter exactly
+    val probe = StatsIndex.TimestampEquals("ts",
+      java.time.Instant.ofEpochSecond(50000L * 60))
+    val kept = StatsIndex.prunedTyped(spark, s"$dir/idx", Seq(probe))
+    assert(kept.nonEmpty && kept.size < all.size,
+      s"timestamp point probe kept ${kept.size}/${all.size}")
+    val got = StatsIndex.readPrunedTyped(spark, s"$dir/data",
+      s"$dir/idx", Seq(probe))
+    assert(got.count() == 1 &&
+      got.select(col("payload")).head.getLong(0) == 50000L)
+    // date-kinded stats: a probe into one day keeps that day's files
+    // (±1-day slack) and loses nothing vs the full filter
+    val dayProbe = StatsIndex.TimestampEquals("d",
+      java.time.Instant.parse("2021-02-05T00:00:00Z"))
+    val keptD = StatsIndex.prunedTyped(spark, s"$dir/idx", Seq(dayProbe))
+    assert(keptD.nonEmpty && keptD.size < all.size,
+      s"date point probe kept ${keptD.size}/${all.size}")
+    val gotD = StatsIndex.readPrunedTyped(spark, s"$dir/data",
+      s"$dir/idx", Seq(dayProbe)).count()
+    val wantD = spark.read.parquet(s"$dir/data")
+      .filter(col("d") === lit(java.sql.Date.valueOf("2021-02-05")))
+      .count()
+    assert(gotD == wantD && wantD > 0, s"date probe: $gotD vs $wantD")
   }
 
   test("bloom_might_contain agrees with the sketch library through " +

@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Render SCALE.md's interleaved-vs-iso e2e pair table FROM a committed
+BENCH_FULL_r{N}.json artifact (VERDICT r5 ask #8: the table must match
+the artifact byte-for-byte, not a hand-copied builder-side run).
+
+Usage: python3 tools/pair_table.py BENCH_FULL_r06.json
+Prints the markdown table (with per-rep iso times when the artifact
+carries a "reps" map) to stdout; paste into SCALE.md verbatim.
+"""
+import json
+import sys
+
+
+def main(path: str) -> None:
+    with open(path) as f:
+        data = json.load(f)
+    q = data["queries"]
+    reps = data.get("reps", {})
+    cells = sorted(
+        k for k in q if k.startswith("e2e_") and not k.endswith("_iso"))
+    if reps:
+        print("| cell | interleaved | iso (median) | iso reps (run order) |")
+        print("|---|---|---|---|")
+    else:
+        print("| cell | interleaved | iso (median of reps, JIT-warm) |")
+        print("|---|---|---|")
+
+    def fmt(v):
+        return "error" if v is None else f"{v:.1f}"
+
+    for c in cells:
+        iso = q.get(c + "_iso")
+        row = [f"`{c}`", fmt(q[c]), fmt(iso)]
+        if reps:
+            rr = reps.get(c + "_iso", [])
+            row.append(", ".join(
+                f"{r:.1f}" if isinstance(r, (int, float)) else "error"
+                for r in rr))
+        print("| " + " | ".join(row) + " |")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])
