@@ -160,8 +160,17 @@ object Bench {
     // interleaved-only total, comparable with rounds 1-3; failures excluded
     val total = (results ++ interleaved).values
       .collect { case Right(v) => v }.sum
+    // per-rep iso times ride along on the one-line JSON too: filtered
+    // spot runs (SPARK_GRAFT_ONLY) skip the full artifact, and those
+    // are exactly the runs used to investigate variance
+    val repsJson = isoReps.toSeq.sortBy(_._1).map { case (k, rs) =>
+      jsonStr(k) + ":[" + rs.map {
+        case Right(v) => v.toString
+        case Left(e) => jsonStr(e)
+      }.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // full committed artifact — one key per line so round-over-round git
     // diffs stay readable; only for unfiltered runs
