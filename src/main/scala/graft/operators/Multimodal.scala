@@ -17,10 +17,12 @@ import org.apache.spark.sql.types._
   * (RIFF/AVI walk + per-frame JPEG decode), and
   * [[Multimodal.Mp4MetaCodec]] (ISO-BMFF box walk — container metadata
   * for every MP4, plus REAL first-keyframe extraction for JPEG-in-MP4
-  * tracks via the sample table; no pure-JVM H.264/AAC codec exists, so
-  * other MP4/MKV frame content falls back to [[FakeCodec]], a
+  * tracks via the sample table), and [[Multimodal.MkvMetaCodec]]
+  * (hardened EBML walk — MKV/WebM container metadata). No pure-JVM
+  * H.264/VP9/AAC codec exists, so MP4/MKV frame content (beyond the
+  * JPEG-in-MP4 keyframes) falls back to [[FakeCodec]], a
   * clearly-marked deterministic byte-histogram stand-in that otherwise
-  * serves as the test double).
+  * serves as the test double.
   * All codecs share the [[MediaCodec]] partition-wise batch interface
   * (the Scala shape of a `mapInPandas` batch UDF), so swapping a real
   * video decoder in is a one-object change.
@@ -625,10 +627,201 @@ object Multimodal {
       }
   }
 
+  /** MKV / WebM (Matroska, EBML) container METADATA parse — pure JVM,
+    * no codec; the EBML sibling of [[Mp4MetaCodec]]'s ISO-BMFF walk.
+    * Reads the EBML header's DocType ("matroska"/"webm"), Segment →
+    * Info (TimestampScale ns/tick, default 1e6; float Duration in
+    * ticks) and Segment → Tracks → per-TrackEntry TrackType
+    * (1 = video, 2 = audio), CodecID and Video → PixelWidth/
+    * PixelHeight. Frame content is NOT decoded — Matroska payloads
+    * are almost always VP8/VP9/H.264, none JVM-decodable — so content
+    * features stay on the documented [[FakeCodec]]; what IS real is
+    * the corpus-curation filter surface (duration, resolution, track
+    * layout, codec id), exactly as for MP4.
+    *
+    * Hardening per the shared byte-parser contract: variable-length
+    * integers are width-checked (1–8 bytes, reject malformed), every
+    * element size is Long-checked against its enclosing bound,
+    * unknown-size elements (all value bits set — streamed Segments)
+    * extend to their enclosure, and the walk is capped at
+    * [[MkvMetaCodec.MaxElems]] elements / [[MkvMetaCodec.MaxDepth]]
+    * depth. Any violation rejects the whole payload. */
+  object MkvMetaCodec extends MediaCodec {
+    val featureDim = 8
+    val MaxElems = 4096
+    val MaxDepth = 8
+
+    final case class MkvTrack(trackType: Long, codecId: String,
+      width: Long, height: Long)
+    final case class MkvInfo(docType: String, timestampScaleNs: Long,
+      durationSec: Double, tracks: Seq[MkvTrack]) {
+      def videoTracks: Seq[MkvTrack] = tracks.filter(_.trackType == 1L)
+      def audioTracks: Seq[MkvTrack] = tracks.filter(_.trackType == 2L)
+    }
+
+    // EBML element IDs (marker bit retained, as they appear on the wire)
+    private val IdEbml = 0x1A45DFA3L
+    private val IdDocType = 0x4282L
+    private val IdSegment = 0x18538067L
+    private val IdInfo = 0x1549A966L
+    private val IdTimestampScale = 0x2AD7B1L
+    private val IdDuration = 0x4489L
+    private val IdTracks = 0x1654AE6BL
+    private val IdTrackEntry = 0xAEL
+    private val IdTrackType = 0x83L
+    private val IdCodecId = 0x86L
+    private val IdVideo = 0xE0L
+    private val IdPixelWidth = 0xB0L
+    private val IdPixelHeight = 0xBAL
+
+    private[operators] def isMkv(p: Array[Byte]): Boolean =
+      p != null && p.length >= 4 &&
+        (p(0) & 0xff) == 0x1A && (p(1) & 0xff) == 0x45 &&
+        (p(2) & 0xff) == 0xDF && (p(3) & 0xff) == 0xA3
+
+    def parse(payload: Array[Byte]): Option[MkvInfo] = {
+      if (!isMkv(payload)) return None
+      var elems = 0
+      var ok = true
+      var docType = ""
+      var tsScale = 1000000L // EBML default: 1 ms per tick
+      var durationTicks = -1.0
+      val tracks = Seq.newBuilder[MkvTrack]
+
+      def u8(off: Long): Int = payload(off.toInt) & 0xff
+      /** EBML vint at `off`: (value, total width). `keepMarker` for
+        * element IDs (compared marker-and-all), cleared for sizes.
+        * Returns null on malformed/truncated (width 0 or > 8, or
+        * crossing `end`). */
+      def vint(off: Long, end: Long, keepMarker: Boolean)
+          : Option[(Long, Int)] = {
+        if (off >= end) return None
+        val first = u8(off)
+        if (first == 0) return None // width > 8: not representable
+        val width = java.lang.Integer.numberOfLeadingZeros(first) - 23
+        if (off + width > end) return None
+        var v: Long =
+          if (keepMarker) first.toLong
+          else first.toLong & ((1 << (8 - width)) - 1)
+        var i = 1
+        while (i < width) { v = (v << 8) | u8(off + i); i += 1 }
+        Some((v, width))
+      }
+      /** All-value-bits-set size = "unknown" (streamed Segment). */
+      def isUnknownSize(raw: Long, width: Int): Boolean =
+        raw == (1L << (7 * width)) - 1
+      def uintAt(s: Long, e: Long): Long = {
+        var v = 0L; var i = s
+        while (i < e) { v = (v << 8) | u8(i); i += 1 }
+        v
+      }
+      def strAt(s: Long, e: Long): String =
+        new String(payload, s.toInt, (e - s).toInt,
+          java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != 0)
+      def floatAt(s: Long, e: Long): Option[Double] = (e - s) match {
+        case 4 => Some(java.lang.Float.intBitsToFloat(
+          uintAt(s, e).toInt).toDouble)
+        case 8 => Some(java.lang.Double.longBitsToDouble(uintAt(s, e)))
+        case _ => None
+      }
+
+      def forElems(start: Long, end: Long, depth: Int)(
+          f: (Long, Long, Long) => Unit): Unit = {
+        var off = start
+        while (ok && off < end) {
+          elems += 1
+          if (elems > MaxElems || depth > MaxDepth) { ok = false; return }
+          vint(off, end, keepMarker = true) match {
+            case None => ok = false; return
+            case Some((id, idW)) =>
+              vint(off + idW, end, keepMarker = false) match {
+                case None => ok = false; return
+                case Some((rawSize, szW)) =>
+                  val hdr = idW + szW
+                  val bodyStart = off + hdr
+                  val bodyEnd =
+                    if (isUnknownSize(rawSize, szW)) end
+                    else bodyStart + rawSize
+                  // size is vint-positive; only the upper bound can lie
+                  if (bodyEnd > end || bodyEnd < bodyStart) {
+                    ok = false; return
+                  }
+                  f(id, bodyStart, bodyEnd)
+                  off = bodyEnd
+              }
+          }
+        }
+      }
+
+      forElems(0, payload.length.toLong, 0) {
+        case (IdEbml, s, e) =>
+          forElems(s, e, 1) {
+            case (IdDocType, ds, de) => docType = strAt(ds, de)
+            case _ => ()
+          }
+        case (IdSegment, s, e) =>
+          forElems(s, e, 1) {
+            case (IdInfo, is, ie) =>
+              forElems(is, ie, 2) {
+                case (IdTimestampScale, ts, te) =>
+                  val v = uintAt(ts, te)
+                  if (v > 0) tsScale = v
+                case (IdDuration, ds, de) =>
+                  floatAt(ds, de) match {
+                    case Some(d) => durationTicks = d
+                    case None => ok = false
+                  }
+                case _ => ()
+              }
+            case (IdTracks, ts0, te0) =>
+              forElems(ts0, te0, 2) {
+                case (IdTrackEntry, es, ee) =>
+                  var tt = 0L; var codec = ""; var w = 0L; var h = 0L
+                  forElems(es, ee, 3) {
+                    case (IdTrackType, a, b) => tt = uintAt(a, b)
+                    case (IdCodecId, a, b) => codec = strAt(a, b)
+                    case (IdVideo, vs, ve) =>
+                      forElems(vs, ve, 4) {
+                        case (IdPixelWidth, a, b) => w = uintAt(a, b)
+                        case (IdPixelHeight, a, b) => h = uintAt(a, b)
+                        case _ => ()
+                      }
+                    case _ => ()
+                  }
+                  tracks += MkvTrack(tt, codec, w, h)
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (!ok || docType.isEmpty) None
+      else Some(MkvInfo(docType, tsScale,
+        if (durationTicks >= 0) durationTicks * tsScale / 1e9 else 0.0,
+        tracks.result()))
+    }
+
+    /** `[isMkv, durationSec, timestampScaleNs, nTracks, nVideoTracks,
+      *   nAudioTracks, width, height]` — the MP4 feature layout's EBML
+      * twin; container metadata only. */
+    def decodeToFeatures(payload: Array[Byte]): Array[Float] =
+      parse(payload) match {
+        case None => zeros
+        case Some(i) =>
+          val v = i.videoTracks.headOption
+          Array(1f, i.durationSec.toFloat, i.timestampScaleNs.toFloat,
+            i.tracks.size.toFloat, i.videoTracks.size.toFloat,
+            i.audioTracks.size.toFloat,
+            v.map(_.width).getOrElse(0L).toFloat,
+            v.map(_.height).getOrElse(0L).toFloat)
+      }
+  }
+
   /** Video dispatcher: RIFF/AVI payloads get the REAL MJPEG decode;
-    * ISO-BMFF (MP4) payloads get REAL container metadata (duration,
-    * dims, tracks, fourcc — [[Mp4MetaCodec]]; frames stay un-decoded);
-    * containers with neither stay on the marked stand-in. */
+    * ISO-BMFF (MP4) and EBML (MKV/WebM) payloads get REAL container
+    * metadata (duration, dims, tracks, codec id — [[Mp4MetaCodec]] /
+    * [[MkvMetaCodec]]; frames stay un-decoded except JPEG-in-MP4
+    * keyframes); containers with none stay on the marked stand-in. */
   object VideoCodec extends MediaCodec {
     val featureDim = 18 // FakeCodec-compatible width for the fallback
     def decodeToFeatures(payload: Array[Byte]): Array[Float] =
@@ -637,6 +830,9 @@ object Multimodal {
         java.util.Arrays.copyOf(f, featureDim) // zero-padded to 18
       } else if (Mp4MetaCodec.isMp4(payload)) {
         val f = Mp4MetaCodec.decodeToFeatures(payload)
+        java.util.Arrays.copyOf(f, featureDim) // zero-padded to 18
+      } else if (MkvMetaCodec.isMkv(payload)) {
+        val f = MkvMetaCodec.decodeToFeatures(payload)
         java.util.Arrays.copyOf(f, featureDim) // zero-padded to 18
       } else FakeCodec.decodeToFeatures(payload)
   }
@@ -737,6 +933,45 @@ object Multimodal {
                 i.videoTracks.size, i.audioTracks.size,
                 v.fold(0)(_.width), v.fold(0)(_.height),
                 v.map(_.fourcc).orNull)
+          }
+        Row.fromSeq(base ++ extra)
+      }
+    }(encoder)
+  }
+
+  /** MKV/WebM container metadata as TYPED narrow columns —
+    * [[mp4Metadata]]'s EBML twin: `mkv_ok, mkv_doctype,
+    * mkv_duration_sec, mkv_tracks, mkv_video_tracks, mkv_audio_tracks,
+    * mkv_width, mkv_height, mkv_codec_id`. Payload dropped on output;
+    * same partition-wise batch contract. */
+  def mkvMetadata(media: DataFrame): DataFrame = {
+    val outSchema = StructType(
+      media.schema.fields.filterNot(_.name == "payload") ++ Seq(
+        StructField("mkv_ok", BooleanType, nullable = false),
+        StructField("mkv_doctype", StringType, nullable = true),
+        StructField("mkv_duration_sec", DoubleType, nullable = true),
+        StructField("mkv_tracks", IntegerType, nullable = true),
+        StructField("mkv_video_tracks", IntegerType, nullable = true),
+        StructField("mkv_audio_tracks", IntegerType, nullable = true),
+        StructField("mkv_width", IntegerType, nullable = true),
+        StructField("mkv_height", IntegerType, nullable = true),
+        StructField("mkv_codec_id", StringType, nullable = true)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val keepIdx = media.schema.fields.indices.filterNot(_ == payloadIdx)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val base = keepIdx.map(r.get)
+        val extra: Seq[Any] =
+          MkvMetaCodec.parse(r.getAs[Array[Byte]](payloadIdx)) match {
+            case None =>
+              Seq(false, null, null, null, null, null, null, null, null)
+            case Some(i) =>
+              val v = i.videoTracks.headOption
+              Seq(true, i.docType, i.durationSec, i.tracks.size,
+                i.videoTracks.size, i.audioTracks.size,
+                v.fold(0)(_.width.toInt), v.fold(0)(_.height.toInt),
+                v.map(_.codecId).orNull)
           }
         Row.fromSeq(base ++ extra)
       }

@@ -626,6 +626,145 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(frames.head.getAs[Array[Byte]](2).toSeq == jpeg.toSeq)
   }
 
+  // ---- MKV / EBML fixtures (vint-encoded element tree, handcrafted) ----
+
+  /** EBML vint encoding with an explicit byte width: the value occupies
+    * the low `7·width` bits, the marker bit sits at position
+    * `8·width − width`. */
+  private def ebmlVint(v: Long, width: Int): Array[Byte] = {
+    val marked = v | (1L << (7 * width))
+    (1 to width).map(i =>
+      ((marked >> (8 * (width - i))) & 0xff).toByte).toArray
+  }
+
+  /** Minimal vint width that can carry `v` (all-ones reserved). */
+  private def ebmlSize(v: Long): Array[Byte] = {
+    val width = (1 to 8).find(w => v < (1L << (7 * w)) - 1).get
+    ebmlVint(v, width)
+  }
+
+  /** One EBML element: raw id bytes (marker retained) + size + body. */
+  private def ebml(idBytes: Array[Byte], body: Array[Byte]*): Array[Byte] = {
+    val b = body.flatten.toArray
+    idBytes ++ ebmlSize(b.length) ++ b
+  }
+
+  private def id(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+  private def ebmlUint(v: Long): Array[Byte] = {
+    val w = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+    (1 to w).map(i => ((v >> (8 * (w - i))) & 0xff).toByte).toArray
+  }
+
+  /** webm/matroska fixture: EBML(DocType) + Segment(Info(scale,
+    * duration-float), Tracks(video VP9 1280x720, audio Opus)). */
+  private def mkvFixture(docType: String = "matroska",
+      durationTicks: Double = 2500.0,
+      scaleNs: Long = 1000000L): Array[Byte] = {
+    val header = ebml(id(0x1A, 0x45, 0xDF, 0xA3),
+      ebml(id(0x42, 0x82), docType.getBytes("US-ASCII")))
+    val info = ebml(id(0x15, 0x49, 0xA9, 0x66),
+      ebml(id(0x2A, 0xD7, 0xB1), ebmlUint(scaleNs)),
+      ebml(id(0x44, 0x89), ByteBuffer.allocate(8)
+        .order(ByteOrder.BIG_ENDIAN)
+        .putDouble(durationTicks).array()))
+    val videoTrack = ebml(id(0xAE),
+      ebml(id(0x83), ebmlUint(1)),
+      ebml(id(0x86), "V_VP9".getBytes("US-ASCII")),
+      ebml(id(0xE0),
+        ebml(id(0xB0), ebmlUint(1280)),
+        ebml(id(0xBA), ebmlUint(720))))
+    val audioTrack = ebml(id(0xAE),
+      ebml(id(0x83), ebmlUint(2)),
+      ebml(id(0x86), "A_OPUS".getBytes("US-ASCII")))
+    val tracks = ebml(id(0x16, 0x54, 0xAE, 0x6B), videoTrack, audioTrack)
+    header ++ ebml(id(0x18, 0x53, 0x80, 0x67), info, tracks)
+  }
+
+  test("MkvMetaCodec parses the handcrafted EBML fixture exactly") {
+    import graft.operators.Multimodal.MkvMetaCodec
+    val info = MkvMetaCodec.parse(mkvFixture()).get
+    assert(info.docType == "matroska")
+    assert(info.timestampScaleNs == 1000000L)
+    assert(info.durationSec == 2.5) // 2500 ticks x 1e6 ns / 1e9
+    assert(info.tracks.size == 2)
+    val v = info.videoTracks.head
+    assert(v.codecId == "V_VP9" && v.width == 1280 && v.height == 720)
+    assert(info.audioTracks.head.codecId == "A_OPUS")
+    assert(MkvMetaCodec.decodeToFeatures(mkvFixture()).toSeq ==
+      Seq(1f, 2.5f, 1000000f, 2f, 1f, 1f, 1280f, 720f))
+    // webm brand, non-default timestamp scale (1 ns ticks)
+    val webm = MkvMetaCodec
+      .parse(mkvFixture("webm", 5e9, scaleNs = 1L)).get
+    assert(webm.docType == "webm" && webm.durationSec == 5.0)
+  }
+
+  test("MkvMetaCodec: unknown-size Segment (streamed form) parses to " +
+    "the payload end") {
+    import graft.operators.Multimodal.MkvMetaCodec
+    val full = mkvFixture()
+    val header = ebml(id(0x1A, 0x45, 0xDF, 0xA3),
+      ebml(id(0x42, 0x82), "matroska".getBytes("US-ASCII")))
+    val segBody = full.drop(header.length) match {
+      case seg => // strip the Segment's own id+size header
+        val idW = 4
+        val sizeW = (seg(idW) & 0xff) match {
+          case b => 8 - (31 - Integer.numberOfLeadingZeros(b))
+        }
+        seg.drop(idW + sizeW)
+    }
+    // size byte 0xFF = unknown (all value bits set, width 1)
+    val streamed = header ++ id(0x18, 0x53, 0x80, 0x67) ++
+      id(0xFF) ++ segBody
+    val info = MkvMetaCodec.parse(streamed).get
+    assert(info.durationSec == 2.5 && info.tracks.size == 2)
+  }
+
+  test("MkvMetaCodec hardening: truncation, malformed vints, element " +
+    "bombs reject; junk stays FakeCodec via dispatch") {
+    import graft.operators.Multimodal.MkvMetaCodec
+    assert(MkvMetaCodec.parse(null).isEmpty)
+    assert(MkvMetaCodec.parse("not ebml".getBytes).isEmpty)
+    assert(MkvMetaCodec.parse(mkvFixture().take(9)).isEmpty)
+    // zero first byte = vint wider than 8 bytes: malformed
+    val zeroVint = id(0x1A, 0x45, 0xDF, 0xA3) ++ id(0x00, 0x00)
+    assert(MkvMetaCodec.parse(zeroVint).isEmpty)
+    // a size extending past the payload end must reject, not wrap
+    val overLong = id(0x1A, 0x45, 0xDF, 0xA3) ++
+      ebmlVint((1L << 49) - 7, 7) ++ id(0x42)
+    assert(MkvMetaCodec.parse(overLong).isEmpty)
+    // element bomb: thousands of tiny elements trips MaxElems
+    val tiny = ebml(id(0xEC), Array[Byte]()) // Void element, empty
+    val bomb = id(0x1A, 0x45, 0xDF, 0xA3) ++
+      ebmlSize((MkvMetaCodec.MaxElems + 1).toLong * tiny.length) ++
+      Array.fill(MkvMetaCodec.MaxElems + 1)(tiny).flatten
+    assert(MkvMetaCodec.parse(bomb).isEmpty)
+    // dispatch: MKV -> metadata features, zero-padded; junk -> stand-in
+    val f = VideoCodec.decodeToFeatures(mkvFixture())
+    assert(f.length == VideoCodec.featureDim)
+    assert(f.take(8).toSeq ==
+      Seq(1f, 2.5f, 1000000f, 2f, 1f, 1f, 1280f, 720f))
+    assert(f.drop(8).forall(_ == 0f))
+  }
+
+  test("mkvMetadata: typed narrow columns, payload dropped") {
+    val media = Seq((1L, mkvFixture()), (2L, "not an mkv".getBytes))
+      .toDF("media_id", "payload")
+    val out = Multimodal.mkvMetadata(media)
+    assert(!out.columns.contains("payload"))
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    val ok = rows(1L)
+    assert(ok.getBoolean(ok.fieldIndex("mkv_ok")))
+    assert(ok.getString(ok.fieldIndex("mkv_doctype")) == "matroska")
+    assert(ok.getDouble(ok.fieldIndex("mkv_duration_sec")) == 2.5)
+    assert(ok.getInt(ok.fieldIndex("mkv_tracks")) == 2)
+    assert(ok.getInt(ok.fieldIndex("mkv_width")) == 1280)
+    assert(ok.getInt(ok.fieldIndex("mkv_height")) == 720)
+    assert(ok.getString(ok.fieldIndex("mkv_codec_id")) == "V_VP9")
+    val bad = rows(2L)
+    assert(!bad.getBoolean(bad.fieldIndex("mkv_ok")))
+    assert(bad.isNullAt(bad.fieldIndex("mkv_duration_sec")))
+  }
+
   test("extractFeatures dispatches by kind: real codecs for audio/image") {
     val wav = wavBytes(1, 16000, Array[Short](1000, -1000))
     val bmp = bmpBytes(Array(Array((100, 150, 200))))
