@@ -76,14 +76,21 @@ object Bench {
     // charged for session spin-up
     try { SparkEntry.entry(spark).queryExecution.toRdd.count() }
     catch { case _: Throwable => () }
-    // the streaming engine (MicroBatchExecution, state stores) has its own
-    // multi-second first-use class-load/JIT cost — pay it once, untimed,
-    // at the smallest SF so the first timed qs* query measures steady state
-    try {
-      SparkEntry.queries("qs1_stream_daily")(spark, "/root/testdata/sf0.001")
-        .queryExecution.toRdd.count()
-      spark.sharedState.cacheManager.clearCache()
-    } catch { case _: Throwable => () }
+    // first-use class-load/JIT costs measured at multiple seconds each
+    // land in whichever timed query runs the path first (r5/r6 root
+    // causes: fe_faithful 77 s cold, qt11 +3 s, qs5 5.8→1.9 s steady,
+    // qv15 6.9→2.7 s). Pay each family's compilation once, untimed, at
+    // the smallest SF so timed queries measure steady-state data-plane
+    // work: complete-mode streaming (qs1), append/watermark streaming
+    // (qs5), minhash/LSH + CC (qt11), IVF-PQ codegen (qv15).
+    Seq("qs1_stream_daily", "qs5_stream_append_daily",
+      "qt11_dup_clusters", "qv15_ivfpq_query").foreach { w =>
+      try {
+        SparkEntry.queries(w)(spark, "/root/testdata/sf0.001")
+          .queryExecution.toRdd.count()
+        spark.sharedState.cacheManager.clearCache()
+      } catch { case _: Throwable => () }
+    }
     val results: Map[String, Timing] = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
