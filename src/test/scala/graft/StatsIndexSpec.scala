@@ -44,6 +44,52 @@ class StatsIndexSpec extends SparkSpec {
     }
   }
 
+  test("pruned read equals the full-scan filter on random point " +
+    "probes (long, double incl. signed zeros, string)") {
+    val rnd = new scala.util.Random(777)
+    val dir = Files.createTempDirectory("graft_sidx_pp_").toString
+    // doubles include both zeros and negatives; the -0.0 DATA rows are
+    // the case the bloom arm's ±0.0 guard protects (a 0.0 probe must
+    // match them even though the bit patterns hash differently)
+    val df = spark.range(40000).select(
+      col("id").as("k"),
+      when(col("id") % 100 === 0, lit(-0.0d))
+        .when(col("id") % 100 === 1, lit(0.0d))
+        .otherwise((col("id") % 1000 - 500) * lit(0.25)).as("d"),
+      concat(lit("s"), (col("id") % 797).cast("string")).as("s"),
+      col("id").as("payload"))
+    graft.sources.PartitionedLake.writeClustered(df, s"$dir/data",
+      Seq("payload"), numFiles = 6)
+    StatsIndex.build(spark, s"$dir/data", Seq("k", "d", "s"),
+      s"$dir/idx", bloomCols = Seq("k", "d", "s"), bloomItems = 50000,
+      bloomFpp = 0.001)
+    val full = spark.read.parquet(s"$dir/data")
+    def check(r: StatsIndex.ColRange,
+        pred: org.apache.spark.sql.Column, tag: String): Unit = {
+      val got = StatsIndex.readPrunedTyped(spark, s"$dir/data",
+        s"$dir/idx", Seq(r)).agg(count(lit(1)), sum(col("payload")))
+        .head()
+      val want = full.filter(pred)
+        .agg(count(lit(1)), sum(col("payload"))).head()
+      assert(got == want, s"$tag: pruned $got vs full $want")
+    }
+    (1 to 8).foreach { trial =>
+      val kv = rnd.nextInt(50000).toLong // present ~80%, absent ~20%
+      check(StatsIndex.LongEquals("k", kv), col("k") === kv,
+        s"trial $trial long $kv")
+      val dv = (rnd.nextInt(1200) - 600) * 0.25
+      check(StatsIndex.DoubleEquals("d", dv), col("d") === dv,
+        s"trial $trial double $dv")
+      val sv = "s" + rnd.nextInt(900)
+      check(StatsIndex.StringEquals("s", sv), col("s") === sv,
+        s"trial $trial string $sv")
+    }
+    // both zero probes see every ±0.0 data row (SQL: 0.0 = -0.0)
+    check(StatsIndex.DoubleEquals("d", 0.0), col("d") === 0.0, "zero")
+    check(StatsIndex.DoubleEquals("d", -0.0), col("d") === -0.0,
+      "negative zero")
+  }
+
   test("a small box over the z-ordered layout skips most files") {
     val all = StatsIndex.prunedFiles(spark, s"$base/idx", Nil)
     assert(all.size >= 16, s"expected many files, got ${all.size}")
