@@ -258,6 +258,76 @@ object ScaleProbe {
       return
     }
 
+    // `bloom`: point-probe file skipping where min/max CANNOT help —
+    // the q50/q51 read path at probe scale. 8M rows across 64 files
+    // clustered on an UNCORRELATED shuffle key, so every file spans
+    // ~the full range of both probe columns; per-file blooms on a long
+    // and a double column. Measures index build cost (with/without
+    // blooms), the prune DECISION, files kept, and pruned-read vs
+    // full-scan wall for present and absent keys.
+    if (args.headOption.contains("bloom")) {
+      import graft.sources.StatsIndex
+      val n = 8000000L
+      val files = 64
+      val base = "/tmp/graft_bloom_probe"
+      val df = spark.range(n).select(
+        pmod(hash(col("id")), lit(1000000)).as("shuffle_key"),
+        col("id").as("k"),
+        (col("id") % 1000000 * lit(1.25)).as("price"),
+        col("id").as("payload"))
+      graft.sources.PartitionedLake.writeClustered(df, s"$base/data",
+        Seq("shuffle_key"), numFiles = files)
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val tStats = t { StatsIndex.build(spark, s"$base/data",
+        Seq("shuffle_key"), s"$base/idx_plain") }
+      val perFile = n / files
+      val tBloom = t { StatsIndex.build(spark, s"$base/data",
+        Seq("shuffle_key"), s"$base/idx",
+        bloomCols = Seq("k", "price"), bloomItems = perFile * 2,
+        bloomFpp = 0.01) }
+      println(f"[scale-probe] bloom index build: stats-only $tStats%.1f s" +
+        f"   +2-col blooms $tBloom%.1f s (one grouped pass over 2 cols)")
+      val full = spark.read.parquet(s"$base/data")
+      val tFull = t { full.filter(col("k") === 1234567L)
+        .agg(sum(col("payload"))).head() }
+      // JIT/page-cache warm for the pruned path, discarded
+      StatsIndex.readPrunedTyped(spark, s"$base/data", s"$base/idx",
+        Seq(StatsIndex.LongEquals("k", 1L)))
+        .agg(sum(col("payload"))).head()
+      Seq(
+        ("long present", StatsIndex.LongEquals("k", 1234567L)),
+        ("long absent", StatsIndex.LongEquals("k", n + 17L)),
+        ("double present", StatsIndex.DoubleEquals("price", 123457.0 * 1.25)),
+        ("double absent", StatsIndex.DoubleEquals("price", 17.17)))
+        .foreach { case (tag, probe) =>
+          var kept = -1
+          val tDecide = t {
+            kept = StatsIndex.prunedTyped(spark, s"$base/idx_plain",
+              Seq(probe)).size // min/max only: no pruning expected
+          }
+          var keptB = -1
+          val tDecideB = t {
+            keptB = StatsIndex.prunedTyped(spark, s"$base/idx",
+              Seq(probe)).size
+          }
+          val tRead = t {
+            StatsIndex.readPrunedTyped(spark, s"$base/data", s"$base/idx",
+              Seq(probe)).agg(sum(col("payload"))).head()
+          }
+          println(f"[scale-probe] bloom $tag: stats-arm kept $kept/$files" +
+            f" (${tDecide}%.2f s) -> bloom kept $keptB/$files" +
+            f" (${tDecideB}%.2f s decide, $tRead%.2f s pruned read," +
+            f" full scan $tFull%.2f s)")
+        }
+      val probeDir = new org.apache.hadoop.fs.Path(base)
+      probeDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(probeDir, true)
+      spark.stop()
+      return
+    }
+
     // `globalwindow`: head-to-head of the scalable global-window family
     // vs the single-partition plans they replace, at 6.7M and 67M rows
     // (in-plan synthesized narrow table — measures the window compute,
