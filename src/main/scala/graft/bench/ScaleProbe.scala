@@ -280,32 +280,39 @@ object ScaleProbe {
       def t(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
+      // the min/max control indexes the PROBED columns too — keeping
+      // 64/64 must mean their per-file ranges genuinely cannot prune
+      // (every file spans ~the full k/price range on this layout),
+      // not that the columns are merely unindexed
       val tStats = t { StatsIndex.build(spark, s"$base/data",
-        Seq("shuffle_key"), s"$base/idx_plain") }
+        Seq("shuffle_key", "k", "price"), s"$base/idx_plain") }
       val perFile = n / files
       val tBloom = t { StatsIndex.build(spark, s"$base/data",
-        Seq("shuffle_key"), s"$base/idx",
+        Seq("shuffle_key", "k", "price"), s"$base/idx",
         bloomCols = Seq("k", "price"), bloomItems = perFile * 2,
         bloomFpp = 0.01) }
       println(f"[scale-probe] bloom index build: stats-only $tStats%.1f s" +
         f"   +2-col blooms $tBloom%.1f s (one grouped pass over 2 cols)")
       val full = spark.read.parquet(s"$base/data")
-      val tFull = t { full.filter(col("k") === 1234567L)
-        .agg(sum(col("payload"))).head() }
-      // JIT/page-cache warm for the pruned path, discarded
+      // JIT/page-cache warm for both paths, discarded
       StatsIndex.readPrunedTyped(spark, s"$base/data", s"$base/idx",
         Seq(StatsIndex.LongEquals("k", 1L)))
         .agg(sum(col("payload"))).head()
+      full.filter(col("k") === 1L).agg(sum(col("payload"))).head()
       Seq(
         ("long present", StatsIndex.LongEquals("k", 1234567L)),
         ("long absent", StatsIndex.LongEquals("k", n + 17L)),
         ("double present", StatsIndex.DoubleEquals("price", 123457.0 * 1.25)),
         ("double absent", StatsIndex.DoubleEquals("price", 17.17)))
         .foreach { case (tag, probe) =>
+          // full-scan baseline for THIS probe's own predicate
+          val tFull = t {
+            full.filter(probe.predicate).agg(sum(col("payload"))).head()
+          }
           var kept = -1
           val tDecide = t {
             kept = StatsIndex.prunedTyped(spark, s"$base/idx_plain",
-              Seq(probe)).size // min/max only: no pruning expected
+              Seq(probe)).size // min/max arms only (no bloom rows)
           }
           var keptB = -1
           val tDecideB = t {

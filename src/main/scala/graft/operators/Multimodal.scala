@@ -648,7 +648,13 @@ object Multimodal {
     * depth. Any violation rejects the whole payload. */
   object MkvMetaCodec extends MediaCodec {
     val featureDim = 8
-    val MaxElems = 4096
+    // Element-count backstop. Real work is already byte-bounded (each
+    // iteration advances ≥ 2 bytes within its level, so total work ≤
+    // MaxDepth × payload), and the walk HALTS once Info + Tracks are
+    // read — so the cap exists only to fail fast on degenerate
+    // element-bomb payloads, and is sized so that a valid file whose
+    // Clusters precede Tracks (legal, unusual) still parses.
+    val MaxElems = 65536
     val MaxDepth = 8
 
     final case class MkvTrack(trackType: Long, codecId: String,
@@ -683,9 +689,12 @@ object Multimodal {
       if (!isMkv(payload)) return None
       var elems = 0
       var ok = true
+      var halt = false // all metadata found — stop walking (Clusters)
       var docType = ""
       var tsScale = 1000000L // EBML default: 1 ms per tick
       var durationTicks = -1.0
+      var seenInfo = false
+      var seenTracks = false
       val tracks = Seq.newBuilder[MkvTrack]
 
       def u8(off: Long): Int = payload(off.toInt) & 0xff
@@ -711,6 +720,10 @@ object Multimodal {
       def isUnknownSize(raw: Long, width: Int): Boolean =
         raw == (1L << (7 * width)) - 1
       def uintAt(s: Long, e: Long): Long = {
+        // EBML caps unsigned integers at 8 octets; a longer body would
+        // silently overflow the Long accumulator into garbage — the
+        // hardening contract is rejection, not best-effort
+        if (e - s > 8) { ok = false; return 0L }
         var v = 0L; var i = s
         while (i < e) { v = (v << 8) | u8(i); i += 1 }
         v
@@ -728,7 +741,7 @@ object Multimodal {
       def forElems(start: Long, end: Long, depth: Int)(
           f: (Long, Long, Long) => Unit): Unit = {
         var off = start
-        while (ok && off < end) {
+        while (ok && !halt && off < end) {
           elems += 1
           if (elems > MaxElems || depth > MaxDepth) { ok = false; return }
           vint(off, end, keepMarker = true) match {
@@ -773,6 +786,12 @@ object Multimodal {
                   }
                 case _ => ()
               }
+              seenInfo = true
+              // metadata lives before the media data: once Info and
+              // Tracks are both read, stop — a multi-hour file's
+              // thousands of Cluster elements would otherwise count
+              // against MaxElems and reject a perfectly valid file
+              halt = seenInfo && seenTracks
             case (IdTracks, ts0, te0) =>
               forElems(ts0, te0, 2) {
                 case (IdTrackEntry, es, ee) =>
@@ -791,6 +810,8 @@ object Multimodal {
                   tracks += MkvTrack(tt, codec, w, h)
                 case _ => ()
               }
+              seenTracks = true
+              halt = seenInfo && seenTracks
             case _ => ()
           }
         case _ => ()

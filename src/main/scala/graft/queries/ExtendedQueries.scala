@@ -309,19 +309,31 @@ object ExtendedQueries {
     * original table: the hash match proves write → index → prune →
     * filter loses and fabricates nothing (conservative pruning made a
     * driver-gate guarantee, the batch complement of qs14). */
-  /** Temp workspace for the layout queries (q46/q47/q50): each run
-    * writes a full clustered copy of lineitem plus an index, so
-    * repeated bench rounds would leak disk without cleanup — register
-    * recursive deletion at JVM exit (ADVICE r5). */
-  private def tempWork(tag: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(tag)
+  /** Temp workspace for the layout queries (q46/q47/q50/q51): each
+    * run writes a full clustered copy of lineitem plus an index, so
+    * repeated bench rounds would leak disk without cleanup — all
+    * workspaces are deleted at JVM exit (ADVICE r5). ONE statically-
+    * registered hook drains the shared queue: per-call hooks would
+    * accumulate a thread per query invocation (bench reps, suites)
+    * and run in unspecified concurrent order at exit. */
+  private val tempWorkDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rec(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rec)
         f.delete(); ()
       }
-      try rec(p.toFile) catch { case _: Throwable => () }
-    }))
+      var p = tempWorkDirs.poll()
+      while (p != null) {
+        try rec(p.toFile) catch { case _: Throwable => () }
+        p = tempWorkDirs.poll()
+      }
+    }, "graft-layout-temp-cleanup"))
+  }
+  private def tempWork(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(tag)
+    tempWorkDirs.add(p)
     p.toString
   }
 

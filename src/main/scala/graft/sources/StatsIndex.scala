@@ -169,6 +169,7 @@ object StatsIndex {
       bloomFpp: Double): DataFrame = {
     val stats = statsFor(spark, files, cols)
       .withColumn("bloom", lit(null).cast("binary"))
+      .withColumn("bspace", lit(null).cast("string"))
     if (bloomCols.isEmpty) stats
     else stats.unionByName(
       bloomFor(spark, files, bloomCols, bloomItems, bloomFpp))
@@ -226,15 +227,21 @@ object StatsIndex {
     val base = spark.read.parquet(files: _*)
     val types: Map[String, DataType] =
       base.schema.fields.map(f => f.name -> f.dataType).toMap
-    val hashed: Seq[(String, Column)] = bloomCols.map { name =>
+    // (column, hash expr, HASH SPACE). The space is RECORDED in the
+    // index row (`bspace`): SQL equality coerces across numeric types
+    // (bigint === double compares in double space), so a probe must
+    // know which space a filter was built in to hash compatibly — a
+    // long-built filter probed with a double's hash would silently
+    // rule out every file (cross-type wrong pruning).
+    val hashed: Seq[(String, Column, String)] = bloomCols.map { name =>
       types.get(name) match {
         case Some(ByteType | ShortType | IntegerType | LongType) =>
-          name -> xxhash64(col(name).cast(LongType))
-        case Some(StringType) => name -> xxhash64(col(name))
+          (name, xxhash64(col(name).cast(LongType)), "long")
+        case Some(StringType) => (name, xxhash64(col(name)), "string")
         case Some(FloatType | DoubleType) =>
           // widened to double for the same build/probe hash symmetry
           // as the integral→bigint cast; probed by [[DoubleEquals]]
-          name -> xxhash64(col(name).cast(DoubleType))
+          (name, xxhash64(col(name).cast(DoubleType)), "double")
         case Some(other) => throw new IllegalArgumentException(
           s"StatsIndex bloom: column '$name' is $other — bloom rows " +
             "support integral, fractional and string columns " +
@@ -243,7 +250,7 @@ object StatsIndex {
           s"StatsIndex bloom: column '$name' not present in $files")
       }
     }
-    val aggs = hashed.zipWithIndex.map { case ((_, h), i) =>
+    val aggs = hashed.zipWithIndex.map { case ((_, h, _), i) =>
       GraftColumnBridge.toColumn(BloomFilterAggregate(
         GraftColumnBridge.toExpression(h),
         Literal(bloomItems), Literal(numBits), 0, 0)
@@ -254,34 +261,34 @@ object StatsIndex {
         bloomCols.map(col): _*)
       .groupBy(col("__path"))
       .agg(aggs.head, aggs.tail: _*)
-    val pairs = hashed.zipWithIndex.flatMap { case ((name, _), i) =>
+    val pairs = hashed.zipWithIndex.flatMap { case ((name, _, _), i) =>
       Seq(lit(name), col(s"__b$i")) }
+    val spaces = map(hashed.flatMap { case (name, _, sp) =>
+      Seq(lit(name), lit(sp)) }: _*)
     val stacked = grouped.select(col("__path"),
       explode(map(pairs: _*)).as(Seq("col", "bloom")))
+      .withColumn("bspace", element_at(spaces, col("col")))
     val spellingPairs = files.flatMap { f =>
       val p = new Path(f)
       Seq(f, p.toString, p.toUri.toString).distinct.map(sp => (sp, f))
     }.distinct
-    // checked translation: if Spark's _metadata.file_path spelling for
-    // ANY file matches none of the candidates (percent-encoding drift
-    // on object-store paths with spaces/special chars), the join below
-    // would silently drop that file's bloom rows — point-probe pruning
-    // degrades to nothing with zero signal. The distinct-path probe is
-    // metadata-cheap (empty data projection) and turns that silence
-    // into a build-time failure.
-    val knownSpellings = spellingPairs.map(_._1).toSet
-    val actual = base.select(col("_metadata.file_path"))
-      .distinct().as[String].collect()
-    val unmatched = actual.filterNot(knownSpellings)
-    require(unmatched.isEmpty,
-      s"StatsIndex bloom: ${unmatched.length} file-path spelling(s) " +
-        s"from _metadata.file_path match no canonical candidate " +
-        s"(e.g. '${unmatched.headOption.getOrElse("")}') — their bloom " +
-        "rows would be silently dropped and point probes would stop " +
-        "pruning those files")
     val spellings = spellingPairs.toDF("__path", "file")
-    stacked.join(broadcast(spellings), Seq("__path"))
-      .select(col("file"),
+    // checked translation, with no extra data pass: if Spark's
+    // _metadata.file_path spelling for ANY file matches none of the
+    // candidates (percent-encoding drift on object-store paths with
+    // spaces/special chars), an inner join would silently drop that
+    // file's bloom rows and point probes would stop pruning those
+    // files. LEFT join + raise_error turns the unmatched row into a
+    // loud build-time failure DURING the index write — zero
+    // additional jobs over the data.
+    stacked.join(broadcast(spellings), Seq("__path"), "left")
+      .select(
+        coalesce(col("file"), raise_error(concat(
+          lit("StatsIndex bloom: _metadata.file_path spelling '"),
+          col("__path"),
+          lit("' matches no canonical candidate — its bloom rows " +
+            "would be silently dropped and point probes would stop " +
+            "pruning this file")))).as("file"),
         lit(null).cast("bigint").as("row_count"),
         col("col"), lit("bloom").as("kind"),
         lit(null).cast("bigint").as("lmin"),
@@ -290,7 +297,7 @@ object StatsIndex {
         lit(null).cast("double").as("dmax"),
         lit(null).cast("string").as("smin"),
         lit(null).cast("string").as("smax"),
-        col("bloom"))
+        col("bloom"), col("bspace"))
   }
 
   /** Incremental maintenance for an append-mostly lake: footer-read
@@ -321,11 +328,16 @@ object StatsIndex {
         bloomFpp)
       return (current.size, 0)
     }
-    // pre-bloom index: widen to the bloom schema (all-null column) so
-    // the union below lines up; existing files just keep no bloom row
-    val old =
-      if (rawOld.columns.contains("bloom")) rawOld
-      else rawOld.withColumn("bloom", lit(null).cast("binary"))
+    // older index generations: widen to the current schema (all-null
+    // columns) so the union below lines up; existing files just keep
+    // no bloom row, and pre-bspace bloom rows keep their legacy
+    // native-space interpretation (see [[exclusion]])
+    val old = Seq(
+      ("bloom", "binary"), ("bspace", "string")).foldLeft(rawOld) {
+      case (df, (c, tp)) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(tp))
+    }
     val known = old.select(col("file")).distinct().as[String].collect().toSet
     val added = current.filterNot(known)
     val removed = (known -- current).toSeq.sorted
@@ -637,29 +649,58 @@ object StatsIndex {
     case LongEquals(name, v) =>
       // a point probe is the degenerate range [v, v] for the stats
       // arms, PLUS the bloom arm: a bloom row whose filter rules the
-      // key out excludes the file even when its min/max span it
+      // key out excludes the file even when its min/max span it.
+      // Cross-type coverage: `doubleCol === vLong` compares in double
+      // space, so double-built blooms are probed with the DOUBLE
+      // spelling's hash — except v == 0, whose double spelling cannot
+      // cover -0.0 data (SQL 0.0 = -0.0, different bits)
+      val spellings =
+        ("long", xxhash64(lit(v))) +: (
+          if (v != 0L) Seq(("double", xxhash64(lit(v.toDouble))))
+          else Nil)
       col("col") === name && (
         (col("kind").isin("long", "date") &&
           (col("lmax") < v || col("lmin") > v)) ||
         (col("kind") === "double" &&
           (col("dmax") < Math.nextDown(v.toDouble) ||
             col("dmin") > Math.nextUp(v.toDouble))) ||
-        bloomExcludes(xxhash64(lit(v))))
+        bloomExcludes(spellings, legacySpace = "long"))
     case StringEquals(name, v) =>
+      // numeric-parsable strings coerce in comparisons (`longCol ===
+      // '5'` compares as bigint), so long/double-built blooms are
+      // probed with the parsed spellings; the double spelling skips
+      // zero (±0.0) as in [[LongEquals]]
+      val spellings =
+        ("string", xxhash64(lit(v))) +:
+          (v.toLongOption.map(l =>
+            ("long", xxhash64(lit(l)))).toSeq ++
+            v.toDoubleOption
+              .filterNot(d => d == 0.0 || d.isNaN)
+              .map(d => ("double", xxhash64(lit(d)))).toSeq)
       col("col") === name && (
         (col("kind") === "string" &&
           (col("smax") < v || col("smin") > v)) ||
-        bloomExcludes(xxhash64(lit(v))))
+        bloomExcludes(spellings, legacySpace = "string"))
     case DoubleEquals(name, v) =>
-      // long-kind stats: an integral probe compares exactly in long
-      // space; a non-integer (or non-finite) probe can never equal an
-      // integer column, so every long-stat row is excludable outright
+      // long-kind stats: `longCol === vDouble` compares in DOUBLE
+      // space (Spark widens the column), so exactness depends on
+      // magnitude: below 2^53 every long is uniquely representable
+      // and the comparison is exact in long space; above it a whole
+      // window of longs rounds to v, so the exclusion bounds widen by
+      // one ulp; beyond the long range (or non-integer / non-finite
+      // probes) no long column value can ever equal v and every
+      // long-stat row is excludable outright
       val longArm =
-        if (v == math.rint(v) && v >= Long.MinValue.toDouble &&
-            v <= Long.MaxValue.toDouble) {
+        if (v == math.rint(v) && math.abs(v) < 9007199254740992.0d) {
           val vl = v.toLong
           col("kind").isin("long", "date") &&
             (col("lmax") < vl || col("lmin") > vl)
+        } else if (v == math.rint(v) && v >= Long.MinValue.toDouble &&
+            v <= Long.MaxValue.toDouble) {
+          val lo = math.max(v - Math.ulp(v), Long.MinValue.toDouble).toLong
+          val hi = math.min(v + Math.ulp(v), Long.MaxValue.toDouble).toLong
+          col("kind").isin("long", "date") &&
+            (col("lmax") < lo || col("lmin") > hi)
         } else col("kind").isin("long", "date")
       val mm = col("col") === name && (
         (col("kind") === "double" &&
@@ -669,46 +710,73 @@ object StatsIndex {
       // above are all false — the file survives, the exact re-filter
       // then returns no rows (SQL equality never matches NaN)
       if (v == 0.0d || v.isNaN) mm
-      else mm || (col("col") === name &&
-        bloomExcludes(xxhash64(lit(v))))
+      else {
+        // cross-type coverage for long-built blooms: only an exactly
+        // round-tripping integral probe has a long spelling
+        val spellings =
+          ("double", xxhash64(lit(v))) +: (
+            if (v == math.rint(v) && math.abs(v) < 9007199254740992.0d)
+              Seq(("long", xxhash64(lit(v.toLong))))
+            else Nil)
+        mm || (col("col") === name &&
+          bloomExcludes(spellings, legacySpace = "long"))
+      }
     case t @ TimestampEquals(name, _) =>
+      // ±14 h slack on the micros arm: under a non-UTC session an NTZ
+      // column's wall-clock stats shift against the probed instant by
+      // the session offset (max +14:00 / −12:00); slack keeps the
+      // exclusion conservative in any session, as the date arm's
+      // ±1-day slack already does
       val md = 86400000000L // micros per day
+      val tz = 50400000000L // 14 h in micros: max legal UTC offset
       val loDay = Math.floorDiv(t.loMicros, md) - 1L
       val hiDay = Math.floorDiv(t.hiMicros, md) + 1L
       col("col") === name && (
         (col("kind") === "long" &&
-          (col("lmax") < t.loMicros || col("lmin") > t.hiMicros)) ||
+          (col("lmax") < t.loMicros - tz || col("lmin") > t.hiMicros + tz)) ||
         (col("kind") === "date" &&
           (col("lmax") < loDay || col("lmin") > hiDay)))
     case t @ TimestampRange(name, _, _) =>
       // date stats are epoch DAYS: compare day-converted bounds with
       // ±1-day slack so a session-timezone date→timestamp cast (±14 h)
-      // can never turn conservative pruning into wrong exclusion
+      // can never turn conservative pruning into wrong exclusion; the
+      // micros arm gets the same ±14 h slack for NTZ wall-clock stats
+      // probed under a non-UTC session
       val md = 86400000000L // micros per day
+      val tz = 50400000000L // 14 h in micros: max legal UTC offset
       val loDay = Math.floorDiv(t.loMicros, md) - 1L
       val hiDay = Math.floorDiv(t.hiMicros, md) + 1L
       col("col") === name && (
         (col("kind") === "long" &&
-          (col("lmax") < t.loMicros || col("lmin") > t.hiMicros)) ||
+          (col("lmax") < t.loMicros - tz || col("lmin") > t.hiMicros + tz)) ||
         (col("kind") === "date" &&
           (col("lmax") < loDay || col("lmin") > hiDay)))
   }
 
   /** Bloom-arm exclusion over index rows: a `kind = "bloom"` row
-    * whose filter definitively rules the probed hash out. `hash` must
-    * be `xxhash64` of the SAME logical type the build hashed (bigint
-    * for integral columns, double for fractional, string as-is) —
-    * [[bloomFor]] widens columns for exactly this symmetry. A NULL
-    * bloom (pre-bloom index row) makes the conjunct NULL → the row
-    * excludes nothing → the file is kept. An all-null column is NOT
-    * null here: it holds exactly the null-seed hash (`xxhash64(NULL)`
-    * = the seed), so such files CAN be bloom-excluded on point
-    * probes — safe, because equality never matches NULL. */
-  private def bloomExcludes(hash: Column): Column =
-    col("kind") === "bloom" &&
+    * whose filter definitively rules the probed value out IN THE HASH
+    * SPACE THE FILTER WAS BUILT IN. Each probe passes its value's
+    * spellings — (space, xxhash64-of-that-spelling) pairs — and a row
+    * excludes only when its recorded `bspace` has a covering spelling
+    * whose hash the filter rules out; rows in spaces the probe cannot
+    * spell (e.g. a string-built bloom under a numeric probe, whose
+    * textual form is unknowable) are kept. Pre-`bspace` rows (NULL)
+    * read as `legacySpace` — the space the legacy build hashed for
+    * that probe type — preserving old-index behavior exactly. A NULL
+    * bloom (pre-bloom index row) excludes nothing. An all-null column
+    * is NOT null here: it holds exactly the null-seed hash
+    * (`xxhash64(NULL)` = the seed), so such files CAN be
+    * bloom-excluded — safe, because equality never matches NULL. */
+  private def bloomExcludes(spellings: Seq[(String, Column)],
+      legacySpace: String): Column = {
+    def miss(hash: Column): Column =
       !GraftColumnBridge.toColumn(graft.functions.BloomMightContain(
         GraftColumnBridge.toExpression(col("bloom")),
         GraftColumnBridge.toExpression(hash)))
+    col("kind") === "bloom" && spellings.map { case (space, hash) =>
+      coalesce(col("bspace"), lit(legacySpace)) === space && miss(hash)
+    }.reduce(_ || _)
+  }
 
   /** Files whose stats intersect EVERY constraint. A file missing an
     * index row for a constrained column is kept (conservative — e.g. a
@@ -718,11 +786,15 @@ object StatsIndex {
       ranges: Seq[ColRange]): Seq[String] = {
     import spark.implicits._
     val raw = spark.read.parquet(indexDir)
-    // pre-bloom index: widen so the bloom exclusion arm analyses (and
-    // excludes nothing — NULL filters never rule a key out)
-    val idx =
-      if (raw.columns.contains("bloom")) raw
-      else raw.withColumn("bloom", lit(null).cast("binary"))
+    // older index generations: widen so the bloom exclusion arm
+    // analyses (a NULL filter never rules a key out; a NULL bspace is
+    // read as the probe's legacy native space)
+    val idx = Seq(
+      ("bloom", "binary"), ("bspace", "string")).foldLeft(raw) {
+      case (df, (c, tp)) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(tp))
+    }
     val all = idx.select(col("file")).distinct()
     val excluded = ranges.map(r => idx.filter(exclusion(r))
       .select(col("file"))).reduceOption(_ union _)

@@ -746,6 +746,38 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(f.drop(8).forall(_ == 0f))
   }
 
+  test("MkvMetaCodec: cluster-heavy files parse (halt after metadata); " +
+    "9-byte integers reject") {
+    import graft.operators.Multimodal.MkvMetaCodec
+    // a "3-hour" file: valid metadata followed by far more Cluster
+    // elements than MaxElems — the walk must halt after Info+Tracks
+    // instead of counting skipped clusters against the bomb cap
+    val cluster = ebml(id(0x1F, 0x43, 0xB6, 0x75), Array[Byte](1, 2))
+    val many = Array.fill(MkvMetaCodec.MaxElems + 64)(cluster).flatten
+    val header = ebml(id(0x1A, 0x45, 0xDF, 0xA3),
+      ebml(id(0x42, 0x82), "matroska".getBytes("US-ASCII")))
+    val info = ebml(id(0x15, 0x49, 0xA9, 0x66),
+      ebml(id(0x2A, 0xD7, 0xB1), ebmlUint(1000000L)),
+      ebml(id(0x44, 0x89), ByteBuffer.allocate(8)
+        .order(ByteOrder.BIG_ENDIAN).putDouble(2500.0).array()))
+    val track = ebml(id(0xAE), ebml(id(0x83), ebmlUint(1)),
+      ebml(id(0x86), "V_VP9".getBytes("US-ASCII")))
+    val tracks = ebml(id(0x16, 0x54, 0xAE, 0x6B), track)
+    val longFile = header ++
+      ebml(id(0x18, 0x53, 0x80, 0x67), info, tracks, many)
+    val got = MkvMetaCodec.parse(longFile)
+    assert(got.isDefined, "cluster-heavy file wrongly rejected")
+    assert(got.get.durationSec == 2.5 && got.get.tracks.size == 1)
+    // an oversized (9-byte) TimestampScale would overflow the Long
+    // accumulator into garbage — must reject, not best-effort
+    val badScale = ebml(id(0x15, 0x49, 0xA9, 0x66),
+      ebml(id(0x2A, 0xD7, 0xB1), Array.fill(9)(0x7f.toByte)))
+    val badFile = header ++ ebml(id(0x18, 0x53, 0x80, 0x67), badScale,
+      tracks)
+    assert(MkvMetaCodec.parse(badFile).isEmpty,
+      "9-byte integer accepted — Long overflow garbage")
+  }
+
   test("mkvMetadata: typed narrow columns, payload dropped") {
     val media = Seq((1L, mkvFixture()), (2L, "not an mkv".getBytes))
       .toDF("media_id", "payload")

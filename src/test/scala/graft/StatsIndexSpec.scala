@@ -596,6 +596,63 @@ class StatsIndexSpec extends SparkSpec {
       Seq(StatsIndex.DoubleEquals("price", Double.NaN))).count() == 0)
   }
 
+  test("cross-type point probes never wrongly bloom-exclude: double " +
+    "probe on a long-built bloom and long probe on a double-built one") {
+    val dir = Files.createTempDirectory("graft_sidx_xt_").toString
+    val df = spark.range(30000).select(
+      pmod(hash(col("id")), lit(1000000)).as("shuffle_key"),
+      col("id").as("k"), // LongType — long-built bloom
+      (col("id") * lit(0.5)).as("price"), // DoubleType — double-built
+      col("id").as("payload"))
+    graft.sources.PartitionedLake.writeClustered(df, s"$dir/data",
+      Seq("shuffle_key"), numFiles = 6)
+    StatsIndex.build(spark, s"$dir/data", Seq("shuffle_key"),
+      s"$dir/idx", bloomCols = Seq("k", "price"), bloomItems = 20000,
+      bloomFpp = 0.001)
+    val full = spark.read.parquet(s"$dir/data")
+    // DoubleEquals on the LONG column: `k === 12345.0` matches via
+    // long→double coercion; the probe's long spelling must reach the
+    // long-built bloom (hashing only the double bits would rule every
+    // file out and silently lose the row)
+    val gotD = StatsIndex.readPrunedTyped(spark, s"$dir/data",
+      s"$dir/idx", Seq(StatsIndex.DoubleEquals("k", 12345.0))).count()
+    assert(gotD == full.filter(col("k") === 12345.0).count() && gotD == 1)
+    // LongEquals on the DOUBLE column: `price === 100L` matches
+    // price = 100.0 via the double spelling of the long probe
+    val gotL = StatsIndex.readPrunedTyped(spark, s"$dir/data",
+      s"$dir/idx", Seq(StatsIndex.LongEquals("price", 100L))).count()
+    assert(gotL == full.filter(col("price") === 100L).count() && gotL == 1)
+    // StringEquals on the LONG column: `k === '777'` coerces — the
+    // parsed numeric spellings must reach the long-built bloom
+    val gotS = StatsIndex.readPrunedTyped(spark, s"$dir/data",
+      s"$dir/idx", Seq(StatsIndex.StringEquals("k", "777"))).count()
+    assert(gotS == full.filter(col("k") === "777").count() && gotS == 1)
+    // absent values still prune through their covering spelling
+    assert(StatsIndex.prunedTyped(spark, s"$dir/idx",
+      Seq(StatsIndex.DoubleEquals("k", 99999999.0))).size <= 1)
+  }
+
+  test("DoubleEquals beyond 2^53: longs that round to the probe are " +
+    "not wrongly excluded") {
+    val dir = Files.createTempDirectory("graft_sidx_53_").toString
+    val big = (1L << 60)
+    // k = 2^60 + 1 is not exactly representable as a double; it rounds
+    // to exactly 2^60, so `k === pow(2,60)` MATCHES it in Spark's
+    // double-space comparison — exact long-space pruning would lose it
+    Seq(big + 1L, big + 3L).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }
+      .toDF("k", "payload").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("k"), s"$dir/idx")
+    val probe = StatsIndex.DoubleEquals("k", big.toDouble)
+    val got = StatsIndex.readPrunedTyped(spark, s"$dir/data",
+      s"$dir/idx", Seq(probe)).count()
+    val want = spark.read.parquet(s"$dir/data")
+      .filter(col("k") === big.toDouble).count()
+    assert(got == want && want == 2,
+      s"2^53 rounding window: pruned $got vs full $want")
+  }
+
   test("TimestampEquals prunes micros-normalized and date-kinded stats " +
     "conservatively") {
     val dir = Files.createTempDirectory("graft_sidx_te_").toString

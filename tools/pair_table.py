@@ -25,12 +25,17 @@ def main(path: str) -> None:
         print("| cell | interleaved | iso (median of reps, JIT-warm) |")
         print("|---|---|---|")
 
-    def fmt(v):
+    def fmt(v, present=True):
+        # a key that is absent was never run (e.g. interleaved-only
+        # artifact) — render "—"; a PRESENT key with null value errored
+        if not present:
+            return "—"
         return "error" if v is None else f"{v:.1f}"
 
     for c in cells:
-        iso = q.get(c + "_iso")
-        row = [f"`{c}`", fmt(q[c]), fmt(iso)]
+        iso_key = c + "_iso"
+        row = [f"`{c}`", fmt(q[c]),
+               fmt(q.get(iso_key), present=iso_key in q)]
         if reps:
             rr = reps.get(c + "_iso", [])
             row.append(", ".join(
