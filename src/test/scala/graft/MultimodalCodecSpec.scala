@@ -797,6 +797,37 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(bad.isNullAt(bad.fieldIndex("mkv_duration_sec")))
   }
 
+  test("codec fuzz: no parser throws on arbitrary bytes (poisoned " +
+    "blobs must not kill a metadata pass)") {
+    import graft.operators.Multimodal.{MkvMetaCodec, Mp4MetaCodec}
+    val rnd = new scala.util.Random(20260813)
+    val magics = Seq(
+      Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte), // EBML
+      "????ftyp".getBytes("US-ASCII"), // ISO-BMFF (size garbage)
+      "RIFF????AVI ".getBytes("US-ASCII"),
+      "RIFF????WAVE".getBytes("US-ASCII"),
+      "BM".getBytes("US-ASCII"),
+      Array[Byte]())
+    (1 to 300).foreach { i =>
+      val body = new Array[Byte](rnd.nextInt(4096))
+      rnd.nextBytes(body)
+      // half the trials lead with a real container magic so the fuzz
+      // exercises the parsers' interiors, not just the magic check
+      val payload =
+        if (i % 2 == 0) magics(rnd.nextInt(magics.size)) ++ body else body
+      // must return (None / zero vector), never throw
+      Mp4MetaCodec.parse(payload)
+      MkvMetaCodec.parse(payload)
+      Mp4MetaCodec.firstKeyframe(payload)
+      assert(VideoCodec.decodeToFeatures(payload).length ==
+        VideoCodec.featureDim)
+      assert(WavCodec.decodeToFeatures(payload).length ==
+        WavCodec.featureDim)
+      assert(ImageCodec.decodeToFeatures(payload).length ==
+        ImageCodec.featureDim)
+    }
+  }
+
   test("extractFeatures dispatches by kind: real codecs for audio/image") {
     val wav = wavBytes(1, 16000, Array[Short](1000, -1000))
     val bmp = bmpBytes(Array(Array((100, 150, 200))))
