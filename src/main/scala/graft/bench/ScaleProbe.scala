@@ -46,6 +46,11 @@ object SyntheticDocs {
 }
 
 object ScaleProbe {
+  /** Wall-clock seconds for one action (shared by every probe branch). */
+  private def t(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -56,9 +61,6 @@ object ScaleProbe {
       val path = SyntheticBars.ensure(spark, nRows)
       // warm the page cache so both scales measure compute, not first-read
       spark.read.parquet(path).queryExecution.toRdd.count()
-      def t(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       val fe = t {
         FeaturePipeline.fast(spark.read.parquet(path))
           .queryExecution.toRdd.count()
@@ -73,9 +75,6 @@ object ScaleProbe {
     def runDedup(nDocs: Long): (Double, Int, Double) = {
       val path = SyntheticDocs.ensure(spark, nDocs)
       spark.read.parquet(path).queryExecution.toRdd.count() // warm cache
-      def t(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       var rounds = 0
       val cc = t {
         val (out, r) = graft.operators.Dedup
@@ -277,9 +276,6 @@ object ScaleProbe {
         col("id").as("payload"))
       graft.sources.PartitionedLake.writeClustered(df, s"$base/data",
         Seq("shuffle_key"), numFiles = files)
-      def t(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       // the min/max control indexes the PROBED columns too — keeping
       // 64/64 must mean their per-file ranges genuinely cannot prune
       // (every file spans ~the full k/price range on this layout),
@@ -344,9 +340,6 @@ object ScaleProbe {
       def bars(n: Long) = spark.range(n).select(
         (col("id") * 60000000L).as("epoch_us"), // one row per minute
         ((col("id") % 1000) * 0.25).as("close"))
-      def t(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       def probe(n: Long): (Double, Double, Double, Double) = {
         val b = bars(n)
         val rowsSingle = t {
@@ -406,9 +399,6 @@ object ScaleProbe {
     def runCuration(nDocs: Long): (Double, Double, Double, Double, Double) = {
       val path = SyntheticDocs.ensure(spark, nDocs)
       spark.read.parquet(path).queryExecution.toRdd.count() // warm cache
-      def t(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       def docs = spark.read.parquet(path)
         .withColumn("lang", lit("en")).withColumn("source", lit("probe"))
         .withColumn("n_chars", length(col("text")))
@@ -462,9 +452,6 @@ object ScaleProbe {
         col("id").as("v"))
       def dim = spark.range(2000).select(
         col("id").as("k"), (col("id") * 7).as("dval"))
-      def t(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val plain = t { fact.join(dim, "k").queryExecution.toRdd.count() }
@@ -497,9 +484,6 @@ object ScaleProbe {
       def b = spark.range(200000).select(col("id").as("kb"))
       def q = a.join(b,
         col("kb") >= col("ka") + 1 && col("kb") <= col("ka") + 5)
-      def t(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       spark.conf.set("spark.graft.rewriteBandJoin.enabled", "false")
       val loop = t { q.queryExecution.toRdd.count() }
       spark.conf.set("spark.graft.rewriteBandJoin.enabled", "true")
@@ -525,9 +509,6 @@ object ScaleProbe {
       val emb = spark.read.parquet(path)
       emb.queryExecution.toRdd.count() // warm cache
       val sample = graft.operators.SimilaritySearch.pqSampleVectors(emb)
-      def t(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
       val hof = t {
         graft.operators.SimilaritySearch.pqEncode(emb, sample)
           .queryExecution.toRdd.count()

@@ -156,10 +156,28 @@ object StatsIndex {
       indexDir: String, bloomCols: Seq[String] = Nil,
       bloomItems: Long = 1000000L, bloomFpp: Double = 0.03): Unit = {
     val files = listData(spark, dataDir)
+    // Write ASIDE, then swap: a direct overwrite of indexDir would
+    // delete the previous index BEFORE the build job runs, so any
+    // mid-job failure (e.g. the spelling-translation raise_error)
+    // would leave readers with no index at all. The checked two-rename
+    // is the same contract as [[refresh]]: the old index survives any
+    // failure up to the final rename.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(indexDir).getFileSystem(conf)
+    val tmp = new Path(indexDir + ".build")
+    val parked = new Path(indexDir + ".old")
     // repartition, not coalesce(1): coalesce would collapse the footer
     // scan itself into one task (see refresh)
     rowsFor(spark, files, cols, bloomCols, bloomItems, bloomFpp)
-      .repartition(1).write.mode("overwrite").parquet(indexDir)
+      .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(parked, true)
+    if (fs.exists(new Path(indexDir)))
+      require(fs.rename(new Path(indexDir), parked),
+        s"build: could not move $indexDir aside — index untouched")
+    require(fs.rename(tmp, new Path(indexDir)),
+      s"build: could not move new index into $indexDir — " +
+        s"previous index preserved at $parked (rename it back)")
+    fs.delete(parked, true)
   }
 
   /** Stats rows (footer metadata) plus bloom rows (one grouped data
@@ -489,10 +507,10 @@ object StatsIndex {
       case (PrimitiveTypeName.INT64, lo: Number, hi: Number)
           if logical.isInstanceOf[
             LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
-        val unit = logical.asInstanceOf[
-          LogicalTypeAnnotation.TimestampLogicalTypeAnnotation].getUnit
+        val ann = logical.asInstanceOf[
+          LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
         import LogicalTypeAnnotation.TimeUnit
-        val (loU, hiU) = unit match {
+        val (loU, hiU) = ann.getUnit match {
           case TimeUnit.MICROS => (lo.longValue(), hi.longValue())
           case TimeUnit.MILLIS =>
             (math.multiplyExact(lo.longValue(), 1000L),
@@ -502,7 +520,13 @@ object StatsIndex {
             (Math.floorDiv(lo.longValue(), 1000L),
               Math.floorDiv(hi.longValue() + 999L, 1000L))
         }
-        Some(Bounds("long", Some(loU), Some(hiU), None, None, None, None))
+        // the annotation carries the timestamp FLAVOR: adjusted-to-UTC
+        // stats are instants and prune exactly against a probed
+        // instant; NTZ stats are wall-clock micros and shift by the
+        // session offset under comparison — their own kind lets the
+        // probe arms apply the ±14 h slack ONLY where it is needed
+        val kind = if (ann.isAdjustedToUTC) "long" else "tsntz"
+        Some(Bounds(kind, Some(loU), Some(hiU), None, None, None, None))
       case (PrimitiveTypeName.INT32, lo: Number, hi: Number)
           if logical.isInstanceOf[
             LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
@@ -574,7 +598,7 @@ object StatsIndex {
                   FullRange
                 else if (perChunk.map(_.kind).distinct.size > 1) FullRange
                 else perChunk.head.kind match {
-                  case k @ ("long" | "date") => Bounds(k,
+                  case k @ ("long" | "date" | "tsntz") => Bounds(k,
                     Some(perChunk.flatMap(_.lmin).min),
                     Some(perChunk.flatMap(_.lmax).max),
                     None, None, None, None)
@@ -712,45 +736,49 @@ object StatsIndex {
       if (v == 0.0d || v.isNaN) mm
       else {
         // cross-type coverage for long-built blooms: only an exactly
-        // round-tripping integral probe has a long spelling
+        // round-tripping integral probe has a long spelling. Legacy
+        // (pre-bspace) rows are AMBIGUOUS under a double probe — the
+        // filter could be long-built (pre-double-bloom index) or
+        // double-built (early-generation double bloom) and the two
+        // hash differently — so no legacy row is ever excluded here
+        // (the sentinel space matches no spelling)
         val spellings =
           ("double", xxhash64(lit(v))) +: (
             if (v == math.rint(v) && math.abs(v) < 9007199254740992.0d)
               Seq(("long", xxhash64(lit(v.toLong))))
             else Nil)
         mm || (col("col") === name &&
-          bloomExcludes(spellings, legacySpace = "long"))
+          bloomExcludes(spellings, legacySpace = "ambiguous"))
       }
     case t @ TimestampEquals(name, _) =>
-      // ±14 h slack on the micros arm: under a non-UTC session an NTZ
-      // column's wall-clock stats shift against the probed instant by
-      // the session offset (max +14:00 / −12:00); slack keeps the
-      // exclusion conservative in any session, as the date arm's
-      // ±1-day slack already does
-      val md = 86400000000L // micros per day
-      val tz = 50400000000L // 14 h in micros: max legal UTC offset
-      val loDay = Math.floorDiv(t.loMicros, md) - 1L
-      val hiDay = Math.floorDiv(t.hiMicros, md) + 1L
-      col("col") === name && (
-        (col("kind") === "long" &&
-          (col("lmax") < t.loMicros - tz || col("lmin") > t.hiMicros + tz)) ||
-        (col("kind") === "date" &&
-          (col("lmax") < loDay || col("lmin") > hiDay)))
+      col("col") === name && timestampArms(t.loMicros, t.hiMicros)
     case t @ TimestampRange(name, _, _) =>
-      // date stats are epoch DAYS: compare day-converted bounds with
-      // ±1-day slack so a session-timezone date→timestamp cast (±14 h)
-      // can never turn conservative pruning into wrong exclusion; the
-      // micros arm gets the same ±14 h slack for NTZ wall-clock stats
-      // probed under a non-UTC session
-      val md = 86400000000L // micros per day
-      val tz = 50400000000L // 14 h in micros: max legal UTC offset
-      val loDay = Math.floorDiv(t.loMicros, md) - 1L
-      val hiDay = Math.floorDiv(t.hiMicros, md) + 1L
-      col("col") === name && (
-        (col("kind") === "long" &&
-          (col("lmax") < t.loMicros - tz || col("lmin") > t.hiMicros + tz)) ||
-        (col("kind") === "date" &&
-          (col("lmax") < loDay || col("lmin") > hiDay)))
+      col("col") === name && timestampArms(t.loMicros, t.hiMicros)
+  }
+
+  /** The three timestamp-stat arms, shared by [[TimestampEquals]] and
+    * [[TimestampRange]], each with exactly the slack its flavor needs:
+    *  - `long` (instant, isAdjustedToUTC) stats compare instants to
+    *    instants — EXACT, no slack;
+    *  - `tsntz` (wall-clock) stats shift against the probed instant by
+    *    the session offset under comparison (NTZ is promoted through
+    *    the session zone), so they get ±14 h slack — the max legal UTC
+    *    offset — keeping exclusion conservative in ANY session.
+    *    Legacy indexes recorded NTZ stats as `long` and so keep their
+    *    pre-flavor exact/UTC-assumed semantics;
+    *  - `date` stats are epoch DAYS: day-converted bounds with ±1-day
+    *    slack, absorbing the same session-zone cast shift. */
+  private def timestampArms(loMicros: Long, hiMicros: Long): Column = {
+    val md = 86400000000L // micros per day
+    val tz = 50400000000L // 14 h in micros: max legal UTC offset
+    val loDay = Math.floorDiv(loMicros, md) - 1L
+    val hiDay = Math.floorDiv(hiMicros, md) + 1L
+    (col("kind") === "long" &&
+      (col("lmax") < loMicros || col("lmin") > hiMicros)) ||
+      (col("kind") === "tsntz" &&
+        (col("lmax") < loMicros - tz || col("lmin") > hiMicros + tz)) ||
+      (col("kind") === "date" &&
+        (col("lmax") < loDay || col("lmin") > hiDay))
   }
 
   /** Bloom-arm exclusion over index rows: a `kind = "bloom"` row
@@ -761,8 +789,12 @@ object StatsIndex {
     * whose hash the filter rules out; rows in spaces the probe cannot
     * spell (e.g. a string-built bloom under a numeric probe, whose
     * textual form is unknowable) are kept. Pre-`bspace` rows (NULL)
-    * read as `legacySpace` — the space the legacy build hashed for
-    * that probe type — preserving old-index behavior exactly. A NULL
+    * read as `legacySpace` — the space the legacy build provably
+    * hashed for that probe type ("long" for [[LongEquals]], "string"
+    * for [[StringEquals]]), preserving old-index behavior exactly;
+    * [[DoubleEquals]] passes a sentinel that matches nothing, because
+    * a legacy row under a double probe could be either long- or
+    * double-built and the two hash differently. A NULL
     * bloom (pre-bloom index row) excludes nothing. An all-null column
     * is NOT null here: it holds exactly the null-seed hash
     * (`xxhash64(NULL)` = the seed), so such files CAN be

@@ -352,12 +352,17 @@ class LayoutSinkSpec extends SparkSpec {
 
   test("per-batch z-files still prune a small box") {
     // 16 files (4 batches x 4); a 12%-per-dim box should not need most
-    // of them even though z-locality is only batch-level
+    // of them even though z-locality is only batch-level. Threshold is
+    // 5/8, not 1/2: ZOrder.write cuts files with repartitionByRange,
+    // whose reservoir sampling places boundaries slightly differently
+    // per run — the observed hit count sits at 8-or-9 of 16 across
+    // runs, and a threshold on the sampler's variance edge flakes
+    // without any locality change (one full-suite run in five hit 9).
     val all = StatsIndex.prunedFiles(spark, s"$work/idx", Nil)
     val hit = StatsIndex.prunedFiles(spark, s"$work/idx",
       Seq(("x", 1000L, 1500L), ("y", 1000L, 1500L)))
     assert(all.size >= 12, s"expected >= 12 files, got ${all.size}")
-    assert(hit.size <= all.size / 2,
+    assert(hit.size <= (all.size * 5) / 8,
       s"box needs ${hit.size}/${all.size} files — batch z-locality lost")
   }
 }

@@ -653,6 +653,41 @@ class StatsIndexSpec extends SparkSpec {
       s"2^53 rounding window: pruned $got vs full $want")
   }
 
+  test("timestamp stats record their flavor: instant (adjusted-to-UTC) " +
+    "stats prune exactly, NTZ stats carry the session-offset slack") {
+    val dir = Files.createTempDirectory("graft_sidx_tsf_").toString
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    try {
+      // INT64-micros with isAdjustedToUTC=true — instant semantics
+      spark.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MICROS")
+      graft.sources.PartitionedLake.writeClustered(
+        spark.range(100000).select(
+          expr("timestamp_micros(id * 60000000)").as("ts"), // LTZ, 1/min
+          col("id").as("payload")),
+        s"$dir/data", Seq("payload"), numFiles = 8)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    StatsIndex.build(spark, s"$dir/data", Seq("ts"), s"$dir/idx")
+    val kinds = spark.read.parquet(s"$dir/idx")
+      .select(col("kind")).distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("long"),
+      s"adjusted-to-UTC stats must be instant-kinded ('long'): $kinds")
+    // exact pruning: an instant probe keeps only its own file — no
+    // ±14 h blur (each file spans ~8.7 days here, so slack would not
+    // show; the kind assertion above is what pins exactness)
+    val probe = StatsIndex.TimestampEquals("ts",
+      java.time.Instant.ofEpochSecond(50000L * 60))
+    val got = StatsIndex.readPrunedTyped(spark, s"$dir/data",
+      s"$dir/idx", Seq(probe))
+    assert(got.count() == 1 &&
+      got.select(col("payload")).head.getLong(0) == 50000L)
+  }
+
   test("TimestampEquals prunes micros-normalized and date-kinded stats " +
     "conservatively") {
     val dir = Files.createTempDirectory("graft_sidx_te_").toString
