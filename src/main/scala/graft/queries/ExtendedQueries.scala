@@ -431,6 +431,30 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
   }
 
+  /** TIMESTAMP-flavored file skipping, oracle-checked end to end:
+    * events time-clustered into a temp lake, stats-indexed — the `ts`
+    * column is TIMESTAMP_NTZ, so its stats rows carry the `tsntz`
+    * kind with the ±14 h session-offset slack — then read through a
+    * [[graft.sources.StatsIndex.TimestampRange]] probe and
+    * aggregated. The oracle is the plain filtered aggregate: the hash
+    * match proves the wall-clock arm (micros normalization + offset
+    * slack) loses and fabricates nothing on the one table whose
+    * physical timestamp encoding has already drifted once between
+    * rounds. */
+  val q52TsPrunedScan: Q = (s, dir) => {
+    import graft.sources.StatsIndex
+    val work = tempWork("graft_q52_")
+    graft.sources.PartitionedLake.writeClustered(
+      Oracle.events(s, dir), s"$work/lake", Seq("ts"), numFiles = 8)
+    StatsIndex.build(s, s"$work/lake", Seq("ts"), s"$work/idx")
+    StatsIndex.readPrunedTyped(s, s"$work/lake", s"$work/idx", Seq(
+      StatsIndex.TimestampRange("ts",
+        java.time.Instant.parse("2024-01-10T00:00:00Z"),
+        java.time.Instant.parse("2024-01-14T23:59:59Z"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+  }
+
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
     * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
     * aggregated per curve cell. The oracle UNROLLS the same phases as
@@ -448,6 +472,7 @@ object ExtendedQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q52_ts_pruned_scan" -> q52TsPrunedScan,
     "q51_double_bloom_scan" -> q51DoubleBloomScan,
     "q50_bloom_pruned_scan" -> q50BloomPrunedScan,
     "q48_hilbert3" -> q48Hilbert3,
@@ -470,6 +495,13 @@ object ExtendedQueries {
     "qi1_indicator_frames" -> qi1IndicatorFrames)
 
   val sql: Map[String, String] = Map(
+    "q52_ts_pruned_scan" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  ${sqlSumd("value")} AS sum_value
+         |FROM events
+         |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+         |  AND TIMESTAMP '2024-01-14 23:59:59'
+         |GROUP BY 1""".stripMargin,
     "q51_double_bloom_scan" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  ${sqlSumd("l_quantity")} AS sum_qty
