@@ -603,8 +603,11 @@ object Multimodal {
           .flatMap { t =>
             val off = t.firstChunkOffset
             val len = t.firstSampleSize
+            // Subtraction-based bound: a hostile co64 entry can put
+            // `off` near Long.MaxValue, where `off + len` wraps
+            // negative and an additive check would pass.
             if (off < 0 || len < 4 || len > MaxKeyframeBytes ||
-                off + len > payload.length) None
+                off > payload.length.toLong - len) None
             else if ((payload(off.toInt) & 0xff) != 0xff ||
                 (payload(off.toInt + 1) & 0xff) != 0xd8) None // JPEG SOI
             else Some(java.util.Arrays.copyOfRange(payload, off.toInt,

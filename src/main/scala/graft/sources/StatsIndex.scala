@@ -161,7 +161,12 @@ object StatsIndex {
     // mid-job failure (e.g. the spelling-translation raise_error)
     // would leave readers with no index at all. The checked two-rename
     // is the same contract as [[refresh]]: the old index survives any
-    // failure up to the final rename.
+    // failure up to the final rename. FAILURE-preservation only, not
+    // reader atomicity: between the two renames indexDir briefly does
+    // not exist, so build/refresh must not run concurrently with
+    // prunedTyped/readPrunedTyped (single-writer, no-concurrent-reader
+    // contract — a concurrent reader would fail on the missing path,
+    // it would never read wrong data).
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(indexDir).getFileSystem(conf)
     val tmp = new Path(indexDir + ".build")
@@ -690,14 +695,21 @@ object StatsIndex {
             col("dmin") > Math.nextUp(v.toDouble))) ||
         bloomExcludes(spellings, legacySpace = "long"))
     case StringEquals(name, v) =>
-      // numeric-parsable strings coerce in comparisons (`longCol ===
-      // '5'` compares as bigint), so long/double-built blooms are
-      // probed with the parsed spellings; the double spelling skips
-      // zero (±0.0) as in [[LongEquals]]
+      // numeric-parsable strings coerce in comparisons. ANSI sessions
+      // cast the string to BIGINT (exact long space), but with ANSI
+      // OFF Spark widens string-vs-bigint to DOUBLE space, where a
+      // long column value in the probe's double-rounding window can
+      // satisfy the predicate while hashing differently from the
+      // parsed long. The index is session-agnostic, so the long
+      // spelling is only emitted below 2^53 (exact in BOTH spaces —
+      // same guard as [[DoubleEquals]]); larger parses stay
+      // conservative (no long-space exclusion). The double spelling
+      // skips zero (±0.0) as in [[LongEquals]]
       val spellings =
         ("string", xxhash64(lit(v))) +:
-          (v.toLongOption.map(l =>
-            ("long", xxhash64(lit(l)))).toSeq ++
+          (v.toLongOption
+            .filter(l => l > -9007199254740992L && l < 9007199254740992L)
+            .map(l => ("long", xxhash64(lit(l)))).toSeq ++
             v.toDoubleOption
               .filterNot(d => d == 0.0 || d.isNaN)
               .map(d => ("double", xxhash64(lit(d)))).toSeq)

@@ -561,18 +561,25 @@ class MultimodalCodecSpec extends SparkSpec {
     * `fourcc` video track, with a correct sample table (stsd + stsz +
     * stco pointing into mdat). Layout: ftyp, mdat(jpeg), moov. */
   private def jpegMp4(jpeg: Array[Byte], fourcc: String = "jpeg",
-      stcoOverride: Option[Int] = None): Array[Byte] = {
+      stcoOverride: Option[Int] = None,
+      co64Override: Option[Long] = None): Array[Byte] = {
     val ftyp = ftypBox()
     val mdatOff = ftyp.length + 8 // first payload byte of mdat
+    // chunk-offset box: 64-bit co64 when a co64Override is given
+    // (hostile-offset tests), else the ordinary u32 stco
+    val chunkOffBox = co64Override match {
+      case Some(off64) => mp4Box("co64", beBytes(16)(
+        _.putInt(0).putInt(1).putLong(off64)))
+      case None => mp4Box("stco", beBytes(12)(
+        _.putInt(0).putInt(1).putInt(stcoOverride.getOrElse(mdatOff))))
+    }
     val stbl = mp4Box("stbl",
       mp4Box("stsd", beBytes(16)(
         _.putInt(0).putInt(1).putInt(8).put(fourcc.getBytes("US-ASCII")))),
       // stsz: version/flags, uniform sample size, sample count
       mp4Box("stsz", beBytes(12)(
         _.putInt(0).putInt(jpeg.length).putInt(1))),
-      // stco: version/flags, entry count, first chunk offset
-      mp4Box("stco", beBytes(12)(
-        _.putInt(0).putInt(1).putInt(stcoOverride.getOrElse(mdatOff)))))
+      chunkOffBox)
     val trak = mp4Box("trak", tkhdV0(4, 4),
       mp4Box("mdia",
         mp4Box("hdlr", beBytes(24)(
@@ -605,6 +612,15 @@ class MultimodalCodecSpec extends SparkSpec {
     // the SOI check
     assert(Mp4MetaCodec.firstKeyframe(
       jpegMp4(jpeg, stcoOverride = Some(0))).isEmpty)
+    // hostile co64: an offset near Long.MaxValue makes `off + len`
+    // wrap negative — the subtraction-based bound must reject it
+    // rather than index with a truncated int (ADVICE r6 #1)
+    assert(Mp4MetaCodec.firstKeyframe(
+      jpegMp4(jpeg, co64Override = Some(Long.MaxValue - 2))).isEmpty)
+    // sane co64 still extracts (the 64-bit path is not just rejected)
+    assert(Mp4MetaCodec.firstKeyframe(
+      jpegMp4(jpeg, co64Override = Some((ftypBox().length + 8).toLong)))
+      .exists(_.toSeq == jpeg.toSeq))
     // container metadata still parses for all variants
     assert(Mp4MetaCodec.parse(jpegMp4(jpeg)).get
       .videoTracks.head.fourcc == "jpeg")

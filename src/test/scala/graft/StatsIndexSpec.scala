@@ -653,6 +653,43 @@ class StatsIndexSpec extends SparkSpec {
       s"2^53 rounding window: pruned $got vs full $want")
   }
 
+  test("StringEquals beyond 2^53: a long value in the probe's " +
+    "double-rounding window is not wrongly bloom-excluded") {
+    val dir = Files.createTempDirectory("graft_sidx_s53_").toString
+    val p53 = 9007199254740992L // 2^53
+    // Spark 4 casts string-vs-bigint to BIGINT in both ANSI modes
+    // (probed this round: `Filter (k = cast('9007199254740993' as
+    // bigint))`), so for THIS engine the parsed-long spelling would
+    // be exact at any magnitude. The index, however, is a persistent
+    // artifact: Spark <= 3.x readers widen string-vs-bigint to DOUBLE
+    // space, where data 2^53 matches the probe '2^53+1' (the parse
+    // rounds to 2^53) and a long-space bloom probe of 2^53+1 would
+    // wrongly exclude the file (ADVICE r6 #2). So the guard is
+    // asserted at the PRUNING level: a >= 2^53 string probe must not
+    // exclude any file, while sub-2^53 probes keep their exclusions.
+    Seq((p53, 0L), (p53 + 4L, 1L)).toDF("k", "payload").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("k"), s"$dir/idx",
+      bloomCols = Seq("k"), bloomItems = 1000, bloomFpp = 0.001)
+    val nFiles = StatsIndex.prunedTyped(spark, s"$dir/idx", Nil).size
+    // beyond 2^53: no long spelling — the bloom cannot exclude, the
+    // file survives for the reader's exact re-filter
+    assert(StatsIndex.prunedTyped(spark, s"$dir/idx",
+      Seq(StatsIndex.StringEquals("k", "9007199254740993"))).size
+      == nFiles, "beyond-2^53 string probe must not bloom-exclude")
+    // sub-2^53 probes keep their long-space exclusion power: a value
+    // far outside the data (also outside [lmin, lmax]) prunes to zero
+    assert(StatsIndex.prunedTyped(spark, s"$dir/idx",
+      Seq(StatsIndex.StringEquals("k", "777"))).isEmpty,
+      "sub-2^53 string probe lost its exclusion")
+    // and the engine-level semantics stay correct end-to-end: nothing
+    // matches '2^53+1' in long space, with every file kept
+    assert(StatsIndex.readPrunedTyped(spark, s"$dir/data", s"$dir/idx",
+      Seq(StatsIndex.StringEquals("k", "9007199254740993"))).count()
+      == spark.read.parquet(s"$dir/data")
+        .filter(col("k") === "9007199254740993").count())
+  }
+
   test("timestamp stats record their flavor: instant (adjusted-to-UTC) " +
     "stats prune exactly, NTZ stats carry the session-offset slack") {
     val dir = Files.createTempDirectory("graft_sidx_tsf_").toString
