@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, ExtendedQueries, MlQueryCatalog, RelationalQueries, StreamQueryCatalog, TextQueryCatalog, VectorQueryCatalog}
+import graft.queries.{AnalyticsQueries, ExtendedQueries, ImageQueryCatalog, MlQueryCatalog, RelationalQueries, StreamQueryCatalog, TextQueryCatalog, VectorQueryCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,6 +24,7 @@ object SparkEntry {
     RelationalQueries.defs ++ ExtendedQueries.defs ++
       AnalyticsQueries.defs ++
       TextQueryCatalog.defs ++ VectorQueryCatalog.defs ++
+      ImageQueryCatalog.defs ++
       MlQueryCatalog.defs ++ StreamQueryCatalog.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +33,6 @@ object SparkEntry {
     RelationalQueries.sql ++ ExtendedQueries.sql ++
       AnalyticsQueries.sql ++
       TextQueryCatalog.sql ++ VectorQueryCatalog.sql ++
+      ImageQueryCatalog.sql ++
       MlQueryCatalog.sql ++ StreamQueryCatalog.sql
 }
