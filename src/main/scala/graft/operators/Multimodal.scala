@@ -447,15 +447,29 @@ object Multimodal {
     val MaxBoxes = 4096
     val MaxDepth = 8
 
+    /** Per-table entry caps: stored sample/chunk coordinates are
+      * truncated here (a hostile u32 count must not size an
+      * allocation; a truncated table just yields fewer frames). */
+    private[operators] val MaxSamples = 4096
+    private[operators] val MaxChunks = 4096
+
     /** `firstSampleSize`/`firstChunkOffset` carry the sample-table
       * coordinates of the track's FIRST sample (stsz entry 0 /
       * stco|co64 entry 0): by the ISO-BMFF chunk layout the first
       * sample of the first chunk starts exactly at the first chunk
-      * offset, which is all [[firstKeyframe]] needs — no stsc
-      * interleaving math for sample 0. Zero/negative = absent. */
+      * offset — no stsc interleaving math for sample 0. Zero/negative
+      * = absent. The FULL table view for [[keyframes]]:
+      * `sampleCount` + `uniformSize`/`sampleSizes` (stsz),
+      * `chunkOffsets` (stco|co64, capped at [[MaxChunks]]) and
+      * `stscRuns` as (first_chunk 1-based, samples_per_chunk) pairs —
+      * empty arrays when the boxes are absent/empty. */
     final case class TrackInfo(handler: String, width: Int, height: Int,
       fourcc: String, firstSampleSize: Long = 0L,
-      firstChunkOffset: Long = -1L)
+      firstChunkOffset: Long = -1L,
+      sampleCount: Long = 0L, uniformSize: Long = 0L,
+      sampleSizes: Array[Long] = Array.emptyLongArray,
+      chunkOffsets: Array[Long] = Array.emptyLongArray,
+      stscRuns: Array[(Long, Long)] = Array.empty)
     final case class Mp4Info(majorBrand: String, timescale: Long,
       durationSec: Double, tracks: Seq[TrackInfo]) {
       def videoTracks: Seq[TrackInfo] = tracks.filter(_.handler == "vide")
@@ -520,6 +534,10 @@ object Multimodal {
             case ("trak", ts, te) =>
               var handler = ""; var w = 0; var h = 0; var fourcc = ""
               var sampleSize = 0L; var chunkOff = -1L
+              var sampleCount = 0L; var uniformSize = 0L
+              var sampleSizes = Array.emptyLongArray
+              var chunkOffsets = Array.emptyLongArray
+              var stscRuns = Array.empty[(Long, Long)]
               forBoxes(ts, te, 2) {
                 case ("tkhd", s, e) if e - s >= 1 =>
                   // v0: width/height (16.16 fixed) at +76; v1's 64-bit
@@ -544,20 +562,45 @@ object Multimodal {
                               fourcc = tag(s + 12)
                             // stsz: version/flags, uniform sample_size,
                             // sample_count, then per-sample entries when
-                            // uniform == 0 — we only need sample 0
+                            // uniform == 0. Stored entries are bounded by
+                            // the box's OWN bytes and MaxSamples — a
+                            // hostile count sizes nothing
                             case ("stsz", s, e) if e - s >= 12 =>
                               val uniform = u32(s + 4)
-                              if (uniform > 0) sampleSize = uniform
-                              else if (u32(s + 8) >= 1 && e - s >= 16)
-                                sampleSize = u32(s + 12)
+                              sampleCount = u32(s + 8)
+                              if (uniform > 0) {
+                                uniformSize = uniform
+                                sampleSize = uniform
+                              } else {
+                                val n = math.min(math.min(sampleCount,
+                                  (e - s - 12) / 4), MaxSamples.toLong).toInt
+                                sampleSizes = Array.tabulate(n)(i =>
+                                  u32(s + 12 + 4L * i))
+                                if (n >= 1) sampleSize = sampleSizes(0)
+                              }
+                            // stsc: version/flags, entry_count, then
+                            // (first_chunk, samples_per_chunk,
+                            // sample_description_index) triples
+                            case ("stsc", s, e) if e - s >= 8 =>
+                              val n = math.min(math.min(u32(s + 4),
+                                (e - s - 8) / 12), MaxChunks.toLong).toInt
+                              stscRuns = Array.tabulate(n)(i =>
+                                (u32(s + 8 + 12L * i),
+                                  u32(s + 12 + 12L * i)))
                             // stco/co64: version/flags, entry_count,
                             // then 32/64-bit absolute file offsets
-                            case ("stco", s, e)
-                                if e - s >= 12 && u32(s + 4) >= 1 =>
-                              chunkOff = u32(s + 8)
-                            case ("co64", s, e)
-                                if e - s >= 16 && u32(s + 4) >= 1 =>
-                              chunkOff = bb.getLong(s.toInt + 8)
+                            case ("stco", s, e) if e - s >= 8 =>
+                              val n = math.min(math.min(u32(s + 4),
+                                (e - s - 8) / 4), MaxChunks.toLong).toInt
+                              chunkOffsets = Array.tabulate(n)(i =>
+                                u32(s + 8 + 4L * i))
+                              if (n >= 1) chunkOff = chunkOffsets(0)
+                            case ("co64", s, e) if e - s >= 8 =>
+                              val n = math.min(math.min(u32(s + 4),
+                                (e - s - 8) / 8), MaxChunks.toLong).toInt
+                              chunkOffsets = Array.tabulate(n)(i =>
+                                bb.getLong((s + 8 + 8L * i).toInt))
+                              if (n >= 1) chunkOff = chunkOffsets(0)
                             case _ => ()
                           }
                         case _ => ()
@@ -567,7 +610,8 @@ object Multimodal {
                 case _ => ()
               }
               tracks += TrackInfo(handler, w, h, fourcc, sampleSize,
-                chunkOff)
+                chunkOff, sampleCount, uniformSize, sampleSizes,
+                chunkOffsets, stscRuns)
             case _ => ()
           }
         case _ => ()
@@ -614,6 +658,75 @@ object Multimodal {
               (off + len).toInt))
           }
       }
+
+    /** ALL keyframes for the honest subset — the full-sample-table
+      * generalisation of [[firstKeyframe]] (round-6 gap: only sample 0
+      * was extracted). For the first video track whose sample format is
+      * a [[JpegSampleFormats]] member, resolve every sample's file
+      * coordinates through the REAL stsz / stsc / stco|co64 walk —
+      * chunk runs map samples to chunks, sizes accumulate within a
+      * chunk — and slice each JPEG out of `mdat`. Hardening is the
+      * shared contract, applied per STRUCTURE not per frame: any
+      * invalid coordinate set (offset/size out of payload bounds,
+      * oversized frame, missing SOI at a claimed sample start) rejects
+      * the WHOLE payload (Nil) — a sample table that lies once is not
+      * trusted for the frames before or after the lie. Absent stsc is
+      * read as all-samples-in-chunk-0 (the single-chunk photo-JPEG
+      * layout); truncated stored tables yield only the resolvable
+      * prefix. H.264/H.265 tracks stay honestly un-decoded. */
+    def keyframes(payload: Array[Byte],
+        maxFrames: Int = MaxSamples): Seq[Array[Byte]] = {
+      val track = parse(payload).flatMap(
+        _.videoTracks.find(t => JpegSampleFormats.contains(t.fourcc)))
+      track match {
+        case None => Nil
+        case Some(t) =>
+          if (t.chunkOffsets.isEmpty || t.sampleCount <= 0) return Nil
+          val n = math.min(math.min(t.sampleCount, maxFrames.toLong),
+            if (t.uniformSize > 0) t.sampleCount
+            else t.sampleSizes.length.toLong).toInt
+          def size(i: Int): Long =
+            if (t.uniformSize > 0) t.uniformSize else t.sampleSizes(i)
+          // stsc runs → samples-per-chunk for each chunk index (1-based
+          // first_chunk; a run covers [first_chunk, next run's first));
+          // absent/empty stsc → every sample in chunk 0
+          val runs =
+            if (t.stscRuns.isEmpty) Array((1L, t.sampleCount))
+            else t.stscRuns
+          val out = Seq.newBuilder[Array[Byte]]
+          var sample = 0
+          var chunk = 0
+          var run = 0
+          var ok = true
+          while (ok && sample < n && chunk < t.chunkOffsets.length) {
+            // samples in this chunk = the active run's count
+            while (run + 1 < runs.length &&
+              runs(run + 1)._1 <= chunk + 1) run += 1
+            val inChunk = runs(run)._2
+            if (inChunk <= 0 || runs(run)._1 < 1) { ok = false }
+            else {
+              var off = t.chunkOffsets(chunk)
+              var i = 0L
+              while (ok && i < inChunk && sample < n) {
+                val len = size(sample)
+                if (off < 0 || len < 4 || len > MaxKeyframeBytes ||
+                    off > payload.length.toLong - len ||
+                    (payload(off.toInt) & 0xff) != 0xff ||
+                    (payload(off.toInt + 1) & 0xff) != 0xd8) ok = false
+                else {
+                  out += java.util.Arrays.copyOfRange(payload,
+                    off.toInt, (off + len).toInt)
+                  off += len
+                  sample += 1
+                  i += 1
+                }
+              }
+              chunk += 1
+            }
+          }
+          if (ok) out.result() else Nil
+      }
+    }
 
     /** `[isMp4, durationSec, timescale, nTracks, nVideoTracks,
       *   nAudioTracks, width, height]` — container metadata only. */
@@ -1089,15 +1202,19 @@ object Multimodal {
     }(encoder)
   }
 
-  /** First-keyframe extraction for JPEG-in-MP4 payloads
-    * ([[Mp4MetaCodec.firstKeyframe]]): one row per media row whose MP4
-    * carries a `jpeg`/`mjpa` video track, with the keyframe's own JPEG
-    * bytes — downstream treats frames as `kind = "image"` rows
-    * ([[extractFeatures]] / [[resizeImages]]). Non-MP4 and
-    * H.264/H.265 payloads emit no rows (honestly un-decoded — no
-    * pure-JVM codec). Same partition-wise batch contract as
-    * [[sampleMjpegFrames]]. */
-  def sampleMp4Keyframes(media: DataFrame): DataFrame = {
+  /** Keyframe extraction for JPEG-in-MP4 payloads
+    * ([[Mp4MetaCodec.keyframes]] — the FULL stsz/stsc/stco|co64
+    * sample-table walk): one row per `stride`-th sample of any media
+    * row whose MP4 carries a `jpeg`/`mjpa` video track, with the
+    * frame's own JPEG bytes — downstream treats frames as
+    * `kind = "image"` rows ([[extractFeatures]] / [[resizeImages]] /
+    * [[PerceptualHash.dhashImages]]). Non-MP4 and H.264/H.265 payloads
+    * emit no rows (honestly un-decoded — no pure-JVM codec). Same
+    * partition-wise batch contract as [[sampleMjpegFrames]];
+    * `frame_idx` is the sample index in the track, so striding keeps
+    * indices identifiable. */
+  def sampleMp4Keyframes(media: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride $stride")
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("frame_idx", IntegerType, nullable = false),
@@ -1107,8 +1224,8 @@ object Multimodal {
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        Mp4MetaCodec.firstKeyframe(r.getAs[Array[Byte]](payloadIdx))
-          .map(f => Row(r.getLong(idIdx), 0, f))
+        val fs = Mp4MetaCodec.keyframes(r.getAs[Array[Byte]](payloadIdx))
+        fs.indices.by(stride).map(i => Row(r.getLong(idIdx), i, fs(i)))
       }
     }(encoder)
   }

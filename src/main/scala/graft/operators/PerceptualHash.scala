@@ -170,6 +170,44 @@ object PerceptualHash {
   /** `bit_count` of a 64-bit column (codegen'd builtin). */
   private def bitCount64(c: Column): Column = bit_count(c)
 
+  /** Frame-level dHashes for video payloads `(media_id, frame_idx,
+    * dhash)`: every `stride`-th REAL frame of the two honestly
+    * JVM-decodable video families — AVI/MJPEG
+    * ([[Multimodal.sampleMjpegFrames]]) and JPEG-in-MP4
+    * ([[Multimodal.sampleMp4Keyframes]], full sample-table walk) —
+    * decoded and hashed. Because the hash is computed on decoded
+    * PIXELS, identical content hashes identically across containers
+    * (the same JPEG muxed in AVI and MP4 collides), which is what
+    * makes cross-container video dedup possible. H.264/H.265/VP9
+    * payloads emit no rows. */
+  def frameDhashes(media: DataFrame, stride: Int = 1): DataFrame = {
+    val frames = Multimodal.sampleMjpegFrames(media, stride)
+      .unionByName(Multimodal.sampleMp4Keyframes(media, stride))
+    dhashImages(frames.withColumnRenamed("frame", "payload"))
+      .filter(col("decoded"))
+      .select(col("media_id"), col("frame_idx"), col("dhash"))
+  }
+
+  /** Video near-dup pairs by shared frame hashes: `(id_a, id_b,
+    * shared_frames)` where the two videos have ≥ `minShared` distinct
+    * frame dHashes in common. The join key is the frame HASH (8
+    * bytes), never frames — the shuffle is metadata-scale, and videos
+    * sharing no content never meet. Repeated identical frames within
+    * one video collapse first (`distinct`), so a still slate shared
+    * by everything counts once per pair, not quadratically. */
+  def videoDupPairs(frameHashes: DataFrame, minShared: Int = 1,
+      idCol: String = "media_id", hashCol: String = "dhash"): DataFrame = {
+    val a = frameHashes.select(col(idCol).as("id_a"),
+      col(hashCol).as("h")).distinct()
+    val b = frameHashes.select(col(idCol).as("id_b"),
+      col(hashCol).as("h")).distinct()
+    a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
+
   /** One representative per identical dHash (perceptual exact-dup
     * groups): `(dhash, keep_id = min id, n_dups)`. Hash-groupBy —
     * partial aggregation map-side, shuffle carries one row per

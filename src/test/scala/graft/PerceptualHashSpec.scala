@@ -166,4 +166,35 @@ class PerceptualHashSpec extends SparkSpec {
     assert(P.hamming(rows(0L), rows(101L)) <= 2,
       "one-pixel bump must move at most 2 bits")
   }
+
+  test("cross-container video dedup: the same JPEG content muxed in " +
+    "MP4 and AVI collides on frame dHashes; videoDupPairs scores " +
+    "shared distinct frames") {
+    import MediaFixtures._
+    val shared = Seq(jpegOf(1), jpegOf(2), jpegOf(3))
+    val media = Seq(
+      // A: MP4 with frames 1,2,3 (multi-chunk sample table)
+      (1L, "video", jpegMp4Multi(shared, samplesPerChunk = 2)),
+      // B: AVI with frames 2,3,4 — two shared with A, plus a repeat
+      // of frame 2 (must count once, not twice)
+      (2L, "video", aviMjpeg(Seq(jpegOf(2), jpegOf(3), jpegOf(4), jpegOf(2)))),
+      // C: disjoint content
+      (3L, "video", jpegMp4Multi(Seq(jpegOf(8), jpegOf(9)))),
+      // D: H.264 — honestly un-decoded, contributes no frames
+      (4L, "video", jpegMp4Multi(shared, fourcc = "avc1")))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+    val hashes = P.frameDhashes(media)
+    val byVideo = hashes.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(byVideo(1L).size == 3 && byVideo(3L).size == 2)
+    assert(!byVideo.contains(4L), "avc1 track must emit no frames")
+    // container-independence: MP4 frame 2's hash == AVI frame 2's hash
+    assert(byVideo(1L).intersect(byVideo(2L)).size == 2)
+    val pairs = P.videoDupPairs(hashes, minShared = 2).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L &&
+      pairs.head.getLong(2) == 2L,
+      s"unexpected pair row ${pairs.head}")
+  }
 }
