@@ -81,13 +81,20 @@ object Multimodal {
     * Anything non-WAV or non-16-bit-PCM → zero vector. */
   object WavCodec extends MediaCodec {
     val featureDim = 8
-    def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
-      if (payload == null || payload.length < 44) return zeros
+
+    /** Validated RIFF/WAVE header walk shared by the feature and PCM
+      * decodes: (channels, sampleRate, dataOff, nSamples) for 16-bit
+      * PCM payloads; None for anything else (same total-function
+      * hardening as the other codecs — hostile lengths must not wrap
+      * the bound checks). */
+    private[operators] def pcmInfo(payload: Array[Byte])
+        : Option[(Int, Int, Int, Int)] = {
+      if (payload == null || payload.length < 44) return None
       val bb = java.nio.ByteBuffer.wrap(payload)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       def tag(off: Int): String =
         new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      if (tag(0) != "RIFF" || tag(8) != "WAVE") return zeros
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
       var off = 12
       var channels = 0; var sampleRate = 0; var bits = 0
       var dataOff = -1; var dataLen = 0
@@ -95,10 +102,10 @@ object Multimodal {
         val id = tag(off)
         val len = bb.getInt(off + 4)
         // Long math: len near Int.MaxValue must not wrap the bound check
-        if (len < 0 || off.toLong + 8 + len > payload.length) return zeros
+        if (len < 0 || off.toLong + 8 + len > payload.length) return None
         id match {
           case "fmt " =>
-            if (len < 16 || bb.getShort(off + 8) != 1) return zeros // PCM only
+            if (len < 16 || bb.getShort(off + 8) != 1) return None // PCM only
             channels = bb.getShort(off + 10)
             sampleRate = bb.getInt(off + 12)
             bits = bb.getShort(off + 22)
@@ -108,9 +115,35 @@ object Multimodal {
         off += 8 + len + (len & 1) // chunks are word-aligned
       }
       if (channels <= 0 || sampleRate <= 0 || bits != 16 || dataOff < 0)
-        return zeros
+        return None
       val nSamples = dataLen / 2
-      if (nSamples == 0) return zeros
+      if (nSamples == 0) return None
+      Some((channels, sampleRate, dataOff, nSamples))
+    }
+
+    /** Raw 16-bit PCM decode: (channels, sampleRate, samples) with
+      * channels interleaved as stored — the
+      * [[PerceptualHash.audioFingerprint64]] input. */
+    def decodePcm(payload: Array[Byte]): Option[(Int, Int, Array[Short])] =
+      pcmInfo(payload).map { case (channels, rate, dataOff, nSamples) =>
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val samples = new Array[Short](nSamples)
+        var i = 0
+        while (i < nSamples) {
+          samples(i) = bb.getShort(dataOff + 2 * i)
+          i += 1
+        }
+        (channels, rate, samples)
+      }
+
+    def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
+      val (channels, sampleRate, dataOff, nSamples) = pcmInfo(payload) match {
+        case Some(h) => h
+        case None => return zeros
+      }
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       var sum = 0.0; var sumSq = 0.0; var peak = 0.0
       var i = 0
       while (i < nSamples) {
@@ -120,7 +153,7 @@ object Multimodal {
         i += 1
       }
       val frames = nSamples / channels
-      Array(channels.toFloat, sampleRate.toFloat, bits.toFloat,
+      Array(channels.toFloat, sampleRate.toFloat, 16f, // pcmInfo: 16-bit only
         frames.toFloat, (frames.toDouble / sampleRate).toFloat,
         (sum / nSamples).toFloat,
         math.sqrt(sumSq / nSamples).toFloat, peak.toFloat)

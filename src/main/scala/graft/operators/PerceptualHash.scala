@@ -170,6 +170,100 @@ object PerceptualHash {
   /** `bit_count` of a 64-bit column (codegen'd builtin). */
   private def bitCount64(c: Column): Column = bit_count(c)
 
+  /** Audio fingerprint windows: 65 consecutive windows → 64 energy
+    * gradients, the audio analog of the 9-column dHash grid. */
+  val AudioWindows = 65
+
+  /** 64-bit energy-gradient audio fingerprint over 16-bit PCM: split
+    * the sample stream into [[AudioWindows]] equal windows (floor
+    * boundaries, ≥ 1 sample each), take each window's SUMMED absolute
+    * amplitude, and set bit `i` iff window i+1's mean energy exceeds
+    * window i's — compared as the cross-multiplication
+    * `e(i+1)·c(i) > e(i)·c(i+1)` (BigInt, no division, no rounding),
+    * so the comparison is EXACT: integer mean division would round
+    * ties differently under a uniform 2× gain. Like dHash, the
+    * gradient form is invariant under any positive gain k (both sides
+    * of each comparison scale by k) and under container re-muxing
+    * (the hash sees PCM, not bytes). Multi-channel streams
+    * fingerprint the stored interleave (document mono in; a channel
+    * mixdown is the caller's choice). */
+  def audioFingerprint64(samples: Array[Short]): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    val w = AudioWindows
+    val sums = new Array[Long](w)
+    val counts = new Array[Long](w)
+    var i = 0
+    while (i < w) {
+      val s0 = math.min((i.toLong * n / w).toInt, n - 1)
+      val s1 = math.max(((i + 1).toLong * n / w).toInt, s0 + 1)
+      var sum = 0L
+      var s = s0
+      while (s < s1) { sum += math.abs(samples(s).toLong); s += 1 }
+      sums(i) = sum
+      counts(i) = s1 - s0
+      i += 1
+    }
+    var bits = 0L
+    i = 0
+    while (i < w - 1) {
+      if (BigInt(sums(i + 1)) * counts(i) > BigInt(sums(i)) * counts(i + 1))
+        bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Decode each row's WAV `payload` ([[Multimodal.WavCodec]] 16-bit
+    * PCM parse) and append `decoded: boolean` and `afp: long` (the
+    * [[audioFingerprint64]]); payload dropped on output. Same
+    * partition-wise batch contract as [[dhashImages]]; near-dup pairs
+    * come from [[hammingPairs]]`(hashes, hashCol = "afp")` — the
+    * banded-LSH join is hash-agnostic. */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val outSchema = StructType(
+      media.schema.fields.filterNot(_.name == "payload") ++ Seq(
+        StructField("decoded", BooleanType, nullable = false),
+        StructField("afp", LongType, nullable = false)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val keepIdx = media.schema.fields.indices.filterNot(_ == payloadIdx)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val pcm = Multimodal.WavCodec.decodePcm(
+          r.getAs[Array[Byte]](payloadIdx))
+        val extra: Seq[Any] = pcm match {
+          case Some((_, _, samples)) =>
+            Seq(true, audioFingerprint64(samples))
+          case None => Seq(false, 0L)
+        }
+        Row.fromSeq(keepIdx.map(r.get) ++ extra)
+      }
+    }(encoder)
+  }
+
+  /** Minimal 16-bit PCM mono/N-channel WAV encoder (44-byte canonical
+    * header) — the byte-exact inverse of [[Multimodal.WavCodec]]'s
+    * parse, for deterministic synthetic audio in the oracle-checked
+    * catalog queries and specs. */
+  def encodeWavPcm16(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0, s"$sampleRate Hz x $channels ch")
+    val dataLen = 2 * samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
   /** Frame-level dHashes for video payloads `(media_id, frame_idx,
     * dhash)`: every `stride`-th REAL frame of the two honestly
     * JVM-decodable video families — AVI/MJPEG

@@ -105,10 +105,68 @@ object ImageQueryCatalog {
   val qi3DhashDedup: Q = (s, dir) =>
     PerceptualHash.dedupByHash(qi1Dhash(s, dir))
 
+  // ---------- audio fingerprint (same closed-form oracle pattern) ----
+
+  /** Synthetic-audio geometry: [[AudioN]] samples → the 65 fingerprint
+    * windows are exact [[AudioWin]]-sample blocks, so the oracle's
+    * `t // AudioWin` grouping reproduces the window sums exactly. */
+  val AudioN = 650
+  val AudioWin = 10
+  /** Every AudioBumpMod-th doc adds +5 to the samples of window 30
+    * only — confined to one window, hence ≤ 2 fingerprint bits. */
+  val AudioBumpMod = 11
+  val AudioBumpLo = 300
+  val AudioBumpHi = 310
+
+  /** Closed-form PCM sample, shared by the Spark synthesis and the
+    * generated DuckDB twin: a wrapping quadratic in ±2000 (the mod
+    * keeps the energy profile non-monotone so fingerprints vary with
+    * `base`). */
+  def sampleValue(docId: Long, t: Int): Int = {
+    val base = docId % BaseMod
+    val bump =
+      if (docId % AudioBumpMod == 0 && t >= AudioBumpLo && t < AudioBumpHi) 5L
+      else 0L
+    ((t.toLong * t * (base + 11) + 17L * t * (base % 13)) % 4001L
+      - 2000L + bump).toInt
+  }
+
+  /** `(doc_id, payload)` — one deterministic mono WAV per document. */
+  def syntheticWav(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val n = AudioN
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val samples = Array.tabulate(n)(t => sampleValue(id, t).toShort)
+        Row(id, PerceptualHash.encodeWavPcm16(8000, 1, samples))
+      }
+    }(encoder)
+  }
+
+  /** Real-pipeline audio fingerprint per document (WAV encode →
+    * RIFF parse → PCM → energy-gradient hash). */
+  val qa1AudioFp: Q = (s, dir) =>
+    PerceptualHash.audioFingerprints(syntheticWav(table(s, dir, "documents")))
+      .filter(col("decoded"))
+      .select(col("doc_id"), col("afp"))
+
+  /** Audio near-dup pairs through the SAME banded-LSH join as images
+    * (the operator is hash-agnostic); oracle is the O(n²) scan. */
+  val qa2AudioDupPairs: Q = (s, dir) =>
+    PerceptualHash.hammingPairs(
+      qa1AudioFp(s, dir), idCol = "doc_id", hashCol = "afp",
+      maxDist = 3, bands = 4)
+
   val defs: Map[String, Q] = Map(
     "qp1_dhash" -> qi1Dhash,
     "qp2_dhash_pairs" -> qi2DhashPairs,
-    "qp3_dhash_dedup" -> qi3DhashDedup)
+    "qp3_dhash_dedup" -> qi3DhashDedup,
+    "qa1_audio_fp" -> qa1AudioFp,
+    "qa2_audio_dup_pairs" -> qa2AudioDupPairs)
 
   // ---------- generated DuckDB twins ----------
 
@@ -139,6 +197,34 @@ object ImageQueryCatalog {
        |  WHERE a.gx < 8
        |  GROUP BY a.doc_id)""".stripMargin
 
+  /** The closed-form PCM sample as DuckDB SQL (doc alias `d`, sample
+    * index `t` in scope) — mirrors [[sampleValue]] exactly. */
+  private def audioSampleSql: String =
+    s"""((t * t * ((d.doc_id % $BaseMod) + 11) + 17 * t * ((d.doc_id % $BaseMod) % 13)) % 4001
+       |   - 2000
+       |   + CASE WHEN d.doc_id % $AudioBumpMod = 0 AND t >= $AudioBumpLo
+       |          AND t < $AudioBumpHi THEN 5 ELSE 0 END)""".stripMargin
+
+  /** CTEs `am` (per-window summed |sample|, exact [[AudioWin]]-sample
+    * blocks — equal counts, so the engine's cross-multiplied mean
+    * comparison reduces to comparing sums) and `ah` (doc_id, afp) —
+    * bit 63 via the same MIN trick as [[hashCtes]]. */
+  private def audioCtes: String =
+    s"""WITH am AS (
+       |  SELECT d.doc_id, t // $AudioWin AS w,
+       |    SUM(ABS($audioSampleSql)) AS m
+       |  FROM documents d, range($AudioN) ts(t)
+       |  GROUP BY d.doc_id, t // $AudioWin),
+       |ah AS (
+       |  SELECT a.doc_id,
+       |    (SUM(CASE WHEN b.m > a.m AND a.w < 63
+       |              THEN (1::BIGINT << a.w) ELSE 0 END)
+       |     + MIN(CASE WHEN b.m > a.m AND a.w = 63
+       |               THEN -9223372036854775808 ELSE 0 END))::BIGINT AS afp
+       |  FROM am a JOIN am b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+       |  WHERE a.w < 64
+       |  GROUP BY a.doc_id)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "qp1_dhash" ->
       s"""$hashCtes
@@ -152,5 +238,14 @@ object ImageQueryCatalog {
     "qp3_dhash_dedup" ->
       s"""$hashCtes
          |SELECT dhash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-         |FROM h GROUP BY dhash""".stripMargin)
+         |FROM h GROUP BY dhash""".stripMargin,
+    "qa1_audio_fp" ->
+      s"""$audioCtes
+         |SELECT doc_id, afp FROM ah""".stripMargin,
+    "qa2_audio_dup_pairs" ->
+      s"""$audioCtes
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.afp, b.afp))::INT AS hamming
+         |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin)
 }

@@ -167,6 +167,42 @@ class PerceptualHashSpec extends SparkSpec {
       "one-pixel bump must move at most 2 bits")
   }
 
+  test("audio fingerprint: WAV round-trip is byte-exact, the " +
+    "fingerprint matches the closed form, and gain-ordering " +
+    "invariance holds") {
+    import graft.queries.ImageQueryCatalog
+    // encode -> decode round trip preserves every sample
+    val samples = Array.tabulate(650)(t =>
+      ImageQueryCatalog.sampleValue(33L, t).toShort)
+    val pcm = Multimodal.WavCodec.decodePcm(
+      P.encodeWavPcm16(8000, 1, samples))
+    assert(pcm.isDefined)
+    val (ch, rate, got) = pcm.get
+    assert(ch == 1 && rate == 8000 && got.toSeq == samples.toSeq)
+    // closed-form fingerprint: exact 10-sample windows, sum compare
+    val sums = Array.tabulate(65) { w =>
+      (w * 10 until (w + 1) * 10)
+        .map(t => math.abs(ImageQueryCatalog.sampleValue(33L, t).toLong))
+        .sum
+    }
+    var want = 0L
+    for (i <- 0 until 64) if (sums(i + 1) > sums(i)) want |= 1L << i
+    assert(P.audioFingerprint64(samples) == want)
+    // doubling every sample preserves mean ORDER -> same fingerprint
+    // (doubled means are exactly 2x: sums double, counts unchanged)
+    val doubled = samples.map(s => (s * 2).toShort)
+    assert(P.audioFingerprint64(doubled) == want,
+      "2x gain must not change the energy-gradient fingerprint")
+    // catalog pipeline: bump doc (id 0) within hamming 2 of its
+    // unbumped base-bucket mate (id 101+11*? share base 0 mod 101...)
+    // ids 0 (bumped, base 0) and 202 (unbumped, base 0)
+    val docs = Seq(0L, 202L).toDF("doc_id")
+    val fps = P.audioFingerprints(ImageQueryCatalog.syntheticWav(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(P.hamming(fps(0L), fps(202L)) <= 2,
+      "one-window bump must move at most 2 fingerprint bits")
+  }
+
   test("cross-container video dedup: the same JPEG content muxed in " +
     "MP4 and AVI collides on frame dHashes; videoDupPairs scores " +
     "shared distinct frames") {
