@@ -331,6 +331,74 @@ object ScaleProbe {
       return
     }
 
+    // `phash`: perceptual-hash dedup data plane at 1x/10x — real BMP
+    // encode -> BmpCodec decode -> dHash per image, then the banded-LSH
+    // hamming pair join. Cluster structure is corpus-shaped (~5 docs per
+    // base image regardless of n, bump every 7th), so pair output grows
+    // LINEARLY in n and the probe isolates how the two stages scale:
+    // the hash pass is embarrassingly parallel, the join shuffles 8-byte
+    // keys only.
+    if (args.headOption.contains("phash")) {
+      import graft.operators.{PerceptualHash => P}
+      import org.apache.spark.sql.{DataFrame, Row}
+      import org.apache.spark.sql.types._
+      def media(n: Long): DataFrame = {
+        val buckets = math.max(1L, n / 5)
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("payload", BinaryType, nullable = false)))
+        val enc = org.apache.spark.sql.Encoders.row(outSchema)
+        spark.range(n).toDF("doc_id").repartition(32).mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val base = id % buckets
+            // three coprime residues parametrize the image: a single
+            // (base + 7) multiplier collapses mod 256, giving only 256
+            // distinct images and QUADRATIC pair blowup at scale
+            val b1 = base % 251 + 7
+            val b2 = base / 251 % 241 + 3
+            val b3 = base / (251L * 241) % 239 + 1
+            val bump = if (id % 7 == 0) 3 else 0
+            val (w, h) = (18, 16)
+            val rgb = new Array[Byte](3 * w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val add = if (bump > 0 && x == 5 && y == 4) bump else 0
+                val v = (((x + 1).toLong * (y + 3) * b1 +
+                  x.toLong * y * b2 + (x + 2L * y) * b3 + add) % 256).toByte
+                val p = (y * w + x) * 3
+                rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, P.encodeBmp24(w, h, rgb))
+          }
+        }(enc)
+      }
+      def probe(n: Long): (Double, Double, Long) = {
+        val m = media(n).localCheckpoint()
+        val tHash = t { P.dhashImages(m).queryExecution.toRdd.count() }
+        val hashes = P.dhashImages(m)
+          .select(col("doc_id"), col("dhash")).localCheckpoint()
+        var pairs = 0L
+        val tPairs = t { pairs = P.hammingPairs(hashes).count() }
+        m.unpersist(); hashes.unpersist()
+        (tHash, tPairs, pairs)
+      }
+      probe(20000L) // JIT warm, discarded
+      Seq(100000L, 1000000L).foreach { n =>
+        val (tHash, tPairs, pairs) = probe(n)
+        println(f"[scale-probe] phash n=$n%d: encode+decode+hash " +
+          f"$tHash%.2f s (${n / tHash / 1e3}%.0fk img/s), " +
+          f"LSH pair join $tPairs%.2f s ($pairs%d pairs)")
+      }
+      spark.stop()
+      return
+    }
+
     // `globalwindow`: head-to-head of the scalable global-window family
     // vs the single-partition plans they replace, at 6.7M and 67M rows
     // (in-plan synthesized narrow table — measures the window compute,

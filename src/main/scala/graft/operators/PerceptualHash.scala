@@ -288,7 +288,10 @@ object PerceptualHash {
     * bytes), never frames — the shuffle is metadata-scale, and videos
     * sharing no content never meet. Repeated identical frames within
     * one video collapse first (`distinct`), so a still slate shared
-    * by everything counts once per pair, not quadratically. */
+    * by everything counts once per pair, not quadratically.
+    * Materialise `frameHashes` (persist/localCheckpoint) before
+    * calling: both join sides derive from it, and without
+    * materialisation the frame decode pipeline runs twice. */
   def videoDupPairs(frameHashes: DataFrame, minShared: Int = 1,
       idCol: String = "media_id", hashCol: String = "dhash"): DataFrame = {
     val a = frameHashes.select(col(idCol).as("id_a"),

@@ -95,11 +95,16 @@ object ImageQueryCatalog {
       .select(col("doc_id"), col("dhash"))
 
   /** Banded-LSH near-dup pairs (exact for hamming ≤ 3 by pigeonhole —
-    * the oracle's O(n²) scan must agree EXACTLY, pair for pair). */
+    * the oracle's O(n²) scan must agree EXACTLY, pair for pair). The
+    * hash projection is materialised ONCE (localCheckpoint, 9 bytes a
+    * row) before the self-join — the two join sides alias columns
+    * differently, so exchange reuse would not kick in and the whole
+    * encode→decode→hash pipeline would run twice (the qt7 pattern;
+    * at 100 TB the decode pass dominates, the hash table is tiny). */
   val qi2DhashPairs: Q = (s, dir) =>
     PerceptualHash.hammingPairs(
-      qi1Dhash(s, dir), idCol = "doc_id", hashCol = "dhash",
-      maxDist = 3, bands = 4)
+      qi1Dhash(s, dir).localCheckpoint(),
+      idCol = "doc_id", hashCol = "dhash", maxDist = 3, bands = 4)
 
   /** The dedup decision: one kept representative per identical dHash. */
   val qi3DhashDedup: Q = (s, dir) =>
@@ -155,11 +160,13 @@ object ImageQueryCatalog {
       .select(col("doc_id"), col("afp"))
 
   /** Audio near-dup pairs through the SAME banded-LSH join as images
-    * (the operator is hash-agnostic); oracle is the O(n²) scan. */
+    * (the operator is hash-agnostic); oracle is the O(n²) scan. Hash
+    * projection materialised once before the self-join, as in
+    * [[qi2DhashPairs]]. */
   val qa2AudioDupPairs: Q = (s, dir) =>
     PerceptualHash.hammingPairs(
-      qa1AudioFp(s, dir), idCol = "doc_id", hashCol = "afp",
-      maxDist = 3, bands = 4)
+      qa1AudioFp(s, dir).localCheckpoint(),
+      idCol = "doc_id", hashCol = "afp", maxDist = 3, bands = 4)
 
   val defs: Map[String, Q] = Map(
     "qp1_dhash" -> qi1Dhash,
