@@ -15,8 +15,10 @@ import org.apache.spark.sql.SparkSession
   *  - isolated (key `e2e_X_iso`): each cell in a FRESH SparkSession
   *    (own SparkContext — broadcast/block-manager state from prior cells
   *    gone), forced GC before each rep, median of `SPARK_GRAFT_E2E_REPS`
-  *    (default 3) reps. These are the authoritative per-cell numbers for
-  *    BASELINE comparison.
+  *    (default 3) reps — widened by 2 extra reps whenever the base
+  *    spread exceeds 1.5× (r6 ask #7), so no single page-cache/draw
+  *    outlier can move the median. These are the authoritative
+  *    per-cell numbers for BASELINE comparison.
   * `SPARK_GRAFT_E2E_MODE` = both (default) | interleaved | isolated.
   * The `total` metric stays interleaved-only so it remains comparable
   * with BENCH_r01–r03.
@@ -148,11 +150,25 @@ object Bench {
             val warmPath = bench.SyntheticBars.ensure(s, 20000)
             try { fn(s, warmPath): Unit } catch { case _: Throwable => () }
             s.sharedState.cacheManager.clearCache()
-            val reps = (1 to math.max(1, e2eReps)).map { _ =>
+            def oneRep(): Timing = {
               s.sharedState.cacheManager.clearCache()
               System.gc()
               time { fn(s, path): Unit }
             }
+            val baseReps = (1 to math.max(1, e2eReps)).map(_ => oneRep())
+            // adaptive widening (VERDICT r6 ask #7): when the base
+            // reps spread past 1.5x (page cache through a fresh
+            // session + treeAggregate draw variance — the r6
+            // svm_pca/rf_mllib cells), the median of 3 is one outlier
+            // away from a level shift; two more reps make the median
+            // robust to any single outlier and the committed per-rep
+            // array shows WHY the cell widened
+            val okBase = baseReps.collect { case Right(v) => v }
+            val reps =
+              if (okBase.nonEmpty &&
+                  okBase.max / math.max(okBase.min, 1e-9) > 1.5)
+                baseReps ++ (1 to 2).map(_ => oneRep())
+              else baseReps
             isoReps += (name + "_iso") -> reps
             val (errs, times) = (reps.collect { case Left(e) => e },
               reps.collect { case Right(v) => v }.sorted)

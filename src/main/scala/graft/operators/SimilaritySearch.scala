@@ -151,6 +151,43 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** The probe-escalation rule SCALE.md §filtered-ANN measures, as a
+    * pure function: a metadata predicate of selectivity `s` thins every
+    * probed bucket to `s` of its vectors, so holding recall needs the
+    * probe budget to grow as the eligible set shrinks — probes scale
+    * INVERSELY with selectivity (`round(base / s)`, floored at `base`,
+    * capped at C). Below ~1% selectivity the rule skips the index
+    * outright (probes = C): the "full" scan touches only the filtered
+    * 1% of the corpus — cheapest exactly when escalation is needed —
+    * and recall is 1.0 by construction. */
+  def autoProbes(c: Int, baseProbes: Int, selectivity: Double): Int =
+    if (selectivity <= 0.01) c
+    else math.min(c, math.max(baseProbes,
+      math.round(baseProbes / selectivity).toInt))
+
+  /** SELECTIVITY-ADAPTIVE filtered kNN (r6 VERDICT ask #8): estimate
+    * the predicate's selectivity, choose the probe budget with
+    * [[autoProbes]], run the filtered [[ivfQuery]]. The estimate here
+    * is the exact filtered fraction via two COUNT jobs — each a
+    * narrow scan of just the predicate columns, far cheaper than the
+    * per-row cosine pass the budget tunes; at lake scale the same
+    * number comes for free from [[graft.sources.StatsIndex]] row
+    * counts or a sketch, and `autoProbes` is the shared rule either
+    * way. Every stage is deterministic (exact-cosine probe ranking,
+    * fixed tiebreaks), so the adaptive composition stays
+    * oracle-checkable bit for bit (`qv17_filtered_knn_auto`). */
+  def filteredKnnAuto(bucketed: DataFrame, centroids: DataFrame,
+      pred: Column, queryVec: Column, k: Int,
+      baseProbes: Int = 4): DataFrame = {
+    val c = centroids.count().toInt
+    val total = bucketed.count()
+    val eligible = bucketed.filter(pred)
+    val sel =
+      if (total == 0L) 0.0 else eligible.count().toDouble / total
+    ivfQuery(eligible, centroids, queryVec, k,
+      autoProbes(c, baseProbes, sel))
+  }
+
   /** LSH signed-random-projection bucket id: sign bits of dot products
     * with `nPlanes` pseudo-random hyperplanes derived from the portable
     * hash (deterministic, seedless, oracle-reproducible). */

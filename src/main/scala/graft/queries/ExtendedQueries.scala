@@ -455,6 +455,39 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
   }
 
+  /** TIMESTAMP point-probe BLOOM skipping, oracle-checked end to end
+    * (r6 VERDICT ask #5): events z-ordered by (user_id, event_id) — a
+    * lake NOT clustered by time, so every file spans nearly the full
+    * ts range and the min/max arms (even q52's exact ones) cannot
+    * prune a ts point probe — then stats-indexed WITH a per-file
+    * timestamp bloom sidecar and read through a
+    * [[graft.sources.StatsIndex.TimestampEquals]] probe. The ts
+    * column is TIMESTAMP_NTZ ([[Oracle.events]] normalizes every
+    * physical encoding to it), so the bloom rows carry the `tswall`
+    * space and the probe hashes the wall-clock its instant denotes
+    * under the session zone — the hash match proves that round trip
+    * (NTZ-to-NTZ wall diff at build, instant→wall inversion at probe)
+    * loses and fabricates nothing. The probe value comes from the
+    * data itself (ts of the smallest event_id — a bounded
+    * TakeOrdered single-row collect) so the query is scale-factor
+    * independent; the oracle recomputes it as a scalar subquery. */
+  val q53TsBloomScan: Q = (s, dir) => {
+    import graft.sources.StatsIndex
+    val work = tempWork("graft_q53_")
+    val ev = Oracle.events(s, dir)
+    val wall = ev.orderBy(col("event_id"))
+      .select(col("ts")).head.getAs[java.time.LocalDateTime](0)
+    val zone = java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone"))
+    ZOrder.write(ev, s"$work/lake", Seq("user_id", "event_id"),
+      bits = 10, numFiles = 8)
+    StatsIndex.build(s, s"$work/lake", Seq("user_id"), s"$work/idx",
+      bloomCols = Seq("ts"), bloomItems = 200000, bloomFpp = 0.001)
+    StatsIndex.readPrunedTyped(s, s"$work/lake", s"$work/idx", Seq(
+      StatsIndex.TimestampEquals("ts", wall.atZone(zone).toInstant)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+  }
+
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
     * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
     * aggregated per curve cell. The oracle UNROLLS the same phases as
@@ -472,6 +505,7 @@ object ExtendedQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
     "q51_double_bloom_scan" -> q51DoubleBloomScan,
     "q50_bloom_pruned_scan" -> q50BloomPrunedScan,
@@ -495,6 +529,12 @@ object ExtendedQueries {
     "qi1_indicator_frames" -> qi1IndicatorFrames)
 
   val sql: Map[String, String] = Map(
+    "q53_ts_bloom_scan" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  ${sqlSumd("value")} AS sum_value
+         |FROM events
+         |WHERE ts = (SELECT ts FROM events ORDER BY event_id LIMIT 1)
+         |GROUP BY 1""".stripMargin,
     "q52_ts_pruned_scan" ->
       s"""SELECT event_type, count(*) AS n,
          |  ${sqlSumd("value")} AS sum_value

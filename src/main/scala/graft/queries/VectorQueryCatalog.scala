@@ -245,7 +245,29 @@ object VectorQueryCatalog {
       k = 10, probes = 4)
   }
 
+  /** SELECTIVITY-ADAPTIVE filtered search — the SCALE.md escalation
+    * rule live: the predicate (`label <= 4`, ~half the corpus by the
+    * generator's uniform label draw) is measured by the operator
+    * itself, which picks `round(4 / 0.5) = 8` of the 16 buckets and
+    * runs the filtered probe. The oracle pins the CHOSEN budget: its
+    * probe CTE is LIMIT 8, so if the selectivity estimate or the
+    * rounding rule drifted (sel here sits within ±2% of 0.5 at every
+    * sf — `round` keeps the choice stable where `ceil` would sit on
+    * the 8-vs-9 knife edge), the result sets diverge and the hash
+    * gate catches it. */
+  val qv17FilteredKnnAuto: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    val cents = SimilaritySearch.hashSampledCentroids(emb, 16)
+    val bucketed = emb.join(
+      SimilaritySearch.ivfAssignExact(emb, cents), Seq("vec_id"))
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0)
+    SimilaritySearch.filteredKnnAuto(bucketed, cents,
+      col("label") <= 4, typedlit(qvec), k = 10, baseProbes = 4)
+  }
+
   val defs: Map[String, Q] = Map(
+    "qv17_filtered_knn_auto" -> qv17FilteredKnnAuto,
     "qv16_filtered_knn" -> qv16FilteredKnn,
     "qv15_ivfpq_query" -> qv15IvfPqQuery,
     "qv14_semdedup" -> qv14SemDedup,
@@ -388,6 +410,31 @@ object VectorQueryCatalog {
       .mkString(",\n  ")
 
   val sql: Map[String, String] = Map(
+    "qv17_filtered_knn_auto" ->
+      s"""WITH cents AS ($centroidsSql),
+         |cscored AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    ${cosineSql("e.embedding", "c.centroid")} AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id AS bucket FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, centroid_id) AS rn
+         |    FROM cscored) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT centroid_id AS bucket
+         |  FROM cents CROSS JOIN q
+         |  ORDER BY ${cosineSql("centroid", "qv")} DESC, centroid_id
+         |  LIMIT 8)
+         |SELECT e.vec_id, ${cosineSql("e.embedding", "qv")} AS sim
+         |FROM embeddings e
+         |JOIN assigned a ON a.vec_id = e.vec_id
+         |JOIN probes p ON p.bucket = a.bucket
+         |CROSS JOIN q
+         |WHERE e.label <= 4
+         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
     "qv16_filtered_knn" ->
       s"""WITH cents AS ($centroidsSql),
          |cscored AS (

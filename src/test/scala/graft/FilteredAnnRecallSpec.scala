@@ -75,4 +75,50 @@ class FilteredAnnRecallSpec extends SparkSpec {
     assert(curve.last._2 == 1.0,
       s"probes=C must be exact, got ${curve.last._2}")
   }
+
+  test("autoProbes encodes the escalation rule: inverse in selectivity, " +
+    "floored at base, capped at C, skip-the-index below 1%") {
+    import SimilaritySearch.autoProbes
+    assert(autoProbes(16, 4, 1.0) == 4)     // unfiltered: base budget
+    assert(autoProbes(16, 4, 0.5) == 8)     // half the corpus: 2x base
+    assert(autoProbes(16, 4, 0.25) == 16)   // quarter: 4x base = C
+    assert(autoProbes(16, 4, 0.1) == 16)    // capped at C
+    assert(autoProbes(16, 4, 0.009) == 16)  // sub-1%: skip the index
+    assert(autoProbes(8, 4, 0.005) == 8)
+    // monotone: tightening the predicate never shrinks the budget
+    val sels = Seq(1.0, 0.8, 0.6, 0.5, 0.3, 0.2, 0.1, 0.05, 0.011, 0.009)
+    val budgets = sels.map(autoProbes(16, 4, _))
+    assert(budgets.sliding(2).forall { case Seq(a, b) => b >= a },
+      s"budget not monotone along $sels -> $budgets")
+  }
+
+  test("filteredKnnAuto meets the recall floor the measured curve " +
+    "promises at each selectivity regime") {
+    // sel ~0.5: the rule picks round(4/0.5)=8 of 8 buckets here (C=8)
+    // -> filtered brute force, recall 1.0 structural. The INTERESTING
+    // autonomy case is the sub-1% regime: the rule must skip the index
+    // (probes=C) and recall must be exactly 1.0 rather than the 0.4-ish
+    // a fixed probes=4 scores (the measured curve's bottom-left cell).
+    (0L until 3L).foreach { qid =>
+      val qvec = emb.filter(col("vec_id") === qid)
+        .select(col("embedding")).head.getSeq[Float](0)
+      val truth = SimilaritySearch.bruteForceTopK(
+        emb.filter(keep(1)), typedlit(qvec), 10)
+      val auto = SimilaritySearch.filteredKnnAuto(
+        bucketed, cents, keep(1), typedlit(qvec), k = 10, baseProbes = 4)
+      val r = SimilaritySearch.recallAtK(truth, auto).head().getDouble(2)
+      assert(r == 1.0, s"qid=$qid: sub-1% auto recall $r != 1.0")
+    }
+    // mid-selectivity (50%): budget doubles to 8=C here; floor from the
+    // measured curve at this point is 1.0 as well (C=8 corpus) — assert
+    // >= the fixed-budget floor to keep the test meaningful if C grows
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val truth = SimilaritySearch.bruteForceTopK(
+      emb.filter(keep(50)), typedlit(qvec), 10)
+    val auto = SimilaritySearch.filteredKnnAuto(
+      bucketed, cents, keep(50), typedlit(qvec), k = 10, baseProbes = 4)
+    val r = SimilaritySearch.recallAtK(truth, auto).head().getDouble(2)
+    assert(r >= 0.75, s"sel 0.50 auto recall $r below the curve floor")
+  }
 }

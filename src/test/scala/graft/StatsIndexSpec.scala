@@ -533,13 +533,16 @@ class StatsIndexSpec extends SparkSpec {
   }
 
   test("unsupported bloom column types fail fast at build") {
+    // DATE stays min/max-only (a date point probe is a 1-day range
+    // after timezone slack — a bloom over day numbers would add
+    // nothing the stats arm doesn't already give exactly)
     val dir = Files.createTempDirectory("graft_sidx_bt_").toString
     spark.range(100)
-      .select(expr("timestamp_micros(id * 1000000)").as("t"))
+      .select(expr("date_add(DATE'2024-01-01', CAST(id AS INT))").as("d"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
     val ex = intercept[IllegalArgumentException] {
-      StatsIndex.build(spark, s"$dir/data", Seq("t"), s"$dir/idx",
-        bloomCols = Seq("t"))
+      StatsIndex.build(spark, s"$dir/data", Seq("d"), s"$dir/idx",
+        bloomCols = Seq("d"))
     }
     assert(ex.getMessage.contains("bloom"))
   }
@@ -789,5 +792,150 @@ class StatsIndexSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(got == want, "expression disagrees with sketch ground truth")
     assert(want.values.exists(identity), "probe key should hit its file")
+  }
+
+  test("wallMicrosFor inverts session-zone promotion exactly, " +
+    "including DST gap and overlap instants") {
+    import java.time.{Instant, ZoneId}
+    def micros(i: Instant): Long = i.getEpochSecond * 1000000L
+    // UTC: no transitions ever — exactly one wall, equal to the micros
+    val x = Instant.parse("2024-01-15T12:34:56Z")
+    assert(StatsIndex.wallMicrosFor(x, ZoneId.of("UTC")) ==
+      Seq(micros(x)))
+    val ny = ZoneId.of("America/New_York")
+    // plain instant in NY: one wall, shifted by the EST offset
+    assert(StatsIndex.wallMicrosFor(x, ny) ==
+      Seq(micros(x) - 5L * 3600 * 1000000L))
+    // SPRING-FORWARD gap (2024-03-10 02:00 EST -> 03:00 EDT): the
+    // instant 07:30Z is denoted BOTH by the real wall 03:30 (EDT) and
+    // by the non-existent wall 02:30, which java (and Spark's NTZ
+    // promotion) shifts forward onto the same instant — an NTZ column
+    // may legally store either, so both walls must be probed
+    val gap = Instant.parse("2024-03-10T07:30:00Z")
+    val gapWalls = StatsIndex.wallMicrosFor(gap, ny).toSet
+    val edt = micros(gap) - 4L * 3600 * 1000000L // 03:30 wall
+    val est = micros(gap) - 5L * 3600 * 1000000L // 02:30 wall
+    assert(gapWalls == Set(edt, est), s"gap walls: $gapWalls")
+    // FALL-BACK overlap (2024-11-03 02:00 EDT -> 01:00 EST): the wall
+    // 01:30 is ambiguous; promotion picks the EARLIER offset (EDT),
+    // so the EDT-side instant has exactly that wall and the EST-side
+    // instant is unreachable from any wall — zero spellings, and the
+    // bloom arm conservatively keeps every file
+    val early = Instant.parse("2024-11-03T05:30:00Z") // 01:30 EDT
+    assert(StatsIndex.wallMicrosFor(early, ny) ==
+      Seq(micros(early) - 4L * 3600 * 1000000L))
+    val late = Instant.parse("2024-11-03T06:30:00Z") // 01:30 EST
+    assert(StatsIndex.wallMicrosFor(late, ny).isEmpty)
+    // every emitted wall round-trips: promotion through the zone
+    // lands back on the probed instant (the filter's own postcheck,
+    // asserted independently here)
+    Seq(x, gap, early).foreach { v =>
+      StatsIndex.wallMicrosFor(v, ny).foreach { w =>
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(w, 1000000L), (Math.floorMod(w, 1000000L) * 1000).toInt,
+          java.time.ZoneOffset.UTC)
+        assert(ldt.atZone(ny).toInstant == v)
+      }
+    }
+  }
+
+  test("timestamp bloom rows prune ts point probes on a lake NOT " +
+    "clustered by time; NTZ walls stay session-zone-correct") {
+    val dir = Files.createTempDirectory("graft_sidx_tsb_").toString
+    // NTZ timestamps, one per minute, clustered by an unrelated key —
+    // every file spans ~the whole time range, so min/max never prunes
+    val df = spark.range(100000).select(
+      expr("timestamp_micros(id * 60000000)").cast("timestamp_ntz")
+        .as("ts"),
+      pmod(hash(col("id")), lit(1000000)).as("k"),
+      col("id").as("payload"))
+    graft.sources.PartitionedLake.writeClustered(df, s"$dir/data",
+      Seq("k"), numFiles = 8)
+    StatsIndex.build(spark, s"$dir/data", Seq("k"), s"$dir/idx",
+      bloomCols = Seq("ts"), bloomItems = 200000, bloomFpp = 0.001)
+    val spaces = spark.read.parquet(s"$dir/idx")
+      .filter(col("kind") === "bloom")
+      .select(col("bspace")).distinct().collect().map(_.getString(0))
+    assert(spaces.toSet == Set("tswall"), s"NTZ space: ${spaces.toSet}")
+    val all = StatsIndex.prunedTyped(spark, s"$dir/idx", Nil)
+    // a present instant (session UTC: wall == instant micros)
+    val present = StatsIndex.TimestampEquals("ts",
+      java.time.Instant.ofEpochSecond(77777L * 60))
+    val kept = StatsIndex.prunedTyped(spark, s"$dir/idx", Seq(present))
+    assert(kept.nonEmpty && kept.size <= 2,
+      s"present-ts probe kept ${kept.size}/${all.size} files")
+    val got = StatsIndex.readPrunedTyped(spark, s"$dir/data",
+      s"$dir/idx", Seq(present))
+    assert(got.count() == 1 &&
+      got.select(col("payload")).head.getLong(0) == 77777L)
+    // an absent instant (between two stored minutes): every file out
+    val absent = StatsIndex.TimestampEquals("ts",
+      java.time.Instant.ofEpochSecond(77777L * 60 + 30))
+    assert(StatsIndex.prunedTyped(spark, s"$dir/idx", Seq(absent))
+      .size <= 1, "absent-ts probe should bloom-exclude ~every file")
+    assert(StatsIndex.readPrunedTyped(spark, s"$dir/data",
+      s"$dir/idx", Seq(absent)).count() == 0)
+    // sub-micro probes skip the bloom arm (they can never be equal):
+    // conservative — stats arms keep every file here
+    val subMicro = StatsIndex.TimestampEquals("ts",
+      java.time.Instant.ofEpochSecond(77777L * 60, 500))
+    assert(StatsIndex.prunedTyped(spark, s"$dir/idx", Seq(subMicro))
+      .size == all.size)
+    // probing from a DIFFERENT session zone: the wall spelling is
+    // derived from the probe session's zone, matching how Spark
+    // promotes the NTZ column inside the predicate — pruned result
+    // still equals the full-scan filter
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val inNy = StatsIndex.readPrunedTyped(spark, s"$dir/data",
+        s"$dir/idx", Seq(present))
+      val want = spark.read.parquet(s"$dir/data")
+        .filter(present.predicate).count()
+      assert(inNy.count() == want && want == 1,
+        s"NY-session ts probe: pruned ${inNy.count()} vs full $want")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("instant (adjusted-to-UTC) bloom rows carry the tsutc space " +
+    "and prune exactly in any session") {
+    val dir = Files.createTempDirectory("graft_sidx_tsu_").toString
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MICROS")
+      graft.sources.PartitionedLake.writeClustered(
+        spark.range(100000).select(
+          expr("timestamp_micros(id * 60000000)").as("ts"),
+          pmod(hash(col("id")), lit(1000000)).as("k"),
+          col("id").as("payload")),
+        s"$dir/data", Seq("k"), numFiles = 8)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    StatsIndex.build(spark, s"$dir/data", Seq("k"), s"$dir/idx",
+      bloomCols = Seq("ts"), bloomItems = 200000, bloomFpp = 0.001)
+    val spaces = spark.read.parquet(s"$dir/idx")
+      .filter(col("kind") === "bloom")
+      .select(col("bspace")).distinct().collect().map(_.getString(0))
+    assert(spaces.toSet == Set("tsutc"), s"LTZ space: ${spaces.toSet}")
+    val present = StatsIndex.TimestampEquals("ts",
+      java.time.Instant.ofEpochSecond(55555L * 60))
+    // instant hashing is session-independent: probe from a non-UTC
+    // session and the pruned read still equals the full filter
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val kept = StatsIndex.prunedTyped(spark, s"$dir/idx", Seq(present))
+      assert(kept.nonEmpty && kept.size <= 2,
+        s"instant probe kept ${kept.size} files")
+      val got = StatsIndex.readPrunedTyped(spark, s"$dir/data",
+        s"$dir/idx", Seq(present))
+      assert(got.count() == 1 &&
+        got.select(col("payload")).head.getLong(0) == 55555L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 }
