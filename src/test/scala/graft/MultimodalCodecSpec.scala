@@ -589,6 +589,105 @@ class MultimodalCodecSpec extends SparkSpec {
       mp4Box("moov", mvhdV0(600, 1200), trak)
   }
 
+  /** A spec-built `avcC` payload: version 1, given profile/level, NAL
+    * length 4 (lengthSizeMinusOne = 3 under the 6 reserved bits), one
+    * SPS + one PPS with 2-byte length prefixes. */
+  private def avccPayload(sps: Array[Byte], pps: Array[Byte],
+      profile: Int = 100, level: Int = 31): Array[Byte] =
+    Array[Byte](1, profile.toByte, 0, level.toByte, 0xff.toByte,
+      (0xe0 | 1).toByte, 0, sps.length.toByte) ++ sps ++
+      Array[Byte](1, 0, pps.length.toByte) ++ pps
+
+  /** avc1-in-MP4 fixture with a REAL sample table and a full
+    * VisualSampleEntry (78-byte body) carrying an `avcC` child box:
+    * per-sample stsz sizes, single chunk (absent stsc), stco into
+    * mdat. Layout: ftyp, mdat(samples…), moov. */
+  private def avc1Mp4(samples: Seq[Array[Byte]],
+      avcc: Array[Byte],
+      sizesOverride: Option[Seq[Int]] = None): Array[Byte] = {
+    val ftyp = ftypBox()
+    val mdatOff = ftyp.length + 8
+    val sizes = sizesOverride.getOrElse(samples.map(_.length))
+    val entry = mp4Box("avc1", new Array[Byte](78), mp4Box("avcC", avcc))
+    val stbl = mp4Box("stbl",
+      mp4Box("stsd", beBytes(8)(_.putInt(0).putInt(1)) ++ entry),
+      mp4Box("stsz", beBytes(12 + 4 * sizes.size) { bb =>
+        bb.putInt(0).putInt(0).putInt(sizes.size)
+        sizes.foreach(bb.putInt)
+      }),
+      mp4Box("stco", beBytes(12)(_.putInt(0).putInt(1).putInt(mdatOff))))
+    val trak = mp4Box("trak", tkhdV0(640, 360),
+      mp4Box("mdia",
+        mp4Box("hdlr", beBytes(24)(
+          _.putInt(0).putInt(0).put("vide".getBytes("US-ASCII")))),
+        mp4Box("minf", stbl)))
+    ftyp ++ mp4Box("mdat", samples.flatten.toArray) ++
+      mp4Box("moov", mvhdV0(600, 1200), trak)
+  }
+
+  test("avc1: sample byte ranges and avcC codec config are REAL " +
+    "container structure; only pixel decode remains a stand-in") {
+    val sps = Array[Byte](0x67, 0x64, 0x00, 0x1f, 0x11, 0x22)
+    val pps = Array[Byte](0x68, 0xee.toByte, 0x3c)
+    val s0 = Array.tabulate(37)(i => (i * 7).toByte)
+    val s1 = Array.tabulate(53)(i => (i * 3 + 1).toByte)
+    val mp4 = avc1Mp4(Seq(s0, s1), avccPayload(sps, pps))
+    // codec config parses byte-exactly
+    val t = Mp4MetaCodec.parse(mp4).get.videoTracks.head
+    assert(t.fourcc == "avc1")
+    val c = t.avcc.get
+    assert(c.profile == 100 && c.profileCompat == 0 && c.level == 31)
+    assert(c.nalLengthSize == 4)
+    assert(c.spsCount == 1 && c.ppsCount == 1)
+    assert(c.spsBytes.toSeq == sps.toSeq)
+    // sample ranges resolve byte-exactly through the chunk-run walk
+    val mdatOff = ftypBox().length + 8L
+    assert(Mp4MetaCodec.sampleRanges(mp4) ==
+      Seq((mdatOff, 37L), (mdatOff + 37L, 53L)))
+    // the ranges really do slice the muxed sample bytes back out
+    val (off, len) = Mp4MetaCodec.sampleRanges(mp4).head
+    assert(java.util.Arrays.copyOfRange(mp4, off.toInt,
+      (off + len).toInt).toSeq == s0.toSeq)
+    // pixel-decode honesty is unchanged: no JPEG keyframes from avc1
+    assert(Mp4MetaCodec.keyframes(mp4).isEmpty)
+    // a lying SPS length (runs past the box) rejects the whole config
+    val lying = avccPayload(sps, pps).clone()
+    lying(7) = 120.toByte // claimed SPS length >> box size
+    assert(Mp4MetaCodec.parse(avc1Mp4(Seq(s0), lying)).get
+      .videoTracks.head.avcc.isEmpty)
+    // a lying sample size (claims bytes past the payload) rejects ALL
+    // ranges — including the valid-looking first one (shared contract:
+    // a table that lies once is not trusted anywhere)
+    val bad = avc1Mp4(Seq(s0, s1), avccPayload(sps, pps),
+      sizesOverride = Some(Seq(37, 1 << 26)))
+    assert(Mp4MetaCodec.sampleRanges(bad).isEmpty)
+  }
+
+  test("mp4FrameRanges: one row per sample with real coordinates and " +
+    "codec identity; JPEG tracks carry no avc columns; non-MP4 none") {
+    val sps = Array[Byte](0x67, 0x42)
+    val pps = Array[Byte](0x68)
+    val s0 = Array.tabulate(37)(i => (i * 7).toByte)
+    val s1 = Array.tabulate(53)(i => (i * 3 + 1).toByte)
+    val jpeg = imageBytes("jpg",
+      Array.tabulate(4, 4)((_, _) => (120, 60, 30)))
+    val media = Seq(
+      (1L, "video", avc1Mp4(Seq(s0, s1), avccPayload(sps, pps))),
+      (2L, "video", jpegMp4(jpeg)),
+      (3L, "video", "no container".getBytes))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+    val rows = Multimodal.mp4FrameRanges(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4), if (r.isNullAt(5)) -1 else r.getInt(5)))
+      .sortBy(r => (r._1, r._2))
+    val mdatOff = ftypBox().length + 8L
+    assert(rows.toSeq == Seq(
+      (1L, 0, mdatOff, 37L, "avc1", 100),
+      (1L, 1, mdatOff + 37L, 53L, "avc1", 100),
+      (2L, 0, mdatOff, jpeg.length.toLong, "jpeg", -1)))
+  }
+
   test("Mp4MetaCodec.firstKeyframe: JPEG-in-MP4 sample 0 extracted " +
     "byte-exactly; non-JPEG codecs and hostile tables reject") {
     val jpeg = imageBytes("jpg",
