@@ -107,17 +107,24 @@ object CatalogScale {
     TenxDir
   }
 
-  /** The chains the verdict names, in dependency-ish order. */
+  /** The chains the verdict names, in dependency-ish order, plus the
+    * round-7 additions (timestamp-bloom probe, adaptive filtered
+    * ANN). */
   val Chains: Seq[String] = Seq(
     "q46_pruned_scan", "q47_typed_pruned_scan", "q48_hilbert3",
     "q49_centered_global", "q50_bloom_pruned_scan",
-    "q51_double_bloom_scan", "q52_ts_pruned_scan",
+    "q51_double_bloom_scan", "q52_ts_pruned_scan", "q53_ts_bloom_scan",
     "qt4_exact_dedup", "qt5_minhash", "qt6_lsh_pairs",
     "qt11_dup_clusters",
-    "qv4_ivf_assign", "qv6_ivf_query", "qv15_ivfpq_query")
+    "qv4_ivf_assign", "qv6_ivf_query", "qv15_ivfpq_query",
+    "qv17_filtered_knn_auto")
 
   def main(args: Array[String]): Unit = {
-    val reps = args.headOption.map(_.toInt).getOrElse(2)
+    val reps = args.headOption.filter(_.forall(_.isDigit))
+      .map(_.toInt).getOrElse(2)
+    // optional "only=a,b,c" arg: re-measure just the named cells
+    val only = args.find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(',').toSet)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -135,7 +142,7 @@ object CatalogScale {
 
     val qs = graft.SparkEntry.queries
     println("""{"probe":"catalog10x","cells":[""")
-    val lines = Chains.map { name =>
+    val lines = Chains.filter(n => only.forall(_.contains(n))).map { name =>
       val fn = qs(name)
       // JIT-warm the whole code path on the tiny scale, untimed
       try fn(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count()
