@@ -488,6 +488,106 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
   }
 
+  /** The commit-log fixture q54/q55 share: lineitem ingested into a
+    * logged lake as three committed batches (split `l_orderkey % 3`),
+    * plus a fourth batch's files written but NEVER committed — a
+    * crashed ingest's orphans. Returns the lake dir. */
+  private def loggedLake(s: SparkSession, dir: String,
+      work: String): String = {
+    import graft.sources.CommitLog
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val li = table(s, dir, "lineitem")
+    for (b <- 0 to 2) {
+      val before = CommitLog.dataFileNames(fs, lake)
+      li.filter(pmod(col("l_orderkey"), lit(3)) === b)
+        .write.mode("append").parquet(lake)
+      CommitLog.commit(fs, lake, b,
+        (CommitLog.dataFileNames(fs, lake) -- before).toSeq.sorted)
+    }
+    // crashed batch 3: its files land, its commit never does
+    li.filter(pmod(col("l_orderkey"), lit(3)) === 0).limit(1000)
+      .write.mode("append").parquet(lake)
+    lake
+  }
+
+  /** TIME TRAVEL over the commit log, oracle-checked end to end: the
+    * [[loggedLake]] fixture read AS OF batch 1 —
+    * [[graft.streaming.LayoutSink.readCommittedAt]] plans ONLY the
+    * manifest-listed files of batches ≤ 1, no directory scan — then
+    * aggregated. The oracle filters lineitem to the same two
+    * congruence classes: the hash match proves the as-of view carries
+    * batches 0–1 exactly, with batch 2's committed files and the
+    * crash orphans both invisible. At 100 TB this is the Delta/Iceberg
+    * reproducibility primitive: a training run pins `asOf` and reads a
+    * byte-stable snapshot while ingest keeps appending. */
+  val q54TimeTravel: Q = (s, dir) => {
+    val lake = loggedLake(s, dir, tempWork("graft_q54_"))
+    graft.streaming.LayoutSink.readCommittedAt(s, lake, asOf = 1L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("l_extendedprice")).as("sum_price"))
+  }
+
+  /** VACUUM, oracle-checked end to end through a PLAIN directory read:
+    * the [[loggedLake]] fixture after [[graft.sources.CommitLog
+    * .vacuum]] (horizon 0 — no writer is mid-batch here). The
+    * directory read must now equal the committed view, i.e. all of
+    * lineitem: the hash match proves vacuum swept ALL orphans (a
+    * leftover would double-count its rows) and ONLY orphans (a deleted
+    * committed file would drop rows). The age gate that protects an
+    * in-flight writer's fresh files is spec-tested in
+    * TimeTravelVacuumSpec. */
+  val q55Vacuum: Q = (s, dir) => {
+    import graft.sources.CommitLog
+    val lake = loggedLake(s, dir, tempWork("graft_q55_"))
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    CommitLog.vacuum(fs, lake, olderThanMs = 0L)
+    s.read.parquet(lake)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("l_extendedprice")).as("sum_price"))
+  }
+
+  /** INCREMENTAL (CDC-style) read over the commit log, oracle-checked
+    * end to end: the [[loggedLake]] fixture read as "the delta after
+    * batch 0, up to batch 2" — [[graft.streaming.LayoutSink
+    * .readChanges]] plans ONLY the files batches 1–2 added; batch 0
+    * and the crash orphans are invisible. The consume loop an
+    * incremental 100 TB pipeline runs: remember the last batch id
+    * processed, read the delta, advance — no directory diffing, no
+    * full-table rescan. The oracle filters lineitem to the matching
+    * congruence classes. */
+  val q56ReadChanges: Q = (s, dir) => {
+    val lake = loggedLake(s, dir, tempWork("graft_q56_"))
+    graft.streaming.LayoutSink.readChanges(s, lake,
+      fromExclusive = 0L, toInclusive = 2L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("l_extendedprice")).as("sum_price"))
+  }
+
+  /** ORC source/sink round-trip, oracle-checked:
+    * [[graft.sources.OrcRoundTrip]] (previously spec-only) rewrites
+    * lineitem as ORC, reads it back with a pushed filter and
+    * aggregates. The oracle runs the same filtered aggregate on the
+    * parquet twin: the hash match proves the ORC writer/reader
+    * round-trips every value class the query touches (decimal-summed
+    * double, string, date-derived timestamp) bit-exactly. */
+  val qo1Orc: Q = (s, dir) => {
+    import graft.sources.OrcRoundTrip
+    val work = tempWork("graft_qo1_")
+    OrcRoundTrip.write(table(s, dir, "lineitem"), s"$work/orc")
+    OrcRoundTrip.read(s, s"$work/orc")
+      .filter(col("l_quantity") >= 25)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("l_extendedprice")).as("sum_price"),
+        max(col("l_shipdate")).as("max_ship"))
+  }
+
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
     * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
     * aggregated per curve cell. The oracle UNROLLS the same phases as
@@ -505,6 +605,10 @@ object ExtendedQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q54_time_travel" -> q54TimeTravel,
+    "q55_vacuum" -> q55Vacuum,
+    "q56_read_changes" -> q56ReadChanges,
+    "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
     "q51_double_bloom_scan" -> q51DoubleBloomScan,
@@ -529,6 +633,30 @@ object ExtendedQueries {
     "qi1_indicator_frames" -> qi1IndicatorFrames)
 
   val sql: Map[String, String] = Map(
+    "q54_time_travel" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_orderkey % 3 <= 1
+         |GROUP BY 1""".stripMargin,
+    "q55_vacuum" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |GROUP BY 1""".stripMargin,
+    "q56_read_changes" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_orderkey % 3 >= 1
+         |GROUP BY 1""".stripMargin,
+    "qo1_orc" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price,
+         |  max(l_shipdate) AS max_ship
+         |FROM lineitem
+         |WHERE l_quantity >= 25
+         |GROUP BY 1""".stripMargin,
     "q53_ts_bloom_scan" ->
       s"""SELECT event_type, count(*) AS n,
          |  ${sqlSumd("value")} AS sum_value

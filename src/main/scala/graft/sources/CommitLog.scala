@@ -135,6 +135,95 @@ object CommitLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** TIME TRAVEL: the committed file set AS OF `asOf` (inclusive) —
+    * the lake exactly as a reader between batch `asOf` and `asOf + 1`
+    * saw it. Sound cases only:
+    *
+    *  - no checkpoint newer than `asOf` exists → the records ≤ `asOf`
+    *    are untouched ([[checkpoint]] is the only deleter), so the
+    *    view is the newest checkpoint ≤ `asOf` plus the manifests in
+    *    between;
+    *  - a checkpoint EXACTLY at `asOf` exists → that snapshot IS the
+    *    view, whatever was folded.
+    *
+    * Otherwise a newer fold may have subsumed-and-deleted manifests
+    * the view needs, and completeness cannot be verified — FAIL FAST
+    * rather than answer from a partial log. Same horizon semantics as
+    * Delta/Iceberg: log compaction truncates how far back travel
+    * reaches; size `checkpointEvery` to the travel window you need. */
+  def committedNamesAt(fs: FileSystem, lakeDir: String,
+      asOf: Long): Set[String] = {
+    val (ckpts, manifests) = listLog(fs, lakeDir)
+    val exact = ckpts.filter(s => ckptKey(s.getPath.getName)._1 == asOf)
+    if (exact.nonEmpty)
+      return readRecord(fs,
+        exact.maxBy(s => ckptKey(s.getPath.getName))).toSet
+    require(!ckpts.exists(s => ckptKey(s.getPath.getName)._1 > asOf),
+      s"time travel to batch $asOf: a newer checkpoint folded the " +
+        "records this view needs — history truncated (raise " +
+        "checkpointEvery to widen the travel window)")
+    val base = ckpts.filter(s => ckptKey(s.getPath.getName)._1 < asOf)
+      .sortBy(s => ckptKey(s.getPath.getName)).lastOption
+    val baseId = base.map(s => ckptKey(s.getPath.getName)._1)
+      .getOrElse(Long.MinValue)
+    val names = base.map(readRecord(fs, _)).getOrElse(Seq.empty) ++
+      manifests.filter { s =>
+        val id = recordId(s.getPath.getName)
+        id > baseId && id <= asOf
+      }.flatMap(readRecord(fs, _))
+    names.toSet
+  }
+
+  /** CDC-style incremental view: the file names batches in
+    * `(fromExclusive, toInclusive]` ADDED — what a downstream
+    * incremental consumer (index refresh, feature backfill, training
+    * shard picker) must process after having consumed up to
+    * `fromExclusive`. Data files are add-only in manifests (rewrites
+    * go through [[commitCheckpoint]], which truncates history), so
+    * the added files ARE the delta. Sound only while every needed
+    * manifest is live: a checkpoint with id > `fromExclusive` folded
+    * per-batch attribution away — FAIL FAST then, same horizon
+    * contract as [[committedNamesAt]]. */
+  def changedNames(fs: FileSystem, lakeDir: String, fromExclusive: Long,
+      toInclusive: Long): Set[String] = {
+    require(fromExclusive <= toInclusive,
+      s"changedNames: empty range ($fromExclusive, $toInclusive]")
+    val (ckpts, manifests) = listLog(fs, lakeDir)
+    require(!ckpts.exists(s => ckptKey(s.getPath.getName)._1 > fromExclusive),
+      s"changes after batch $fromExclusive: a checkpoint folded " +
+        "per-batch attribution away — history truncated (raise " +
+        "checkpointEvery to widen the change-tracking window)")
+    manifests.filter { s =>
+      val id = recordId(s.getPath.getName)
+      id > fromExclusive && id <= toInclusive
+    }.flatMap(readRecord(fs, _)).toSet
+  }
+
+  /** Lake maintenance: delete data files that are NOT in the committed
+    * view — crashed-ingest leftovers — but only when older than
+    * `olderThanMs` (an IN-FLIGHT writer's files have fresh modtimes and
+    * survive; pass 0 only when no writer can be mid-batch, e.g. the
+    * sink's own between-batch cleanup). Never touches the log or a
+    * committed file, so present reads, replays and AS-OF reads are all
+    * unaffected — an orphan was never committed at any id. No-ops on a
+    * log-less lake (every file is data there, none provably orphaned).
+    * Returns the deleted names. */
+  def vacuum(fs: FileSystem, lakeDir: String,
+      olderThanMs: Long = 3600000L): Seq[String] = {
+    if (!fs.exists(new Path(logDir(lakeDir)))) return Seq.empty
+    val committed = committedNames(fs, lakeDir)
+    val horizon = System.currentTimeMillis() - olderThanMs
+    val swept = (dataFileNames(fs, lakeDir) -- committed).toSeq.sorted
+      .filter { n =>
+        val p = new Path(lakeDir, n)
+        // a racing writer may commit-or-remove between list and stat
+        try fs.getFileStatus(p).getModificationTime <= horizon
+        catch { case _: FileNotFoundException => false }
+      }
+    swept.foreach { n => fs.delete(new Path(lakeDir, n), false); () }
+    swept
+  }
+
   /** Highest batch id the log covers: max over manifest ids and
     * checkpoint ids (a checkpoint at N covers every id ≤ N).
     * Long.MinValue when the log is empty. */

@@ -152,6 +152,112 @@ object StatsIndex {
   /** Max stored UTF-16 chars for string bounds. */
   private val StringTruncateLen = 64
 
+  // ---- versioned generations + pointer-file publish -----------------
+  //
+  // An index dir is a ROOT holding immutable generation subdirs
+  // (v00001, v00002, …) plus a one-line CURRENT file naming the live
+  // one. Publishing writes the new generation's parquet to a FRESH
+  // subdir, then atomically renames a freshly written pointer over
+  // CURRENT (FileContext rename with OVERWRITE — atomic on local FS
+  // and HDFS). A concurrent reader therefore always resolves either
+  // the old generation or the new one, never a missing path — the
+  // not-found window of the previous two-rename swap (r6 ADVICE) is
+  // gone. A reader that resolved the OLD generation keeps reading it:
+  // the previous live generation survives until the NEXT publish
+  // (one-generation grace), older ones are deleted. Failure
+  // preservation is unchanged: the pointer only moves after the new
+  // generation's write job succeeded, so any mid-job failure leaves
+  // the live index untouched (a dangling unreferenced vNNNNN dir is
+  // swept by the next successful publish). Pre-pointer indexes
+  // (parquet directly under the root) resolve as a legacy generation
+  // and are migrated — flat files swept — by their first publish.
+
+  private val PointerFile = "CURRENT"
+  private val VersionRe = "^v(\\d{5})$".r
+
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Option[String] = {
+    val ptr = new Path(root, PointerFile)
+    if (!fs.exists(ptr)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(ptr).getLen.toInt)
+      val in = fs.open(ptr)
+      try in.readFully(0, buf) finally in.close()
+      val name = new String(buf, UTF_8).trim
+      require(VersionRe.findFirstIn(name).isDefined,
+        s"index pointer $ptr holds '$name' — not a generation name")
+      Some(name)
+    }
+  }
+
+  /** The live generation's parquet dir: CURRENT's target when the
+    * pointer exists, the root itself for a legacy flat index. */
+  private def resolveIndexDir(conf: Configuration, indexDir: String): Path = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(conf)
+    readPointer(fs, root) match {
+      case None => root
+      case Some(name) =>
+        val gen = new Path(root, name)
+        require(fs.exists(gen),
+          s"index pointer names missing generation $gen — corrupt index")
+        gen
+    }
+  }
+
+  /** Read the LIVE index generation (resolves the CURRENT pointer;
+    * legacy flat indexes read as-is). The returned frame keeps reading
+    * that generation consistently even if a publish lands mid-query —
+    * generations are immutable and the previous live one is retained
+    * until the next publish. */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(resolveIndexDir(
+      spark.sparkContext.hadoopConfiguration, indexDir).toString)
+
+  /** Write `rows` as a new immutable generation under `indexDir` and
+    * flip CURRENT to it atomically. See the layout note above. */
+  private def publishGeneration(spark: SparkSession, indexDir: String,
+      rows: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val live = readPointer(fs, root)
+    val taken = fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+      case VersionRe(num) => num.toInt
+    }
+    val next = f"v${taken.maxOption.getOrElse(0) + 1}%05d"
+    // the parquet job runs BEFORE the pointer moves: any failure here
+    // (e.g. the spelling-translation raise_error) leaves the live
+    // generation untouched and readable
+    // repartition, not coalesce(1): coalesce would collapse the footer
+    // scan itself into one task
+    rows.repartition(1).write.mode("overwrite")
+      .parquet(new Path(root, next).toString)
+    val tmp = new Path(root, PointerFile + ".tmp")
+    val out = fs.create(tmp, /* overwrite = */ true)
+    try out.write((next + "\n").getBytes(UTF_8)) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp),
+      fs.makeQualified(new Path(root, PointerFile)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // retention: the new generation plus the immediately previous live
+    // one (in-flight readers that resolved before the flip finish on
+    // it); everything older — including dangling dirs from failed
+    // publishes — is swept, as are legacy flat files on first publish
+    val keep: Set[String] = Set(next) ++ live
+    for (st <- fs.listStatus(root)) {
+      val n = st.getPath.getName
+      if (VersionRe.findFirstIn(n).isDefined) {
+        if (!keep.contains(n)) fs.delete(st.getPath, true)
+      } else if (live.isEmpty && st.isFile && n != PointerFile &&
+          !n.endsWith(".tmp")) {
+        // pre-pointer flat layout, now superseded by `next`
+        fs.delete(st.getPath, false)
+      }
+    }
+  }
+
   /** One pass over `dataDir`'s footers → an index parquet at
     * `indexDir` with one row per (file, column): row count + typed
     * min/max. Missing stats (null-only chunks, exotic types) produce a
@@ -160,33 +266,8 @@ object StatsIndex {
       indexDir: String, bloomCols: Seq[String] = Nil,
       bloomItems: Long = 1000000L, bloomFpp: Double = 0.03): Unit = {
     val files = listData(spark, dataDir)
-    // Write ASIDE, then swap: a direct overwrite of indexDir would
-    // delete the previous index BEFORE the build job runs, so any
-    // mid-job failure (e.g. the spelling-translation raise_error)
-    // would leave readers with no index at all. The checked two-rename
-    // is the same contract as [[refresh]]: the old index survives any
-    // failure up to the final rename. FAILURE-preservation only, not
-    // reader atomicity: between the two renames indexDir briefly does
-    // not exist, so build/refresh must not run concurrently with
-    // prunedTyped/readPrunedTyped (single-writer, no-concurrent-reader
-    // contract — a concurrent reader would fail on the missing path,
-    // it would never read wrong data).
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(indexDir).getFileSystem(conf)
-    val tmp = new Path(indexDir + ".build")
-    val parked = new Path(indexDir + ".old")
-    // repartition, not coalesce(1): coalesce would collapse the footer
-    // scan itself into one task (see refresh)
-    rowsFor(spark, files, cols, bloomCols, bloomItems, bloomFpp)
-      .repartition(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(parked, true)
-    if (fs.exists(new Path(indexDir)))
-      require(fs.rename(new Path(indexDir), parked),
-        s"build: could not move $indexDir aside — index untouched")
-    require(fs.rename(tmp, new Path(indexDir)),
-      s"build: could not move new index into $indexDir — " +
-        s"previous index preserved at $parked (rename it back)")
-    fs.delete(parked, true)
+    publishGeneration(spark, indexDir,
+      rowsFor(spark, files, cols, bloomCols, bloomItems, bloomFpp))
   }
 
   /** Stats rows (footer metadata) plus bloom rows (one grouped data
@@ -344,14 +425,14 @@ object StatsIndex {
 
   /** Incremental maintenance for an append-mostly lake: footer-read
     * ONLY files the index has not seen, drop rows for files that
-    * vanished (compaction/expiry), and swap the updated index in via
-    * a CHECKED two-rename (previous index parked at `.old` until the
-    * new one is in place — a crash mid-swap is recoverable, never a
-    * silent loss; raw-FS swaps do leave a brief not-found window for
-    * concurrent readers, the gap a transactional commit log closes).
-    * Cost ∝ churn, not table size — the operation a daily-ingest
-    * 100 TB table actually runs; a full [[build]] per ingest would
-    * re-read every footer. Returns (added, removed). */
+    * vanished (compaction/expiry), and publish the updated index as a
+    * new generation behind an atomic pointer flip (see
+    * [[publishGeneration]]'s layout note — concurrent readers always
+    * resolve a complete generation; a crash mid-publish leaves the
+    * live one untouched). Cost ∝ churn, not table size — the
+    * operation a daily-ingest 100 TB table actually runs; a full
+    * [[build]] per ingest would re-read every footer.
+    * Returns (added, removed). */
   def refresh(spark: SparkSession, dataDir: String, cols: Seq[String],
       indexDir: String, bloomCols: Seq[String] = Nil,
       bloomItems: Long = 1000000L, bloomFpp: Double = 0.03): (Int, Int) = {
@@ -363,7 +444,7 @@ object StatsIndex {
       return (listData(spark, dataDir).size, 0)
     }
     val current = listData(spark, dataDir)
-    val rawOld = spark.read.parquet(indexDir)
+    val rawOld = readIndex(spark, indexDir)
     if (!rawOld.columns.contains("kind")) {
       // v1 (untyped) index — incompatible schema; rebuild from scratch
       build(spark, dataDir, cols, indexDir, bloomCols, bloomItems,
@@ -390,24 +471,10 @@ object StatsIndex {
       if (added.isEmpty) kept
       else kept.unionByName(
         rowsFor(spark, added, cols, bloomCols, bloomItems, bloomFpp))
-    val fs = new Path(indexDir).getFileSystem(conf)
-    val tmp = new Path(indexDir + ".swap")
-    val parked = new Path(indexDir + ".old")
-    // repartition (a shuffle), NOT coalesce: coalesce(1) would collapse
-    // the footer-read stage itself into one task — the shuffle keeps
-    // footer reads parallel and moves only tiny stats rows to the writer
-    updated.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-    // checked two-rename swap (same contract as ZOrder.optimize): a
-    // crash mid-swap leaves the previous index recoverable at `.old`,
-    // never silently gone; the brief not-found window for concurrent
-    // readers is inherent to raw-FS swaps
-    fs.delete(parked, true)
-    require(fs.rename(new Path(indexDir), parked),
-      s"refresh: could not move $indexDir aside — index untouched")
-    require(fs.rename(tmp, new Path(indexDir)),
-      s"refresh: could not move new index into $indexDir — " +
-        s"old index preserved at $parked (rename it back)")
-    fs.delete(parked, true)
+    // the publish job reads the live generation (via `kept`) while
+    // writing the next one — safe, generations are immutable and the
+    // live one survives its successor's publish
+    publishGeneration(spark, indexDir, updated)
     (added.size, removed.size)
   }
 
@@ -904,7 +971,7 @@ object StatsIndex {
   def prunedTyped(spark: SparkSession, indexDir: String,
       ranges: Seq[ColRange]): Seq[String] = {
     import spark.implicits._
-    val raw = spark.read.parquet(indexDir)
+    val raw = readIndex(spark, indexDir)
     // older index generations: widen so the bloom exclusion arm
     // analyses (a NULL filter never rules a key out; a NULL bspace is
     // read as the probe's legacy native space)

@@ -107,11 +107,10 @@ object LayoutSink {
         CommitLog.dataFileNames(fs, lakeDir).toSeq.sorted)
     // a previous attempt of SOME batch may have crashed between its
     // write and its commit — remove every unreferenced data file so
-    // the append below starts from exactly the committed lake
-    val committedNow = CommitLog.committedNames(fs, lakeDir)
-    (CommitLog.dataFileNames(fs, lakeDir) -- committedNow).foreach {
-      orphan => fs.delete(new Path(lakeDir, orphan), false); ()
-    }
+    // the append below starts from exactly the committed lake.
+    // horizon 0: the sink is the single writer, so right now nothing
+    // can be mid-write
+    CommitLog.vacuum(fs, lakeDir, olderThanMs = 0L)
     // persist once: the emptiness probe, the curve write's min/max
     // aggregate and the parquet write are three separate actions —
     // uncached they would re-read the batch's source files 3×
@@ -170,6 +169,54 @@ object LayoutSink {
     names.foreach { n =>
       require(fs.exists(new Path(lakeDir, n)),
         s"readCommitted: committed file $n missing from $lakeDir — " +
+          "lake rewritten without retiring the commit log")
+    }
+    spark.read.parquet(names.map(n => s"$lakeDir/$n"): _*)
+  }
+
+  /** INCREMENTAL read: only the rows batches `(fromExclusive,
+    * toInclusive]` added — [[CommitLog.changedNames]]'s files, nothing
+    * else planned. The consume loop a 100 TB incremental pipeline
+    * runs: remember the last batch id you processed, read the delta,
+    * advance. Fails fast past the checkpoint-fold horizon. */
+  def readChanges(spark: SparkSession, lakeDir: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"readChanges: $lakeDir has no commit log — no change tracking")
+    val names = CommitLog.changedNames(fs, lakeDir, fromExclusive,
+      toInclusive).toSeq.sorted
+    if (names.isEmpty)
+      return if (CommitLog.dataFileNames(fs, lakeDir).isEmpty)
+        spark.emptyDataFrame
+      else spark.read.parquet(lakeDir).limit(0)
+    spark.read.parquet(names.map(n => s"$lakeDir/$n"): _*)
+  }
+
+  /** TIME TRAVEL read: the lake exactly as of batch `asOf` —
+    * [[CommitLog.committedNamesAt]]'s file set (which fails fast past
+    * the checkpoint-fold horizon rather than answering from a partial
+    * log). Later batches' files and any crash orphans are invisible;
+    * [[CommitLog.vacuum]] never deletes a committed file, so an as-of
+    * view inside the horizon stays readable across maintenance.
+    * Metadata-scale like every log read: the plan lists only the
+    * manifest-named files, no directory scan of the data. */
+  def readCommittedAt(spark: SparkSession, lakeDir: String,
+      asOf: Long): DataFrame = {
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"readCommittedAt: $lakeDir has no commit log — no history to " +
+        "travel")
+    val names = CommitLog.committedNamesAt(fs, lakeDir, asOf).toSeq.sorted
+    if (names.isEmpty)
+      return if (CommitLog.dataFileNames(fs, lakeDir).isEmpty)
+        spark.emptyDataFrame
+      else spark.read.parquet(lakeDir).limit(0)
+    names.foreach { n =>
+      require(fs.exists(new Path(lakeDir, n)),
+        s"readCommittedAt: committed file $n missing from $lakeDir — " +
           "lake rewritten without retiring the commit log")
     }
     spark.read.parquet(names.map(n => s"$lakeDir/$n"): _*)

@@ -325,7 +325,7 @@ class StatsIndexSpec extends SparkSpec {
       Seq("v"), numFiles = 8)
     StatsIndex.build(spark, s"$dir/data", Seq("d"), s"$dir/idx")
     // the index must carry DATE stats under their own kind
-    val kinds = spark.read.parquet(s"$dir/idx")
+    val kinds = StatsIndex.readIndex(spark, s"$dir/idx")
       .filter(col("col") === "d").select(col("kind"))
       .distinct().collect().map(_.getString(0)).toSeq
     assert(kinds == Seq("date"), s"date column indexed as $kinds")
@@ -518,7 +518,7 @@ class StatsIndexSpec extends SparkSpec {
     assert(added == 1 && removed == 0, s"churn ($added, $removed)")
     // every file has exactly one bloom row — old rows survived, the
     // appended file got its own
-    val bloomRows = spark.read.parquet(s"$dir/idx")
+    val bloomRows = StatsIndex.readIndex(spark, s"$dir/idx")
       .filter(col("kind") === "bloom")
     assert(bloomRows.count() == 2 &&
       bloomRows.filter(col("bloom").isNotNull).count() == 2)
@@ -713,7 +713,7 @@ class StatsIndexSpec extends SparkSpec {
         spark.conf.unset("spark.sql.parquet.outputTimestampType")
     }
     StatsIndex.build(spark, s"$dir/data", Seq("ts"), s"$dir/idx")
-    val kinds = spark.read.parquet(s"$dir/idx")
+    val kinds = StatsIndex.readIndex(spark, s"$dir/idx")
       .select(col("kind")).distinct().collect().map(_.getString(0)).toSet
     assert(kinds == Set("long"),
       s"adjusted-to-UTC stats must be instant-kinded ('long'): $kinds")
@@ -773,7 +773,7 @@ class StatsIndexSpec extends SparkSpec {
   test("bloom_might_contain agrees with the sketch library through " +
     "both the SQL registration and the serialized index bytes") {
     graft.GraftExtensions.register(spark)
-    val idx = spark.read.parquet(s"$bloomBase/idx")
+    val idx = StatsIndex.readIndex(spark, s"$bloomBase/idx")
       .filter(col("kind") === "bloom" && col("col") === "doc_id")
     // ground truth, driver-side, via the public sketch API
     val blooms = idx.select(col("file"), col("bloom")).collect()
@@ -853,7 +853,7 @@ class StatsIndexSpec extends SparkSpec {
       Seq("k"), numFiles = 8)
     StatsIndex.build(spark, s"$dir/data", Seq("k"), s"$dir/idx",
       bloomCols = Seq("ts"), bloomItems = 200000, bloomFpp = 0.001)
-    val spaces = spark.read.parquet(s"$dir/idx")
+    val spaces = StatsIndex.readIndex(spark, s"$dir/idx")
       .filter(col("kind") === "bloom")
       .select(col("bspace")).distinct().collect().map(_.getString(0))
     assert(spaces.toSet == Set("tswall"), s"NTZ space: ${spaces.toSet}")
@@ -918,7 +918,7 @@ class StatsIndexSpec extends SparkSpec {
     }
     StatsIndex.build(spark, s"$dir/data", Seq("k"), s"$dir/idx",
       bloomCols = Seq("ts"), bloomItems = 200000, bloomFpp = 0.001)
-    val spaces = spark.read.parquet(s"$dir/idx")
+    val spaces = StatsIndex.readIndex(spark, s"$dir/idx")
       .filter(col("kind") === "bloom")
       .select(col("bspace")).distinct().collect().map(_.getString(0))
     assert(spaces.toSet == Set("tsutc"), s"LTZ space: ${spaces.toSet}")
