@@ -109,11 +109,15 @@ object CatalogScale {
 
   /** The chains the verdict names, in dependency-ish order, plus the
     * round-7 additions (timestamp-bloom probe, adaptive filtered
-    * ANN). */
+    * ANN, and the commit-log history/mutation family — time travel,
+    * CDC, merge, delete; each cell times the WHOLE closure, i.e. the
+    * 3-batch logged ingest plus the operation under test). */
   val Chains: Seq[String] = Seq(
     "q46_pruned_scan", "q47_typed_pruned_scan", "q48_hilbert3",
     "q49_centered_global", "q50_bloom_pruned_scan",
     "q51_double_bloom_scan", "q52_ts_pruned_scan", "q53_ts_bloom_scan",
+    "q54_time_travel", "q56_read_changes", "q57_merge_upsert",
+    "q58_delete",
     "qt4_exact_dedup", "qt5_minhash", "qt6_lsh_pairs",
     "qt11_dup_clusters",
     "qv4_ivf_assign", "qv6_ivf_query", "qv15_ivfpq_query",

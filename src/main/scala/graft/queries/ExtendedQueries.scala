@@ -569,6 +569,50 @@ object ExtendedQueries {
         sumd(col("l_extendedprice")).as("sum_price"))
   }
 
+  /** Copy-on-write MERGE INTO, oracle-checked end to end: the
+    * [[loggedLake]] fixture upserted with (a) every `l_orderkey % 7
+    * == 0` row at quantity + 100 (whenMatched update) and (b) every
+    * `l_orderkey % 11 == 3` row re-keyed to a negated order key at
+    * quantity + 0.5 (whenNotMatched insert), then the committed view
+    * aggregated. The oracle computes the same merged table as a
+    * CASE + UNION ALL over lineitem: the hash match proves matched
+    * rows were replaced exactly once, inserts landed exactly once,
+    * untouched rows are byte-identical, and the crash orphans stayed
+    * invisible through the checkpoint swap. */
+  val q57MergeUpsert: Q = (s, dir) => {
+    import graft.sources.MergeInto
+    val lake = loggedLake(s, dir, tempWork("graft_q57_"))
+    val li = table(s, dir, "lineitem")
+    val keys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val upd = li.filter(col("l_orderkey") % 7 === 0)
+      .withColumn("l_quantity", col("l_quantity") + 100)
+    val ins = li.filter(col("l_orderkey") % 11 === 3)
+      .withColumn("l_orderkey", -col("l_orderkey"))
+      .withColumn("l_quantity", col("l_quantity") + 0.5)
+    MergeInto.merge(s, lake, upd.unionByName(ins), keys)
+    graft.streaming.LayoutSink.readCommitted(s, lake)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** Copy-on-write DELETE, oracle-checked end to end: the
+    * [[loggedLake]] fixture with every pre-1995 shipment deleted,
+    * then the committed view aggregated. Only files containing a
+    * matching row are rewritten; the oracle is the complement
+    * filter over lineitem — the hash match proves exactly the
+    * matching rows vanished and everything else survived the
+    * version swap bit-identically. */
+  val q58Delete: Q = (s, dir) => {
+    import graft.sources.MergeInto
+    val lake = loggedLake(s, dir, tempWork("graft_q58_"))
+    MergeInto.delete(s, lake,
+      "l_shipdate < TIMESTAMP '1995-01-01 00:00:00'")
+    graft.streaming.LayoutSink.readCommitted(s, lake)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("l_extendedprice")).as("sum_price"))
+  }
+
   /** ORC source/sink round-trip, oracle-checked:
     * [[graft.sources.OrcRoundTrip]] (previously spec-only) rewrites
     * lineitem as ORC, reads it back with a pushed filter and
@@ -608,6 +652,8 @@ object ExtendedQueries {
     "q54_time_travel" -> q54TimeTravel,
     "q55_vacuum" -> q55Vacuum,
     "q56_read_changes" -> q56ReadChanges,
+    "q57_merge_upsert" -> q57MergeUpsert,
+    "q58_delete" -> q58Delete,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
@@ -649,6 +695,24 @@ object ExtendedQueries {
          |  ${sqlSumd("l_extendedprice")} AS sum_price
          |FROM lineitem
          |WHERE l_orderkey % 3 >= 1
+         |GROUP BY 1""".stripMargin,
+    "q57_merge_upsert" ->
+      s"""WITH merged AS (
+         |  SELECT l_returnflag,
+         |    CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 100
+         |         ELSE l_quantity END AS q
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT l_returnflag, l_quantity + 0.5 AS q
+         |  FROM lineitem WHERE l_orderkey % 11 = 3
+         |)
+         |SELECT l_returnflag, count(*) AS n, ${sqlSumd("q")} AS sum_qty
+         |FROM merged GROUP BY 1""".stripMargin,
+    "q58_delete" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE NOT (l_shipdate < TIMESTAMP '1995-01-01 00:00:00')
          |GROUP BY 1""".stripMargin,
     "qo1_orc" ->
       s"""SELECT l_returnflag, count(*) AS n,

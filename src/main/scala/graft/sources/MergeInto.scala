@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** COPY-ON-WRITE `MERGE INTO` / `DELETE` over a commit-logged lake —
+  * the mutation primitive Delta/Iceberg put beside time travel and
+  * vacuum, built from the same [[CommitLog]] records.
+  *
+  * The 100 TB shape: a merge must NOT rewrite the table. Touched-file
+  * discovery is a semi-join of the lake's key columns + Spark's
+  * `_metadata.file_path` against the update keys — one shuffle over
+  * keys only (column-pruned scan), collecting at most #files names.
+  * Only files that actually contain a matched key are rewritten
+  * (scan cost ∝ touched data); every other file is carried into the
+  * new table version BY NAME, zero I/O. The new version is published
+  * as one [[CommitLog.commitCheckpoint]] — readers see the old table
+  * or the new one, never a mix — and the replaced files become
+  * uncommitted, i.e. exactly what [[CommitLog.vacuum]] sweeps after
+  * its safety horizon. Like any checkpoint publish, a merge truncates
+  * time travel below it (the documented fold-horizon contract).
+  *
+  * Matched-key semantics are Delta's defaults: an update row whose
+  * key exists REPLACES every lake row with that key (whenMatched
+  * update-all); an update row whose key is absent is INSERTED
+  * (whenNotMatched insert-all). Duplicate keys in `updates` fail
+  * fast — each would race to replace the same row (Delta raises the
+  * same error). */
+object MergeInto {
+
+  /** Upsert `updates` (full lake schema, unique on `keys`) into the
+    * lake. Returns (filesRewritten, filesCarried). */
+  def merge(spark: SparkSession, lakeDir: String, updates: DataFrame,
+      keys: Seq[String], filesPerRewrite: Int = 4): (Int, Int) = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"merge: $lakeDir has no commit log — cannot publish atomically")
+    val dupes = updates.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupes == 0,
+      s"merge: duplicate keys in updates on (${keys.mkString(", ")}) — " +
+        "each duplicate would race to replace the same row")
+    val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
+    val lake = spark.read.parquet(committed.map(n => s"$lakeDir/$n"): _*)
+    // touched-file discovery: keys + file path only (column-pruned),
+    // one semi-join shuffle, collect bounded by #files
+    val touched = lake
+      .select(col("_metadata.file_path").as("__file") +: keys.map(col): _*)
+      .join(updates.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(r => new Path(r.getString(0)).getName).toSet
+    val carried = committed.filterNot(touched)
+    // rewrite = touched rows that keep their version (anti-join on
+    // keys) + every update row (matched rows replaced, new keys
+    // inserted); written as ordinary appends, then published below
+    val before = CommitLog.dataFileNames(fs, lakeDir)
+    // no broadcast hint: the update keyset is usually tiny and AQE
+    // converts the anti-join to broadcast at runtime; a genuinely
+    // large keyset sort-merges instead of OOMing an executor
+    val survivors =
+      if (touched.isEmpty) updates
+      else spark.read
+        .parquet(touched.toSeq.sorted.map(n => s"$lakeDir/$n"): _*)
+        .join(updates.select(keys.map(col): _*).distinct(), keys,
+          "left_anti")
+        .unionByName(updates)
+    survivors.repartition(filesPerRewrite)
+      .write.mode("append").parquet(lakeDir)
+    val fresh = (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
+    publish(fs, lakeDir, carried ++ fresh)
+    (touched.size, carried.size)
+  }
+
+  /** Copy-on-write DELETE: drop every committed row matching
+    * `predicate` (a SQL boolean expression). Only files containing a
+    * matching row are rewritten. Returns (filesRewritten,
+    * filesCarried). */
+  def delete(spark: SparkSession, lakeDir: String,
+      predicate: String, filesPerRewrite: Int = 4): (Int, Int) = {
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"delete: $lakeDir has no commit log — cannot publish atomically")
+    val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
+    val lake = spark.read.parquet(committed.map(n => s"$lakeDir/$n"): _*)
+    val touched = lake
+      .filter(expr(predicate))
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(r => new Path(r.getString(0)).getName).toSet
+    val carried = committed.filterNot(touched)
+    val before = CommitLog.dataFileNames(fs, lakeDir)
+    if (touched.nonEmpty) {
+      // keep rows where the predicate is FALSE OR NULL — a NULL
+      // evaluation does not "match", so the row survives (SQL DELETE
+      // semantics; a bare !pred would silently drop NULL rows)
+      spark.read.parquet(touched.toSeq.sorted.map(n => s"$lakeDir/$n"): _*)
+        .filter(!coalesce(expr(predicate), lit(false)))
+        .repartition(filesPerRewrite)
+        .write.mode("append").parquet(lakeDir)
+    }
+    val fresh = (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
+    publish(fs, lakeDir, carried ++ fresh)
+    (touched.size, carried.size)
+  }
+
+  /** One atomic version flip: a checkpoint at (max id on disk, next
+    * gen) naming exactly the new table's files. Replaced files drop
+    * out of the committed view the instant the rename lands. */
+  private def publish(fs: org.apache.hadoop.fs.FileSystem,
+      lakeDir: String, files: Seq[String]): Unit = {
+    val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), 0L)
+    CommitLog.commitCheckpoint(fs, lakeDir, id, files.sorted)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CommitLog, MergeInto}
+import graft.streaming.LayoutSink
+
+/** Copy-on-write MERGE/DELETE: matched rows replaced exactly once,
+  * inserts land exactly once, files without a matched key are carried
+  * into the new version BY NAME (zero I/O), the version flip is one
+  * checkpoint publish, and the replaced files become exactly the
+  * orphans vacuum sweeps. */
+class MergeIntoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Batches 0..2, one file each: k unique, s NULL on every k%10==0. */
+  private def mkLake(): String = {
+    val lake = Files.createTempDirectory("graft_merge_").toString + "/lake"
+    val f = fs(lake)
+    for (b <- 0 to 2) {
+      val before = CommitLog.dataFileNames(f, lake)
+      (0 until 100).map(b * 1000 + _)
+        .map(k => (k, k.toLong * 2, if (k % 10 == 0) null else "x"))
+        .toDF("k", "v", "s")
+        .coalesce(1).write.mode("append").parquet(lake)
+      CommitLog.commit(f, lake, b,
+        (CommitLog.dataFileNames(f, lake) -- before).toSeq.sorted)
+    }
+    lake
+  }
+
+  test("merge replaces matched keys, inserts new ones, carries " +
+    "untouched files by name, and strands replaced files for vacuum") {
+    val lake = mkLake()
+    val f = fs(lake)
+    val beforeNames = CommitLog.committedNames(f, lake)
+    // batch-2's file holds keys 2000..2099 — no update touches it
+    val untouchable = beforeNames.filter { n =>
+      spark.read.parquet(s"$lake/$n").agg(min(col("k"))).head.getInt(0) >= 2000
+    }
+    assert(untouchable.size == 1)
+    val updates = Seq(
+      (5, -1L, "upd"), (1005, -1L, "upd"), // matched (batches 0 and 1)
+      (9999, 42L, "new")).toDF("k", "v", "s") // unmatched insert
+    val (rewritten, carried) = MergeInto.merge(spark, lake, updates, Seq("k"))
+    assert(rewritten == 2 && carried == 1, s"($rewritten, $carried)")
+    val now = LayoutSink.readCommitted(spark, lake)
+    assert(now.count() == 301)
+    assert(now.filter(col("k").isin(5, 1005)).select(col("v"))
+      .as[Long].collect().toSeq == Seq(-1L, -1L))
+    assert(now.filter(col("k") === 9999).count() == 1)
+    // untouched file carried BY NAME; replaced files off the committed
+    // view but still on disk until vacuum
+    val afterNames = CommitLog.committedNames(f, lake)
+    assert(untouchable.subsetOf(afterNames))
+    val stranded = beforeNames -- afterNames
+    assert(stranded.size == 2)
+    assert(stranded.forall(n => f.exists(new Path(lake, n))))
+    assert(CommitLog.vacuum(f, lake, 0L).toSet == stranded)
+    // replay safety: every previously committed batch id still reads
+    // as committed after the version flip
+    (0L to 2L).foreach(id => assert(CommitLog.isCommitted(f, lake, id)))
+  }
+
+  test("duplicate update keys fail fast before any write") {
+    val lake = mkLake()
+    val updates = Seq((5, 0L, "a"), (5, 1L, "b")).toDF("k", "v", "s")
+    val before = CommitLog.committedNames(fs(lake), lake)
+    intercept[IllegalArgumentException] {
+      MergeInto.merge(spark, lake, updates, Seq("k"))
+    }
+    assert(CommitLog.committedNames(fs(lake), lake) == before)
+  }
+
+  test("delete drops exactly the matching rows, keeps NULL-predicate " +
+    "rows, and rewrites only touched files") {
+    val lake = mkLake()
+    // k < 50 lives in batch-0's file only
+    val (rw, carried) = MergeInto.delete(spark, lake, "k < 50")
+    assert(rw == 1 && carried == 2, s"($rw, $carried)")
+    val now = LayoutSink.readCommitted(spark, lake)
+    assert(now.count() == 250)
+    assert(now.filter(col("k") < 50).count() == 0)
+    // NULL semantics: s <> 'x' is NULL for the s-NULL rows and false
+    // for every other — nothing matches, nothing is deleted
+    val (rw2, _) = MergeInto.delete(spark, lake, "s <> 'x'")
+    assert(rw2 == 0)
+    assert(LayoutSink.readCommitted(spark, lake).count() == 250)
+  }
+}
