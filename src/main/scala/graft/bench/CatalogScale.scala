@@ -119,9 +119,14 @@ object CatalogScale {
     "q54_time_travel", "q56_read_changes", "q57_merge_upsert",
     "q58_delete",
     "qt4_exact_dedup", "qt5_minhash", "qt6_lsh_pairs",
-    "qt11_dup_clusters",
+    "qt11_dup_clusters", "qt21_curated_corpus",
     "qv4_ivf_assign", "qv6_ivf_query", "qv15_ivfpq_query",
-    "qv17_filtered_knn_auto")
+    "qv17_filtered_knn_auto",
+    // streaming chains: finite micro-batched runs over the same
+    // tables — the 10× cell shows per-batch cost scaling with input,
+    // state stores and all
+    "qs5_stream_append_daily", "qs11_stream_lsh_incremental",
+    "qs14_stream_layout")
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.filter(_.forall(_.isDigit))

@@ -613,6 +613,29 @@ object ExtendedQueries {
         sumd(col("l_extendedprice")).as("sum_price"))
   }
 
+  /** Additive SCHEMA EVOLUTION through merge, oracle-checked end to
+    * end: the [[loggedLake]] fixture merged with updates that carry a
+    * NEW `l_bonus` column (every `l_orderkey % 7 == 0` row,
+    * `evolveSchema = true`), then read back with `mergeSchema = true`
+    * and aggregated over `coalesce(l_bonus, 0)`. Carried files keep
+    * their old physical schema (zero I/O) and their rows read NULL in
+    * the new column — the oracle's CASE over lineitem computes the
+    * same backfill: the hash match proves evolution changed exactly
+    * the updated rows' new column and nothing else anywhere. */
+  val q59SchemaEvolution: Q = (s, dir) => {
+    import graft.sources.MergeInto
+    val lake = loggedLake(s, dir, tempWork("graft_q59_"))
+    val li = table(s, dir, "lineitem")
+    val keys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val upd = li.filter(col("l_orderkey") % 7 === 0)
+      .withColumn("l_bonus", col("l_quantity") * 0.1)
+    MergeInto.merge(s, lake, upd, keys, evolveSchema = true)
+    graft.streaming.LayoutSink.readCommitted(s, lake, mergeSchema = true)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sumd(coalesce(col("l_bonus"), lit(0.0))).as("sum_bonus"))
+  }
+
   /** ORC source/sink round-trip, oracle-checked:
     * [[graft.sources.OrcRoundTrip]] (previously spec-only) rewrites
     * lineitem as ORC, reads it back with a pushed filter and
@@ -654,6 +677,7 @@ object ExtendedQueries {
     "q56_read_changes" -> q56ReadChanges,
     "q57_merge_upsert" -> q57MergeUpsert,
     "q58_delete" -> q58Delete,
+    "q59_schema_evolution" -> q59SchemaEvolution,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
@@ -713,6 +737,13 @@ object ExtendedQueries {
          |  ${sqlSumd("l_extendedprice")} AS sum_price
          |FROM lineitem
          |WHERE NOT (l_shipdate < TIMESTAMP '1995-01-01 00:00:00')
+         |GROUP BY 1""".stripMargin,
+    "q59_schema_evolution" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd(
+        "CASE WHEN l_orderkey % 7 = 0 THEN l_quantity * 0.1 ELSE 0 END")
+      } AS sum_bonus
+         |FROM lineitem
          |GROUP BY 1""".stripMargin,
     "qo1_orc" ->
       s"""SELECT l_returnflag, count(*) AS n,

@@ -81,6 +81,16 @@ object CommitLog {
         cached = new String(bytes, UTF_8).split("\n").iterator
           .map(_.trim).filter(_.nonEmpty).toSeq
       } finally in.close()
+      // every entry must be a BARE file name — readers join it under
+      // lakeDir, so a separator or dot-segment in a (corrupt or
+      // tampered) record would resolve OUTSIDE the lake. Reject the
+      // record, not just the entry: a log that fails this is not a
+      // log this code wrote.
+      cached.find(n =>
+          n.contains('/') || n.contains('\\') || n == "." || n == "..")
+        .foreach(bad => throw new IllegalStateException(
+          s"commit log record ${m.getPath.getName} holds a " +
+            s"path-escaping entry '$bad' — corrupt or tampered log"))
       recordCache.put(key, cached)
     }
     cached

@@ -30,9 +30,16 @@ import org.apache.spark.sql.functions._
 object MergeInto {
 
   /** Upsert `updates` (full lake schema, unique on `keys`) into the
-    * lake. Returns (filesRewritten, filesCarried). */
+    * lake. With `evolveSchema`, `updates` may ADD columns beyond the
+    * lake's schema: rewritten/inserted rows carry them, carried files
+    * keep their old physical schema (zero I/O either way), and
+    * readers opt in via `readCommitted(mergeSchema = true)` — exactly
+    * Delta's additive `mergeSchema` evolution; surprise extra columns
+    * without the flag fail fast. Returns
+    * (filesRewritten, filesCarried). */
   def merge(spark: SparkSession, lakeDir: String, updates: DataFrame,
-      keys: Seq[String], filesPerRewrite: Int = 4): (Int, Int) = {
+      keys: Seq[String], filesPerRewrite: Int = 4,
+      evolveSchema: Boolean = false): (Int, Int) = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -45,6 +52,16 @@ object MergeInto {
         "each duplicate would race to replace the same row")
     val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
     val lake = spark.read.parquet(committed.map(n => s"$lakeDir/$n"): _*)
+    val missing = lake.columns.toSet -- updates.columns.toSet
+    require(missing.isEmpty,
+      s"merge: updates lack lake columns ${missing.toSeq.sorted
+        .mkString(", ")} — an update row must be a full row (partial " +
+        "updates would silently null the rest)")
+    val added = updates.columns.toSet -- lake.columns.toSet
+    require(added.isEmpty || evolveSchema,
+      s"merge: updates add columns ${added.toSeq.sorted.mkString(", ")} " +
+        "not in the lake schema — pass evolveSchema = true to evolve " +
+        "additively (readers then need mergeSchema = true)")
     // touched-file discovery: keys + file path only (column-pruned),
     // one semi-join shuffle, collect bounded by #files
     val touched = lake
@@ -60,13 +77,16 @@ object MergeInto {
     // no broadcast hint: the update keyset is usually tiny and AQE
     // converts the anti-join to broadcast at runtime; a genuinely
     // large keyset sort-merges instead of OOMing an executor
+    // allowMissingColumns only matters under evolveSchema: survivors
+    // from old files take NULL for the added columns (additive
+    // evolution's backfill value)
     val survivors =
       if (touched.isEmpty) updates
       else spark.read
         .parquet(touched.toSeq.sorted.map(n => s"$lakeDir/$n"): _*)
         .join(updates.select(keys.map(col): _*).distinct(), keys,
           "left_anti")
-        .unionByName(updates)
+        .unionByName(updates, allowMissingColumns = true)
     survivors.repartition(filesPerRewrite)
       .write.mode("append").parquet(lakeDir)
     val fresh = (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted

@@ -150,12 +150,19 @@ object LayoutSink {
     * the plain directory read when no commit log exists (a compacted
     * or non-sink lake). Fails fast if a committed file is missing —
     * that is real corruption (an external rewrite keeps the log only
-    * if it keeps the files; [[ZOrder.optimize]] swaps both away). */
-  def readCommitted(spark: SparkSession, lakeDir: String): DataFrame = {
+    * if it keeps the files; [[ZOrder.optimize]] swaps both away).
+    * `mergeSchema = true` unions the files' physical schemas — needed
+    * after an additive [[graft.sources.MergeInto.merge]] evolution
+    * (carried files keep the old schema, their rows read NULL in the
+    * added columns); opt-in because it footer-reads every planned
+    * file's schema. */
+  def readCommitted(spark: SparkSession, lakeDir: String,
+      mergeSchema: Boolean = false): DataFrame = {
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rd = spark.read.option("mergeSchema", mergeSchema.toString)
     if (!fs.exists(new Path(CommitLog.logDir(lakeDir))))
-      return spark.read.parquet(lakeDir)
+      return rd.parquet(lakeDir)
     val names = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
     if (names.isEmpty) {
       // committed view is empty; if uncommitted orphans exist they
@@ -171,7 +178,7 @@ object LayoutSink {
         s"readCommitted: committed file $n missing from $lakeDir — " +
           "lake rewritten without retiring the commit log")
     }
-    spark.read.parquet(names.map(n => s"$lakeDir/$n"): _*)
+    rd.parquet(names.map(n => s"$lakeDir/$n"): _*)
   }
 
   /** INCREMENTAL read: only the rows batches `(fromExclusive,

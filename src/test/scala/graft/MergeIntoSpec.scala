@@ -78,6 +78,30 @@ class MergeIntoSpec extends SparkSpec {
     assert(CommitLog.committedNames(fs(lake), lake) == before)
   }
 
+  test("additive schema evolution: extra columns need the flag, " +
+    "carried rows read NULL under mergeSchema, partial rows fail fast") {
+    val lake = mkLake()
+    val updates = Seq((5, -1L, "upd", 3.5)).toDF("k", "v", "s", "w")
+    // surprise extra column without the flag: fail fast
+    intercept[IllegalArgumentException] {
+      MergeInto.merge(spark, lake, updates, Seq("k"))
+    }
+    val (rw, carried) =
+      MergeInto.merge(spark, lake, updates, Seq("k"), evolveSchema = true)
+    assert(rw == 1 && carried == 2)
+    val now = LayoutSink.readCommitted(spark, lake, mergeSchema = true)
+    assert(now.columns.contains("w") && now.count() == 300)
+    assert(now.filter(col("k") === 5).select(col("w"))
+      .head.getDouble(0) == 3.5)
+    // every other row — rewritten-file survivors AND carried old-schema
+    // files — backfills NULL
+    assert(now.filter(col("w").isNull).count() == 299)
+    // an update row missing a lake column is a partial row: fail fast
+    intercept[IllegalArgumentException] {
+      MergeInto.merge(spark, lake, Seq((6, 1L)).toDF("k", "v"), Seq("k"))
+    }
+  }
+
   test("delete drops exactly the matching rows, keeps NULL-predicate " +
     "rows, and rewrites only touched files") {
     val lake = mkLake()

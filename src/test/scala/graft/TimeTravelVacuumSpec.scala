@@ -108,6 +108,20 @@ class TimeTravelVacuumSpec extends SparkSpec {
     assert(e.getMessage.contains("history truncated"))
   }
 
+  test("a tampered record with a path-escaping entry is rejected, " +
+    "not resolved outside the lake") {
+    val lake = mkLake()
+    val f = fs(lake)
+    val evil = new Path(CommitLog.logDir(lake), "7.manifest")
+    val out = f.create(evil, true)
+    try out.write("../outside.parquet\n".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException] {
+      CommitLog.committedNames(f, lake)
+    }
+    assert(e.getMessage.contains("path-escaping"))
+  }
+
   test("vacuum no-ops on a lake without a commit log") {
     val dir = Files.createTempDirectory("graft_tt_plain_").toString
     Seq((1, 2)).toDF("b", "v").write.parquet(s"$dir/lake")
