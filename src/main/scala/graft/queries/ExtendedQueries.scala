@@ -613,6 +613,26 @@ object ExtendedQueries {
         sumd(col("l_extendedprice")).as("sum_price"))
   }
 
+  /** Copy-on-write UPDATE, oracle-checked end to end: the
+    * [[loggedLake]] fixture with `SET l_quantity = l_quantity + 5,
+    * l_discount = l_discount * 0.5 WHERE l_returnflag = 'R'`, then the
+    * committed view aggregated. Assignments read the PRE-update row
+    * and non-matching rows — including those sharing a rewritten file
+    * — pass through byte-identically; the oracle's CASE twin proves
+    * both, and that the crash orphans stayed invisible through the
+    * version swap. */
+  val q60Update: Q = (s, dir) => {
+    import graft.sources.MergeInto
+    val lake = loggedLake(s, dir, tempWork("graft_q60_"))
+    MergeInto.update(s, lake, "l_returnflag = 'R'", Map(
+      "l_quantity" -> "l_quantity + 5",
+      "l_discount" -> "l_discount * 0.5"))
+    graft.streaming.LayoutSink.readCommitted(s, lake)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("l_discount")).as("sum_disc"))
+  }
+
   /** Additive SCHEMA EVOLUTION through merge, oracle-checked end to
     * end: the [[loggedLake]] fixture merged with updates that carry a
     * NEW `l_bonus` column (every `l_orderkey % 7 == 0` row,
@@ -678,6 +698,7 @@ object ExtendedQueries {
     "q57_merge_upsert" -> q57MergeUpsert,
     "q58_delete" -> q58Delete,
     "q59_schema_evolution" -> q59SchemaEvolution,
+    "q60_update" -> q60Update,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
@@ -737,6 +758,16 @@ object ExtendedQueries {
          |  ${sqlSumd("l_extendedprice")} AS sum_price
          |FROM lineitem
          |WHERE NOT (l_shipdate < TIMESTAMP '1995-01-01 00:00:00')
+         |GROUP BY 1""".stripMargin,
+    "q60_update" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd(
+        "CASE WHEN l_returnflag = 'R' THEN l_quantity + 5 " +
+          "ELSE l_quantity END")} AS sum_qty,
+         |  ${sqlSumd(
+        "CASE WHEN l_returnflag = 'R' THEN l_discount * 0.5 " +
+          "ELSE l_discount END")} AS sum_disc
+         |FROM lineitem
          |GROUP BY 1""".stripMargin,
     "q59_schema_evolution" ->
       s"""SELECT l_returnflag, count(*) AS n,

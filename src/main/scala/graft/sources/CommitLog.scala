@@ -300,6 +300,55 @@ object CommitLog {
     }
   }
 
+  /** Single-writer enforcement for table MUTATIONS (merge/delete):
+    * an advisory lock file under the log dir, taken with the
+    * filesystem's create-no-overwrite (atomic on HDFS and object
+    * stores with conditional put; best-effort on raw local FS —
+    * advisory either way). A held lock fails fast — two concurrent
+    * copy-on-write mutations would both read the same base version
+    * and the second publish would silently drop the first's changes
+    * (the lost update Delta's optimistic concurrency also rejects).
+    * A crash inside `body` leaves the lock behind; a lock older than
+    * `staleMs` is broken on the next attempt — safe, because the
+    * mutation it guarded either already published (the checkpoint
+    * rename is atomic) or left only uncommitted files for
+    * [[vacuum]]. [[graft.streaming.LayoutSink]] takes the same lock
+    * per ingest batch: its horizon-0 orphan sweep and a concurrent
+    * merge's unpublished rewrite files would otherwise race, and a
+    * manifest landing mid-merge could be subsumed-but-dropped by the
+    * merge's version checkpoint. */
+  def withWriterLock[T](fs: FileSystem, lakeDir: String,
+      staleMs: Long = 600000L)(body: => T): T = {
+    val lock = new Path(logDir(lakeDir), "WRITER_LOCK")
+    fs.mkdirs(new Path(logDir(lakeDir)))
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, /* overwrite = */ false)
+        try out.write(
+          s"${System.currentTimeMillis()} ${java.util.UUID.randomUUID()}"
+            .getBytes(UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    var held = tryAcquire()
+    if (!held) {
+      val stale =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime > staleMs
+        catch { case _: FileNotFoundException => true } // holder just released
+      if (stale) {
+        fs.delete(lock, false)
+        held = tryAcquire()
+      }
+    }
+    if (!held)
+      throw new IllegalStateException(
+        s"another mutation holds the writer lock on $lakeDir — " +
+          s"retry after it publishes (locks older than ${staleMs} ms " +
+          "are presumed crashed and broken automatically)")
+    try body finally { fs.delete(lock, false); () }
+  }
+
   /** Write-then-rename commit: the manifest appears atomically or not
     * at all (a crashed half-written `.tmp-` never matches the
     * `.manifest` suffix readers look for). */

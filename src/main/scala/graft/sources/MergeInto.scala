@@ -50,6 +50,9 @@ object MergeInto {
     require(dupes == 0,
       s"merge: duplicate keys in updates on (${keys.mkString(", ")}) — " +
         "each duplicate would race to replace the same row")
+    // single-writer: a concurrent CoW mutation reading the same base
+    // version would have its publish silently dropped by ours
+    CommitLog.withWriterLock(fs, lakeDir) {
     val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
     val lake = spark.read.parquet(committed.map(n => s"$lakeDir/$n"): _*)
     val missing = lake.columns.toSet -- updates.columns.toSet
@@ -92,6 +95,7 @@ object MergeInto {
     val fresh = (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
     publish(fs, lakeDir, carried ++ fresh)
     (touched.size, carried.size)
+    }
   }
 
   /** Copy-on-write DELETE: drop every committed row matching
@@ -104,6 +108,7 @@ object MergeInto {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
       s"delete: $lakeDir has no commit log — cannot publish atomically")
+    CommitLog.withWriterLock(fs, lakeDir) {
     val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
     val lake = spark.read.parquet(committed.map(n => s"$lakeDir/$n"): _*)
     val touched = lake
@@ -124,6 +129,56 @@ object MergeInto {
     val fresh = (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
     publish(fs, lakeDir, carried ++ fresh)
     (touched.size, carried.size)
+    }
+  }
+
+  /** Copy-on-write UPDATE: `SET col = <sql-expr>` for every committed
+    * row matching `predicate` — the third DML verb beside merge and
+    * delete. Only files containing a matching row are rewritten;
+    * non-matching rows in those files pass through byte-identically;
+    * assignments are evaluated against the PRE-update row (standard
+    * UPDATE semantics — `set` entries never see each other) and cast
+    * back to the column's type so the schema cannot drift. Returns
+    * (filesRewritten, filesCarried). */
+  def update(spark: SparkSession, lakeDir: String, predicate: String,
+      set: Map[String, String], filesPerRewrite: Int = 4): (Int, Int) = {
+    require(set.nonEmpty, "update needs at least one SET assignment")
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"update: $lakeDir has no commit log — cannot publish atomically")
+    CommitLog.withWriterLock(fs, lakeDir) {
+    val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
+    val lake = spark.read.parquet(committed.map(n => s"$lakeDir/$n"): _*)
+    val unknown = set.keySet -- lake.columns.toSet
+    require(unknown.isEmpty,
+      s"update: SET names unknown columns ${unknown.toSeq.sorted
+        .mkString(", ")}")
+    val touched = lake
+      .filter(expr(predicate))
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(r => new Path(r.getString(0)).getName).toSet
+    val carried = committed.filterNot(touched)
+    val before = CommitLog.dataFileNames(fs, lakeDir)
+    if (touched.nonEmpty) {
+      val matches = coalesce(expr(predicate), lit(false))
+      val cols = lake.schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(e) =>
+            when(matches, expr(e).cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }
+      spark.read.parquet(touched.toSeq.sorted.map(n => s"$lakeDir/$n"): _*)
+        .select(cols.toIndexedSeq: _*)
+        .repartition(filesPerRewrite)
+        .write.mode("append").parquet(lakeDir)
+    }
+    val fresh = (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
+    publish(fs, lakeDir, carried ++ fresh)
+    (touched.size, carried.size)
+    }
   }
 
   /** One atomic version flip: a checkpoint at (max id on disk, next

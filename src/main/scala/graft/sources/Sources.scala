@@ -500,6 +500,25 @@ object ZOrder {
     val tmp = new Path(path + ".optimize")
     val old = new Path(path + ".old")
     val hasLog = fs.exists(new Path(CommitLog.logDir(path)))
+    // logged lakes share mutation state with MergeInto — serialize
+    // through the same writer lock (a concurrent merge would read the
+    // pre-optimize file set and publish it back, resurrecting the
+    // un-optimized layout); plain directories have no mutation peers
+    if (hasLog) CommitLog.withWriterLock(fs, path) {
+      optimizeBody(spark, path, zCols, bits, numFiles, indexDir, curve,
+        fs, tmp, old, hasLog)
+    }
+    else optimizeBody(spark, path, zCols, bits, numFiles, indexDir,
+      curve, fs, tmp, old, hasLog)
+  }
+
+  private def optimizeBody(spark: SparkSession, path: String,
+      zCols: Seq[String], bits: Int, numFiles: Int,
+      indexDir: Option[String], curve: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, old: org.apache.hadoop.fs.Path,
+      hasLog: Boolean): Unit = {
+    import org.apache.hadoop.fs.Path
     val input =
       if (hasLog) {
         val committed = CommitLog.committedNames(fs, path).toSeq.sorted
@@ -561,6 +580,12 @@ object ZOrder {
     require(fs.exists(new Path(CommitLog.logDir(path))),
       s"compactSmall: $path has no commit log — it only runs on " +
         "sink-managed lakes (use optimize() for plain directories)")
+    // same single-writer contract as MergeInto: a concurrent CoW
+    // mutation reading the pre-compaction file set would publish the
+    // compacted originals back. The lock releases on ANY exit —
+    // including the injected crash points below (the crash windows
+    // under test are the FS states, not a held lock).
+    CommitLog.withWriterLock(fs, path) {
     val committed = CommitLog.committedNames(fs, path)
     val sized = committed.toSeq.sorted
       .map(n => n -> fs.getFileStatus(new Path(path, n)).getLen)
@@ -587,6 +612,7 @@ object ZOrder {
     small.foreach { n => fs.delete(new Path(path, n), false); () }
     indexDir.foreach(idx => StatsIndex.refresh(spark, path, zCols, idx))
     (small.size, newFiles.size)
+    }
   }
 }
 

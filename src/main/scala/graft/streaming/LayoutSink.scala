@@ -98,18 +98,26 @@ object LayoutSink {
       }
       return
     }
+    // the batch's lake mutation runs under the shared WRITER LOCK:
+    // without it, (a) the horizon-0 vacuum below could sweep a
+    // concurrent merge's not-yet-published rewrite files, and (b) a
+    // manifest committed mid-merge could be subsumed-but-dropped by
+    // the merge's version checkpoint (its id re-reads the max at
+    // publish). One tiny create+delete per batch buys full
+    // serialization of ingest, DML and maintenance.
+    CommitLog.withWriterLock(fs, lakeDir) {
     // first commit ever: grandfather pre-existing (bootstrap) files
     // into their own manifest BEFORE any write, so a crash on the very
     // first batch still leaves its orphans distinguishable from data
-    // the sink must never delete
-    if (!fs.exists(new Path(CommitLog.logDir(lakeDir))))
+    // the sink must never delete. Gate on RECORD count, not dir
+    // existence — taking the lock above already created the log dir
+    if (CommitLog.recordCount(fs, lakeDir) == 0)
       CommitLog.commit(fs, lakeDir, -1L,
         CommitLog.dataFileNames(fs, lakeDir).toSeq.sorted)
     // a previous attempt of SOME batch may have crashed between its
     // write and its commit — remove every unreferenced data file so
     // the append below starts from exactly the committed lake.
-    // horizon 0: the sink is the single writer, so right now nothing
-    // can be mid-write
+    // horizon 0: we hold the lock, so nothing can be mid-write
     CommitLog.vacuum(fs, lakeDir, olderThanMs = 0L)
     // persist once: the emptiness probe, the curve write's min/max
     // aggregate and the parquet write are three separate actions —
@@ -143,6 +151,7 @@ object LayoutSink {
           CommitLog.recordCount(fs, lakeDir) > checkpointEvery)
         CommitLog.checkpoint(fs, lakeDir)
     } finally { b.unpersist(); () }
+    }
   }
 
   /** Exactly-once read surface: only manifest-listed files, so a
@@ -161,7 +170,10 @@ object LayoutSink {
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def rd = spark.read.option("mergeSchema", mergeSchema.toString)
-    if (!fs.exists(new Path(CommitLog.logDir(lakeDir))))
+    // no log RECORDS = not a logged lake (the dir alone can exist
+    // from a lock acquisition that never committed anything)
+    if (!fs.exists(new Path(CommitLog.logDir(lakeDir))) ||
+        CommitLog.recordCount(fs, lakeDir) == 0)
       return rd.parquet(lakeDir)
     val names = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
     if (names.isEmpty) {

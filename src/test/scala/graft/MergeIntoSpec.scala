@@ -102,6 +102,72 @@ class MergeIntoSpec extends SparkSpec {
     }
   }
 
+  test("update applies SET to matching rows only, against the " +
+    "pre-update row, and carries untouched files") {
+    val lake = mkLake()
+    // k < 50 lives in batch-0's file; v reads the PRE-update row
+    val (rw, carried) = MergeInto.update(spark, lake, "k < 50",
+      Map("v" -> "v + k", "s" -> "'u'"))
+    assert(rw == 1 && carried == 2, s"($rw, $carried)")
+    val now = LayoutSink.readCommitted(spark, lake)
+    assert(now.count() == 300)
+    assert(now.filter(col("k") === 10).select(col("v"))
+      .head.getLong(0) == 30) // 20 + 10, not (20+10)+10
+    assert(now.filter(col("s") === "u").count() == 50)
+    // non-matching rows — even in the rewritten file (k=61) and in
+    // carried files (k=1001) — untouched (k=60 is a fixture NULL-s row)
+    assert(now.filter(col("k") === 61).select(col("s"))
+      .head.getString(0) == "x")
+    assert(now.filter(col("k") === 1001).select(col("s"))
+      .head.getString(0) == "x")
+    intercept[IllegalArgumentException] {
+      MergeInto.update(spark, lake, "k < 5", Map("nope" -> "1"))
+    }
+  }
+
+  test("writer lock: a held lock fails mutations fast, a stale one " +
+    "is broken, and the lock releases after success AND failure") {
+    val lake = mkLake()
+    val f = fs(lake)
+    val lock = new Path(CommitLog.logDir(lake), "WRITER_LOCK")
+    val out = f.create(lock, false)
+    try out.write("held".getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalStateException] {
+      MergeInto.delete(spark, lake, "k < 10")
+    }
+    assert(e.getMessage.contains("writer lock"))
+    // a crashed holder's lock (older than staleMs) is broken and the
+    // mutation proceeds
+    f.setTimes(lock, System.currentTimeMillis() - 3600000L, -1)
+    val (rw, _) = MergeInto.delete(spark, lake, "k < 10")
+    assert(rw == 1 && !f.exists(lock))
+    // failure inside the locked section still releases the lock
+    intercept[IllegalArgumentException] {
+      MergeInto.merge(spark, lake, Seq((1, 1L)).toDF("k", "v"), Seq("k"))
+    }
+    assert(!f.exists(lock))
+  }
+
+  test("ingest batches take the writer lock too: a held lock fails " +
+    "the batch, release lets it proceed") {
+    val dir = Files.createTempDirectory("graft_merge_ing_").toString
+    val lake = s"$dir/lake"
+    val f = fs(lake)
+    f.mkdirs(new Path(CommitLog.logDir(lake)))
+    val lock = new Path(CommitLog.logDir(lake), "WRITER_LOCK")
+    val out = f.create(lock, false)
+    try out.write("held".getBytes("UTF-8")) finally out.close()
+    val df = (0 until 100).map(i => (i.toLong, i.toLong)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      LayoutSink.processBatch(df, 0L, lake, s"$dir/idx", Seq("a", "b"),
+        bits = 10, filesPerBatch = 1, curve = "morton")
+    }
+    f.delete(lock, false)
+    LayoutSink.processBatch(df, 0L, lake, s"$dir/idx", Seq("a", "b"),
+      bits = 10, filesPerBatch = 1, curve = "morton")
+    assert(LayoutSink.readCommitted(spark, lake).count() == 100)
+  }
+
   test("delete drops exactly the matching rows, keeps NULL-predicate " +
     "rows, and rewrites only touched files") {
     val lake = mkLake()
