@@ -675,6 +675,31 @@ object ExtendedQueries {
         max(col("l_shipdate")).as("max_ship"))
   }
 
+  /** Metadata-first COUNT, oracle-checked end to end: lineitem
+    * z-ordered on (partkey, suppkey), stats-indexed, then a 2-D box
+    * COUNT through [[graft.sources.StatsIndex.countPruned]] —
+    * interior files (stats prove every row inside the box, zero
+    * nulls) contribute their footer row_count with ZERO data I/O,
+    * only the boundary shell is scanned and exactly filtered. The
+    * oracle is the plain filtered COUNT: the hash match proves the
+    * containment algebra (z-order makes most surviving files
+    * interior) counts exactly — not an estimate. At 100 TB this is
+    * the Iceberg metadata-count: a selective COUNT reads a handful of
+    * boundary files instead of the table. */
+  val q61MetaCount: Q = (s, dir) => {
+    import graft.sources.StatsIndex
+    val work = tempWork("graft_q61_")
+    ZOrder.write(table(s, dir, "lineitem"), s"$work/lake",
+      Seq("l_partkey", "l_suppkey"), bits = 10, numFiles = 8)
+    StatsIndex.build(s, s"$work/lake", Seq("l_partkey", "l_suppkey"),
+      s"$work/idx")
+    val n = StatsIndex.countPruned(s, s"$work/lake", s"$work/idx",
+      Seq(StatsIndex.LongRange("l_partkey", 100L, 1500L),
+        StatsIndex.LongRange("l_suppkey", 5L, 90L)))
+    import s.implicits._
+    Seq(n).toDF("n")
+  }
+
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
     * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
     * aggregated per curve cell. The oracle UNROLLS the same phases as
@@ -699,6 +724,7 @@ object ExtendedQueries {
     "q58_delete" -> q58Delete,
     "q59_schema_evolution" -> q59SchemaEvolution,
     "q60_update" -> q60Update,
+    "q61_meta_count" -> q61MetaCount,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
@@ -759,6 +785,10 @@ object ExtendedQueries {
          |FROM lineitem
          |WHERE NOT (l_shipdate < TIMESTAMP '1995-01-01 00:00:00')
          |GROUP BY 1""".stripMargin,
+    "q61_meta_count" ->
+      """SELECT count(*) AS n FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 1500
+        |  AND l_suppkey BETWEEN 5 AND 90""".stripMargin,
     "q60_update" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  ${sqlSumd(

@@ -420,6 +420,7 @@ object StatsIndex {
         lit(null).cast("double").as("dmax"),
         lit(null).cast("string").as("smin"),
         lit(null).cast("string").as("smax"),
+        lit(null).cast("bigint").as("nulls"),
         col("bloom"), col("bspace"))
   }
 
@@ -456,7 +457,8 @@ object StatsIndex {
     // no bloom row, and pre-bspace bloom rows keep their legacy
     // native-space interpretation (see [[exclusion]])
     val old = Seq(
-      ("bloom", "binary"), ("bspace", "string")).foldLeft(rawOld) {
+      ("bloom", "binary"), ("bspace", "string"),
+      ("nulls", "bigint")).foldLeft(rawOld) {
       case (df, (c, tp)) =>
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(tp))
@@ -679,6 +681,24 @@ object StatsIndex {
             val blocks = r.getFooter.getBlocks.asScala
             val nRows = blocks.map(_.getRowCount).sum
             val stats = colsB.value.map { name =>
+              // per-file null count, or NULL when ANY chunk can't
+              // prove one (missing column, stats-less chunk) — the
+              // bit [[countPruned]]'s full-containment arm needs: a
+              // filter drops null rows, so counting a whole file from
+              // metadata is only sound at exactly zero nulls
+              val perBlockNulls = blocks.map { b =>
+                b.getColumns.asScala
+                  .find(_.getPath.toDotString == name)
+                  .flatMap { cc =>
+                    val st = cc.getStatistics
+                    if (st != null && st.isNumNullsSet)
+                      Some(st.getNumNulls)
+                    else None
+                  }
+              }
+              val nulls: Option[Long] =
+                if (perBlockNulls.exists(_.isEmpty)) None
+                else Some(perBlockNulls.flatten.sum)
               val perChunk = blocks.flatMap { b =>
                 b.getColumns.asScala
                   .find(_.getPath.toDotString == name)
@@ -711,7 +731,8 @@ object StatsIndex {
               // nested private case classes break Janino codegen
               // (interpreter fallback) — tuples stay codegen'd
               (name, merged.kind, merged.lmin, merged.lmax,
-                merged.dmin, merged.dmax, merged.smin, merged.smax)
+                merged.dmin, merged.dmax, merged.smin, merged.smax,
+                nulls)
             }
             (f, nRows, stats)
           } finally r.close()
@@ -724,7 +745,8 @@ object StatsIndex {
         col("s._2").as("kind"),
         col("s._3").as("lmin"), col("s._4").as("lmax"),
         col("s._5").as("dmin"), col("s._6").as("dmax"),
-        col("s._7").as("smin"), col("s._8").as("smax"))
+        col("s._7").as("smin"), col("s._8").as("smax"),
+        col("s._9").as("nulls"))
   }
 
   /** Per-range exclusion predicate over index rows. NULL bounds (full
@@ -976,7 +998,8 @@ object StatsIndex {
     // analyses (a NULL filter never rules a key out; a NULL bspace is
     // read as the probe's legacy native space)
     val idx = Seq(
-      ("bloom", "binary"), ("bspace", "string")).foldLeft(raw) {
+      ("bloom", "binary"), ("bspace", "string"),
+      ("nulls", "bigint")).foldLeft(raw) {
       case (df, (c, tp)) =>
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(tp))
@@ -997,6 +1020,95 @@ object StatsIndex {
       ranges: Seq[(String, Long, Long)]): Seq[String] =
     prunedTyped(spark, indexDir,
       ranges.map { case (n, lo, hi) => LongRange(n, lo, hi) })
+
+  /** Full-containment predicate over index rows — the mirror image of
+    * [[exclusion]], and deliberately NARROWER than its complement:
+    * containment must PROVE every row of the file satisfies the
+    * range, so it additionally demands a proven ZERO null count (a
+    * filter drops null rows; a from-metadata count must too) and
+    * falls to `false` — boundary, scanned exactly — for anything it
+    * cannot prove: timestamp ranges (their stats carry session-offset
+    * slack), point probes, `full`-kind rows, NULL bounds, unknown
+    * null counts, and long bounds beyond 2^53 probed through the
+    * double arm (double rounding could fake containment). String
+    * containment IS sound under truncation: the stored min is a
+    * prefix (≤ the true min, so `smin >= lo` implies `true_min >=
+    * lo`) and the stored max an inflated upper bound (≥ the true
+    * max), both in the same UTF-8 byte order the bounds were built
+    * in. */
+  private def inclusion(r: ColRange): Column = {
+    val noNulls = col("nulls") === 0L
+    r match {
+      case LongRange(name, lo, hi) =>
+        val doubleArmSafe =
+          math.abs(lo) < (1L << 53) && math.abs(hi) < (1L << 53)
+        col("col") === name && noNulls && (
+          (col("kind").isin("long", "date") &&
+            col("lmin") >= lo && col("lmax") <= hi) ||
+          (lit(doubleArmSafe) && col("kind") === "double" &&
+            col("dmin") >= lo.toDouble && col("dmax") <= hi.toDouble))
+      case DoubleRange(name, lo, hi) =>
+        val loCeil = if (lo <= Long.MinValue.toDouble) Long.MinValue
+          else if (lo >= Long.MaxValue.toDouble) Long.MaxValue
+          else math.ceil(lo).toLong
+        val hiFloor = if (hi >= Long.MaxValue.toDouble) Long.MaxValue
+          else if (hi <= Long.MinValue.toDouble) Long.MinValue
+          else math.floor(hi).toLong
+        col("col") === name && noNulls && (
+          (col("kind") === "double" &&
+            col("dmin") >= lo && col("dmax") <= hi) ||
+          (col("kind") === "long" &&
+            col("lmin") >= loCeil && col("lmax") <= hiFloor))
+      case StringRange(name, lo, hi) =>
+        // NULL smax (unbounded upper) compares NULL → false → boundary
+        col("col") === name && noNulls && col("kind") === "string" &&
+          col("smin") >= lo && col("smax") <= hi
+      case _ => lit(false) // point probes, timestamps: always boundary
+    }
+  }
+
+  /** Metadata-first COUNT of the rows satisfying ALL `ranges`,
+    * Iceberg-style: a file whose index rows PROVE every row matches
+    * (see [[inclusion]]) contributes its footer `row_count` with zero
+    * data I/O; only the boundary shell — files that overlap a range
+    * edge — is scanned and exactly filtered; excluded files cost
+    * nothing. On a clustered 100 TB lake a selective box COUNT
+    * therefore reads a few boundary files instead of the table; the
+    * result is EXACT, not an estimate — `StatsIndexSpec` asserts
+    * equality with the full-scan count on random boxes, and
+    * q61_meta_count hash-checks it against DuckDB. Indexes built
+    * before the `nulls` column read as "null count unknown" and
+    * simply classify every file as boundary (correct, just slower
+    * until the next rebuild). */
+  def countPruned(spark: SparkSession, dataDir: String,
+      indexDir: String, ranges: Seq[ColRange]): Long = {
+    require(ranges.nonEmpty, "countPruned needs at least one range")
+    import spark.implicits._
+    val raw = readIndex(spark, indexDir)
+    val idx = Seq(("bloom", "binary"), ("bspace", "string"),
+      ("nulls", "bigint")).foldLeft(raw) { case (df, (c, tp)) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(tp))
+    }
+    val kept = prunedTyped(spark, indexDir, ranges)
+    // a file is interior iff EVERY range has an index row proving
+    // containment — metadata-scale set intersection
+    val interior = ranges.map { r =>
+      idx.filter(inclusion(r)).select(col("file")).distinct()
+    }.reduce((a, b) => a.join(b, Seq("file"), "left_semi"))
+      .as[String].collect().toSet
+    val interiorRows =
+      if (interior.isEmpty) 0L
+      else idx.filter(col("file").isin(interior.toSeq: _*))
+        .select(col("file"), col("row_count")).distinct()
+        .agg(sum(col("row_count"))).head.getLong(0)
+    val boundary = kept.filterNot(interior)
+    val pred = ranges.map(_.predicate).reduce(_ && _)
+    val boundaryRows =
+      if (boundary.isEmpty) 0L
+      else spark.read.parquet(boundary: _*).filter(pred).count()
+    interiorRows + boundaryRows
+  }
 
   /** Scan only the files that can satisfy `ranges`, then re-apply the
     * exact predicate — the index prunes, the filter decides. Row-group

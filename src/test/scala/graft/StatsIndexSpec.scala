@@ -938,4 +938,48 @@ class StatsIndexSpec extends SparkSpec {
         got.select(col("payload")).head.getLong(0) == 55555L)
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
+
+  test("countPruned equals the full-scan count on random boxes") {
+    val full = spark.read.parquet(s"$base/data")
+    val rnd = new scala.util.Random(991)
+    (1 to 5).foreach { trial =>
+      val (xLo, yLo) = (rnd.nextInt(900).toLong, rnd.nextInt(900).toLong)
+      val w = 20 + rnd.nextInt(300)
+      val got = StatsIndex.countPruned(spark, s"$base/data", s"$base/idx",
+        Seq(StatsIndex.LongRange("x", xLo, xLo + w),
+          StatsIndex.LongRange("y", yLo, yLo + w)))
+      val want = full.filter(col("x").between(xLo, xLo + w) &&
+        col("y").between(yLo, yLo + w)).count()
+      assert(got == want, s"trial $trial: meta-count $got vs $want")
+    }
+  }
+
+  test("countPruned: interior files are counted with ZERO data I/O " +
+    "(count survives deleting the data), null rows never counted") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sidx_mc_").toString
+    spark.range(10000).selectExpr("id AS x", "id AS payload")
+      .coalesce(4).write.parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("x"), s"$dir/idx")
+    // the whole-range box makes every file interior — prove the count
+    // comes from footer metadata alone by deleting the data first
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(st => fs.delete(st.getPath, false))
+    val n = StatsIndex.countPruned(spark, s"$dir/data", s"$dir/idx",
+      Seq(StatsIndex.LongRange("x", 0L, 9999L)))
+    assert(n == 10000L, s"meta-only count $n")
+    // a column with nulls can never be fully-contained: the null rows
+    // fail the filter, so they must not be counted either
+    spark.range(10000).selectExpr(
+      "CASE WHEN id % 10 = 0 THEN NULL ELSE id END AS x",
+      "id AS payload")
+      .coalesce(4).write.parquet(s"$dir/ndata")
+    StatsIndex.build(spark, s"$dir/ndata", Seq("x"), s"$dir/nidx")
+    val nn = StatsIndex.countPruned(spark, s"$dir/ndata", s"$dir/nidx",
+      Seq(StatsIndex.LongRange("x", 0L, 9999L)))
+    assert(nn == 9000L, s"null-aware count $nn")
+  }
 }
