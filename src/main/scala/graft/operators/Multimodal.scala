@@ -806,8 +806,15 @@ object Multimodal {
     def sampleRanges(payload: Array[Byte],
         maxFrames: Int = MaxSamples): Seq[(Long, Long)] =
       parse(payload).flatMap(_.videoTracks.headOption)
-        .flatMap(t => resolveRanges(t, payload.length.toLong, maxFrames))
+        .map(t => rangesOf(t, payload.length.toLong, maxFrames))
         .getOrElse(Nil)
+
+    /** [[sampleRanges]] for an ALREADY-PARSED track — callers that
+      * also need the track's codec config (fourcc/avcC) reuse one box
+      * walk instead of re-parsing the whole container per row. */
+    def rangesOf(t: TrackInfo, payloadLen: Long,
+        maxFrames: Int = MaxSamples): Seq[(Long, Long)] =
+      resolveRanges(t, payloadLen, maxFrames).getOrElse(Nil)
 
     /** The shared chunk-run walk: every resolvable sample's (offset,
       * size), bounds-validated against the payload length — None as
@@ -1389,9 +1396,13 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
+        // ONE box walk per row: ranges and codec config both come
+        // from the same parsed track
         val track = Mp4MetaCodec.parse(payload)
           .flatMap(_.videoTracks.headOption)
-        val ranges = Mp4MetaCodec.sampleRanges(payload)
+        val ranges = track
+          .map(t => Mp4MetaCodec.rangesOf(t, payload.length.toLong))
+          .getOrElse(Seq.empty).toIndexedSeq
         val (fourcc, avcc) =
           (track.map(_.fourcc).getOrElse(""), track.flatMap(_.avcc))
         ranges.indices.by(stride).map { i =>

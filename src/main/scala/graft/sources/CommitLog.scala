@@ -44,9 +44,21 @@ object CommitLog {
     * the current max batch id — and rename-over-existing is not
     * atomic (or not possible) on most filesystems, so "same id again"
     * must be a NEW name. Readers take the highest (id, gen); a
-    * same-id re-publish with a fresh gen atomically wins. */
-  def checkpointPath(lakeDir: String, id: Long, gen: Long): Path =
-    new Path(logDir(lakeDir), s"$id.$gen.checkpoint")
+    * same-id re-publish with a fresh gen atomically wins.
+    *
+    * A DML mutation publishes `<id>.<gen>.mutation.checkpoint`
+    * instead: row CONTENT changed in place at that id (unlike
+    * OPTIMIZE/compaction, which reshape files but preserve every
+    * row), so the history APIs must not serve that id as an immutable
+    * snapshot — see [[committedNamesAt]]/[[changedNames]]. The parse
+    * helpers read both spellings identically for the committed view. */
+  def checkpointPath(lakeDir: String, id: Long, gen: Long,
+      mutation: Boolean = false): Path =
+    new Path(logDir(lakeDir),
+      s"$id.$gen.${if (mutation) "mutation." else ""}checkpoint")
+
+  private def isMutation(name: String): Boolean =
+    name.contains(".mutation.")
 
   /** Flat `*.parquet` names under the lake (the sink writes flat;
     * `_`/`.` prefixes — the log itself, Spark markers — excluded). */
@@ -165,9 +177,19 @@ object CommitLog {
       asOf: Long): Set[String] = {
     val (ckpts, manifests) = listLog(fs, lakeDir)
     val exact = ckpts.filter(s => ckptKey(s.getPath.getName)._1 == asOf)
-    if (exact.nonEmpty)
-      return readRecord(fs,
-        exact.maxBy(s => ckptKey(s.getPath.getName))).toSet
+    if (exact.nonEmpty) {
+      val winner = exact.maxBy(s => ckptKey(s.getPath.getName))
+      // a MUTATION checkpoint rewrote row content in place at this id:
+      // serving it as "the snapshot a reader at asOf saw" would hand a
+      // pre-mutation pinner silently different data. Fail fast; pin a
+      // fresh snapshot after mutations (the next appended batch id, or
+      // capture committedNames directly).
+      require(!isMutation(winner.getPath.getName),
+        s"time travel to batch $asOf: a DML mutation rewrote this id " +
+          "in place — the pre-mutation snapshot is gone (history " +
+          "rewritten; re-pin after mutations)")
+      return readRecord(fs, winner).toSet
+    }
     require(!ckpts.exists(s => ckptKey(s.getPath.getName)._1 > asOf),
       s"time travel to batch $asOf: a newer checkpoint folded the " +
         "records this view needs — history truncated (raise " +
@@ -199,6 +221,21 @@ object CommitLog {
     require(fromExclusive <= toInclusive,
       s"changedNames: empty range ($fromExclusive, $toInclusive]")
     val (ckpts, manifests) = listLog(fs, lakeDir)
+    // a DML mutation at id >= the cursor rewrote rows the consumer may
+    // already have taken pre-mutation — an add-only file delta cannot
+    // express that, so fail fast (>=, not >: a cursor AT the mutation
+    // id cannot prove it synced after the mutation). Checked FIRST so
+    // the diagnosis names the real cause when both guards apply.
+    // Resync contract: full-read, then resume from the next APPENDED
+    // batch — appends land manifests above the mutation id, and a
+    // later fold clears the marker behind the generic truncation
+    // guard below.
+    require(!ckpts.exists(s => isMutation(s.getPath.getName) &&
+        ckptKey(s.getPath.getName)._1 >= fromExclusive),
+      s"changes after batch $fromExclusive: a DML mutation rewrote " +
+        "rows at-or-after this cursor — the delta is not expressible " +
+        "as added files (resync with a full read, then resume from " +
+        "the next appended batch)")
     require(!ckpts.exists(s => ckptKey(s.getPath.getName)._1 > fromExclusive),
       s"changes after batch $fromExclusive: a checkpoint folded " +
         "per-batch attribution away — history truncated (raise " +
@@ -283,7 +320,13 @@ object CommitLog {
           val files = committedNames(fs, lakeDir).toSeq.sorted
           val gen = latest
             .map(s => ckptKey(s.getPath.getName)._2 + 1).getOrElse(0L)
-          val dst = checkpointPath(lakeDir, n, gen)
+          // folding PRESERVES the mutation marker at the fold id: the
+          // in-place rewrite happened whether or not its record
+          // survives, so pinners at this id must keep failing fast
+          val mutAtN = ckpts.exists(s =>
+            isMutation(s.getPath.getName) &&
+              ckptKey(s.getPath.getName)._1 == n)
+          val dst = checkpointPath(lakeDir, n, gen, mutAtN)
           writeAtomic(fs, lakeDir, dst, files)
           dst.getName
       }
@@ -332,13 +375,38 @@ object CommitLog {
       } catch { case _: java.io.IOException => false }
     var held = tryAcquire()
     if (!held) {
-      val stale =
-        try System.currentTimeMillis() -
-          fs.getFileStatus(lock).getModificationTime > staleMs
-        catch { case _: FileNotFoundException => true } // holder just released
-      if (stale) {
-        fs.delete(lock, false)
-        held = tryAcquire()
+      // stale-break must not race: two contenders plainly deleting the
+      // stale lock could each also delete the OTHER's fresh
+      // replacement and both enter. Break by RENAME instead — only
+      // one rename of the old file can succeed — and verify by
+      // modtime that the renamed file IS the stale one observed (if a
+      // fresh lock slipped in between stat and rename, put it back).
+      val observed =
+        try Some(fs.getFileStatus(lock))
+        catch { case _: FileNotFoundException => None } // just released
+      observed match {
+        case None => held = tryAcquire()
+        case Some(s)
+            if System.currentTimeMillis() -
+              s.getModificationTime > staleMs =>
+          val breaker = new Path(logDir(lakeDir),
+            s".stale-lock-${java.util.UUID.randomUUID()}")
+          val renamed =
+            try fs.rename(lock, breaker)
+            catch { case _: java.io.IOException => false }
+          if (renamed) {
+            val took =
+              try fs.getFileStatus(breaker).getModificationTime
+              catch { case _: FileNotFoundException => -1L }
+            if (took == s.getModificationTime) {
+              fs.delete(breaker, false)
+              held = tryAcquire()
+            } else {
+              // we grabbed a FRESH lock by accident — restore it
+              fs.rename(breaker, lock); ()
+            }
+          } else held = tryAcquire() // someone else broke it first
+        case _ => () // held and fresh
       }
     }
     if (!held)
@@ -362,11 +430,23 @@ object CommitLog {
     * [[ZOrder.compactSmall]] uses it to swap compacted file names for
     * their replacement in one rename. */
   def commitCheckpoint(fs: FileSystem, lakeDir: String, id: Long,
-      files: Seq[String]): Unit = {
+      files: Seq[String]): Unit =
+    commitCheckpointImpl(fs, lakeDir, id, files, mutation = false)
+
+  /** A checkpoint that CHANGED row content in place (DML) — same
+    * committed-view semantics, but flagged so the history APIs fail
+    * fast instead of serving it as an immutable snapshot. */
+  def commitMutationCheckpoint(fs: FileSystem, lakeDir: String,
+      id: Long, files: Seq[String]): Unit =
+    commitCheckpointImpl(fs, lakeDir, id, files, mutation = true)
+
+  private def commitCheckpointImpl(fs: FileSystem, lakeDir: String,
+      id: Long, files: Seq[String], mutation: Boolean): Unit = {
     val (ckpts, _) = listLog(fs, lakeDir)
     val gen = ckpts.map(s => ckptKey(s.getPath.getName)._2)
       .foldLeft(-1L)(math.max) + 1L
-    writeAtomic(fs, lakeDir, checkpointPath(lakeDir, id, gen), files)
+    writeAtomic(fs, lakeDir, checkpointPath(lakeDir, id, gen, mutation),
+      files)
   }
 
   private def writeAtomic(fs: FileSystem, lakeDir: String, dst: Path,

@@ -173,7 +173,10 @@ object StatsIndex {
   // and are migrated — flat files swept — by their first publish.
 
   private val PointerFile = "CURRENT"
-  private val VersionRe = "^v(\\d{5})$".r
+  // 5+ digits, not exactly 5: %05d grows naturally past v99999 (a
+  // per-micro-batch refresh reaches 100k publishes in years, and a
+  // fixed-width validator would then permanently reject the pointer)
+  private val VersionRe = "^v(\\d{5,})$".r
 
   private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
       root: Path): Option[String] = {
@@ -1092,16 +1095,18 @@ object StatsIndex {
     }
     val kept = prunedTyped(spark, indexDir, ranges)
     // a file is interior iff EVERY range has an index row proving
-    // containment — metadata-scale set intersection
-    val interior = ranges.map { r =>
-      idx.filter(inclusion(r)).select(col("file")).distinct()
-    }.reduce((a, b) => a.join(b, Seq("file"), "left_semi"))
-      .as[String].collect().toSet
-    val interiorRows =
-      if (interior.isEmpty) 0L
-      else idx.filter(col("file").isin(interior.toSeq: _*))
-        .select(col("file"), col("row_count")).distinct()
-        .agg(sum(col("row_count"))).head.getLong(0)
+    // containment — metadata-scale set intersection. ONE job returns
+    // both the per-file row counts (summed driver-side, bounded by
+    // #files) and the interior set for the boundary diff — no
+    // re-filter of the index through a 10^5-literal isin plan.
+    val interiorCounts = ranges.map { r =>
+        idx.filter(inclusion(r)).select(col("file")).distinct()
+      }.reduce((a, b) => a.join(b, Seq("file"), "left_semi"))
+      .join(idx.select(col("file"), col("row_count"))
+        .filter(col("row_count").isNotNull).distinct(), Seq("file"))
+      .as[(String, Long)].collect()
+    val interior = interiorCounts.iterator.map(_._1).toSet
+    val interiorRows = interiorCounts.iterator.map(_._2).sum
     val boundary = kept.filterNot(interior)
     val pred = ranges.map(_.predicate).reduce(_ && _)
     val boundaryRows =

@@ -36,7 +36,7 @@ class MergeIntoSpec extends SparkSpec {
   }
 
   test("merge replaces matched keys, inserts new ones, carries " +
-    "untouched files by name, and strands replaced files for vacuum") {
+    "untouched files by name, and sweeps replaced files immediately") {
     val lake = mkLake()
     val f = fs(lake)
     val beforeNames = CommitLog.committedNames(f, lake)
@@ -55,17 +55,76 @@ class MergeIntoSpec extends SparkSpec {
     assert(now.filter(col("k").isin(5, 1005)).select(col("v"))
       .as[Long].collect().toSeq == Seq(-1L, -1L))
     assert(now.filter(col("k") === 9999).count() == 1)
-    // untouched file carried BY NAME; replaced files off the committed
-    // view but still on disk until vacuum
+    // untouched file carried BY NAME; replaced files swept under the
+    // still-held lock, so the PLAIN directory read converges at once
     val afterNames = CommitLog.committedNames(f, lake)
     assert(untouchable.subsetOf(afterNames))
     val stranded = beforeNames -- afterNames
     assert(stranded.size == 2)
-    assert(stranded.forall(n => f.exists(new Path(lake, n))))
-    assert(CommitLog.vacuum(f, lake, 0L).toSet == stranded)
+    assert(stranded.forall(n => !f.exists(new Path(lake, n))),
+      "replaced files must be swept by the mutation itself")
+    assert(spark.read.parquet(lake).count() == 301)
     // replay safety: every previously committed batch id still reads
     // as committed after the version flip
     (0L to 2L).foreach(id => assert(CommitLog.isCommitted(f, lake, id)))
+  }
+
+  test("a mutation checkpoint never claims an uncommitted batch id: " +
+    "merging a bootstrap-only lake leaves batch 0 replayable") {
+    // lake with ONLY grandfathered data (bootstrap manifest -1)
+    val dir = Files.createTempDirectory("graft_merge_boot_").toString
+    val lake = s"$dir/lake"
+    val f = fs(lake)
+    (0 until 100).map(k => (k, k.toLong, "x")).toDF("k", "v", "s")
+      .coalesce(1).write.parquet(lake)
+    CommitLog.commit(f, lake, -1L,
+      CommitLog.dataFileNames(f, lake).toSeq.sorted)
+    MergeInto.update(spark, lake, "k < 10", Map("v" -> "v + 1000"))
+    // the mutation must NOT have minted batch id 0 — a later first
+    // streaming batch would otherwise replay as a silent no-op
+    assert(!CommitLog.isCommitted(f, lake, 0L),
+      "mutation checkpoint stole batch id 0")
+    LayoutSink.processBatch(
+      Seq((7777, 1L, "b0")).toDF("k", "v", "s"), 0L, lake,
+      s"$dir/idx", Seq("k", "v"), bits = 10, filesPerBatch = 1,
+      curve = "morton")
+    val now = LayoutSink.readCommitted(spark, lake)
+    assert(now.count() == 101)
+    assert(now.filter(col("k") === 7777).count() == 1)
+  }
+
+  test("history APIs fail fast across a DML mutation: no silent " +
+    "post-mutation snapshot at the mutated id, no empty CDC delta") {
+    val lake = mkLake()
+    val f = fs(lake)
+    // pre-mutation: both history reads work
+    assert(LayoutSink.readCommittedAt(spark, lake, 2L).count() == 300)
+    assert(LayoutSink.readChanges(spark, lake, 1L, 2L).count() == 100)
+    MergeInto.delete(spark, lake, "k < 50")
+    // time travel to the mutated id must refuse — the pre-mutation
+    // snapshot a pinner captured no longer exists
+    val e1 = intercept[IllegalArgumentException] {
+      CommitLog.committedNamesAt(f, lake, 2L)
+    }
+    assert(e1.getMessage.contains("rewritten"))
+    // CDC from any cursor at-or-before the mutation id must refuse —
+    // an add-only delta cannot express an in-place rewrite
+    val e2 = intercept[IllegalArgumentException] {
+      CommitLog.changedNames(f, lake, 1L, 2L)
+    }
+    assert(e2.getMessage.contains("mutation"))
+    // the present committed view is of course fine
+    assert(LayoutSink.readCommitted(spark, lake).count() == 250)
+  }
+
+  test("merge rejects a type clash on a shared column") {
+    val lake = mkLake()
+    // v is LONG in the lake; int-typed updates must fail fast
+    val bad = Seq((5, 1, "x")).toDF("k", "v", "s")
+    val e = intercept[IllegalArgumentException] {
+      MergeInto.merge(spark, lake, bad, Seq("k"))
+    }
+    assert(e.getMessage.contains("type clash"))
   }
 
   test("duplicate update keys fail fast before any write") {
