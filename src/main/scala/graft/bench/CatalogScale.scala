@@ -117,7 +117,7 @@ object CatalogScale {
     "q49_centered_global", "q50_bloom_pruned_scan",
     "q51_double_bloom_scan", "q52_ts_pruned_scan", "q53_ts_bloom_scan",
     "q54_time_travel", "q56_read_changes", "q57_merge_upsert",
-    "q58_delete", "q61_meta_count",
+    "q58_delete", "q61_meta_count", "q62_dfp_join", "q63_meta_minmax",
     "qt4_exact_dedup", "qt5_minhash", "qt6_lsh_pairs",
     "qt11_dup_clusters", "qt21_curated_corpus",
     "qv4_ivf_assign", "qv6_ivf_query", "qv15_ivfpq_query",
@@ -126,7 +126,7 @@ object CatalogScale {
     // tables — the 10× cell shows per-batch cost scaling with input,
     // state stores and all
     "qs5_stream_append_daily", "qs11_stream_lsh_incremental",
-    "qs14_stream_layout")
+    "qs14_stream_layout", "qs15_stream_upsert")
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.filter(_.forall(_.isDigit))

@@ -700,6 +700,63 @@ object ExtendedQueries {
     Seq(n).toDF("n")
   }
 
+  /** Dynamic file pruning, oracle-checked end to end: lineitem
+    * z-ordered on (partkey, suppkey) and stats-indexed with a partkey
+    * bloom sidecar, then joined to a SELECTIVE slice of `part`
+    * through [[graft.sources.StatsIndex.dfpJoin]] — the dim side's
+    * distinct keys are collected (bounded, the file-skipping analog
+    * of the broadcast threshold), the fact lake's files pruned to
+    * those that can contain AT LEAST ONE key (min/max + bloom arms,
+    * one metadata-scale two-level aggregation — never a k-wide
+    * expression), and only the survivors scanned into the join. The
+    * oracle is the plain filtered join: the hash match proves
+    * disjunctive pruning loses no matching fact row and the join
+    * fabricates nothing. The dim filter keeps a NARROW partkey band,
+    * so on the z-ordered lake the prune genuinely skips files — the
+    * 100 TB shape where a selective dim join reads a handful of fact
+    * files instead of the table (`StatsIndexSpec` asserts the skip
+    * count; correctness never depends on it). */
+  val q62DfpJoin: Q = (s, dir) => {
+    import graft.sources.StatsIndex
+    val work = tempWork("graft_q62_")
+    ZOrder.write(table(s, dir, "lineitem"), s"$work/lake",
+      Seq("l_partkey", "l_suppkey"), bits = 10, numFiles = 8)
+    StatsIndex.build(s, s"$work/lake", Seq("l_partkey"), s"$work/idx",
+      bloomCols = Seq("l_partkey"), bloomItems = 100000,
+      bloomFpp = 0.001)
+    val dim = table(s, dir, "part")
+      .filter(col("p_partkey").between(50, 120) && col("p_size") <= 25)
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+    StatsIndex.dfpJoin(s, s"$work/lake", s"$work/idx", "l_partkey",
+      broadcast(dim), "p_partkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("l_extendedprice")).as("sum_price"),
+        sumd(col("p_retailprice")).as("sum_retail"))
+  }
+
+  /** Metadata-first MIN/MAX, oracle-checked end to end: lineitem
+    * written into a clustered lake, stats-indexed, then global
+    * min/max of a long and two double columns answered by
+    * [[graft.sources.StatsIndex.minMaxPruned]] from the index's
+    * per-file bounds ALONE — long footer bounds are exact values and
+    * the build's one-ulp-outward double widening is inverted
+    * bit-exactly (`nextUp∘nextDown = id` on finite doubles), so with
+    * no gap files the answer involves ZERO data I/O. The oracle is
+    * the plain full-scan aggregate: the hash match proves the
+    * recovered bounds are the true extrema to the bit, not
+    * metadata-shaped approximations. */
+  val q63MetaMinmax: Q = (s, dir) => {
+    import graft.sources.StatsIndex
+    val work = tempWork("graft_q63_")
+    ZOrder.write(table(s, dir, "lineitem"), s"$work/lake",
+      Seq("l_partkey", "l_suppkey"), bits = 10, numFiles = 8)
+    StatsIndex.build(s, s"$work/lake",
+      Seq("l_orderkey", "l_extendedprice", "l_quantity"), s"$work/idx")
+    StatsIndex.minMaxPruned(s, s"$work/lake", s"$work/idx",
+      Seq("l_orderkey", "l_extendedprice", "l_quantity"))
+  }
+
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
     * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
     * aggregated per curve cell. The oracle UNROLLS the same phases as
@@ -725,6 +782,8 @@ object ExtendedQueries {
     "q59_schema_evolution" -> q59SchemaEvolution,
     "q60_update" -> q60Update,
     "q61_meta_count" -> q61MetaCount,
+    "q62_dfp_join" -> q62DfpJoin,
+    "q63_meta_minmax" -> q63MetaMinmax,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
@@ -789,6 +848,21 @@ object ExtendedQueries {
       """SELECT count(*) AS n FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 1500
         |  AND l_suppkey BETWEEN 5 AND 90""".stripMargin,
+    "q62_dfp_join" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price,
+         |  ${sqlSumd("p_retailprice")} AS sum_retail
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_partkey BETWEEN 50 AND 120 AND p_size <= 25
+         |GROUP BY 1""".stripMargin,
+    "q63_meta_minmax" ->
+      """SELECT min(l_orderkey) AS min_l_orderkey,
+        |  max(l_orderkey) AS max_l_orderkey,
+        |  min(l_extendedprice) AS min_l_extendedprice,
+        |  max(l_extendedprice) AS max_l_extendedprice,
+        |  min(l_quantity) AS min_l_quantity,
+        |  max(l_quantity) AS max_l_quantity
+        |FROM lineitem""".stripMargin,
     "q60_update" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  ${sqlSumd(

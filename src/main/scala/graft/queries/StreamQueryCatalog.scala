@@ -362,7 +362,55 @@ object StreamQueryCatalog {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** Streaming UPSERT ([[graft.streaming.UpsertSink]]): documents
+    * ingested as a committed base version, then a 4-batch CDC-style
+    * stream of updates (every third doc re-scored) and inserts (new
+    * negative-id docs) MERGEd batch-by-batch into the lake under the
+    * writer lock — whenMatched replace, whenNotMatched insert, only
+    * files holding a matched key rewritten, the rest carried by name
+    * with zero I/O. The returned frame is the committed lake; the
+    * oracle states the END-STATE declaratively (base rows overlaid
+    * with the updates, plus the inserts) — the hash match proves the
+    * per-batch copy-on-write merges compose to exactly the last-wins
+    * table, losing nothing across batch/file boundaries.
+    * `MergeIntoSpec` separately replays the whole stream from a wiped
+    * checkpoint and asserts idempotence (the exactly-once arm). */
+  val qs15StreamUpsert: Q = (s, dir) => {
+    import graft.sources.CommitLog
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_qs15_").toString
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    docs.withColumn("rev", lit(0L))
+      .withColumn("score", col("n_chars"))
+      .repartition(3).write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    // the upsert stream: key-unique across the whole run, so the end
+    // state is batch-order-free and DuckDB-expressible
+    val upd = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("rev", lit(1L))
+      .withColumn("score", col("n_chars") * 2)
+    val ins = docs.filter(col("doc_id") % 7 === 3)
+      .withColumn("doc_id", -col("doc_id"))
+      .withColumn("rev", lit(1L))
+      .withColumn("score", col("n_chars"))
+    upd.unionByName(ins).repartition(4).write.parquet(s"$work/in")
+    val schema = s.read.parquet(s"$work/in").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+    val q = graft.streaming.UpsertSink.start(stream, lake,
+      s"$work/ckp", Seq("doc_id"))
+    q.awaitTermination()
+    graft.streaming.LayoutSink.readCommitted(s, lake)
+      .select(col("doc_id"), col("lang"), col("rev"), col("score"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "qs15_stream_upsert" -> qs15StreamUpsert,
     "qs14_stream_layout" -> qs14StreamLayout,
     "qs13_stream_pii_scrub" -> qs13StreamPiiScrub,
     "qs12_stream_sessions" -> qs12StreamSessions,
@@ -379,6 +427,17 @@ object StreamQueryCatalog {
     "qs4_stream_dedup" -> qs4StreamDedup)
 
   val sql: Map[String, String] = Map(
+    "qs15_stream_upsert" ->
+      """SELECT doc_id, lang,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS rev,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN n_chars * 2 ELSE n_chars
+        |    END AS BIGINT) AS score
+        |FROM documents
+        |UNION ALL
+        |SELECT -doc_id, lang, CAST(1 AS BIGINT) AS rev,
+        |  CAST(n_chars AS BIGINT) AS score
+        |FROM documents WHERE doc_id % 7 = 3""".stripMargin,
     "qs14_stream_layout" ->
       "SELECT doc_id, lang, n_chars FROM documents",
     "qs12_stream_sessions" ->

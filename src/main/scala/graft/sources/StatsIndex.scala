@@ -1134,4 +1134,216 @@ object StatsIndex {
       ranges: Seq[(String, Long, Long)]): DataFrame =
     readPrunedTyped(spark, dataDir, indexDir,
       ranges.map { case (n, lo, hi) => LongRange(n, lo, hi) })
+
+  /** Widen older index generations to the current column set (a NULL
+    * bloom never excludes; a NULL bspace reads as the probe's legacy
+    * space; NULL nulls = "null count unknown"). */
+  private def widened(raw: DataFrame): DataFrame =
+    Seq(("bloom", "binary"), ("bspace", "string"),
+      ("nulls", "bigint")).foldLeft(raw) { case (df, (c, tp)) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(tp))
+    }
+
+  /** DISJUNCTIVE key-set pruning — the file-skipping half of dynamic
+    * file pruning (the Delta/Photon "DFP" optimization): given the
+    * distinct join keys of a selective dimension side, keep only the
+    * fact files that can contain AT LEAST ONE of them. A file is
+    * excluded iff EVERY key is provably absent — per key via the same
+    * arms as [[LongEquals]]: min/max (long/date kinds; widened double
+    * stats compared directly — the build already widened one ulp
+    * outward, so `dmax < k` proves no value equals `k` in Spark's
+    * long-vs-double comparison space) plus the Bloom sidecar in the
+    * long spelling (and the double spelling for double-built blooms,
+    * `k != 0` guarded as in [[LongEquals]] — ±0.0 spelling ambiguity).
+    *
+    * Evaluated as ONE metadata-scale plan — index rows × broadcast
+    * keys, grouped twice (max over rows per (file, key) = "this key
+    * provably absent", then min over keys per file = "all keys
+    * absent") — not a k-wide literal expression, so a 10⁵-key dim
+    * side still plans in one shot. Files with no index row for the
+    * column (or only rows no arm can read) are kept — the same
+    * conservative contract as every other prune path.
+    *
+    * An EMPTY key set returns no files: the inner join it serves is
+    * empty by definition. */
+  def prunedForKeys(spark: SparkSession, indexDir: String,
+      column: String, keys: Seq[Long]): Seq[String] = {
+    import spark.implicits._
+    if (keys.isEmpty) return Seq.empty
+    val idx = widened(readIndex(spark, indexDir))
+    val all = idx.select(col("file")).distinct()
+    val rows = idx.filter(col("col") === column)
+    val ks = broadcast(keys.distinct.toDF("k"))
+    def miss(hash: Column): Column =
+      !GraftColumnBridge.toColumn(graft.functions.BloomMightContain(
+        GraftColumnBridge.toExpression(col("bloom")),
+        GraftColumnBridge.toExpression(hash)))
+    val kd = col("k").cast("double")
+    val rowExcl = coalesce(
+      (col("kind").isin("long", "date") &&
+        (col("lmax") < col("k") || col("lmin") > col("k"))) ||
+        (col("kind") === "double" &&
+          (col("dmax") < kd || col("dmin") > kd)) ||
+        (col("kind") === "bloom" &&
+          ((coalesce(col("bspace"), lit("long")) === "long" &&
+            miss(xxhash64(col("k")))) ||
+            (col("bspace") === "double" && col("k") =!= 0L &&
+              miss(xxhash64(kd))))),
+      lit(false))
+    val excluded = rows.crossJoin(ks)
+      .select(col("file"), col("k"), rowExcl.as("re"))
+      .groupBy(col("file"), col("k")).agg(max(col("re")).as("keyAbsent"))
+      .groupBy(col("file")).agg(min(col("keyAbsent")).as("allAbsent"))
+      .filter(col("allAbsent")).select(col("file"))
+    all.join(excluded, Seq("file"), "left_anti")
+      .as[String].collect().toSeq.sorted
+  }
+
+  /** Scan only the files that can contain at least one of `keys` —
+    * NO re-filter: the caller's join (or `isin`) decides; pruning is
+    * conservative, a surviving non-matching row simply doesn't join. */
+  def readPrunedForKeys(spark: SparkSession, dataDir: String,
+      indexDir: String, column: String, keys: Seq[Long]): DataFrame = {
+    val files = prunedForKeys(spark, indexDir, column, keys)
+    if (files.isEmpty) spark.read.parquet(dataDir).limit(0)
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Dynamic-file-pruning JOIN: collect the dimension side's distinct
+    * join keys (bounded — the file-skipping analog of the broadcast
+    * threshold), prune the fact lake's files through
+    * [[prunedForKeys]], then run the ordinary equi-join over only the
+    * surviving files. Above `maxKeys` distinct keys the dim side is
+    * not selective enough for file skipping to pay — the join runs
+    * unpruned over the full lake (correct, just not accelerated).
+    * On a 100 TB lake clustered or bloom-indexed on the join key this
+    * turns "scan the table to join a filtered dim" into "scan the
+    * files the dim's keys can live in" — the planner-level counterpart
+    * of a broadcast hash join's runtime filter, decided from O(files)
+    * metadata before a single fact byte is read. */
+  def dfpJoin(spark: SparkSession, dataDir: String, indexDir: String,
+      factKey: String, dim: DataFrame, dimKey: String,
+      maxKeys: Int = 100000): DataFrame = {
+    import spark.implicits._
+    val keys = dim.select(col(dimKey).cast("long")).na.drop()
+      .distinct().limit(maxKeys + 1).as[Long].collect()
+    val fact =
+      if (keys.length > maxKeys) spark.read.parquet(dataDir)
+      else readPrunedForKeys(spark, dataDir, indexDir, factKey,
+        keys.toSeq)
+    fact.join(dim, fact(factKey) === dim(dimKey))
+  }
+
+  /** Metadata-first MIN/MAX, Iceberg-style: one row of
+    * `min_<col>`/`max_<col>` per requested column, computed from the
+    * index's per-file bounds with ZERO data I/O wherever the bounds
+    * are provably exact, and an exact boundary scan of only the "gap"
+    * files everywhere else.
+    *
+    * Exact metadata arms:
+    *  - `long` kind — footer int bounds are exact values;
+    *  - `double` kind — the build widened each bound exactly one ulp
+    *    outward ([[boundsOf]]), and `nextUp`/`nextDown` are inverses
+    *    on finite doubles, so `nextUp(dmin)` / `nextDown(dmax)`
+    *    recover the file's true min/max BIT-EXACTLY. The one
+    *    unrecoverable point is ±0.0 (parquet writers disagree on
+    *    signed-zero bounds) — a file whose recovered bound is a zero
+    *    becomes a gap file and is scanned.
+    * Everything else is a gap file for that column: `date`/`tsntz`
+    * (calendar/zone re-encode is not bit-provable), truncated
+    * `string` bounds (an inflated max is not a value), `full` rows,
+    * NaN-polluted doubles, files missing an index row, and mixed
+    * kinds across files. Provably ALL-NULL files (`nulls ==
+    * row_count`) contribute nothing and are NOT gaps — MIN/MAX
+    * ignore nulls.
+    *
+    * The gap scan computes min/max of EVERY requested column over the
+    * UNION of gap files and merges with the metadata bounds via
+    * `least`/`greatest` — sound because MIN/MAX are idempotent under
+    * overlap, so double-covering a file can never skew the result.
+    * On a clustered 100 TB lake the common case is an empty gap set:
+    * the answer comes from the index alone, the same plan shape as
+    * [[countPruned]]. `StatsIndexSpec` asserts bit-equality with the
+    * full-scan aggregate, including the all-null and zero-crossing
+    * arms; q63_meta_minmax hash-checks it against DuckDB. */
+  def minMaxPruned(spark: SparkSession, dataDir: String,
+      indexDir: String, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "minMaxPruned needs at least one column")
+    val idx = widened(readIndex(spark, indexDir))
+    // metadata-scale collect: one row per (file, requested col) — the
+    // same order as the file lists every prune path materializes
+    val rows = idx
+      .filter(col("col").isin(columns: _*) && col("kind") =!= "bloom")
+      .select(col("file"), col("col"), col("kind"), col("lmin"),
+        col("lmax"), col("dmin"), col("dmax"), col("nulls"),
+        col("row_count"))
+      .collect()
+    val byCol = rows.groupBy(_.getString(1))
+    val allFiles = idx.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    final case class Meta(minLit: Option[Column], maxLit: Option[Column],
+      gaps: Set[String])
+    val metas: Map[String, Meta] = columns.map { c =>
+      val rs = byCol.getOrElse(c, Array.empty)
+      val covered = rs.map(_.getString(0)).toSet
+      var gaps = allFiles -- covered
+      val kinds = rs.map(_.getString(2)).filter(_ != "full").distinct
+      var lo: Option[Column] = None
+      var hi: Option[Column] = None
+      if (kinds.length > 1) {
+        // schema drift across files — no single exact arm; scan all
+        gaps = allFiles
+      } else rs.foreach { r =>
+        val file = r.getString(0)
+        val allNull = !r.isNullAt(7) && !r.isNullAt(8) &&
+          r.getLong(7) == r.getLong(8)
+        def gap(): Unit = gaps += file
+        r.getString(2) match {
+          case _ if allNull => // proven no values: contributes nothing
+          case "long" if !r.isNullAt(3) && !r.isNullAt(4) =>
+            val (l, h) = (r.getLong(3), r.getLong(4))
+            lo = Some(lo.fold(lit(l))(c0 => least(c0, lit(l))))
+            hi = Some(hi.fold(lit(h))(c0 => greatest(c0, lit(h))))
+          case "double" if !r.isNullAt(5) && !r.isNullAt(6) =>
+            val l = Math.nextUp(r.getDouble(5))
+            val h = Math.nextDown(r.getDouble(6))
+            if (l == 0.0d || h == 0.0d) gap() // signed-zero ambiguity
+            else {
+              lo = Some(lo.fold(lit(l))(c0 => least(c0, lit(l))))
+              hi = Some(hi.fold(lit(h))(c0 => greatest(c0, lit(h))))
+            }
+          case _ => gap() // date/tsntz/string/full/NULL bounds
+        }
+      }
+      if (lo.isEmpty && gaps.isEmpty) {
+        // column has values nowhere (all files proven all-null): a
+        // typed NULL result, not a NullType column parquet can't write
+        val tp = if (kinds.headOption.contains("double")) "double"
+          else "bigint"
+        lo = Some(lit(null).cast(tp))
+        hi = Some(lit(null).cast(tp))
+      }
+      c -> Meta(lo, hi, gaps)
+    }.toMap
+    val gapFiles = metas.valuesIterator.flatMap(_.gaps).toSeq.distinct
+    val base =
+      if (gapFiles.isEmpty) spark.range(1).toDF()
+        .select(columns.flatMap(c => Seq(
+          lit(null).as(s"__smin_$c"), lit(null).as(s"__smax_$c"))): _*)
+      else {
+        val aggs = columns.flatMap(c => Seq(
+          min(col(c)).as(s"__smin_$c"), max(col(c)).as(s"__smax_$c")))
+        spark.read.parquet(gapFiles.sorted: _*)
+          .agg(aggs.head, aggs.tail: _*)
+      }
+    base.select(columns.flatMap { c =>
+      val m = metas(c)
+      val scanLo = col(s"__smin_$c")
+      val scanHi = col(s"__smax_$c")
+      Seq(
+        m.minLit.fold(scanLo)(ml => least(ml, scanLo)).as(s"min_$c"),
+        m.maxLit.fold(scanHi)(mh => greatest(mh, scanHi)).as(s"max_$c"))
+    }: _*)
+  }
 }

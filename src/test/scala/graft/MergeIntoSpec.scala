@@ -242,4 +242,41 @@ class MergeIntoSpec extends SparkSpec {
     assert(rw2 == 0)
     assert(LayoutSink.readCommitted(spark, lake).count() == 250)
   }
+
+  test("UpsertSink: multi-batch streaming merge reaches the last-wins " +
+    "end state; replay from a wiped checkpoint is idempotent") {
+    val lake = mkLake()
+    val dir = Files.createTempDirectory("graft_upsink_").toString
+    // 4 update files → 4 micro-batches: updates overlay k%5==0 (all
+    // three base files touched), inserts add 5000..5039; key-unique
+    // across the whole stream
+    val upd = spark.range(0, 3000)
+      .filter(col("id") % 5 === 0 && col("id") % 1000 < 100)
+      .selectExpr("CAST(id AS INT) AS k", "-id AS v", "'u' AS s")
+    val ins = spark.range(5000, 5040)
+      .selectExpr("CAST(id AS INT) AS k", "id AS v", "'i' AS s")
+    upd.unionByName(ins).repartition(4).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def run(ckp: String): Unit = {
+      val q = graft.streaming.UpsertSink.start(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+        lake, ckp, Seq("k"))
+      q.awaitTermination()
+    }
+    run(s"$dir/ckp1")
+    def state() = LayoutSink.readCommitted(spark, lake)
+      .orderBy("k").select("k", "v", "s").collect().toSeq
+    val after = state()
+    assert(after.size == 340)
+    val got = LayoutSink.readCommitted(spark, lake)
+    assert(got.filter(col("s") === "u").count() == 60 &&
+      got.filter(col("s") === "i").count() == 40)
+    assert(got.filter(col("k") % 5 === 0 && col("k") < 3000 &&
+      col("v") =!= -col("k").cast("long")).count() == 0)
+    // replay the ENTIRE stream with a fresh checkpoint: every batch
+    // re-merges — the lake must converge to the identical state
+    run(s"$dir/ckp2")
+    assert(state() == after, "replayed upsert stream changed the lake")
+  }
 }

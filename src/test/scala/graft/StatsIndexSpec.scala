@@ -982,4 +982,149 @@ class StatsIndexSpec extends SparkSpec {
       Seq(StatsIndex.LongRange("x", 0L, 9999L)))
     assert(nn == 9000L, s"null-aware count $nn")
   }
+
+  test("prunedForKeys: disjunctive key pruning keeps exactly the files " +
+    "that can hold a key — min/max arm, bloom arm, empty set") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sidx_dfp_").toString
+    // key-clustered lake: 4 files of contiguous k ranges
+    spark.range(8000).selectExpr("id AS k", "id % 7 AS v")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("k"))
+      .write.parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("k"), s"$dir/idx")
+    val total = StatsIndex.prunedTyped(spark, s"$dir/idx",
+      Seq(StatsIndex.LongRange("k", Long.MinValue, Long.MaxValue))).size
+    assert(total == 4)
+    // two keys in one range-file → one file survives
+    val one = StatsIndex.prunedForKeys(spark, s"$dir/idx", "k",
+      Seq(100L, 200L))
+    assert(one.size == 1, s"clustered 2-key prune kept ${one.size}")
+    // keys spread across three ranges → three files
+    val three = StatsIndex.prunedForKeys(spark, s"$dir/idx", "k",
+      Seq(100L, 2100L, 6100L))
+    assert(three.size == 3, s"spread prune kept ${three.size}")
+    // absent key → nothing; empty key set → nothing (empty inner join)
+    assert(StatsIndex.prunedForKeys(spark, s"$dir/idx", "k",
+      Seq(999999L)).isEmpty)
+    assert(StatsIndex.prunedForKeys(spark, s"$dir/idx", "k",
+      Seq.empty).isEmpty)
+    // equality on random key sets: pruned scan + isin == full filter
+    val rnd = new scala.util.Random(62)
+    (1 to 3).foreach { _ =>
+      val ks = Seq.fill(5)(rnd.nextLong(10000L))
+      val pruned = StatsIndex
+        .readPrunedForKeys(spark, s"$dir/data", s"$dir/idx", "k", ks)
+        .filter(org.apache.spark.sql.functions.col("k").isin(ks: _*))
+        .selectExpr("sum(k) AS sk", "count(*) AS n").head
+      val full = spark.read.parquet(s"$dir/data")
+        .filter(org.apache.spark.sql.functions.col("k").isin(ks: _*))
+        .selectExpr("sum(k) AS sk", "count(*) AS n").head
+      assert(pruned == full, s"keys $ks: $pruned vs $full")
+    }
+    // bloom arm: shuffle-ordered lake — every file spans nearly the
+    // full k range, min/max can't prune a point key; the bloom row can
+    spark.range(8000)
+      .selectExpr("id AS k", "xxhash64(id) % 4 AS b")
+      .repartition(4, org.apache.spark.sql.functions.col("b"))
+      .drop("b").write.parquet(s"$dir/bdata")
+    StatsIndex.build(spark, s"$dir/bdata", Seq("k"), s"$dir/bidx",
+      bloomCols = Seq("k"), bloomItems = 10000, bloomFpp = 0.001)
+    val kept = StatsIndex.prunedForKeys(spark, s"$dir/bidx", "k",
+      Seq(4242L))
+    assert(kept.size <= 2, s"bloom point prune kept ${kept.size} of 4")
+    val hit = spark.read.parquet(kept: _*)
+      .filter(org.apache.spark.sql.functions.col("k") === 4242L).count()
+    assert(hit == 1L)
+  }
+
+  test("dfpJoin equals the plain join, prunes when the dim is " +
+    "selective, falls back unpruned above maxKeys") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sidx_dfpj_").toString
+    spark.range(8000).selectExpr("id AS k", "id % 13 AS v")
+      .repartitionByRange(4, col("k")).write.parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("k"), s"$dir/idx")
+    val dim = spark.range(300, 340)
+      .selectExpr("id AS dk", "id * 2 AS payload")
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("sum(k) AS sk", "sum(payload) AS sp", "count(*) AS n")
+      .head
+    val viaDfp = agg(StatsIndex.dfpJoin(spark, s"$dir/data",
+      s"$dir/idx", "k", dim, "dk"))
+    val plain = agg(spark.read.parquet(s"$dir/data")
+      .join(dim, col("k") === col("dk")))
+    assert(viaDfp == plain, s"$viaDfp vs $plain")
+    // the narrow dim band lives in ONE range-file
+    assert(StatsIndex.prunedForKeys(spark, s"$dir/idx", "k",
+      (300L until 340L).toSeq).size == 1)
+    // above the cap: unpruned path, same result
+    val capped = agg(StatsIndex.dfpJoin(spark, s"$dir/data",
+      s"$dir/idx", "k", dim, "dk", maxKeys = 10))
+    assert(capped == plain, s"capped $capped vs $plain")
+  }
+
+  test("minMaxPruned: bit-equal to the full scan; metadata-only on a " +
+    "clean lake (survives data delete); all-null files, gap kinds and " +
+    "signed-zero doubles handled") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sidx_mm_").toString
+    // mixed lake: long col with one ALL-NULL file, exact doubles, a
+    // string col (gap kind — always boundary-scanned), and a double
+    // col whose file-min is exactly 0.0 (signed-zero guard → gap)
+    spark.range(1, 4001).selectExpr(
+      "id AS lk", "CAST(id AS DOUBLE)/7.0d AS d",
+      "concat('s', lpad(CAST(id AS STRING), 6, '0')) AS s",
+      "CAST(id - 1 AS DOUBLE)/3.0d AS z")
+      .repartitionByRange(3, col("lk")).write.parquet(s"$dir/data")
+    spark.range(0, 100).selectExpr(
+      "CAST(NULL AS BIGINT) AS lk", "1e9d + CAST(id AS DOUBLE) AS d",
+      "'zzz' AS s", "5.0d AS z")
+      .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("lk", "d", "s", "z"),
+      s"$dir/idx")
+    val got = StatsIndex.minMaxPruned(spark, s"$dir/data", s"$dir/idx",
+      Seq("lk", "d", "s", "z")).head
+    val want = spark.read.parquet(s"$dir/data").selectExpr(
+      "min(lk) AS min_lk", "max(lk) AS max_lk",
+      "min(d) AS min_d", "max(d) AS max_d",
+      "min(s) AS min_s", "max(s) AS max_s",
+      "min(z) AS min_z", "max(z) AS max_z").head
+    assert(got.getLong(0) == want.getLong(0) &&
+      got.getLong(1) == want.getLong(1), "long bounds")
+    assert(java.lang.Double.doubleToLongBits(got.getDouble(2)) ==
+      java.lang.Double.doubleToLongBits(want.getDouble(2)) &&
+      java.lang.Double.doubleToLongBits(got.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(want.getDouble(3)),
+      "double bounds bit-exact")
+    assert(got.getString(4) == want.getString(4) &&
+      got.getString(5) == want.getString(5), "string via gap scan")
+    assert(java.lang.Double.doubleToLongBits(got.getDouble(6)) ==
+      java.lang.Double.doubleToLongBits(want.getDouble(6)) &&
+      java.lang.Double.doubleToLongBits(got.getDouble(7)) ==
+        java.lang.Double.doubleToLongBits(want.getDouble(7)),
+      "zero-crossing double via gap scan")
+    // clean lake: long + nonzero double only → no gaps → the answer
+    // must come from the index alone — prove it by deleting the data
+    spark.range(1000, 3000).selectExpr(
+      "id AS lk", "CAST(id AS DOUBLE)/7.0d AS d")
+      .repartitionByRange(3, col("lk")).write.parquet(s"$dir/cdata")
+    val cwant = spark.read.parquet(s"$dir/cdata").selectExpr(
+      "min(lk)", "max(lk)", "min(d)", "max(d)").head
+    StatsIndex.build(spark, s"$dir/cdata", Seq("lk", "d"), s"$dir/cidx")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/cdata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(st => fs.delete(st.getPath, false))
+    val cgot = StatsIndex.minMaxPruned(spark, s"$dir/cdata",
+      s"$dir/cidx", Seq("lk", "d")).head
+    assert(cgot.getLong(0) == cwant.getLong(0) &&
+      cgot.getLong(1) == cwant.getLong(1) &&
+      java.lang.Double.doubleToLongBits(cgot.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(cwant.getDouble(2)) &&
+      java.lang.Double.doubleToLongBits(cgot.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(cwant.getDouble(3)),
+      s"meta-only minmax $cgot vs $cwant")
+  }
 }
