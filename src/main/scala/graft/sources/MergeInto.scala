@@ -48,17 +48,25 @@ object MergeInto {
     * Delta's additive `mergeSchema` evolution; surprise extra columns
     * without the flag fail fast, as does a TYPE clash on a shared
     * column (an int landing beside a long would poison later reads).
+    * With `indexDir`, a CURRENT stats index (file set == committed
+    * view; stale indexes are never trusted) accelerates touched-file
+    * discovery via [[StatsIndex.prunedForKeys]] for a single bounded
+    * integral key — Delta's data-skipping-in-MERGE — and every
+    * mutation verb then keeps the index consistent with the new table
+    * version ([[StatsIndex.refreshSameColumns]] under the same lock).
     * Returns (filesRewritten, filesCarried). */
   def merge(spark: SparkSession, lakeDir: String, updates: DataFrame,
       keys: Seq[String], filesPerRewrite: Int = 4,
-      evolveSchema: Boolean = false): (Int, Int) = {
+      evolveSchema: Boolean = false,
+      indexDir: Option[String] = None): (Int, Int) = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val dupes = updates.groupBy(keys.map(col): _*).count()
       .filter(col("count") > 1).limit(1).count()
     require(dupes == 0,
       s"merge: duplicate keys in updates on (${keys.mkString(", ")}) — " +
         "each duplicate would race to replace the same row")
-    mutate(spark, lakeDir, "merge", filesPerRewrite) { lake =>
+    mutate(spark, lakeDir, "merge", filesPerRewrite,
+        indexDir) { (lake, committed) =>
       val missing = lake.columns.toSet -- updates.columns.toSet
       require(missing.isEmpty,
         s"merge: updates lack lake columns ${missing.toSeq.sorted
@@ -78,12 +86,42 @@ object MergeInto {
       require(clashes.isEmpty,
         s"merge: column type clash ${clashes.mkString("; ")} — cast the " +
           "updates first (a silent type drift would poison later reads)")
-      val touched = lake
+      // touched-file discovery: with a CURRENT stats index (its file
+      // set matches the committed view — stale indexes are never
+      // trusted for DML) and a single bounded integral key, candidate
+      // files come from [[StatsIndex.prunedForKeys]] — the fact-side
+      // key-column scan shrinks to files that can hold an update key
+      // at all (min/max + bloom arms, metadata-scale), the Delta
+      // data-skipping-in-MERGE shape. Anything else falls back to the
+      // full column-pruned pass (correct, just not accelerated).
+      def touchedIn(base: DataFrame): Set[String] = base
         .select(col("_metadata.file_path").as("__file") +: keys.map(col): _*)
         .join(updates.select(keys.map(col): _*).distinct(), keys,
           "left_semi")
         .select(col("__file")).distinct()
         .collect().map(r => new Path(r.getString(0)).getName).toSet
+      val touchedViaIndex: Option[Set[String]] = indexDir.flatMap { idx =>
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val integral = keys.size == 1 &&
+          Seq(ByteType, ShortType, IntegerType, LongType)
+            .contains(updates.schema(keys.head).dataType)
+        if (!integral) None
+        else {
+          import spark.implicits._
+          val ks = updates.select(col(keys.head).cast("long")).na.drop()
+            .distinct().limit(100001).as[Long].collect()
+          val current = StatsIndex.indexedFiles(spark, idx)
+            .map(p => new Path(p).getName).toSet == committed.toSet
+          if (ks.length > 100000 || !current) None
+          else {
+            val cand =
+              StatsIndex.prunedForKeys(spark, idx, keys.head, ks.toSeq)
+            if (cand.isEmpty) Some(Set.empty[String]) // pure-insert merge
+            else Some(touchedIn(spark.read.parquet(cand: _*)))
+          }
+        }
+      }
+      val touched = touchedViaIndex.getOrElse(touchedIn(lake))
       // rewrite = touched rows that keep their version (anti-join on
       // keys; no broadcast hint — the keyset is usually tiny and AQE
       // broadcasts it at runtime, a huge one sort-merges instead of
@@ -106,8 +144,10 @@ object MergeInto {
     * row — SQL DELETE semantics). Only files containing a matching
     * row are rewritten. Returns (filesRewritten, filesCarried). */
   def delete(spark: SparkSession, lakeDir: String,
-      predicate: String, filesPerRewrite: Int = 4): (Int, Int) =
-    mutate(spark, lakeDir, "delete", filesPerRewrite) { lake =>
+      predicate: String, filesPerRewrite: Int = 4,
+      indexDir: Option[String] = None): (Int, Int) =
+    mutate(spark, lakeDir, "delete", filesPerRewrite,
+        indexDir) { (lake, _) =>
       val touched = touchedBy(lake, predicate)
       val survivors =
         if (touched.isEmpty) None
@@ -124,9 +164,11 @@ object MergeInto {
     * cannot drift; non-matching rows in rewritten files pass through
     * byte-identically. Returns (filesRewritten, filesCarried). */
   def update(spark: SparkSession, lakeDir: String, predicate: String,
-      set: Map[String, String], filesPerRewrite: Int = 4): (Int, Int) = {
+      set: Map[String, String], filesPerRewrite: Int = 4,
+      indexDir: Option[String] = None): (Int, Int) = {
     require(set.nonEmpty, "update needs at least one SET assignment")
-    mutate(spark, lakeDir, "update", filesPerRewrite) { lake =>
+    mutate(spark, lakeDir, "update", filesPerRewrite,
+        indexDir) { (lake, _) =>
       val unknown = set.keySet -- lake.columns.toSet
       require(unknown.isEmpty,
         s"update: SET names unknown columns ${unknown.toSeq.sorted
@@ -172,8 +214,9 @@ object MergeInto {
     * replay a silent no-op and lose its rows), so streaming replay
     * idempotence is untouched. */
   private def mutate(spark: SparkSession, lakeDir: String, verb: String,
-      filesPerRewrite: Int)(
-      plan: DataFrame => (Set[String], Option[DataFrame])): (Int, Int) = {
+      filesPerRewrite: Int, indexDir: Option[String] = None)(
+      plan: (DataFrame, Seq[String]) => (Set[String], Option[DataFrame]))
+      : (Int, Int) = {
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
@@ -181,7 +224,7 @@ object MergeInto {
     CommitLog.withWriterLock(fs, lakeDir) {
       val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
       val lake = spark.read.parquet(committed.map(n => s"$lakeDir/$n"): _*)
-      val (touched, survivors) = plan(lake)
+      val (touched, survivors) = plan(lake, committed)
       val carried = committed.filterNot(touched)
       val before = CommitLog.dataFileNames(fs, lakeDir)
       survivors.foreach(_.repartition(filesPerRewrite)
@@ -192,6 +235,15 @@ object MergeInto {
       CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
         (carried ++ fresh).sorted)
       CommitLog.vacuum(fs, lakeDir, olderThanMs = 0L)
+      // a lake with a stats index must not leave it pointing at the
+      // swept files (pruned reads would fail) or blind to the fresh
+      // ones (prunedTyped's all-files list comes from the index — a
+      // missed file would silently vanish from pruned results): drop
+      // the replaced files' rows, footer-read only the fresh ones —
+      // still under the writer lock, same as LayoutSink's per-batch
+      // refresh
+      indexDir.foreach(idx =>
+        StatsIndex.refreshSameColumns(spark, lakeDir, idx))
       (touched.size, carried.size)
     }
   }

@@ -1145,6 +1145,35 @@ object StatsIndex {
       else df.withColumn(c, lit(null).cast(tp))
     }
 
+  /** Every file the index knows, by full path — the metadata-scale
+    * list DML uses to decide whether the index is CURRENT (its file
+    * set matches the committed view) before trusting it for
+    * touched-file discovery. */
+  def indexedFiles(spark: SparkSession, indexDir: String): Seq[String] = {
+    import spark.implicits._
+    widened(readIndex(spark, indexDir)).select(col("file")).distinct()
+      .as[String].collect().toSeq.sorted
+  }
+
+  /** [[refresh]] with the column sets DERIVED from the index itself
+    * (stat columns = non-bloom rows, bloom columns = bloom rows) — for
+    * callers like DML that must keep an existing index consistent
+    * without knowing how it was built. Caveat: the original build's
+    * bloom sizing is not recorded in the index, so churn files' new
+    * bloom rows use `bloomItems`/`bloomFpp` (defaults match
+    * [[refresh]]'s). */
+  def refreshSameColumns(spark: SparkSession, dataDir: String,
+      indexDir: String, bloomItems: Long = 1000000L,
+      bloomFpp: Double = 0.03): (Int, Int) = {
+    import spark.implicits._
+    val idx = widened(readIndex(spark, indexDir))
+    val cols = idx.filter(col("kind") =!= "bloom")
+      .select(col("col")).distinct().as[String].collect().toSeq.sorted
+    val blooms = idx.filter(col("kind") === "bloom")
+      .select(col("col")).distinct().as[String].collect().toSeq.sorted
+    refresh(spark, dataDir, cols, indexDir, blooms, bloomItems, bloomFpp)
+  }
+
   /** DISJUNCTIVE key-set pruning — the file-skipping half of dynamic
     * file pruning (the Delta/Photon "DFP" optimization): given the
     * distinct join keys of a selective dimension side, keep only the

@@ -30,14 +30,19 @@ import graft.sources.MergeInto
   * O(matched files), not O(table). */
 object UpsertSink {
 
+  /** With `indexDir`, each batch's merge also keeps the lake's stats
+    * index consistent (and uses it for touched-file discovery) — the
+    * streaming twin of [[graft.streaming.LayoutSink]]'s per-batch
+    * refresh. */
   def start(updates: DataFrame, lakeDir: String, checkpointDir: String,
-      keys: Seq[String], filesPerRewrite: Int = 4): StreamingQuery =
+      keys: Seq[String], filesPerRewrite: Int = 4,
+      indexDir: Option[String] = None): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         MergeInto.merge(batch.sparkSession, lakeDir, batch, keys,
-          filesPerRewrite)
+          filesPerRewrite, evolveSchema = false, indexDir)
         ()
       }
       .start()

@@ -243,6 +243,63 @@ class MergeIntoSpec extends SparkSpec {
     assert(LayoutSink.readCommitted(spark, lake).count() == 250)
   }
 
+  test("DML on an indexed lake: index-assisted touched discovery, " +
+    "index refreshed to the new version, stale indexes never trusted") {
+    import graft.sources.StatsIndex
+    val lake = mkLake()
+    val idx = lake.stripSuffix("/lake") + "/idx"
+    StatsIndex.build(spark, lake, Seq("k"), idx,
+      bloomCols = Seq("k"), bloomItems = 10000, bloomFpp = 0.001)
+    // keys confined to batch-1's file; index discovery must find
+    // exactly it (range-clustered files → min/max arm prunes 0 and 2)
+    val updates = Seq((1005, -1L, "u"), (1050, -2L, "u"))
+      .toDF("k", "v", "s")
+    val (rw, carried) = MergeInto.merge(spark, lake, updates, Seq("k"),
+      indexDir = Some(idx))
+    assert(rw == 1 && carried == 2, s"($rw, $carried)")
+    // the index followed the version flip: no vanished files, fresh
+    // rewrite covered — a pruned read over the mutated lake is exact
+    val f = fs(lake)
+    assert(StatsIndex.indexedFiles(spark, idx)
+      .map(p => new Path(p).getName).toSet ==
+      CommitLog.committedNames(f, lake),
+      "index file set drifted from the committed view")
+    val pruned = StatsIndex.readPrunedTyped(spark, lake, idx,
+      Seq(StatsIndex.LongRange("k", 1000L, 1099L)))
+      .agg(sum(col("v"))).head.getLong(0)
+    val full = LayoutSink.readCommitted(spark, lake)
+      .filter(col("k").between(1000, 1099))
+      .agg(sum(col("v"))).head.getLong(0)
+    assert(pruned == full, s"pruned $pruned vs full $full")
+    // DELETE keeps the index consistent too
+    MergeInto.delete(spark, lake, "k < 50", indexDir = Some(idx))
+    assert(StatsIndex.indexedFiles(spark, idx)
+      .map(p => new Path(p).getName).toSet ==
+      CommitLog.committedNames(f, lake))
+    assert(StatsIndex.readPrunedTyped(spark, lake, idx,
+      Seq(StatsIndex.LongRange("k", 0L, 99L))).count() ==
+      LayoutSink.readCommitted(spark, lake)
+        .filter(col("k").between(0, 99)).count())
+    // a STALE index (out-of-band committed batch it never saw) is not
+    // trusted for discovery: the merge still finds the new file's key
+    val before = CommitLog.dataFileNames(f, lake)
+    (9000 until 9100).map(k => (k, k.toLong, "x")).toDF("k", "v", "s")
+      .coalesce(1).write.mode("append").parquet(lake)
+    CommitLog.commit(f, lake, 100L,
+      (CommitLog.dataFileNames(f, lake) -- before).toSeq.sorted)
+    val (rw2, _) = MergeInto.merge(spark, lake,
+      Seq((9050, -3L, "u2")).toDF("k", "v", "s"), Seq("k"),
+      indexDir = Some(idx))
+    assert(rw2 == 1, "stale-index fallback missed the touched file")
+    assert(LayoutSink.readCommitted(spark, lake)
+      .filter(col("k") === 9050).select(col("v"))
+      .as[Long].head() == -3L)
+    // and the refresh after that merge re-synced the index
+    assert(StatsIndex.indexedFiles(spark, idx)
+      .map(p => new Path(p).getName).toSet ==
+      CommitLog.committedNames(f, lake))
+  }
+
   test("UpsertSink: multi-batch streaming merge reaches the last-wins " +
     "end state; replay from a wiped checkpoint is idempotent") {
     val lake = mkLake()
