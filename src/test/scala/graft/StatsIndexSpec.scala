@@ -1037,6 +1037,34 @@ class StatsIndexSpec extends SparkSpec {
     assert(hit == 1L)
   }
 
+  test("prunedForKeys: double-kind stats exclude long keys soundly " +
+    "(widened bounds, long-vs-double comparison space)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sidx_dfpd_").toString
+    // DOUBLE key column, range-clustered: file ranges [0,999.5],
+    // [1000,1999.5], [2000,2999.5] in halves
+    spark.range(6000)
+      .selectExpr("CAST(id AS DOUBLE)/2.0d AS dk", "id AS v")
+      .repartitionByRange(3, org.apache.spark.sql.functions.col("dk"))
+      .write.parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("dk"), s"$dir/idx")
+    // integral keys present as exact doubles: 100.0 and 2500.0 live in
+    // files 0 and 2; file 1 must be excluded, none wrongly excluded
+    val kept = StatsIndex.prunedForKeys(spark, s"$dir/idx", "dk",
+      Seq(100L, 2500L))
+    assert(kept.size == 2, s"double-arm prune kept ${kept.size} of 3")
+    val hit = spark.read.parquet(kept: _*)
+      .filter(org.apache.spark.sql.functions.col("dk").isin(100L, 2500L))
+      .count()
+    assert(hit == 2L, s"double-arm prune lost matches: $hit")
+    // a key with no exact double twin in the data excludes everything
+    // via min/max only when truly out of range; in-range non-values
+    // keep their file (conservative) and the exact filter finds none
+    val inRange = StatsIndex.prunedForKeys(spark, s"$dir/idx", "dk",
+      Seq(10000L))
+    assert(inRange.isEmpty, "out-of-range key kept files")
+  }
+
   test("dfpJoin equals the plain join, prunes when the dim is " +
     "selective, falls back unpruned above maxKeys") {
     import org.apache.spark.sql.functions.col
