@@ -50,8 +50,10 @@ object MergeInto {
     * column (an int landing beside a long would poison later reads).
     * With `indexDir`, a CURRENT stats index (file set == committed
     * view; stale indexes are never trusted) accelerates touched-file
-    * discovery via [[StatsIndex.prunedForKeys]] for a single bounded
-    * integral key — Delta's data-skipping-in-MERGE — and every
+    * discovery via [[StatsIndex.prunedForKeys]] /
+    * [[StatsIndex.prunedForKeysString]] for bounded integral and
+    * string keys, composite keys intersecting the per-column candidate
+    * sets — Delta's data-skipping-in-MERGE — and every
     * mutation verb then keeps the index consistent with the new table
     * version ([[StatsIndex.refreshSameColumns]] under the same lock).
     * Returns (filesRewritten, filesCarried). */
@@ -88,12 +90,20 @@ object MergeInto {
           "updates first (a silent type drift would poison later reads)")
       // touched-file discovery: with a CURRENT stats index (its file
       // set matches the committed view — stale indexes are never
-      // trusted for DML) and a single bounded integral key, candidate
-      // files come from [[StatsIndex.prunedForKeys]] — the fact-side
-      // key-column scan shrinks to files that can hold an update key
-      // at all (min/max + bloom arms, metadata-scale), the Delta
-      // data-skipping-in-MERGE shape. Anything else falls back to the
-      // full column-pruned pass (correct, just not accelerated).
+      // trusted for DML), candidate files come from the key-set prune
+      // paths — [[StatsIndex.prunedForKeys]] for integral key columns,
+      // [[StatsIndex.prunedForKeysString]] for string ones (the doc-id
+      // case for an LLM corpus lake) — so the fact-side key-column
+      // scan shrinks to files that can hold an update key at all
+      // (min/max + bloom arms, metadata-scale), the Delta
+      // data-skipping-in-MERGE shape. A COMPOSITE key intersects the
+      // per-column candidate sets: containing a matching tuple
+      // requires containing each component's value, so the
+      // intersection is a necessary condition — never excludes a file
+      // the full pass would keep. Key columns of other types (or with
+      // over-bounded key sets) simply don't contribute a set; if none
+      // contributes, discovery falls back to the full column-pruned
+      // pass (correct, just not accelerated).
       def touchedIn(base: DataFrame): Set[String] = base
         .select(col("_metadata.file_path").as("__file") +: keys.map(col): _*)
         .join(updates.select(keys.map(col): _*).distinct(), keys,
@@ -101,23 +111,37 @@ object MergeInto {
         .select(col("__file")).distinct()
         .collect().map(r => new Path(r.getString(0)).getName).toSet
       val touchedViaIndex: Option[Set[String]] = indexDir.flatMap { idx =>
-        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-        val integral = keys.size == 1 &&
-          Seq(ByteType, ShortType, IntegerType, LongType)
-            .contains(updates.schema(keys.head).dataType)
-        if (!integral) None
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+        import spark.implicits._
+        val current = StatsIndex.indexedFiles(spark, idx)
+          .map(p => new Path(p).getName).toSet == committed.toSet
+        if (!current) None
         else {
-          import spark.implicits._
-          val ks = updates.select(col(keys.head).cast("long")).na.drop()
-            .distinct().limit(100001).as[Long].collect()
-          val current = StatsIndex.indexedFiles(spark, idx)
-            .map(p => new Path(p).getName).toSet == committed.toSet
-          if (ks.length > 100000 || !current) None
+          // NULL update keys never equality-match a lake row (they are
+          // pure inserts), so dropping them from discovery is exact
+          val sets: Seq[Set[String]] = keys.flatMap { k =>
+            updates.schema(k).dataType match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                val ks = updates.select(col(k).cast("long")).na.drop()
+                  .distinct().limit(100001).as[Long].collect()
+                if (ks.length > 100000) None
+                else Some(
+                  StatsIndex.prunedForKeys(spark, idx, k, ks.toSeq).toSet)
+              case StringType =>
+                val ks = updates.select(col(k)).na.drop()
+                  .distinct().limit(100001).as[String].collect()
+                if (ks.length > 100000) None
+                else Some(StatsIndex
+                  .prunedForKeysString(spark, idx, k, ks.toSeq).toSet)
+              case _ => None
+            }
+          }
+          if (sets.isEmpty) None
           else {
-            val cand =
-              StatsIndex.prunedForKeys(spark, idx, keys.head, ks.toSeq)
+            val cand = sets.reduce(_ intersect _)
             if (cand.isEmpty) Some(Set.empty[String]) // pure-insert merge
-            else Some(touchedIn(spark.read.parquet(cand: _*)))
+            else Some(touchedIn(
+              spark.read.parquet(cand.toSeq.sorted: _*)))
           }
         }
       }

@@ -424,7 +424,8 @@ object StatsIndex {
         lit(null).cast("string").as("smin"),
         lit(null).cast("string").as("smax"),
         lit(null).cast("bigint").as("nulls"),
-        col("bloom"), col("bspace"))
+        col("bloom"), col("bspace"),
+        lit(null).cast("string").as("dtype"))
   }
 
   /** Incremental maintenance for an append-mostly lake: footer-read
@@ -461,7 +462,7 @@ object StatsIndex {
     // native-space interpretation (see [[exclusion]])
     val old = Seq(
       ("bloom", "binary"), ("bspace", "string"),
-      ("nulls", "bigint")).foldLeft(rawOld) {
+      ("nulls", "bigint"), ("dtype", "string")).foldLeft(rawOld) {
       case (df, (c, tp)) =>
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(tp))
@@ -588,6 +589,47 @@ object StatsIndex {
     ss.reduce((a, b) => if (utf8Lte(a, b)) a else b)
   private def maxUtf8(ss: Iterable[String]): String =
     ss.reduce((a, b) => if (utf8Lte(a, b)) b else a)
+
+  /** The Spark DDL type a chunk's parquet type reads back as — RECORDED
+    * per stats row (`dtype`) so metadata-first answers can be typed and
+    * exactness-gated without ever touching the data again: the same
+    * `long` kind covers int columns (exact values) and instant
+    * timestamp columns (micros-normalized, nanos-widened — prunable,
+    * NOT recoverable values), and only the recorded type can tell them
+    * apart (ADVICE r7). None = unmapped/exotic — conservative
+    * downstream (gap). */
+  private def sparkTypeOf(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[String] = {
+    val pt = cc.getPrimitiveType
+    val logical = pt.getLogicalTypeAnnotation
+    import LogicalTypeAnnotation._
+    (pt.getPrimitiveTypeName, logical) match {
+      case (_, d: DecimalLogicalTypeAnnotation) =>
+        Some(s"decimal(${d.getPrecision},${d.getScale})")
+      case (PrimitiveTypeName.INT32, i: IntLogicalTypeAnnotation)
+          if i.isSigned =>
+        i.getBitWidth match {
+          case 8 => Some("tinyint")
+          case 16 => Some("smallint")
+          case _ => Some("int")
+        }
+      case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) =>
+        Some("date")
+      case (PrimitiveTypeName.INT32, null) => Some("int")
+      case (PrimitiveTypeName.INT64, t: TimestampLogicalTypeAnnotation) =>
+        Some(if (t.isAdjustedToUTC) "timestamp" else "timestamp_ntz")
+      case (PrimitiveTypeName.INT64, i: IntLogicalTypeAnnotation)
+          if i.isSigned => Some("bigint")
+      case (PrimitiveTypeName.INT64, null) => Some("bigint")
+      case (PrimitiveTypeName.FLOAT, _) => Some("float")
+      case (PrimitiveTypeName.DOUBLE, _) => Some("double")
+      case (PrimitiveTypeName.BOOLEAN, _) => Some("boolean")
+      case (PrimitiveTypeName.BINARY, _: StringLogicalTypeAnnotation) =>
+        Some("string")
+      case _ => None // INT96, unsigned ints, raw binary, …
+    }
+  }
 
   private def boundsOf(
       cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
@@ -730,12 +772,19 @@ object StatsIndex {
                       if (uppers.exists(_.isEmpty)) None
                       else Some(maxUtf8(uppers.flatten)))
                 }
+              // the column's Spark type (parquet schema is file-wide,
+              // so the first chunk's type is THE type); None when the
+              // file lacks the column or the type is unmapped
+              val dtype: Option[String] = blocks.iterator
+                .flatMap(_.getColumns.asScala
+                  .find(_.getPath.toDotString == name))
+                .nextOption().flatMap(sparkTypeOf)
               // plain tuple, not the Bounds case class: encoders for
               // nested private case classes break Janino codegen
               // (interpreter fallback) — tuples stay codegen'd
               (name, merged.kind, merged.lmin, merged.lmax,
                 merged.dmin, merged.dmax, merged.smin, merged.smax,
-                nulls)
+                nulls, dtype)
             }
             (f, nRows, stats)
           } finally r.close()
@@ -749,7 +798,7 @@ object StatsIndex {
         col("s._3").as("lmin"), col("s._4").as("lmax"),
         col("s._5").as("dmin"), col("s._6").as("dmax"),
         col("s._7").as("smin"), col("s._8").as("smax"),
-        col("s._9").as("nulls"))
+        col("s._9").as("nulls"), col("s._10").as("dtype"))
   }
 
   /** Per-range exclusion predicate over index rows. NULL bounds (full
@@ -1002,7 +1051,7 @@ object StatsIndex {
     // read as the probe's legacy native space)
     val idx = Seq(
       ("bloom", "binary"), ("bspace", "string"),
-      ("nulls", "bigint")).foldLeft(raw) {
+      ("nulls", "bigint"), ("dtype", "string")).foldLeft(raw) {
       case (df, (c, tp)) =>
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(tp))
@@ -1089,7 +1138,7 @@ object StatsIndex {
     import spark.implicits._
     val raw = readIndex(spark, indexDir)
     val idx = Seq(("bloom", "binary"), ("bspace", "string"),
-      ("nulls", "bigint")).foldLeft(raw) { case (df, (c, tp)) =>
+      ("nulls", "bigint"), ("dtype", "string")).foldLeft(raw) { case (df, (c, tp)) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(tp))
     }
@@ -1140,7 +1189,7 @@ object StatsIndex {
     * space; NULL nulls = "null count unknown"). */
   private def widened(raw: DataFrame): DataFrame =
     Seq(("bloom", "binary"), ("bspace", "string"),
-      ("nulls", "bigint")).foldLeft(raw) { case (df, (c, tp)) =>
+      ("nulls", "bigint"), ("dtype", "string")).foldLeft(raw) { case (df, (c, tp)) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(tp))
     }
@@ -1239,6 +1288,67 @@ object StatsIndex {
     else spark.read.parquet(files: _*)
   }
 
+  /** STRING-key-set pruning — the doc-id case for an LLM corpus lake,
+    * where the natural key is a string and min/max on a clustered lake
+    * never excludes it. Per key the arms mirror [[StringEquals]]
+    * exactly: truncated string min/max, the string-space bloom
+    * spelling, plus long/double spellings ONLY for numeric-parsable
+    * keys (non-ANSI sessions compare string-vs-numeric in DOUBLE
+    * space, so the long spelling is emitted only below 2^53 — exact in
+    * both spaces — and the double spelling never for ±0.0/NaN; a
+    * pre-`bspace` bloom row under a string probe was string-built, so
+    * legacy rows read as string space). Same single metadata-scale
+    * two-level aggregation and the same conservative contract as
+    * [[prunedForKeys]]: a file is excluded only when EVERY key is
+    * provably absent; an empty key set returns no files. */
+  def prunedForKeysString(spark: SparkSession, indexDir: String,
+      column: String, keys: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    if (keys.isEmpty) return Seq.empty
+    val idx = widened(readIndex(spark, indexDir))
+    val all = idx.select(col("file")).distinct()
+    val rows = idx.filter(col("col") === column)
+    // numeric spellings resolved DRIVER-side per key (nullable cols in
+    // the broadcast key frame) — the grouped plan stays one shape for
+    // any key mix
+    val ks = broadcast(keys.distinct.map { v =>
+      (v,
+        v.toLongOption
+          .filter(l => l > -9007199254740992L && l < 9007199254740992L),
+        v.toDoubleOption.filterNot(d => d == 0.0 || d.isNaN))
+    }.toDF("k", "kl", "kd"))
+    def miss(hash: Column): Column =
+      !GraftColumnBridge.toColumn(graft.functions.BloomMightContain(
+        GraftColumnBridge.toExpression(col("bloom")),
+        GraftColumnBridge.toExpression(hash)))
+    val rowExcl = coalesce(
+      (col("kind") === "string" &&
+        (col("smax") < col("k") || col("smin") > col("k"))) ||
+        (col("kind") === "bloom" &&
+          ((coalesce(col("bspace"), lit("string")) === "string" &&
+            miss(xxhash64(col("k")))) ||
+            (col("bspace") === "long" && col("kl").isNotNull &&
+              miss(xxhash64(col("kl")))) ||
+            (col("bspace") === "double" && col("kd").isNotNull &&
+              miss(xxhash64(col("kd")))))),
+      lit(false))
+    val excluded = rows.crossJoin(ks)
+      .select(col("file"), col("k"), rowExcl.as("re"))
+      .groupBy(col("file"), col("k")).agg(max(col("re")).as("keyAbsent"))
+      .groupBy(col("file")).agg(min(col("keyAbsent")).as("allAbsent"))
+      .filter(col("allAbsent")).select(col("file"))
+    all.join(excluded, Seq("file"), "left_anti")
+      .as[String].collect().toSeq.sorted
+  }
+
+  /** String-key variant of [[readPrunedForKeys]]. */
+  def readPrunedForKeysString(spark: SparkSession, dataDir: String,
+      indexDir: String, column: String, keys: Seq[String]): DataFrame = {
+    val files = prunedForKeysString(spark, indexDir, column, keys)
+    if (files.isEmpty) spark.read.parquet(dataDir).limit(0)
+    else spark.read.parquet(files: _*)
+  }
+
   /** Dynamic-file-pruning JOIN: collect the dimension side's distinct
     * join keys (bounded — the file-skipping analog of the broadcast
     * threshold), prune the fact lake's files through
@@ -1250,18 +1360,47 @@ object StatsIndex {
     * turns "scan the table to join a filtered dim" into "scan the
     * files the dim's keys can live in" — the planner-level counterpart
     * of a broadcast hash join's runtime filter, decided from O(files)
-    * metadata before a single fact byte is read. */
+    * metadata before a single fact byte is read.
+    *
+    * Key TYPES gate the prune path (ADVICE r7 — an unguarded
+    * cast-to-long would truncate fractional keys, making the min/max
+    * arm exclude files holding true matches, and turn string keys into
+    * an all-NULL → empty key set → empty join): both sides integral →
+    * long-space pruning; both sides string → [[prunedForKeysString]];
+    * any other combination falls back to the plain unpruned join —
+    * correct, just not accelerated. */
   def dfpJoin(spark: SparkSession, dataDir: String, indexDir: String,
       factKey: String, dim: DataFrame, dimKey: String,
       maxKeys: Int = 100000): DataFrame = {
     import spark.implicits._
-    val keys = dim.select(col(dimKey).cast("long")).na.drop()
-      .distinct().limit(maxKeys + 1).as[Long].collect()
-    val fact =
-      if (keys.length > maxKeys) spark.read.parquet(dataDir)
-      else readPrunedForKeys(spark, dataDir, indexDir, factKey,
-        keys.toSeq)
-    fact.join(dim, fact(factKey) === dim(dimKey))
+    val fact0 = spark.read.parquet(dataDir)
+    def plain = fact0.join(dim, fact0(factKey) === dim(dimKey))
+    val integral: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    val dimType = dim.schema.fields.find(_.name == dimKey).map(_.dataType)
+    val factType =
+      fact0.schema.fields.find(_.name == factKey).map(_.dataType)
+    (dimType, factType) match {
+      case (Some(dt), Some(ft)) if integral(dt) && integral(ft) =>
+        val keys = dim.select(col(dimKey).cast("long")).na.drop()
+          .distinct().limit(maxKeys + 1).as[Long].collect()
+        if (keys.length > maxKeys) plain
+        else {
+          val fact = readPrunedForKeys(spark, dataDir, indexDir,
+            factKey, keys.toSeq)
+          fact.join(dim, fact(factKey) === dim(dimKey))
+        }
+      case (Some(StringType), Some(StringType)) =>
+        val keys = dim.select(col(dimKey)).na.drop()
+          .distinct().limit(maxKeys + 1).as[String].collect()
+        if (keys.length > maxKeys) plain
+        else {
+          val fact = readPrunedForKeysString(spark, dataDir, indexDir,
+            factKey, keys.toSeq)
+          fact.join(dim, fact(factKey) === dim(dimKey))
+        }
+      case _ => plain
+    }
   }
 
   /** Metadata-first MIN/MAX, Iceberg-style: one row of
@@ -1270,27 +1409,46 @@ object StatsIndex {
     * are provably exact, and an exact boundary scan of only the "gap"
     * files everywhere else.
     *
-    * Exact metadata arms:
-    *  - `long` kind — footer int bounds are exact values;
-    *  - `double` kind — the build widened each bound exactly one ulp
-    *    outward ([[boundsOf]]), and `nextUp`/`nextDown` are inverses
-    *    on finite doubles, so `nextUp(dmin)` / `nextDown(dmax)`
-    *    recover the file's true min/max BIT-EXACTLY. The one
-    *    unrecoverable point is ±0.0 (parquet writers disagree on
-    *    signed-zero bounds) — a file whose recovered bound is a zero
+    * Exactness is decided against the column's RECORDED Spark type
+    * (the index's `dtype` column, captured from the parquet footer at
+    * build time), not the index kind alone — the same `long` kind
+    * covers both int columns (footer bounds are exact values) and
+    * INSTANT timestamp columns (micros-NORMALIZED bounds,
+    * outward-widened for nanos files: correct for pruning, NOT
+    * provable values — ADVICE r7); a pre-`dtype` index generation has
+    * no provable arm and simply scans (correct, just not accelerated
+    * until the next rebuild). Exact metadata arms, literals cast to
+    * the recorded type so an int column comes back int, never a
+    * widened bigint:
+    *  - `long` kind on an integral column — footer int bounds are
+    *    exact values;
+    *  - `double` kind on a fractional column — the build widened each
+    *    bound exactly one ulp outward ([[boundsOf]]), and
+    *    `nextUp`/`nextDown` are inverses on finite doubles, so
+    *    `nextUp(dmin)` / `nextDown(dmax)` recover the file's true
+    *    min/max BIT-EXACTLY. Two unrecoverable points: ±0.0 (parquet
+    *    writers disagree on signed-zero bounds) and ±Infinity
+    *    (`nextDown(-Inf)` stores -Inf but recovery lands on
+    *    -Double.MaxValue — a finite stand-in for an infinite
+    *    extremum); a file whose stored OR recovered bound hits either
     *    becomes a gap file and is scanned.
-    * Everything else is a gap file for that column: `date`/`tsntz`
-    * (calendar/zone re-encode is not bit-provable), truncated
-    * `string` bounds (an inflated max is not a value), `full` rows,
-    * NaN-polluted doubles, files missing an index row, and mixed
-    * kinds across files. Provably ALL-NULL files (`nulls ==
-    * row_count`) contribute nothing and are NOT gaps — MIN/MAX
-    * ignore nulls.
+    * Everything else is a gap file for that column: timestamp columns
+    * (above), `date`/`tsntz` (calendar/zone re-encode is not
+    * bit-provable), truncated `string` bounds (an inflated max is not
+    * a value), `full` rows, NaN-polluted doubles, files missing an
+    * index row, mixed kinds across files, and kind/schema mismatches.
+    * Provably ALL-NULL files (`nulls == row_count`) contribute
+    * nothing and are NOT gaps — MIN/MAX ignore nulls.
     *
     * The gap scan computes min/max of EVERY requested column over the
     * UNION of gap files and merges with the metadata bounds via
     * `least`/`greatest` — sound because MIN/MAX are idempotent under
     * overlap, so double-covering a file can never skew the result.
+    * The scan reads the gap files with `mergeSchema` and backfills a
+    * requested column none of them carries as a typed NULL (from the
+    * recorded `dtype`): a gap file predating an additively-evolved
+    * column contributes NULL instead of failing the promised
+    * conservative fallback with an AnalysisException (ADVICE r7).
     * On a clustered 100 TB lake the common case is an empty gap set:
     * the answer comes from the index alone, the same plan shape as
     * [[countPruned]]. `StatsIndexSpec` asserts bit-equality with the
@@ -1306,21 +1464,38 @@ object StatsIndex {
       .filter(col("col").isin(columns: _*) && col("kind") =!= "bloom")
       .select(col("file"), col("col"), col("kind"), col("lmin"),
         col("lmax"), col("dmin"), col("dmax"), col("nulls"),
-        col("row_count"))
+        col("row_count"), col("dtype"))
       .collect()
     val byCol = rows.groupBy(_.getString(1))
     val allFiles = idx.select(col("file")).distinct()
       .collect().map(_.getString(0)).toSet
     final case class Meta(minLit: Option[Column], maxLit: Option[Column],
-      gaps: Set[String])
+      gaps: Set[String], dtype: Option[String])
     val metas: Map[String, Meta] = columns.map { c =>
       val rs = byCol.getOrElse(c, Array.empty)
       val covered = rs.map(_.getString(0)).toSet
       var gaps = allFiles -- covered
       val kinds = rs.map(_.getString(2)).filter(_ != "full").distinct
+      val dtypes = rs.iterator.filterNot(_.isNullAt(9))
+        .map(_.getString(9)).toSeq.distinct
+      // ONE recorded Spark type decides which kind is provable VALUES
+      // for this column: integral types under "long" (footer int
+      // bounds are exact), fractional ones under "double" (one-ulp
+      // widening inverts bit-exactly). An instant TIMESTAMP column
+      // also indexes as "long" — micros-normalized, possibly
+      // nanos-widened — so without an integral dtype the bounds prove
+      // pruning, never values (ADVICE r7); pre-dtype index rows have
+      // no recorded type and gap conservatively
+      val dt: Option[String] = dtypes match {
+        case Seq(one) => Some(one)
+        case _ => None // unrecorded (legacy) or drifting types
+      }
+      val longExact = dt.exists(
+        Set("tinyint", "smallint", "int", "bigint"))
+      val doubleExact = dt.exists(Set("float", "double"))
       var lo: Option[Column] = None
       var hi: Option[Column] = None
-      if (kinds.length > 1) {
+      if (kinds.length > 1 || dtypes.length > 1) {
         // schema drift across files — no single exact arm; scan all
         gaps = allFiles
       } else rs.foreach { r =>
@@ -1330,30 +1505,44 @@ object StatsIndex {
         def gap(): Unit = gaps += file
         r.getString(2) match {
           case _ if allNull => // proven no values: contributes nothing
-          case "long" if !r.isNullAt(3) && !r.isNullAt(4) =>
-            val (l, h) = (r.getLong(3), r.getLong(4))
-            lo = Some(lo.fold(lit(l))(c0 => least(c0, lit(l))))
-            hi = Some(hi.fold(lit(h))(c0 => greatest(c0, lit(h))))
-          case "double" if !r.isNullAt(5) && !r.isNullAt(6) =>
-            val l = Math.nextUp(r.getDouble(5))
-            val h = Math.nextDown(r.getDouble(6))
-            if (l == 0.0d || h == 0.0d) gap() // signed-zero ambiguity
+          case "long" if longExact && !r.isNullAt(3) && !r.isNullAt(4) =>
+            // cast to the column's own type: footer int bounds are
+            // values OF that type, and a BIGINT literal would widen
+            // the result schema past the plain aggregate's
+            val (l, h) = (lit(r.getLong(3)).cast(dt.get),
+              lit(r.getLong(4)).cast(dt.get))
+            lo = Some(lo.fold(l)(c0 => least(c0, l)))
+            hi = Some(hi.fold(h)(c0 => greatest(c0, h)))
+          case "double" if doubleExact && !r.isNullAt(5) && !r.isNullAt(6) =>
+            val (sl, sh) = (r.getDouble(5), r.getDouble(6))
+            val l = Math.nextUp(sl)
+            val h = Math.nextDown(sh)
+            // ±0.0: signed-zero bounds are writer-ambiguous.
+            // ±Infinity: nextUp/nextDown are NOT inverses at the
+            // infinities (nextUp(nextDown(-Inf)) = -Double.MaxValue),
+            // so a stored-or-recovered infinite bound is a finite
+            // stand-in for a possibly-infinite extremum — gap both
+            if (l == 0.0d || h == 0.0d || sl.isInfinite ||
+                sh.isInfinite || l.isInfinite || h.isInfinite) gap()
             else {
-              lo = Some(lo.fold(lit(l))(c0 => least(c0, lit(l))))
-              hi = Some(hi.fold(lit(h))(c0 => greatest(c0, lit(h))))
+              // float columns recover exactly too: the widening ran
+              // in double space on the float's exact double image
+              val (ll, hh) = (lit(l).cast(dt.get), lit(h).cast(dt.get))
+              lo = Some(lo.fold(ll)(c0 => least(c0, ll)))
+              hi = Some(hi.fold(hh)(c0 => greatest(c0, hh)))
             }
-          case _ => gap() // date/tsntz/string/full/NULL bounds
+          case _ => gap() // ts/date/tsntz/string/full/NULL/mismatch
         }
       }
       if (lo.isEmpty && gaps.isEmpty) {
         // column has values nowhere (all files proven all-null): a
         // typed NULL result, not a NullType column parquet can't write
-        val tp = if (kinds.headOption.contains("double")) "double"
-          else "bigint"
+        val tp = dt.getOrElse(
+          if (kinds.headOption.contains("double")) "double" else "bigint")
         lo = Some(lit(null).cast(tp))
         hi = Some(lit(null).cast(tp))
       }
-      c -> Meta(lo, hi, gaps)
+      c -> Meta(lo, hi, gaps, dt)
     }.toMap
     val gapFiles = metas.valuesIterator.flatMap(_.gaps).toSeq.distinct
     val base =
@@ -1363,8 +1552,20 @@ object StatsIndex {
       else {
         val aggs = columns.flatMap(c => Seq(
           min(col(c)).as(s"__smin_$c"), max(col(c)).as(s"__smax_$c")))
-        spark.read.parquet(gapFiles.sorted: _*)
-          .agg(aggs.head, aggs.tail: _*)
+        // mergeSchema: under additive evolution no single gap file is
+        // guaranteed to carry every requested column; a column NO gap
+        // file carries (old files predating it — exactly why they
+        // gapped) is backfilled as a typed NULL from the recorded
+        // dtype instead of failing the conservative fallback
+        val scan0 = spark.read.option("mergeSchema", "true")
+          .parquet(gapFiles.sorted: _*)
+        val present = scan0.columns.toSet
+        val scan = columns.foldLeft(scan0) { (df, c) =>
+          if (present(c)) df
+          else df.withColumn(c,
+            lit(null).cast(metas(c).dtype.getOrElse("string")))
+        }
+        scan.agg(aggs.head, aggs.tail: _*)
       }
     base.select(columns.flatMap { c =>
       val m = metas(c)

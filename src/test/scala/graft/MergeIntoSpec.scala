@@ -300,6 +300,68 @@ class MergeIntoSpec extends SparkSpec {
       CommitLog.committedNames(f, lake))
   }
 
+  test("index-assisted discovery covers STRING keys (doc-id lakes) " +
+    "and COMPOSITE keys via candidate-set intersection; candidates " +
+    "are always a superset of the full-pass touched set") {
+    import graft.sources.StatsIndex
+    // string-keyed doc lake: 3 committed batches of contiguous doc-id
+    // ranges, bloom-indexed on the key
+    val lake = Files.createTempDirectory("graft_merge_s_").toString +
+      "/lake"
+    val f = fs(lake)
+    for (b <- 0 to 2) {
+      val before = CommitLog.dataFileNames(f, lake)
+      (0 until 100).map(b * 1000 + _)
+        .map(i => (f"doc-$i%06d", i.toLong, i % 7))
+        .toDF("doc_id", "v", "g")
+        .coalesce(1).write.mode("append").parquet(lake)
+      CommitLog.commit(f, lake, b,
+        (CommitLog.dataFileNames(f, lake) -- before).toSeq.sorted)
+    }
+    val idx = lake.stripSuffix("/lake") + "/idx"
+    StatsIndex.build(spark, lake, Seq("doc_id"), idx,
+      bloomCols = Seq("doc_id"), bloomItems = 10000, bloomFpp = 0.001)
+    // keys confined to batch-1's file: the string min/max arm must
+    // find exactly it (candidates ⊇ touched is the contract; here the
+    // clustered fixture makes them equal, proving real acceleration)
+    val cand = StatsIndex.prunedForKeysString(spark, idx, "doc_id",
+      Seq("doc-001005", "doc-001050"))
+    assert(cand.size == 1, s"string candidates ${cand.size} of 3")
+    val touchedFull = spark.read.parquet(
+        CommitLog.committedNames(f, lake).toSeq.sorted
+          .map(n => s"$lake/$n"): _*)
+      .filter(col("doc_id").isin("doc-001005", "doc-001050"))
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(r => new Path(r.getString(0)).getName).toSet
+    assert(touchedFull.subsetOf(
+      cand.map(p => new Path(p).getName).toSet),
+      "string candidate set excluded a truly-touched file")
+    val updates = Seq(("doc-001005", -1L, 0), ("doc-001050", -2L, 1),
+      ("doc-099999", 9L, 2)).toDF("doc_id", "v", "g")
+    val (rw, carried) = MergeInto.merge(spark, lake, updates,
+      Seq("doc_id"), indexDir = Some(idx))
+    assert(rw == 1 && carried == 2, s"string-key merge ($rw, $carried)")
+    val got = LayoutSink.readCommitted(spark, lake)
+      .filter(col("doc_id")
+        .isin("doc-001005", "doc-001050", "doc-099999"))
+      .orderBy("doc_id").select("v").as[Long].collect().toSeq
+    assert(got == Seq(-1L, -2L, 9L), s"string-key merge rows $got")
+    // COMPOSITE (string, long) key: per-column candidate sets
+    // intersect; result must still be exact
+    val updates2 = Seq(("doc-002010", -10L, 3)).toDF("doc_id", "v", "g")
+    val (rw2, _) = MergeInto.merge(spark, lake, updates2,
+      Seq("doc_id", "v"), indexDir = Some(idx))
+    // v = -10 exists nowhere → pure insert, zero rewrites
+    assert(rw2 == 0, s"composite no-match rewrote $rw2")
+    val (rw3, _) = MergeInto.merge(spark, lake,
+      Seq(("doc-000042", 42L, 9)).toDF("doc_id", "v", "g"),
+      Seq("doc_id", "v"), indexDir = Some(idx))
+    assert(rw3 == 1, s"composite match rewrote $rw3")
+    assert(LayoutSink.readCommitted(spark, lake)
+      .filter(col("doc_id") === "doc-000042").select("g")
+      .as[Int].head() == 9)
+  }
+
   test("UpsertSink: multi-batch streaming merge reaches the last-wins " +
     "end state; replay from a wiped checkpoint is idempotent") {
     val lake = mkLake()

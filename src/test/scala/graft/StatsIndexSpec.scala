@@ -1155,4 +1155,165 @@ class StatsIndexSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(cwant.getDouble(3)),
       s"meta-only minmax $cgot vs $cwant")
   }
+
+  test("minMaxPruned: typed results — an int column comes back INT " +
+    "(metadata-only), an instant timestamp column comes back TIMESTAMP " +
+    "via the gap scan, never bigint micros") {
+    val dir = Files.createTempDirectory("graft_sidx_mmt_").toString
+    spark.range(1, 5001).selectExpr(
+      "CAST(id AS INT) AS ik",
+      "timestamp_micros(1700000000000000 + id * 1000000) AS ts")
+      .repartitionByRange(3, col("ik")).write.parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("ik", "ts"), s"$dir/idx")
+    val got = StatsIndex.minMaxPruned(spark, s"$dir/data", s"$dir/idx",
+      Seq("ik", "ts"))
+    val want = spark.read.parquet(s"$dir/data").selectExpr(
+      "min(ik) AS min_ik", "max(ik) AS max_ik",
+      "min(ts) AS min_ts", "max(ts) AS max_ts")
+    // the r7 ADVICE failure modes: min_ik as BIGINT (widened literal)
+    // or min_ts as BIGINT epoch micros (kind "long" trusted blindly)
+    assert(got.schema.map(f => (f.name, f.dataType)) ==
+      want.schema.map(f => (f.name, f.dataType)),
+      s"schema ${got.schema.simpleString} vs ${want.schema.simpleString}")
+    assert(got.head == want.head)
+    // the int arm is metadata-only: int-only index, delete the data,
+    // the typed answer must survive on footer bounds alone
+    spark.range(1, 3001).selectExpr("CAST(id AS INT) AS ik")
+      .repartitionByRange(3, col("ik")).write.parquet(s"$dir/cdata")
+    StatsIndex.build(spark, s"$dir/cdata", Seq("ik"), s"$dir/cidx")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/cdata")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(st => hfs.delete(st.getPath, false))
+    val cgot = StatsIndex.minMaxPruned(spark, s"$dir/cdata",
+      s"$dir/cidx", Seq("ik"))
+    assert(cgot.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.IntegerType),
+      s"meta-only int schema ${cgot.schema.simpleString}")
+    assert(cgot.head == org.apache.spark.sql.Row(1, 3000))
+  }
+
+  test("minMaxPruned: infinite double bounds gap to the scan — no " +
+    "finite stand-in for an infinite extremum") {
+    val dir = Files.createTempDirectory("graft_sidx_mmi_").toString
+    // file 0 carries ±Infinity (its footer bounds are ±Inf — the
+    // unrecoverable case); file 1 is finite-only and must still
+    // resolve from metadata (its bounds merge with the scan's)
+    spark.range(0, 100).selectExpr(
+      """CASE WHEN id = 0 THEN CAST('-Infinity' AS DOUBLE)
+        |     WHEN id = 99 THEN CAST('Infinity' AS DOUBLE)
+        |     ELSE CAST(id AS DOUBLE) + 0.5d END AS d""".stripMargin)
+      .coalesce(1).write.parquet(s"$dir/data")
+    spark.range(100, 200).selectExpr("CAST(id AS DOUBLE) + 0.5d AS d")
+      .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("d"), s"$dir/idx")
+    val got = StatsIndex.minMaxPruned(spark, s"$dir/data", s"$dir/idx",
+      Seq("d")).head
+    assert(got.getDouble(0).isNegInfinity && got.getDouble(1).isPosInfinity,
+      s"infinite extrema lost: $got")
+  }
+
+  test("minMaxPruned: gap scan survives additive schema evolution — " +
+    "an old file missing the evolved column contributes typed NULL") {
+    val dir = Files.createTempDirectory("graft_sidx_mme_").toString
+    // old file predates `extra`; new file carries it. The old file has
+    // no `extra` stats → gap; the promised conservative scan must not
+    // fail on its missing column (ADVICE r7)
+    spark.range(0, 1000).selectExpr("id AS k")
+      .coalesce(1).write.parquet(s"$dir/data")
+    spark.range(1000, 2000)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) + 0.5d AS extra")
+      .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("k", "extra"), s"$dir/idx")
+    val got = StatsIndex.minMaxPruned(spark, s"$dir/data", s"$dir/idx",
+      Seq("k", "extra")).head
+    val want = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/data").selectExpr(
+        "min(k) AS min_k", "max(k) AS max_k",
+        "min(extra) AS min_extra", "max(extra) AS max_extra").head
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("prunedForKeysString: string key-set pruning — min/max arm, " +
+    "bloom arm, exact results, empty set") {
+    def k(id: String) = s"concat('doc-', lpad(CAST($id AS STRING), 6, '0'))"
+    val dir = Files.createTempDirectory("graft_sidx_dfps_").toString
+    // key-clustered lake: 4 files of contiguous doc-id ranges
+    spark.range(8000).selectExpr(s"${k("id")} AS k", "id AS v")
+      .repartitionByRange(4, col("k")).write.parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("k"), s"$dir/idx")
+    val one = StatsIndex.prunedForKeysString(spark, s"$dir/idx", "k",
+      Seq("doc-000100", "doc-000200"))
+    assert(one.size == 1, s"clustered 2-key prune kept ${one.size}")
+    val three = StatsIndex.prunedForKeysString(spark, s"$dir/idx", "k",
+      Seq("doc-000100", "doc-002100", "doc-006100"))
+    assert(three.size == 3, s"spread prune kept ${three.size}")
+    assert(StatsIndex.prunedForKeysString(spark, s"$dir/idx", "k",
+      Seq("doc-999999")).isEmpty)
+    assert(StatsIndex.prunedForKeysString(spark, s"$dir/idx", "k",
+      Seq.empty).isEmpty)
+    // equality on random key sets: pruned scan + isin == full filter
+    val rnd = new scala.util.Random(81)
+    (1 to 3).foreach { _ =>
+      val ks = Seq.fill(5)(f"doc-${rnd.nextInt(10000)}%06d")
+      val pruned = StatsIndex
+        .readPrunedForKeysString(spark, s"$dir/data", s"$dir/idx", "k", ks)
+        .filter(col("k").isin(ks: _*))
+        .selectExpr("sum(v) AS sv", "count(*) AS n").head
+      val full = spark.read.parquet(s"$dir/data")
+        .filter(col("k").isin(ks: _*))
+        .selectExpr("sum(v) AS sv", "count(*) AS n").head
+      assert(pruned == full, s"keys $ks: $pruned vs $full")
+    }
+    // bloom arm: shuffled layout — every file spans nearly the full
+    // key range, string min/max can't prune a point key; the bloom can
+    spark.range(8000)
+      .selectExpr(s"${k("id")} AS k", "xxhash64(id) % 4 AS b")
+      .repartition(4, col("b")).drop("b").write.parquet(s"$dir/bdata")
+    StatsIndex.build(spark, s"$dir/bdata", Seq("k"), s"$dir/bidx",
+      bloomCols = Seq("k"), bloomItems = 10000, bloomFpp = 0.001)
+    val kept = StatsIndex.prunedForKeysString(spark, s"$dir/bidx", "k",
+      Seq("doc-004242"))
+    assert(kept.size <= 2, s"bloom point prune kept ${kept.size} of 4")
+    assert(spark.read.parquet(kept: _*)
+      .filter(col("k") === "doc-004242").count() == 1L)
+  }
+
+  test("dfpJoin type guards: string keys prune via the string path; " +
+    "fractional keys fall back to the plain join unharmed") {
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("sum(v) AS sv", "sum(payload) AS sp", "count(*) AS n")
+      .head
+    val dir = Files.createTempDirectory("graft_sidx_dfpg_").toString
+    // STRING keys both sides → string prune path (the r7 ADVICE bug
+    // cast these to all-NULL longs → empty key set → EMPTY join)
+    spark.range(8000).selectExpr(
+      "concat('k', lpad(CAST(id AS STRING), 6, '0')) AS k", "id AS v")
+      .repartitionByRange(4, col("k")).write.parquet(s"$dir/sdata")
+    StatsIndex.build(spark, s"$dir/sdata", Seq("k"), s"$dir/sidx")
+    val dimS = spark.range(300, 340).selectExpr(
+      "concat('k', lpad(CAST(id AS STRING), 6, '0')) AS dk",
+      "id * 2 AS payload")
+    val gotS = agg(StatsIndex.dfpJoin(spark, s"$dir/sdata",
+      s"$dir/sidx", "k", dimS, "dk"))
+    val plainS = agg(spark.read.parquet(s"$dir/sdata")
+      .join(dimS, col("k") === col("dk")))
+    assert(gotS == plainS && gotS.getLong(2) == 40L,
+      s"string dfp $gotS vs $plainS")
+    // the narrow string band lives in ONE range-file
+    assert(StatsIndex.prunedForKeysString(spark, s"$dir/sidx", "k",
+      (300 until 340).map(i => f"k$i%06d")).size == 1)
+    // FRACTIONAL keys (non-integer values): an unguarded cast-to-long
+    // truncates them; the guard must fall back to the plain join and
+    // lose nothing
+    spark.range(6000).selectExpr(
+      "CAST(id AS DOUBLE)/2.0d AS k", "id AS v")
+      .repartitionByRange(3, col("k")).write.parquet(s"$dir/ddata")
+    StatsIndex.build(spark, s"$dir/ddata", Seq("k"), s"$dir/didx")
+    val dimD = Seq(100.5d, 2500.5d).toDF("dk")
+      .withColumn("payload", col("dk") * 2)
+    val gotD = StatsIndex.dfpJoin(spark, s"$dir/ddata", s"$dir/didx",
+      "k", dimD, "dk")
+    assert(gotD.count() == 2L, "fractional-key fallback lost join rows")
+  }
 }
