@@ -14,11 +14,17 @@ import org.apache.spark.sql.SparkSession
   *    session, as rounds 1–3 measured them — kept for trend continuity;
   *  - isolated (key `e2e_X_iso`): each cell in a FRESH SparkSession
   *    (own SparkContext — broadcast/block-manager state from prior cells
-  *    gone), forced GC before each rep, median of `SPARK_GRAFT_E2E_REPS`
-  *    (default 3) reps — widened by 2 extra reps whenever the base
-  *    spread exceeds 1.5× (r6 ask #7), so no single page-cache/draw
-  *    outlier can move the median. These are the authoritative
-  *    per-cell numbers for BASELINE comparison.
+  *    gone), the cell's real input page-cache pre-touched untimed in
+  *    that session (r7 ask #1 — a scale run's multi-GB replica can
+  *    evict it between cells), forced GC before each rep, median of
+  *    `SPARK_GRAFT_E2E_REPS` (default 5) reps — widened by 2 extra
+  *    reps whenever the base spread exceeds 1.5× (r6 ask #7), so no
+  *    single page-cache/draw outlier can move the median. A trimmed
+  *    mean (drop one min + one max) rides along as `e2e_X_iso_tmean`.
+  *    These are the authoritative per-cell numbers for BASELINE
+  *    comparison. Scale mains (CatalogScale/E2EScale/DmlChurnScale)
+  *    must run in a SEPARATE invocation AFTER this artifact is
+  *    written — their replicas evict the page cache.
   * `SPARK_GRAFT_E2E_MODE` = both (default) | interleaved | isolated.
   * The `total` metric stays interleaved-only so it remains comparable
   * with BENCH_r01–r03.
@@ -59,6 +65,20 @@ object Bench {
     }
   }
 
+  /** Untimed full read of every input a timed query can touch —
+    * page-cache pre-touch (r7 VERDICT ask #1): a fresh session (or a
+    * cache evicted by an earlier scale run's multi-GB replica) would
+    * otherwise charge cold-read I/O to whichever timed rep runs
+    * first, and the rep spread reads as compute noise. */
+  private def preTouch(s: SparkSession, paths: Seq[String]): Unit =
+    paths.foreach { p =>
+      try s.read.parquet(p).queryExecution.toRdd.count(): Unit
+      catch { case _: Throwable => () }
+    }
+
+  private val SfTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   private def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
@@ -68,7 +88,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runE2e = sys.env.getOrElse("SPARK_GRAFT_E2E", "1") != "0"
     val e2eMode = sys.env.getOrElse("SPARK_GRAFT_E2E_MODE", "both")
-    val e2eReps = sys.env.getOrElse("SPARK_GRAFT_E2E_REPS", "3").toInt
+    // 5 base reps (r7 VERDICT ask #1): median-of-5 tolerates two
+    // outliers and the trimmed mean below is only meaningful at ≥ 5
+    val e2eReps = sys.env.getOrElse("SPARK_GRAFT_E2E_REPS", "5").toInt
     // optional comma-separated query-name filter for spot measurements
     // (applies to catalog queries AND e2e cells)
     val only: Option[Set[String]] =
@@ -78,6 +100,8 @@ object Bench {
     // charged for session spin-up
     try { SparkEntry.entry(spark).queryExecution.toRdd.count() }
     catch { case _: Throwable => () }
+    // page-cache the bench-scale inputs before ANY timed query
+    preTouch(spark, SfTables.map(n => s"$sfDir/$n.parquet"))
     // first-use class-load/JIT costs measured at multiple seconds each
     // land in whichever timed query runs the path first (r5/r6 root
     // causes: fe_faithful 77 s cold, qt11 +3 s, qs5 5.8→1.9 s steady,
@@ -138,7 +162,7 @@ object Bench {
       }
       spark.stop()
       if (e2eMode != "interleaved") {
-        isolated = cells.map { case (name, fn) =>
+        isolated = cells.flatMap { case (name, fn) =>
           val s = buildSession(cpus)
           try {
             // untimed small-scale warmup: the first execution of a cell
@@ -150,6 +174,11 @@ object Bench {
             val warmPath = bench.SyntheticBars.ensure(s, 20000)
             try { fn(s, warmPath): Unit } catch { case _: Throwable => () }
             s.sharedState.cacheManager.clearCache()
+            // one untimed FULL read of the cell's real input in this
+            // fresh session (r7 ask #1): without it the first rep pays
+            // any page-cache eviction — e.g. a preceding scale run's
+            // 3 GB replica — and the rep spread widens spuriously
+            preTouch(s, Seq(path))
             def oneRep(): Timing = {
               s.sharedState.cacheManager.clearCache()
               System.gc()
@@ -172,15 +201,25 @@ object Bench {
             isoReps += (name + "_iso") -> reps
             val (errs, times) = (reps.collect { case Left(e) => e },
               reps.collect { case Right(v) => v }.sorted)
-            val outcome: Timing =
-              if (times.isEmpty) Left(errs.head)
-              else {
-                // true median: average the two middle elements on even reps
-                val mid = times.length / 2
-                Right(if (times.length % 2 == 1) times(mid)
-                  else (times(mid - 1) + times(mid)) / 2)
-              }
-            (name + "_iso") -> outcome
+            if (times.isEmpty) Seq((name + "_iso") -> (Left(errs.head): Timing))
+            else {
+              // true median: average the two middle elements on even reps
+              val mid = times.length / 2
+              val median = if (times.length % 2 == 1) times(mid)
+                else (times(mid - 1) + times(mid)) / 2
+              // trimmed mean (drop one min + one max, r7 ask #1):
+              // robust like the median but uses the middle reps'
+              // information instead of one draw — reported beside the
+              // median so level shifts and outliers separate in the
+              // artifact
+              val tmean =
+                if (times.length >= 3) {
+                  val core = times.drop(1).dropRight(1)
+                  core.sum / core.length
+                } else times.sum / times.length
+              Seq((name + "_iso") -> (Right(median): Timing),
+                (name + "_iso_tmean") -> (Right(tmean): Timing))
+            }
           } finally s.stop()
         }.toMap
       }

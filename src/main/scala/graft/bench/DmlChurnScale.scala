@@ -1,0 +1,121 @@
+package graft.bench
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CommitLog, MergeInto, StatsIndex}
+
+/** FIXED-churn DML scaling (r7 VERDICT ask #4): the `MergeInto` scale
+  * contract — *a small merge against a big lake costs O(touched
+  * files), not O(lake)* — measured directly, churn held CONSTANT
+  * while the lake grows 1× → 10×.
+  *
+  * [[CatalogScale]]'s q57 cell scales the whole closure (10× ingest +
+  * 10× updates), so its ~linear exponent measures ingest, not the
+  * contract. Here each scale gets a freshly built committed lake of
+  * lineitem rows range-clustered on `l_orderkey` (file count grows
+  * with the lake — constant target file size, the real lake shape)
+  * with a bloom-armed stats index, and the SAME 1000-key update batch
+  * is merged into both; only the merge is timed. Reported per cell:
+  * wall seconds, filesRewritten / filesCarried (the boundedness
+  * proof: rewrites stay flat while carried grows 10×), and the 1×→10×
+  * exponent. The merge includes everything a production mutation
+  * pays: discovery (index key-set prune → semi-join over candidates),
+  * rewrite of touched files, checkpoint publish, orphan sweep, and
+  * the per-mutation index refresh.
+  *
+  * Run AFTER any bench artifact is written (replica builds evict the
+  * page cache): `sbt "runMain graft.bench.DmlChurnScale [reps]"`.
+  * Results land in SCALE.md §"Fixed-churn DML".
+  */
+object DmlChurnScale {
+
+  private def t(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def rmrf(p: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rec)
+      f.delete(): Unit
+    }
+    rec(new java.io.File(p))
+  }
+
+  /** Build a committed, bloom-indexed lake from `src`'s lineitem with
+    * `files` range-clustered files; returns the lake root. */
+  private def buildLake(spark: SparkSession, src: String, tag: String,
+      files: Int): String = {
+    val root = s"/root/repo/target/scale/dml_$tag"
+    rmrf(root)
+    val lake = s"$root/lake"
+    spark.read.parquet(s"$src/lineitem.parquet")
+      .repartitionByRange(files, col("l_orderkey"))
+      .write.parquet(lake)
+    val fs = new Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    StatsIndex.build(spark, lake, Seq("l_orderkey"), s"$root/idx",
+      bloomCols = Seq("l_orderkey"), bloomItems = 1000000,
+      bloomFpp = 0.01)
+    root
+  }
+
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.filter(_.forall(_.isDigit))
+      .map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf01 = "/root/testdata/sf0.1"
+    val tenx = CatalogScale.ensure10x(spark, sf01)
+
+    // the CONSTANT churn: 1000 low orderkeys — present (in copy 0)
+    // at BOTH scales; updates are full lake rows, unique on the key
+    import spark.implicits._
+    val keys = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .select(col("l_orderkey")).distinct()
+      .orderBy(col("l_orderkey")).limit(1000).as[Long].collect().toSeq
+    val updates = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .filter(col("l_orderkey").isin(keys: _*))
+      .dropDuplicates("l_orderkey")
+      .withColumn("l_quantity", col("l_quantity") + 100)
+      .localCheckpoint() // freeze: identical input frame at both scales
+
+    // JIT-warm the whole merge path untimed on a throwaway tiny lake
+    val warm = buildLake(spark, "/root/testdata/sf0.001", "warm", 2)
+    MergeInto.merge(spark, s"$warm/lake", updates, Seq("l_orderkey"),
+      indexDir = Some(s"$warm/idx")): Unit
+
+    println("""{"probe":"dml_churn","cells":[""")
+    val cells = Seq(("1x", sf01, 16), ("10x", tenx, 160)).map {
+      case (tag, src, files) =>
+        // fresh lake per rep: each merge mutates the lake, so only a
+        // rebuild gives every rep the same starting state
+        val outcomes = (1 to reps).map { _ =>
+          val root = buildLake(spark, src, tag, files)
+          var counts = (0, 0)
+          val sec = t {
+            counts = MergeInto.merge(spark, s"$root/lake", updates,
+              Seq("l_orderkey"), indexDir = Some(s"$root/idx"))
+          }
+          (sec, counts)
+        }
+        val best = outcomes.minBy(_._1)
+        val l = f"""{"cell":"$tag","files":$files,""" +
+          f""""merge_sec":${best._1}%.2f,"rewritten":${best._2._1},""" +
+          f""""carried":${best._2._2}}"""
+        println("  " + l + ",")
+        (tag, best._1)
+    }
+    val exp = math.log10(cells(1)._2 / cells(0)._2)
+    println("]," + f""""exponent":$exp%.2f}""")
+    println(f"[dml_churn] done: exponent $exp%.2f (1.0 = linear, " +
+      "<=0.3 = the O(touched) contract)")
+    spark.stop()
+  }
+}

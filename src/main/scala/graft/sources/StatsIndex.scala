@@ -1235,13 +1235,18 @@ object StatsIndex {
     * long spelling (and the double spelling for double-built blooms,
     * `k != 0` guarded as in [[LongEquals]] — ±0.0 spelling ambiguity).
     *
-    * Evaluated as ONE metadata-scale plan — index rows × broadcast
-    * keys, grouped twice (max over rows per (file, key) = "this key
-    * provably absent", then min over keys per file = "all keys
-    * absent") — not a k-wide literal expression, so a 10⁵-key dim
-    * side still plans in one shot. Files with no index row for the
-    * column (or only rows no arm can read) are kept — the same
-    * conservative contract as every other prune path.
+    * Evaluated as ONE metadata-scale plan — stats rows × broadcast
+    * keys for the min/max arms, grouped twice (max over rows per
+    * (file, key) = "this key provably absent", then min over keys per
+    * file = "all keys absent") — not a k-wide literal expression, so
+    * a 10⁵-key dim side still plans in one shot. The bloom arm is
+    * BATCH-probed ([[graft.functions.BloomMissAll]]): each row's
+    * filter deserializes ONCE and tests every key's hash — never
+    * per-(row, key), which would re-read each filter k times (r8:
+    * measured in minutes for 1000 keys × 160 MB-sized filters before
+    * the batch form). Files with no index row for the column (or only
+    * rows no arm can read) are kept — the same conservative contract
+    * as every other prune path.
     *
     * An EMPTY key set returns no files: the inner join it serves is
     * empty by definition. */
@@ -1252,31 +1257,69 @@ object StatsIndex {
     val idx = widened(readIndex(spark, indexDir))
     val all = idx.select(col("file")).distinct()
     val rows = idx.filter(col("col") === column)
-    val ks = broadcast(keys.distinct.toDF("k"))
-    def miss(hash: Column): Column =
-      !GraftColumnBridge.toColumn(graft.functions.BloomMightContain(
-        GraftColumnBridge.toExpression(col("bloom")),
-        GraftColumnBridge.toExpression(hash)))
+    val ks = keys.distinct
+    // the key frame carries a positional index so the bloom arm's
+    // per-row mask (probed in key order) joins back to its key
+    val kdf = broadcast(ks.zipWithIndex.map { case (k, i) => (i, k) }
+      .toDF("kidx", "k"))
+    // STATS arms: (non-bloom rows) × keys — cheap scalar comparisons,
+    // the cross join is metadata-rows × broadcast keys
     val kd = col("k").cast("double")
-    val rowExcl = coalesce(
+    val statExcl = coalesce(
       (col("kind").isin("long", "date") &&
         (col("lmax") < col("k") || col("lmin") > col("k"))) ||
         (col("kind") === "double" &&
-          (col("dmax") < kd || col("dmin") > kd)) ||
-        (col("kind") === "bloom" &&
-          ((coalesce(col("bspace"), lit("long")) === "long" &&
-            miss(xxhash64(col("k")))) ||
-            (col("bspace") === "double" && col("k") =!= 0L &&
-              miss(xxhash64(kd))))),
+          (col("dmax") < kd || col("dmin") > kd)),
       lit(false))
-    val excluded = rows.crossJoin(ks)
-      .select(col("file"), col("k"), rowExcl.as("re"))
-      .groupBy(col("file"), col("k")).agg(max(col("re")).as("keyAbsent"))
+    val stats = rows.filter(col("kind") =!= "bloom").crossJoin(kdf)
+      .select(col("file"), col("kidx"), statExcl.as("re"))
+    // BLOOM arm: NEVER per-(row, key) — [[graft.functions
+    // .BloomMissAll]] deserializes each row's filter ONCE and probes
+    // every key's hash (r8: the per-pair form re-read the same
+    // filters keys-times over — gigabytes for a 1000-key set). The
+    // hash spellings are evaluated DRIVER-side with the same
+    // `XxHash64` Catalyst expression the build used, one literal
+    // array per hash space, and the mask is picked by the row's
+    // recorded `bspace`; posexplode(NULL mask) emits nothing, so
+    // unknown spaces and pre-bloom rows exclude nothing
+    val hLong = ks.map(k => driverHash(k, LongType))
+    val hDouble = ks.map(k => driverHash(k.toDouble, DoubleType))
+    val mask = when(coalesce(col("bspace"), lit("long")) === "long",
+        missAll(lit(hLong.toArray)))
+      .when(col("bspace") === "double", missAll(lit(hDouble.toArray)))
+    val bloomArm = rows.filter(col("kind") === "bloom")
+      .select(col("file"), col("bspace"),
+        posexplode(mask).as(Seq("kidx", "miss")))
+      .join(kdf, Seq("kidx"))
+      // ±0.0 guard (see [[LongEquals]]): the double spelling of k = 0
+      // cannot cover -0.0 data, so a double-built bloom never
+      // excludes the zero key
+      .select(col("file"), col("kidx"),
+        (col("miss") && (coalesce(col("bspace"), lit("long")) === "long" ||
+          col("k") =!= 0L)).as("re"))
+    val excluded = stats.unionByName(bloomArm)
+      .groupBy(col("file"), col("kidx"))
+      .agg(max(col("re")).as("keyAbsent"))
       .groupBy(col("file")).agg(min(col("keyAbsent")).as("allAbsent"))
       .filter(col("allAbsent")).select(col("file"))
     all.join(excluded, Seq("file"), "left_anti")
       .as[String].collect().toSeq.sorted
   }
+
+  /** xxhash64 of one value, evaluated driver-side through the SAME
+    * Catalyst expression the index build executes — bit-identical
+    * spellings by construction. */
+  private def driverHash(v: Any, dt: DataType): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)),
+      42L) // xxhash64's fixed default seed — same as the build side
+      .eval(null).asInstanceOf[Long]
+
+  /** `bloom_miss_all(bloom, hashes)` as a Column. */
+  private def missAll(hashes: Column): Column =
+    GraftColumnBridge.toColumn(graft.functions.BloomMissAll(
+      GraftColumnBridge.toExpression(col("bloom")),
+      GraftColumnBridge.toExpression(hashes)))
 
   /** Scan only the files that can contain at least one of `keys` —
     * NO re-filter: the caller's join (or `isin`) decides; pruning is
@@ -1308,33 +1351,51 @@ object StatsIndex {
     val idx = widened(readIndex(spark, indexDir))
     val all = idx.select(col("file")).distinct()
     val rows = idx.filter(col("col") === column)
-    // numeric spellings resolved DRIVER-side per key (nullable cols in
-    // the broadcast key frame) — the grouped plan stays one shape for
-    // any key mix
-    val ks = broadcast(keys.distinct.map { v =>
-      (v,
-        v.toLongOption
-          .filter(l => l > -9007199254740992L && l < 9007199254740992L),
-        v.toDoubleOption.filterNot(d => d == 0.0 || d.isNaN))
-    }.toDF("k", "kl", "kd"))
-    def miss(hash: Column): Column =
-      !GraftColumnBridge.toColumn(graft.functions.BloomMightContain(
-        GraftColumnBridge.toExpression(col("bloom")),
-        GraftColumnBridge.toExpression(hash)))
-    val rowExcl = coalesce(
-      (col("kind") === "string" &&
-        (col("smax") < col("k") || col("smin") > col("k"))) ||
-        (col("kind") === "bloom" &&
-          ((coalesce(col("bspace"), lit("string")) === "string" &&
-            miss(xxhash64(col("k")))) ||
-            (col("bspace") === "long" && col("kl").isNotNull &&
-              miss(xxhash64(col("kl")))) ||
-            (col("bspace") === "double" && col("kd").isNotNull &&
-              miss(xxhash64(col("kd")))))),
+    val ks = keys.distinct
+    val kdf = broadcast(ks.zipWithIndex.map { case (k, i) => (i, k) }
+      .toDF("kidx", "k"))
+    // STATS arm: truncated string bounds × keys — scalar comparisons
+    val statExcl = coalesce(
+      col("kind") === "string" &&
+        (col("smax") < col("k") || col("smin") > col("k")),
       lit(false))
-    val excluded = rows.crossJoin(ks)
-      .select(col("file"), col("k"), rowExcl.as("re"))
-      .groupBy(col("file"), col("k")).agg(max(col("re")).as("keyAbsent"))
+    val stats = rows.filter(col("kind") =!= "bloom").crossJoin(kdf)
+      .select(col("file"), col("kidx"), statExcl.as("re"))
+    // BLOOM arm, batch-probed (one deserialization per row — see
+    // [[prunedForKeys]]). Numeric spellings per key are resolved
+    // driver-side; a key that has NO spelling in a space (non-parsable
+    // long, or the ±0.0/NaN double guard) gets the SENTINEL hash of a
+    // value no real spelling hashes to… no sentinel exists, so
+    // instead the mask element is neutralized after the explode via
+    // the per-key validity flags carried on the key frame.
+    val hString = ks.map(k => driverHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(k), StringType))
+    val longOk = ks.map(_.toLongOption
+      .exists(l => l > -9007199254740992L && l < 9007199254740992L))
+    val hLong = ks.zip(longOk).map { case (k, ok) =>
+      if (ok) driverHash(k.toLong, LongType) else 0L }
+    val dblOk = ks.map(_.toDoubleOption
+      .exists(d => d != 0.0 && !d.isNaN))
+    val hDouble = ks.zip(dblOk).map { case (k, ok) =>
+      if (ok) driverHash(k.toDouble, DoubleType) else 0L }
+    val okdf = broadcast(ks.indices.map(i =>
+      (i, longOk(i), dblOk(i))).toDF("kidx", "lok", "dok"))
+    val mask = when(coalesce(col("bspace"), lit("string")) === "string",
+        missAll(lit(hString.toArray)))
+      .when(col("bspace") === "long", missAll(lit(hLong.toArray)))
+      .when(col("bspace") === "double", missAll(lit(hDouble.toArray)))
+    val bloomArm = rows.filter(col("kind") === "bloom")
+      .select(col("file"), col("bspace"),
+        posexplode(mask).as(Seq("kidx", "miss")))
+      .join(okdf, Seq("kidx"))
+      .select(col("file"), col("kidx"),
+        (col("miss") && (
+          coalesce(col("bspace"), lit("string")) === "string" ||
+          (col("bspace") === "long" && col("lok")) ||
+          (col("bspace") === "double" && col("dok")))).as("re"))
+    val excluded = stats.unionByName(bloomArm)
+      .groupBy(col("file"), col("kidx"))
+      .agg(max(col("re")).as("keyAbsent"))
       .groupBy(col("file")).agg(min(col("keyAbsent")).as("allAbsent"))
       .filter(col("allAbsent")).select(col("file"))
     all.join(excluded, Seq("file"), "left_anti")

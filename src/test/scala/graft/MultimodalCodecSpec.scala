@@ -677,7 +677,8 @@ class MultimodalCodecSpec extends SparkSpec {
       (3L, "video", "no container".getBytes))
       .toDF("media_id", "kind", "payload")
       .withColumn("n_bytes", length(col("payload")).cast("long"))
-    val rows = Multimodal.mp4FrameRanges(media).collect()
+    val collected = Multimodal.mp4FrameRanges(media).collect()
+    val rows = collected
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
         r.getString(4), if (r.isNullAt(5)) -1 else r.getInt(5)))
       .sortBy(r => (r._1, r._2))
@@ -686,6 +687,36 @@ class MultimodalCodecSpec extends SparkSpec {
       (1L, 0, mdatOff, 37L, "avc1", 100),
       (1L, 1, mdatOff + 37L, 53L, "avc1", 100),
       (2L, 0, mdatOff, jpeg.length.toLong, "jpeg", -1)))
+    // the PIXEL contract (r7 VERDICT ask #6): avc1 samples carry REAL
+    // coordinates but a NULL `frame` — no stand-in bytes can ever be
+    // mistaken for decoded pixels — while the JPEG sample's `frame`
+    // is the muxed bytes, byte-exactly
+    val frameIdx = Multimodal.mp4FrameRanges(media).schema
+      .fieldIndex("frame")
+    val byId = collected.groupBy(_.getLong(0))
+    assert(byId(1L).forall(_.isNullAt(frameIdx)),
+      "avc1 rows must carry NULL frames (no pure-JVM H.264 decode)")
+    assert(byId(2L).head.getAs[Array[Byte]](frameIdx).toSeq ==
+      jpeg.toSeq, "JPEG sample frame must be the muxed bytes")
+  }
+
+  test("frameDhashes: pixel hashing sees only really-decoded frames — " +
+    "an avc1 video contributes ZERO rows") {
+    import graft.operators.PerceptualHash
+    val sps = Array[Byte](0x67, 0x42)
+    val pps = Array[Byte](0x68)
+    val s0 = Array.tabulate(37)(i => (i * 7).toByte)
+    val jpeg = imageBytes("jpg",
+      Array.tabulate(8, 8)((y, x) => (x * 30, y * 30, 120)))
+    val media = Seq(
+      (1L, "video", avc1Mp4(Seq(s0), avccPayload(sps, pps))),
+      (2L, "video", jpegMp4(jpeg)))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+    val hashes = PerceptualHash.frameDhashes(media).collect()
+    assert(hashes.nonEmpty, "JPEG-in-MP4 frame must hash")
+    assert(hashes.forall(_.getLong(0) == 2L),
+      "an avc1 payload must contribute no pixel hashes")
   }
 
   test("Mp4MetaCodec.firstKeyframe: JPEG-in-MP4 sample 0 extracted " +

@@ -5,7 +5,8 @@ the artifact byte-for-byte, not a hand-copied builder-side run).
 
 Usage: python3 tools/pair_table.py BENCH_FULL_r06.json
 Prints the markdown table (with per-rep iso times when the artifact
-carries a "reps" map) to stdout; paste into SCALE.md verbatim.
+carries a "reps" map, and the trimmed mean when the artifact carries
+"_iso_tmean" keys — r7 ask #1) to stdout; paste into SCALE.md verbatim.
 """
 import json
 import sys
@@ -17,13 +18,15 @@ def main(path: str) -> None:
     q = data["queries"]
     reps = data.get("reps", {})
     cells = sorted(
-        k for k in q if k.startswith("e2e_") and not k.endswith("_iso"))
+        k for k in q if k.startswith("e2e_") and "_iso" not in k)
+    has_tmean = any(k.endswith("_iso_tmean") for k in q)
+    header = ["cell", "interleaved", "iso (median)"]
+    if has_tmean:
+        header.append("iso (trimmed mean)")
     if reps:
-        print("| cell | interleaved | iso (median) | iso reps (run order) |")
-        print("|---|---|---|---|")
-    else:
-        print("| cell | interleaved | iso (median of reps, JIT-warm) |")
-        print("|---|---|---|")
+        header.append("iso reps (run order)")
+    print("| " + " | ".join(header) + " |")
+    print("|" + "---|" * len(header))
 
     def fmt(v, present=True):
         # a key that is absent was never run (e.g. interleaved-only
@@ -36,6 +39,9 @@ def main(path: str) -> None:
         iso_key = c + "_iso"
         row = [f"`{c}`", fmt(q[c]),
                fmt(q.get(iso_key), present=iso_key in q)]
+        if has_tmean:
+            tk = c + "_iso_tmean"
+            row.append(fmt(q.get(tk), present=tk in q))
         if reps:
             rr = reps.get(c + "_iso", [])
             row.append(", ".join(
