@@ -179,6 +179,20 @@ object Bench {
             // any page-cache eviction — e.g. a preceding scale run's
             // 3 GB replica — and the rep spread widens spuriously
             preTouch(s, Seq(path))
+            // ... and TWO untimed FULL-SCALE executions: the 20k-row
+            // warmup compiles the plan paths but not the full-scale
+            // JIT tier (treeAggregate inner loops, BLAS dispatch),
+            // and C2 compilation is ASYNC — a single warm run leaves
+            // its compile queue draining into the first timed rep
+            // (measured r8: rep 1 at 2-3× with one warm run — 21.5
+            // vs 7.6-8.5 steady — reps 2+ within 1.3× on every
+            // cell). Timed reps measure STEADY STATE — the
+            // cluster-relevant number, where every executor outlives
+            // its first task by hours
+            (1 to 2).foreach { _ =>
+              try { fn(s, path): Unit } catch { case _: Throwable => () }
+              s.sharedState.cacheManager.clearCache()
+            }
             def oneRep(): Timing = {
               s.sharedState.cacheManager.clearCache()
               System.gc()

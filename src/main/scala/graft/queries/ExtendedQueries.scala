@@ -840,6 +840,42 @@ object ExtendedQueries {
     * any SF's orderkey range, shared with the oracle SQL. */
   private val inlistKeys: Seq[Long] = (1 to 100).map(_.toLong * 29L)
 
+  /** Index-assisted PREDICATE mutation, oracle-checked end to end
+    * (r8): a retention DELETE on a TIME-CLUSTERED committed lake with
+    * the `impliedRanges` discovery hint — the caller asserts
+    * `l_shipdate < 1994-01-01` implies the timestamp range, so
+    * touched-file discovery scans only the files the index says can
+    * hold expiring rows (the expiring band), not every file's
+    * predicate column. The 100 TB shape of a retention sweep: on a
+    * time-clustered lake the band is a few files; everything else is
+    * carried by name with zero I/O and never even scanned for
+    * discovery. The oracle is the complement filter over lineitem:
+    * the hash match proves pruned discovery missed no matching file
+    * (a missed file would leave deleted rows alive and shift the
+    * sums). */
+  val q66DeletePruned: Q = (s, dir) => {
+    import graft.sources.{CommitLog, MergeInto, StatsIndex}
+    val work = tempWork("graft_q66_")
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    table(s, dir, "lineitem")
+      .repartitionByRange(6, col("l_shipdate")).write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    StatsIndex.build(s, lake, Seq("l_shipdate"), s"$work/idx")
+    MergeInto.delete(s, lake,
+      "l_shipdate < TIMESTAMP '1994-01-01 00:00:00'",
+      indexDir = Some(s"$work/idx"),
+      impliedRanges = Seq(StatsIndex.TimestampRange("l_shipdate",
+        java.time.Instant.parse("1900-01-01T00:00:00Z"),
+        java.time.Instant.parse("1994-01-01T00:00:00Z"))))
+    graft.streaming.LayoutSink.readCommitted(s, lake)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("l_extendedprice")).as("sum_price"))
+  }
+
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
     * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
     * aggregated per curve cell. The oracle UNROLLS the same phases as
@@ -869,6 +905,7 @@ object ExtendedQueries {
     "q63_meta_minmax" -> q63MetaMinmax,
     "q64_merge_string_key" -> q64MergeStringKey,
     "q65_inlist_scan" -> q65InlistScan,
+    "q66_delete_pruned" -> q66DeletePruned,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
@@ -957,6 +994,12 @@ object ExtendedQueries {
          |  ${sqlSumd("l_extendedprice")} AS sum_price
          |FROM lineitem
          |WHERE l_orderkey IN (${(1 to 100).map(_ * 29).mkString(", ")})
+         |GROUP BY 1""".stripMargin,
+    "q66_delete_pruned" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE NOT (l_shipdate < TIMESTAMP '1994-01-01 00:00:00')
          |GROUP BY 1""".stripMargin,
     "q63_meta_minmax" ->
       """SELECT min(l_orderkey) AS min_l_orderkey,

@@ -166,13 +166,30 @@ object MergeInto {
   /** Copy-on-write DELETE: drop every committed row matching
     * `predicate` (a SQL boolean expression; NULL evaluations keep the
     * row — SQL DELETE semantics). Only files containing a matching
-    * row are rewritten. Returns (filesRewritten, filesCarried). */
+    * row are rewritten. Returns (filesRewritten, filesCarried).
+    *
+    * `impliedRanges` is the index-assisted discovery hint for
+    * predicate mutations (the analog of merge's key-set pruning): the
+    * CALLER asserts `predicate ⇒ every range holds` — e.g.
+    * `l_shipdate < '1995-01-01'` implies
+    * `TimestampRange(l_shipdate, MIN, 1995-01-01)`. Files the index
+    * proves outside ANY range then cannot contain a matching row, so
+    * the touched-file pass scans only the candidates — on a 100 TB
+    * time-clustered lake a retention DELETE reads the expiring band,
+    * not every file's predicate columns. Soundness rests on the
+    * implication (a hint NOT implied by the predicate can silently
+    * miss matching rows — same contract as a partition-pruning
+    * predicate); the index stays a conservative accelerator UNDER
+    * that assertion, and a stale index (file set ≠ committed view)
+    * is never trusted — full pass instead. */
   def delete(spark: SparkSession, lakeDir: String,
       predicate: String, filesPerRewrite: Int = 4,
-      indexDir: Option[String] = None): (Int, Int) =
+      indexDir: Option[String] = None,
+      impliedRanges: Seq[StatsIndex.ColRange] = Nil): (Int, Int) =
     mutate(spark, lakeDir, "delete", filesPerRewrite,
-        indexDir) { (lake, _) =>
-      val touched = touchedBy(lake, predicate)
+        indexDir) { (lake, committed) =>
+      val touched = touchedUnder(spark, lakeDir, lake, committed,
+        predicate, indexDir, impliedRanges)
       val survivors =
         if (touched.isEmpty) None
         else Some(spark.read
@@ -189,15 +206,17 @@ object MergeInto {
     * byte-identically. Returns (filesRewritten, filesCarried). */
   def update(spark: SparkSession, lakeDir: String, predicate: String,
       set: Map[String, String], filesPerRewrite: Int = 4,
-      indexDir: Option[String] = None): (Int, Int) = {
+      indexDir: Option[String] = None,
+      impliedRanges: Seq[StatsIndex.ColRange] = Nil): (Int, Int) = {
     require(set.nonEmpty, "update needs at least one SET assignment")
     mutate(spark, lakeDir, "update", filesPerRewrite,
-        indexDir) { (lake, _) =>
+        indexDir) { (lake, committed) =>
       val unknown = set.keySet -- lake.columns.toSet
       require(unknown.isEmpty,
         s"update: SET names unknown columns ${unknown.toSeq.sorted
           .mkString(", ")}")
-      val touched = touchedBy(lake, predicate)
+      val touched = touchedUnder(spark, lakeDir, lake, committed,
+        predicate, indexDir, impliedRanges)
       val survivors =
         if (touched.isEmpty) None
         else {
@@ -225,6 +244,31 @@ object MergeInto {
     lake.filter(expr(predicate))
       .select(col("_metadata.file_path")).distinct()
       .collect().map(r => new Path(r.getString(0)).getName).toSet
+
+  /** [[touchedBy]], restricted to the index's candidate files when a
+    * CURRENT index and a caller-asserted `impliedRanges` hint are
+    * both present (see [[delete]]'s contract) — otherwise the full
+    * column-pruned pass. */
+  private def touchedUnder(spark: SparkSession, lakeDir: String,
+      lake: DataFrame, committed: Seq[String], predicate: String,
+      indexDir: Option[String],
+      impliedRanges: Seq[StatsIndex.ColRange]): Set[String] = {
+    val candidates: Option[Seq[String]] = indexDir.flatMap { idx =>
+      if (impliedRanges.isEmpty) None
+      else {
+        val current = StatsIndex.indexedFiles(spark, idx)
+          .map(p => new Path(p).getName).toSet == committed.toSet
+        if (!current) None
+        else Some(StatsIndex.prunedTyped(spark, idx, impliedRanges))
+      }
+    }
+    candidates match {
+      case None => touchedBy(lake, predicate)
+      case Some(Nil) => Set.empty // no file can satisfy the ranges
+      case Some(cand) =>
+        touchedBy(spark.read.parquet(cand.sorted: _*), predicate)
+    }
+  }
 
   /** The shared mutation scaffold all three verbs run under ONE
     * writer-lock hold: read the committed view, let `plan` pick the

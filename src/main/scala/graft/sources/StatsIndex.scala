@@ -1492,12 +1492,15 @@ object StatsIndex {
     *    (`nextDown(-Inf)` stores -Inf but recovery lands on
     *    -Double.MaxValue — a finite stand-in for an infinite
     *    extremum); a file whose stored OR recovered bound hits either
-    *    becomes a gap file and is scanned.
+    *    becomes a gap file and is scanned;
+    *  - `date` kind on a date column — the stats are raw epoch days
+    *    and DateType IS epoch days, so the bounds are exact values
+    *    (no calendar/zone re-encode exists for dates).
     * Everything else is a gap file for that column: timestamp columns
-    * (above), `date`/`tsntz` (calendar/zone re-encode is not
-    * bit-provable), truncated `string` bounds (an inflated max is not
-    * a value), `full` rows, NaN-polluted doubles, files missing an
-    * index row, mixed kinds across files, and kind/schema mismatches.
+    * (above), `tsntz` (wall-micros normalization can widen), truncated
+    * `string` bounds (an inflated max is not a value), `full` rows,
+    * NaN-polluted doubles, files missing an index row, mixed kinds
+    * across files, and kind/schema mismatches.
     * Provably ALL-NULL files (`nulls == row_count`) contribute
     * nothing and are NOT gaps — MIN/MAX ignore nulls.
     *
@@ -1574,6 +1577,17 @@ object StatsIndex {
               lit(r.getLong(4)).cast(dt.get))
             lo = Some(lo.fold(l)(c0 => least(c0, l)))
             hi = Some(hi.fold(h)(c0 => greatest(c0, h)))
+          case "date" if dt.contains("date") &&
+              !r.isNullAt(3) && !r.isNullAt(4) =>
+            // DATE stats are raw epoch days and DateType IS epoch
+            // days — no calendar/zone re-encode exists, so the bounds
+            // are exact values (unlike timestamps, whose micros
+            // normalization can widen)
+            val (l, h) = (
+              lit(java.time.LocalDate.ofEpochDay(r.getLong(3))),
+              lit(java.time.LocalDate.ofEpochDay(r.getLong(4))))
+            lo = Some(lo.fold(l)(c0 => least(c0, l)))
+            hi = Some(hi.fold(h)(c0 => greatest(c0, h)))
           case "double" if doubleExact && !r.isNullAt(5) && !r.isNullAt(6) =>
             val (sl, sh) = (r.getDouble(5), r.getDouble(6))
             val l = Math.nextUp(sl)
@@ -1592,7 +1606,7 @@ object StatsIndex {
               lo = Some(lo.fold(ll)(c0 => least(c0, ll)))
               hi = Some(hi.fold(hh)(c0 => greatest(c0, hh)))
             }
-          case _ => gap() // ts/date/tsntz/string/full/NULL/mismatch
+          case _ => gap() // ts/tsntz/string/full/NULL/mismatch
         }
       }
       if (lo.isEmpty && gaps.isEmpty) {

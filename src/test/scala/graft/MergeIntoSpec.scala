@@ -362,6 +362,44 @@ class MergeIntoSpec extends SparkSpec {
       .as[Int].head() == 9)
   }
 
+  test("index-assisted PREDICATE discovery: the impliedRanges hint " +
+    "restricts delete/update discovery to candidate files, deletes " +
+    "exactly, and an empty candidate set rewrites nothing") {
+    import graft.sources.StatsIndex
+    val lake = mkLake() // 3 files: k 0-99, 1000-1099, 2000-2099
+    val idx = lake.stripSuffix("/lake") + "/idx"
+    StatsIndex.build(spark, lake, Seq("k"), idx)
+    // retention delete confined to batch-0's file by the range hint
+    val (rw, carried) = MergeInto.delete(spark, lake, "k < 50",
+      indexDir = Some(idx),
+      impliedRanges = Seq(StatsIndex.LongRange("k", Long.MinValue, 49L)))
+    assert(rw == 1 && carried == 2, s"hinted delete ($rw, $carried)")
+    val left = LayoutSink.readCommitted(spark, lake)
+    assert(left.filter(col("k") < 50).count() == 0 &&
+      left.count() == 250, "hinted delete removed the wrong rows")
+    // index followed the mutation
+    assert(StatsIndex.indexedFiles(spark, idx)
+      .map(p => new Path(p).getName).toSet ==
+      CommitLog.committedNames(fs(lake), lake))
+    // a range provably matching NO file: zero rewrites, zero scans
+    val (rw2, _) = MergeInto.delete(spark, lake, "k > 900000",
+      indexDir = Some(idx),
+      impliedRanges = Seq(
+        StatsIndex.LongRange("k", 900001L, Long.MaxValue)))
+    assert(rw2 == 0, "empty candidate set must rewrite nothing")
+    // UPDATE with the same hint machinery
+    val (rw3, _) = MergeInto.update(spark, lake,
+      "k BETWEEN 2000 AND 2010", Map("v" -> "-1"),
+      indexDir = Some(idx),
+      impliedRanges = Seq(StatsIndex.LongRange("k", 2000L, 2010L)))
+    assert(rw3 == 1, s"hinted update rewrote $rw3")
+    val after = LayoutSink.readCommitted(spark, lake)
+    assert(after.filter(col("k").between(2000, 2010) &&
+      col("v") =!= -1L).count() == 0, "hinted update missed rows")
+    assert(after.filter(col("k") === 2050).select("v")
+      .as[Long].head() == 4100L, "non-matching row in touched file changed")
+  }
+
   test("UpsertSink: multi-batch streaming merge reaches the last-wins " +
     "end state; replay from a wiped checkpoint is idempotent") {
     val lake = mkLake()

@@ -1279,6 +1279,85 @@ class StatsIndexSpec extends SparkSpec {
       .filter(col("k") === "doc-004242").count() == 1L)
   }
 
+  test("minMaxPruned: date columns are exact metadata values — " +
+    "DateType extrema from epoch-day bounds, surviving data delete") {
+    val dir = Files.createTempDirectory("graft_sidx_mmd_").toString
+    spark.range(0, 1000).selectExpr(
+      "date_add(DATE '2020-01-01', CAST(id AS INT)) AS d")
+      .repartitionByRange(3, col("d")).write.parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("d"), s"$dir/idx")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(st => hfs.delete(st.getPath, false))
+    val got = StatsIndex.minMaxPruned(spark, s"$dir/data", s"$dir/idx",
+      Seq("d")).head
+    assert(got.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.DateType),
+      s"date schema ${got.schema.simpleString}")
+    val d0 = java.time.LocalDate.parse("2020-01-01")
+    assert(got.getDate(0).toLocalDate == d0 &&
+      got.getDate(1).toLocalDate == d0.plusDays(999),
+      s"date extrema $got")
+  }
+
+  test("bloom_miss_all: one-deserialization batch probe agrees with " +
+    "bloom_might_contain per hash; NULL bloom yields NULL") {
+    import org.apache.spark.sql.GraftColumnBridge
+    import graft.functions.{BloomMightContain, BloomMissAll}
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    (0L until 100L).foreach(bf.putLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(baos)
+    val df = Seq(Tuple1(baos.toByteArray)).toDF("bloom")
+    val hashes: Seq[Long] =
+      (0L until 100L) ++ Seq(7777777L, -99L, Long.MinValue)
+    def missAll = GraftColumnBridge.toColumn(BloomMissAll(
+      GraftColumnBridge.toExpression(col("bloom")),
+      GraftColumnBridge.toExpression(lit(hashes.toArray))))
+    val got = df.select(missAll).head.getSeq[Boolean](0)
+    val single = hashes.map { h =>
+      df.select(!GraftColumnBridge.toColumn(BloomMightContain(
+        GraftColumnBridge.toExpression(col("bloom")),
+        GraftColumnBridge.toExpression(lit(h))))).head.getBoolean(0)
+    }
+    assert(got == single, "batch probe disagrees with per-hash probe")
+    // members can never be reported absent
+    assert(got.take(100).forall(_ == false), "member reported missing")
+    val nullDf = Seq(Tuple1(null: Array[Byte])).toDF("bloom")
+    assert(nullDf.select(missAll).head.isNullAt(0),
+      "NULL bloom must yield NULL (no exclusion)")
+  }
+
+  test("prunedForKeysString: >64-char multibyte keys stay exact under " +
+    "bound truncation; the bloom arm still prunes where bounds cannot") {
+    val dir = Files.createTempDirectory("graft_sidx_dfpt_").toString
+    // every key shares a 90-char multibyte prefix: all files' stored
+    // string bounds truncate to the SAME 64-char prefix, so the
+    // min/max arm can exclude nothing — conservatism is the contract
+    val prefix = "π†µ" * 30 // 90 chars, multibyte UTF-8
+    spark.range(4000).selectExpr(
+      s"concat('$prefix', lpad(CAST(id AS STRING), 6, '0')) AS k",
+      "id AS v")
+      .repartitionByRange(4, col("k")).write.parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("k"), s"$dir/idx",
+      bloomCols = Seq("k"), bloomItems = 10000, bloomFpp = 0.001)
+    val ks = Seq(s"${prefix}000100", s"${prefix}003900")
+    val pruned = StatsIndex
+      .readPrunedForKeysString(spark, s"$dir/data", s"$dir/idx", "k", ks)
+      .filter(col("k").isin(ks: _*))
+      .selectExpr("sum(v) AS sv", "count(*) AS n").head
+    val full = spark.read.parquet(s"$dir/data")
+      .filter(col("k").isin(ks: _*))
+      .selectExpr("sum(v) AS sv", "count(*) AS n").head
+    assert(pruned == full && pruned.getLong(1) == 2L,
+      s"truncated-bound keys: $pruned vs $full")
+    // bounds are truncation-blind here, but the BLOOM arm still
+    // prunes: the two keys live in two of four range files
+    val kept = StatsIndex.prunedForKeysString(spark, s"$dir/idx", "k", ks)
+    assert(kept.size <= 2, s"bloom arm kept ${kept.size} of 4")
+  }
+
   test("dfpJoin type guards: string keys prune via the string path; " +
     "fractional keys fall back to the plain join unharmed") {
     def agg(df: org.apache.spark.sql.DataFrame) = df
