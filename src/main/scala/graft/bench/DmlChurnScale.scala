@@ -44,22 +44,32 @@ object DmlChurnScale {
   }
 
   /** Build a committed, bloom-indexed lake from `src`'s lineitem with
-    * `files` range-clustered files; returns the lake root. */
+    * `files` range-clustered files; returns the lake root. With
+    * `stringKey`, a `doc_key` string column derived from the order
+    * key is added, clustered and bloom-indexed instead — the doc-lake
+    * shape where the natural key is a string. */
   private def buildLake(spark: SparkSession, src: String, tag: String,
-      files: Int): String = {
+      files: Int, stringKey: Boolean = false): String = {
     val root = s"/root/repo/target/scale/dml_$tag"
     rmrf(root)
     val lake = s"$root/lake"
-    spark.read.parquet(s"$src/lineitem.parquet")
-      .repartitionByRange(files, col("l_orderkey"))
-      .write.parquet(lake)
+    val base = spark.read.parquet(s"$src/lineitem.parquet")
+    val (df, key) =
+      if (stringKey) (base.withColumn("doc_key",
+        concat(lit("doc-"), lpad(col("l_orderkey").cast("string"),
+          10, "0"))), "doc_key")
+      else (base, "l_orderkey")
+    df.repartitionByRange(files, col(key)).write.parquet(lake)
     val fs = new Path(lake)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     CommitLog.commit(fs, lake, 0L,
       CommitLog.dataFileNames(fs, lake).toSeq.sorted)
-    StatsIndex.build(spark, lake, Seq("l_orderkey"), s"$root/idx",
-      bloomCols = Seq("l_orderkey"), bloomItems = 1000000,
-      bloomFpp = 0.01)
+    // bloom sized to the per-file key count (~37k at BOTH scales —
+    // constant target file size means constant filter size; the lake
+    // grows in FILE COUNT): an oversized filter would inflate the
+    // per-mutation index-refresh I/O and misattribute it to the merge
+    StatsIndex.build(spark, lake, Seq(key), s"$root/idx",
+      bloomCols = Seq(key), bloomItems = 100000, bloomFpp = 0.01)
     root
   }
 
@@ -91,31 +101,43 @@ object DmlChurnScale {
     MergeInto.merge(spark, s"$warm/lake", updates, Seq("l_orderkey"),
       indexDir = Some(s"$warm/idx")): Unit
 
-    println("""{"probe":"dml_churn","cells":[""")
-    val cells = Seq(("1x", sf01, 16), ("10x", tenx, 160)).map {
-      case (tag, src, files) =>
-        // fresh lake per rep: each merge mutates the lake, so only a
-        // rebuild gives every rep the same starting state
-        val outcomes = (1 to reps).map { _ =>
-          val root = buildLake(spark, src, tag, files)
-          var counts = (0, 0)
-          val sec = t {
-            counts = MergeInto.merge(spark, s"$root/lake", updates,
-              Seq("l_orderkey"), indexDir = Some(s"$root/idx"))
+    def probe(name: String, stringKey: Boolean,
+        upd: org.apache.spark.sql.DataFrame, key: String): Unit = {
+      println(s"""{"probe":"$name","cells":[""")
+      val cells = Seq(("1x", sf01, 16), ("10x", tenx, 160)).map {
+        case (tag, src, files) =>
+          // fresh lake per rep: each merge mutates the lake, so only a
+          // rebuild gives every rep the same starting state
+          val outcomes = (1 to reps).map { _ =>
+            val root = buildLake(spark, src, s"${name}_$tag", files,
+              stringKey)
+            var counts = (0, 0)
+            val sec = t {
+              counts = MergeInto.merge(spark, s"$root/lake", upd,
+                Seq(key), indexDir = Some(s"$root/idx"))
+            }
+            (sec, counts)
           }
-          (sec, counts)
-        }
-        val best = outcomes.minBy(_._1)
-        val l = f"""{"cell":"$tag","files":$files,""" +
-          f""""merge_sec":${best._1}%.2f,"rewritten":${best._2._1},""" +
-          f""""carried":${best._2._2}}"""
-        println("  " + l + ",")
-        (tag, best._1)
+          val best = outcomes.minBy(_._1)
+          val l = f"""{"cell":"$tag","files":$files,""" +
+            f""""merge_sec":${best._1}%.2f,"rewritten":${best._2._1},""" +
+            f""""carried":${best._2._2}}"""
+          println("  " + l + ",")
+          (tag, best._1)
+      }
+      val exp = math.log10(cells(1)._2 / cells(0)._2)
+      println("]," + f""""exponent":$exp%.2f}""")
+      println(f"[$name] done: exponent $exp%.2f (1.0 = linear, " +
+        "<=0.3 = the O(touched) contract)")
     }
-    val exp = math.log10(cells(1)._2 / cells(0)._2)
-    println("]," + f""""exponent":$exp%.2f}""")
-    println(f"[dml_churn] done: exponent $exp%.2f (1.0 = linear, " +
-      "<=0.3 = the O(touched) contract)")
+
+    probe("dml_churn", stringKey = false, updates, "l_orderkey")
+    // the DOC-LAKE shape: same constant churn, string doc_key —
+    // discovery through prunedForKeysString's bloom arm
+    val updatesS = updates.withColumn("doc_key",
+      concat(lit("doc-"), lpad(col("l_orderkey").cast("string"),
+        10, "0"))).localCheckpoint()
+    probe("dml_churn_string", stringKey = true, updatesS, "doc_key")
     spark.stop()
   }
 }
