@@ -31,17 +31,7 @@ import graft.sources.{CommitLog, MergeInto, StatsIndex}
   */
 object DmlChurnScale {
 
-  private def t(f: => Unit): Double = {
-    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-  }
-
-  private def rmrf(p: String): Unit = {
-    def rec(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rec)
-      f.delete(): Unit
-    }
-    rec(new java.io.File(p))
-  }
+  import BenchUtil.{rmrf, secs => t}
 
   /** Build a committed, bloom-indexed lake from `src`'s lineitem with
     * `files` range-clustered files; returns the lake root. With
@@ -96,10 +86,21 @@ object DmlChurnScale {
       .withColumn("l_quantity", col("l_quantity") + 100)
       .localCheckpoint() // freeze: identical input frame at both scales
 
-    // JIT-warm the whole merge path untimed on a throwaway tiny lake
+    val updatesS = updates.withColumn("doc_key",
+      concat(lit("doc-"), lpad(col("l_orderkey").cast("string"),
+        10, "0"))).localCheckpoint()
+
+    // JIT-warm BOTH merge paths untimed on throwaway tiny lakes —
+    // warming only the integral path would charge the string probe's
+    // first 1x rep with prunedForKeysString's first-use compile cost
+    // and bias its exponent downward
     val warm = buildLake(spark, "/root/testdata/sf0.001", "warm", 2)
     MergeInto.merge(spark, s"$warm/lake", updates, Seq("l_orderkey"),
       indexDir = Some(s"$warm/idx")): Unit
+    val warmS = buildLake(spark, "/root/testdata/sf0.001", "warms", 2,
+      stringKey = true)
+    MergeInto.merge(spark, s"$warmS/lake", updatesS, Seq("doc_key"),
+      indexDir = Some(s"$warmS/idx")): Unit
 
     def probe(name: String, stringKey: Boolean,
         upd: org.apache.spark.sql.DataFrame, key: String): Unit = {
@@ -134,9 +135,6 @@ object DmlChurnScale {
     probe("dml_churn", stringKey = false, updates, "l_orderkey")
     // the DOC-LAKE shape: same constant churn, string doc_key —
     // discovery through prunedForKeysString's bloom arm
-    val updatesS = updates.withColumn("doc_key",
-      concat(lit("doc-"), lpad(col("l_orderkey").cast("string"),
-        10, "0"))).localCheckpoint()
     probe("dml_churn_string", stringKey = true, updatesS, "doc_key")
     spark.stop()
   }

@@ -14,11 +14,15 @@ import graft.sources.CommitLog
   * (files ingested per micro-batch). This main MEASURES the
   * amortization curve for the two stateful ingest sinks — the
   * clustered-layout sink ([[graft.streaming.LayoutSink]]) and the
-  * MERGE upsert sink ([[graft.streaming.UpsertSink]]) — over the SAME
-  * input split into 16 files, at `maxFilesPerTrigger` ∈ {1, 4, 16}
-  * (16, 4 and 1 micro-batches respectively): total rows are constant,
-  * so wall time falling with batch size IS the per-row cost dropping,
-  * and the per-1k-row μ-cost column makes the curve explicit.
+  * MERGE upsert sink ([[graft.streaming.UpsertSink]]) — each over its
+  * own 16-file input (the full corpus for the layout sink; the ~1/3
+  * update slice for the upsert sink), at `maxFilesPerTrigger` ∈
+  * {1, 4, 16} (16, 4 and 1 micro-batches respectively): each sink's
+  * total rows are constant across trigger sizes, so wall time falling
+  * with batch size IS the per-row cost dropping, and the per-1k-row
+  * cost column — divided by EACH SINK'S OWN row count — makes the
+  * curve explicit (the two sinks' absolute per-row numbers are not
+  * comparable to each other; the CURVES are the result).
   *
   * The sizing rule this measures: pick the LARGEST trigger batch the
   * latency budget allows — per-batch overhead (source listing, plan,
@@ -31,17 +35,7 @@ import graft.sources.CommitLog
   */
 object StreamBatchScale {
 
-  private def t(f: => Unit): Double = {
-    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-  }
-
-  private def rmrf(p: String): Unit = {
-    def rec(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rec)
-      f.delete(): Unit
-    }
-    rec(new java.io.File(p))
-  }
+  import BenchUtil.{rmrf, secs => t}
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -71,7 +65,7 @@ object StreamBatchScale {
       q.awaitTermination()
     }
 
-    def upsertRun(fpt: Int, tag: String): Double = {
+    def upsertRun(fpt: Int, tag: String): (Double, Long) = {
       // fresh base lake per run: 3 committed files, every doc present
       val lake = s"$root/$tag/lake"
       val fs = new Path(lake)
@@ -80,20 +74,24 @@ object StreamBatchScale {
         .repartition(3).write.parquet(lake)
       CommitLog.commit(fs, lake, 0L,
         CommitLog.dataFileNames(fs, lake).toSeq.sorted)
-      // the update stream re-scores every third doc (same input file
-      // split as the layout runs)
+      // the update stream re-scores every third doc (16 files like
+      // the layout input, so the trigger knob yields the same batch
+      // counts; FEWER rows than the layout stream — per-row costs
+      // divide by THIS stream's own count, never the layout's)
       docs.filter(col("doc_id") % 3 === 0)
         .withColumn("score", col("n_chars") * 2)
         .repartition(16).write.parquet(s"$root/$tag/in")
+      val urows = spark.read.parquet(s"$root/$tag/in").count()
       val uschema = spark.read.parquet(s"$root/$tag/in").schema
       val ustream = spark.readStream.schema(uschema)
         .option("maxFilesPerTrigger", fpt.toString)
         .parquet(s"$root/$tag/in")
-      t {
+      val sec = t {
         val q = graft.streaming.UpsertSink.start(ustream, lake,
           s"$root/$tag/ckp", Seq("doc_id"))
         q.awaitTermination()
       }
+      (sec, urows)
     }
 
     // JIT-warm both paths untimed (tiny trigger on the same input —
@@ -101,17 +99,17 @@ object StreamBatchScale {
     layoutRun(16, "warm_layout"): Unit
     upsertRun(16, "warm_upsert"): Unit
 
-    println("""{"probe":"stream_trigger","rows":""" + nRows +
+    println("""{"probe":"stream_trigger","layout_rows":""" + nRows +
       ""","cells":[""")
     for (fpt <- Seq(1, 4, 16)) {
       val batches = 16 / fpt
       val lSec = layoutRun(fpt, s"layout_$fpt")
-      val uSec = upsertRun(fpt, s"upsert_$fpt")
+      val (uSec, uRows) = upsertRun(fpt, s"upsert_$fpt")
       val l = f"""{"files_per_trigger":$fpt,"batches":$batches,""" +
         f""""layout_sec":$lSec%.2f,""" +
         f""""layout_ms_per_1k":${lSec * 1e6 / nRows}%.1f,""" +
-        f""""upsert_sec":$uSec%.2f,""" +
-        f""""upsert_ms_per_1k":${uSec * 1e6 / nRows}%.1f}"""
+        f""""upsert_sec":$uSec%.2f,"upsert_rows":$uRows,""" +
+        f""""upsert_ms_per_1k":${uSec * 1e6 / uRows}%.1f}"""
       println("  " + l + ",")
     }
     println("]}")

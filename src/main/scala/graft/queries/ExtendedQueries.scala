@@ -841,18 +841,22 @@ object ExtendedQueries {
   private val inlistKeys: Seq[Long] = (1 to 100).map(_.toLong * 29L)
 
   /** Index-assisted PREDICATE mutation, oracle-checked end to end
-    * (r8): a retention DELETE on a TIME-CLUSTERED committed lake with
-    * the `impliedRanges` discovery hint — the caller asserts
-    * `l_shipdate < 1994-01-01` implies the timestamp range, so
-    * touched-file discovery scans only the files the index says can
-    * hold expiring rows (the expiring band), not every file's
-    * predicate column. The 100 TB shape of a retention sweep: on a
-    * time-clustered lake the band is a few files; everything else is
-    * carried by name with zero I/O and never even scanned for
-    * discovery. The oracle is the complement filter over lineitem:
-    * the hash match proves pruned discovery missed no matching file
-    * (a missed file would leave deleted rows alive and shift the
-    * sums). */
+    * (r8): a retention DELETE of a closed shipping window on a
+    * TIME-CLUSTERED committed lake with the `impliedRanges` discovery
+    * hint, so touched-file discovery scans only the files the index
+    * says can hold expiring rows (the expiring band), not every
+    * file's predicate column. The hint's IMPLICATION is airtight by
+    * construction: the predicate is `lo <= l_shipdate < hi` and the
+    * range endpoints are THE SAME literals parsed by THE SAME session
+    * (so a non-UTC session shifts predicate and hint identically —
+    * never a band the hint misses), with the range's inclusive upper
+    * covering the predicate's exclusive one. The 100 TB shape of a
+    * retention sweep: on a time-clustered lake the band is a few
+    * files; everything else is carried by name with zero I/O and
+    * never even scanned for discovery. The oracle is the complement
+    * filter over lineitem: the hash match proves pruned discovery
+    * missed no matching file (a missed file would leave deleted rows
+    * alive and shift the sums). */
   val q66DeletePruned: Q = (s, dir) => {
     import graft.sources.{CommitLog, MergeInto, StatsIndex}
     val work = tempWork("graft_q66_")
@@ -864,12 +868,19 @@ object ExtendedQueries {
     CommitLog.commit(fs, lake, 0L,
       CommitLog.dataFileNames(fs, lake).toSeq.sorted)
     StatsIndex.build(s, lake, Seq("l_shipdate"), s"$work/idx")
+    val (loLit, hiLit) = ("1992-01-01 00:00:00", "1994-01-01 00:00:00")
+    // the instants the PROBE session's parse of those literals denotes
+    def parsed(ts: String): java.time.Instant = {
+      val micros = s.sql(s"SELECT unix_micros(TIMESTAMP '$ts') AS m")
+        .head.getLong(0)
+      java.time.Instant.EPOCH.plusNanos(micros * 1000L)
+    }
     MergeInto.delete(s, lake,
-      "l_shipdate < TIMESTAMP '1994-01-01 00:00:00'",
+      s"l_shipdate >= TIMESTAMP '$loLit' AND " +
+        s"l_shipdate < TIMESTAMP '$hiLit'",
       indexDir = Some(s"$work/idx"),
       impliedRanges = Seq(StatsIndex.TimestampRange("l_shipdate",
-        java.time.Instant.parse("1900-01-01T00:00:00Z"),
-        java.time.Instant.parse("1994-01-01T00:00:00Z"))))
+        parsed(loLit), parsed(hiLit))))
     graft.streaming.LayoutSink.readCommitted(s, lake)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
@@ -999,7 +1010,8 @@ object ExtendedQueries {
       s"""SELECT l_returnflag, count(*) AS n,
          |  ${sqlSumd("l_extendedprice")} AS sum_price
          |FROM lineitem
-         |WHERE NOT (l_shipdate < TIMESTAMP '1994-01-01 00:00:00')
+         |WHERE NOT (l_shipdate >= TIMESTAMP '1992-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1994-01-01 00:00:00')
          |GROUP BY 1""".stripMargin,
     "q63_meta_minmax" ->
       """SELECT min(l_orderkey) AS min_l_orderkey,

@@ -170,18 +170,23 @@ object MergeInto {
     *
     * `impliedRanges` is the index-assisted discovery hint for
     * predicate mutations (the analog of merge's key-set pruning): the
-    * CALLER asserts `predicate ⇒ every range holds` — e.g.
-    * `l_shipdate < '1995-01-01'` implies
-    * `TimestampRange(l_shipdate, MIN, 1995-01-01)`. Files the index
-    * proves outside ANY range then cannot contain a matching row, so
-    * the touched-file pass scans only the candidates — on a 100 TB
-    * time-clustered lake a retention DELETE reads the expiring band,
-    * not every file's predicate columns. Soundness rests on the
-    * implication (a hint NOT implied by the predicate can silently
-    * miss matching rows — same contract as a partition-pruning
-    * predicate); the index stays a conservative accelerator UNDER
-    * that assertion, and a stale index (file set ≠ committed view)
-    * is never trusted — full pass instead. */
+    * CALLER asserts `predicate ⇒ every range holds` — e.g. a closed
+    * retention window `lo <= ts AND ts < hi` implies
+    * `TimestampRange(ts, lo, hi)`. Files the index proves outside ANY
+    * range then cannot contain a matching row, so the touched-file
+    * pass scans only the candidates — on a 100 TB time-clustered lake
+    * a retention DELETE reads the expiring band, not every file's
+    * predicate columns. Soundness rests ENTIRELY on the implication
+    * (a hint NOT implied by the predicate can silently miss matching
+    * rows — same contract as a partition-pruning predicate); two
+    * classic ways to break it, both caller bugs: an unbounded
+    * predicate hinted with a bounded range (`ts < X` does NOT imply
+    * `ts >= someFloor`), and timestamp literals resolved in a
+    * DIFFERENT session timezone than the predicate's own parse — take
+    * the range endpoints from the SAME session's parse of the SAME
+    * literals (q66 shows the pattern). The index stays a conservative
+    * accelerator UNDER the assertion, and a stale index (file set ≠
+    * committed view) is never trusted — full pass instead. */
   def delete(spark: SparkSession, lakeDir: String,
       predicate: String, filesPerRewrite: Int = 4,
       indexDir: Option[String] = None,
