@@ -119,6 +119,7 @@ object CatalogScale {
     "q54_time_travel", "q56_read_changes", "q57_merge_upsert",
     "q58_delete", "q61_meta_count", "q62_dfp_join", "q63_meta_minmax",
     "q64_merge_string_key", "q65_inlist_scan", "q66_delete_pruned",
+    "q67_dv_delete",
     "qt4_exact_dedup", "qt5_minhash", "qt6_lsh_pairs",
     "qt11_dup_clusters", "qt21_curated_corpus",
     "qv4_ivf_assign", "qv6_ivf_query", "qv15_ivfpq_query",

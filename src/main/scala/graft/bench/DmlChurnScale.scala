@@ -136,6 +136,42 @@ object DmlChurnScale {
     // the DOC-LAKE shape: same constant churn, string doc_key —
     // discovery through prunedForKeysString's bloom arm
     probe("dml_churn_string", stringKey = true, updatesS, "doc_key")
+
+    // SPARSE delete, DV vs CoW: a ~0.17% delete spread across EVERY
+    // file (l_orderkey % 599 = 17) is copy-on-write's worst case —
+    // every file is touched, so CoW rewrites the whole lake — and
+    // merge-on-read's best: the vectors are a tiny (file, pos)
+    // sidecar. Same lakes, both verbs timed at 1× and 10×.
+    import graft.sources.DeletionVectors
+    val sparsePred = "l_orderkey % 599 = 17"
+    // JIT-warm both delete paths untimed
+    locally {
+      val w = buildLake(spark, "/root/testdata/sf0.001", "warmd", 2)
+      DeletionVectors.deleteMor(spark, s"$w/lake", sparsePred): Unit
+      val w2 = buildLake(spark, "/root/testdata/sf0.001", "warmd2", 2)
+      MergeInto.delete(spark, s"$w2/lake", sparsePred): Unit
+    }
+    println("""{"probe":"dv_vs_cow_sparse_delete","cells":[""")
+    val dvCells = Seq(("1x", sf01, 16), ("10x", tenx, 160)).map {
+      case (tag, src, files) =>
+        val rootDv = buildLake(spark, src, s"dv_$tag", files)
+        val dvSec = t {
+          DeletionVectors.deleteMor(spark, s"$rootDv/lake", sparsePred)
+        }
+        val rootCow = buildLake(spark, src, s"cow_$tag", files)
+        var rw = (0, 0)
+        val cowSec = t {
+          rw = MergeInto.delete(spark, s"$rootCow/lake", sparsePred)
+        }
+        val l = f"""{"cell":"$tag","files":$files,"dv_sec":$dvSec%.2f,""" +
+          f""""cow_sec":$cowSec%.2f,"cow_rewritten":${rw._1}}"""
+        println("  " + l + ",")
+        (dvSec, cowSec)
+    }
+    println("]," +
+      f""""dv_exponent":${math.log10(dvCells(1)._1 / dvCells(0)._1)}%.2f,""" +
+      f""""cow_exponent":${math.log10(dvCells(1)._2 / dvCells(0)._2)}%.2f}""")
+    println("[dv_vs_cow_sparse_delete] done")
     spark.stop()
   }
 }

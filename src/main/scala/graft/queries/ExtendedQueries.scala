@@ -887,6 +887,31 @@ object ExtendedQueries {
         sumd(col("l_extendedprice")).as("sum_price"))
   }
 
+  /** MERGE-ON-READ delete via DELETION VECTORS, oracle-checked end to
+    * end (r8): the [[loggedLake]] fixture (3 committed batches +
+    * crash orphans) with every `l_orderkey % 7 == 0` row deleted by
+    * [[graft.sources.DeletionVectors.deleteMor]] — ZERO data files
+    * rewritten; the delete is a tiny `(file, row position)` sidecar
+    * plus a mutation checkpoint — then read through
+    * [[graft.sources.DeletionVectors.readMor]] (committed view
+    * anti-joined against the vectors on Spark's `_metadata.row_index`)
+    * and aggregated. The oracle is the complement filter over
+    * lineitem: the hash match proves position-based deletion removed
+    * exactly the matching rows (a row_index off by one anywhere would
+    * delete a neighbor and shift the sums), kept everything else
+    * byte-identical, and left the crash orphans invisible. The 100 TB
+    * shape CoW cannot serve: a sparse GDPR-style delete costs
+    * O(matched rows), not O(touched file bytes). */
+  val q67DvDelete: Q = (s, dir) => {
+    import graft.sources.DeletionVectors
+    val lake = loggedLake(s, dir, tempWork("graft_q67_"))
+    DeletionVectors.deleteMor(s, lake, "l_orderkey % 7 = 0")
+    DeletionVectors.readMor(s, lake)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("l_extendedprice")).as("sum_price"))
+  }
+
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
     * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
     * aggregated per curve cell. The oracle UNROLLS the same phases as
@@ -917,6 +942,7 @@ object ExtendedQueries {
     "q64_merge_string_key" -> q64MergeStringKey,
     "q65_inlist_scan" -> q65InlistScan,
     "q66_delete_pruned" -> q66DeletePruned,
+    "q67_dv_delete" -> q67DvDelete,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
@@ -1012,6 +1038,12 @@ object ExtendedQueries {
          |FROM lineitem
          |WHERE NOT (l_shipdate >= TIMESTAMP '1992-01-01 00:00:00'
          |  AND l_shipdate < TIMESTAMP '1994-01-01 00:00:00')
+         |GROUP BY 1""".stripMargin,
+    "q67_dv_delete" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE NOT (l_orderkey % 7 = 0)
          |GROUP BY 1""".stripMargin,
     "q63_meta_minmax" ->
       """SELECT min(l_orderkey) AS min_l_orderkey,

@@ -295,6 +295,12 @@ object MergeInto {
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
       s"$verb: $lakeDir has no commit log — cannot publish atomically")
     CommitLog.withWriterLock(fs, lakeDir) {
+      // a CoW rewrite reads committed files WITHOUT deletion vectors
+      // and would resurrect DV-deleted rows into its output
+      require(!DeletionVectors.hasDvs(fs, lakeDir),
+        s"$verb: $lakeDir has unapplied deletion vectors — run " +
+          "DeletionVectors.compact first (a copy-on-write rewrite " +
+          "would resurrect DV-deleted rows)")
       val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
       val lake = spark.read.parquet(committed.map(n => s"$lakeDir/$n"): _*)
       val (touched, survivors) = plan(lake, committed)

@@ -505,6 +505,10 @@ object ZOrder {
     // pre-optimize file set and publish it back, resurrecting the
     // un-optimized layout); plain directories have no mutation peers
     if (hasLog) CommitLog.withWriterLock(fs, path) {
+      require(!DeletionVectors.hasDvs(fs, path),
+        s"optimize: $path has unapplied deletion vectors — run " +
+          "DeletionVectors.compact first (the rewrite would resurrect " +
+          "DV-deleted rows and the dir swap would drop the _dv sidecar)")
       optimizeBody(spark, path, zCols, bits, numFiles, indexDir, curve,
         fs, tmp, old, hasLog)
     }
@@ -586,6 +590,10 @@ object ZOrder {
     // including the injected crash points below (the crash windows
     // under test are the FS states, not a held lock).
     CommitLog.withWriterLock(fs, path) {
+    require(!DeletionVectors.hasDvs(fs, path),
+      s"compactSmall: $path has unapplied deletion vectors — run " +
+        "DeletionVectors.compact first (the rewrite would resurrect " +
+        "DV-deleted rows)")
     val committed = CommitLog.committedNames(fs, path)
     val sized = committed.toSeq.sorted
       .map(n => n -> fs.getFileStatus(new Path(path, n)).getLen)
