@@ -137,6 +137,41 @@ object DeletionVectors {
     }
   }
 
+  /** [[readMor]] with FILE-LEVEL SKIPPING: the committed ∩
+    * index-pruned file list is scanned with the exact predicate
+    * re-applied (the [[StatsIndex]] contract), then the vectors
+    * anti-join as in [[readMor]] — so a selective probe over a DV'd
+    * 100 TB lake reads a handful of files AND never sees a deleted
+    * row. The index stays valid under vectors: deleteMor changes no
+    * data file, so the file set matches the committed view and the
+    * per-file bounds remain conservative (a deleted row can only
+    * widen them — pruning never loses a live row). */
+  def readMorPruned(spark: SparkSession, lakeDir: String,
+      indexDir: String, ranges: Seq[StatsIndex.ColRange]): DataFrame = {
+    require(ranges.nonEmpty, "readMorPruned needs at least one range")
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = CommitLog.committedNames(fs, lakeDir)
+    val pruned = StatsIndex.prunedTyped(spark, indexDir, ranges)
+      .map(p => new Path(p).getName).filter(committed.contains)
+    val pred = ranges.map(_.predicate).reduce(_ && _)
+    val base =
+      if (pruned.isEmpty)
+        spark.read.parquet(committed.toSeq.sorted
+          .map(n => s"$lakeDir/$n"): _*).filter(pred).limit(0)
+      else spark.read.parquet(pruned.sorted
+        .map(n => s"$lakeDir/$n"): _*).filter(pred)
+    vectors(spark, lakeDir) match {
+      case None => base
+      case Some(dv) =>
+        base
+          .withColumn("file", fileNameCol)
+          .withColumn("pos", col("_metadata.row_index"))
+          .join(dv, Seq("file", "pos"), "left_anti")
+          .drop("file", "pos")
+    }
+  }
+
   /** Apply the vectors physically: rewrite ONLY the files that carry
     * DV rows (each minus its deleted positions), carry everything
     * else by name, publish one mutation checkpoint, drop `_dv`, sweep

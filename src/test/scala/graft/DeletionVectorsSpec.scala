@@ -115,6 +115,28 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(rw3 == 0 && !DeletionVectors.hasDvs(f, lake))
   }
 
+  test("readMorPruned composes file skipping with vectors: pruned ∧ " +
+    "DV-applied equals the filtered MoR view, and skipping is real") {
+    import graft.sources.StatsIndex
+    val lake = mkLake() // 3 range-disjoint files: 0-99/1000-1099/2000-2099
+    val idx = lake.stripSuffix("/lake") + "/idx"
+    StatsIndex.build(spark, lake, Seq("k"), idx)
+    DeletionVectors.deleteMor(spark, lake, "k % 10 = 3")
+    val ranges = Seq(StatsIndex.LongRange("k", 1000L, 1099L))
+    val got = DeletionVectors
+      .readMorPruned(spark, lake, idx, ranges)
+      .orderBy("k").select("k").as[Int].collect().toSeq
+    val want = DeletionVectors.readMor(spark, lake)
+      .filter(col("k").between(1000, 1099))
+      .orderBy("k").select("k").as[Int].collect().toSeq
+    assert(got == want && got.size == 90, s"pruned MoR ${got.size}")
+    // the prune is real: only one of three files can match the band
+    assert(StatsIndex.prunedTyped(spark, idx, ranges).size == 1)
+    // empty prune result: typed-empty frame, no vectors applied
+    assert(DeletionVectors.readMorPruned(spark, lake, idx,
+      Seq(StatsIndex.LongRange("k", 500000L, 500001L))).count() == 0L)
+  }
+
   test("a DV delete is a MUTATION in the history surface: snapshot " +
     "reads at or before its id fail fast") {
     val lake = mkLake()
