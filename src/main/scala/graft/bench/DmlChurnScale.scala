@@ -105,8 +105,11 @@ object DmlChurnScale {
     def probe(name: String, stringKey: Boolean,
         upd: org.apache.spark.sql.DataFrame, key: String): Unit = {
       println(s"""{"probe":"$name","cells":[""")
-      val cells = Seq(("1x", sf01, 16), ("10x", tenx, 160)).map {
-        case (tag, src, files) =>
+      // leading comma on every element but the first keeps the streamed
+      // progress output valid JSON (a trailing comma after the last
+      // element would break standard parsers)
+      val cells = Seq(("1x", sf01, 16), ("10x", tenx, 160)).zipWithIndex
+        .map { case ((tag, src, files), i) =>
           // fresh lake per rep: each merge mutates the lake, so only a
           // rebuild gives every rep the same starting state
           val outcomes = (1 to reps).map { _ =>
@@ -123,7 +126,7 @@ object DmlChurnScale {
           val l = f"""{"cell":"$tag","files":$files,""" +
             f""""merge_sec":${best._1}%.2f,"rewritten":${best._2._1},""" +
             f""""carried":${best._2._2}}"""
-          println("  " + l + ",")
+          println("  " + (if (i > 0) "," else "") + l)
           (tag, best._1)
       }
       val exp = math.log10(cells(1)._2 / cells(0)._2)
@@ -152,8 +155,8 @@ object DmlChurnScale {
       MergeInto.delete(spark, s"$w2/lake", sparsePred): Unit
     }
     println("""{"probe":"dv_vs_cow_sparse_delete","cells":[""")
-    val dvCells = Seq(("1x", sf01, 16), ("10x", tenx, 160)).map {
-      case (tag, src, files) =>
+    val dvCells = Seq(("1x", sf01, 16), ("10x", tenx, 160)).zipWithIndex
+      .map { case ((tag, src, files), i) =>
         val rootDv = buildLake(spark, src, s"dv_$tag", files)
         val dvSec = t {
           DeletionVectors.deleteMor(spark, s"$rootDv/lake", sparsePred)
@@ -165,7 +168,7 @@ object DmlChurnScale {
         }
         val l = f"""{"cell":"$tag","files":$files,"dv_sec":$dvSec%.2f,""" +
           f""""cow_sec":$cowSec%.2f,"cow_rewritten":${rw._1}}"""
-        println("  " + l + ",")
+        println("  " + (if (i > 0) "," else "") + l)
         (dvSec, cowSec)
     }
     println("]," +

@@ -101,7 +101,9 @@ object StreamBatchScale {
 
     println("""{"probe":"stream_trigger","layout_rows":""" + nRows +
       ""","cells":[""")
-    for (fpt <- Seq(1, 4, 16)) {
+    // leading comma on every element but the first keeps the streamed
+    // progress output valid JSON (no trailing comma after the last)
+    for ((fpt, i) <- Seq(1, 4, 16).zipWithIndex) {
       val batches = 16 / fpt
       val lSec = layoutRun(fpt, s"layout_$fpt")
       val (uSec, uRows) = upsertRun(fpt, s"upsert_$fpt")
@@ -110,7 +112,7 @@ object StreamBatchScale {
         f""""layout_ms_per_1k":${lSec * 1e6 / nRows}%.1f,""" +
         f""""upsert_sec":$uSec%.2f,"upsert_rows":$uRows,""" +
         f""""upsert_ms_per_1k":${uSec * 1e6 / uRows}%.1f}"""
-      println("  " + l + ",")
+      println("  " + (if (i > 0) "," else "") + l)
     }
     println("]}")
     println("[stream_trigger] done")

@@ -1417,9 +1417,14 @@ object Multimodal {
         ranges.indices.by(stride).map { i =>
           val (off, len) = ranges(i)
           // pixel bytes only for a verified JPEG sample (SOI marker);
-          // NULL = coordinates are real, content is not JVM-decodable
+          // NULL = coordinates are real, content is not JVM-decodable.
+          // len >= 2 keeps the two-byte probe inside the sample range
+          // (resolveRanges only bounds off + len <= payload.length, so
+          // a 1-byte sample at the payload edge must not crash —
+          // reject-don't-crash for untrusted media)
           val frame: Array[Byte] =
-            if (jpegTrack && (payload(off.toInt) & 0xff) == 0xff &&
+            if (jpegTrack && len >= 2 &&
+                (payload(off.toInt) & 0xff) == 0xff &&
                 (payload(off.toInt + 1) & 0xff) == 0xd8)
               java.util.Arrays.copyOfRange(payload, off.toInt,
                 (off + len).toInt)

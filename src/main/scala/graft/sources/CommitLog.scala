@@ -35,6 +35,19 @@ object CommitLog {
 
   def logDir(lakeDir: String): String = s"$lakeDir/_graft_log"
 
+  /** Record entries carrying this prefix name DELETION-VECTOR sidecar
+    * files (under `_dv/`) COVERED by the checkpoint — not data files.
+    * Publishing them inside the same record as the data-file list is
+    * what makes a merge-on-read mutation ATOMIC: one rename flips the
+    * committed file set AND which vectors readers apply. A dv file on
+    * disk that no live record covers is invisible crash debris (its
+    * mutation never published), swept by the next DV writer. The
+    * data-file readers below strip these entries; [[coveredDvNames]]
+    * is their read surface. */
+  private[sources] val DvPrefix = "dv:"
+
+  private def isDvEntry(n: String): Boolean = n.startsWith(DvPrefix)
+
   def manifestPath(lakeDir: String, batchId: Long): Path =
     new Path(logDir(lakeDir), s"$batchId.manifest")
 
@@ -147,7 +160,7 @@ object CommitLog {
         val newer = manifests
           .filter(s => recordId(s.getPath.getName) > ckptId)
           .flatMap(readRecord(fs, _))
-        return (base ++ newer).toSet
+        return (base ++ newer).filterNot(isDvEntry).toSet
       } catch {
         case e: FileNotFoundException =>
           attempt += 1
@@ -188,7 +201,7 @@ object CommitLog {
         s"time travel to batch $asOf: a DML mutation rewrote this id " +
           "in place — the pre-mutation snapshot is gone (history " +
           "rewritten; re-pin after mutations)")
-      return readRecord(fs, winner).toSet
+      return readRecord(fs, winner).filterNot(isDvEntry).toSet
     }
     require(!ckpts.exists(s => ckptKey(s.getPath.getName)._1 > asOf),
       s"time travel to batch $asOf: a newer checkpoint folded the " +
@@ -203,7 +216,26 @@ object CommitLog {
         val id = recordId(s.getPath.getName)
         id > baseId && id <= asOf
       }.flatMap(readRecord(fs, _))
-    names.toSet
+    names.filterNot(isDvEntry).toSet
+  }
+
+  /** The deletion-vector sidecar files the CURRENT committed view
+    * covers — the `dv:` entries of the newest checkpoint plus any
+    * newer manifests (appends never carry them, but the union is the
+    * same resolution rule as [[committedNames]]). Only these vectors
+    * are VISIBLE: a `_dv` file not in this set is an unpublished
+    * mutation's debris. Empty on a log-less lake. */
+  def coveredDvNames(fs: FileSystem, lakeDir: String): Set[String] = {
+    val (ckpts, manifests) = listLog(fs, lakeDir)
+    val ckpt = ckpts.sortBy(s => ckptKey(s.getPath.getName)).lastOption
+    val ckptId = ckpt.map(s => ckptKey(s.getPath.getName)._1)
+      .getOrElse(Long.MinValue)
+    val base = ckpt.map(readRecord(fs, _)).getOrElse(Seq.empty)
+    val newer = manifests
+      .filter(s => recordId(s.getPath.getName) > ckptId)
+      .flatMap(readRecord(fs, _))
+    (base ++ newer).filter(isDvEntry)
+      .map(_.substring(DvPrefix.length)).toSet
   }
 
   /** CDC-style incremental view: the file names batches in
@@ -243,7 +275,7 @@ object CommitLog {
     manifests.filter { s =>
       val id = recordId(s.getPath.getName)
       id > fromExclusive && id <= toInclusive
-    }.flatMap(readRecord(fs, _)).toSet
+    }.flatMap(readRecord(fs, _)).filterNot(isDvEntry).toSet
   }
 
   /** Lake maintenance: delete data files that are NOT in the committed
@@ -317,7 +349,11 @@ object CommitLog {
           // write needed, just sweep below
           s.getPath.getName
         case _ =>
-          val files = committedNames(fs, lakeDir).toSeq.sorted
+          // the fold must CARRY the covered-dv entries forward: a
+          // snapshot that dropped them would uncover live vectors and
+          // silently resurrect MoR-deleted rows on the next read
+          val files = committedNames(fs, lakeDir).toSeq.sorted ++
+            coveredDvNames(fs, lakeDir).toSeq.sorted.map(DvPrefix + _)
           val gen = latest
             .map(s => ckptKey(s.getPath.getName)._2 + 1).getOrElse(0L)
           // folding PRESERVES the mutation marker at the fold id: the
@@ -435,10 +471,17 @@ object CommitLog {
 
   /** A checkpoint that CHANGED row content in place (DML) — same
     * committed-view semantics, but flagged so the history APIs fail
-    * fast instead of serving it as an immutable snapshot. */
+    * fast instead of serving it as an immutable snapshot. `dvNames`
+    * is the COMPLETE set of deletion-vector sidecar files this
+    * version covers (previous covered set ± this mutation's changes):
+    * the one atomic rename publishes data files and vector visibility
+    * together, so no crash window can show data without its vectors
+    * or vectors without their data. */
   def commitMutationCheckpoint(fs: FileSystem, lakeDir: String,
-      id: Long, files: Seq[String]): Unit =
-    commitCheckpointImpl(fs, lakeDir, id, files, mutation = true)
+      id: Long, files: Seq[String],
+      dvNames: Seq[String] = Seq.empty): Unit =
+    commitCheckpointImpl(fs, lakeDir, id,
+      files ++ dvNames.sorted.map(DvPrefix + _), mutation = true)
 
   private def commitCheckpointImpl(fs: FileSystem, lakeDir: String,
       id: Long, files: Seq[String], mutation: Boolean): Unit = {

@@ -1,88 +1,155 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** MERGE-ON-READ deletes — Delta/Iceberg DELETION VECTORS from plain
-  * parquet and the existing [[CommitLog]] machinery.
+/** MERGE-ON-READ mutations — Delta/Iceberg DELETION VECTORS from
+  * plain parquet and the existing [[CommitLog]] machinery.
   *
-  * Copy-on-write DELETE ([[MergeInto.delete]]) rewrites every file
-  * holding a matching row: right when deletes are dense, pathological
-  * when they are sparse — a GDPR-style "delete these 1000 users"
-  * against a 100 TB lake would rewrite thousands of GB-sized files to
-  * remove kilobytes. [[deleteMor]] instead RECORDS the deleted
-  * positions: one tiny sidecar parquet under `_dv/` holding
-  * `(file, pos)` pairs — the file's name and the row's physical
-  * position from Spark's `_metadata.row_index` — and a
-  * `.mutation.checkpoint` publishing the SAME data file list (zero
-  * data rewritten; history APIs fail fast across it exactly as for a
-  * CoW mutation, because row content at that version changed).
+  * Copy-on-write DML ([[MergeInto]]) rewrites every file holding a
+  * matching row: right when changes are dense, pathological when they
+  * are sparse — a GDPR-style "delete/update these 1000 users" against
+  * a 100 TB lake would rewrite thousands of GB-sized files to change
+  * kilobytes. The MoR verbs instead RECORD positions: a tiny sidecar
+  * parquet under `_dv/` holding `(file, pos)` pairs — the file's name
+  * and the row's physical position from Spark's
+  * `_metadata.row_index` — marks rows dead; [[mergeMor]]/[[updateMor]]
+  * additionally APPEND a delta file carrying the replacement rows.
+  * Cost ∝ matched ROWS, never ∝ touched file bytes.
+  *
+  * ATOMICITY — one rename flips everything. A mutation publishes ONE
+  * `.mutation.checkpoint` whose record lists the data files (carried
+  * + any delta) AND the covered `_dv` sidecar files (`dv:`-prefixed
+  * entries, [[CommitLog.coveredDvNames]]). Vectors are VISIBLE only
+  * when covered: a `_dv` file no live record names is an unpublished
+  * mutation's debris — inert to every reader and swept by the next
+  * DV writer under the lock. So there is NO crash window in which a
+  * reader can see the delta without its vectors (duplicated rows) or
+  * the vectors without their delta (vanished rows): before the
+  * checkpoint rename nothing changed; after it, both halves are live.
+  *
   * [[readMor]] is the read surface: the committed view anti-joined
-  * against the DV set on `(file name, row position)` — the DV side is
-  * tiny, so AQE broadcasts it and the plan is one scan + one
-  * broadcast anti-join. [[compact]] applies the vectors physically
-  * (rewrites ONLY files that carry DV rows, drops `_dv`), returning
-  * the lake to plain-files state.
+  * against the covered vector set on `(file name, row position)` —
+  * the DV side is tiny, so AQE broadcasts it and the plan is one scan
+  * + one broadcast anti-join. [[compact]] applies the vectors
+  * physically (rewrites ONLY files that carry DV rows, drops `_dv`),
+  * returning the lake to plain-files state.
   *
   * WRITER INTERACTIONS — the part that makes MoR safe, not just fast:
   * every physical rewriter (CoW merge/update/delete, OPTIMIZE,
-  * small-file compaction) FAILS FAST while `_dv` is non-empty, because
-  * each reads committed files WITHOUT the vectors and would resurrect
-  * DV-deleted rows into its rewrite (`MergeInto.mutate`,
-  * `ZOrder.optimize`, `compactSmall` all check under the writer lock);
-  * run [[compact]] first. Ingest APPENDS compose freely (new files
-  * have no vectors). All DV operations hold the same single writer
-  * lock as every other lake writer.
+  * small-file compaction) FAILS FAST while covered vectors exist,
+  * because each reads committed files WITHOUT the vectors and would
+  * resurrect DV-deleted rows into its rewrite (`MergeInto.mutate`,
+  * `ZOrder.optimize`, `compactSmall` all check under the writer
+  * lock); run [[compact]] first. Ingest APPENDS compose freely (new
+  * files have no vectors). All DV operations hold the same single
+  * writer lock as every other lake writer.
   *
   * Read-surface contract: a DV'd lake is read through [[readMor]].
-  * The stats index's metadata-first answers (`countPruned`,
-  * `minMaxPruned`) and plain `readCommitted` do NOT apply vectors —
-  * their file-level stats stay CONSERVATIVE for pruning (a deleted
-  * row can only widen bounds), but exact metadata counts require
-  * [[compact]] first.
-  *
-  * Crash windows are self-healing: vectors land in `_dv` before the
-  * mutation checkpoint publishes, so a crash between the two leaves
-  * extra vectors that the next [[deleteMor]]'s new-pairs diff and
-  * [[readMor]]'s anti-join treat idempotently; a crash inside
-  * [[compact]] after its checkpoint leaves stale vectors referencing
-  * swept files — harmless to reads (no name matches) and cleared by
-  * re-running compact. `DeletionVectorsSpec` exercises each. */
+  * [[StatsIndex.countPruned]] SUBTRACTS the per-file covered-vector
+  * counts (metadata-scale — exact); [[StatsIndex.minMaxPruned]] fails
+  * fast (a deleted row can be the extremum, and footer bounds cannot
+  * know). Plain `readCommitted` does NOT apply vectors; per-file
+  * stats stay CONSERVATIVE for pruning (a deleted row can only widen
+  * bounds). `DeletionVectorsSpec` exercises every crash window. */
 object DeletionVectors {
 
   def dvDir(lakeDir: String): String = s"$lakeDir/_dv"
 
-  /** True when the lake has any recorded (unapplied) vectors. */
-  def hasDvs(fs: org.apache.hadoop.fs.FileSystem,
-      lakeDir: String): Boolean = {
+  /** Internal join-key names. A lake column named `file`/`pos` must
+    * survive the MoR read path unharmed, so the position columns are
+    * namespaced; colliding with THESE is rejected outright. */
+  private val FileCol = "__dv_file"
+  private val PosCol = "__dv_pos"
+
+  private def requireNoClash(df: DataFrame, what: String): Unit =
+    require(!df.columns.contains(FileCol) && !df.columns.contains(PosCol),
+      s"$what: the schema carries a reserved column name ($FileCol/" +
+        s"$PosCol) — rename it; these are the MoR position join keys")
+
+  /** `_dv` sidecar parquet names physically on disk (covered or not). */
+  private def dvFilesOnDisk(fs: org.apache.hadoop.fs.FileSystem,
+      lakeDir: String): Set[String] = {
     val d = new Path(dvDir(lakeDir))
-    fs.exists(d) && fs.listStatus(d)
-      .exists(_.getPath.getName.endsWith(".parquet"))
+    if (!fs.exists(d)) Set.empty
+    else fs.listStatus(d).iterator.map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSet
   }
 
-  /** The recorded vector set as a DataFrame of `(file, pos)`;
-    * empty-schema-safe when no vectors exist. */
-  private def vectors(spark: SparkSession, lakeDir: String)
+  /** The VISIBLE sidecar files: on disk ∩ covered by the commit log.
+    * Uncovered disk files are unpublished-mutation debris (inert). */
+  def coveredDvFiles(fs: org.apache.hadoop.fs.FileSystem,
+      lakeDir: String): Seq[String] =
+    (dvFilesOnDisk(fs, lakeDir) &
+      CommitLog.coveredDvNames(fs, lakeDir)).toSeq.sorted
+
+  /** True when the lake has any VISIBLE (covered, unapplied) vectors —
+    * the guard every copy-on-write rewriter checks. */
+  def hasDvs(fs: org.apache.hadoop.fs.FileSystem,
+      lakeDir: String): Boolean = coveredDvFiles(fs, lakeDir).nonEmpty
+
+  /** The covered vector set as a DataFrame of `(file, pos)` —
+    * shared with [[StatsIndex.countPruned]]'s per-file subtraction. */
+  private[sources] def vectors(spark: SparkSession, lakeDir: String)
       : Option[DataFrame] = {
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!hasDvs(fs, lakeDir)) None
-    else Some(spark.read.parquet(dvDir(lakeDir))
+    val covered = coveredDvFiles(fs, lakeDir)
+    if (covered.isEmpty) None
+    else Some(spark.read
+      .parquet(covered.map(n => s"${dvDir(lakeDir)}/$n"): _*)
       .select(col("file"), col("pos")).distinct())
   }
 
-  private def fileNameCol: org.apache.spark.sql.Column =
+  /** Unpublished debris sweep: `_dv` files the log does not cover are
+    * a crashed mutation's leftovers — never visible, safe to delete
+    * under the writer lock (the crashed mutation simply never
+    * happened). */
+  private def sweepUncovered(fs: org.apache.hadoop.fs.FileSystem,
+      lakeDir: String): Unit = {
+    val debris =
+      dvFilesOnDisk(fs, lakeDir) -- CommitLog.coveredDvNames(fs, lakeDir)
+    debris.foreach { n =>
+      fs.delete(new Path(dvDir(lakeDir), n), false); ()
+    }
+  }
+
+  private def fileNameCol: Column =
     element_at(split(col("_metadata.file_path"), "/"), -1)
+
+  /** Anti-join `base` against the covered vectors (if any) on
+    * `(file name, row position)` — the one shared MoR read step. */
+  private[sources] def applyVectors(base: DataFrame,
+      dv: Option[DataFrame]): DataFrame = dv match {
+    case None => base
+    case Some(v) =>
+      requireNoClash(base, "readMor")
+      base
+        .withColumn(FileCol, fileNameCol)
+        .withColumn(PosCol, col("_metadata.row_index"))
+        .join(v.select(col("file").as(FileCol), col("pos").as(PosCol)),
+          Seq(FileCol, PosCol), "left_anti")
+        .drop(FileCol, PosCol)
+  }
+
+  /** Write `pairs` (a `(file, pos)` frame) as one new sidecar file and
+    * return the new sidecar parquet names. */
+  private def writePairs(fs: org.apache.hadoop.fs.FileSystem,
+      lakeDir: String, pairs: DataFrame): Seq[String] = {
+    val before = dvFilesOnDisk(fs, lakeDir)
+    pairs.repartition(1).write.mode("append").parquet(dvDir(lakeDir))
+    (dvFilesOnDisk(fs, lakeDir) -- before).toSeq.sorted
+  }
 
   /** Merge-on-read DELETE: record `(file, pos)` for every committed
     * row matching `predicate` (SQL NULL semantics — NULL keeps the
-    * row) instead of rewriting files. Cost ∝ matched ROWS (16-byte
-    * pairs through one tiny write), never ∝ touched file bytes — the
-    * sparse-delete shape CoW cannot serve. Idempotent: pairs already
-    * recorded are not re-written, and the returned count is the NEWLY
-    * marked rows (0 on a repeat of the same predicate). Publishes a
-    * `.mutation.checkpoint` with the unchanged file list. */
+    * row) instead of rewriting files. Idempotent: pairs already
+    * covered are not re-written, and the returned count is the NEWLY
+    * marked rows (0 on a repeat of the same predicate, publishing
+    * nothing). Publishes ONE `.mutation.checkpoint` carrying the
+    * unchanged file list plus the new covered-vector set — vectors
+    * become visible atomically with it. */
   def deleteMor(spark: SparkSession, lakeDir: String,
       predicate: String): Long = {
     val fs = new Path(lakeDir)
@@ -90,6 +157,7 @@ object DeletionVectors {
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
       s"deleteMor: $lakeDir has no commit log — cannot publish atomically")
     CommitLog.withWriterLock(fs, lakeDir) {
+      sweepUncovered(fs, lakeDir)
       val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
       val lake = spark.read
         .parquet(committed.map(n => s"$lakeDir/$n"): _*)
@@ -105,18 +173,192 @@ object DeletionVectors {
       val pairs = fresh.localCheckpoint()
       val n = pairs.count()
       if (n > 0) {
-        pairs.repartition(1).write.mode("append")
-          .parquet(dvDir(lakeDir))
+        val newDv = writePairs(fs, lakeDir, pairs)
         val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
-        CommitLog.commitMutationCheckpoint(fs, lakeDir, id, committed)
+        CommitLog.commitMutationCheckpoint(fs, lakeDir, id, committed,
+          dvNames = coveredDvFiles(fs, lakeDir) ++ newDv)
       }
       n
     }
   }
 
-  /** The committed view MINUS the recorded vectors — ONE scan plus one
+  /** Merge-on-read MERGE: Delta's matched-replace / not-matched-insert
+    * semantics ([[MergeInto.merge]]) WITHOUT rewriting a single
+    * touched file — matched live rows' positions land in the `_dv`
+    * sidecar, ALL update rows (replacements and inserts alike) land
+    * in one appended delta file, and ONE mutation checkpoint flips
+    * data files and vector coverage together. [[readMor]] then serves
+    * the merged view unchanged: committed ∪ delta, minus vectors.
+    * The 100 TB shape copy-on-write cannot serve: a sparse upsert
+    * costs O(matched rows + update rows), never O(touched file
+    * bytes) — `DmlChurnScale`'s fixed-churn cell measures it.
+    *
+    * With `indexDir`, a CURRENT stats index accelerates matched-row
+    * discovery exactly as in CoW merge ([[MergeInto.keyCandidateFiles]]
+    * — min/max + bloom arms, composite keys intersected), shrinking
+    * the key-column scan to candidate files. `evolveSchema` follows
+    * [[MergeInto.merge]]'s additive contract; the delta file carries
+    * the added columns and readers opt in via
+    * `readMor(mergeSchema = true)`. Rows already MoR-deleted are dead:
+    * an update key pointing at one inserts a fresh row (the live view
+    * has no match), and never resurrects the dead one.
+    *
+    * Returns (matchedRows, appendedRows): live rows marked replaced,
+    * and update rows appended. A crash anywhere before the checkpoint
+    * publish leaves only invisible debris (uncommitted delta files
+    * for [[CommitLog.vacuum]], uncovered `_dv` files for the next
+    * writer's sweep). */
+  def mergeMor(spark: SparkSession, lakeDir: String, updates: DataFrame,
+      keys: Seq[String], evolveSchema: Boolean = false,
+      indexDir: Option[String] = None,
+      filesPerDelta: Int = 1): (Long, Long) = {
+    MergeInto.requireUniqueKeys(updates, keys, "mergeMor")
+    require(!keys.contains(FileCol) && !keys.contains(PosCol),
+      s"mergeMor: keys may not use the reserved names $FileCol/$PosCol")
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"mergeMor: $lakeDir has no commit log — cannot publish atomically")
+    CommitLog.withWriterLock(fs, lakeDir) {
+      sweepUncovered(fs, lakeDir)
+      val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
+      require(committed.nonEmpty,
+        s"mergeMor: no committed files in $lakeDir — ingest first")
+      val lake = spark.read.parquet(committed.map(n => s"$lakeDir/$n"): _*)
+      MergeInto.requireFullRowCompatible(lake, updates, "mergeMor",
+        evolveSchema)
+      // matched-position discovery: key columns + _metadata only (a
+      // column-pruned pass), optionally restricted to the index's
+      // key-candidate files. Committed rows INCLUDE earlier deltas and
+      // already-dead rows; the covered-vector anti-join below drops
+      // the dead ones, so `matched` counts live replacements only.
+      def hitsIn(base: DataFrame): DataFrame = base
+        .select(Seq(fileNameCol.as(FileCol),
+          col("_metadata.row_index").as(PosCol)) ++ keys.map(col): _*)
+        .join(updates.select(keys.map(col): _*).distinct(), keys,
+          "left_semi")
+        .select(col(FileCol).as("file"), col(PosCol).as("pos"))
+      val hits = MergeInto.keyCandidateFiles(spark, updates, keys,
+          indexDir, committed) match {
+        case Some(Seq()) => // provably pure-insert merge
+          hitsIn(lake).limit(0)
+        case Some(cand) => hitsIn(spark.read.parquet(cand: _*))
+        case None => hitsIn(lake)
+      }
+      val fresh = vectors(spark, lakeDir) match {
+        case None => hits
+        case Some(dv) => hits.join(dv, Seq("file", "pos"), "left_anti")
+      }
+      val pairs = fresh.localCheckpoint()
+      val matched = pairs.count()
+      val newDv =
+        if (matched == 0) Seq.empty else writePairs(fs, lakeDir, pairs)
+      val before = CommitLog.dataFileNames(fs, lakeDir)
+      updates.repartition(filesPerDelta).write.mode("append")
+        .parquet(lakeDir)
+      val delta =
+        (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
+      val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+      CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
+        committed ++ delta,
+        dvNames = coveredDvFiles(fs, lakeDir) ++ newDv)
+      CommitLog.vacuum(fs, lakeDir, olderThanMs = 0L)
+      // keep a stats index consistent with the new version: delta
+      // files footer-read in, nothing else moved (metadata-scale)
+      indexDir.foreach(idx =>
+        StatsIndex.refreshSameColumns(spark, lakeDir, idx))
+      // appended count from the delta itself — never re-executes the
+      // caller's (possibly expensive) update DAG
+      val appended =
+        if (delta.isEmpty) 0L
+        else spark.read
+          .parquet(delta.map(n => s"$lakeDir/$n"): _*).count()
+      (matched, appended)
+    }
+  }
+
+  /** Merge-on-read UPDATE: `SET col = <sql-expr>` for every LIVE
+    * committed row matching `predicate` — old positions land in the
+    * `_dv` sidecar, the post-SET rows land in one appended delta
+    * file, ONE mutation checkpoint flips both. Assignments are
+    * evaluated against the PRE-update row and cast back to the
+    * column's type (standard UPDATE semantics, as
+    * [[MergeInto.update]]). Rows already MoR-deleted are NOT updated
+    * — the update applies to the live view, never resurrects.
+    * `impliedRanges` is the same caller-asserted discovery hint as
+    * [[MergeInto.delete]]'s (predicate ⇒ ranges), shrinking the
+    * matched-row scan to the index's candidate files. Returns the
+    * number of rows updated. */
+  def updateMor(spark: SparkSession, lakeDir: String, predicate: String,
+      set: Map[String, String],
+      indexDir: Option[String] = None,
+      impliedRanges: Seq[StatsIndex.ColRange] = Nil): Long = {
+    require(set.nonEmpty, "updateMor needs at least one SET assignment")
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"updateMor: $lakeDir has no commit log — cannot publish atomically")
+    CommitLog.withWriterLock(fs, lakeDir) {
+      sweepUncovered(fs, lakeDir)
+      val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
+      require(committed.nonEmpty,
+        s"updateMor: no committed files in $lakeDir — ingest first")
+      val lake = spark.read.parquet(committed.map(n => s"$lakeDir/$n"): _*)
+      requireNoClash(lake, "updateMor")
+      val unknown = set.keySet -- lake.columns.toSet
+      require(unknown.isEmpty,
+        s"updateMor: SET names unknown columns ${unknown.toSeq.sorted
+          .mkString(", ")}")
+      val base = MergeInto.rangeCandidateFiles(spark, committed,
+          indexDir, impliedRanges) match {
+        case Some(Seq()) => lake.limit(0)
+        case Some(cand) => spark.read.parquet(cand: _*)
+        case None => lake
+      }
+      // matched LIVE rows, with their positions attached: the covered
+      // vectors anti-join BEFORE the predicate keeps dead rows out
+      val positioned = base
+        .withColumn(FileCol, fileNameCol)
+        .withColumn(PosCol, col("_metadata.row_index"))
+      val live = vectors(spark, lakeDir) match {
+        case None => positioned
+        case Some(dv) => positioned.join(
+          dv.select(col("file").as(FileCol), col("pos").as(PosCol)),
+          Seq(FileCol, PosCol), "left_anti")
+      }
+      val matched = live
+        .filter(coalesce(expr(predicate), lit(false)))
+        .localCheckpoint()
+      val n = matched.count()
+      if (n > 0) {
+        val pairs = matched
+          .select(col(FileCol).as("file"), col(PosCol).as("pos"))
+        val updated = matched.select(lake.schema.fields.map { f =>
+          set.get(f.name) match {
+            case Some(e) => expr(e).cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+        val newDv = writePairs(fs, lakeDir, pairs)
+        val before = CommitLog.dataFileNames(fs, lakeDir)
+        updated.repartition(1).write.mode("append").parquet(lakeDir)
+        val delta =
+          (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
+        val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+        CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
+          committed ++ delta,
+          dvNames = coveredDvFiles(fs, lakeDir) ++ newDv)
+        CommitLog.vacuum(fs, lakeDir, olderThanMs = 0L)
+        indexDir.foreach(idx =>
+          StatsIndex.refreshSameColumns(spark, lakeDir, idx))
+      }
+      n
+    }
+  }
+
+  /** The committed view MINUS the covered vectors — ONE scan plus one
     * (AQE-broadcast) anti-join on `(file name, row position)`. With no
-    * vectors this is exactly the plain committed read. */
+    * covered vectors this is exactly the plain committed read. */
   def readMor(spark: SparkSession, lakeDir: String,
       mergeSchema: Boolean = false): DataFrame = {
     val fs = new Path(lakeDir)
@@ -126,15 +368,7 @@ object DeletionVectors {
     val rdr = if (mergeSchema) spark.read.option("mergeSchema", "true")
       else spark.read
     val base = rdr.parquet(committed.map(n => s"$lakeDir/$n"): _*)
-    vectors(spark, lakeDir) match {
-      case None => base
-      case Some(dv) =>
-        base
-          .withColumn("file", fileNameCol)
-          .withColumn("pos", col("_metadata.row_index"))
-          .join(dv, Seq("file", "pos"), "left_anti")
-          .drop("file", "pos")
-    }
+    applyVectors(base, vectors(spark, lakeDir))
   }
 
   /** [[readMor]] with FILE-LEVEL SKIPPING: the committed ∩
@@ -142,10 +376,10 @@ object DeletionVectors {
     * re-applied (the [[StatsIndex]] contract), then the vectors
     * anti-join as in [[readMor]] — so a selective probe over a DV'd
     * 100 TB lake reads a handful of files AND never sees a deleted
-    * row. The index stays valid under vectors: deleteMor changes no
-    * data file, so the file set matches the committed view and the
-    * per-file bounds remain conservative (a deleted row can only
-    * widen them — pruning never loses a live row). */
+    * row. The index stays valid under vectors: MoR mutations change
+    * no indexed file's rows in place (deltas are indexed on refresh),
+    * and the per-file bounds remain conservative (a deleted row can
+    * only widen them — pruning never loses a live row). */
   def readMorPruned(spark: SparkSession, lakeDir: String,
       indexDir: String, ranges: Seq[StatsIndex.ColRange]): DataFrame = {
     require(ranges.nonEmpty, "readMorPruned needs at least one range")
@@ -161,21 +395,71 @@ object DeletionVectors {
           .map(n => s"$lakeDir/$n"): _*).filter(pred).limit(0)
       else spark.read.parquet(pruned.sorted
         .map(n => s"$lakeDir/$n"): _*).filter(pred)
-    vectors(spark, lakeDir) match {
-      case None => base
-      case Some(dv) =>
-        base
-          .withColumn("file", fileNameCol)
-          .withColumn("pos", col("_metadata.row_index"))
-          .join(dv, Seq("file", "pos"), "left_anti")
-          .drop("file", "pos")
+    applyVectors(base, vectors(spark, lakeDir))
+  }
+
+  /** STREAMING read of a DV'd lake — the micro-batched REPLAY of one
+    * table version (the backfill/bootstrap shape: drive a pipeline
+    * over the current lake state batch by batch). Semantics are
+    * SNAPSHOT-AT-START, pinned by `DeletionVectorsSpec`: the committed
+    * file set and the covered vectors are both resolved when the
+    * stream is constructed; rows from files appended later are
+    * filtered out, vectors recorded later are not applied, and
+    * uncommitted orphans are never served. For a LIVE tailing stream
+    * over a mutating lake, restart from a fresh snapshot — the same
+    * contract as [[CommitLog.changedNames]]'s resync rule (Delta's
+    * streaming source likewise refuses to tail across a mutation).
+    *
+    * Shape: one file-stream scan (`maxFilesPerTrigger` bounds each
+    * micro-batch) + one broadcast semi-join on the committed-name
+    * snapshot + one broadcast anti-join on the vector snapshot —
+    * metadata-bounded state, no shuffle. */
+  def readMorStream(spark: SparkSession, lakeDir: String,
+      maxFilesPerTrigger: Int = 4): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"readMorStream: $lakeDir has no commit log — a raw directory " +
+        "stream would serve uncommitted orphans")
+    val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
+    require(committed.nonEmpty,
+      s"readMorStream: no committed files in $lakeDir")
+    val schema = spark.read
+      .parquet(committed.map(n => s"$lakeDir/$n"): _*).schema
+    require(!schema.fieldNames.contains(FileCol) &&
+      !schema.fieldNames.contains(PosCol),
+      s"readMorStream: the schema carries a reserved column name " +
+        s"($FileCol/$PosCol) — rename it")
+    // vector snapshot: the covered files BY NAME, so later sidecar
+    // files can never join in (static file lists are pinned)
+    val dvSnap = coveredDvFiles(fs, lakeDir) match {
+      case Seq() => None
+      case names => Some(spark.read
+        .parquet(names.map(n => s"${dvDir(lakeDir)}/$n"): _*)
+        .select(col("file").as(FileCol), col("pos").as(PosCol))
+        .distinct())
     }
+    val names = committed.toDF(FileCol)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(lakeDir)
+      .withColumn(FileCol, fileNameCol)
+      .withColumn(PosCol, col("_metadata.row_index"))
+      .join(broadcast(names), Seq(FileCol), "left_semi")
+    val live = dvSnap match {
+      case None => stream
+      case Some(dv) =>
+        stream.join(broadcast(dv), Seq(FileCol, PosCol), "left_anti")
+    }
+    live.drop(FileCol, PosCol)
   }
 
   /** Apply the vectors physically: rewrite ONLY the files that carry
     * DV rows (each minus its deleted positions), carry everything
-    * else by name, publish one mutation checkpoint, drop `_dv`, sweep
-    * the replaced files — the lake is plain files again and every
+    * else by name, publish one mutation checkpoint WITHOUT dv entries
+    * (coverage ends atomically with it), drop `_dv`, sweep the
+    * replaced files — the lake is plain files again and every
     * CoW/OPTIMIZE path unblocks. Bounded by the DV'd file set, not
     * the lake. Returns (filesRewritten, filesCarried). */
   def compact(spark: SparkSession, lakeDir: String,
@@ -195,18 +479,21 @@ object DeletionVectors {
           .as[String].collect().toSeq.sorted.filter(committed.contains)
       }
       if (touched.isEmpty) {
-        // stale or absent vectors (e.g. a crashed earlier compact):
-        // nothing to apply — just clear the sidecar
+        // no visible vectors (possibly uncovered debris, or vectors
+        // referencing swept files) — just clear the sidecar
         fs.delete(new Path(dvDir(lakeDir)), true)
         (0, committed.size)
       } else {
         val dv = dvOpt.get
-        val survivors = spark.read
+        val base = spark.read
           .parquet(touched.map(n => s"$lakeDir/$n"): _*)
-          .withColumn("file", fileNameCol)
-          .withColumn("pos", col("_metadata.row_index"))
-          .join(dv, Seq("file", "pos"), "left_anti")
-          .drop("file", "pos")
+        requireNoClash(base, "compact")
+        val survivors = base
+          .withColumn(FileCol, fileNameCol)
+          .withColumn(PosCol, col("_metadata.row_index"))
+          .join(dv.select(col("file").as(FileCol),
+            col("pos").as(PosCol)), Seq(FileCol, PosCol), "left_anti")
+          .drop(FileCol, PosCol)
         val carried = committed.filterNot(touched.toSet)
         val before = CommitLog.dataFileNames(fs, lakeDir)
         survivors.repartition(filesPerRewrite)

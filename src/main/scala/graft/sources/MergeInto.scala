@@ -61,33 +61,10 @@ object MergeInto {
       keys: Seq[String], filesPerRewrite: Int = 4,
       evolveSchema: Boolean = false,
       indexDir: Option[String] = None): (Int, Int) = {
-    require(keys.nonEmpty, "merge needs at least one key column")
-    val dupes = updates.groupBy(keys.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).count()
-    require(dupes == 0,
-      s"merge: duplicate keys in updates on (${keys.mkString(", ")}) — " +
-        "each duplicate would race to replace the same row")
+    requireUniqueKeys(updates, keys, "merge")
     mutate(spark, lakeDir, "merge", filesPerRewrite,
         indexDir) { (lake, committed) =>
-      val missing = lake.columns.toSet -- updates.columns.toSet
-      require(missing.isEmpty,
-        s"merge: updates lack lake columns ${missing.toSeq.sorted
-          .mkString(", ")} — an update row must be a full row (partial " +
-          "updates would silently null the rest)")
-      val added = updates.columns.toSet -- lake.columns.toSet
-      require(added.isEmpty || evolveSchema,
-        s"merge: updates add columns ${added.toSeq.sorted.mkString(", ")} " +
-          "not in the lake schema — pass evolveSchema = true to evolve " +
-          "additively (readers then need mergeSchema = true)")
-      val updTypes = updates.schema.fields.map(f => f.name -> f.dataType).toMap
-      val clashes = lake.schema.fields.collect {
-        case f if updTypes.get(f.name).exists(_ != f.dataType) =>
-          s"${f.name} (lake ${f.dataType.simpleString} vs updates " +
-            s"${updTypes(f.name).simpleString})"
-      }
-      require(clashes.isEmpty,
-        s"merge: column type clash ${clashes.mkString("; ")} — cast the " +
-          "updates first (a silent type drift would poison later reads)")
+      requireFullRowCompatible(lake, updates, "merge", evolveSchema)
       // touched-file discovery: with a CURRENT stats index (its file
       // set matches the committed view — stale indexes are never
       // trusted for DML), candidate files come from the key-set prune
@@ -110,41 +87,11 @@ object MergeInto {
           "left_semi")
         .select(col("__file")).distinct()
         .collect().map(r => new Path(r.getString(0)).getName).toSet
-      val touchedViaIndex: Option[Set[String]] = indexDir.flatMap { idx =>
-        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
-        import spark.implicits._
-        val current = StatsIndex.indexedFiles(spark, idx)
-          .map(p => new Path(p).getName).toSet == committed.toSet
-        if (!current) None
-        else {
-          // NULL update keys never equality-match a lake row (they are
-          // pure inserts), so dropping them from discovery is exact
-          val sets: Seq[Set[String]] = keys.flatMap { k =>
-            updates.schema(k).dataType match {
-              case ByteType | ShortType | IntegerType | LongType =>
-                val ks = updates.select(col(k).cast("long")).na.drop()
-                  .distinct().limit(100001).as[Long].collect()
-                if (ks.length > 100000) None
-                else Some(
-                  StatsIndex.prunedForKeys(spark, idx, k, ks.toSeq).toSet)
-              case StringType =>
-                val ks = updates.select(col(k)).na.drop()
-                  .distinct().limit(100001).as[String].collect()
-                if (ks.length > 100000) None
-                else Some(StatsIndex
-                  .prunedForKeysString(spark, idx, k, ks.toSeq).toSet)
-              case _ => None
-            }
-          }
-          if (sets.isEmpty) None
-          else {
-            val cand = sets.reduce(_ intersect _)
-            if (cand.isEmpty) Some(Set.empty[String]) // pure-insert merge
-            else Some(touchedIn(
-              spark.read.parquet(cand.toSeq.sorted: _*)))
-          }
+      val touchedViaIndex: Option[Set[String]] =
+        keyCandidateFiles(spark, updates, keys, indexDir, committed).map {
+          case cand if cand.isEmpty => Set.empty[String] // pure-insert merge
+          case cand => touchedIn(spark.read.parquet(cand: _*))
         }
-      }
       val touched = touchedViaIndex.getOrElse(touchedIn(lake))
       // rewrite = touched rows that keep their version (anti-join on
       // keys; no broadcast hint — the keyset is usually tiny and AQE
@@ -257,22 +204,112 @@ object MergeInto {
   private def touchedUnder(spark: SparkSession, lakeDir: String,
       lake: DataFrame, committed: Seq[String], predicate: String,
       indexDir: Option[String],
-      impliedRanges: Seq[StatsIndex.ColRange]): Set[String] = {
-    val candidates: Option[Seq[String]] = indexDir.flatMap { idx =>
+      impliedRanges: Seq[StatsIndex.ColRange]): Set[String] =
+    rangeCandidateFiles(spark, committed, indexDir, impliedRanges) match {
+      case None => touchedBy(lake, predicate)
+      case Some(Nil) => Set.empty // no file can satisfy the ranges
+      case Some(cand) =>
+        touchedBy(spark.read.parquet(cand: _*), predicate)
+    }
+
+  /** Index-assisted candidate files (FULL paths, sorted) for a
+    * caller-asserted `impliedRanges` hint — `None` when no current
+    * index or no hint (fall back to the full pass), `Some(Nil)` when
+    * the index proves no file can match. Shared by the CoW verbs and
+    * the merge-on-read ones ([[DeletionVectors.updateMor]]). */
+  private[sources] def rangeCandidateFiles(spark: SparkSession,
+      committed: Seq[String], indexDir: Option[String],
+      impliedRanges: Seq[StatsIndex.ColRange]): Option[Seq[String]] =
+    indexDir.flatMap { idx =>
       if (impliedRanges.isEmpty) None
       else {
         val current = StatsIndex.indexedFiles(spark, idx)
           .map(p => new Path(p).getName).toSet == committed.toSet
         if (!current) None
-        else Some(StatsIndex.prunedTyped(spark, idx, impliedRanges))
+        else Some(StatsIndex.prunedTyped(spark, idx, impliedRanges).sorted)
       }
     }
-    candidates match {
-      case None => touchedBy(lake, predicate)
-      case Some(Nil) => Set.empty // no file can satisfy the ranges
-      case Some(cand) =>
-        touchedBy(spark.read.parquet(cand.sorted: _*), predicate)
+
+  /** Index-assisted candidate files (FULL paths, sorted) that can hold
+    * at least one of `updates`' key tuples — `None` when the index is
+    * absent, stale, or no key column's type/cardinality qualifies
+    * (fall back to the full column-pruned pass); `Some(Nil)` for a
+    * provably pure-insert merge. A COMPOSITE key intersects the
+    * per-column candidate sets: containing a matching tuple requires
+    * containing each component's value, so the intersection is a
+    * necessary condition — never excludes a file the full pass would
+    * keep. NULL update keys never equality-match a lake row (they are
+    * pure inserts), so dropping them from discovery is exact. Shared
+    * by [[merge]] and [[DeletionVectors.mergeMor]]. */
+  private[sources] def keyCandidateFiles(spark: SparkSession,
+      updates: DataFrame, keys: Seq[String], indexDir: Option[String],
+      committed: Seq[String]): Option[Seq[String]] =
+    indexDir.flatMap { idx =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+      import spark.implicits._
+      val current = StatsIndex.indexedFiles(spark, idx)
+        .map(p => new Path(p).getName).toSet == committed.toSet
+      if (!current) None
+      else {
+        val sets: Seq[Set[String]] = keys.flatMap { k =>
+          updates.schema(k).dataType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              val ks = updates.select(col(k).cast("long")).na.drop()
+                .distinct().limit(100001).as[Long].collect()
+              if (ks.length > 100000) None
+              else Some(
+                StatsIndex.prunedForKeys(spark, idx, k, ks.toSeq).toSet)
+            case StringType =>
+              val ks = updates.select(col(k)).na.drop()
+                .distinct().limit(100001).as[String].collect()
+              if (ks.length > 100000) None
+              else Some(StatsIndex
+                .prunedForKeysString(spark, idx, k, ks.toSeq).toSet)
+            case _ => None
+          }
+        }
+        if (sets.isEmpty) None
+        else Some(sets.reduce(_ intersect _).toSeq.sorted)
+      }
     }
+
+  /** The merge-shape preconditions [[merge]] and
+    * [[DeletionVectors.mergeMor]] share: `updates` must be unique on
+    * `keys` (each duplicate would race to replace the same row). */
+  private[sources] def requireUniqueKeys(updates: DataFrame,
+      keys: Seq[String], verb: String): Unit = {
+    require(keys.nonEmpty, s"$verb needs at least one key column")
+    val dupes = updates.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupes == 0,
+      s"$verb: duplicate keys in updates on (${keys.mkString(", ")}) — " +
+        "each duplicate would race to replace the same row")
+  }
+
+  /** Full-row schema compatibility between the lake and an update
+    * frame — shared by the CoW and MoR merge verbs (see [[merge]]'s
+    * scaladoc for the evolveSchema contract). */
+  private[sources] def requireFullRowCompatible(lake: DataFrame,
+      updates: DataFrame, verb: String, evolveSchema: Boolean): Unit = {
+    val missing = lake.columns.toSet -- updates.columns.toSet
+    require(missing.isEmpty,
+      s"$verb: updates lack lake columns ${missing.toSeq.sorted
+        .mkString(", ")} — an update row must be a full row (partial " +
+        "updates would silently null the rest)")
+    val added = updates.columns.toSet -- lake.columns.toSet
+    require(added.isEmpty || evolveSchema,
+      s"$verb: updates add columns ${added.toSeq.sorted.mkString(", ")} " +
+        "not in the lake schema — pass evolveSchema = true to evolve " +
+        "additively (readers then need mergeSchema = true)")
+    val updTypes = updates.schema.fields.map(f => f.name -> f.dataType).toMap
+    val clashes = lake.schema.fields.collect {
+      case f if updTypes.get(f.name).exists(_ != f.dataType) =>
+        s"${f.name} (lake ${f.dataType.simpleString} vs updates " +
+          s"${updTypes(f.name).simpleString})"
+    }
+    require(clashes.isEmpty,
+      s"$verb: column type clash ${clashes.mkString("; ")} — cast the " +
+        "updates first (a silent type drift would poison later reads)")
   }
 
   /** The shared mutation scaffold all three verbs run under ONE

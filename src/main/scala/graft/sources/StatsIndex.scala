@@ -1131,7 +1131,11 @@ object StatsIndex {
     * q61_meta_count hash-checks it against DuckDB. Indexes built
     * before the `nulls` column read as "null count unknown" and
     * simply classify every file as boundary (correct, just slower
-    * until the next rebuild). */
+    * until the next rebuild). DV-AWARE: covered deletion vectors
+    * subtract exactly (per-file dead counts for interior files, the
+    * readMor anti-join for boundary files — both metadata-scale), so
+    * a MoR-deleted lake can never return a phantom count;
+    * q70_dv_meta_count hash-checks the composition. */
   def countPruned(spark: SparkSession, dataDir: String,
       indexDir: String, ranges: Seq[ColRange]): Long = {
     require(ranges.nonEmpty, "countPruned needs at least one range")
@@ -1155,12 +1159,34 @@ object StatsIndex {
         .filter(col("row_count").isNotNull).distinct(), Seq("file"))
       .as[(String, Long)].collect()
     val interior = interiorCounts.iterator.map(_._1).toSet
-    val interiorRows = interiorCounts.iterator.map(_._2).sum
     val boundary = kept.filterNot(interior)
     val pred = ranges.map(_.predicate).reduce(_ && _)
+    // DV-awareness (r8 VERDICT ask #4): covered deletion vectors mark
+    // rows DEAD inside files whose footer counts still include them —
+    // an interior file's contribution drops by its covered-pair count
+    // (every dead row is physically in the file, and interior ⇒ every
+    // physical row matches the ranges, so the subtraction is exact),
+    // and the boundary scan anti-joins the vectors exactly as readMor
+    // does. Both corrections are metadata-scale: the sidecar holds one
+    // 16-byte pair per deleted row. A lake with no covered vectors
+    // (including every log-less lake) takes the original zero-I/O
+    // path. The lake must be read as its committed view for this to
+    // be exact — the same index-currency premise every caller already
+    // holds (the index's file set IS the data it describes).
+    val dvOpt = DeletionVectors.vectors(spark, dataDir)
+    val deadByFile: Map[String, Long] = dvOpt match {
+      case None => Map.empty
+      case Some(dv) => dv.groupBy(col("file")).count()
+        .as[(String, Long)].collect().toMap
+    }
+    val interiorRows = interiorCounts.iterator.map { case (path, rc) =>
+      rc - deadByFile.getOrElse(
+        new org.apache.hadoop.fs.Path(path).getName, 0L)
+    }.sum
     val boundaryRows =
       if (boundary.isEmpty) 0L
-      else spark.read.parquet(boundary: _*).filter(pred).count()
+      else DeletionVectors.applyVectors(
+        spark.read.parquet(boundary: _*), dvOpt).filter(pred).count()
     interiorRows + boundaryRows
   }
 
@@ -1521,6 +1547,17 @@ object StatsIndex {
   def minMaxPruned(spark: SparkSession, dataDir: String,
       indexDir: String, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "minMaxPruned needs at least one column")
+    // a covered deletion vector can mark the extremum row dead, and
+    // footer bounds cannot know which value died — unlike COUNT there
+    // is no metadata-scale correction, so FAIL FAST rather than serve
+    // a phantom extremum (r8 VERDICT ask #4; compact() first, or
+    // aggregate over readMor)
+    require(!DeletionVectors.hasDvs(
+      new org.apache.hadoop.fs.Path(dataDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration), dataDir),
+      s"minMaxPruned: $dataDir has unapplied deletion vectors — a dead " +
+        "row may hold the recorded extremum; run DeletionVectors." +
+        "compact first or aggregate over DeletionVectors.readMor")
     val idx = widened(readIndex(spark, indexDir))
     // metadata-scale collect: one row per (file, requested col) — the
     // same order as the file lists every prune path materializes

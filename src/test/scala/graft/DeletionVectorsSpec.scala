@@ -137,6 +137,205 @@ class DeletionVectorsSpec extends SparkSpec {
       Seq(StatsIndex.LongRange("k", 500000L, 500001L))).count() == 0L)
   }
 
+  test("coverage is atomic: an uncovered sidecar file is invisible " +
+    "to every reader and swept by the next DV writer — a crashed " +
+    "mutation never happened") {
+    val lake = mkLake()
+    val f = fs(lake)
+    // simulate a crash between the sidecar write and the checkpoint
+    // publish: a dv file lands, no record covers it
+    Seq.tabulate(5)(i => (f"part-$i%05d-x.parquet", 0L))
+      .toDF("file", "pos").coalesce(1)
+      .write.mode("append").parquet(DeletionVectors.dvDir(lake))
+    // a REAL pair too — point it at a committed file's row 0
+    val one = CommitLog.committedNames(f, lake).toSeq.sorted.head
+    Seq((one, 0L)).toDF("file", "pos").coalesce(1)
+      .write.mode("append").parquet(DeletionVectors.dvDir(lake))
+    assert(!DeletionVectors.hasDvs(f, lake),
+      "uncovered vectors must not count as visible")
+    assert(DeletionVectors.readMor(spark, lake).count() == 300L,
+      "uncovered vectors must not delete rows")
+    // CoW still unblocked (no covered vectors exist)
+    val (rw, _) = MergeInto.delete(spark, lake, "k = 2099")
+    assert(rw == 1, "CoW must run over uncovered debris")
+    // the next DV writer sweeps the debris under its lock
+    DeletionVectors.deleteMor(spark, lake, "k = 0")
+    val left = fs(lake).listStatus(
+      new Path(DeletionVectors.dvDir(lake)))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    assert(left.length == 1 &&
+      DeletionVectors.coveredDvFiles(f, lake) == left.toSeq.sorted,
+      s"debris must be swept, covered file kept: ${left.toSeq}")
+    assert(DeletionVectors.readMor(spark, lake).count() == 298L)
+  }
+
+  test("mergeMor upserts without rewriting a file: matched rows die " +
+    "in the sidecar, ALL update rows land in one delta file, readMor " +
+    "serves the merged view; MoR-deleted keys insert, never " +
+    "resurrect") {
+    val lake = mkLake()
+    val f = fs(lake)
+    val filesBefore = CommitLog.committedNames(f, lake)
+    val updates = Seq((5, 999L), (1005, 888L), (5000, 777L))
+      .toDF("k", "v")
+    val (matched, appended) =
+      DeletionVectors.mergeMor(spark, lake, updates, Seq("k"))
+    assert(matched == 2L && appended == 3L, s"($matched, $appended)")
+    val after = CommitLog.committedNames(f, lake)
+    assert(filesBefore.subsetOf(after) && after.size == 4,
+      "mergeMor must carry every old file and add exactly one delta")
+    val got = DeletionVectors.readMor(spark, lake)
+    assert(got.count() == 301L)
+    assert(got.filter(col("k") === 5).select("v").as[Long].head() == 999L)
+    assert(got.filter(col("k") === 1005).select("v").as[Long].head() == 888L)
+    assert(got.filter(col("k") === 5000).select("v").as[Long].head() == 777L)
+    // a key deleted via DV is DEAD: merging it again is an INSERT on
+    // the live view (matched = 0), and exactly one live copy exists
+    DeletionVectors.deleteMor(spark, lake, "k = 5")
+    assert(DeletionVectors.readMor(spark, lake)
+      .filter(col("k") === 5).count() == 0L)
+    val (m2, a2) = DeletionVectors.mergeMor(spark, lake,
+      Seq((5, 111L)).toDF("k", "v"), Seq("k"))
+    assert(m2 == 0L && a2 == 1L, s"dead key must not match ($m2)")
+    val five = DeletionVectors.readMor(spark, lake)
+      .filter(col("k") === 5).select("v").as[Long].collect().toSeq
+    assert(five == Seq(111L), s"exactly one live copy: $five")
+    // repeat of the same merge: the prior delta row dies, the new one
+    // replaces it — still exactly one live copy
+    val (m3, _) = DeletionVectors.mergeMor(spark, lake,
+      Seq((5, 222L)).toDF("k", "v"), Seq("k"))
+    assert(m3 == 1L)
+    assert(DeletionVectors.readMor(spark, lake)
+      .filter(col("k") === 5).select("v").as[Long].collect().toSeq ==
+      Seq(222L))
+    // merge preconditions hold for the MoR verb too
+    intercept[IllegalArgumentException](DeletionVectors.mergeMor(
+      spark, lake, Seq((1, 1L), (1, 2L)).toDF("k", "v"), Seq("k")))
+    intercept[IllegalArgumentException](DeletionVectors.mergeMor(
+      spark, lake, Seq(Tuple1(1)).toDF("k"), Seq("k")))
+  }
+
+  test("updateMor rewrites nothing and updates LIVE rows only: old " +
+    "positions die, post-SET rows append, dead rows stay dead") {
+    val lake = mkLake()
+    val f = fs(lake)
+    DeletionVectors.deleteMor(spark, lake, "k = 3")
+    val filesBefore = CommitLog.committedNames(f, lake)
+    val n = DeletionVectors.updateMor(spark, lake, "k < 10",
+      Map("v" -> "v + 1"))
+    assert(n == 9L, s"updated $n — the dead k=3 must not count")
+    val after = CommitLog.committedNames(f, lake)
+    assert(filesBefore.subsetOf(after) && after.size == 4,
+      "updateMor must carry every old file and add exactly one delta")
+    val got = DeletionVectors.readMor(spark, lake)
+    assert(got.count() == 299L, "row count unchanged by UPDATE")
+    assert(got.filter(col("k") === 3).count() == 0L,
+      "updateMor resurrected a DV-deleted row")
+    val want = (0 until 10).filterNot(_ == 3).map(k => k.toLong * 2 + 1)
+    assert(got.filter(col("k") < 10).orderBy("k")
+      .select("v").as[Long].collect().toSeq == want)
+    // untouched band is untouched
+    assert(got.filter(col("k") === 1000).select("v")
+      .as[Long].head() == 2000L)
+    // no matching row: nothing published, nothing changed
+    assert(DeletionVectors.updateMor(spark, lake, "k = -1",
+      Map("v" -> "0")) == 0L)
+    assert(CommitLog.committedNames(f, lake) == after)
+  }
+
+  test("a lake column named `file` or `pos` survives every MoR path " +
+    "unharmed (collision-proof internal join keys)") {
+    val lake = Files.createTempDirectory("graft_dvc_").toString + "/lake"
+    val f = fs(lake)
+    val before = CommitLog.dataFileNames(f, lake)
+    (0 until 100).map(k => (k, s"f$k", k.toLong))
+      .toDF("k", "file", "pos")
+      .coalesce(1).write.mode("append").parquet(lake)
+    CommitLog.commit(f, lake, 0,
+      (CommitLog.dataFileNames(f, lake) -- before).toSeq.sorted)
+    DeletionVectors.deleteMor(spark, lake, "k % 10 = 0")
+    val got = DeletionVectors.readMor(spark, lake)
+    assert(got.columns.toSeq == Seq("k", "file", "pos"),
+      s"schema mangled: ${got.columns.toSeq}")
+    assert(got.count() == 90L)
+    assert(got.filter(col("k") === 7)
+      .select("file", "pos").as[(String, Long)].head() == ("f7", 7L))
+    // compact preserves them physically too
+    DeletionVectors.compact(spark, lake)
+    val flat = graft.streaming.LayoutSink.readCommitted(spark, lake)
+    assert(flat.columns.toSeq.sorted == Seq("file", "k", "pos") &&
+      flat.count() == 90L)
+    assert(flat.filter(col("k") === 7)
+      .select("file", "pos").as[(String, Long)].head() == ("f7", 7L))
+    // updateMor keeps user file/pos intact while using its own keys
+    val n = DeletionVectors.updateMor(spark, lake, "k = 7",
+      Map("file" -> "'bumped'"))
+    assert(n == 1L)
+    assert(DeletionVectors.readMor(spark, lake).filter(col("k") === 7)
+      .select("file", "pos").as[(String, Long)].head() == ("bumped", 7L))
+  }
+
+  test("metadata-first answers are DV-aware: countPruned subtracts " +
+    "exactly, minMaxPruned fails fast") {
+    import graft.sources.StatsIndex
+    val lake = mkLake() // 3 range-disjoint files
+    val idx = lake.stripSuffix("/lake") + "/idx"
+    StatsIndex.build(spark, lake, Seq("k"), idx)
+    DeletionVectors.deleteMor(spark, lake,
+      "k IN (1000, 1001, 1050, 2000, 5)")
+    // interior file (1000-1099 fully inside) minus its 3 dead rows;
+    // boundary file (2000-2099 straddles the edge) anti-joined
+    val ranges = Seq(StatsIndex.LongRange("k", 1000L, 2050L))
+    val got = StatsIndex.countPruned(spark, lake, idx, ranges)
+    val want = DeletionVectors.readMor(spark, lake)
+      .filter(col("k").between(1000, 2050)).count()
+    assert(got == want && got == 147L, s"countPruned $got vs $want")
+    val e = intercept[IllegalArgumentException](
+      StatsIndex.minMaxPruned(spark, lake, idx, Seq("k")))
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    // after compact both answer again, vector-free
+    DeletionVectors.compact(spark, lake, indexDir = Some(idx))
+    assert(StatsIndex.countPruned(spark, lake, idx, ranges) == 147L)
+    assert(StatsIndex.minMaxPruned(spark, lake, idx, Seq("k"))
+      .select("min_k").as[Long].head() == 0L)
+  }
+
+  test("readMorStream replays the snapshot at construction: orphans " +
+    "invisible, later appends and later vectors excluded, result " +
+    "equals the batch readMor view") {
+    val lake = mkLake()
+    val f = fs(lake)
+    DeletionVectors.deleteMor(spark, lake, "k % 10 = 3")
+    val wantSnapshot = DeletionVectors.readMor(spark, lake)
+      .orderBy("k").select("k").as[Int].collect().toSeq
+    // an uncommitted orphan in the directory
+    Seq((7777, 1L)).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(lake)
+    val stream = DeletionVectors.readMorStream(spark, lake,
+      maxFilesPerTrigger = 2)
+    // AFTER construction: a new committed append and a new DV delete —
+    // neither may leak into the already-constructed snapshot
+    val before = CommitLog.dataFileNames(f, lake)
+    Seq((8888, 2L)).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(lake)
+    CommitLog.commit(f, lake, 3,
+      (CommitLog.dataFileNames(f, lake) -- before).toSeq.sorted)
+    DeletionVectors.deleteMor(spark, lake, "k = 0")
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("dv_snapshot_replay")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("dv_snapshot_replay")
+      .orderBy("k").select("k").as[Int].collect().toSeq
+    assert(got == wantSnapshot,
+      s"stream drifted from its snapshot: ${got.size} vs " +
+        s"${wantSnapshot.size} rows")
+    // and the lake's CURRENT batch view moved on
+    assert(DeletionVectors.readMor(spark, lake).count() ==
+      wantSnapshot.size + 1L - 1L) // +8888, -k=0
+  }
+
   test("a DV delete is a MUTATION in the history surface: snapshot " +
     "reads at or before its id fail fast") {
     val lake = mkLake()
