@@ -331,7 +331,7 @@ object ExtendedQueries {
       }
     }, "graft-layout-temp-cleanup"))
   }
-  private def tempWork(tag: String): String = {
+  private[queries] def tempWork(tag: String): String = {
     val p = java.nio.file.Files.createTempDirectory(tag)
     tempWorkDirs.add(p)
     p.toString
@@ -492,7 +492,7 @@ object ExtendedQueries {
     * logged lake as three committed batches (split `l_orderkey % 3`),
     * plus a fourth batch's files written but NEVER committed — a
     * crashed ingest's orphans. Returns the lake dir. */
-  private def loggedLake(s: SparkSession, dir: String,
+  private[queries] def loggedLake(s: SparkSession, dir: String,
       work: String): String = {
     import graft.sources.CommitLog
     val lake = s"$work/lake"
@@ -606,7 +606,7 @@ object ExtendedQueries {
     import graft.sources.MergeInto
     val lake = loggedLake(s, dir, tempWork("graft_q58_"))
     MergeInto.delete(s, lake,
-      "l_shipdate < TIMESTAMP '1995-01-01 00:00:00'")
+      "l_shipdate < TIMESTAMP '1996-01-01 00:00:00'")
     graft.streaming.LayoutSink.readCommitted(s, lake)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
@@ -757,6 +757,35 @@ object ExtendedQueries {
       Seq("l_orderkey", "l_extendedprice", "l_quantity"))
   }
 
+  /** The string-keyed doc lake q64/q68 share: `documents` projected to
+    * (doc_key, lang, n_chars), split `doc_id % 3` into 3 committed
+    * batches — a SHUFFLED layout, so only the bloom arm can prune
+    * string point keys — and bloom-indexed on `doc_key`. Returns
+    * (lakeDir, indexDir) plus the keyed projection helper. */
+  private def docKeyLake(s: SparkSession, dir: String, work: String)
+      : (String, String,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    import graft.sources.{CommitLog, StatsIndex}
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.select(
+      concat(lit("doc-"),
+        lpad(col("doc_id").cast("string"), 8, "0")).as("doc_key"),
+      col("lang"), col("n_chars"))
+    val docs = table(s, dir, "documents")
+    for (b <- 0 to 2) {
+      val before = CommitLog.dataFileNames(fs, lake)
+      keyed(docs.filter(pmod(col("doc_id"), lit(3)) === b))
+        .write.mode("append").parquet(lake)
+      CommitLog.commit(fs, lake, b,
+        (CommitLog.dataFileNames(fs, lake) -- before).toSeq.sorted)
+    }
+    StatsIndex.build(s, lake, Seq("doc_key"), s"$work/idx",
+      bloomCols = Seq("doc_key"), bloomItems = 100000, bloomFpp = 0.001)
+    (lake, s"$work/idx", keyed)
+  }
+
   /** STRING-keyed MERGE with index-assisted discovery, oracle-checked
     * end to end (r7 VERDICT ask #3): a commit-logged doc lake keyed by
     * a string `doc_key` (the natural key of an LLM corpus — min/max
@@ -775,27 +804,9 @@ object ExtendedQueries {
     * stayed exact. MergeIntoSpec asserts the candidate-set ⊇ touched
     * contract directly. */
   val q64MergeStringKey: Q = (s, dir) => {
-    import graft.sources.{CommitLog, MergeInto, StatsIndex}
-    val work = tempWork("graft_q64_")
-    val lake = s"$work/lake"
-    val fs = new org.apache.hadoop.fs.Path(lake)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    def keyed(df: org.apache.spark.sql.DataFrame) = df.select(
-      concat(lit("doc-"),
-        lpad(col("doc_id").cast("string"), 8, "0")).as("doc_key"),
-      col("lang"), col("n_chars"))
+    import graft.sources.MergeInto
+    val (lake, idx, keyed) = docKeyLake(s, dir, tempWork("graft_q64_"))
     val docs = table(s, dir, "documents")
-    // 3 committed batches split by congruence class — a SHUFFLED
-    // layout, so only the bloom arm can prune string point keys
-    for (b <- 0 to 2) {
-      val before = CommitLog.dataFileNames(fs, lake)
-      keyed(docs.filter(pmod(col("doc_id"), lit(3)) === b))
-        .write.mode("append").parquet(lake)
-      CommitLog.commit(fs, lake, b,
-        (CommitLog.dataFileNames(fs, lake) -- before).toSeq.sorted)
-    }
-    StatsIndex.build(s, lake, Seq("doc_key"), s"$work/idx",
-      bloomCols = Seq("doc_key"), bloomItems = 100000, bloomFpp = 0.001)
     val upd = keyed(docs.filter(pmod(col("doc_id"), lit(97)) === 0))
       .withColumn("n_chars", col("n_chars") + 1000)
     val ins = keyed(docs.filter(pmod(col("doc_id"), lit(101)) === 5))
@@ -803,7 +814,7 @@ object ExtendedQueries {
         concat(lit("new-"), col("doc_key")))
       .withColumn("n_chars", col("n_chars") + 7)
     MergeInto.merge(s, lake, upd.unionByName(ins), Seq("doc_key"),
-      indexDir = Some(s"$work/idx"))
+      indexDir = Some(idx))
     graft.streaming.LayoutSink.readCommitted(s, lake)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
@@ -868,7 +879,7 @@ object ExtendedQueries {
     CommitLog.commit(fs, lake, 0L,
       CommitLog.dataFileNames(fs, lake).toSeq.sorted)
     StatsIndex.build(s, lake, Seq("l_shipdate"), s"$work/idx")
-    val (loLit, hiLit) = ("1992-01-01 00:00:00", "1994-01-01 00:00:00")
+    val (loLit, hiLit) = ("1995-01-01 00:00:00", "1997-01-01 00:00:00")
     // the instants the PROBE session's parse of those literals denotes
     def parsed(ts: String): java.time.Instant = {
       val micros = s.sql(s"SELECT unix_micros(TIMESTAMP '$ts') AS m")
@@ -912,6 +923,158 @@ object ExtendedQueries {
         sumd(col("l_extendedprice")).as("sum_price"))
   }
 
+  /** MERGE-ON-READ upsert, oracle-checked end to end (r8 VERDICT ask
+    * #1): the q64 fixture — a string-keyed doc lake on a SHUFFLED
+    * layout, bloom-indexed on `doc_key` — upserted through
+    * [[graft.sources.DeletionVectors.mergeMor]]: matched rows' old
+    * positions land in the `_dv` sidecar (discovered through the
+    * string bloom arm, never a full key-column scan), ALL update rows
+    * land in one appended delta file, and ONE mutation checkpoint
+    * flips data files and vector coverage atomically — ZERO data
+    * files rewritten, where CoW MERGE on this shuffled layout would
+    * rewrite essentially every file (every congruence class spreads
+    * across all of them). The read is [[graft.sources
+    * .DeletionVectors.readMor]]: committed ∪ delta minus vectors. The
+    * oracle computes the same merged corpus as CASE + UNION ALL over
+    * `documents`: the hash match proves position-marking killed
+    * exactly the replaced rows (an off-by-one would shift the sums),
+    * the delta carried every update row, and the atomic coverage
+    * publish lost nothing. The 100 TB shape: a sparse upsert costs
+    * O(matched rows), not O(touched file bytes) —
+    * `DmlChurnScale`'s MoR cell measures the exponent. */
+  val q68DvMerge: Q = (s, dir) => {
+    import graft.sources.DeletionVectors
+    val (lake, idx, keyed) = docKeyLake(s, dir, tempWork("graft_q68_"))
+    val docs = table(s, dir, "documents")
+    val upd = keyed(docs.filter(pmod(col("doc_id"), lit(89)) === 1))
+      .withColumn("n_chars", col("n_chars") + 500)
+    val ins = keyed(docs.filter(pmod(col("doc_id"), lit(103)) === 7))
+      .withColumn("doc_key", concat(lit("new-"), col("doc_key")))
+      .withColumn("n_chars", col("n_chars") + 13)
+    DeletionVectors.mergeMor(s, lake, upd.unionByName(ins),
+      Seq("doc_key"), indexDir = Some(idx))
+    DeletionVectors.readMor(s, lake)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** File skipping ∧ deletion vectors on the READ path, oracle-checked
+    * end to end (r8 VERDICT ask #3): lineitem range-clustered on
+    * `l_shipdate` into a committed lake, stats-indexed, every
+    * `l_orderkey % 7 == 0` row MoR-deleted (zero files rewritten),
+    * then a shipping-window probe through [[graft.sources
+    * .DeletionVectors.readMorPruned]] — the index prunes to the
+    * window's band, the exact predicate re-applies, and the covered
+    * vectors anti-join so no dead row survives. The range endpoints
+    * are the SAME literals parsed by the SAME session (the q66
+    * tz-drift-proof construction). The oracle is the complement ∧
+    * window filter over lineitem: the hash match proves pruning lost
+    * no live row AND vectors killed no extra one — the composition
+    * `DeletionVectorsSpec` pins, now hash-checked cross-engine. The
+    * 100 TB shape: a selective probe over a DV'd lake reads a handful
+    * of files, not the table, and still never sees a deleted row. */
+  val q69DvPrunedScan: Q = (s, dir) => {
+    import graft.sources.{CommitLog, DeletionVectors, StatsIndex}
+    val work = tempWork("graft_q69_")
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    table(s, dir, "lineitem")
+      .repartitionByRange(6, col("l_shipdate")).write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    StatsIndex.build(s, lake, Seq("l_shipdate"), s"$work/idx")
+    DeletionVectors.deleteMor(s, lake, "l_orderkey % 7 = 0")
+    val (loLit, hiLit) = ("1997-01-01 00:00:00", "1998-12-31 23:59:59")
+    def parsed(ts: String): java.time.Instant = {
+      val micros = s.sql(s"SELECT unix_micros(TIMESTAMP '$ts') AS m")
+        .head.getLong(0)
+      java.time.Instant.EPOCH.plusNanos(micros * 1000L)
+    }
+    DeletionVectors.readMorPruned(s, lake, s"$work/idx",
+      Seq(StatsIndex.TimestampRange("l_shipdate",
+        parsed(loLit), parsed(hiLit))))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("l_extendedprice")).as("sum_price"))
+  }
+
+  /** DV-AWARE metadata-first COUNT, oracle-checked end to end (r8
+    * VERDICT ask #4): the q61 shape — z-ordered lake, stats index,
+    * 2-D box COUNT from footer metadata — but committed and then
+    * MoR-deleted, so [[graft.sources.StatsIndex.countPruned]] must
+    * SUBTRACT the covered vectors: interior files contribute
+    * `row_count - dead(file)` (still zero data I/O — the sidecar is
+    * metadata-scale), the boundary shell scans with the readMor
+    * anti-join. The oracle is the plain filtered COUNT over the
+    * complement: the hash match proves a DV'd lake can never return a
+    * phantom count — the footgun the r8 verdict named, closed
+    * end to end rather than by fail-fast. */
+  val q70DvMetaCount: Q = (s, dir) => {
+    import graft.sources.{CommitLog, DeletionVectors, StatsIndex}
+    val work = tempWork("graft_q70_")
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    ZOrder.write(table(s, dir, "lineitem"), lake,
+      Seq("l_partkey", "l_suppkey"), bits = 10, numFiles = 8)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    StatsIndex.build(s, lake, Seq("l_partkey", "l_suppkey"),
+      s"$work/idx")
+    DeletionVectors.deleteMor(s, lake, "l_orderkey % 9 = 1")
+    val n = StatsIndex.countPruned(s, lake, s"$work/idx",
+      Seq(StatsIndex.LongRange("l_partkey", 100L, 1500L),
+        StatsIndex.LongRange("l_suppkey", 5L, 90L)))
+    import s.implicits._
+    Seq(n).toDF("n")
+  }
+
+  /** MERGE-ON-READ predicate UPDATE, oracle-checked end to end: the
+    * q69 fixture (time-clustered committed lake, `l_orderkey % 7`
+    * rows MoR-deleted) updated through [[graft.sources
+    * .DeletionVectors.updateMor]] with the `impliedRanges` discovery
+    * hint — a shipping-window quantity bump whose matched-row scan
+    * reads only the index's candidate band, whose old positions die
+    * in the sidecar, and whose post-SET rows land in one delta file;
+    * zero data files rewritten. Dead rows are NOT updated: the
+    * covered-vector anti-join runs BEFORE the predicate, so an
+    * earlier MoR delete can never be resurrected by a later update —
+    * the live-view-only semantics the oracle's CASE over the
+    * complement encodes. The hash match proves matched discovery,
+    * position marking, SET evaluation against the pre-update row and
+    * the atomic publish all compose exactly. */
+  val q71DvUpdate: Q = (s, dir) => {
+    import graft.sources.{CommitLog, DeletionVectors, StatsIndex}
+    val work = tempWork("graft_q71_")
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    table(s, dir, "lineitem")
+      .repartitionByRange(6, col("l_shipdate")).write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    StatsIndex.build(s, lake, Seq("l_shipdate"), s"$work/idx")
+    DeletionVectors.deleteMor(s, lake, "l_orderkey % 7 = 0")
+    val (loLit, hiLit) = ("1999-01-01 00:00:00", "2001-01-01 00:00:00")
+    def parsed(ts: String): java.time.Instant = {
+      val micros = s.sql(s"SELECT unix_micros(TIMESTAMP '$ts') AS m")
+        .head.getLong(0)
+      java.time.Instant.EPOCH.plusNanos(micros * 1000L)
+    }
+    DeletionVectors.updateMor(s, lake,
+      s"l_shipdate >= TIMESTAMP '$loLit' AND " +
+        s"l_shipdate < TIMESTAMP '$hiLit'",
+      Map("l_quantity" -> "l_quantity + 5"),
+      indexDir = Some(s"$work/idx"),
+      impliedRanges = Seq(StatsIndex.TimestampRange("l_shipdate",
+        parsed(loLit), parsed(hiLit))))
+    DeletionVectors.readMor(s, lake)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("l_quantity")).as("sum_qty"))
+  }
+
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
     * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
     * aggregated per curve cell. The oracle UNROLLS the same phases as
@@ -943,6 +1106,10 @@ object ExtendedQueries {
     "q65_inlist_scan" -> q65InlistScan,
     "q66_delete_pruned" -> q66DeletePruned,
     "q67_dv_delete" -> q67DvDelete,
+    "q68_dv_merge" -> q68DvMerge,
+    "q69_dv_pruned_scan" -> q69DvPrunedScan,
+    "q70_dv_meta_count" -> q70DvMetaCount,
+    "q71_dv_update" -> q71DvUpdate,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
@@ -1001,7 +1168,7 @@ object ExtendedQueries {
       s"""SELECT l_returnflag, count(*) AS n,
          |  ${sqlSumd("l_extendedprice")} AS sum_price
          |FROM lineitem
-         |WHERE NOT (l_shipdate < TIMESTAMP '1995-01-01 00:00:00')
+         |WHERE NOT (l_shipdate < TIMESTAMP '1996-01-01 00:00:00')
          |GROUP BY 1""".stripMargin,
     "q61_meta_count" ->
       """SELECT count(*) AS n FROM lineitem
@@ -1036,12 +1203,46 @@ object ExtendedQueries {
       s"""SELECT l_returnflag, count(*) AS n,
          |  ${sqlSumd("l_extendedprice")} AS sum_price
          |FROM lineitem
-         |WHERE NOT (l_shipdate >= TIMESTAMP '1992-01-01 00:00:00'
-         |  AND l_shipdate < TIMESTAMP '1994-01-01 00:00:00')
+         |WHERE NOT (l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
          |GROUP BY 1""".stripMargin,
     "q67_dv_delete" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE NOT (l_orderkey % 7 = 0)
+         |GROUP BY 1""".stripMargin,
+    "q68_dv_merge" ->
+      """WITH merged AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 89 = 1 THEN n_chars + 500
+        |         ELSE n_chars END AS nc
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT lang, n_chars + 13 AS nc
+        |  FROM documents WHERE doc_id % 103 = 7
+        |)
+        |SELECT lang, count(*) AS n, CAST(sum(nc) AS BIGINT) AS sum_chars
+        |FROM merged GROUP BY 1""".stripMargin,
+    "q69_dv_pruned_scan" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE NOT (l_orderkey % 7 = 0)
+         |  AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+         |    AND TIMESTAMP '1998-12-31 23:59:59'
+         |GROUP BY 1""".stripMargin,
+    "q70_dv_meta_count" ->
+      """SELECT count(*) AS n FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 1500
+        |  AND l_suppkey BETWEEN 5 AND 90
+        |  AND NOT (l_orderkey % 9 = 1)""".stripMargin,
+    "q71_dv_update" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd(
+        "CASE WHEN l_shipdate >= TIMESTAMP '1999-01-01 00:00:00' " +
+          "AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00' " +
+          "THEN l_quantity + 5 ELSE l_quantity END")} AS sum_qty
          |FROM lineitem
          |WHERE NOT (l_orderkey % 7 = 0)
          |GROUP BY 1""".stripMargin,

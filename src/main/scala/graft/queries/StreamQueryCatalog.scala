@@ -409,7 +409,38 @@ object StreamQueryCatalog {
       .select(col("doc_id"), col("lang"), col("rev"), col("score"))
   }
 
+  /** STREAMING × MERGE-ON-READ boundary, oracle-checked end to end
+    * (r8 VERDICT ask #5): a committed lake with crash orphans and
+    * MoR-deleted rows consumed AS A STREAM through
+    * [[graft.sources.DeletionVectors.readMorStream]] — the
+    * snapshot-at-construction replay: the committed file set and the
+    * covered vectors are pinned when the stream is built, each
+    * micro-batch (`maxFilesPerTrigger`) filters to the snapshot's
+    * files and anti-joins its vectors, orphans never appear, and the
+    * complete-mode aggregate over the finite replay equals the batch
+    * readMor aggregate — which is what the complement-filter oracle
+    * states. Decimal sums make the result batch-boundary-free. The
+    * pinned contract (a post-construction delete or append never
+    * leaks in) is `DeletionVectorsSpec`'s snapshot test; this query
+    * hash-checks the served rows cross-engine. */
+  val qs16StreamDvRead: Q = (s, dir) => {
+    import graft.sources.DeletionVectors
+    val lake = ExtendedQueries.loggedLake(s, dir,
+      ExtendedQueries.tempWork("graft_qs16_"))
+    DeletionVectors.deleteMor(s, lake, "l_orderkey % 5 = 0")
+    val agg = DeletionVectors.readMorStream(s, lake,
+      maxFilesPerTrigger = 2)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(28, 6)))
+          .cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+    runToTable(agg, s, "complete")
+      .select(col("l_returnflag"), col("n"), col("sum_price"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "qs16_stream_dv_read" -> qs16StreamDvRead,
     "qs15_stream_upsert" -> qs15StreamUpsert,
     "qs14_stream_layout" -> qs14StreamLayout,
     "qs13_stream_pii_scrub" -> qs13StreamPiiScrub,
@@ -427,6 +458,12 @@ object StreamQueryCatalog {
     "qs4_stream_dedup" -> qs4StreamDedup)
 
   val sql: Map[String, String] = Map(
+    "qs16_stream_dv_read" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${Oracle.sqlSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE NOT (l_orderkey % 5 = 0)
+         |GROUP BY 1""".stripMargin,
     "qs15_stream_upsert" ->
       """SELECT doc_id, lang,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)

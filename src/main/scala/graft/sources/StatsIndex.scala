@@ -492,12 +492,25 @@ object StatsIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dataDir).getFileSystem(conf)
     val out = Seq.newBuilder[String]
-    val it = fs.listFiles(new Path(dataDir), /* recursive = */ true)
+    val root = fs.makeQualified(new Path(dataDir))
+    val it = fs.listFiles(root, /* recursive = */ true)
+    // Spark's listing convention: a file is hidden if ANY path segment
+    // below the root starts with `_` or `.` — so sidecar DIRECTORIES
+    // (`_dv`, `_graft_log`) are excluded whole, not just `_`-named
+    // files (a `_dv/part-*.parquet` has a plain leaf name)
+    def hidden(p: Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != root) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (name.endsWith(".parquet") && !name.startsWith("_") &&
-          !name.startsWith(".")) out += f.getPath.toString
+      if (f.getPath.getName.endsWith(".parquet") && !hidden(f.getPath))
+        out += f.getPath.toString
     }
     val files = out.result().sorted
     require(files.nonEmpty,
