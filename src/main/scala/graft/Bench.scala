@@ -179,17 +179,20 @@ object Bench {
             // any page-cache eviction — e.g. a preceding scale run's
             // 3 GB replica — and the rep spread widens spuriously
             preTouch(s, Seq(path))
-            // ... and TWO untimed FULL-SCALE executions: the 20k-row
+            // ... and THREE untimed FULL-SCALE executions: the 20k-row
             // warmup compiles the plan paths but not the full-scale
             // JIT tier (treeAggregate inner loops, BLAS dispatch),
             // and C2 compilation is ASYNC — a single warm run leaves
             // its compile queue draining into the first timed rep
             // (measured r8: rep 1 at 2-3× with one warm run — 21.5
-            // vs 7.6-8.5 steady — reps 2+ within 1.3× on every
-            // cell). Timed reps measure STEADY STATE — the
-            // cluster-relevant number, where every executor outlives
-            // its first task by hours
-            (1 to 2).foreach { _ =>
+            // vs 7.6-8.5 steady). TWO warms still left one residual
+            // rep-1 draw (r8's e2e_svm_raw: 19.1 s rep 1 vs 8.4-9.9
+            // steady — LinearSVC's treeAggregate occasionally
+            // compiles a late tier), hence the third (r8 ask #7).
+            // Timed reps measure STEADY STATE — the cluster-relevant
+            // number, where every executor outlives its first task
+            // by hours
+            (1 to 3).foreach { _ =>
               try { fn(s, path): Unit } catch { case _: Throwable => () }
               s.sharedState.cacheManager.clearCache()
             }

@@ -140,12 +140,46 @@ object DmlChurnScale {
     // discovery through prunedForKeysString's bloom arm
     probe("dml_churn_string", stringKey = true, updatesS, "doc_key")
 
+    // MERGE-ON-READ fixed churn (r8 VERDICT ask #1): the same constant
+    // 1000-key batch upserted through DeletionVectors.mergeMor — zero
+    // data files rewritten BY CONSTRUCTION (matched positions die in
+    // the sidecar, all update rows append as one delta file), so the
+    // 1×→10× exponent isolates what remains: index key-set discovery,
+    // the sidecar write, the atomic publish and the index refresh.
+    import graft.sources.DeletionVectors
+    locally {
+      val w = buildLake(spark, "/root/testdata/sf0.001", "warmm", 2)
+      DeletionVectors.mergeMor(spark, s"$w/lake", updates,
+        Seq("l_orderkey"), indexDir = Some(s"$w/idx")): Unit
+    }
+    println("""{"probe":"dml_churn_mor","cells":[""")
+    val morCells = Seq(("1x", sf01, 16), ("10x", tenx, 160)).zipWithIndex
+      .map { case ((tag, src, files), i) =>
+        val outcomes = (1 to reps).map { _ =>
+          val root = buildLake(spark, src, s"mor_$tag", files)
+          var counts = (0L, 0L)
+          val sec = t {
+            counts = DeletionVectors.mergeMor(spark, s"$root/lake",
+              updates, Seq("l_orderkey"), indexDir = Some(s"$root/idx"))
+          }
+          (sec, counts)
+        }
+        val best = outcomes.minBy(_._1)
+        val l = f"""{"cell":"$tag","files":$files,""" +
+          f""""merge_sec":${best._1}%.2f,"matched":${best._2._1},""" +
+          f""""appended":${best._2._2},"rewritten":0}"""
+        println("  " + (if (i > 0) "," else "") + l)
+        (tag, best._1)
+    }
+    val morExp = math.log10(morCells(1)._2 / morCells(0)._2)
+    println("]," + f""""exponent":$morExp%.2f}""")
+    println(f"[dml_churn_mor] done: exponent $morExp%.2f")
+
     // SPARSE delete, DV vs CoW: a ~0.17% delete spread across EVERY
     // file (l_orderkey % 599 = 17) is copy-on-write's worst case —
     // every file is touched, so CoW rewrites the whole lake — and
     // merge-on-read's best: the vectors are a tiny (file, pos)
     // sidecar. Same lakes, both verbs timed at 1× and 10×.
-    import graft.sources.DeletionVectors
     val sparsePred = "l_orderkey % 599 = 17"
     // JIT-warm both delete paths untimed
     locally {
