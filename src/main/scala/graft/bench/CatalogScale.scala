@@ -119,7 +119,8 @@ object CatalogScale {
     "q54_time_travel", "q56_read_changes", "q57_merge_upsert",
     "q58_delete", "q61_meta_count", "q62_dfp_join", "q63_meta_minmax",
     "q64_merge_string_key", "q65_inlist_scan", "q66_delete_pruned",
-    "q67_dv_delete",
+    "q67_dv_delete", "q68_dv_merge", "q69_dv_pruned_scan",
+    "q70_dv_meta_count", "q71_dv_update",
     "qt4_exact_dedup", "qt5_minhash", "qt6_lsh_pairs",
     "qt11_dup_clusters", "qt21_curated_corpus",
     "qv4_ivf_assign", "qv6_ivf_query", "qv15_ivfpq_query",
@@ -128,7 +129,7 @@ object CatalogScale {
     // tables — the 10× cell shows per-batch cost scaling with input,
     // state stores and all
     "qs5_stream_append_daily", "qs11_stream_lsh_incremental",
-    "qs14_stream_layout", "qs15_stream_upsert")
+    "qs14_stream_layout", "qs15_stream_upsert", "qs16_stream_dv_read")
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.filter(_.forall(_.isDigit))
