@@ -485,7 +485,11 @@ object DeletionVectors {
         (0, committed.size)
       } else {
         val dv = dvOpt.get
-        val base = spark.read
+        // mergeSchema: a touched set can mix physical schemas (an old
+        // file and an additively-evolved delta both carrying vectors)
+        // — a single-schema read would silently drop the evolved
+        // column from the rewritten survivors
+        val base = spark.read.option("mergeSchema", "true")
           .parquet(touched.map(n => s"$lakeDir/$n"): _*)
         requireNoClash(base, "compact")
         val survivors = base

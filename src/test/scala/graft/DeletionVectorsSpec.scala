@@ -215,6 +215,47 @@ class DeletionVectorsSpec extends SparkSpec {
       spark, lake, Seq(Tuple1(1)).toDF("k"), Seq("k")))
   }
 
+  test("mergeMor composes with the rest of the lake surface: schema " +
+    "evolution through the delta file, rewriter guards over " +
+    "merge-created vectors, compact over committed ∪ delta") {
+    val lake = mkLake()
+    val f = fs(lake)
+    // additive evolution: the delta carries a new column, carried
+    // files keep their physical schema, mergeSchema readers opt in
+    intercept[IllegalArgumentException](DeletionVectors.mergeMor(
+      spark, lake, Seq((5, 999L, "x")).toDF("k", "v", "tag"), Seq("k")))
+    val (m, a) = DeletionVectors.mergeMor(spark, lake,
+      Seq((5, 999L, "x"), (5000, 777L, "y")).toDF("k", "v", "tag"),
+      Seq("k"), evolveSchema = true)
+    assert(m == 1L && a == 2L)
+    val got = DeletionVectors.readMor(spark, lake, mergeSchema = true)
+    assert(got.columns.toSeq.sorted == Seq("k", "tag", "v"))
+    assert(got.count() == 301L)
+    assert(got.filter(col("tag").isNotNull).count() == 2L,
+      "old rows take NULL for the evolved column")
+    // every physical rewriter refuses over MERGE-created vectors too
+    def rejects(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    }
+    rejects(MergeInto.delete(spark, lake, "k < 10"))
+    rejects(MergeInto.merge(spark, lake,
+      Seq((60, 0L)).toDF("k", "v"), Seq("k")))
+    rejects(ZOrder.optimize(spark, lake, Seq("k"), numFiles = 2))
+    // compact applies the merge physically: the plain committed read
+    // then equals the pre-compact MoR view (delta rows included,
+    // replaced row gone)
+    val want = DeletionVectors.readMor(spark, lake, mergeSchema = true)
+      .orderBy("k", "v").select("k", "v").as[(Int, Long)].collect().toSeq
+    DeletionVectors.compact(spark, lake)
+    assert(!DeletionVectors.hasDvs(f, lake))
+    val flat = graft.streaming.LayoutSink
+      .readCommitted(spark, lake, mergeSchema = true)
+      .orderBy("k", "v").select("k", "v").as[(Int, Long)].collect().toSeq
+    assert(flat == want, "compact must preserve the merged view")
+    assert(flat.count(_._1 == 5) == 1 && flat.find(_._1 == 5).get._2 == 999L)
+  }
+
   test("updateMor rewrites nothing and updates LIVE rows only: old " +
     "positions die, post-SET rows append, dead rows stay dead") {
     val lake = mkLake()
