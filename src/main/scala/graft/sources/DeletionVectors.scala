@@ -159,7 +159,10 @@ object DeletionVectors {
     CommitLog.withWriterLock(fs, lakeDir) {
       sweepUncovered(fs, lakeDir)
       val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
-      val lake = spark.read
+      // mergeSchema: an evolved lake mixes physical schemas — the
+      // predicate must see every column deterministically (rows from
+      // files missing an evolved column read it as NULL)
+      val lake = spark.read.option("mergeSchema", "true")
         .parquet(committed.map(n => s"$lakeDir/$n"): _*)
       val hits = lake.filter(coalesce(expr(predicate), lit(false)))
         .select(fileNameCol.as("file"),
@@ -224,7 +227,8 @@ object DeletionVectors {
       val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
       require(committed.nonEmpty,
         s"mergeMor: no committed files in $lakeDir — ingest first")
-      val lake = spark.read.parquet(committed.map(n => s"$lakeDir/$n"): _*)
+      val lake = spark.read.option("mergeSchema", "true")
+        .parquet(committed.map(n => s"$lakeDir/$n"): _*)
       MergeInto.requireFullRowCompatible(lake, updates, "mergeMor",
         evolveSchema)
       // matched-position discovery: key columns + _metadata only (a
@@ -242,7 +246,8 @@ object DeletionVectors {
           indexDir, committed) match {
         case Some(Seq()) => // provably pure-insert merge
           hitsIn(lake).limit(0)
-        case Some(cand) => hitsIn(spark.read.parquet(cand: _*))
+        case Some(cand) => hitsIn(
+          spark.read.option("mergeSchema", "true").parquet(cand: _*))
         case None => hitsIn(lake)
       }
       val fresh = vectors(spark, lakeDir) match {
@@ -303,7 +308,8 @@ object DeletionVectors {
       val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
       require(committed.nonEmpty,
         s"updateMor: no committed files in $lakeDir — ingest first")
-      val lake = spark.read.parquet(committed.map(n => s"$lakeDir/$n"): _*)
+      val lake = spark.read.option("mergeSchema", "true")
+        .parquet(committed.map(n => s"$lakeDir/$n"): _*)
       requireNoClash(lake, "updateMor")
       val unknown = set.keySet -- lake.columns.toSet
       require(unknown.isEmpty,
@@ -312,7 +318,8 @@ object DeletionVectors {
       val base = MergeInto.rangeCandidateFiles(spark, committed,
           indexDir, impliedRanges) match {
         case Some(Seq()) => lake.limit(0)
-        case Some(cand) => spark.read.parquet(cand: _*)
+        case Some(cand) =>
+          spark.read.option("mergeSchema", "true").parquet(cand: _*)
         case None => lake
       }
       // matched LIVE rows, with their positions attached: the covered

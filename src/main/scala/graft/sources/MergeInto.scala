@@ -90,7 +90,8 @@ object MergeInto {
       val touchedViaIndex: Option[Set[String]] =
         keyCandidateFiles(spark, updates, keys, indexDir, committed).map {
           case cand if cand.isEmpty => Set.empty[String] // pure-insert merge
-          case cand => touchedIn(spark.read.parquet(cand: _*))
+          case cand => touchedIn(
+            spark.read.option("mergeSchema", "true").parquet(cand: _*))
         }
       val touched = touchedViaIndex.getOrElse(touchedIn(lake))
       // rewrite = touched rows that keep their version (anti-join on
@@ -101,7 +102,7 @@ object MergeInto {
       // from old files take NULL for the added columns
       val survivors =
         if (touched.isEmpty) updates
-        else spark.read
+        else spark.read.option("mergeSchema", "true")
           .parquet(touched.toSeq.sorted.map(n => s"$lakeDir/$n"): _*)
           .join(updates.select(keys.map(col): _*).distinct(), keys,
             "left_anti")
@@ -144,7 +145,7 @@ object MergeInto {
         predicate, indexDir, impliedRanges)
       val survivors =
         if (touched.isEmpty) None
-        else Some(spark.read
+        else Some(spark.read.option("mergeSchema", "true")
           .parquet(touched.toSeq.sorted.map(n => s"$lakeDir/$n"): _*)
           .filter(!coalesce(expr(predicate), lit(false))))
       (touched, survivors)
@@ -181,7 +182,7 @@ object MergeInto {
               case None => col(f.name)
             }
           }
-          Some(spark.read
+          Some(spark.read.option("mergeSchema", "true")
             .parquet(touched.toSeq.sorted.map(n => s"$lakeDir/$n"): _*)
             .select(cols.toIndexedSeq: _*))
         }
@@ -339,7 +340,11 @@ object MergeInto {
           "DeletionVectors.compact first (a copy-on-write rewrite " +
           "would resurrect DV-deleted rows)")
       val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
-      val lake = spark.read.parquet(committed.map(n => s"$lakeDir/$n"): _*)
+      // mergeSchema: after additive evolution the committed files mix
+      // physical schemas — a single-footer schema pick would make a
+      // later mutation's view of the evolved column nondeterministic
+      val lake = spark.read.option("mergeSchema", "true")
+        .parquet(committed.map(n => s"$lakeDir/$n"): _*)
       val (touched, survivors) = plan(lake, committed)
       val carried = committed.filterNot(touched)
       val before = CommitLog.dataFileNames(fs, lakeDir)

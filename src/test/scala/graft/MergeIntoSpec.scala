@@ -436,4 +436,33 @@ class MergeIntoSpec extends SparkSpec {
     run(s"$dir/ckp2")
     assert(state() == after, "replayed upsert stream changed the lake")
   }
+
+  test("mutations AFTER additive evolution see the union schema " +
+    "deterministically: CoW delete/update and MoR delete on the " +
+    "evolved column work regardless of footer pick order") {
+    import graft.sources.DeletionVectors
+    val lake = mkLake()
+    // evolve: one merge adds `tag` (rewrites one file, inserts one row)
+    MergeInto.merge(spark, lake,
+      Seq((5, -1L, "x", "hot"), (9999, 1L, "n", "hot"))
+        .toDF("k", "v", "s", "tag"),
+      Seq("k"), evolveSchema = true)
+    // CoW DELETE with a predicate ON the evolved column: rows from
+    // files that physically lack `tag` read it as NULL (kept by SQL
+    // NULL semantics), never an AnalysisException or a silent miss
+    val (rw, _) = MergeInto.delete(spark, lake, "tag = 'hot'")
+    assert(rw >= 1)
+    val now = LayoutSink.readCommitted(spark, lake, mergeSchema = true)
+    assert(now.count() == 299L) // 300 + 1 insert - 2 hot rows
+    assert(now.filter(col("k").isin(5, 9999)).count() == 0)
+    // CoW UPDATE setting the evolved column across mixed-schema files
+    MergeInto.update(spark, lake, "k < 3", Map("tag" -> "'warm'"))
+    val upd = LayoutSink.readCommitted(spark, lake, mergeSchema = true)
+    assert(upd.filter(col("tag") === "warm").count() == 3L)
+    // MoR delete with a predicate on the evolved column: only the
+    // updated rows carry 'warm'; NULL-tag rows survive
+    assert(DeletionVectors.deleteMor(spark, lake, "tag = 'warm'") == 3L)
+    assert(DeletionVectors.readMor(spark, lake, mergeSchema = true)
+      .count() == 296L)
+  }
 }
