@@ -432,7 +432,9 @@ object DeletionVectors {
     val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
     require(committed.nonEmpty,
       s"readMorStream: no committed files in $lakeDir")
-    val schema = spark.read
+    // union schema: an evolved lake mixes physical schemas and the
+    // stream must see every column deterministically
+    val schema = spark.read.option("mergeSchema", "true")
       .parquet(committed.map(n => s"$lakeDir/$n"): _*).schema
     require(!schema.fieldNames.contains(FileCol) &&
       !schema.fieldNames.contains(PosCol),

@@ -1199,7 +1199,8 @@ object StatsIndex {
     val boundaryRows =
       if (boundary.isEmpty) 0L
       else DeletionVectors.applyVectors(
-        spark.read.parquet(boundary: _*), dvOpt).filter(pred).count()
+        spark.read.option("mergeSchema", "true").parquet(boundary: _*),
+        dvOpt).filter(pred).count()
     interiorRows + boundaryRows
   }
 
