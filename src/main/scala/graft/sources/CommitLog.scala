@@ -148,7 +148,15 @@ object CommitLog {
     * covers. A concurrent [[checkpoint]] may delete a manifest between
     * our listing and our read; the retry re-lists and sees the
     * checkpoint that replaced it. */
-  def committedNames(fs: FileSystem, lakeDir: String): Set[String] = {
+  def committedNames(fs: FileSystem, lakeDir: String): Set[String] =
+    liveEntries(fs, lakeDir).filterNot(isDvEntry).toSet
+
+  /** ONE retried resolution of the live view's raw record entries
+    * (newest checkpoint ∪ newer manifests) — the shared base of
+    * [[committedNames]], [[coveredDvNames]] and [[committedView]],
+    * so the retry-on-concurrent-fold behavior is identical for all
+    * three. */
+  private def liveEntries(fs: FileSystem, lakeDir: String): Seq[String] = {
     var attempt = 0
     while (true) {
       try {
@@ -160,7 +168,7 @@ object CommitLog {
         val newer = manifests
           .filter(s => recordId(s.getPath.getName) > ckptId)
           .flatMap(readRecord(fs, _))
-        return (base ++ newer).filterNot(isDvEntry).toSet
+        return base ++ newer
       } catch {
         case e: FileNotFoundException =>
           attempt += 1
@@ -168,6 +176,20 @@ object CommitLog {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** The committed data files AND the covered deletion-vector sidecar
+    * names, resolved from ONE log read — the lock-free MoR reader's
+    * entry point. Resolving them separately can tear: a mutation
+    * publishing between the two reads would pair version N's files
+    * with version N+1's vectors (replaced rows vanish with no
+    * replacement visible). One resolution makes the pair a consistent
+    * snapshot of a single published version. */
+  def committedView(fs: FileSystem,
+      lakeDir: String): (Set[String], Set[String]) = {
+    val entries = liveEntries(fs, lakeDir)
+    (entries.filterNot(isDvEntry).toSet,
+      entries.filter(isDvEntry).map(_.substring(DvPrefix.length)).toSet)
   }
 
   /** TIME TRAVEL: the committed file set AS OF `asOf` (inclusive) —
@@ -201,7 +223,17 @@ object CommitLog {
         s"time travel to batch $asOf: a DML mutation rewrote this id " +
           "in place — the pre-mutation snapshot is gone (history " +
           "rewritten; re-pin after mutations)")
-      return readRecord(fs, winner).filterNot(isDvEntry).toSet
+      val rec = readRecord(fs, winner)
+      // a record carrying covered deletion vectors (e.g. a fold that
+      // subsumed a MoR mutation) is NOT expressible as a bare file
+      // list — serving the files raw would resurrect deleted rows and
+      // double-serve merged keys
+      require(!rec.exists(isDvEntry),
+        s"time travel to batch $asOf: this version carries deletion " +
+          "vectors — a bare file list cannot express it (read the " +
+          "CURRENT version through DeletionVectors.readMor, or " +
+          "compact first to materialize plain files)")
+      return rec.toSet
     }
     require(!ckpts.exists(s => ckptKey(s.getPath.getName)._1 > asOf),
       s"time travel to batch $asOf: a newer checkpoint folded the " +
@@ -216,7 +248,16 @@ object CommitLog {
         val id = recordId(s.getPath.getName)
         id > baseId && id <= asOf
       }.flatMap(readRecord(fs, _))
-    names.filterNot(isDvEntry).toSet
+    // same guard as the exact path: a base checkpoint carrying covered
+    // vectors (a MoR mutation at id ≤ asOf) makes the view
+    // inexpressible as a bare file list — raw files would resurrect
+    // MoR-deleted rows and double-serve merged keys
+    require(!names.exists(isDvEntry),
+      s"time travel to batch $asOf: the view at this id carries " +
+        "deletion vectors — a bare file list cannot express it (read " +
+        "the CURRENT version through DeletionVectors.readMor, or " +
+        "compact first to materialize plain files)")
+    names.toSet
   }
 
   /** The deletion-vector sidecar files the CURRENT committed view
@@ -225,18 +266,8 @@ object CommitLog {
     * same resolution rule as [[committedNames]]). Only these vectors
     * are VISIBLE: a `_dv` file not in this set is an unpublished
     * mutation's debris. Empty on a log-less lake. */
-  def coveredDvNames(fs: FileSystem, lakeDir: String): Set[String] = {
-    val (ckpts, manifests) = listLog(fs, lakeDir)
-    val ckpt = ckpts.sortBy(s => ckptKey(s.getPath.getName)).lastOption
-    val ckptId = ckpt.map(s => ckptKey(s.getPath.getName)._1)
-      .getOrElse(Long.MinValue)
-    val base = ckpt.map(readRecord(fs, _)).getOrElse(Seq.empty)
-    val newer = manifests
-      .filter(s => recordId(s.getPath.getName) > ckptId)
-      .flatMap(readRecord(fs, _))
-    (base ++ newer).filter(isDvEntry)
-      .map(_.substring(DvPrefix.length)).toSet
-  }
+  def coveredDvNames(fs: FileSystem, lakeDir: String): Set[String] =
+    committedView(fs, lakeDir)._2
 
   /** CDC-style incremental view: the file names batches in
     * `(fromExclusive, toInclusive]` ADDED — what a downstream

@@ -216,8 +216,7 @@ object DeletionVectors {
       indexDir: Option[String] = None,
       filesPerDelta: Int = 1): (Long, Long) = {
     MergeInto.requireUniqueKeys(updates, keys, "mergeMor")
-    require(!keys.contains(FileCol) && !keys.contains(PosCol),
-      s"mergeMor: keys may not use the reserved names $FileCol/$PosCol")
+    requireNoClash(updates, "mergeMor")
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
@@ -247,7 +246,7 @@ object DeletionVectors {
         case Some(Seq()) => // provably pure-insert merge
           hitsIn(lake).limit(0)
         case Some(cand) => hitsIn(
-          spark.read.option("mergeSchema", "true").parquet(cand: _*))
+          spark.read.schema(lake.schema).parquet(cand: _*))
         case None => hitsIn(lake)
       }
       val fresh = vectors(spark, lakeDir) match {
@@ -315,11 +314,14 @@ object DeletionVectors {
       require(unknown.isEmpty,
         s"updateMor: SET names unknown columns ${unknown.toSeq.sorted
           .mkString(", ")}")
+      // candidate subsets read with the LAKE's union schema pinned: a
+      // pruned set of pre-evolution files still resolves an evolved
+      // column (as NULL) instead of failing the SET projection
       val base = MergeInto.rangeCandidateFiles(spark, committed,
           indexDir, impliedRanges) match {
         case Some(Seq()) => lake.limit(0)
         case Some(cand) =>
-          spark.read.option("mergeSchema", "true").parquet(cand: _*)
+          spark.read.schema(lake.schema).parquet(cand: _*)
         case None => lake
       }
       // matched LIVE rows, with their positions attached: the covered
@@ -363,19 +365,34 @@ object DeletionVectors {
     }
   }
 
+  /** The covered vectors read from an ALREADY-RESOLVED name set —
+    * the lock-free read paths resolve files and vectors from ONE
+    * [[CommitLog.committedView]] call so a concurrent mutation can
+    * never tear the pair (version N's files with version N+1's
+    * vectors would make replaced rows vanish with no replacement
+    * visible). */
+  private def vectorsFor(spark: SparkSession, lakeDir: String,
+      covered: Set[String]): Option[DataFrame] =
+    if (covered.isEmpty) None
+    else Some(spark.read
+      .parquet(covered.toSeq.sorted.map(n => s"${dvDir(lakeDir)}/$n"): _*)
+      .select(col("file"), col("pos")).distinct())
+
   /** The committed view MINUS the covered vectors — ONE scan plus one
     * (AQE-broadcast) anti-join on `(file name, row position)`. With no
-    * covered vectors this is exactly the plain committed read. */
+    * covered vectors this is exactly the plain committed read. Files
+    * and vectors come from one atomic log resolution. */
   def readMor(spark: SparkSession, lakeDir: String,
       mergeSchema: Boolean = false): DataFrame = {
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
+    val (files, covered) = CommitLog.committedView(fs, lakeDir)
+    val committed = files.toSeq.sorted
     require(committed.nonEmpty, s"readMor: no committed files in $lakeDir")
     val rdr = if (mergeSchema) spark.read.option("mergeSchema", "true")
       else spark.read
     val base = rdr.parquet(committed.map(n => s"$lakeDir/$n"): _*)
-    applyVectors(base, vectors(spark, lakeDir))
+    applyVectors(base, vectorsFor(spark, lakeDir, covered))
   }
 
   /** [[readMor]] with FILE-LEVEL SKIPPING: the committed ∩
@@ -386,23 +403,34 @@ object DeletionVectors {
     * row. The index stays valid under vectors: MoR mutations change
     * no indexed file's rows in place (deltas are indexed on refresh),
     * and the per-file bounds remain conservative (a deleted row can
-    * only widen them — pruning never loses a live row). */
+    * only widen them — pruning never loses a live row). A STALE index
+    * (file set ≠ committed view — e.g. a mergeMor delta the index has
+    * not refreshed over) is never trusted: pruning through it would
+    * silently drop the delta's rows while still applying the vectors
+    * that killed their predecessors, so the read falls back to the
+    * full committed scan with the exact predicate — correct, just not
+    * accelerated (the same stale-index rule every DML discovery path
+    * follows). */
   def readMorPruned(spark: SparkSession, lakeDir: String,
       indexDir: String, ranges: Seq[StatsIndex.ColRange]): DataFrame = {
     require(ranges.nonEmpty, "readMorPruned needs at least one range")
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = CommitLog.committedNames(fs, lakeDir)
-    val pruned = StatsIndex.prunedTyped(spark, indexDir, ranges)
-      .map(p => new Path(p).getName).filter(committed.contains)
+    val (committed, covered) = CommitLog.committedView(fs, lakeDir)
     val pred = ranges.map(_.predicate).reduce(_ && _)
+    val current = StatsIndex.indexedFiles(spark, indexDir)
+      .map(p => new Path(p).getName).toSet == committed
+    val scanned: Seq[String] =
+      if (!current) committed.toSeq.sorted
+      else StatsIndex.prunedTyped(spark, indexDir, ranges)
+        .map(p => new Path(p).getName).filter(committed.contains).sorted
     val base =
-      if (pruned.isEmpty)
+      if (scanned.isEmpty)
         spark.read.parquet(committed.toSeq.sorted
           .map(n => s"$lakeDir/$n"): _*).filter(pred).limit(0)
-      else spark.read.parquet(pruned.sorted
+      else spark.read.parquet(scanned
         .map(n => s"$lakeDir/$n"): _*).filter(pred)
-    applyVectors(base, vectors(spark, lakeDir))
+    applyVectors(base, vectorsFor(spark, lakeDir, covered))
   }
 
   /** STREAMING read of a DV'd lake — the micro-batched REPLAY of one
@@ -429,7 +457,10 @@ object DeletionVectors {
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
       s"readMorStream: $lakeDir has no commit log — a raw directory " +
         "stream would serve uncommitted orphans")
-    val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
+    // one atomic log resolution: the snapshot's files and vectors are
+    // a consistent pair even against a concurrent mutation
+    val (files, covered) = CommitLog.committedView(fs, lakeDir)
+    val committed = files.toSeq.sorted
     require(committed.nonEmpty,
       s"readMorStream: no committed files in $lakeDir")
     // union schema: an evolved lake mixes physical schemas and the
@@ -442,13 +473,8 @@ object DeletionVectors {
         s"($FileCol/$PosCol) — rename it")
     // vector snapshot: the covered files BY NAME, so later sidecar
     // files can never join in (static file lists are pinned)
-    val dvSnap = coveredDvFiles(fs, lakeDir) match {
-      case Seq() => None
-      case names => Some(spark.read
-        .parquet(names.map(n => s"${dvDir(lakeDir)}/$n"): _*)
-        .select(col("file").as(FileCol), col("pos").as(PosCol))
-        .distinct())
-    }
+    val dvSnap = vectorsFor(spark, lakeDir, covered)
+      .map(_.select(col("file").as(FileCol), col("pos").as(PosCol)))
     val names = committed.toDF(FileCol)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)

@@ -91,7 +91,7 @@ object MergeInto {
         keyCandidateFiles(spark, updates, keys, indexDir, committed).map {
           case cand if cand.isEmpty => Set.empty[String] // pure-insert merge
           case cand => touchedIn(
-            spark.read.option("mergeSchema", "true").parquet(cand: _*))
+            spark.read.schema(lake.schema).parquet(cand: _*))
         }
       val touched = touchedViaIndex.getOrElse(touchedIn(lake))
       // rewrite = touched rows that keep their version (anti-join on
@@ -102,7 +102,7 @@ object MergeInto {
       // from old files take NULL for the added columns
       val survivors =
         if (touched.isEmpty) updates
-        else spark.read.option("mergeSchema", "true")
+        else spark.read.schema(lake.schema)
           .parquet(touched.toSeq.sorted.map(n => s"$lakeDir/$n"): _*)
           .join(updates.select(keys.map(col): _*).distinct(), keys,
             "left_anti")
@@ -145,7 +145,7 @@ object MergeInto {
         predicate, indexDir, impliedRanges)
       val survivors =
         if (touched.isEmpty) None
-        else Some(spark.read.option("mergeSchema", "true")
+        else Some(spark.read.schema(lake.schema)
           .parquet(touched.toSeq.sorted.map(n => s"$lakeDir/$n"): _*)
           .filter(!coalesce(expr(predicate), lit(false))))
       (touched, survivors)
@@ -182,7 +182,7 @@ object MergeInto {
               case None => col(f.name)
             }
           }
-          Some(spark.read.option("mergeSchema", "true")
+          Some(spark.read.schema(lake.schema)
             .parquet(touched.toSeq.sorted.map(n => s"$lakeDir/$n"): _*)
             .select(cols.toIndexedSeq: _*))
         }

@@ -377,6 +377,67 @@ class DeletionVectorsSpec extends SparkSpec {
       wantSnapshot.size + 1L - 1L) // +8888, -k=0
   }
 
+  test("time travel NEVER serves a DV-carrying version as bare " +
+    "files: the as-of path fails fast even when the resolved base " +
+    "checkpoint sits below the target id") {
+    val lake = mkLake()
+    val f = fs(lake)
+    DeletionVectors.deleteMor(spark, lake, "k % 10 = 3")
+    // a committed APPEND after the MoR delete: asOf = its id resolves
+    // through the below-path (base = the DV mutation checkpoint) —
+    // serving those files raw would resurrect the 30 deleted rows
+    val before = CommitLog.dataFileNames(f, lake)
+    Seq((8888, 2L)).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(lake)
+    CommitLog.commit(f, lake, 3,
+      (CommitLog.dataFileNames(f, lake) -- before).toSeq.sorted)
+    val e = intercept[IllegalArgumentException](
+      LayoutSink.readCommittedAt(spark, lake, asOf = 3L).count())
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    // compact materializes plain files; as-of a LATER append then works
+    DeletionVectors.compact(spark, lake)
+    val before2 = CommitLog.dataFileNames(f, lake)
+    Seq((9999, 3L)).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(lake)
+    CommitLog.commit(f, lake, 4,
+      (CommitLog.dataFileNames(f, lake) -- before2).toSeq.sorted)
+    assert(LayoutSink.readCommittedAt(spark, lake, asOf = 4L)
+      .count() == 272L) // 300 - 30 deleted + 8888 + 9999
+  }
+
+  test("readMorPruned never trusts a stale index: a mergeMor delta " +
+    "the index has not seen falls back to the full committed scan — " +
+    "updated rows never vanish") {
+    import graft.sources.StatsIndex
+    val lake = mkLake()
+    val idx = lake.stripSuffix("/lake") + "/idx"
+    StatsIndex.build(spark, lake, Seq("k"), idx)
+    // index is now STALE: the merge appends a delta file it never saw
+    DeletionVectors.mergeMor(spark, lake,
+      Seq((1005, 888L)).toDF("k", "v"), Seq("k"))
+    val ranges = Seq(StatsIndex.LongRange("k", 1000L, 1099L))
+    val got = DeletionVectors.readMorPruned(spark, lake, idx, ranges)
+      .orderBy("k").select("k", "v").as[(Int, Long)].collect().toSeq
+    assert(got.size == 100 && got.contains((1005, 888L)),
+      s"stale-index prune dropped the delta row: ${got.size}")
+    // a CURRENT index (refreshed over the delta) prunes again
+    StatsIndex.refreshSameColumns(spark, lake, idx)
+    val got2 = DeletionVectors.readMorPruned(spark, lake, idx, ranges)
+      .orderBy("k").select("k", "v").as[(Int, Long)].collect().toSeq
+    assert(got2 == got)
+  }
+
+  test("mergeMor rejects updates whose schema carries the reserved " +
+    "internal names — an evolved delta with them would brick every " +
+    "later MoR operation") {
+    val lake = mkLake()
+    val e = intercept[IllegalArgumentException](
+      DeletionVectors.mergeMor(spark, lake,
+        Seq((5, 1L, "x")).toDF("k", "v", "__dv_file"),
+        Seq("k"), evolveSchema = true))
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
   test("a DV delete is a MUTATION in the history surface: snapshot " +
     "reads at or before its id fail fast") {
     val lake = mkLake()
