@@ -129,7 +129,8 @@ object CatalogScale {
     // tables — the 10× cell shows per-batch cost scaling with input,
     // state stores and all
     "qs5_stream_append_daily", "qs11_stream_lsh_incremental",
-    "qs14_stream_layout", "qs15_stream_upsert", "qs16_stream_dv_read")
+    "qs14_stream_layout", "qs15_stream_upsert", "qs16_stream_dv_read",
+    "qs17_stream_upsert_mor")
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.filter(_.forall(_.isDigit))

@@ -409,6 +409,56 @@ object StreamQueryCatalog {
       .select(col("doc_id"), col("lang"), col("rev"), col("score"))
   }
 
+  /** MERGE-ON-READ streaming upsert, oracle-checked end to end: the
+    * qs15 shape — a key-unique CDC stream upserted micro-batch by
+    * micro-batch into a committed doc lake — but through
+    * [[graft.streaming.UpsertSink]]'s `mor = true` arm: every batch's
+    * matched rows die in the `_dv` sidecar and the batch appends as
+    * one delta file, ZERO data files rewritten across the whole run
+    * (qs15's CoW arm rewrites matched files every batch — this is the
+    * high-frequency-CDC shape where per-batch cost must be O(batch),
+    * not O(touched file bytes)). The read is
+    * [[graft.sources.DeletionVectors.readMor]]. The oracle states the
+    * same last-wins end state declaratively; the hash match proves
+    * the per-batch sidecar marks and delta appends compose across
+    * batch boundaries to exactly the CoW result. */
+  val qs17StreamUpsertMor: Q = (s, dir) => {
+    import graft.sources.CommitLog
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_qs17_").toString
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    docs.withColumn("rev", lit(0L))
+      .withColumn("score", col("n_chars"))
+      .repartition(3).write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    val upd = docs.filter(col("doc_id") % 4 === 1)
+      .withColumn("rev", lit(1L))
+      .withColumn("score", col("n_chars") * 3)
+    val ins = docs.filter(col("doc_id") % 9 === 2)
+      .withColumn("doc_id", -col("doc_id"))
+      .withColumn("rev", lit(1L))
+      .withColumn("score", col("n_chars"))
+    upd.unionByName(ins).repartition(4).write.parquet(s"$work/in")
+    val schema = s.read.parquet(s"$work/in").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+    val dataBefore = CommitLog.committedNames(fs, lake)
+    val q = graft.streaming.UpsertSink.start(stream, lake,
+      s"$work/ckp", Seq("doc_id"), mor = true)
+    q.awaitTermination()
+    // the MoR contract, asserted in-query: every pre-stream data file
+    // survived BY NAME (zero rewrites across all batches)
+    require(dataBefore.subsetOf(CommitLog.committedNames(fs, lake)),
+      "qs17: a MoR upsert batch rewrote a data file")
+    graft.sources.DeletionVectors.readMor(s, lake)
+      .select(col("doc_id"), col("lang"), col("rev"), col("score"))
+  }
+
   /** STREAMING × MERGE-ON-READ boundary, oracle-checked end to end
     * (r8 VERDICT ask #5): a committed lake with crash orphans and
     * MoR-deleted rows consumed AS A STREAM through
@@ -440,6 +490,7 @@ object StreamQueryCatalog {
   }
 
   val defs: Map[String, Q] = Map(
+    "qs17_stream_upsert_mor" -> qs17StreamUpsertMor,
     "qs16_stream_dv_read" -> qs16StreamDvRead,
     "qs15_stream_upsert" -> qs15StreamUpsert,
     "qs14_stream_layout" -> qs14StreamLayout,
@@ -458,6 +509,17 @@ object StreamQueryCatalog {
     "qs4_stream_dedup" -> qs4StreamDedup)
 
   val sql: Map[String, String] = Map(
+    "qs17_stream_upsert_mor" ->
+      """SELECT doc_id, lang,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS rev,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN n_chars * 3 ELSE n_chars
+        |    END AS BIGINT) AS score
+        |FROM documents
+        |UNION ALL
+        |SELECT -doc_id, lang, CAST(1 AS BIGINT) AS rev,
+        |  CAST(n_chars AS BIGINT) AS score
+        |FROM documents WHERE doc_id % 9 = 2""".stripMargin,
     "qs16_stream_dv_read" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  ${Oracle.sqlSumd("l_extendedprice")} AS sum_price

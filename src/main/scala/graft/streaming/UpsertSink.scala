@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.sources.MergeInto
+import graft.sources.{DeletionVectors, MergeInto}
 
 /** Streaming UPSERT into a commit-logged lake: each micro-batch is
   * MERGEd ([[graft.sources.MergeInto.merge]] — whenMatched replace,
@@ -33,16 +33,36 @@ object UpsertSink {
   /** With `indexDir`, each batch's merge also keeps the lake's stats
     * index consistent (and uses it for touched-file discovery) — the
     * streaming twin of [[graft.streaming.LayoutSink]]'s per-batch
-    * refresh. */
+    * refresh.
+    *
+    * With `mor = true`, each batch upserts MERGE-ON-READ
+    * ([[graft.sources.DeletionVectors.mergeMor]]): matched rows'
+    * positions die in the `_dv` sidecar, the batch appends as one
+    * delta file, ZERO data files rewrite — per-batch cost O(batch
+    * churn) instead of O(touched file bytes), the shape a
+    * high-frequency CDC stream against a 100 TB lake needs. The table
+    * is then read through `DeletionVectors.readMor` (NOT the plain
+    * committed read), and `compact` folds the sidecar back to plain
+    * files off the hot path. Replay idempotence holds in VIEW space:
+    * a replayed batch marks its own previous delta rows dead and
+    * appends identical replacements — `readMor` converges to the
+    * identical table (the sidecar carries a few extra pairs until
+    * compact; `DeletionVectorsSpec` replays a whole stream and
+    * asserts the view). */
   def start(updates: DataFrame, lakeDir: String, checkpointDir: String,
       keys: Seq[String], filesPerRewrite: Int = 4,
-      indexDir: Option[String] = None): StreamingQuery =
+      indexDir: Option[String] = None,
+      mor: Boolean = false): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        MergeInto.merge(batch.sparkSession, lakeDir, batch, keys,
-          filesPerRewrite, evolveSchema = false, indexDir)
+        if (mor)
+          DeletionVectors.mergeMor(batch.sparkSession, lakeDir, batch,
+            keys, evolveSchema = false, indexDir)
+        else
+          MergeInto.merge(batch.sparkSession, lakeDir, batch, keys,
+            filesPerRewrite, evolveSchema = false, indexDir)
         ()
       }
       .start()

@@ -437,6 +437,49 @@ class MergeIntoSpec extends SparkSpec {
     assert(state() == after, "replayed upsert stream changed the lake")
   }
 
+  test("UpsertSink mor = true: the merge-on-read arm reaches the " +
+    "identical end state with ZERO data files rewritten, and replay " +
+    "is idempotent in view space") {
+    import graft.sources.DeletionVectors
+    val lake = mkLake()
+    val f = fs(lake)
+    val dir = Files.createTempDirectory("graft_upsinkm_").toString
+    val upd = spark.range(0, 3000)
+      .filter(col("id") % 5 === 0 && col("id") % 1000 < 100)
+      .selectExpr("CAST(id AS INT) AS k", "-id AS v", "'u' AS s")
+    val ins = spark.range(5000, 5040)
+      .selectExpr("CAST(id AS INT) AS k", "id AS v", "'i' AS s")
+    upd.unionByName(ins).repartition(4).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val dataBefore = CommitLog.committedNames(f, lake)
+    def run(ckp: String): Unit = {
+      val q = graft.streaming.UpsertSink.start(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+        lake, ckp, Seq("k"), mor = true)
+      q.awaitTermination()
+    }
+    run(s"$dir/ckp1")
+    // EVERY pre-stream data file survived by name: no batch rewrote
+    assert(dataBefore.subsetOf(CommitLog.committedNames(f, lake)),
+      "a MoR upsert batch rewrote a data file")
+    def view() = DeletionVectors.readMor(spark, lake)
+      .orderBy("k").select("k", "v", "s").collect().toSeq
+    val after = view()
+    assert(after.size == 340)
+    val got = DeletionVectors.readMor(spark, lake)
+    assert(got.filter(col("s") === "u").count() == 60 &&
+      got.filter(col("s") === "i").count() == 40)
+    // replay from a wiped checkpoint: every batch re-merges MoR — the
+    // VIEW converges identically (earlier deltas die, twins append)
+    run(s"$dir/ckp2")
+    assert(view() == after, "replayed MoR upsert stream changed the view")
+    // compact folds the sidecar away; the plain read equals the view
+    DeletionVectors.compact(spark, lake)
+    assert(LayoutSink.readCommitted(spark, lake)
+      .orderBy("k").select("k", "v", "s").collect().toSeq == after)
+  }
+
   test("mutations AFTER additive evolution see the union schema " +
     "deterministically: CoW delete/update and MoR delete on the " +
     "evolved column work regardless of footer pick order") {
