@@ -51,6 +51,9 @@ object PlanAudit {
     "qv1_knn", // global top-k: TakeOrdered final stage
     "qv6_ivf_query", // global top-k over probed buckets
     "qm2_pca_variance", "qm4_corr_matrix", // driver-built 1-row frames
+    // 1-row global MIN/MAX whose DV'd-file gap scan must aggregate
+    // (q63's clean-lake twin answers from metadata literals alone)
+    "q73_dv_meta_minmax",
     "qt11_dup_clusters", // converged-label broadcast join build side
     "qt20_top_tfidf" // 1-row corpus-count aggregate (broadcast N)
   )

@@ -1075,6 +1075,70 @@ object ExtendedQueries {
         sumd(col("l_quantity")).as("sum_qty"))
   }
 
+  /** OPTIMIZE over a DV'd lake, oracle-checked end to end: a MESSY
+    * committed lake (random 8-way layout) with every
+    * `l_orderkey % 7 == 0` row MoR-deleted is re-clustered by ONE
+    * [[ZOrder.optimize]] pass that FOLDS the covered vectors into the
+    * rewrite — the input is the MoR live view, so dead rows drop from
+    * the new layout, the fresh checkpoint carries no coverage and the
+    * dir swap retires the `_dv` sidecar (asserted in-query). The probe
+    * is then a plain index-pruned 2-D box scan over the NEW z-ordered
+    * layout — no vector anti-join left in the plan. The oracle
+    * (complement ∧ box) proves the fold lost no live row and
+    * resurrected no dead one. The 100 TB shape: re-clustering a DV'd
+    * lake costs ONE rewrite pass, not compact-then-optimize's two. */
+  val q72DvOptimize: Q = (s, dir) => {
+    import graft.sources.{CommitLog, DeletionVectors, StatsIndex}
+    val work = tempWork("graft_q72_")
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    table(s, dir, "lineitem").repartition(8).write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    DeletionVectors.deleteMor(s, lake, "l_orderkey % 7 = 0")
+    ZOrder.optimize(s, lake, Seq("l_partkey", "l_suppkey"), bits = 10,
+      numFiles = 8, indexDir = Some(s"$work/idx"))
+    require(!DeletionVectors.hasDvs(fs, lake),
+      "q72: optimize must retire the vectors it folded")
+    StatsIndex.readPrunedTyped(s, lake, s"$work/idx",
+      Seq(StatsIndex.LongRange("l_partkey", 100L, 1500L),
+        StatsIndex.LongRange("l_suppkey", 5L, 90L)))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("l_extendedprice")).as("sum_price"))
+  }
+
+  /** DV-AWARE metadata-first MIN/MAX, oracle-checked end to end: the
+    * q63 shape — z-ordered lake, stats index, typed bounds from footer
+    * metadata — but committed and then MoR-deleted with a predicate
+    * that KILLS THE GLOBAL EXTREMA (`l_quantity`'s top and bottom
+    * bands die everywhere, plus an orderkey stripe), so
+    * [[graft.sources.StatsIndex.minMaxPruned]] must demote every
+    * DV'd file to a gap file and aggregate only its LIVE rows (the
+    * readMor anti-join); footer bounds still record the dead extrema
+    * and would leak them under the old fail-fast-free reading. The
+    * oracle is min/max over the complement: the hash match proves a
+    * deleted extremum can never escape a metadata-first answer —
+    * countPruned's q70 guarantee, extended to MIN/MAX. */
+  val q73DvMetaMinmax: Q = (s, dir) => {
+    import graft.sources.{CommitLog, DeletionVectors, StatsIndex}
+    val work = tempWork("graft_q73_")
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    ZOrder.write(table(s, dir, "lineitem"), lake,
+      Seq("l_partkey", "l_suppkey"), bits = 10, numFiles = 8)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    StatsIndex.build(s, lake,
+      Seq("l_orderkey", "l_extendedprice", "l_quantity"), s"$work/idx")
+    DeletionVectors.deleteMor(s, lake,
+      "l_quantity >= 49 OR l_quantity <= 2 OR l_orderkey % 9 = 1")
+    StatsIndex.minMaxPruned(s, lake, s"$work/idx",
+      Seq("l_orderkey", "l_extendedprice", "l_quantity"))
+  }
+
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
     * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
     * aggregated per curve cell. The oracle UNROLLS the same phases as
@@ -1110,6 +1174,8 @@ object ExtendedQueries {
     "q69_dv_pruned_scan" -> q69DvPrunedScan,
     "q70_dv_meta_count" -> q70DvMetaCount,
     "q71_dv_update" -> q71DvUpdate,
+    "q72_dv_optimize" -> q72DvOptimize,
+    "q73_dv_meta_minmax" -> q73DvMetaMinmax,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
@@ -1246,6 +1312,24 @@ object ExtendedQueries {
          |FROM lineitem
          |WHERE NOT (l_orderkey % 7 = 0)
          |GROUP BY 1""".stripMargin,
+    "q72_dv_optimize" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE NOT (l_orderkey % 7 = 0)
+         |  AND l_partkey BETWEEN 100 AND 1500
+         |  AND l_suppkey BETWEEN 5 AND 90
+         |GROUP BY 1""".stripMargin,
+    "q73_dv_meta_minmax" ->
+      """SELECT min(l_orderkey) AS min_l_orderkey,
+        |  max(l_orderkey) AS max_l_orderkey,
+        |  min(l_extendedprice) AS min_l_extendedprice,
+        |  max(l_extendedprice) AS max_l_extendedprice,
+        |  min(l_quantity) AS min_l_quantity,
+        |  max(l_quantity) AS max_l_quantity
+        |FROM lineitem
+        |WHERE NOT (l_quantity >= 49 OR l_quantity <= 2
+        |  OR l_orderkey % 9 = 1)""".stripMargin,
     "q63_meta_minmax" ->
       """SELECT min(l_orderkey) AS min_l_orderkey,
         |  max(l_orderkey) AS max_l_orderkey,

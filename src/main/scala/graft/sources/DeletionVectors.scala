@@ -37,20 +37,28 @@ import org.apache.spark.sql.functions._
   * returning the lake to plain-files state.
   *
   * WRITER INTERACTIONS — the part that makes MoR safe, not just fast:
-  * every physical rewriter (CoW merge/update/delete, OPTIMIZE,
-  * small-file compaction) FAILS FAST while covered vectors exist,
-  * because each reads committed files WITHOUT the vectors and would
-  * resurrect DV-deleted rows into its rewrite (`MergeInto.mutate`,
-  * `ZOrder.optimize`, `compactSmall` all check under the writer
-  * lock); run [[compact]] first. Ingest APPENDS compose freely (new
+  * CoW DML (merge/update/delete) FAILS FAST while covered vectors
+  * exist (`MergeInto.mutate` checks under the writer lock) — it reads
+  * committed files WITHOUT the vectors and would resurrect DV-deleted
+  * rows into its rewrite, and the MoR twins
+  * ([[deleteMor]]/[[updateMor]]/[[mergeMor]]) are the right verb on a
+  * DV'd lake anyway. The MAINTENANCE rewriters instead FOLD the
+  * vectors into bytes they rewrite regardless: `ZOrder.optimize`
+  * applies every vector during its whole-lake re-cluster (one pass
+  * re-clusters AND compacts, the dir swap retires the sidecar), and
+  * `compactSmall` applies the compacted files' vectors while
+  * re-covering the untouched files' survivors through
+  * [[rewriteSurvivorVectors]]. Ingest APPENDS compose freely (new
   * files have no vectors). All DV operations hold the same single
   * writer lock as every other lake writer.
   *
   * Read-surface contract: a DV'd lake is read through [[readMor]].
   * [[StatsIndex.countPruned]] SUBTRACTS the per-file covered-vector
-  * counts (metadata-scale — exact); [[StatsIndex.minMaxPruned]] fails
-  * fast (a deleted row can be the extremum, and footer bounds cannot
-  * know). Plain `readCommitted` does NOT apply vectors; per-file
+  * counts (metadata-scale — exact); [[StatsIndex.minMaxPruned]]
+  * demotes DV'd files to gap files and scans only their live rows
+  * (exact — a dead row can be the extremum, and footer bounds cannot
+  * know, so those files lose their zero-I/O arm and nothing more).
+  * Plain `readCommitted` does NOT apply vectors; per-file
   * stats stay CONSERVATIVE for pruning (a deleted row can only widen
   * bounds). `DeletionVectorsSpec` exercises every crash window. */
 object DeletionVectors {
@@ -140,6 +148,25 @@ object DeletionVectors {
     val before = dvFilesOnDisk(fs, lakeDir)
     pairs.repartition(1).write.mode("append").parquet(dvDir(lakeDir))
     (dvFilesOnDisk(fs, lakeDir) -- before).toSeq.sorted
+  }
+
+  /** Support for PARTIAL physical rewrites (small-file compaction):
+    * vectors naming `droppedFiles` die with their files (the rewrite
+    * applied them); every other covered pair survives, rewritten into
+    * ONE fresh sidecar file whose names the caller must publish as
+    * the checkpoint's new `dv:` coverage. Returns the fresh sidecar
+    * names — empty when nothing survives (the caller publishes no dv
+    * entries). Metadata-scale: the sidecar holds one 16-byte-order
+    * pair per deleted row. Caller must hold the writer lock. */
+  private[sources] def rewriteSurvivorVectors(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, lakeDir: String,
+      dv: DataFrame, droppedFiles: Set[String]): Seq[String] = {
+    import spark.implicits._
+    val names = droppedFiles.toSeq.toDF("file")
+    val survivors =
+      dv.join(names, Seq("file"), "left_anti").localCheckpoint()
+    if (survivors.isEmpty) Seq.empty
+    else writePairs(fs, lakeDir, survivors)
   }
 
   /** Merge-on-read DELETE: record `(file, pos)` for every committed

@@ -489,7 +489,13 @@ object ZOrder {
     * log's highest batch id, listing every optimized file — it IS the
     * committed view, and it marks each previously committed batch id
     * as done so a streaming replay of any of them still no-ops —
-    * exactly-once holds ACROSS an optimize. */
+    * exactly-once holds ACROSS an optimize.
+    *
+    * Covered deletion vectors FOLD into the rewrite (the input is the
+    * MoR live view): dead rows drop from the new layout, the fresh
+    * checkpoint carries no coverage, and the dir swap retires the
+    * `_dv` sidecar — one pass re-clusters AND compacts, no separate
+    * [[DeletionVectors.compact]] needed first. */
   def optimize(spark: SparkSession, path: String, zCols: Seq[String],
       bits: Int = 12, numFiles: Int = 0,
       indexDir: Option[String] = None,
@@ -505,10 +511,6 @@ object ZOrder {
     // pre-optimize file set and publish it back, resurrecting the
     // un-optimized layout); plain directories have no mutation peers
     if (hasLog) CommitLog.withWriterLock(fs, path) {
-      require(!DeletionVectors.hasDvs(fs, path),
-        s"optimize: $path has unapplied deletion vectors — run " +
-          "DeletionVectors.compact first (the rewrite would resurrect " +
-          "DV-deleted rows and the dir swap would drop the _dv sidecar)")
       optimizeBody(spark, path, zCols, bits, numFiles, indexDir, curve,
         fs, tmp, old, hasLog)
     }
@@ -529,8 +531,21 @@ object ZOrder {
         require(committed.nonEmpty,
           s"optimize: $path has a commit log but no committed files — " +
             "nothing to rewrite")
-        spark.read.parquet(committed.map(n => s"$path/$n"): _*)
-      } else spark.read.parquet(path)
+        // mergeSchema: an additively-evolved lake mixes physical
+        // schemas — a single-footer pick would silently drop the
+        // evolved column from the whole rewritten layout
+        val base = spark.read.option("mergeSchema", "true")
+          .parquet(committed.map(n => s"$path/$n"): _*)
+        // fold any covered deletion vectors INTO the rewrite: OPTIMIZE
+        // rewrites every committed file anyway, so applying the
+        // vectors here is free — dead rows drop from the new layout,
+        // the checkpoint written below carries no dv entries (coverage
+        // ends with it), and the dir swap retires the `_dv` sidecar
+        // with the old files. One pass re-clusters AND compacts; no
+        // separate DeletionVectors.compact needed first.
+        DeletionVectors.applyVectors(base,
+          DeletionVectors.vectors(spark, path))
+      } else spark.read.option("mergeSchema", "true").parquet(path)
     curveWrite(input, tmp.toString, zCols, bits, numFiles, "overwrite",
       curve)
     if (hasLog) {
@@ -590,10 +605,6 @@ object ZOrder {
     // including the injected crash points below (the crash windows
     // under test are the FS states, not a held lock).
     CommitLog.withWriterLock(fs, path) {
-    require(!DeletionVectors.hasDvs(fs, path),
-      s"compactSmall: $path has unapplied deletion vectors — run " +
-        "DeletionVectors.compact first (the rewrite would resurrect " +
-        "DV-deleted rows)")
     val committed = CommitLog.committedNames(fs, path)
     val sized = committed.toSeq.sorted
       .map(n => n -> fs.getFileStatus(new Path(path, n)).getLen)
@@ -603,21 +614,47 @@ object ZOrder {
     val nf =
       if (numFiles > 0) numFiles
       else math.max(1L, (totalBytes + minBytes - 1) / minBytes).toInt
+    // covered deletion vectors FOLD into the rewrite instead of
+    // blocking it: the small-file read drops its dead rows (the
+    // readMor anti-join), vectors naming untouched files are
+    // rewritten into a fresh sidecar and re-covered by the publish
+    // below — the view is unchanged at every crash point
+    val dvOpt = DeletionVectors.vectors(spark, path)
+    val oldDv = DeletionVectors.coveredDvFiles(fs, path)
     val before = CommitLog.dataFileNames(fs, path)
-    curveWrite(spark.read.parquet(small.map(n => s"$path/$n"): _*),
+    // mergeSchema: small files can mix physical schemas after
+    // additive evolution — the folded file must carry the union
+    curveWrite(DeletionVectors.applyVectors(
+        spark.read.option("mergeSchema", "true")
+          .parquet(small.map(n => s"$path/$n"): _*), dvOpt),
       path, zCols, bits, numFiles = nf, mode = "append", curve = curve)
     val newFiles = (CommitLog.dataFileNames(fs, path) -- before)
       .toSeq.sorted
+    val survivorDv = dvOpt match {
+      case None => Seq.empty[String]
+      case Some(dv) => DeletionVectors.rewriteSurvivorVectors(
+        spark, fs, path, dv, small.toSet)
+    }
     if (failBeforePublish)
       throw new RuntimeException("injected crash before publish")
     // one atomic record flips the committed view old→new; its id is
-    // the current max, so batch-replay idempotence is untouched
-    CommitLog.commitCheckpoint(fs, path,
-      math.max(CommitLog.maxCommittedId(fs, path), -1L),
-      ((committed -- small) ++ newFiles).toSeq.sorted)
+    // the current max, so batch-replay idempotence is untouched.
+    // When vectors were folded the record is a MUTATION checkpoint
+    // (rows moved physically — history APIs must not serve older
+    // versions as immutable snapshots) carrying the survivor
+    // coverage; the vector-free path keeps its plain checkpoint.
+    val maxId = math.max(CommitLog.maxCommittedId(fs, path), -1L)
+    val newList = ((committed -- small) ++ newFiles).toSeq.sorted
+    if (dvOpt.isEmpty) CommitLog.commitCheckpoint(fs, path, maxId, newList)
+    else CommitLog.commitMutationCheckpoint(fs, path, maxId, newList,
+      dvNames = survivorDv)
     if (failBeforeDelete)
       throw new RuntimeException("injected crash before orphan delete")
     small.foreach { n => fs.delete(new Path(path, n), false); () }
+    // the replaced sidecar files are uncovered debris now — retire
+    oldDv.foreach { n =>
+      fs.delete(new Path(DeletionVectors.dvDir(path), n), false); ()
+    }
     indexDir.foreach(idx => StatsIndex.refresh(spark, path, zCols, idx))
     (small.size, newFiles.size)
     }

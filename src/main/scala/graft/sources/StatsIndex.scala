@@ -1555,23 +1555,36 @@ object StatsIndex {
     * conservative fallback with an AnalysisException (ADVICE r7).
     * On a clustered 100 TB lake the common case is an empty gap set:
     * the answer comes from the index alone, the same plan shape as
-    * [[countPruned]]. `StatsIndexSpec` asserts bit-equality with the
-    * full-scan aggregate, including the all-null and zero-crossing
-    * arms; q63_meta_minmax hash-checks it against DuckDB. */
+    * [[countPruned]].
+    *
+    * DV-AWARE (exact, like [[countPruned]]): a file carrying covered
+    * deletion vectors becomes a gap file for every column — a dead
+    * row may hold the recorded bound — and the gap scan reads only
+    * its LIVE rows (the readMor anti-join), so a MoR-deleted lake can
+    * never serve a phantom extremum; the extra I/O is bounded by the
+    * DV'd file set, zero when no vectors exist. `StatsIndexSpec`
+    * asserts bit-equality with the full-scan aggregate, including the
+    * all-null, zero-crossing and deleted-extremum arms;
+    * q63_meta_minmax / q73_dv_meta_minmax hash-check it against
+    * DuckDB. */
   def minMaxPruned(spark: SparkSession, dataDir: String,
       indexDir: String, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "minMaxPruned needs at least one column")
-    // a covered deletion vector can mark the extremum row dead, and
-    // footer bounds cannot know which value died — unlike COUNT there
-    // is no metadata-scale correction, so FAIL FAST rather than serve
-    // a phantom extremum (r8 VERDICT ask #4; compact() first, or
-    // aggregate over readMor)
-    require(!DeletionVectors.hasDvs(
-      new org.apache.hadoop.fs.Path(dataDir).getFileSystem(
-        spark.sparkContext.hadoopConfiguration), dataDir),
-      s"minMaxPruned: $dataDir has unapplied deletion vectors — a dead " +
-        "row may hold the recorded extremum; run DeletionVectors." +
-        "compact first or aggregate over DeletionVectors.readMor")
+    // DV-awareness (the r8 fail-fast, upgraded to exact): a covered
+    // deletion vector can mark the extremum row dead and footer bounds
+    // cannot know which value died — so a file carrying ANY covered
+    // vector loses its metadata arm and becomes a gap file for EVERY
+    // requested column, and the gap scan below reads only its LIVE
+    // rows (the same readMor anti-join). Clean files keep their
+    // zero-I/O arms, so the extra cost is bounded by the DV'd file
+    // set — exactly the set a dead extremum can hide in. A lake with
+    // no covered vectors pays nothing.
+    val dvOpt = DeletionVectors.vectors(spark, dataDir)
+    val dvdNames: Set[String] = dvOpt match {
+      case None => Set.empty
+      case Some(dv) => dv.select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSet
+    }
     val idx = widened(readIndex(spark, indexDir))
     // metadata-scale collect: one row per (file, requested col) — the
     // same order as the file lists every prune path materializes
@@ -1620,6 +1633,11 @@ object StatsIndex {
         def gap(): Unit = gaps += file
         r.getString(2) match {
           case _ if allNull => // proven no values: contributes nothing
+            // (sound under vectors too: deleting rows cannot CREATE
+            // values in a file the footer proves all-null)
+          case _ if dvdNames(
+              new org.apache.hadoop.fs.Path(file).getName) =>
+            gap() // a dead row may hold the bound — scan live rows
           case "long" if longExact && !r.isNullAt(3) && !r.isNullAt(4) =>
             // cast to the column's own type: footer int bounds are
             // values OF that type, and a BIGINT literal would widen
@@ -1683,8 +1701,12 @@ object StatsIndex {
         // file carries (old files predating it — exactly why they
         // gapped) is backfilled as a typed NULL from the recorded
         // dtype instead of failing the conservative fallback
-        val scan0 = spark.read.option("mergeSchema", "true")
-          .parquet(gapFiles.sorted: _*)
+        // live rows only: the readMor anti-join drops DV-dead rows
+        // from DV'd gap files (a no-op frame-identity when dvOpt is
+        // None; pairs naming non-gap files simply never match)
+        val scan0 = DeletionVectors.applyVectors(
+          spark.read.option("mergeSchema", "true")
+            .parquet(gapFiles.sorted: _*), dvOpt)
         val present = scan0.columns.toSet
         val scan = columns.foldLeft(scan0) { (df, c) =>
           if (present(c)) df

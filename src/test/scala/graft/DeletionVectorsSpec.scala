@@ -9,9 +9,10 @@ import graft.sources.{CommitLog, DeletionVectors, MergeInto, ZOrder}
 import graft.streaming.LayoutSink
 
 /** Merge-on-read deletes: vectors mark rows without rewriting files,
-  * readMor applies them exactly, compact applies them physically, and
-  * every copy-on-write rewriter refuses to run over unapplied vectors
-  * (it would resurrect the deleted rows). */
+  * readMor applies them exactly, compact applies them physically, CoW
+  * DML refuses to run over unapplied vectors (its MoR twins are the
+  * right verb), and the maintenance rewriters (OPTIMIZE, small-file
+  * compaction) FOLD the vectors into files they rewrite anyway. */
 class DeletionVectorsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -55,8 +56,8 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(DeletionVectors.readMor(spark, lake).count() == 240L)
   }
 
-  test("physical rewriters fail fast over unapplied vectors; appends " +
-    "compose; vacuum never sweeps the sidecar") {
+  test("CoW DML fails fast over unapplied vectors (the MoR twins are " +
+    "the right verb); appends compose; vacuum never sweeps the sidecar") {
     val lake = mkLake()
     val f = fs(lake)
     DeletionVectors.deleteMor(spark, lake, "k < 50")
@@ -68,9 +69,9 @@ class DeletionVectorsSpec extends SparkSpec {
     rejects(MergeInto.update(spark, lake, "k = 60", Map("v" -> "0")))
     rejects(MergeInto.merge(spark, lake,
       Seq((60, 0L)).toDF("k", "v"), Seq("k")))
-    rejects(ZOrder.optimize(spark, lake, Seq("k"), numFiles = 2))
-    rejects(ZOrder.compactSmall(spark, lake,
-      Seq("k"), minBytes = 1 << 20))
+    // OPTIMIZE and compactSmall FOLD the vectors instead of failing —
+    // they rewrite the touched bytes anyway; their own tests below
+    // pin the folding semantics
     // an ingest APPEND is fine — new files carry no vectors
     val before = CommitLog.dataFileNames(f, lake)
     (9000 until 9010).map(k => (k, k.toLong)).toDF("k", "v")
@@ -215,6 +216,77 @@ class DeletionVectorsSpec extends SparkSpec {
       spark, lake, Seq(Tuple1(1)).toDF("k"), Seq("k")))
   }
 
+  test("OPTIMIZE over a DV'd lake folds the vectors into the rewrite: " +
+    "one pass re-clusters, drops dead rows, retires the sidecar") {
+    val lake = mkLake()
+    val f = fs(lake)
+    DeletionVectors.deleteMor(spark, lake, "k % 10 = 3")
+    val want = DeletionVectors.readMor(spark, lake)
+      .orderBy("k").collect().toSeq
+    ZOrder.optimize(spark, lake, Seq("k"), numFiles = 2)
+    assert(!DeletionVectors.hasDvs(f, lake), "coverage must end")
+    assert(!f.exists(new Path(DeletionVectors.dvDir(lake))),
+      "the dir swap must retire the _dv sidecar")
+    // the PLAIN committed read now equals the pre-optimize MoR view
+    assert(LayoutSink.readCommitted(spark, lake)
+      .orderBy("k").collect().toSeq == want)
+    assert(DeletionVectors.readMor(spark, lake)
+      .orderBy("k").collect().toSeq == want)
+    // CoW unblocked without a separate compact
+    val (rw, _) = MergeInto.delete(spark, lake, "k = 2000")
+    assert(rw == 1)
+  }
+
+  test("compactSmall over a DV'd lake folds the compacted files' " +
+    "vectors and carries the untouched files' vectors in a fresh " +
+    "covered sidecar; a crash before publish changes nothing") {
+    val lake = mkLake() // 3 tiny files: k 0-99, 1000-1099, 2000-2099
+    val f = fs(lake)
+    // one file big enough to stay out of the compaction set
+    val before0 = CommitLog.dataFileNames(f, lake)
+    spark.range(10000, 110000).selectExpr("CAST(id AS INT) AS k",
+      "id * 2 AS v").coalesce(1).write.mode("append").parquet(lake)
+    CommitLog.commit(f, lake, 3,
+      (CommitLog.dataFileNames(f, lake) -- before0).toSeq.sorted)
+    // vectors in a small file (k=5) AND in the big file (k=10007)
+    DeletionVectors.deleteMor(spark, lake, "k IN (5, 10007)")
+    val want = DeletionVectors.readMor(spark, lake)
+      .orderBy("k").collect().toSeq
+    // injected crash before publish: view unchanged, debris invisible
+    intercept[RuntimeException](ZOrder.compactSmall(spark, lake,
+      Seq("k"), minBytes = 1 << 14, failBeforePublish = true))
+    assert(DeletionVectors.readMor(spark, lake)
+      .orderBy("k").collect().toSeq == want, "crashed compact leaked")
+    val (nc, nw) = ZOrder.compactSmall(spark, lake,
+      Seq("k"), minBytes = 1 << 14)
+    assert(nc == 3 && nw == 1, s"compacted ($nc, $nw)")
+    // view unchanged; the surviving vector still hides k=10007
+    assert(DeletionVectors.readMor(spark, lake)
+      .orderBy("k").collect().toSeq == want)
+    assert(DeletionVectors.coveredDvFiles(f, lake).size == 1,
+      "survivor vectors must live in ONE fresh covered sidecar")
+    // the folded file dropped k=5 PHYSICALLY; k=10007 is still
+    // physically present (its file was untouched), hidden by coverage
+    val flat = LayoutSink.readCommitted(spark, lake)
+    assert(flat.filter(col("k") === 5).count() == 0L)
+    assert(flat.filter(col("k") === 10007).count() == 1L)
+  }
+
+  test("compactSmall retires coverage entirely when every vector " +
+    "names a compacted file") {
+    val lake = mkLake()
+    val f = fs(lake)
+    DeletionVectors.deleteMor(spark, lake, "k IN (5, 1005)")
+    val want = DeletionVectors.readMor(spark, lake)
+      .orderBy("k").collect().toSeq
+    val (nc, _) = ZOrder.compactSmall(spark, lake,
+      Seq("k"), minBytes = 1 << 20)
+    assert(nc == 3)
+    assert(!DeletionVectors.hasDvs(f, lake), "no survivors → no coverage")
+    assert(LayoutSink.readCommitted(spark, lake)
+      .orderBy("k").collect().toSeq == want)
+  }
+
   test("mergeMor composes with the rest of the lake surface: schema " +
     "evolution through the delta file, rewriter guards over " +
     "merge-created vectors, compact over committed ∪ delta") {
@@ -233,7 +305,7 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(got.count() == 301L)
     assert(got.filter(col("tag").isNotNull).count() == 2L,
       "old rows take NULL for the evolved column")
-    // every physical rewriter refuses over MERGE-created vectors too
+    // CoW DML refuses over MERGE-created vectors too
     def rejects(body: => Any): Unit = {
       val e = intercept[IllegalArgumentException](body)
       assert(e.getMessage.contains("deletion vectors"), e.getMessage)
@@ -241,7 +313,6 @@ class DeletionVectorsSpec extends SparkSpec {
     rejects(MergeInto.delete(spark, lake, "k < 10"))
     rejects(MergeInto.merge(spark, lake,
       Seq((60, 0L)).toDF("k", "v"), Seq("k")))
-    rejects(ZOrder.optimize(spark, lake, Seq("k"), numFiles = 2))
     // compact applies the merge physically: the plain committed read
     // then equals the pre-compact MoR view (delta rows included,
     // replaced row gone)
@@ -317,11 +388,12 @@ class DeletionVectorsSpec extends SparkSpec {
   }
 
   test("metadata-first answers are DV-aware: countPruned subtracts " +
-    "exactly, minMaxPruned fails fast") {
+    "exactly, minMaxPruned scans only DV'd files' live rows — a " +
+    "deleted extremum never leaks and clean files stay zero-I/O") {
     import graft.sources.StatsIndex
     val lake = mkLake() // 3 range-disjoint files
     val idx = lake.stripSuffix("/lake") + "/idx"
-    StatsIndex.build(spark, lake, Seq("k"), idx)
+    StatsIndex.build(spark, lake, Seq("k", "v"), idx)
     DeletionVectors.deleteMor(spark, lake,
       "k IN (1000, 1001, 1050, 2000, 5)")
     // interior file (1000-1099 fully inside) minus its 3 dead rows;
@@ -331,14 +403,50 @@ class DeletionVectorsSpec extends SparkSpec {
     val want = DeletionVectors.readMor(spark, lake)
       .filter(col("k").between(1000, 2050)).count()
     assert(got == want && got == 147L, s"countPruned $got vs $want")
-    val e = intercept[IllegalArgumentException](
-      StatsIndex.minMaxPruned(spark, lake, idx, Seq("k")))
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    // kill the GLOBAL extrema (k=0 in file 1, k=2099 in file 3): the
+    // footer bounds still record them; minMaxPruned must answer the
+    // LIVE bounds, on k AND on the unindexed-by-the-delete column v
+    DeletionVectors.deleteMor(spark, lake, "k IN (0, 2099)")
+    val mm = StatsIndex.minMaxPruned(spark, lake, idx, Seq("k", "v"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(mm == ((1L, 2098L, 2L, 4196L)), s"live bounds: $mm")
+    // the second delete changed nothing inside [1000, 2050]
+    assert(StatsIndex.countPruned(spark, lake, idx, ranges) == 147L)
     // after compact both answer again, vector-free
     DeletionVectors.compact(spark, lake, indexDir = Some(idx))
     assert(StatsIndex.countPruned(spark, lake, idx, ranges) == 147L)
     assert(StatsIndex.minMaxPruned(spark, lake, idx, Seq("k"))
-      .select("min_k").as[Long].head() == 0L)
+      .select("min_k").as[Long].head() == 1L)
+  }
+
+  test("minMaxPruned under vectors is gap-scoped: a CLEAN file keeps " +
+    "its metadata arm (survives physical delete) while the DV'd " +
+    "file's live rows decide its side of the bound") {
+    import graft.sources.StatsIndex
+    val lake = mkLake() // files: k 0-99, 1000-1099, 2000-2099
+    val f = fs(lake)
+    val idx = lake.stripSuffix("/lake") + "/idx"
+    StatsIndex.build(spark, lake, Seq("k"), idx)
+    // vectors land ONLY in the top file; kill the global max
+    DeletionVectors.deleteMor(spark, lake, "k >= 2098")
+    // now physically delete the two CLEAN files (identified by
+    // content — part-file names are uuid-random): if minMaxPruned
+    // tried to scan them the read would fail — their bounds must
+    // come from the index alone
+    val committed = CommitLog.committedNames(f, lake).toSeq.sorted
+    val clean = spark.read
+      .parquet(committed.map(n => s"$lake/$n"): _*)
+      .groupBy(element_at(
+        split(col("_metadata.file_path"), "/"), -1).as("f"))
+      .agg(max(col("k")).as("mx")).filter(col("mx") < 2000)
+      .select("f").as[String].collect()
+    assert(clean.length == 2)
+    clean.foreach { n =>
+      f.delete(new org.apache.hadoop.fs.Path(lake, n), false); ()
+    }
+    val mm = StatsIndex.minMaxPruned(spark, lake, idx, Seq("k"))
+      .as[(Long, Long)].head()
+    assert(mm == ((0L, 2097L)), s"mixed-arm bounds: $mm")
   }
 
   test("readMorStream replays the snapshot at construction: orphans " +
