@@ -121,7 +121,7 @@ object CatalogScale {
     "q64_merge_string_key", "q65_inlist_scan", "q66_delete_pruned",
     "q67_dv_delete", "q68_dv_merge", "q69_dv_pruned_scan",
     "q70_dv_meta_count", "q71_dv_update", "q72_dv_optimize",
-    "q73_dv_meta_minmax",
+    "q73_dv_meta_minmax", "q74_dv_changes", "q75_incr_view",
     "qt4_exact_dedup", "qt5_minhash", "qt6_lsh_pairs",
     "qt11_dup_clusters", "qt21_curated_corpus",
     "qv4_ivf_assign", "qv6_ivf_query", "qv15_ivfpq_query",

@@ -1139,6 +1139,85 @@ object ExtendedQueries {
       Seq("l_orderkey", "l_extendedprice", "l_quantity"))
   }
 
+  /** ROW-LEVEL CDC through merge-on-read mutations, oracle-checked end
+    * to end: the add-only file contract (q56's `changedNames`) fails
+    * fast across any DML mutation — the consumer must fully resync —
+    * but MoR mutations ALREADY record their row-level delta (dead
+    * positions in new sidecar files, replacement rows in new delta
+    * files), and [[graft.sources.DeletionVectors.readMorChanges]]
+    * serves exactly that: capture a [[graft.sources.DeletionVectors
+    * .MorCursor]] (two name sets — both write-once, so the pair pins
+    * the version), mutate (a MoR delete, an index-free MoR update, a
+    * pure-insert MoR merge), then read the NET delta with its
+    * `_change_type` column. An update emits delete(old) + insert(new)
+    * — Delta CDF's preimage/postimage. The oracle states the same
+    * delta declaratively over `documents`: the hash match proves the
+    * pair bookkeeping (new-sidecar ∖ cursor, restricted to cursor-era
+    * files; new files anti-joined at head) reconstructs the exact row
+    * images. The 100 TB shape: the feed reads only the files the new
+    * pairs name + the new delta files — cost ∝ churn, never ∝ lake. */
+  val q74DvChanges: Q = (s, dir) => {
+    import graft.sources.{CommitLog, DeletionVectors}
+    val work = tempWork("graft_q74_")
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.repartition(3).write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    val cur = DeletionVectors.cursor(s, lake)
+    DeletionVectors.deleteMor(s, lake, "doc_id % 10 = 4")
+    DeletionVectors.updateMor(s, lake, "doc_id % 10 = 6",
+      Map("n_chars" -> "n_chars + 100"))
+    DeletionVectors.mergeMor(s, lake,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+        .withColumn("doc_id", -col("doc_id")), Seq("doc_id"))
+    DeletionVectors.readMorChanges(s, lake, cur)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("_change_type").as("change"))
+  }
+
+  /** INCREMENTALLY-MAINTAINED MATERIALIZED VIEW, oracle-checked end to
+    * end: a per-language count/sum aggregate over the q74 doc lake is
+    * built once ([[graft.sources.IncrementalView.refresh]] — full
+    * mode, cursor pinned atomically with the rows), then the SAME
+    * mutation window (MoR delete + update + insert-merge) is folded in
+    * by a second refresh that aggregates ONLY the row-level change
+    * feed — signed per-group deltas, one union + re-aggregate; the
+    * in-query require pins that the second pass really ran
+    * incrementally. The oracle computes the end-state aggregate
+    * directly: the hash match proves count/sum maintenance under ±1
+    * signing is bit-exact on integral columns — the view never drifts
+    * from what a full recompute would say. The 100 TB shape: the
+    * refresh reads the churn, never the lake. */
+  val q75IncrView: Q = (s, dir) => {
+    import graft.sources.{CommitLog, DeletionVectors, IncrementalView}
+    val work = tempWork("graft_q75_")
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.repartition(3).write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    IncrementalView.refresh(s, lake, s"$work/view",
+      Seq("lang"), Seq("n_chars"))
+    DeletionVectors.deleteMor(s, lake, "doc_id % 10 = 4")
+    DeletionVectors.updateMor(s, lake, "doc_id % 10 = 6",
+      Map("n_chars" -> "n_chars + 100"))
+    DeletionVectors.mergeMor(s, lake,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+        .withColumn("doc_id", -col("doc_id")), Seq("doc_id"))
+    val st = IncrementalView.refresh(s, lake, s"$work/view",
+      Seq("lang"), Seq("n_chars"))
+    require(st.mode == "incremental",
+      s"q75: the second refresh must be incremental, was ${st.mode}")
+    IncrementalView.readView(s, s"$work/view")
+  }
+
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
     * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
     * aggregated per curve cell. The oracle UNROLLS the same phases as
@@ -1176,6 +1255,8 @@ object ExtendedQueries {
     "q71_dv_update" -> q71DvUpdate,
     "q72_dv_optimize" -> q72DvOptimize,
     "q73_dv_meta_minmax" -> q73DvMetaMinmax,
+    "q74_dv_changes" -> q74DvChanges,
+    "q75_incr_view" -> q75IncrView,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
@@ -1320,6 +1401,29 @@ object ExtendedQueries {
          |  AND l_partkey BETWEEN 100 AND 1500
          |  AND l_suppkey BETWEEN 5 AND 90
          |GROUP BY 1""".stripMargin,
+    "q75_incr_view" ->
+      """WITH final AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 10 = 6 THEN n_chars + 100
+        |         ELSE n_chars END AS nc
+        |  FROM documents WHERE doc_id % 10 <> 4
+        |  UNION ALL
+        |  SELECT lang, n_chars AS nc
+        |  FROM documents WHERE doc_id % 10 = 3
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(nc) AS BIGINT) AS sum_n_chars
+        |FROM final GROUP BY 1""".stripMargin,
+    "q74_dv_changes" ->
+      """SELECT doc_id, lang, n_chars, 'delete' AS change
+        |FROM documents WHERE doc_id % 10 IN (4, 6)
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars + 100 AS n_chars,
+        |  'insert' AS change
+        |FROM documents WHERE doc_id % 10 = 6
+        |UNION ALL
+        |SELECT -doc_id AS doc_id, lang, n_chars, 'insert' AS change
+        |FROM documents WHERE doc_id % 10 = 3""".stripMargin,
     "q73_dv_meta_minmax" ->
       """SELECT min(l_orderkey) AS min_l_orderkey,
         |  max(l_orderkey) AS max_l_orderkey,

@@ -405,6 +405,22 @@ object DeletionVectors {
       .parquet(covered.toSeq.sorted.map(n => s"${dvDir(lakeDir)}/$n"): _*)
       .select(col("file"), col("pos")).distinct())
 
+  /** [[readMor]] PINNED at a captured [[MorCursor]] — both name sets
+    * are write-once, so the read serves exactly the cursor version's
+    * rows however the lake has moved since (a later physical rewrite
+    * that deleted a pinned file fails the read loudly, never serves
+    * wrong rows). The consistent-aggregate primitive incremental
+    * consumers build on. */
+  def readMorAt(spark: SparkSession, lakeDir: String,
+      at: MorCursor, mergeSchema: Boolean = false): DataFrame = {
+    require(at.files.nonEmpty, s"readMorAt: empty cursor for $lakeDir")
+    val rdr = if (mergeSchema) spark.read.option("mergeSchema", "true")
+      else spark.read
+    val base = rdr.parquet(
+      at.files.toSeq.sorted.map(n => s"$lakeDir/$n"): _*)
+    applyVectors(base, vectorsFor(spark, lakeDir, at.dvFiles))
+  }
+
   /** The committed view MINUS the covered vectors — ONE scan plus one
     * (AQE-broadcast) anti-join on `(file name, row position)`. With no
     * covered vectors this is exactly the plain committed read. Files
@@ -515,6 +531,122 @@ object DeletionVectors {
         stream.join(broadcast(dv), Seq(FileCol, PosCol), "left_anti")
     }
     live.drop(FileCol, PosCol)
+  }
+
+  /** A row-level CDC cursor over a merge-on-read lake: the committed
+    * data-file names and the covered sidecar names of ONE atomically
+    * resolved version ([[CommitLog.committedView]]). Both sets name
+    * WRITE-ONCE files, so the pair pins the version's exact row
+    * content in O(names) bytes — no data is copied. Capture it before
+    * a window of mutations; feed it to [[readMorChanges]] after. */
+  final case class MorCursor(files: Set[String], dvFiles: Set[String])
+
+  /** Capture the current version as a [[MorCursor]]. */
+  def cursor(spark: SparkSession, lakeDir: String): MorCursor = {
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (files, dv) = CommitLog.committedView(fs, lakeDir)
+    MorCursor(files, dv)
+  }
+
+  /** ROW-LEVEL CHANGE FEED through merge-on-read mutations — the CDC
+    * the add-only file contract ([[CommitLog.changedNames]]) cannot
+    * express: a CoW mutation forces its consumers into a full resync,
+    * but MoR mutations ALREADY record their row-level delta (dead
+    * positions in new sidecar files, replacement rows in new delta
+    * files), so the feed is served from exactly that.
+    *
+    * Returns the NET row delta from `from` to the current version,
+    * with a `_change_type` column:
+    *  - `delete` — a row the cursor version SERVED whose position died
+    *    since (its OLD values, fetched by a position join against only
+    *    the files new pairs name — bounded by touched files);
+    *  - `insert` — a row of a file added since the cursor that is LIVE
+    *    at the head version.
+    * An updateMor/mergeMor update therefore emits delete(old) +
+    * insert(new) — Delta CDF's preimage/postimage, net. A row born
+    * AND dead inside the window emits nothing (its pairs name a
+    * non-cursor file; the head anti-join drops it from inserts) — net
+    * semantics, deliberately: the consumer never saw it.
+    *
+    * SOUNDNESS GUARD: valid only while every cursor-era file is still
+    * committed and every cursor-era sidecar still covered — appends
+    * and MoR mutations never retire either, while every physical
+    * rewrite (CoW DML, OPTIMIZE, compactSmall, [[compact]]) does, and
+    * a rewrite re-publishes rows the consumer already holds (a file
+    * diff would mis-read it as churn). The guard FAILS FAST then —
+    * full resync, re-capture the cursor — the same horizon contract
+    * as the file-level CDC. New sidecar files hold only
+    * genuinely-new dead pairs (every MoR writer anti-joins the
+    * covered vectors before writing), so pairs are never double-
+    * reported. Replays are idempotent: the feed is a pure function of
+    * (cursor, current log state). */
+  def readMorChanges(spark: SparkSession, lakeDir: String,
+      from: MorCursor, mergeSchema: Boolean = false,
+      to: Option[MorCursor] = None): DataFrame = {
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // `to` pins the window's upper version (an incremental consumer
+    // captures it FIRST, so a mutation racing the read can never land
+    // inside the window it is about to mark consumed); default = the
+    // current version
+    val (filesH, dvH) = to.map(c => (c.files, c.dvFiles))
+      .getOrElse(CommitLog.committedView(fs, lakeDir))
+    require(from.files.subsetOf(filesH),
+      s"readMorChanges: committed files from the cursor version were " +
+        s"rewritten (${(from.files -- filesH).toSeq.sorted.take(3)
+          .mkString(", ")} …) — a physical rewrite (CoW DML, OPTIMIZE, " +
+        "compaction) breaks row-level change tracking; resync with a " +
+        "full read and re-capture the cursor")
+    require(from.dvFiles.subsetOf(dvH),
+      "readMorChanges: sidecar files from the cursor version lost " +
+        "coverage (a compaction applied them) — resync with a full " +
+        "read and re-capture the cursor")
+    val committedH = filesH.toSeq.sorted
+    require(committedH.nonEmpty,
+      s"readMorChanges: no committed files in $lakeDir")
+    val rdr = if (mergeSchema) spark.read.option("mergeSchema", "true")
+      else spark.read
+    val schemaFrame = rdr.parquet(committedH.map(n => s"$lakeDir/$n"): _*)
+    requireNoClash(schemaFrame, "readMorChanges")
+    val schema = schemaFrame.schema
+    val none = schemaFrame.limit(0)
+      .withColumn("_change_type", lit(null).cast("string"))
+    val newFiles = (filesH -- from.files).toSeq.sorted
+    val newDvFiles = (dvH -- from.dvFiles).toSeq.sorted
+    // inserts: rows of the window's new files, minus positions dead at
+    // head (pairs naming cursor-era files never match them)
+    val inserts =
+      if (newFiles.isEmpty) none
+      else applyVectors(
+        spark.read.schema(schema)
+          .parquet(newFiles.map(n => s"$lakeDir/$n"): _*),
+        vectorsFor(spark, lakeDir, dvH))
+        .withColumn("_change_type", lit("insert"))
+    // deletes: the window's new pairs restricted to cursor-era files,
+    // joined back by position for the old values
+    val deletes =
+      if (newDvFiles.isEmpty) none
+      else {
+        import spark.implicits._
+        val newPairs = spark.read
+          .parquet(newDvFiles.map(n => s"${dvDir(lakeDir)}/$n"): _*)
+          .select(col("file"), col("pos")).distinct()
+          .join(from.files.toSeq.toDF("file"), Seq("file"), "left_semi")
+          .localCheckpoint()
+        val touched = newPairs.select(col("file")).distinct()
+          .as[String].collect().toSeq.sorted
+        if (touched.isEmpty) none
+        else spark.read.schema(schema)
+          .parquet(touched.map(n => s"$lakeDir/$n"): _*)
+          .withColumn(FileCol, fileNameCol)
+          .withColumn(PosCol, col("_metadata.row_index"))
+          .join(broadcast(newPairs.select(col("file").as(FileCol),
+            col("pos").as(PosCol))), Seq(FileCol, PosCol), "left_semi")
+          .drop(FileCol, PosCol)
+          .withColumn("_change_type", lit("delete"))
+      }
+    inserts.unionByName(deletes)
   }
 
   /** Apply the vectors physically: rewrite ONLY the files that carry

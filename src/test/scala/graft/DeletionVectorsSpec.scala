@@ -287,6 +287,59 @@ class DeletionVectorsSpec extends SparkSpec {
       .orderBy("k").collect().toSeq == want)
   }
 
+  test("readMorChanges serves the row-level delta through MoR " +
+    "mutations: update = delete(old)+insert(new), born-and-dead nets " +
+    "to nothing, replay idempotent, cursor+delta reconstructs the " +
+    "head view; physical rewrites trip the guard") {
+    val lake = mkLake() // k 0-99, 1000-1099, 2000-2099; v = k*2
+    val f = fs(lake)
+    val cur = DeletionVectors.cursor(spark, lake)
+    val cursorView = DeletionVectors.readMor(spark, lake)
+      .select("k", "v").as[(Int, Long)].collect().toSet
+    // empty window → typed empty frame with the _change_type column
+    val empty = DeletionVectors.readMorChanges(spark, lake, cur)
+    assert(empty.columns.toSeq == Seq("k", "v", "_change_type") &&
+      empty.count() == 0L)
+    // the window: MoR delete, MoR update, MoR insert-merge, plus a
+    // row that is born AND dies inside the window
+    DeletionVectors.deleteMor(spark, lake, "k % 10 = 4")
+    DeletionVectors.updateMor(spark, lake, "k % 10 = 6",
+      Map("v" -> "v + 1"))
+    DeletionVectors.mergeMor(spark, lake,
+      (5000 until 5005).map(k => (k, 9L)).toDF("k", "v"), Seq("k"))
+    val before = CommitLog.dataFileNames(f, lake)
+    Seq((7777, 1L)).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(lake)
+    CommitLog.commit(f, lake, 3,
+      (CommitLog.dataFileNames(f, lake) -- before).toSeq.sorted)
+    DeletionVectors.deleteMor(spark, lake, "k = 7777")
+    def changes() = DeletionVectors.readMorChanges(spark, lake, cur)
+    val ks = (0 until 100).flatMap(i => Seq(i, 1000 + i, 2000 + i))
+    val wantDel = ks.filter(k => k % 10 == 4 || k % 10 == 6)
+      .map(k => (k, 2L * k)).toSet
+    val wantIns = ks.filter(_ % 10 == 6).map(k => (k, 2L * k + 1)).toSet ++
+      (5000 until 5005).map(k => (k, 9L)).toSet
+    val dels = changes().filter(col("_change_type") === "delete")
+      .select("k", "v").as[(Int, Long)].collect().toSet
+    val ins = changes().filter(col("_change_type") === "insert")
+      .select("k", "v").as[(Int, Long)].collect().toSet
+    assert(dels == wantDel, "delete rows carry the OLD values")
+    assert(ins == wantIns, "insert rows carry the NEW values; " +
+      "born-and-dead 7777 must be absent")
+    // the feed is a pure function of (cursor, log): replay identical
+    assert(changes().orderBy("k", "_change_type").collect().toSeq ==
+      changes().orderBy("k", "_change_type").collect().toSeq)
+    // applying the delta to the cursor view reconstructs the head
+    val headView = DeletionVectors.readMor(spark, lake)
+      .select("k", "v").as[(Int, Long)].collect().toSet
+    assert(cursorView -- wantDel ++ wantIns == headView,
+      "cursor ∖ deletes ∪ inserts must equal the head view")
+    // a physical rewrite (compact) retires cursor-era names → guard
+    DeletionVectors.compact(spark, lake)
+    val e = intercept[IllegalArgumentException](changes())
+    assert(e.getMessage.contains("resync"), e.getMessage)
+  }
+
   test("mergeMor composes with the rest of the lake surface: schema " +
     "evolution through the delta file, rewriter guards over " +
     "merge-created vectors, compact over committed ∪ delta") {

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CommitLog, DeletionVectors, IncrementalView}
+
+/** Incrementally-maintained materialized aggregates: refresh applies
+  * only the row-level change feed, matches a full recompute
+  * bit-exactly on integral columns, survives crashes at the publish
+  * boundary, and degrades to a full rebuild when a physical rewrite
+  * breaks row-level tracking. */
+class IncrementalViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed lake of (k, g, v): 300 rows, g = k % 3 groups. */
+  private def mkLake(): String = {
+    val lake = Files.createTempDirectory("graft_iv_").toString + "/lake"
+    val f = fs(lake)
+    for (b <- 0 to 2) {
+      val before = CommitLog.dataFileNames(f, lake)
+      (0 until 100).map(b * 1000 + _)
+        .map(k => (k, s"g${k % 3}", k.toLong))
+        .toDF("k", "g", "v")
+        .coalesce(1).write.mode("append").parquet(lake)
+      CommitLog.commit(f, lake, b,
+        (CommitLog.dataFileNames(f, lake) -- before).toSeq.sorted)
+    }
+    lake
+  }
+
+  private def recompute(lake: String) =
+    DeletionVectors.readMor(spark, lake)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+
+  private def view(dir: String) =
+    IncrementalView.readView(spark, dir)
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+
+  test("full build, then incremental refreshes across MoR delete/" +
+    "update/merge windows — each equals the full recompute bit-exactly") {
+    val lake = mkLake()
+    val dir = Files.createTempDirectory("graft_ivv_").toString + "/view"
+    val s0 = IncrementalView.refresh(spark, lake, dir,
+      Seq("g"), Seq("v"))
+    assert(s0 == IncrementalView.RefreshStats("full", 3))
+    assert(view(dir) == recompute(lake))
+    // window 1: sparse delete + update
+    DeletionVectors.deleteMor(spark, lake, "k % 10 = 4")
+    DeletionVectors.updateMor(spark, lake, "k % 10 = 6",
+      Map("v" -> "v + 1000000"))
+    val s1 = IncrementalView.refresh(spark, lake, dir,
+      Seq("g"), Seq("v"))
+    assert(s1.mode == "incremental" && s1.groupsTouched > 0)
+    assert(view(dir) == recompute(lake), "window 1 drifted")
+    // window 2: merge-insert new rows (a NEW group appears)
+    DeletionVectors.mergeMor(spark, lake,
+      (5000 until 5050).map(k => (k, "g9", 7L)).toDF("k", "g", "v"),
+      Seq("k"))
+    val s2 = IncrementalView.refresh(spark, lake, dir,
+      Seq("g"), Seq("v"))
+    assert(s2.mode == "incremental")
+    assert(view(dir) == recompute(lake), "window 2 drifted")
+    assert(view(dir).exists(_._1 == "g9"), "new group must appear")
+    // window 3: the new group dies entirely → its row must drop
+    DeletionVectors.deleteMor(spark, lake, "g = 'g9'")
+    val s3 = IncrementalView.refresh(spark, lake, dir,
+      Seq("g"), Seq("v"))
+    assert(s3.mode == "incremental")
+    assert(view(dir) == recompute(lake))
+    assert(!view(dir).exists(_._1 == "g9"), "dead group must drop")
+    // empty window: nothing touched, view unchanged
+    val s4 = IncrementalView.refresh(spark, lake, dir,
+      Seq("g"), Seq("v"))
+    assert(s4 == IncrementalView.RefreshStats("incremental", 0))
+    assert(view(dir) == recompute(lake))
+  }
+
+  test("a crash between generation write and pointer publish changes " +
+    "nothing; the re-run applies the same window exactly once") {
+    val lake = mkLake()
+    val dir = Files.createTempDirectory("graft_ivc_").toString + "/view"
+    IncrementalView.refresh(spark, lake, dir, Seq("g"), Seq("v"))
+    val before = view(dir)
+    DeletionVectors.deleteMor(spark, lake, "k % 7 = 0")
+    intercept[RuntimeException](IncrementalView.refresh(spark, lake,
+      dir, Seq("g"), Seq("v"), failBeforePublish = true))
+    // old pair intact: view unchanged, cursor unadvanced
+    assert(view(dir) == before, "crashed refresh leaked")
+    val s = IncrementalView.refresh(spark, lake, dir, Seq("g"), Seq("v"))
+    assert(s.mode == "incremental")
+    assert(view(dir) == recompute(lake), "re-run double-applied")
+    // debris swept: exactly one generation dir remains
+    assert(fs(dir).listStatus(new Path(dir))
+      .count(_.getPath.getName.startsWith("gen-")) == 1)
+  }
+
+  test("a physical rewrite (compact) trips the feed guard and refresh " +
+    "degrades to a correct full rebuild") {
+    val lake = mkLake()
+    val dir = Files.createTempDirectory("graft_ivf_").toString + "/view"
+    IncrementalView.refresh(spark, lake, dir, Seq("g"), Seq("v"))
+    DeletionVectors.deleteMor(spark, lake, "k % 10 = 1")
+    DeletionVectors.compact(spark, lake) // retires cursor-era names
+    val s = IncrementalView.refresh(spark, lake, dir, Seq("g"), Seq("v"))
+    assert(s.mode == "full", "guard must force the rebuild")
+    assert(view(dir) == recompute(lake))
+    // and the rebuild re-pins: the next window is incremental again
+    DeletionVectors.deleteMor(spark, lake, "k % 10 = 2")
+    val s2 = IncrementalView.refresh(spark, lake, dir, Seq("g"), Seq("v"))
+    assert(s2.mode == "incremental")
+    assert(view(dir) == recompute(lake))
+  }
+}
