@@ -66,6 +66,9 @@ object DmlChurnScale {
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.filter(_.forall(_.isDigit))
       .map(_.toInt).getOrElse(2)
+    // optional "only=<probe>" arg: re-measure one probe's cells
+    val only = args.find(_.startsWith("only=")).map(_.substring(5))
+    def want(name: String): Boolean = only.forall(_ == name)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -135,10 +138,12 @@ object DmlChurnScale {
         "<=0.3 = the O(touched) contract)")
     }
 
-    probe("dml_churn", stringKey = false, updates, "l_orderkey")
+    if (want("dml_churn"))
+      probe("dml_churn", stringKey = false, updates, "l_orderkey")
     // the DOC-LAKE shape: same constant churn, string doc_key —
     // discovery through prunedForKeysString's bloom arm
-    probe("dml_churn_string", stringKey = true, updatesS, "doc_key")
+    if (want("dml_churn_string"))
+      probe("dml_churn_string", stringKey = true, updatesS, "doc_key")
 
     // MERGE-ON-READ fixed churn (r8 VERDICT ask #1): the same constant
     // 1000-key batch upserted through DeletionVectors.mergeMor — zero
@@ -147,6 +152,7 @@ object DmlChurnScale {
     // 1×→10× exponent isolates what remains: index key-set discovery,
     // the sidecar write, the atomic publish and the index refresh.
     import graft.sources.DeletionVectors
+    if (want("dml_churn_mor")) {
     locally {
       val w = buildLake(spark, "/root/testdata/sf0.001", "warmm", 2)
       DeletionVectors.mergeMor(spark, s"$w/lake", updates,
@@ -174,12 +180,74 @@ object DmlChurnScale {
     val morExp = math.log10(morCells(1)._2 / morCells(0)._2)
     println("]," + f""""exponent":$morExp%.2f}""")
     println(f"[dml_churn_mor] done: exponent $morExp%.2f")
+    }
+
+    // ROW-LEVEL CDC + VIEW MAINTENANCE, fixed churn: the same constant
+    // 1000-key window upserted merge-on-read (untimed setup, as is the
+    // view's initial full build), then TIMED: (a) materializing the
+    // row-level change feed (readMorChanges count over its ~2000
+    // insert+delete rows) and (b) the incremental view refresh that
+    // folds the window into a per-returnflag aggregate. Both read only
+    // the window's delta files + the files its new pairs name, so the
+    // 1×→10× exponents measure the "cost ∝ churn, not lake" contract
+    // the q74/q75 catalog cells claim.
+    import graft.sources.IncrementalView
+    if (want("cdc_churn")) {
+    locally {
+      val w = buildLake(spark, "/root/testdata/sf0.001", "warmc", 2)
+      IncrementalView.refresh(spark, s"$w/lake", s"$w/view",
+        Seq("l_returnflag"), Seq("l_quantity")): Unit
+      val cur = DeletionVectors.cursor(spark, s"$w/lake")
+      DeletionVectors.mergeMor(spark, s"$w/lake", updates,
+        Seq("l_orderkey"), indexDir = Some(s"$w/idx")): Unit
+      DeletionVectors.readMorChanges(spark, s"$w/lake", cur)
+        .count(): Unit
+      IncrementalView.refresh(spark, s"$w/lake", s"$w/view",
+        Seq("l_returnflag"), Seq("l_quantity")): Unit
+    }
+    println("""{"probe":"cdc_churn","cells":[""")
+    val cdcCells = Seq(("1x", sf01, 16), ("10x", tenx, 160)).zipWithIndex
+      .map { case ((tag, src, files), i) =>
+        val outcomes = (1 to reps).map { _ =>
+          val root = buildLake(spark, src, s"cdc_$tag", files)
+          IncrementalView.refresh(spark, s"$root/lake", s"$root/view",
+            Seq("l_returnflag"), Seq("l_quantity")): Unit
+          val cur = DeletionVectors.cursor(spark, s"$root/lake")
+          DeletionVectors.mergeMor(spark, s"$root/lake", updates,
+            Seq("l_orderkey"), indexDir = Some(s"$root/idx")): Unit
+          var feedRows = 0L
+          val feedSec = t {
+            feedRows = DeletionVectors
+              .readMorChanges(spark, s"$root/lake", cur).count()
+          }
+          var st: IncrementalView.RefreshStats = null
+          val refSec = t {
+            st = IncrementalView.refresh(spark, s"$root/lake",
+              s"$root/view", Seq("l_returnflag"), Seq("l_quantity"))
+          }
+          require(st.mode == "incremental",
+            s"cdc_churn: refresh fell back to ${st.mode}")
+          (feedSec, refSec, feedRows)
+        }
+        val best = outcomes.minBy(o => o._1 + o._2)
+        val l = f"""{"cell":"$tag","files":$files,""" +
+          f""""feed_sec":${best._1}%.2f,"feed_rows":${best._3},""" +
+          f""""refresh_sec":${best._2}%.2f,"mode":"incremental"}"""
+        println("  " + (if (i > 0) "," else "") + l)
+        (best._1, best._2)
+    }
+    println("]," +
+      f""""feed_exponent":${math.log10(cdcCells(1)._1 / cdcCells(0)._1)}%.2f,""" +
+      f""""refresh_exponent":${math.log10(cdcCells(1)._2 / cdcCells(0)._2)}%.2f}""")
+    println("[cdc_churn] done")
+    }
 
     // SPARSE delete, DV vs CoW: a ~0.17% delete spread across EVERY
     // file (l_orderkey % 599 = 17) is copy-on-write's worst case —
     // every file is touched, so CoW rewrites the whole lake — and
     // merge-on-read's best: the vectors are a tiny (file, pos)
     // sidecar. Same lakes, both verbs timed at 1× and 10×.
+    if (want("dv_vs_cow_sparse_delete")) {
     val sparsePred = "l_orderkey % 599 = 17"
     // JIT-warm both delete paths untimed
     locally {
@@ -209,6 +277,7 @@ object DmlChurnScale {
       f""""dv_exponent":${math.log10(dvCells(1)._1 / dvCells(0)._1)}%.2f,""" +
       f""""cow_exponent":${math.log10(dvCells(1)._2 / dvCells(0)._2)}%.2f}""")
     println("[dv_vs_cow_sparse_delete] done")
+    }
     spark.stop()
   }
 }

@@ -459,6 +459,57 @@ object StreamQueryCatalog {
       .select(col("doc_id"), col("lang"), col("rev"), col("score"))
   }
 
+  /** STREAM-MAINTAINED MATERIALIZED VIEW, oracle-checked end to end:
+    * the qs17 merge-on-read CDC upsert stream, now also maintaining a
+    * per-language count/sum aggregate THROUGH the stream —
+    * [[graft.streaming.UpsertSink.ViewSpec]] makes each micro-batch
+    * publish its MoR upsert and then advance the view by
+    * [[graft.sources.IncrementalView.refresh]]: the first batch
+    * builds full, every later batch folds in ONLY the row-level
+    * change feed (MoR batches never rewrite a committed file, so the
+    * feed guard never trips). The result the driver hashes is the
+    * VIEW — the oracle aggregates the declarative last-wins end state
+    * directly, so the match proves per-batch signed-delta maintenance
+    * composes across every batch boundary to exactly the recompute.
+    * The 100 TB shape: the dashboard aggregate is maintained for
+    * O(batch churn) per trigger, while the lake underneath takes
+    * zero rewrites. */
+  val qs18StreamView: Q = (s, dir) => {
+    import graft.sources.{CommitLog, IncrementalView}
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_qs18_").toString
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    docs.withColumn("rev", lit(0L))
+      .withColumn("score", col("n_chars"))
+      .repartition(3).write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    val upd = docs.filter(col("doc_id") % 4 === 1)
+      .withColumn("rev", lit(1L))
+      .withColumn("score", col("n_chars") * 3)
+    val ins = docs.filter(col("doc_id") % 9 === 2)
+      .withColumn("doc_id", -col("doc_id"))
+      .withColumn("rev", lit(1L))
+      .withColumn("score", col("n_chars"))
+    upd.unionByName(ins).repartition(4).write.parquet(s"$work/in")
+    val schema = s.read.parquet(s"$work/in").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+    val dataBefore = CommitLog.committedNames(fs, lake)
+    val q = graft.streaming.UpsertSink.start(stream, lake,
+      s"$work/ckp", Seq("doc_id"), mor = true,
+      view = Some(graft.streaming.UpsertSink.ViewSpec(
+        s"$work/view", Seq("lang"), Seq("score"))))
+    q.awaitTermination()
+    require(dataBefore.subsetOf(CommitLog.committedNames(fs, lake)),
+      "qs18: a MoR upsert batch rewrote a data file")
+    IncrementalView.readView(s, s"$work/view")
+  }
+
   /** STREAMING × MERGE-ON-READ boundary, oracle-checked end to end
     * (r8 VERDICT ask #5): a committed lake with crash orphans and
     * MoR-deleted rows consumed AS A STREAM through
@@ -490,6 +541,7 @@ object StreamQueryCatalog {
   }
 
   val defs: Map[String, Q] = Map(
+    "qs18_stream_view" -> qs18StreamView,
     "qs17_stream_upsert_mor" -> qs17StreamUpsertMor,
     "qs16_stream_dv_read" -> qs16StreamDvRead,
     "qs15_stream_upsert" -> qs15StreamUpsert,
@@ -509,6 +561,19 @@ object StreamQueryCatalog {
     "qs4_stream_dedup" -> qs4StreamDedup)
 
   val sql: Map[String, String] = Map(
+    "qs18_stream_view" ->
+      """WITH merged AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 4 = 1 THEN n_chars * 3 ELSE n_chars
+        |      END AS score
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT lang, n_chars AS score
+        |  FROM documents WHERE doc_id % 9 = 2
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM merged GROUP BY 1""".stripMargin,
     "qs17_stream_upsert_mor" ->
       """SELECT doc_id, lang,
         |  CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT)

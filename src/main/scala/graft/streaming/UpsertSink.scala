@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.sources.{DeletionVectors, MergeInto}
+import graft.sources.{DeletionVectors, IncrementalView, MergeInto}
 
 /** Streaming UPSERT into a commit-logged lake: each micro-batch is
   * MERGEd ([[graft.sources.MergeInto.merge]] — whenMatched replace,
@@ -30,6 +30,18 @@ import graft.sources.{DeletionVectors, MergeInto}
   * O(matched files), not O(table). */
 object UpsertSink {
 
+  /** A materialized aggregate the sink maintains PER BATCH:
+    * `GROUP BY groupCols → count(*) AS n, sum(c) AS sum_c…`,
+    * advanced by [[graft.sources.IncrementalView.refresh]] after each
+    * batch's upsert publishes. Pair it with `mor = true`: MoR batches
+    * never rewrite a committed file, so every refresh after the first
+    * runs INCREMENTALLY off the row-level change feed — per-batch
+    * view cost ∝ batch churn. (Under CoW batches each merge rewrites
+    * files, tripping the feed guard — refresh still converges, but by
+    * full rebuild every batch.) */
+  final case class ViewSpec(viewDir: String, groupCols: Seq[String],
+      sumCols: Seq[String])
+
   /** With `indexDir`, each batch's merge also keeps the lake's stats
     * index consistent (and uses it for touched-file discovery) — the
     * streaming twin of [[graft.streaming.LayoutSink]]'s per-batch
@@ -52,7 +64,8 @@ object UpsertSink {
   def start(updates: DataFrame, lakeDir: String, checkpointDir: String,
       keys: Seq[String], filesPerRewrite: Int = 4,
       indexDir: Option[String] = None,
-      mor: Boolean = false): StreamingQuery =
+      mor: Boolean = false,
+      view: Option[ViewSpec] = None): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -63,6 +76,14 @@ object UpsertSink {
         else
           MergeInto.merge(batch.sparkSession, lakeDir, batch, keys,
             filesPerRewrite, evolveSchema = false, indexDir)
+        // view maintenance AFTER the upsert publishes: the refresh
+        // pins its own window, so a crash between the two leaves the
+        // view one window behind — the next batch's refresh folds
+        // both in (never split, never double-applied)
+        view.foreach { v =>
+          IncrementalView.refresh(batch.sparkSession, lakeDir,
+            v.viewDir, v.groupCols, v.sumCols): Unit
+        }
         ()
       }
       .start()

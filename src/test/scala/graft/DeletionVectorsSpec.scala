@@ -11,8 +11,9 @@ import graft.streaming.LayoutSink
 /** Merge-on-read deletes: vectors mark rows without rewriting files,
   * readMor applies them exactly, compact applies them physically, CoW
   * DML refuses to run over unapplied vectors (its MoR twins are the
-  * right verb), and the maintenance rewriters (OPTIMIZE, small-file
-  * compaction) FOLD the vectors into files they rewrite anyway. */
+  * right verb), the maintenance rewriters (OPTIMIZE, small-file
+  * compaction) FOLD the vectors into files they rewrite anyway, and
+  * the sidecar doubles as a row-level CDC log (readMorChanges). */
 class DeletionVectorsSpec extends SparkSpec {
   import spark.implicits._
 

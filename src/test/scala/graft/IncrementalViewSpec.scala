@@ -101,6 +101,42 @@ class IncrementalViewSpec extends SparkSpec {
       .count(_.getPath.getName.startsWith("gen-")) == 1)
   }
 
+  test("UpsertSink(mor = true, view = …) maintains the aggregate " +
+    "across micro-batches ≡ recompute, and a checkpoint-wiped replay " +
+    "converges (replayed windows net to zero per group)") {
+    val lake = mkLake()
+    val dir = Files.createTempDirectory("graft_ivs_").toString
+    val upd = spark.range(0, 3000)
+      .filter(col("id") % 5 === 0 && col("id") % 1000 < 100)
+      .selectExpr("CAST(id AS INT) AS k",
+        "concat('g', CAST(id % 3 AS STRING)) AS g", "-id AS v")
+    val ins = spark.range(5000, 5040)
+      .selectExpr("CAST(id AS INT) AS k",
+        "'g9' AS g", "id AS v")
+    upd.unionByName(ins).repartition(4).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def run(ckp: String): Unit = {
+      val q = graft.streaming.UpsertSink.start(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+        lake, ckp, Seq("k"), mor = true,
+        view = Some(graft.streaming.UpsertSink.ViewSpec(
+          s"$dir/view", Seq("g"), Seq("v"))))
+      q.awaitTermination()
+    }
+    run(s"$dir/ckp1")
+    assert(view(s"$dir/view") == recompute(lake),
+      "stream-maintained view drifted from the recompute")
+    assert(view(s"$dir/view").exists(_._1 == "g9"))
+    // replay from a wiped checkpoint: every batch re-merges MoR and
+    // re-refreshes — replayed deltas cancel (old delta rows die, twins
+    // append), so the view converges to the identical rows
+    val before = view(s"$dir/view")
+    run(s"$dir/ckp2")
+    assert(view(s"$dir/view") == before, "replayed stream moved the view")
+    assert(view(s"$dir/view") == recompute(lake))
+  }
+
   test("a physical rewrite (compact) trips the feed guard and refresh " +
     "degrades to a correct full rebuild") {
     val lake = mkLake()
