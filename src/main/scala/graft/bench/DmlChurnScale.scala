@@ -278,6 +278,53 @@ object DmlChurnScale {
       f""""cow_exponent":${math.log10(dvCells(1)._2 / dvCells(0)._2)}%.2f}""")
     println("[dv_vs_cow_sparse_delete] done")
     }
+
+    // RESTORE is metadata-only: append a committed junk batch, then
+    // TIME CommitLog.restore rolling it back — resolution is one log
+    // listing + record reads, the existence check one directory
+    // listing, the publish one checkpoint write. Nothing touches data
+    // bytes, so the 1×→10× cost moves only with the FILE-NAME count
+    // (16 → 160 names through the listing and the record write) —
+    // the exponent should sit near zero, the direct evidence for
+    // "rolling back a 100 TB lake costs milliseconds". Reps reuse one
+    // lake per scale: each rep appends fresh junk and restores to the
+    // pre-junk id (rep 1 exercises the reconstruction arm, later reps
+    // the exact-mutation-checkpoint arm — both are the same
+    // listing/read/write shape). The horizon-0 vacuum after the last
+    // rep is timed too: O(orphans swept), not O(lake).
+    if (want("restore_flat")) {
+    println("""{"probe":"restore_flat","cells":[""")
+    val junk = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .limit(1000).localCheckpoint()
+    val rsCells = Seq(("1x", sf01, 16), ("10x", tenx, 160)).zipWithIndex
+      .map { case ((tag, src, files), i) =>
+        val root = buildLake(spark, src, s"rs_$tag", files)
+        val lake = s"$root/lake"
+        val fs = new Path(lake)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val secs = (1 to math.max(reps, 3)).map { _ =>
+          val target = CommitLog.maxCommittedId(fs, lake)
+          val before = CommitLog.dataFileNames(fs, lake)
+          junk.write.mode("append").parquet(lake)
+          CommitLog.commit(fs, lake, target + 1,
+            (CommitLog.dataFileNames(fs, lake) -- before).toSeq.sorted)
+          t { CommitLog.restore(fs, lake, target): Unit }
+        }
+        var sweptN = 0
+        val vacSec = t {
+          sweptN = CommitLog.vacuum(fs, lake, olderThanMs = 0L).size
+        }
+        val best = secs.min
+        val l = f"""{"cell":"$tag","files":$files,""" +
+          f""""restore_sec":$best%.3f,"vacuum_sec":$vacSec%.2f,""" +
+          f""""vacuum_swept":$sweptN}"""
+        println("  " + (if (i > 0) "," else "") + l)
+        best
+    }
+    println("]," +
+      f""""exponent":${math.log10(rsCells(1) / rsCells(0))}%.2f}""")
+    println("[restore_flat] done")
+    }
     spark.stop()
   }
 }

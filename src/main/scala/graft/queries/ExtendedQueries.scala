@@ -1218,6 +1218,70 @@ object ExtendedQueries {
     IncrementalView.readView(s, s"$work/view")
   }
 
+  /** RESTORE + VACUUM, oracle-checked end to end through a PLAIN
+    * directory read: the [[loggedLake]] fixture rolled back to batch 1
+    * by [[graft.sources.CommitLog.restore]] — ONE metadata-scale
+    * checkpoint write, zero data I/O; at 100 TB this is the
+    * milliseconds-not-re-ingest answer to "last night's batch was
+    * bad" — then [[graft.sources.CommitLog.vacuum]] with horizon 0.
+    * The rolled-back batch-2 files are now uncommitted orphans, so
+    * vacuum MUST sweep them along with the crash orphans, and the
+    * plain directory read equals batches 0–1: the hash match proves
+    * restore republished exactly the as-of-1 view (a missed manifest
+    * would drop a congruence class), vacuum swept ALL rolled-back
+    * files (a leftover would double-count), and ONLY those (a swept
+    * committed file would drop rows). Restore + retention-vacuum is
+    * the Delta RESTORE contract, checked cross-engine. */
+  val q76Restore: Q = (s, dir) => {
+    import graft.sources.CommitLog
+    val lake = loggedLake(s, dir, tempWork("graft_q76_"))
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    CommitLog.restore(fs, lake, toBatchId = 1L)
+    CommitLog.vacuum(fs, lake, olderThanMs = 0L)
+    s.read.parquet(lake)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("l_extendedprice")).as("sum_price"))
+  }
+
+  /** RESTORE across an append on a DV'd lake, oracle-checked end to
+    * end: the [[loggedLake]] fixture MoR-deletes every
+    * `l_orderkey % 5 == 0` row (mutation checkpoint at the max id,
+    * vectors in the `_dv` sidecar), a junk batch then lands
+    * COMMITTED, and [[graft.sources.CommitLog.restore]] rolls back to
+    * the mutation checkpoint's id — the EXACT-record arm, where the
+    * restored view carries its `dv:` coverage forward, so deletion
+    * vectors travel with the rollback. A horizon-0 vacuum then sweeps
+    * the junk batch's files and the crash orphans but MUST leave the
+    * still-covered sidecar, and [[graft.sources.DeletionVectors
+    * .readMor]] serves the restored view. The oracle is the
+    * complement filter over lineitem: the hash match proves the
+    * rollback dropped exactly the junk batch (its rows would inflate
+    * every group), kept the deletion (a lost sidecar would resurrect
+    * the %5 class), and vacuum's coverage check protected the
+    * sidecar. The 100 TB shape: rollback on a lake with live MoR
+    * state stays metadata-only — no compact needed first. */
+  val q77RestoreDv: Q = (s, dir) => {
+    import graft.sources.{CommitLog, DeletionVectors}
+    val lake = loggedLake(s, dir, tempWork("graft_q77_"))
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    DeletionVectors.deleteMor(s, lake, "l_orderkey % 5 = 0")
+    val mutId = CommitLog.maxCommittedId(fs, lake)
+    val before = CommitLog.dataFileNames(fs, lake)
+    table(s, dir, "lineitem").limit(5000)
+      .write.mode("append").parquet(lake)
+    CommitLog.commit(fs, lake, mutId + 1,
+      (CommitLog.dataFileNames(fs, lake) -- before).toSeq.sorted)
+    CommitLog.restore(fs, lake, toBatchId = mutId)
+    CommitLog.vacuum(fs, lake, olderThanMs = 0L)
+    DeletionVectors.readMor(s, lake)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("l_extendedprice")).as("sum_price"))
+  }
+
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
     * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
     * aggregated per curve cell. The oracle UNROLLS the same phases as
@@ -1257,6 +1321,8 @@ object ExtendedQueries {
     "q73_dv_meta_minmax" -> q73DvMetaMinmax,
     "q74_dv_changes" -> q74DvChanges,
     "q75_incr_view" -> q75IncrView,
+    "q76_restore" -> q76Restore,
+    "q77_restore_dv" -> q77RestoreDv,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
@@ -1414,6 +1480,18 @@ object ExtendedQueries {
         |SELECT lang, count(*) AS n,
         |  CAST(sum(nc) AS BIGINT) AS sum_n_chars
         |FROM final GROUP BY 1""".stripMargin,
+    "q76_restore" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_orderkey % 3 <= 1
+         |GROUP BY 1""".stripMargin,
+    "q77_restore_dv" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE NOT (l_orderkey % 5 = 0)
+         |GROUP BY 1""".stripMargin,
     "q74_dv_changes" ->
       """SELECT doc_id, lang, n_chars, 'delete' AS change
         |FROM documents WHERE doc_id % 10 IN (4, 6)

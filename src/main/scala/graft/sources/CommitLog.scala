@@ -309,30 +309,138 @@ object CommitLog {
     }.flatMap(readRecord(fs, _)).filterNot(isDvEntry).toSet
   }
 
-  /** Lake maintenance: delete data files that are NOT in the committed
-    * view — crashed-ingest leftovers — but only when older than
-    * `olderThanMs` (an IN-FLIGHT writer's files have fresh modtimes and
-    * survive; pass 0 only when no writer can be mid-batch, e.g. the
-    * sink's own between-batch cleanup). Never touches the log or a
-    * committed file, so present reads, replays and AS-OF reads are all
-    * unaffected — an orphan was never committed at any id. No-ops on a
-    * log-less lake (every file is data there, none provably orphaned).
-    * Returns the deleted names. */
+  /** Lake maintenance: delete files that are NOT in the committed
+    * view — crashed-ingest leftovers in the data directory, plus
+    * `_dv/` deletion-vector sidecars the log no longer covers (a
+    * crashed MoR mutation's debris, or coverage dropped by
+    * [[DeletionVectors.compact]] / [[restore]]) — but only when older
+    * than `olderThanMs` (an IN-FLIGHT writer's files have fresh
+    * modtimes and survive; pass 0 only when no writer can be
+    * mid-batch, e.g. the sink's own between-batch cleanup, which runs
+    * under the writer lock mutations also take). Never touches the
+    * log, a committed file, or a covered sidecar, so present reads,
+    * replays and AS-OF reads are all unaffected — an orphan was never
+    * committed at any id, and an uncovered sidecar is invisible to
+    * every reader by the coverage contract. After a [[restore]], the
+    * rolled-back batches' files age into this sweep — the retention
+    * window IS `olderThanMs`, exactly Delta's VACUUM contract. No-ops
+    * on a log-less lake (every file is data there, none provably
+    * orphaned). Returns the deleted names, sidecars as `_dv/<name>`. */
   def vacuum(fs: FileSystem, lakeDir: String,
       olderThanMs: Long = 3600000L): Seq[String] = {
     if (!fs.exists(new Path(logDir(lakeDir)))) return Seq.empty
-    val committed = committedNames(fs, lakeDir)
     val horizon = System.currentTimeMillis() - olderThanMs
+    def aged(p: Path): Boolean =
+      // a racing writer may commit-or-remove between list and stat
+      try fs.getFileStatus(p).getModificationTime <= horizon
+      catch { case _: FileNotFoundException => false }
+    val committed = committedNames(fs, lakeDir)
     val swept = (dataFileNames(fs, lakeDir) -- committed).toSeq.sorted
-      .filter { n =>
-        val p = new Path(lakeDir, n)
-        // a racing writer may commit-or-remove between list and stat
-        try fs.getFileStatus(p).getModificationTime <= horizon
-        catch { case _: FileNotFoundException => false }
-      }
+      .filter(n => aged(new Path(lakeDir, n)))
     swept.foreach { n => fs.delete(new Path(lakeDir, n), false); () }
-    swept
+    val dvd = new Path(DeletionVectors.dvDir(lakeDir))
+    val dvSwept =
+      if (!fs.exists(dvd)) Seq.empty
+      else {
+        val covered = coveredDvNames(fs, lakeDir)
+        fs.listStatus(dvd).iterator.map(_.getPath.getName)
+          .filter(n => n.endsWith(".parquet") && !covered(n))
+          .filter(n => aged(new Path(dvd, n))).toSeq.sorted
+      }
+    dvSwept.foreach { n => fs.delete(new Path(dvd, n), false); () }
+    swept ++ dvSwept.map(n => s"_dv/$n")
   }
+
+  /** RESTORE (rollback): republish the committed view AS OF
+    * `toBatchId` as the table's NEW current version — ONE
+    * metadata-scale checkpoint write, ZERO data I/O, so rolling a
+    * 100 TB lake back from a bad ingest batch costs milliseconds, not
+    * a re-ingest. Returns the new batch id (above every existing one
+    * — history moves FORWARD; the bad batches stay in the log's past,
+    * which is what makes the operation itself crash-safe and
+    * replayable).
+    *
+    * Resolution reaches exactly as far as time travel does:
+    *
+    *  - a checkpoint EXACTLY at `toBatchId` (any kind — unlike
+    *    [[committedNamesAt]], a MUTATION checkpoint is fine here:
+    *    restore targets the view AS PUBLISHED at that id, not the
+    *    pre-mutation snapshot a pinned reader saw) → that record IS
+    *    the restored view, INCLUDING its covered deletion vectors —
+    *    coverage travels with the rollback;
+    *  - otherwise, no checkpoint newer than `toBatchId` may exist
+    *    (a fold may have subsumed-and-deleted manifests the view
+    *    needs — FAIL FAST; size `checkpointEvery` for the rollback
+    *    window you need) and the view is the newest checkpoint ≤
+    *    `toBatchId` plus the manifests in between.
+    *
+    * Every restored data file and sidecar must still be ON DISK —
+    * [[vacuum]] or an OPTIMIZE may have reclaimed rolled-past
+    * versions' files — else FAIL FAST naming the missing ones (the
+    * log alone cannot resurrect bytes). Publishes a MUTATION
+    * checkpoint: rows visible after `toBatchId` disappear from the
+    * view, so CDC cursors ([[changedNames]],
+    * [[DeletionVectors.readMorChanges]]) and as-of pinners must
+    * fail fast and resync rather than silently miss the rollback.
+    * Files newer than the restored view become uncommitted orphans
+    * that age into [[vacuum]]'s sweep — restore then vacuum is the
+    * full Delta-style RESTORE + retention story. Takes the writer
+    * lock: a restore racing a mutation would fork the version
+    * history. */
+  def restore(fs: FileSystem, lakeDir: String, toBatchId: Long): Long =
+    withWriterLock(fs, lakeDir) {
+      val maxId = maxCommittedId(fs, lakeDir)
+      require(maxId != Long.MinValue, s"restore: $lakeDir has no log")
+      require(toBatchId <= maxId,
+        s"restore to batch $toBatchId: the log only reaches id $maxId")
+      val (ckpts, manifests) = listLog(fs, lakeDir)
+      val exact = ckpts.filter(s =>
+        ckptKey(s.getPath.getName)._1 == toBatchId)
+      val entries: Seq[String] =
+        if (exact.nonEmpty)
+          readRecord(fs, exact.maxBy(s => ckptKey(s.getPath.getName)))
+        else {
+          require(!ckpts.exists(s =>
+              ckptKey(s.getPath.getName)._1 > toBatchId),
+            s"restore to batch $toBatchId: a newer checkpoint folded " +
+              "the records this view needs — history truncated (raise " +
+              "checkpointEvery to widen the rollback window)")
+          val base = ckpts.filter(s =>
+              ckptKey(s.getPath.getName)._1 < toBatchId)
+            .sortBy(s => ckptKey(s.getPath.getName)).lastOption
+          val baseId = base.map(s => ckptKey(s.getPath.getName)._1)
+            .getOrElse(Long.MinValue)
+          base.map(readRecord(fs, _)).getOrElse(Seq.empty) ++
+            manifests.filter { s =>
+              val id = recordId(s.getPath.getName)
+              id > baseId && id <= toBatchId
+            }.flatMap(readRecord(fs, _))
+        }
+      val (dvEntries, dataEntries) = entries.partition(isDvEntry)
+      val dvNames = dvEntries.map(_.substring(DvPrefix.length)).distinct
+      // existence via ONE directory listing per dir, not a per-file
+      // exists round-trip — a million-file lake on an object store
+      // would otherwise pay a million serial HEAD requests here
+      val onDisk = dataFileNames(fs, lakeDir)
+      val missingData = dataEntries.distinct.filterNot(onDisk).sorted
+      require(missingData.isEmpty,
+        s"restore to batch $toBatchId: data file(s) reclaimed since — " +
+          s"${missingData.mkString(", ")} (vacuum/OPTIMIZE retention " +
+          "has passed this version; the log cannot resurrect bytes)")
+      val dvd = new Path(DeletionVectors.dvDir(lakeDir))
+      val dvOnDisk: Set[String] =
+        if (dvNames.isEmpty || !fs.exists(dvd)) Set.empty
+        else fs.listStatus(dvd).iterator.map(_.getPath.getName).toSet
+      val missingDv = dvNames.filterNot(dvOnDisk).sorted
+      require(missingDv.isEmpty,
+        s"restore to batch $toBatchId: deletion-vector sidecar(s) " +
+          s"reclaimed since — ${missingDv.mkString(", ")} (vacuum " +
+          "retention has passed this version)")
+      val newId = maxId + 1
+      commitMutationCheckpoint(fs, lakeDir, newId,
+        dataEntries.distinct.sorted, dvNames.sorted)
+      newId
+    }
 
   /** Highest batch id the log covers: max over manifest ids and
     * checkpoint ids (a checkpoint at N covers every id ≤ N).
