@@ -355,10 +355,15 @@ object CommitLog {
     * `toBatchId` as the table's NEW current version — ONE
     * metadata-scale checkpoint write, ZERO data I/O, so rolling a
     * 100 TB lake back from a bad ingest batch costs milliseconds, not
-    * a re-ingest. Returns the new batch id (above every existing one
-    * — history moves FORWARD; the bad batches stay in the log's past,
-    * which is what makes the operation itself crash-safe and
-    * replayable).
+    * a re-ingest. Publishes AT the current max id (a new generation)
+    * — the same convention as every DML verb, and not an accident: a
+    * checkpoint minted at `maxId + 1` would collide with the next id
+    * an independently-counting writer (a streaming sink's epoch)
+    * commits, and that batch's manifest would be silently subsumed —
+    * invisible data. Appends after the restore land at `maxId + 1`
+    * and above, exactly as they would have. Returns the id restored
+    * AT. Crash-safe and replayable: a repeat targeting the restored
+    * content republishes the identical view at a fresh generation.
     *
     * Resolution reaches exactly as far as time travel does:
     *
@@ -436,10 +441,9 @@ object CommitLog {
         s"restore to batch $toBatchId: deletion-vector sidecar(s) " +
           s"reclaimed since — ${missingDv.mkString(", ")} (vacuum " +
           "retention has passed this version)")
-      val newId = maxId + 1
-      commitMutationCheckpoint(fs, lakeDir, newId,
+      commitMutationCheckpoint(fs, lakeDir, maxId,
         dataEntries.distinct.sorted, dvNames.sorted)
-      newId
+      maxId
     }
 
   /** Highest batch id the log covers: max over manifest ids and

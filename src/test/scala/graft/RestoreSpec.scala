@@ -43,12 +43,15 @@ class RestoreSpec extends SparkSpec {
     lake
   }
 
-  test("restore rolls the view back to an append-only id; history " +
-    "moves forward and later appends land above the restore") {
+  test("restore rolls the view back to an append-only id; the next " +
+    "writer's batch id stays visible above it") {
     val lake = mkLake()
     val f = fs(lake)
+    // publishes AT the current max id (2), NOT maxId+1 — a checkpoint
+    // minted at 3 would subsume the manifest a resuming streaming
+    // sink's epoch counter commits at 3, silently losing that batch
     val newId = CommitLog.restore(f, lake, toBatchId = 1L)
-    assert(newId == 3L, s"restore published at $newId")
+    assert(newId == 2L, s"restore published at $newId")
     val got = LayoutSink.readCommitted(spark, lake)
     assert(got.count() == 200)
     assert(got.agg(max(col("b"))).head.getInt(0) == 1)
@@ -72,9 +75,10 @@ class RestoreSpec extends SparkSpec {
     val f = fs(lake)
     val id1 = CommitLog.restore(f, lake, toBatchId = 1L)
     // the restore checkpoint's own id is an exact record — a crashed
-    // caller can re-target it and get the identical view at a new id
+    // caller can re-target it and get the identical view republished
+    // at a fresh generation of the same id
     val id2 = CommitLog.restore(f, lake, toBatchId = id1)
-    assert(id2 == id1 + 1)
+    assert(id2 == id1)
     assert(LayoutSink.readCommitted(spark, lake).count() == 200)
   }
 
