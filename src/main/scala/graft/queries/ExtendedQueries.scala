@@ -1282,6 +1282,45 @@ object ExtendedQueries {
         sumd(col("l_extendedprice")).as("sum_price"))
   }
 
+  /** CHECK CONSTRAINTS, oracle-checked end to end: a committed
+    * documents lake defines `n_chars > 0` and `length(text) > 0`
+    * ([[graft.sources.Constraints.add]] — the Delta ADD CONSTRAINT
+    * shape, existing rows validated first), then a POISONED merge
+    * (every update row's char count negated) must be rejected by the
+    * pre-publish gate — the in-query `require` pins the
+    * [[graft.sources.Constraints.ConstraintViolation]] — before the
+    * honest twin of the same merge (`n_chars + 700`) lands. The
+    * oracle is the CASE expression over documents: the hash match
+    * proves the rejected merge left NO trace (a leaked update row or
+    * a half-published rewrite would shift the sums) and the valid one
+    * applied exactly. The 100 TB shape: the gate reads ONLY the files
+    * a write is about to commit — O(churn), never a table scan — so
+    * data-quality enforcement costs what the write already cost. */
+  val q78Constraints: Q = (s, dir) => {
+    import graft.sources.{CommitLog, Constraints, MergeInto}
+    val work = tempWork("graft_q78_")
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    table(s, dir, "documents").repartition(4).write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    Constraints.add(s, lake, "chars_positive", "n_chars > 0")
+    Constraints.add(s, lake, "text_nonempty", "length(text) > 0")
+    val upd = table(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(83)) === 2)
+      .withColumn("n_chars", col("n_chars") + 700)
+    val rejected =
+      try { MergeInto.merge(s, lake,
+        upd.withColumn("n_chars", -col("n_chars")), Seq("doc_id")); false }
+      catch { case _: Constraints.ConstraintViolation => true }
+    require(rejected, "q78: the violating merge was not rejected")
+    MergeInto.merge(s, lake, upd, Seq("doc_id"))
+    graft.streaming.LayoutSink.readCommitted(s, lake)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
     * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
     * aggregated per curve cell. The oracle UNROLLS the same phases as
@@ -1323,6 +1362,7 @@ object ExtendedQueries {
     "q75_incr_view" -> q75IncrView,
     "q76_restore" -> q76Restore,
     "q77_restore_dv" -> q77RestoreDv,
+    "q78_constraints" -> q78Constraints,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
@@ -1492,6 +1532,12 @@ object ExtendedQueries {
          |FROM lineitem
          |WHERE NOT (l_orderkey % 5 = 0)
          |GROUP BY 1""".stripMargin,
+    "q78_constraints" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 83 = 2 THEN n_chars + 700
+        |           ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
     "q74_dv_changes" ->
       """SELECT doc_id, lang, n_chars, 'delete' AS change
         |FROM documents WHERE doc_id % 10 IN (4, 6)

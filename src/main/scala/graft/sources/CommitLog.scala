@@ -446,6 +446,59 @@ object CommitLog {
       maxId
     }
 
+  /** One row of [[history]]: a live log record. `kind` is
+    * `manifest` (a batch's added files), `checkpoint` (a full
+    * snapshot) or `mutation` (a snapshot that changed row content in
+    * place). `current` marks the records whose union IS the committed
+    * view; `reachable` marks ids [[committedNamesAt]]/[[restore]] can
+    * still resolve (an exact non-mutation checkpoint, or any id no
+    * newer checkpoint has folded past — restore additionally accepts
+    * exact MUTATION checkpoints). */
+  final case class VersionRecord(id: Long, gen: Long, kind: String,
+      dataFiles: Int, dvFiles: Int, modifiedMs: Long,
+      current: Boolean, reachable: Boolean)
+
+  /** DESCRIBE HISTORY: the live log records, oldest first — the
+    * observability surface for time travel, CDC cursors and
+    * [[restore]] ("which version can I still roll back to, and what
+    * does it hold?"). One log listing + one read per live record —
+    * O(records since the last fold), the same bound every log op has;
+    * never touches data. Subsumed records a fold already swept are
+    * gone — their ids show as unreachable exactly as the travel APIs
+    * treat them. */
+  def history(fs: FileSystem, lakeDir: String): Seq[VersionRecord] = {
+    val (ckpts, manifests) = listLog(fs, lakeDir)
+    val ckptMax = ckpts.map(s => ckptKey(s.getPath.getName)._1)
+      .foldLeft(Long.MinValue)(math.max)
+    val winner = ckpts.sortBy(s => ckptKey(s.getPath.getName))
+      .lastOption.map(_.getPath.getName)
+    def row(s: FileStatus, id: Long, gen: Long, kind: String,
+        current: Boolean, reachable: Boolean): VersionRecord = {
+      val rec = readRecord(fs, s)
+      val (dv, data) = rec.partition(isDvEntry)
+      VersionRecord(id, gen, kind, data.size, dv.size,
+        s.getModificationTime, current, reachable)
+    }
+    val c = ckpts.map { s =>
+      val (id, gen) = ckptKey(s.getPath.getName)
+      val mut = isMutation(s.getPath.getName)
+      row(s, id, gen, if (mut) "mutation" else "checkpoint",
+        current = winner.contains(s.getPath.getName),
+        // an exact checkpoint always resolves (restore even when
+        // mutation-flagged); out-ranked same-id generations don't
+        reachable = ckpts.filter(o =>
+          ckptKey(o.getPath.getName)._1 == id)
+          .maxBy(o => ckptKey(o.getPath.getName))
+          .getPath.getName == s.getPath.getName)
+    }
+    val m = manifests.map { s =>
+      val id = recordId(s.getPath.getName)
+      row(s, id, 0L, "manifest",
+        current = id > ckptMax, reachable = id >= ckptMax)
+    }
+    (c ++ m).sortBy(r => (r.id, r.gen, r.kind))
+  }
+
   /** Highest batch id the log covers: max over manifest ids and
     * checkpoint ids (a checkpoint at N covers every id ≤ N).
     * Long.MinValue when the log is empty. */
@@ -634,6 +687,12 @@ object CommitLog {
     writeAtomic(fs, lakeDir, checkpointPath(lakeDir, id, gen, mutation),
       files)
   }
+
+  /** [[Constraints]] publishes its definition file with the same
+    * write-then-rename atomicity as every log record. */
+  private[sources] def writeRecordAtomic(fs: FileSystem, lakeDir: String,
+      dst: Path, lines: Seq[String]): Unit =
+    writeAtomic(fs, lakeDir, dst, lines)
 
   private def writeAtomic(fs: FileSystem, lakeDir: String, dst: Path,
       files: Seq[String]): Unit = {

@@ -289,6 +289,11 @@ object DeletionVectors {
         .parquet(lakeDir)
       val delta =
         (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
+      // CHECK-constraint gate on the delta files only — a violation
+      // throws before the publish: the delta stays uncommitted debris
+      // and the new sidecar pairs stay uncovered, so the rejected
+      // upsert never happened in any reader's view
+      Constraints.validateFiles(spark, lakeDir, delta)
       val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
       CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
         committed ++ delta,
@@ -380,6 +385,9 @@ object DeletionVectors {
         updated.repartition(1).write.mode("append").parquet(lakeDir)
         val delta =
           (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
+        // same pre-publish CHECK gate as mergeMor: post-SET rows must
+        // still satisfy every constraint or nothing publishes
+        Constraints.validateFiles(spark, lakeDir, delta)
         val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
         CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
           committed ++ delta,

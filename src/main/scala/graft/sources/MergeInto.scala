@@ -352,6 +352,13 @@ object MergeInto {
         .write.mode("append").parquet(lakeDir))
       val fresh =
         (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
+      // CHECK-constraint gate on the rewritten files only (carried
+      // files' rows passed when they entered, by induction); deletes
+      // introduce no new values and skip. A violation throws BEFORE
+      // the publish — the fresh files are debris the sweep below
+      // never reaches, cleared by the next writer's vacuum.
+      if (verb != "delete")
+        Constraints.validateFiles(spark, lakeDir, fresh)
       val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
       CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
         (carried ++ fresh).sorted)

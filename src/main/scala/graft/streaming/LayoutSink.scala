@@ -134,6 +134,10 @@ object LayoutSink {
         }
       if (failAfterWrite)
         throw new RuntimeException("injected crash before commit")
+      // CHECK-constraint gate on exactly the files about to commit —
+      // a violating batch throws here and its files stay invisible
+      // debris (the next attempt's horizon-0 vacuum above sweeps them)
+      graft.sources.Constraints.validateFiles(spark, lakeDir, newFiles)
       CommitLog.commit(fs, lakeDir, batchId, newFiles)
       if (failAfterCommit)
         throw new RuntimeException("injected crash before index refresh")

@@ -168,6 +168,36 @@ class RestoreSpec extends SparkSpec {
     assert(e3.getMessage.contains("reclaimed"))
   }
 
+  test("history describes the live log: kinds, file counts, the " +
+    "current view and restore reachability") {
+    val lake = mkLake()
+    val f = fs(lake)
+    val h0 = CommitLog.history(f, lake)
+    assert(h0.map(r => (r.id, r.kind)) ==
+      Seq((0L, "manifest"), (1L, "manifest"), (2L, "manifest")))
+    assert(h0.forall(r => r.current && r.reachable && r.dvFiles == 0))
+    assert(h0.map(_.dataFiles) == Seq(1, 1, 1))
+    // a MoR delete publishes a mutation snapshot AT the max id: the
+    // manifests fall out of the current view, the mutation record
+    // carries the full file list + its sidecar
+    DeletionVectors.deleteMor(spark, lake, "v % 10 = 0")
+    val h1 = CommitLog.history(f, lake)
+    val mut = h1.find(_.kind == "mutation").get
+    assert(mut.id == 2L && mut.current && mut.reachable)
+    assert(mut.dataFiles == 3 && mut.dvFiles == 1)
+    assert(h1.filter(_.kind == "manifest").forall(r =>
+      !r.current && !r.reachable || r.id == 2L))
+    // an append above the mutation is current and reachable
+    val before = CommitLog.dataFileNames(f, lake)
+    Seq((3, 3000)).toDF("b", "v").coalesce(1).write.mode("append")
+      .parquet(lake)
+    CommitLog.commit(f, lake, 3L,
+      (CommitLog.dataFileNames(f, lake) -- before).toSeq.sorted)
+    val h2 = CommitLog.history(f, lake)
+    assert(h2.exists(r => r.id == 3L && r.kind == "manifest" &&
+      r.current && r.reachable))
+  }
+
   test("a change cursor from before the restore fails fast — the " +
     "rollback is a mutation, not an append") {
     val lake = mkLake()
