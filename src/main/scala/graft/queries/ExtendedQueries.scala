@@ -1321,6 +1321,51 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** SHALLOW CLONE, oracle-checked end to end: a committed documents
+    * lake is branched by [[graft.sources.Clone.shallow]] — the
+    * in-query `require` pins the ZERO-COPY contract (no data file
+    * physically lands under the branch) — then a CoW merge mutates
+    * the BRANCH ONLY (`n_chars + 700` for `doc_id % 83 = 2`; its
+    * rewrite writes under the branch, its carried files keep serving
+    * from the source dir through the name-resolution chain). The
+    * output unions the source's aggregate with the branch's under a
+    * `side` tag; the DuckDB oracle is the plain aggregate UNION'd
+    * with its CASE twin — the hash match proves isolation BOTH ways
+    * (a branch write leaking into the source, or a source row lost to
+    * the branch's rewrite, would shift a sum). The 100 TB shape:
+    * branching the table costs ONE metadata write however large it
+    * is, and the experiment's cost is O(its own churn). */
+  val q79Clone: Q = (s, dir) => {
+    import graft.sources.{Clone, CommitLog, MergeInto}
+    val work = tempWork("graft_q79_")
+    val lake = s"$work/lake"
+    val branch = s"$work/branch"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    table(s, dir, "documents").repartition(4).write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    Clone.shallow(s, lake, branch)
+    require(CommitLog.dataFileNames(fs, branch).isEmpty,
+      "q79: shallow clone must copy zero data files")
+    val srcFiles = CommitLog.dataFileNames(fs, lake)
+    val upd = table(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(83)) === 2)
+      .withColumn("n_chars", col("n_chars") + 700)
+    MergeInto.merge(s, branch, upd, Seq("doc_id"))
+    require(CommitLog.dataFileNames(fs, lake) == srcFiles,
+      "q79: the branch merge touched the source's file set")
+    def agg(d: DataFrame, side: String) = d
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .select(lit(side).as("side"), col("lang"), col("n"),
+        col("sum_chars"))
+    agg(graft.streaming.LayoutSink.readCommitted(s, lake), "src")
+      .unionByName(
+        agg(graft.streaming.LayoutSink.readCommitted(s, branch),
+          "branch"))
+  }
+
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
     * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
     * aggregated per curve cell. The oracle UNROLLS the same phases as
@@ -1363,6 +1408,7 @@ object ExtendedQueries {
     "q76_restore" -> q76Restore,
     "q77_restore_dv" -> q77RestoreDv,
     "q78_constraints" -> q78Constraints,
+    "q79_clone" -> q79Clone,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
@@ -1538,6 +1584,15 @@ object ExtendedQueries {
         |           ELSE n_chars END) AS BIGINT) AS sum_chars
         |FROM documents
         |GROUP BY 1""".stripMargin,
+    "q79_clone" ->
+      """SELECT 'src' AS side, lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 2
+        |UNION ALL
+        |SELECT 'branch' AS side, lang, count(*) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 83 = 2 THEN n_chars + 700
+        |           ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 2""".stripMargin,
     "q74_dv_changes" ->
       """SELECT doc_id, lang, n_chars, 'delete' AS change
         |FROM documents WHERE doc_id % 10 IN (4, 6)

@@ -1,0 +1,183 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** SHALLOW CLONE — Delta's `CREATE TABLE ... SHALLOW CLONE` shape: a
+  * new lake whose commit log REFERENCES the source's committed data
+  * files (and covered deletion-vector sidecars) instead of copying
+  * them. Cloning a 100 TB table costs one metadata write, and the
+  * clone is immediately a full table: every verb in this package works
+  * on it — reads, time travel, MERGE/UPDATE/DELETE (CoW and MoR),
+  * constraints, restore, history — because they all resolve committed
+  * NAMES through [[CommitLog.resolveDataPaths]]: a name physically
+  * under the clone wins (fresh writes land there), anything else
+  * resolves against the recorded source.
+  *
+  * The branch-for-experiments contract (exactly Delta's):
+  *
+  *  - a clone MUTATION never touches the source: rewrites and delta
+  *    files are written under the clone; replaced source files simply
+  *    stop being referenced by the clone's log (they stay committed in
+  *    the source — the clone's sweep is [[CommitLog.vacuum]], which
+  *    lists only the clone's own directory);
+  *  - a SOURCE APPEND is invisible to the clone (its log pins the
+  *    names captured at clone time) and breaks nothing;
+  *  - a SOURCE physical rewrite — CoW DML, OPTIMIZE, compaction — or a
+  *    vacuum that reclaims files the clone references BREAKS the clone
+  *    LOUDLY: the clone's reads fail naming the missing file, and
+  *    [[CommitLog.restore]] on the clone fails fast ("reclaimed").
+  *    This is Delta's documented shallow-clone hazard verbatim (its
+  *    VACUUM on the source invalidates shallow clones the same way);
+  *    [[materialize]] is the escape hatch — run it before mutating the
+  *    source, or clone from sources that are append-only/immutable
+  *    (the training-snapshot case this exists for).
+  *
+  * The clone BOOTSTRAPS at the log's grandfather id `-1` (the
+  * convention the sink's bootstrap manifest already owns), so an
+  * independently-counting writer — a streaming sink's epoch starting
+  * at batch 0 — commits above it without replay-idempotence ever
+  * seeing its batches as already-committed. A source with covered
+  * deletion vectors clones as a MUTATION checkpoint carrying the
+  * `dv:` coverage (the view is not expressible as a bare file list;
+  * time-travel/CDC fail fast across it exactly as they do on the
+  * source — a fresh clone has no earlier cursors, so the marker is
+  * vacuous until it matters).
+  *
+  * CHECK constraints travel: the source's current definitions are
+  * replicated into the clone's log at clone time (then evolve
+  * independently — Delta clones table properties the same way).
+  * Stats indexes do NOT travel: an index is keyed by physical paths,
+  * and every DML/pruned-read path already refuses a stale index
+  * (file set ≠ committed view), so an un-indexed clone falls back to
+  * full-pass discovery — correct, just not accelerated — until one is
+  * built after [[materialize]].
+  *
+  * [[DeletionVectors.readMorStream]] refuses shallow clones (a
+  * single-directory file stream cannot serve source-resident files);
+  * everything else composes. */
+object Clone {
+
+  /** The source lake `dir` shallow-clones, if any. */
+  def sourceOf(spark: SparkSession, dir: String): Option[String] = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CommitLog.cloneSourceOf(fs, dir)
+  }
+
+  def isClone(spark: SparkSession, dir: String): Boolean =
+    sourceOf(spark, dir).nonEmpty
+
+  /** Create `cloneDir` as a zero-copy clone of `sourceDir`'s CURRENT
+    * committed view. Metadata-only: one pointer write + one bootstrap
+    * record (+ the constraint definitions, if any) — no data bytes
+    * move, whatever the table's size. Runs under the SOURCE's writer
+    * lock so the captured (files, vectors) pair cannot tear against a
+    * concurrent mutation. The target must be fresh (no commit log, no
+    * data files). Returns (dataFilesReferenced, dvFilesReferenced). */
+  def shallow(spark: SparkSession, sourceDir: String,
+      cloneDir: String): (Int, Int) = {
+    val fs = new Path(sourceDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(CommitLog.logDir(sourceDir))) &&
+      CommitLog.recordCount(fs, sourceDir) > 0,
+      s"clone: $sourceDir has no commit log — only committed lakes " +
+        "can be cloned (the clone's view is the committed view)")
+    val srcQ = fs.makeQualified(new Path(sourceDir)).toString
+    val dstQ = fs.makeQualified(new Path(cloneDir)).toString
+    require(srcQ != dstQ, s"clone: source and target are the same dir")
+    require(!fs.exists(new Path(CommitLog.logDir(cloneDir))),
+      s"clone: $cloneDir already has a commit log — refusing to " +
+        "overwrite an existing lake")
+    require(CommitLog.dataFileNames(fs, cloneDir).isEmpty,
+      s"clone: $cloneDir already holds data files — the target must " +
+        "be fresh (name collisions would shadow source files)")
+    CommitLog.withWriterLock(fs, sourceDir) {
+      val (files, dv) = CommitLog.committedView(fs, sourceDir)
+      require(files.nonEmpty,
+        s"clone: $sourceDir has no committed files — nothing to clone")
+      val defs = Constraints.list(fs, sourceDir)
+      fs.mkdirs(new Path(cloneDir))
+      // pointer FIRST: from the instant the bootstrap record exists,
+      // readers must already resolve through the source
+      CommitLog.writeCloneSource(fs, cloneDir, srcQ)
+      if (defs.nonEmpty) Constraints.replicate(fs, cloneDir, defs)
+      val names = files.toSeq.sorted
+      if (dv.isEmpty) CommitLog.commit(fs, cloneDir, -1L, names)
+      else CommitLog.commitMutationCheckpoint(fs, cloneDir, -1L, names,
+        dvNames = dv.toSeq.sorted)
+      (files.size, dv.size)
+    }
+  }
+
+  /** Localize every source-resident byte the clone's committed view
+    * references — after this the clone is a fully independent table
+    * (the pointer is removed; source mutations/vacuum can no longer
+    * break it). Byte-copy, not decode/re-encode: each file lands
+    * under the clone with ITS OWN NAME via copy-to-hidden-tmp +
+    * rename, so the committed view never changes and a crash at any
+    * point leaves a clone that still resolves correctly (half-copied
+    * tmp files are `.`-hidden — invisible to the name listings — and
+    * swept by the next attempt). Bounded by the REMAINING
+    * source-resident set: files the clone already rewrote locally are
+    * skipped, so materialize after heavy churn copies only what the
+    * churn did not already localize. Takes the clone's writer lock.
+    * Returns (dataFilesCopied, dvFilesCopied); (0, 0) when `cloneDir`
+    * is not a clone. */
+  def materialize(spark: SparkSession, cloneDir: String): (Int, Int) = {
+    val fs = new Path(cloneDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CommitLog.cloneSourceOf(fs, cloneDir) match {
+      case None => (0, 0)
+      case Some(_) => CommitLog.withWriterLock(fs, cloneDir) {
+        sweepTmp(fs, cloneDir)
+        sweepTmp(fs, DeletionVectors.dvDir(cloneDir))
+        val (files, dv) = CommitLog.committedView(fs, cloneDir)
+        val needData =
+          (files -- CommitLog.dataFileNames(fs, cloneDir)).toSeq.sorted
+        needData.zip(CommitLog.resolveDataPaths(fs, cloneDir, needData))
+          .foreach { case (n, from) =>
+            copyAtomic(fs, new Path(from), new Path(cloneDir, n))
+          }
+        val needDv =
+          (dv -- DeletionVectors.dvFilesOnDisk(fs, cloneDir)).toSeq.sorted
+        needDv.zip(DeletionVectors.resolveDvPaths(fs, cloneDir, needDv))
+          .foreach { case (n, from) =>
+            copyAtomic(fs, new Path(from),
+              new Path(DeletionVectors.dvDir(cloneDir), n))
+          }
+        // every referenced byte is local — retire the pointer; the
+        // clone is a plain lake from here on
+        fs.delete(CommitLog.cloneSourcePath(cloneDir), false)
+        CommitLog.invalidateCloneSource(cloneDir)
+        (needData.size, needDv.size)
+      }
+    }
+  }
+
+  /** Crashed-materialize leftovers: `.tmp-` files are invisible to
+    * every listing, so deleting them is always safe under the lock. */
+  private def sweepTmp(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val d = new Path(dir)
+    if (!fs.exists(d)) return
+    fs.listStatus(d).iterator.map(_.getPath)
+      .filter(_.getName.startsWith(".tmp-"))
+      .foreach { p => fs.delete(p, false); () }
+  }
+
+  private def copyAtomic(fs: org.apache.hadoop.fs.FileSystem,
+      from: Path, to: Path): Unit = {
+    val tmp = new Path(to.getParent,
+      s".tmp-${to.getName}-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(to.getParent)
+    val in = fs.open(from)
+    try {
+      val out = fs.create(tmp, true)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      finally out.close()
+    } finally in.close()
+    require(fs.rename(tmp, to),
+      s"materialize: could not publish ${to.getName}")
+  }
+}

@@ -425,17 +425,18 @@ object CommitLog {
       val dvNames = dvEntries.map(_.substring(DvPrefix.length)).distinct
       // existence via ONE directory listing per dir, not a per-file
       // exists round-trip — a million-file lake on an object store
-      // would otherwise pay a million serial HEAD requests here
-      val onDisk = dataFileNames(fs, lakeDir)
+      // would otherwise pay a million serial HEAD requests here.
+      // Resolution-aware: a shallow clone's names live in its source
+      // dir (the chain listing covers them)
+      val onDisk = resolvableDataNames(fs, lakeDir)
       val missingData = dataEntries.distinct.filterNot(onDisk).sorted
       require(missingData.isEmpty,
         s"restore to batch $toBatchId: data file(s) reclaimed since — " +
           s"${missingData.mkString(", ")} (vacuum/OPTIMIZE retention " +
           "has passed this version; the log cannot resurrect bytes)")
-      val dvd = new Path(DeletionVectors.dvDir(lakeDir))
       val dvOnDisk: Set[String] =
-        if (dvNames.isEmpty || !fs.exists(dvd)) Set.empty
-        else fs.listStatus(dvd).iterator.map(_.getPath.getName).toSet
+        if (dvNames.isEmpty) Set.empty
+        else DeletionVectors.resolvableDvNames(fs, lakeDir)
       val missingDv = dvNames.filterNot(dvOnDisk).sorted
       require(missingDv.isEmpty,
         s"restore to batch $toBatchId: deletion-vector sidecar(s) " +
@@ -498,6 +499,93 @@ object CommitLog {
     }
     (c ++ m).sortBy(r => (r.id, r.gen, r.kind))
   }
+
+  /** SHALLOW-CLONE pointer file name (under the log dir): when
+    * present, committed names not physically under this lake resolve
+    * against the recorded source lake — see [[Clone]] for the
+    * contract. The pointer is written once at clone time and removed
+    * by [[Clone.materialize]]; it is never a log record (listings
+    * filter on the `.manifest`/`.checkpoint` suffixes). */
+  private val CloneSourceName = "_clone_source"
+
+  private[sources] def cloneSourcePath(lakeDir: String): Path =
+    new Path(logDir(lakeDir), CloneSourceName)
+
+  /** Positive-only cache: a pointer, once written, never changes its
+    * content (materialize DELETES it — [[Clone.materialize]]
+    * invalidates the entry). Negative results are never cached, so a
+    * dir that BECOMES a clone (fresh [[Clone.shallow]] target) is
+    * seen on the next call. */
+  private val cloneSourceCache = new ConcurrentHashMap[String, String]()
+
+  private[sources] def invalidateCloneSource(lakeDir: String): Unit = {
+    cloneSourceCache.remove(cloneSourcePath(lakeDir).toString); ()
+  }
+
+  /** The source lake this lake shallow-clones, if any. One existence
+    * probe on the non-clone fast path (every caller is already doing
+    * a log listing, so this never changes a read's I/O class). */
+  def cloneSourceOf(fs: FileSystem, lakeDir: String): Option[String] = {
+    val p = cloneSourcePath(lakeDir)
+    val hit = cloneSourceCache.get(p.toString)
+    if (hit != null) return Some(hit)
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: FileNotFoundException => return None }
+    val in = fs.open(p)
+    val src =
+      try {
+        val bytes = new Array[Byte](st.getLen.toInt)
+        in.readFully(0, bytes)
+        new String(bytes, UTF_8).trim
+      } finally in.close()
+    require(src.nonEmpty,
+      s"corrupt clone pointer ${p} — empty source path")
+    cloneSourceCache.put(p.toString, src)
+    Some(src)
+  }
+
+  /** Resolve committed NAMES to physical paths. On a plain lake this
+    * is exactly the historical `s"$lakeDir/$name"` join (zero extra
+    * I/O beyond one pointer probe). On a SHALLOW CLONE, a name
+    * physically present under the clone wins (fresh writes, rewrites,
+    * materialized copies); anything else resolves through the source
+    * chain — so every read verb serves the clone's committed view
+    * without the clone holding those bytes. Order-preserving: output
+    * path i is input name i's resolution. A name resolvable nowhere
+    * maps to the CHAIN BASE's path, so the eventual read fails
+    * loudly there (naming the lake that should have held it) instead
+    * of silently dropping files. */
+  def resolveDataPaths(fs: FileSystem, lakeDir: String,
+      names: Seq[String]): Seq[String] =
+    cloneSourceOf(fs, lakeDir) match {
+      case None => names.map(n => s"$lakeDir/$n")
+      case Some(src) =>
+        val local = dataFileNames(fs, lakeDir)
+        val missing = names.filterNot(local)
+        val there = missing.zip(resolveDataPaths(fs, src, missing)).toMap
+        names.map(n => if (local(n)) s"$lakeDir/$n" else there(n))
+    }
+
+  /** [[resolveDataPaths]] for call sites that carry a session, not a
+    * FileSystem (the mutation-verb planning closures). */
+  def resolveDataPaths(spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String, names: Seq[String]): Seq[String] =
+    resolveDataPaths(new Path(lakeDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      lakeDir, names)
+
+  /** Every data-file name resolvable from this lake: physically local
+    * ∪ the source chain's — the existence universe [[restore]] checks
+    * reclaimed bytes against (a clone's committed names live in the
+    * source dir, and a local listing alone would misreport them as
+    * vacuumed). */
+  def resolvableDataNames(fs: FileSystem, lakeDir: String): Set[String] =
+    cloneSourceOf(fs, lakeDir) match {
+      case None => dataFileNames(fs, lakeDir)
+      case Some(src) =>
+        dataFileNames(fs, lakeDir) ++ resolvableDataNames(fs, src)
+    }
 
   /** Highest batch id the log covers: max over manifest ids and
     * checkpoint ids (a checkpoint at N covers every id ≤ N).
@@ -693,6 +781,12 @@ object CommitLog {
   private[sources] def writeRecordAtomic(fs: FileSystem, lakeDir: String,
       dst: Path, lines: Seq[String]): Unit =
     writeAtomic(fs, lakeDir, dst, lines)
+
+  /** [[Clone.shallow]] publishes the source pointer atomically too —
+    * a half-written pointer must never resolve. */
+  private[sources] def writeCloneSource(fs: FileSystem, lakeDir: String,
+      sourceDir: String): Unit =
+    writeAtomic(fs, lakeDir, cloneSourcePath(lakeDir), Seq(sourceDir))
 
   private def writeAtomic(fs: FileSystem, lakeDir: String, dst: Path,
       files: Seq[String]): Unit = {

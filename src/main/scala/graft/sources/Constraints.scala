@@ -100,6 +100,14 @@ object Constraints {
     old.foreach { case (p, _) => fs.delete(p, false); () }
   }
 
+  /** [[Clone.shallow]] replicates the source's current definitions
+    * into the clone's log (they evolve independently afterwards —
+    * the Delta clone-copies-table-properties shape). Caller holds the
+    * source's writer lock; the target is fresh, so generation 0. */
+  private[sources] def replicate(fs: org.apache.hadoop.fs.FileSystem,
+      lakeDir: String, defs: Seq[(String, String)]): Unit =
+    write(fs, lakeDir, defs)
+
   /** Rows of `df` that strictly violate `predicate` (FALSE — never
     * UNKNOWN), up to `n`, rendered for the error message. */
   private def violations(df: DataFrame, predicate: String,
@@ -166,7 +174,7 @@ object Constraints {
     val defs = list(fs, lakeDir)
     if (defs.isEmpty) return
     val batch = spark.read.option("mergeSchema", "true")
-      .parquet(files.map(n => s"$lakeDir/$n"): _*)
+      .parquet(CommitLog.resolveDataPaths(fs, lakeDir, files): _*)
     defs.foreach { case (name, predicate) =>
       val bad =
         try violations(batch, predicate, 3)

@@ -77,7 +77,7 @@ object DeletionVectors {
         s"$PosCol) — rename it; these are the MoR position join keys")
 
   /** `_dv` sidecar parquet names physically on disk (covered or not). */
-  private def dvFilesOnDisk(fs: org.apache.hadoop.fs.FileSystem,
+  private[sources] def dvFilesOnDisk(fs: org.apache.hadoop.fs.FileSystem,
       lakeDir: String): Set[String] = {
     val d = new Path(dvDir(lakeDir))
     if (!fs.exists(d)) Set.empty
@@ -86,11 +86,40 @@ object DeletionVectors {
   }
 
   /** The VISIBLE sidecar files: on disk ∩ covered by the commit log.
-    * Uncovered disk files are unpublished-mutation debris (inert). */
+    * Uncovered disk files are unpublished-mutation debris (inert).
+    * Resolution-aware: a shallow clone's covered sidecars may live in
+    * the SOURCE's `_dv` — a local-only listing would report them
+    * absent, [[hasDvs]] would read false, and a CoW rewrite would
+    * resurrect the clone's MoR-deleted rows. */
   def coveredDvFiles(fs: org.apache.hadoop.fs.FileSystem,
       lakeDir: String): Seq[String] =
-    (dvFilesOnDisk(fs, lakeDir) &
+    (resolvableDvNames(fs, lakeDir) &
       CommitLog.coveredDvNames(fs, lakeDir)).toSeq.sorted
+
+  /** Resolve covered sidecar NAMES to physical paths — the `_dv`
+    * twin of [[CommitLog.resolveDataPaths]]: local wins, the rest
+    * resolve through the clone-source chain. */
+  private[sources] def resolveDvPaths(fs: org.apache.hadoop.fs.FileSystem,
+      lakeDir: String, names: Seq[String]): Seq[String] =
+    CommitLog.cloneSourceOf(fs, lakeDir) match {
+      case None => names.map(n => s"${dvDir(lakeDir)}/$n")
+      case Some(src) =>
+        val local = dvFilesOnDisk(fs, lakeDir)
+        val missing = names.filterNot(local)
+        val there = missing.zip(resolveDvPaths(fs, src, missing)).toMap
+        names.map(n =>
+          if (local(n)) s"${dvDir(lakeDir)}/$n" else there(n))
+    }
+
+  /** Every sidecar name resolvable from this lake: physically local ∪
+    * the source chain's. */
+  private[sources] def resolvableDvNames(
+      fs: org.apache.hadoop.fs.FileSystem, lakeDir: String): Set[String] =
+    CommitLog.cloneSourceOf(fs, lakeDir) match {
+      case None => dvFilesOnDisk(fs, lakeDir)
+      case Some(src) =>
+        dvFilesOnDisk(fs, lakeDir) ++ resolvableDvNames(fs, src)
+    }
 
   /** True when the lake has any VISIBLE (covered, unapplied) vectors —
     * the guard every copy-on-write rewriter checks. */
@@ -106,7 +135,7 @@ object DeletionVectors {
     val covered = coveredDvFiles(fs, lakeDir)
     if (covered.isEmpty) None
     else Some(spark.read
-      .parquet(covered.map(n => s"${dvDir(lakeDir)}/$n"): _*)
+      .parquet(resolveDvPaths(fs, lakeDir, covered): _*)
       .select(col("file"), col("pos")).distinct())
   }
 
@@ -190,7 +219,7 @@ object DeletionVectors {
       // predicate must see every column deterministically (rows from
       // files missing an evolved column read it as NULL)
       val lake = spark.read.option("mergeSchema", "true")
-        .parquet(committed.map(n => s"$lakeDir/$n"): _*)
+        .parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*)
       val hits = lake.filter(coalesce(expr(predicate), lit(false)))
         .select(fileNameCol.as("file"),
           col("_metadata.row_index").as("pos"))
@@ -254,7 +283,7 @@ object DeletionVectors {
       require(committed.nonEmpty,
         s"mergeMor: no committed files in $lakeDir — ingest first")
       val lake = spark.read.option("mergeSchema", "true")
-        .parquet(committed.map(n => s"$lakeDir/$n"): _*)
+        .parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*)
       MergeInto.requireFullRowCompatible(lake, updates, "mergeMor",
         evolveSchema)
       // matched-position discovery: key columns + _metadata only (a
@@ -308,7 +337,7 @@ object DeletionVectors {
       val appended =
         if (delta.isEmpty) 0L
         else spark.read
-          .parquet(delta.map(n => s"$lakeDir/$n"): _*).count()
+          .parquet(CommitLog.resolveDataPaths(fs, lakeDir, delta): _*).count()
       (matched, appended)
     }
   }
@@ -340,7 +369,7 @@ object DeletionVectors {
       require(committed.nonEmpty,
         s"updateMor: no committed files in $lakeDir — ingest first")
       val lake = spark.read.option("mergeSchema", "true")
-        .parquet(committed.map(n => s"$lakeDir/$n"): _*)
+        .parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*)
       requireNoClash(lake, "updateMor")
       val unknown = set.keySet -- lake.columns.toSet
       require(unknown.isEmpty,
@@ -409,9 +438,13 @@ object DeletionVectors {
   private def vectorsFor(spark: SparkSession, lakeDir: String,
       covered: Set[String]): Option[DataFrame] =
     if (covered.isEmpty) None
-    else Some(spark.read
-      .parquet(covered.toSeq.sorted.map(n => s"${dvDir(lakeDir)}/$n"): _*)
-      .select(col("file"), col("pos")).distinct())
+    else {
+      val fs = new Path(lakeDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Some(spark.read
+        .parquet(resolveDvPaths(fs, lakeDir, covered.toSeq.sorted): _*)
+        .select(col("file"), col("pos")).distinct())
+    }
 
   /** [[readMor]] PINNED at a captured [[MorCursor]] — both name sets
     * are write-once, so the read serves exactly the cursor version's
@@ -422,10 +455,12 @@ object DeletionVectors {
   def readMorAt(spark: SparkSession, lakeDir: String,
       at: MorCursor, mergeSchema: Boolean = false): DataFrame = {
     require(at.files.nonEmpty, s"readMorAt: empty cursor for $lakeDir")
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rdr = if (mergeSchema) spark.read.option("mergeSchema", "true")
       else spark.read
     val base = rdr.parquet(
-      at.files.toSeq.sorted.map(n => s"$lakeDir/$n"): _*)
+      CommitLog.resolveDataPaths(fs, lakeDir, at.files.toSeq.sorted): _*)
     applyVectors(base, vectorsFor(spark, lakeDir, at.dvFiles))
   }
 
@@ -442,7 +477,7 @@ object DeletionVectors {
     require(committed.nonEmpty, s"readMor: no committed files in $lakeDir")
     val rdr = if (mergeSchema) spark.read.option("mergeSchema", "true")
       else spark.read
-    val base = rdr.parquet(committed.map(n => s"$lakeDir/$n"): _*)
+    val base = rdr.parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*)
     applyVectors(base, vectorsFor(spark, lakeDir, covered))
   }
 
@@ -477,10 +512,10 @@ object DeletionVectors {
         .map(p => new Path(p).getName).filter(committed.contains).sorted
     val base =
       if (scanned.isEmpty)
-        spark.read.parquet(committed.toSeq.sorted
-          .map(n => s"$lakeDir/$n"): _*).filter(pred).limit(0)
-      else spark.read.parquet(scanned
-        .map(n => s"$lakeDir/$n"): _*).filter(pred)
+        spark.read.parquet(CommitLog.resolveDataPaths(fs, lakeDir,
+          committed.toSeq.sorted): _*).filter(pred).limit(0)
+      else spark.read.parquet(
+        CommitLog.resolveDataPaths(fs, lakeDir, scanned): _*).filter(pred)
     applyVectors(base, vectorsFor(spark, lakeDir, covered))
   }
 
@@ -508,6 +543,15 @@ object DeletionVectors {
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
       s"readMorStream: $lakeDir has no commit log — a raw directory " +
         "stream would serve uncommitted orphans")
+    // Spark's file stream source watches ONE directory, and a shallow
+    // clone's committed files live in its SOURCE's directory — they
+    // would never enter the stream and the semi-join below would
+    // silently drop them. Fail fast; Clone.materialize (or a rewrite
+    // verb) localizes the bytes first.
+    require(CommitLog.cloneSourceOf(fs, lakeDir).isEmpty,
+      s"readMorStream: $lakeDir is a shallow clone — its committed " +
+        "files live in the source directory, which a single-directory " +
+        "file stream cannot serve; run Clone.materialize first")
     // one atomic log resolution: the snapshot's files and vectors are
     // a consistent pair even against a concurrent mutation
     val (files, covered) = CommitLog.committedView(fs, lakeDir)
@@ -517,7 +561,7 @@ object DeletionVectors {
     // union schema: an evolved lake mixes physical schemas and the
     // stream must see every column deterministically
     val schema = spark.read.option("mergeSchema", "true")
-      .parquet(committed.map(n => s"$lakeDir/$n"): _*).schema
+      .parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*).schema
     require(!schema.fieldNames.contains(FileCol) &&
       !schema.fieldNames.contains(PosCol),
       s"readMorStream: the schema carries a reserved column name " +
@@ -615,7 +659,8 @@ object DeletionVectors {
       s"readMorChanges: no committed files in $lakeDir")
     val rdr = if (mergeSchema) spark.read.option("mergeSchema", "true")
       else spark.read
-    val schemaFrame = rdr.parquet(committedH.map(n => s"$lakeDir/$n"): _*)
+    val schemaFrame = rdr.parquet(
+      CommitLog.resolveDataPaths(fs, lakeDir, committedH): _*)
     requireNoClash(schemaFrame, "readMorChanges")
     val schema = schemaFrame.schema
     val none = schemaFrame.limit(0)
@@ -628,7 +673,7 @@ object DeletionVectors {
       if (newFiles.isEmpty) none
       else applyVectors(
         spark.read.schema(schema)
-          .parquet(newFiles.map(n => s"$lakeDir/$n"): _*),
+          .parquet(CommitLog.resolveDataPaths(fs, lakeDir, newFiles): _*),
         vectorsFor(spark, lakeDir, dvH))
         .withColumn("_change_type", lit("insert"))
     // deletes: the window's new pairs restricted to cursor-era files,
@@ -638,7 +683,7 @@ object DeletionVectors {
       else {
         import spark.implicits._
         val newPairs = spark.read
-          .parquet(newDvFiles.map(n => s"${dvDir(lakeDir)}/$n"): _*)
+          .parquet(resolveDvPaths(fs, lakeDir, newDvFiles): _*)
           .select(col("file"), col("pos")).distinct()
           .join(from.files.toSeq.toDF("file"), Seq("file"), "left_semi")
           .localCheckpoint()
@@ -646,7 +691,7 @@ object DeletionVectors {
           .as[String].collect().toSeq.sorted
         if (touched.isEmpty) none
         else spark.read.schema(schema)
-          .parquet(touched.map(n => s"$lakeDir/$n"): _*)
+          .parquet(CommitLog.resolveDataPaths(fs, lakeDir, touched): _*)
           .withColumn(FileCol, fileNameCol)
           .withColumn(PosCol, col("_metadata.row_index"))
           .join(broadcast(newPairs.select(col("file").as(FileCol),
@@ -692,7 +737,7 @@ object DeletionVectors {
         // — a single-schema read would silently drop the evolved
         // column from the rewritten survivors
         val base = spark.read.option("mergeSchema", "true")
-          .parquet(touched.map(n => s"$lakeDir/$n"): _*)
+          .parquet(CommitLog.resolveDataPaths(fs, lakeDir, touched): _*)
         requireNoClash(base, "compact")
         val survivors = base
           .withColumn(FileCol, fileNameCol)

@@ -103,7 +103,8 @@ object MergeInto {
       val survivors =
         if (touched.isEmpty) updates
         else spark.read.schema(lake.schema)
-          .parquet(touched.toSeq.sorted.map(n => s"$lakeDir/$n"): _*)
+          .parquet(CommitLog.resolveDataPaths(spark, lakeDir,
+            touched.toSeq.sorted): _*)
           .join(updates.select(keys.map(col): _*).distinct(), keys,
             "left_anti")
           .unionByName(updates, allowMissingColumns = true)
@@ -146,7 +147,8 @@ object MergeInto {
       val survivors =
         if (touched.isEmpty) None
         else Some(spark.read.schema(lake.schema)
-          .parquet(touched.toSeq.sorted.map(n => s"$lakeDir/$n"): _*)
+          .parquet(CommitLog.resolveDataPaths(spark, lakeDir,
+            touched.toSeq.sorted): _*)
           .filter(!coalesce(expr(predicate), lit(false))))
       (touched, survivors)
     }
@@ -183,7 +185,8 @@ object MergeInto {
             }
           }
           Some(spark.read.schema(lake.schema)
-            .parquet(touched.toSeq.sorted.map(n => s"$lakeDir/$n"): _*)
+            .parquet(CommitLog.resolveDataPaths(spark, lakeDir,
+              touched.toSeq.sorted): _*)
             .select(cols.toIndexedSeq: _*))
         }
       (touched, survivors)
@@ -344,7 +347,7 @@ object MergeInto {
       // physical schemas — a single-footer schema pick would make a
       // later mutation's view of the evolved column nondeterministic
       val lake = spark.read.option("mergeSchema", "true")
-        .parquet(committed.map(n => s"$lakeDir/$n"): _*)
+        .parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*)
       val (touched, survivors) = plan(lake, committed)
       val carried = committed.filterNot(touched)
       val before = CommitLog.dataFileNames(fs, lakeDir)

@@ -535,7 +535,7 @@ object ZOrder {
         // schemas — a single-footer pick would silently drop the
         // evolved column from the whole rewritten layout
         val base = spark.read.option("mergeSchema", "true")
-          .parquet(committed.map(n => s"$path/$n"): _*)
+          .parquet(CommitLog.resolveDataPaths(fs, path, committed): _*)
         // fold any covered deletion vectors INTO the rewrite: OPTIMIZE
         // rewrites every committed file anyway, so applying the
         // vectors here is free — dead rows drop from the new layout,
@@ -606,8 +606,10 @@ object ZOrder {
     // under test are the FS states, not a held lock).
     CommitLog.withWriterLock(fs, path) {
     val committed = CommitLog.committedNames(fs, path)
-    val sized = committed.toSeq.sorted
-      .map(n => n -> fs.getFileStatus(new Path(path, n)).getLen)
+    val sortedNames = committed.toSeq.sorted
+    val sized = sortedNames
+      .zip(CommitLog.resolveDataPaths(fs, path, sortedNames))
+      .map { case (n, p) => n -> fs.getFileStatus(new Path(p)).getLen }
     val small = sized.filter(_._2 < minBytes).map(_._1)
     if (small.size < 2) return (0, 0)
     val totalBytes = sized.filter(_._2 < minBytes).map(_._2).sum
@@ -626,7 +628,7 @@ object ZOrder {
     // additive evolution — the folded file must carry the union
     curveWrite(DeletionVectors.applyVectors(
         spark.read.option("mergeSchema", "true")
-          .parquet(small.map(n => s"$path/$n"): _*), dvOpt),
+          .parquet(CommitLog.resolveDataPaths(fs, path, small): _*), dvOpt),
       path, zCols, bits, numFiles = nf, mode = "append", curve = curve)
     val newFiles = (CommitLog.dataFileNames(fs, path) -- before)
       .toSeq.sorted

@@ -189,12 +189,13 @@ object LayoutSink {
         spark.emptyDataFrame
       else spark.read.parquet(lakeDir).limit(0)
     }
-    names.foreach { n =>
-      require(fs.exists(new Path(lakeDir, n)),
+    val paths = CommitLog.resolveDataPaths(fs, lakeDir, names)
+    names.zip(paths).foreach { case (n, p) =>
+      require(fs.exists(new Path(p)),
         s"readCommitted: committed file $n missing from $lakeDir — " +
           "lake rewritten without retiring the commit log")
     }
-    rd.parquet(names.map(n => s"$lakeDir/$n"): _*)
+    rd.parquet(paths: _*)
   }
 
   /** INCREMENTAL read: only the rows batches `(fromExclusive,
@@ -214,7 +215,8 @@ object LayoutSink {
       return if (CommitLog.dataFileNames(fs, lakeDir).isEmpty)
         spark.emptyDataFrame
       else spark.read.parquet(lakeDir).limit(0)
-    spark.read.parquet(names.map(n => s"$lakeDir/$n"): _*)
+    spark.read.parquet(
+      CommitLog.resolveDataPaths(fs, lakeDir, names): _*)
   }
 
   /** TIME TRAVEL read: the lake exactly as of batch `asOf` —
@@ -237,11 +239,12 @@ object LayoutSink {
       return if (CommitLog.dataFileNames(fs, lakeDir).isEmpty)
         spark.emptyDataFrame
       else spark.read.parquet(lakeDir).limit(0)
-    names.foreach { n =>
-      require(fs.exists(new Path(lakeDir, n)),
+    val paths = CommitLog.resolveDataPaths(fs, lakeDir, names)
+    names.zip(paths).foreach { case (n, p) =>
+      require(fs.exists(new Path(p)),
         s"readCommittedAt: committed file $n missing from $lakeDir — " +
           "lake rewritten without retiring the commit log")
     }
-    spark.read.parquet(names.map(n => s"$lakeDir/$n"): _*)
+    spark.read.parquet(paths: _*)
   }
 }

@@ -1,0 +1,227 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Clone, CommitLog, Constraints, DeletionVectors, MergeInto}
+import graft.streaming.LayoutSink
+
+/** SHALLOW CLONE (`Clone.shallow`): a zero-copy branch of a committed
+  * lake — the clone's log references the source's files; every verb
+  * resolves names local-first through the clone-source chain. Pinned
+  * here: zero bytes copied, read equality, mutation isolation in BOTH
+  * directions, deletion-vector coverage travel, constraint travel,
+  * chain resolution, restore reachability, and `materialize`'s
+  * independence guarantee. Oracle twin: `q79_clone`. */
+class CloneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** A committed 3-file lake: 300 rows, `k` unique, `v = 10 * k`. */
+  private def mkLake(): String = {
+    val lake = Files.createTempDirectory("graft_cl_").toString + "/lake"
+    val f = fs(lake)
+    (0 until 300).map(k => (k, 10L * k)).toDF("k", "v")
+      .repartition(3).write.parquet(lake)
+    CommitLog.commit(f, lake, 0L,
+      CommitLog.dataFileNames(f, lake).toSeq.sorted)
+    lake
+  }
+
+  private def cloneDirFor(lake: String): String =
+    new Path(lake).getParent.toString + "/branch"
+
+  test("shallow clone copies zero data bytes and reads equal to the " +
+    "source") {
+    val lake = mkLake()
+    val dst = cloneDirFor(lake)
+    val (nData, nDv) = Clone.shallow(spark, lake, dst)
+    assert(nData == 3 && nDv == 0)
+    // ZERO data files physically under the clone — metadata only
+    assert(CommitLog.dataFileNames(fs(dst), dst).isEmpty)
+    assert(Clone.isClone(spark, dst))
+    val src = LayoutSink.readCommitted(spark, lake).collect().toSet
+    val cln = LayoutSink.readCommitted(spark, dst).collect().toSet
+    assert(cln == src && cln.size == 300)
+  }
+
+  test("a CoW merge on the clone never touches the source; replaced " +
+    "source files stay committed there") {
+    val lake = mkLake()
+    val dst = cloneDirFor(lake)
+    Clone.shallow(spark, lake, dst)
+    val srcFilesBefore = CommitLog.dataFileNames(fs(lake), lake)
+    val upd = Seq((7, -7L), (999, -999L)).toDF("k", "v")
+    val (rewritten, carried) = MergeInto.merge(spark, dst, upd, Seq("k"))
+    assert(rewritten == 1 && carried == 2)
+    // source: byte-identical file set, same rows
+    assert(CommitLog.dataFileNames(fs(lake), lake) == srcFilesBefore)
+    val src = LayoutSink.readCommitted(spark, lake)
+    assert(src.count() == 300 &&
+      src.filter(col("v") < 0).count() == 0)
+    // clone: update applied + insert landed; carried rows still served
+    // from source-resident files
+    val cln = LayoutSink.readCommitted(spark, dst)
+    assert(cln.count() == 301)
+    assert(cln.filter(col("k") === 7).head.getLong(1) == -7L)
+    assert(cln.filter(col("k") === 999).head.getLong(1) == -999L)
+    assert(cln.filter(col("k") === 8).head.getLong(1) == 80L)
+  }
+
+  test("a source append after the clone is invisible to the clone — " +
+    "snapshot semantics") {
+    val lake = mkLake()
+    val dst = cloneDirFor(lake)
+    Clone.shallow(spark, lake, dst)
+    val before = CommitLog.dataFileNames(fs(lake), lake)
+    Seq((1000, 1L)).toDF("k", "v").coalesce(1).write.mode("append")
+      .parquet(lake)
+    CommitLog.commit(fs(lake), lake, 1L,
+      (CommitLog.dataFileNames(fs(lake), lake) -- before).toSeq.sorted)
+    assert(LayoutSink.readCommitted(spark, lake).count() == 301)
+    assert(LayoutSink.readCommitted(spark, dst).count() == 300)
+  }
+
+  test("MoR verbs on the clone write sidecars locally; coverage of a " +
+    "DV'd source travels into the clone") {
+    val lake = mkLake()
+    // DV-delete on the SOURCE first, then clone: coverage must travel
+    assert(DeletionVectors.deleteMor(spark, lake, "k % 3 = 0") == 100)
+    val dst = cloneDirFor(lake)
+    val (nData, nDv) = Clone.shallow(spark, lake, dst)
+    assert(nData == 3 && nDv == 1)
+    assert(DeletionVectors.readMor(spark, dst).count() == 200)
+    // a further MoR delete on the CLONE: sidecar lands under the clone,
+    // the source's live view is untouched
+    assert(DeletionVectors.deleteMor(spark, dst, "k % 3 = 1") == 100)
+    assert(DeletionVectors.readMor(spark, dst).count() == 100)
+    assert(DeletionVectors.readMor(spark, lake).count() == 200)
+    val dvd = new Path(DeletionVectors.dvDir(dst))
+    assert(fs(dst).listStatus(dvd).count(
+      _.getPath.getName.endsWith(".parquet")) == 1)
+  }
+
+  test("CHECK constraints travel at clone time, then evolve " +
+    "independently") {
+    val lake = mkLake()
+    Constraints.add(spark, lake, "v_nonneg", "v >= 0")
+    val dst = cloneDirFor(lake)
+    Clone.shallow(spark, lake, dst)
+    // the inherited constraint gates the clone's writes
+    val bad = Seq((7, -7L), (999, -999L)).toDF("k", "v")
+    intercept[Constraints.ConstraintViolation] {
+      MergeInto.merge(spark, dst, bad, Seq("k"))
+    }
+    assert(LayoutSink.readCommitted(spark, dst).count() == 300)
+    // dropping it on the clone does not drop it on the source
+    Constraints.drop(spark, dst, "v_nonneg")
+    MergeInto.merge(spark, dst, bad, Seq("k"))
+    assert(LayoutSink.readCommitted(spark, dst)
+      .filter(col("v") < 0).count() == 2)
+    intercept[Constraints.ConstraintViolation] {
+      MergeInto.merge(spark, lake, bad, Seq("k"))
+    }
+  }
+
+  test("clone of a clone resolves through the chain") {
+    val lake = mkLake()
+    val mid = cloneDirFor(lake)
+    Clone.shallow(spark, lake, mid)
+    MergeInto.merge(spark, mid, Seq((7, -7L)).toDF("k", "v"), Seq("k"))
+    val leaf = new Path(lake).getParent.toString + "/leaf"
+    Clone.shallow(spark, mid, leaf)
+    val got = LayoutSink.readCommitted(spark, leaf)
+    assert(got.count() == 300)
+    assert(got.filter(col("k") === 7).head.getLong(1) == -7L)
+    assert(got.filter(col("k") === 8).head.getLong(1) == 80L)
+  }
+
+  test("restore on the clone rolls back an append to the merge's " +
+    "mutation id; source-resident carried files pass the " +
+    "reclaimed-bytes check") {
+    val lake = mkLake()
+    val dst = cloneDirFor(lake)
+    Clone.shallow(spark, lake, dst)
+    // merge on the bootstrap-only clone publishes its mutation
+    // checkpoint at the bootstrap id -1 (the clamp every verb uses);
+    // restore to -1 therefore targets the view AS PUBLISHED there —
+    // post-merge (restore's exact-mutation-checkpoint arm), with two
+    // of its three files still source-resident
+    MergeInto.merge(spark, dst,
+      Seq((7, -7L), (999, -999L)).toDF("k", "v"), Seq("k"))
+    val before = CommitLog.dataFileNames(fs(dst), dst)
+    Seq((5000, 1L)).toDF("k", "v").coalesce(1).write.mode("append")
+      .parquet(dst)
+    CommitLog.commit(fs(dst), dst, 0L,
+      (CommitLog.dataFileNames(fs(dst), dst) -- before).toSeq.sorted)
+    assert(LayoutSink.readCommitted(spark, dst).count() == 302)
+    CommitLog.restore(fs(dst), dst, toBatchId = -1L)
+    val got = LayoutSink.readCommitted(spark, dst)
+    assert(got.count() == 301)
+    assert(got.filter(col("v") < 0).count() == 2)
+    assert(got.filter(col("k") === 5000).isEmpty)
+    // the source is untouched by all of it
+    assert(LayoutSink.readCommitted(spark, lake).count() == 300)
+  }
+
+  test("materialize localizes every referenced byte and retires the " +
+    "pointer — the source can disappear afterwards") {
+    val lake = mkLake()
+    assert(DeletionVectors.deleteMor(spark, lake, "k % 3 = 0") == 100)
+    val dst = cloneDirFor(lake)
+    Clone.shallow(spark, lake, dst)
+    // clone-local churn first: one file rewritten locally via compact
+    // would drop vectors; use a MoR update to keep both kinds of
+    // source-resident bytes (data + sidecar) in play
+    assert(DeletionVectors.updateMor(spark, dst, "k = 1",
+      Map("v" -> "v + 5")) == 1L)
+    val expect = DeletionVectors.readMor(spark, dst).collect().toSet
+    val (nData, nDv) = Clone.materialize(spark, dst)
+    assert(nData == 3 && nDv >= 1)
+    assert(!Clone.isClone(spark, dst))
+    // physically delete the source lake — the clone must not notice
+    fs(lake).delete(new Path(lake), true)
+    assert(DeletionVectors.readMor(spark, dst).collect().toSet == expect)
+    // idempotent: a second materialize has nothing to copy
+    assert(Clone.materialize(spark, dst) == (0, 0))
+  }
+
+  test("fail-fasts: uncommitted source, occupied target, self-clone, " +
+    "streaming a shallow clone") {
+    val lake = mkLake()
+    val dst = cloneDirFor(lake)
+    val plain = Files.createTempDirectory("graft_cl_plain_").toString
+    intercept[IllegalArgumentException] {
+      Clone.shallow(spark, plain, dst) // no commit log
+    }
+    intercept[IllegalArgumentException] {
+      Clone.shallow(spark, lake, lake) // self
+    }
+    Clone.shallow(spark, lake, dst)
+    intercept[IllegalArgumentException] {
+      Clone.shallow(spark, lake, dst) // already a lake
+    }
+    val e = intercept[IllegalArgumentException] {
+      DeletionVectors.readMorStream(spark, dst)
+    }
+    assert(e.getMessage.contains("shallow clone"))
+  }
+
+  test("vacuum on the clone sweeps only clone-local orphans; source " +
+    "bytes are never its debris") {
+    val lake = mkLake()
+    val dst = cloneDirFor(lake)
+    Clone.shallow(spark, lake, dst)
+    // an uncommitted orphan in the CLONE dir
+    Seq((1, 1L)).toDF("k", "v").coalesce(1).write.mode("append")
+      .parquet(dst)
+    val swept = CommitLog.vacuum(fs(dst), dst, olderThanMs = 0L)
+    assert(swept.size == 1)
+    assert(LayoutSink.readCommitted(spark, lake).count() == 300)
+    assert(LayoutSink.readCommitted(spark, dst).count() == 300)
+  }
+}
