@@ -325,6 +325,56 @@ object DmlChurnScale {
       f""""exponent":${math.log10(rsCells(1) / rsCells(0))}%.2f}""")
     println("[restore_flat] done")
     }
+
+    // SHALLOW CLONE is metadata-only: one source-log read + one
+    // pointer write + one bootstrap record, never data bytes — the
+    // 1×→10× cost moves only with the file-NAME count (16 → 160
+    // names through one record write), so the exponent should sit
+    // near zero: the direct evidence for "branching a 100 TB table
+    // costs milliseconds". A CONSTANT 1000-key merge against each
+    // BRANCH is timed too: the clone's resolution layer adds one
+    // local listing + one pointer probe per read, so branch-DML cost
+    // must keep the plain lake's O(touched-files) shape (compare the
+    // merge_churn probe's cells — same churn, same lakes).
+    if (want("clone_flat")) {
+    println("""{"probe":"clone_flat","cells":[""")
+    import graft.sources.Clone
+    val updates = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .filter(col("l_orderkey") % 5999 === 17)
+      .dropDuplicates("l_orderkey")
+      .withColumn("l_quantity", col("l_quantity") + 100)
+      .localCheckpoint()
+    val clCells = Seq(("1x", sf01, 16), ("10x", tenx, 160)).zipWithIndex
+      .map { case ((tag, src, files), i) =>
+        val root = buildLake(spark, src, s"cl_$tag", files)
+        val lake = s"$root/lake"
+        val branch = s"$root/branch"
+        val cloneSec = t { Clone.shallow(spark, lake, branch): Unit }
+        var rw = (0, 0)
+        val mergeSec = t {
+          rw = MergeInto.merge(spark, branch, updates, Seq("l_orderkey"))
+        }
+        // the un-indexed plain-lake twin of the SAME merge from the
+        // SAME base view (the branch cloned before this mutates it):
+        // the branch/plain delta isolates what resolution costs
+        var rwP = (0, 0)
+        val plainSec = t {
+          rwP = MergeInto.merge(spark, lake, updates, Seq("l_orderkey"))
+        }
+        val l = f"""{"cell":"$tag","files":$files,""" +
+          f""""clone_sec":$cloneSec%.3f,"branch_merge_sec":$mergeSec%.2f,""" +
+          f""""plain_merge_sec":$plainSec%.2f,""" +
+          f""""rewritten":${rw._1},"carried":${rw._2},""" +
+          f""""plain_rewritten":${rwP._1}}"""
+        println("  " + (if (i > 0) "," else "") + l)
+        (cloneSec, mergeSec)
+    }
+    println("]," +
+      f""""clone_exponent":${math.log10(clCells(1)._1 / clCells(0)._1)}%.2f,""" +
+      f""""branch_merge_exponent":${
+        math.log10(clCells(1)._2 / clCells(0)._2)}%.2f}""")
+    println("[clone_flat] done")
+    }
     spark.stop()
   }
 }
