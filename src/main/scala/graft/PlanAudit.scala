@@ -55,7 +55,11 @@ object PlanAudit {
     // (q63's clean-lake twin answers from metadata literals alone)
     "q73_dv_meta_minmax",
     "qt11_dup_clusters", // converged-label broadcast join build side
-    "qt20_top_tfidf" // 1-row corpus-count aggregate (broadcast N)
+    "qt20_top_tfidf", // 1-row corpus-count aggregate (broadcast N)
+    // 1-row global (total, ssum) over the 5-row per-domain counts —
+    // the broadcast rate table's build side, metadata-scale by
+    // construction (input = one row per domain)
+    "qt29_mixture_sample"
   )
 
   /** One row per catalog query, always — a query that fails to plan

@@ -1366,6 +1366,48 @@ object ExtendedQueries {
           "branch"))
   }
 
+  /** GENERATED ALWAYS AS columns, oracle-checked end to end: a
+    * committed documents lake declares `text_len = length(text)`
+    * ([[graft.sources.GeneratedColumns.add]] — existing rows validated
+    * first), then a POISONED merge supplying `text_len = -1` must be
+    * rejected by the pre-publish gate (the in-query `require` pins
+    * [[graft.sources.GeneratedColumns.GeneratedColumnViolation]])
+    * before the honest merge — which OMITS the column entirely and
+    * has it FILLED — lands. The oracle recomputes the derived column
+    * independently (`length(text || tail)` in the CASE arm): the hash
+    * match proves the fill computed exactly the declared expression,
+    * the rejected merge left no trace, and no carried row drifted.
+    * The 100 TB shape: the fill is a projection inside the write the
+    * merge already pays for; enforcement reads only the
+    * about-to-commit files — O(churn), never O(lake). */
+  val q80Generated: Q = (s, dir) => {
+    import graft.sources.{CommitLog, GeneratedColumns, MergeInto}
+    val work = tempWork("graft_q80_")
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    table(s, dir, "documents")
+      .withColumn("text_len", length(col("text")).cast("long"))
+      .repartition(4).write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    GeneratedColumns.add(s, lake, "text_len", "length(text)")
+    val upd = table(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(83)) === 2)
+      .withColumn("text", concat(col("text"), lit(" extra-tail")))
+    val rejected =
+      try { MergeInto.merge(s, lake,
+        upd.withColumn("text_len", lit(-1L)), Seq("doc_id")); false }
+      catch {
+        case _: GeneratedColumns.GeneratedColumnViolation => true
+      }
+    require(rejected, "q80: the drifted merge was not rejected")
+    MergeInto.merge(s, lake, upd, Seq("doc_id")) // text_len FILLED
+    graft.streaming.LayoutSink.readCommitted(s, lake)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("text_len")).as("sum_len"))
+  }
+
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
     * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
     * aggregated per curve cell. The oracle UNROLLS the same phases as
@@ -1409,6 +1451,7 @@ object ExtendedQueries {
     "q77_restore_dv" -> q77RestoreDv,
     "q78_constraints" -> q78Constraints,
     "q79_clone" -> q79Clone,
+    "q80_generated" -> q80Generated,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
@@ -1593,6 +1636,13 @@ object ExtendedQueries {
         |  CAST(sum(CASE WHEN doc_id % 83 = 2 THEN n_chars + 700
         |           ELSE n_chars END) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 2""".stripMargin,
+    "q80_generated" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 83 = 2
+        |           THEN length(text || ' extra-tail')
+        |           ELSE length(text) END) AS BIGINT) AS sum_len
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
     "q74_dv_changes" ->
       """SELECT doc_id, lang, n_chars, 'delete' AS change
         |FROM documents WHERE doc_id % 10 IN (4, 6)

@@ -482,7 +482,42 @@ object TextQueryCatalog {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("source")).as("n_groups"))
 
+  /** DATA-MIXTURE sampling with a temperature — the corpus-reweighting
+    * step LLM pipelines run before training (upweight tail domains,
+    * downweight the head; the Pile/LLaMA mixture shape): per-language
+    * target counts `n_d ∝ c_d^τ` with τ = 0.5, total budget = ¼ of the
+    * corpus, then per-row acceptance by stable hash threshold. ALL the
+    * rate math is INTEGER — `isq_d = floor(sqrt(c_d))` is exact for
+    * counts < 2^26 in any IEEE engine, the targets are integer
+    * `div`s, and acceptance is the cross-multiplied integer compare
+    * `bucket · c_d < n_d · 10^6` — so Spark and DuckDB compute
+    * bit-identical samples with no float-boundary row flips.
+    * Hash-threshold acceptance is reproducible (re-runs select the
+    * same rows), join-free per row, and composable (a higher budget
+    * yields a superset). Plan shape: one partial-agg count shuffle +
+    * one broadcast of the 5-row rate table + a codegen'd filter — two
+    * column-pruned passes over the corpus, linear at 100 TB, no
+    * window. */
+  val qt29MixtureSample: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val c = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .withColumn("isq",
+        floor(sqrt(col("c").cast("double"))).cast("long"))
+    val tot = c.agg(sum(col("c")).as("total"), sum(col("isq")).as("ssum"))
+    val rates = broadcast(c.crossJoin(tot)
+      .withColumn("n_target", expr("((total div 4) * isq) div ssum"))
+      .select(col("lang"), col("c"), col("n_target")))
+    docs.join(rates, Seq("lang"))
+      .withColumn("bucket", pmod(
+        hash32(concat(lit("mix:"), col("doc_id").cast("string"))),
+        lit(1000000L)))
+      .filter(col("bucket") * col("c") <
+        col("n_target") * lit(1000000L))
+      .select(col("doc_id"), col("lang"), col("n_target"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "qt29_mixture_sample" -> qt29MixtureSample,
     "qt28_group_split" -> qt28GroupSplit,
     "qt27_levenshtein" -> qt27Levenshtein,
     "qt26_oov" -> qt26OovScore,
@@ -654,6 +689,18 @@ object TextQueryCatalog {
        |FROM salted""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "qt29_mixture_sample" ->
+      s"""WITH c AS (
+         |  SELECT lang, count(*) AS c,
+         |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS isq
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT sum(c) AS total, sum(isq) AS ssum FROM c),
+         |r AS (SELECT lang, c,
+         |        ((total // 4) * isq) // ssum AS n_target FROM c, t)
+         |SELECT d.doc_id, d.lang, r.n_target
+         |FROM documents d JOIN r ON r.lang = d.lang
+         |WHERE (${T.hash32("'mix:' || CAST(d.doc_id AS VARCHAR)")}
+         |    % 1000000) * r.c < r.n_target * 1000000""".stripMargin,
     "qt28_group_split" ->
       s"""SELECT
          |  CASE WHEN ${T.hash32("'spl:' || source")} % 100 < 80

@@ -97,11 +97,13 @@ object Clone {
       require(files.nonEmpty,
         s"clone: $sourceDir has no committed files — nothing to clone")
       val defs = Constraints.list(fs, sourceDir)
+      val genDefs = GeneratedColumns.list(fs, sourceDir)
       fs.mkdirs(new Path(cloneDir))
       // pointer FIRST: from the instant the bootstrap record exists,
       // readers must already resolve through the source
       CommitLog.writeCloneSource(fs, cloneDir, srcQ)
       if (defs.nonEmpty) Constraints.replicate(fs, cloneDir, defs)
+      GeneratedColumns.replicate(fs, cloneDir, genDefs)
       val names = files.toSeq.sorted
       if (dv.isEmpty) CommitLog.commit(fs, cloneDir, -1L, names)
       else CommitLog.commitMutationCheckpoint(fs, cloneDir, -1L, names,

@@ -271,10 +271,14 @@ object DeletionVectors {
       keys: Seq[String], evolveSchema: Boolean = false,
       indexDir: Option[String] = None,
       filesPerDelta: Int = 1): (Long, Long) = {
-    MergeInto.requireUniqueKeys(updates, keys, "mergeMor")
-    requireNoClash(updates, "mergeMor")
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // generated-column FILL first: an update frame omitting a defined
+    // column gets it computed before compatibility checks and the
+    // delta write
+    val updates0 = GeneratedColumns.fill(spark, lakeDir, updates)
+    MergeInto.requireUniqueKeys(updates0, keys, "mergeMor")
+    requireNoClash(updates0, "mergeMor")
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
       s"mergeMor: $lakeDir has no commit log — cannot publish atomically")
     CommitLog.withWriterLock(fs, lakeDir) {
@@ -284,7 +288,7 @@ object DeletionVectors {
         s"mergeMor: no committed files in $lakeDir — ingest first")
       val lake = spark.read.option("mergeSchema", "true")
         .parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*)
-      MergeInto.requireFullRowCompatible(lake, updates, "mergeMor",
+      MergeInto.requireFullRowCompatible(lake, updates0, "mergeMor",
         evolveSchema)
       // matched-position discovery: key columns + _metadata only (a
       // column-pruned pass), optionally restricted to the index's
@@ -294,10 +298,10 @@ object DeletionVectors {
       def hitsIn(base: DataFrame): DataFrame = base
         .select(Seq(fileNameCol.as(FileCol),
           col("_metadata.row_index").as(PosCol)) ++ keys.map(col): _*)
-        .join(updates.select(keys.map(col): _*).distinct(), keys,
+        .join(updates0.select(keys.map(col): _*).distinct(), keys,
           "left_semi")
         .select(col(FileCol).as("file"), col(PosCol).as("pos"))
-      val hits = MergeInto.keyCandidateFiles(spark, updates, keys,
+      val hits = MergeInto.keyCandidateFiles(spark, updates0, keys,
           indexDir, committed) match {
         case Some(Seq()) => // provably pure-insert merge
           hitsIn(lake).limit(0)
@@ -314,7 +318,7 @@ object DeletionVectors {
       val newDv =
         if (matched == 0) Seq.empty else writePairs(fs, lakeDir, pairs)
       val before = CommitLog.dataFileNames(fs, lakeDir)
-      updates.repartition(filesPerDelta).write.mode("append")
+      updates0.repartition(filesPerDelta).write.mode("append")
         .parquet(lakeDir)
       val delta =
         (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
@@ -323,6 +327,7 @@ object DeletionVectors {
       // and the new sidecar pairs stay uncovered, so the rejected
       // upsert never happened in any reader's view
       Constraints.validateFiles(spark, lakeDir, delta)
+      GeneratedColumns.validateFiles(spark, lakeDir, delta)
       val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
       CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
         committed ++ delta,
@@ -361,6 +366,8 @@ object DeletionVectors {
     require(set.nonEmpty, "updateMor needs at least one SET assignment")
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GeneratedColumns.requireNoGeneratedSet(fs, lakeDir, set.keySet,
+      "updateMor")
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
       s"updateMor: $lakeDir has no commit log — cannot publish atomically")
     CommitLog.withWriterLock(fs, lakeDir) {
@@ -403,12 +410,14 @@ object DeletionVectors {
       if (n > 0) {
         val pairs = matched
           .select(col(FileCol).as("file"), col(PosCol).as("pos"))
-        val updated = matched.select(lake.schema.fields.map { f =>
-          set.get(f.name) match {
-            case Some(e) => expr(e).cast(f.dataType).as(f.name)
-            case None => col(f.name)
-          }
-        }.toIndexedSeq: _*)
+        // generated columns RECOMPUTE over the post-SET row
+        val updated = GeneratedColumns.recompute(spark, lakeDir,
+          matched.select(lake.schema.fields.map { f =>
+            set.get(f.name) match {
+              case Some(e) => expr(e).cast(f.dataType).as(f.name)
+              case None => col(f.name)
+            }
+          }.toIndexedSeq: _*))
         val newDv = writePairs(fs, lakeDir, pairs)
         val before = CommitLog.dataFileNames(fs, lakeDir)
         updated.repartition(1).write.mode("append").parquet(lakeDir)
@@ -417,6 +426,7 @@ object DeletionVectors {
         // same pre-publish CHECK gate as mergeMor: post-SET rows must
         // still satisfy every constraint or nothing publishes
         Constraints.validateFiles(spark, lakeDir, delta)
+        GeneratedColumns.validateFiles(spark, lakeDir, delta)
         val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
         CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
           committed ++ delta,

@@ -61,10 +61,14 @@ object MergeInto {
       keys: Seq[String], filesPerRewrite: Int = 4,
       evolveSchema: Boolean = false,
       indexDir: Option[String] = None): (Int, Int) = {
-    requireUniqueKeys(updates, keys, "merge")
+    // generated-column FILL first: an update frame omitting a defined
+    // column gets it computed, so full-row compatibility and the
+    // rewrite both see the complete row
+    val updates0 = GeneratedColumns.fill(spark, lakeDir, updates)
+    requireUniqueKeys(updates0, keys, "merge")
     mutate(spark, lakeDir, "merge", filesPerRewrite,
         indexDir) { (lake, committed) =>
-      requireFullRowCompatible(lake, updates, "merge", evolveSchema)
+      requireFullRowCompatible(lake, updates0, "merge", evolveSchema)
       // touched-file discovery: with a CURRENT stats index (its file
       // set matches the committed view — stale indexes are never
       // trusted for DML), candidate files come from the key-set prune
@@ -83,12 +87,12 @@ object MergeInto {
       // pass (correct, just not accelerated).
       def touchedIn(base: DataFrame): Set[String] = base
         .select(col("_metadata.file_path").as("__file") +: keys.map(col): _*)
-        .join(updates.select(keys.map(col): _*).distinct(), keys,
+        .join(updates0.select(keys.map(col): _*).distinct(), keys,
           "left_semi")
         .select(col("__file")).distinct()
         .collect().map(r => new Path(r.getString(0)).getName).toSet
       val touchedViaIndex: Option[Set[String]] =
-        keyCandidateFiles(spark, updates, keys, indexDir, committed).map {
+        keyCandidateFiles(spark, updates0, keys, indexDir, committed).map {
           case cand if cand.isEmpty => Set.empty[String] // pure-insert merge
           case cand => touchedIn(
             spark.read.schema(lake.schema).parquet(cand: _*))
@@ -101,13 +105,13 @@ object MergeInto {
       // allowMissingColumns only matters under evolveSchema: survivors
       // from old files take NULL for the added columns
       val survivors =
-        if (touched.isEmpty) updates
+        if (touched.isEmpty) updates0
         else spark.read.schema(lake.schema)
           .parquet(CommitLog.resolveDataPaths(spark, lakeDir,
             touched.toSeq.sorted): _*)
-          .join(updates.select(keys.map(col): _*).distinct(), keys,
+          .join(updates0.select(keys.map(col): _*).distinct(), keys,
             "left_anti")
-          .unionByName(updates, allowMissingColumns = true)
+          .unionByName(updates0, allowMissingColumns = true)
       (touched, Some(survivors))
     }
   }
@@ -164,6 +168,9 @@ object MergeInto {
       indexDir: Option[String] = None,
       impliedRanges: Seq[StatsIndex.ColRange] = Nil): (Int, Int) = {
     require(set.nonEmpty, "update needs at least one SET assignment")
+    GeneratedColumns.requireNoGeneratedSet(new Path(lakeDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      lakeDir, set.keySet, "update")
     mutate(spark, lakeDir, "update", filesPerRewrite,
         indexDir) { (lake, committed) =>
       val unknown = set.keySet -- lake.columns.toSet
@@ -184,10 +191,13 @@ object MergeInto {
               case None => col(f.name)
             }
           }
-          Some(spark.read.schema(lake.schema)
-            .parquet(CommitLog.resolveDataPaths(spark, lakeDir,
-              touched.toSeq.sorted): _*)
-            .select(cols.toIndexedSeq: _*))
+          // generated columns RECOMPUTE over the post-SET row
+          // (identity for rows whose dependencies did not change)
+          Some(GeneratedColumns.recompute(spark, lakeDir,
+            spark.read.schema(lake.schema)
+              .parquet(CommitLog.resolveDataPaths(spark, lakeDir,
+                touched.toSeq.sorted): _*)
+              .select(cols.toIndexedSeq: _*)))
         }
       (touched, survivors)
     }
@@ -360,8 +370,10 @@ object MergeInto {
       // introduce no new values and skip. A violation throws BEFORE
       // the publish — the fresh files are debris the sweep below
       // never reaches, cleared by the next writer's vacuum.
-      if (verb != "delete")
+      if (verb != "delete") {
         Constraints.validateFiles(spark, lakeDir, fresh)
+        GeneratedColumns.validateFiles(spark, lakeDir, fresh)
+      }
       val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
       CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
         (carried ++ fresh).sorted)

@@ -122,7 +122,10 @@ object LayoutSink {
     // persist once: the emptiness probe, the curve write's min/max
     // aggregate and the parquet write are three separate actions —
     // uncached they would re-read the batch's source files 3×
-    val b = batch.persist()
+    // generated-column FILL: omitted defined columns are computed
+    // here, so every file written below already carries them
+    val b = graft.sources.GeneratedColumns.fill(spark, lakeDir, batch)
+      .persist()
     try {
       val newFiles =
         if (b.isEmpty) Seq.empty[String]
@@ -138,6 +141,11 @@ object LayoutSink {
       // a violating batch throws here and its files stay invisible
       // debris (the next attempt's horizon-0 vacuum above sweeps them)
       graft.sources.Constraints.validateFiles(spark, lakeDir, newFiles)
+      // generated-column ENFORCE beside the CHECK gate: a batch that
+      // SUPPLIED a defined column with drifted values is rejected
+      // with the same pre-publish atomicity
+      graft.sources.GeneratedColumns.validateFiles(spark, lakeDir,
+        newFiles)
       CommitLog.commit(fs, lakeDir, batchId, newFiles)
       if (failAfterCommit)
         throw new RuntimeException("injected crash before index refresh")
