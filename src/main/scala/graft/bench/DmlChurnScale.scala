@@ -331,11 +331,15 @@ object DmlChurnScale {
     // 1×→10× cost moves only with the file-NAME count (16 → 160
     // names through one record write), so the exponent should sit
     // near zero: the direct evidence for "branching a 100 TB table
-    // costs milliseconds". A CONSTANT 1000-key merge against each
-    // BRANCH is timed too: the clone's resolution layer adds one
-    // local listing + one pointer probe per read, so branch-DML cost
-    // must keep the plain lake's O(touched-files) shape (compare the
-    // merge_churn probe's cells — same churn, same lakes).
+    // costs milliseconds". A CONSTANT ~25-key update (l_orderkey %
+    // 5999 = 17 over the 1x key space, identical frame at both
+    // scales) is merged against each BRANCH and, from the same base
+    // view, against the PLAIN lake — both UN-indexed, so the
+    // branch/plain delta isolates exactly what the clone's
+    // resolution layer (one local listing + one pointer probe per
+    // read) costs, and the branch exponent shows DML keeps the
+    // O(touched-files) shape. NOT comparable to merge_churn's cells:
+    // different key count and no index acceleration here.
     if (want("clone_flat")) {
     println("""{"probe":"clone_flat","cells":[""")
     import graft.sources.Clone

@@ -696,7 +696,8 @@ object TextQueryCatalog {
          |  FROM documents GROUP BY 1),
          |t AS (SELECT sum(c) AS total, sum(isq) AS ssum FROM c),
          |r AS (SELECT lang, c,
-         |        ((total // 4) * isq) // ssum AS n_target FROM c, t)
+         |        CAST(((total // 4) * isq) // ssum AS BIGINT)
+         |          AS n_target FROM c, t)
          |SELECT d.doc_id, d.lang, r.n_target
          |FROM documents d JOIN r ON r.lang = d.lang
          |WHERE (${T.hash32("'mix:' || CAST(d.doc_id AS VARCHAR)")}

@@ -86,12 +86,27 @@ object Clone {
     val srcQ = fs.makeQualified(new Path(sourceDir)).toString
     val dstQ = fs.makeQualified(new Path(cloneDir)).toString
     require(srcQ != dstQ, s"clone: source and target are the same dir")
-    require(!fs.exists(new Path(CommitLog.logDir(cloneDir))),
-      s"clone: $cloneDir already has a commit log — refusing to " +
-        "overwrite an existing lake")
+    // a log dir with COMMITTED records is an existing lake — never
+    // overwrite; a log dir with zero records is a crashed half-clone
+    // (pointer and/or definitions written, bootstrap never published)
+    // — sweep its debris and retry self-healingly
+    if (fs.exists(new Path(CommitLog.logDir(cloneDir)))) {
+      require(CommitLog.recordCount(fs, cloneDir) == 0,
+        s"clone: $cloneDir already has a commit log — refusing to " +
+          "overwrite an existing lake")
+      fs.delete(CommitLog.cloneSourcePath(cloneDir), false)
+      CommitLog.invalidateCloneSource(fs, cloneDir)
+      DefRecords.allFiles(fs, cloneDir,
+        Seq(Constraints.Prefix, GeneratedColumns.Prefix))
+        .foreach { p => fs.delete(p, false); () }
+    }
     require(CommitLog.dataFileNames(fs, cloneDir).isEmpty,
       s"clone: $cloneDir already holds data files — the target must " +
         "be fresh (name collisions would shadow source files)")
+    require(DeletionVectors.dvFilesOnDisk(fs, cloneDir).isEmpty,
+      s"clone: $cloneDir already holds _dv sidecar files — stale " +
+        "sidecar debris would shadow same-named source sidecars and " +
+        "corrupt the MoR read (local-wins resolution)")
     CommitLog.withWriterLock(fs, sourceDir) {
       val (files, dv) = CommitLog.committedView(fs, sourceDir)
       require(files.nonEmpty,
@@ -134,25 +149,39 @@ object Clone {
       case Some(_) => CommitLog.withWriterLock(fs, cloneDir) {
         sweepTmp(fs, cloneDir)
         sweepTmp(fs, DeletionVectors.dvDir(cloneDir))
-        val (files, dv) = CommitLog.committedView(fs, cloneDir)
+        // localize everything ANY live record references — not just
+        // the current view — so the clone's time travel and restore
+        // reach survives the source's retirement. A referenced name
+        // resolvable nowhere (the source already reclaimed it) is
+        // skipped: that version was unrestorable before materialize
+        // and stays so, fail-fast at restore time as ever.
+        val (files, dv) = CommitLog.liveReferencedNames(fs, cloneDir)
         val needData =
           (files -- CommitLog.dataFileNames(fs, cloneDir)).toSeq.sorted
-        needData.zip(CommitLog.resolveDataPaths(fs, cloneDir, needData))
-          .foreach { case (n, from) =>
-            copyAtomic(fs, new Path(from), new Path(cloneDir, n))
+        val copiedData = needData
+          .zip(CommitLog.resolveDataPaths(fs, cloneDir, needData))
+          .count { case (n, from) =>
+            val src = new Path(from)
+            fs.exists(src) && {
+              copyAtomic(fs, src, new Path(cloneDir, n)); true
+            }
           }
         val needDv =
           (dv -- DeletionVectors.dvFilesOnDisk(fs, cloneDir)).toSeq.sorted
-        needDv.zip(DeletionVectors.resolveDvPaths(fs, cloneDir, needDv))
-          .foreach { case (n, from) =>
-            copyAtomic(fs, new Path(from),
-              new Path(DeletionVectors.dvDir(cloneDir), n))
+        val copiedDv = needDv
+          .zip(DeletionVectors.resolveDvPaths(fs, cloneDir, needDv))
+          .count { case (n, from) =>
+            val src = new Path(from)
+            fs.exists(src) && {
+              copyAtomic(fs, src,
+                new Path(DeletionVectors.dvDir(cloneDir), n)); true
+            }
           }
-        // every referenced byte is local — retire the pointer; the
-        // clone is a plain lake from here on
+        // every resolvable referenced byte is local — retire the
+        // pointer; the clone is a plain lake from here on
         fs.delete(CommitLog.cloneSourcePath(cloneDir), false)
-        CommitLog.invalidateCloneSource(cloneDir)
-        (needData.size, needDv.size)
+        CommitLog.invalidateCloneSource(fs, cloneDir)
+        (copiedData, copiedDv)
       }
     }
   }

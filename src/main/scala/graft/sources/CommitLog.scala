@@ -518,8 +518,18 @@ object CommitLog {
     * seen on the next call. */
   private val cloneSourceCache = new ConcurrentHashMap[String, String]()
 
-  private[sources] def invalidateCloneSource(lakeDir: String): Unit = {
-    cloneSourceCache.remove(cloneSourcePath(lakeDir).toString); ()
+  /** Cache keys are the QUALIFIED pointer path: callers reach the
+    * same clone under different spellings (relative, absolute,
+    * scheme-qualified — the chain itself stores qualified paths), and
+    * a spelling-keyed cache would leave stale positive entries behind
+    * a [[Clone.materialize]] that invalidated only its own
+    * spelling. */
+  private def cloneKey(fs: FileSystem, lakeDir: String): String =
+    fs.makeQualified(cloneSourcePath(lakeDir)).toString
+
+  private[sources] def invalidateCloneSource(fs: FileSystem,
+      lakeDir: String): Unit = {
+    cloneSourceCache.remove(cloneKey(fs, lakeDir)); ()
   }
 
   /** The source lake this lake shallow-clones, if any. One existence
@@ -527,7 +537,8 @@ object CommitLog {
     * a log listing, so this never changes a read's I/O class). */
   def cloneSourceOf(fs: FileSystem, lakeDir: String): Option[String] = {
     val p = cloneSourcePath(lakeDir)
-    val hit = cloneSourceCache.get(p.toString)
+    val key = cloneKey(fs, lakeDir)
+    val hit = cloneSourceCache.get(key)
     if (hit != null) return Some(hit)
     val st =
       try fs.getFileStatus(p)
@@ -541,8 +552,22 @@ object CommitLog {
       } finally in.close()
     require(src.nonEmpty,
       s"corrupt clone pointer ${p} — empty source path")
-    cloneSourceCache.put(p.toString, src)
+    cloneSourceCache.put(key, src)
     Some(src)
+  }
+
+  /** Every data-file name and sidecar name referenced by ANY live log
+    * record (current view, older manifests, out-ranked generations) —
+    * the universe [[Clone.materialize]] must localize so the clone's
+    * TIME TRAVEL and RESTORE reach survives the source's retirement,
+    * not just its current view. Bounded by the live log (a fold
+    * truncates it, exactly as it truncates travel). */
+  private[sources] def liveReferencedNames(fs: FileSystem,
+      lakeDir: String): (Set[String], Set[String]) = {
+    val (ckpts, manifests) = listLog(fs, lakeDir)
+    val entries = (ckpts ++ manifests).flatMap(readRecord(fs, _))
+    (entries.filterNot(isDvEntry).toSet,
+      entries.filter(isDvEntry).map(_.substring(DvPrefix.length)).toSet)
   }
 
   /** Resolve committed NAMES to physical paths. On a plain lake this

@@ -61,44 +61,24 @@ object Constraints {
     * highest generation; the writer publishes `gen + 1` then sweeps
     * older generations (a crash mid-sweep leaves out-ranked files —
     * ignored, swept by the next write). */
-  private val Prefix = "CONSTRAINTS."
+  private[sources] val Prefix = "CONSTRAINTS."
 
-  private def current(fs: org.apache.hadoop.fs.FileSystem,
-      lakeDir: String): Option[(Path, Long)] = {
-    val log = new Path(CommitLog.logDir(lakeDir))
-    if (!fs.exists(log)) return None
-    fs.listStatus(log).iterator.map(_.getPath)
-      .filter(_.getName.startsWith(Prefix))
-      .map(p => (p, p.getName.substring(Prefix.length).toLong))
-      .toSeq.sortBy(_._2).lastOption
-  }
-
-  /** The defined constraints, in definition order. Empty when none. */
+  /** The defined constraints, in definition order. Empty when none.
+    * Format: `name<TAB>predicate` — the name is tab-free ([[add]]
+    * rejects tabs), so the FIRST tab splits and the predicate may
+    * itself contain tabs (legal SQL whitespace). */
   def list(fs: org.apache.hadoop.fs.FileSystem,
       lakeDir: String): Seq[(String, String)] =
-    current(fs, lakeDir) match {
-      case None => Seq.empty
-      case Some((p, _)) =>
-        val in = fs.open(p)
-        val text =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        text.split('\n').iterator.filter(_.nonEmpty).map { line =>
-          val i = line.indexOf('\t')
-          require(i > 0, s"corrupt ${p.getName} line: '$line'")
-          (line.substring(0, i), line.substring(i + 1))
-        }.toSeq
+    DefRecords.readLines(fs, lakeDir, Prefix).map { line =>
+      val i = line.indexOf('\t')
+      require(i > 0, s"corrupt $Prefix record line: '$line'")
+      (line.substring(0, i), line.substring(i + 1))
     }
 
   private def write(fs: org.apache.hadoop.fs.FileSystem, lakeDir: String,
-      defs: Seq[(String, String)]): Unit = {
-    val old = current(fs, lakeDir)
-    val gen = old.map(_._2 + 1).getOrElse(0L)
-    CommitLog.writeRecordAtomic(fs, lakeDir,
-      new Path(CommitLog.logDir(lakeDir), s"$Prefix$gen"),
+      defs: Seq[(String, String)]): Unit =
+    DefRecords.writeLines(fs, lakeDir, Prefix,
       defs.map { case (n, p) => s"$n\t$p" })
-    old.foreach { case (p, _) => fs.delete(p, false); () }
-  }
 
   /** [[Clone.shallow]] replicates the source's current definitions
     * into the clone's log (they evolve independently afterwards —

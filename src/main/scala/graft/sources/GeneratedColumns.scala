@@ -48,53 +48,36 @@ object GeneratedColumns {
         "(omit the column to have it computed, or supply the " +
         "expression's value)")
 
-  /** Same generation-versioned storage discipline as
-    * [[Constraints]] — rename-over-existing is not atomic, so an
-    * update is a NEW name that out-ranks the old. */
-  private val Prefix = "GENERATED."
-
-  private def current(fs: org.apache.hadoop.fs.FileSystem,
-      lakeDir: String): Option[(Path, Long)] = {
-    val log = new Path(CommitLog.logDir(lakeDir))
-    if (!fs.exists(log)) return None
-    fs.listStatus(log).iterator.map(_.getPath)
-      .filter(_.getName.startsWith(Prefix))
-      .map(p => (p, p.getName.substring(Prefix.length).toLong))
-      .toSeq.sortBy(_._2).lastOption
-  }
+  /** Storage discipline shared with [[Constraints]] via
+    * [[DefRecords]]. */
+  private[sources] val Prefix = "GENERATED."
 
   /** The defined generated columns, in definition order:
     * (column, expression, sqlType). The type is captured from the
     * lake schema at [[add]] time so [[fill]]/[[recompute]] land the
     * column's EXACT physical type (a bare `length(...)` evaluates as
     * int while the lake column may be bigint — an uncast fill would
-    * type-clash every later merge). */
+    * type-clash every later merge). Format:
+    * `column<TAB>expression<TAB>type` — column and type are tab-free
+    * by construction (the name check rejects tabs; `DataType.sql`
+    * never emits one), so the FIRST and LAST tabs split and the
+    * EXPRESSION may itself contain tabs (legal SQL whitespace — a
+    * tab-carrying definition must not brick every later read). */
   def list(fs: org.apache.hadoop.fs.FileSystem,
       lakeDir: String): Seq[(String, String, String)] =
-    current(fs, lakeDir) match {
-      case None => Seq.empty
-      case Some((p, _)) =>
-        val in = fs.open(p)
-        val text =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        text.split('\n').iterator.filter(_.nonEmpty).map { line =>
-          val parts = line.split('\t')
-          require(parts.length == 3,
-            s"corrupt ${p.getName} line: '$line'")
-          (parts(0), parts(1), parts(2))
-        }.toSeq
+    DefRecords.readLines(fs, lakeDir, Prefix).map { line =>
+      val i = line.indexOf('\t')
+      val j = line.lastIndexOf('\t')
+      require(i > 0 && j > i && j < line.length - 1,
+        s"corrupt $Prefix record line: '$line'")
+      (line.substring(0, i), line.substring(i + 1, j),
+        line.substring(j + 1))
     }
 
   private def write(fs: org.apache.hadoop.fs.FileSystem, lakeDir: String,
-      defs: Seq[(String, String, String)]): Unit = {
-    val old = current(fs, lakeDir)
-    val gen = old.map(_._2 + 1).getOrElse(0L)
-    CommitLog.writeRecordAtomic(fs, lakeDir,
-      new Path(CommitLog.logDir(lakeDir), s"$Prefix$gen"),
+      defs: Seq[(String, String, String)]): Unit =
+    DefRecords.writeLines(fs, lakeDir, Prefix,
       defs.map { case (c, e, t) => s"$c\t$e\t$t" })
-    old.foreach { case (p, _) => fs.delete(p, false); () }
-  }
 
   /** [[Clone.shallow]] replicates definitions into a fresh clone. */
   private[sources] def replicate(fs: org.apache.hadoop.fs.FileSystem,

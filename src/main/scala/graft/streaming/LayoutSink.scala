@@ -185,8 +185,17 @@ object LayoutSink {
     // no log RECORDS = not a logged lake (the dir alone can exist
     // from a lock acquisition that never committed anything)
     if (!fs.exists(new Path(CommitLog.logDir(lakeDir))) ||
-        CommitLog.recordCount(fs, lakeDir) == 0)
+        CommitLog.recordCount(fs, lakeDir) == 0) {
+      // a clone pointer with ZERO records is a crashed half-clone —
+      // a plain directory read would serve an empty frame for a table
+      // that was meant to be a populated branch; fail loudly instead
+      // (re-running Clone.shallow self-heals the target)
+      require(CommitLog.cloneSourceOf(fs, lakeDir).isEmpty,
+        s"readCommitted: $lakeDir is a half-created clone (source " +
+          "pointer present, no committed records) — re-run " +
+          "Clone.shallow")
       return rd.parquet(lakeDir)
+    }
     val names = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
     if (names.isEmpty) {
       // committed view is empty; if uncommitted orphans exist they

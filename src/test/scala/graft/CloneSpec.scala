@@ -211,6 +211,67 @@ class CloneSpec extends SparkSpec {
     assert(e.getMessage.contains("shallow clone"))
   }
 
+  test("a crashed half-clone (pointer, no records) reads LOUDLY and " +
+    "a re-run of shallow self-heals it; stale _dv debris in the " +
+    "target is rejected") {
+    val lake = mkLake()
+    val dst = cloneDirFor(lake)
+    // simulate the crash window: log dir + pointer, no bootstrap
+    val f = fs(dst)
+    f.mkdirs(new Path(CommitLog.logDir(dst)))
+    val out = f.create(new Path(CommitLog.logDir(dst), "_clone_source"),
+      true)
+    out.write(lake.getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException] {
+      LayoutSink.readCommitted(spark, dst)
+    }
+    assert(e.getMessage.contains("half-created clone"))
+    // retry self-heals: sweeps the debris and completes
+    Clone.shallow(spark, lake, dst)
+    assert(LayoutSink.readCommitted(spark, dst).count() == 300)
+    // a target with stale _dv sidecar debris is rejected outright —
+    // local-wins resolution would shadow same-named source sidecars
+    val dst2 = new Path(lake).getParent.toString + "/branch2"
+    f.mkdirs(new Path(DeletionVectors.dvDir(dst2)))
+    val o2 = f.create(
+      new Path(DeletionVectors.dvDir(dst2), "stale.parquet"), true)
+    o2.write(Array[Byte](1)); o2.close()
+    val e2 = intercept[IllegalArgumentException] {
+      Clone.shallow(spark, lake, dst2)
+    }
+    assert(e2.getMessage.contains("_dv sidecar"))
+  }
+
+  test("materialize localizes every LIVE-record-referenced file, so " +
+    "restore to an exact earlier mutation id survives the source's " +
+    "deletion") {
+    val lake = mkLake()
+    val dst = cloneDirFor(lake)
+    Clone.shallow(spark, lake, dst)
+    // mutation at the bootstrap id -1: replaces the file holding k=7
+    MergeInto.merge(spark, dst, Seq((7, -7L)).toDF("k", "v"), Seq("k"))
+    // an append moves the max id to 0...
+    val before = CommitLog.dataFileNames(fs(dst), dst)
+    Seq((5000, 1L)).toDF("k", "v").coalesce(1).write.mode("append")
+      .parquet(dst)
+    CommitLog.commit(fs(dst), dst, 0L,
+      (CommitLog.dataFileNames(fs(dst), dst) -- before).toSeq.sorted)
+    // ...so this merge publishes at 0 and replaces ANOTHER source
+    // file — which thereby leaves the CURRENT view while staying
+    // referenced by the still-restorable exact checkpoint at -1
+    MergeInto.merge(spark, dst, Seq((8, -8L)).toDF("k", "v"), Seq("k"))
+    Clone.materialize(spark, dst)
+    fs(lake).delete(new Path(lake), true)
+    // restore to the -1 mutation: its source-resident files must have
+    // been localized even though the current view no longer lists them
+    CommitLog.restore(fs(dst), dst, toBatchId = -1L)
+    val got = LayoutSink.readCommitted(spark, dst)
+    assert(got.count() == 300)
+    assert(got.filter(col("k") === 7).head.getLong(1) == -7L)
+    assert(got.filter(col("k") === 8).head.getLong(1) == 80L)
+    assert(got.filter(col("k") === 5000).isEmpty)
+  }
+
   test("vacuum on the clone sweeps only clone-local orphans; source " +
     "bytes are never its debris") {
     val lake = mkLake()
