@@ -122,6 +122,8 @@ object CatalogScale {
     "q67_dv_delete", "q68_dv_merge", "q69_dv_pruned_scan",
     "q70_dv_meta_count", "q71_dv_update", "q72_dv_optimize",
     "q73_dv_meta_minmax", "q74_dv_changes", "q75_incr_view",
+    "q76_restore", "q77_restore_dv", "q78_constraints", "q79_clone",
+    "q80_generated", "qt29_mixture_sample",
     "qt4_exact_dedup", "qt5_minhash", "qt6_lsh_pairs",
     "qt11_dup_clusters", "qt21_curated_corpus",
     "qv4_ivf_assign", "qv6_ivf_query", "qv15_ivfpq_query",
