@@ -592,6 +592,20 @@ object CommitLog {
         names.map(n => if (local(n)) s"$lakeDir/$n" else there(n))
     }
 
+  /** A clone pointer with ZERO committed records is a crashed
+    * half-clone ([[Clone.shallow]] died between the pointer write and
+    * the bootstrap publish): serving it as an empty table would
+    * silently hand a consumer 0 rows for what was meant to be a
+    * populated branch. Every committed-read surface calls this before
+    * falling back to an empty/plain-directory answer; re-running
+    * Clone.shallow self-heals the target. */
+  private[graft] def requireNotHalfClone(fs: FileSystem,
+      lakeDir: String, what: String): Unit =
+    require(cloneSourceOf(fs, lakeDir).isEmpty ||
+        recordCount(fs, lakeDir) > 0,
+      s"$what: $lakeDir is a half-created clone (source pointer " +
+        "present, no committed records) — re-run Clone.shallow")
+
   /** [[resolveDataPaths]] for call sites that carry a session, not a
     * FileSystem (the mutation-verb planning closures). */
   def resolveDataPaths(spark: org.apache.spark.sql.SparkSession,

@@ -366,8 +366,8 @@ object DeletionVectors {
     require(set.nonEmpty, "updateMor needs at least one SET assignment")
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    GeneratedColumns.requireNoGeneratedSet(fs, lakeDir, set.keySet,
-      "updateMor")
+    GeneratedColumns.requireNoGeneratedSet(spark, lakeDir,
+      set.keySet, "updateMor")
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
       s"updateMor: $lakeDir has no commit log — cannot publish atomically")
     CommitLog.withWriterLock(fs, lakeDir) {

@@ -157,9 +157,10 @@ object GeneratedColumns {
   /** SET assignments must not name a generated column — its value is
     * the expression's, never the caller's. Shared by both UPDATE
     * verbs. */
-  private[sources] def requireNoGeneratedSet(
-      fs: org.apache.hadoop.fs.FileSystem, lakeDir: String,
-      set: Set[String], verb: String): Unit = {
+  private[sources] def requireNoGeneratedSet(spark: SparkSession,
+      lakeDir: String, set: Set[String], verb: String): Unit = {
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = list(fs, lakeDir).map(_._1).toSet & set
     require(gen.isEmpty,
       s"$verb: SET names generated column(s) ${gen.toSeq.sorted

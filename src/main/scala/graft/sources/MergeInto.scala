@@ -168,9 +168,8 @@ object MergeInto {
       indexDir: Option[String] = None,
       impliedRanges: Seq[StatsIndex.ColRange] = Nil): (Int, Int) = {
     require(set.nonEmpty, "update needs at least one SET assignment")
-    GeneratedColumns.requireNoGeneratedSet(new Path(lakeDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration),
-      lakeDir, set.keySet, "update")
+    GeneratedColumns.requireNoGeneratedSet(spark, lakeDir,
+      set.keySet, "update")
     mutate(spark, lakeDir, "update", filesPerRewrite,
         indexDir) { (lake, committed) =>
       val unknown = set.keySet -- lake.columns.toSet

@@ -186,14 +186,7 @@ object LayoutSink {
     // from a lock acquisition that never committed anything)
     if (!fs.exists(new Path(CommitLog.logDir(lakeDir))) ||
         CommitLog.recordCount(fs, lakeDir) == 0) {
-      // a clone pointer with ZERO records is a crashed half-clone —
-      // a plain directory read would serve an empty frame for a table
-      // that was meant to be a populated branch; fail loudly instead
-      // (re-running Clone.shallow self-heals the target)
-      require(CommitLog.cloneSourceOf(fs, lakeDir).isEmpty,
-        s"readCommitted: $lakeDir is a half-created clone (source " +
-          "pointer present, no committed records) — re-run " +
-          "Clone.shallow")
+      CommitLog.requireNotHalfClone(fs, lakeDir, "readCommitted")
       return rd.parquet(lakeDir)
     }
     val names = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
@@ -226,6 +219,7 @@ object LayoutSink {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
       s"readChanges: $lakeDir has no commit log — no change tracking")
+    CommitLog.requireNotHalfClone(fs, lakeDir, "readChanges")
     val names = CommitLog.changedNames(fs, lakeDir, fromExclusive,
       toInclusive).toSeq.sorted
     if (names.isEmpty)
@@ -251,6 +245,7 @@ object LayoutSink {
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
       s"readCommittedAt: $lakeDir has no commit log — no history to " +
         "travel")
+    CommitLog.requireNotHalfClone(fs, lakeDir, "readCommittedAt")
     val names = CommitLog.committedNamesAt(fs, lakeDir, asOf).toSeq.sorted
     if (names.isEmpty)
       return if (CommitLog.dataFileNames(fs, lakeDir).isEmpty)

@@ -226,6 +226,14 @@ class CloneSpec extends SparkSpec {
       LayoutSink.readCommitted(spark, dst)
     }
     assert(e.getMessage.contains("half-created clone"))
+    // the as-of and CDC readers fail the same way (they would
+    // otherwise serve a silent empty frame for the record-less log)
+    intercept[IllegalArgumentException] {
+      LayoutSink.readCommittedAt(spark, dst, asOf = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      LayoutSink.readChanges(spark, dst, 0L, 1L)
+    }
     // retry self-heals: sweeps the debris and completes
     Clone.shallow(spark, lake, dst)
     assert(LayoutSink.readCommitted(spark, dst).count() == 300)
