@@ -140,6 +140,27 @@ class CloneSpec extends SparkSpec {
     assert(got.filter(col("k") === 8).head.getLong(1) == 80L)
   }
 
+  test("a chained clone keeps resolving after the MIDDLE lake " +
+    "materializes — and after the ROOT then disappears") {
+    val lake = mkLake()
+    val mid = cloneDirFor(lake)
+    Clone.shallow(spark, lake, mid)
+    val leaf = new Path(lake).getParent.toString + "/leaf"
+    Clone.shallow(spark, mid, leaf)
+    // mid localizes every referenced byte; leaf's chain now finds the
+    // names physically in mid (local-wins at the mid hop)
+    Clone.materialize(spark, mid)
+    assert(!Clone.isClone(spark, mid) && Clone.isClone(spark, leaf))
+    fs(lake).delete(new Path(lake), true)
+    val got = LayoutSink.readCommitted(spark, leaf)
+    assert(got.count() == 300)
+    assert(got.filter(col("k") === 8).head.getLong(1) == 80L)
+    // leaf can still materialize from the mid hop and detach fully
+    assert(Clone.materialize(spark, leaf)._1 == 3)
+    fs(mid).delete(new Path(mid), true)
+    assert(LayoutSink.readCommitted(spark, leaf).count() == 300)
+  }
+
   test("restore on the clone rolls back an append to the merge's " +
     "mutation id; source-resident carried files pass the " +
     "reclaimed-bytes check") {
