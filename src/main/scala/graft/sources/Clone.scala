@@ -69,14 +69,21 @@ object Clone {
     sourceOf(spark, dir).nonEmpty
 
   /** Create `cloneDir` as a zero-copy clone of `sourceDir`'s CURRENT
-    * committed view. Metadata-only: one pointer write + one bootstrap
-    * record (+ the constraint definitions, if any) — no data bytes
-    * move, whatever the table's size. Runs under the SOURCE's writer
-    * lock so the captured (files, vectors) pair cannot tear against a
-    * concurrent mutation. The target must be fresh (no commit log, no
-    * data files). Returns (dataFilesReferenced, dvFilesReferenced). */
+    * committed view — or, with `asOf`, of a TIME-TRAVEL snapshot
+    * (Delta's `CLONE ... VERSION AS OF`: branch from "last night's
+    * version" without touching the live table). The as-of arm
+    * resolves through [[CommitLog.committedNamesAt]] and inherits its
+    * guards verbatim: past the fold horizon, or at/under a DML
+    * mutation's rewritten id, it FAILS FAST rather than branch a view
+    * the log can no longer prove complete. Metadata-only either way:
+    * one pointer write + one bootstrap record (+ the constraint and
+    * generated-column definitions, if any) — no data bytes move,
+    * whatever the table's size. Runs under the SOURCE's writer lock
+    * so the captured view cannot tear against a concurrent mutation.
+    * The target must be fresh (no commit log, no data files). Returns
+    * (dataFilesReferenced, dvFilesReferenced). */
   def shallow(spark: SparkSession, sourceDir: String,
-      cloneDir: String): (Int, Int) = {
+      cloneDir: String, asOf: Option[Long] = None): (Int, Int) = {
     val fs = new Path(sourceDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(CommitLog.logDir(sourceDir))) &&
@@ -108,7 +115,15 @@ object Clone {
         "sidecar debris would shadow same-named source sidecars and " +
         "corrupt the MoR read (local-wins resolution)")
     CommitLog.withWriterLock(fs, sourceDir) {
-      val (files, dv) = CommitLog.committedView(fs, sourceDir)
+      // the as-of arm serves a PLAIN file list (committedNamesAt
+      // rejects dv-carrying views — a bare list cannot express them),
+      // so its clone never carries coverage
+      val (files, dv) = asOf match {
+        case None => CommitLog.committedView(fs, sourceDir)
+        case Some(id) =>
+          (CommitLog.committedNamesAt(fs, sourceDir, id),
+            Set.empty[String])
+      }
       require(files.nonEmpty,
         s"clone: $sourceDir has no committed files — nothing to clone")
       val defs = Constraints.list(fs, sourceDir)

@@ -140,6 +140,37 @@ class CloneSpec extends SparkSpec {
     assert(got.filter(col("k") === 8).head.getLong(1) == 80L)
   }
 
+  test("CLONE VERSION AS OF: branch a time-travel snapshot — later " +
+    "batches invisible, guards inherited from committedNamesAt") {
+    val dir = Files.createTempDirectory("graft_cl_asof_").toString
+    val lake = s"$dir/lake"
+    val f = fs(lake)
+    for (b <- 0 to 2) {
+      val before = CommitLog.dataFileNames(f, lake)
+      (0 until 100).map(i => (b, b * 1000L + i)).toDF("b", "v")
+        .coalesce(1).write.mode("append").parquet(lake)
+      CommitLog.commit(f, lake, b,
+        (CommitLog.dataFileNames(f, lake) -- before).toSeq.sorted)
+    }
+    val snap = s"$dir/snap"
+    val (n, nDv) = Clone.shallow(spark, lake, snap, asOf = Some(1L))
+    assert(n == 2 && nDv == 0)
+    val got = LayoutSink.readCommitted(spark, snap)
+    assert(got.count() == 200)
+    assert(got.agg(max(col("b"))).head.getInt(0) == 1)
+    // the branch is a full table: mutate it, source stays 300 rows
+    MergeInto.merge(spark, snap, Seq((9, -9L)).toDF("b", "v"), Seq("b"))
+    assert(LayoutSink.readCommitted(spark, lake).count() == 300)
+    // a mutation on the source truncates as-of reach — the clone arm
+    // fails fast exactly as committedNamesAt does
+    MergeInto.delete(spark, lake, "v % 10 = 3")
+    val e = intercept[IllegalArgumentException] {
+      Clone.shallow(spark, lake, s"$dir/snap2", asOf = Some(1L))
+    }
+    assert(e.getMessage.contains("mutation") ||
+      e.getMessage.contains("truncated"))
+  }
+
   test("a chained clone keeps resolving after the MIDDLE lake " +
     "materializes — and after the ROOT then disappears") {
     val lake = mkLake()
