@@ -93,6 +93,15 @@ object Clone {
     val srcQ = fs.makeQualified(new Path(sourceDir)).toString
     val dstQ = fs.makeQualified(new Path(cloneDir)).toString
     require(srcQ != dstQ, s"clone: source and target are the same dir")
+    // the TARGET's writer lock is the torn-clone mutual-exclusion
+    // point: two concurrent shallow() calls into the same target
+    // (possibly from different sources) would otherwise both pass the
+    // freshness checks and interleave pointer/definition/bootstrap
+    // writes — one lake's pointer with another's bootstrap record.
+    // One of them fails fast here instead. Target-then-source order;
+    // both locks are fail-fast, so cross-order acquisition cannot
+    // deadlock, only reject.
+    CommitLog.withWriterLock(fs, cloneDir) {
     // a log dir with COMMITTED records is an existing lake — never
     // overwrite; a log dir with zero records is a crashed half-clone
     // (pointer and/or definitions written, bootstrap never published)
@@ -139,6 +148,7 @@ object Clone {
       else CommitLog.commitMutationCheckpoint(fs, cloneDir, -1L, names,
         dvNames = dv.toSeq.sorted)
       (files.size, dv.size)
+    }
     }
   }
 

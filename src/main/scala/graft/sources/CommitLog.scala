@@ -533,13 +533,22 @@ object CommitLog {
   }
 
   /** The source lake this lake shallow-clones, if any. One existence
-    * probe on the non-clone fast path (every caller is already doing
-    * a log listing, so this never changes a read's I/O class). */
+    * probe on EVERY path — non-clone fast path and cache hit alike
+    * (every caller is already doing a log listing, so this never
+    * changes a read's I/O class). The hit-side probe is what keeps the
+    * positive cache honest when the pointer disappears OUTSIDE
+    * [[Clone.materialize]]'s explicit invalidation — an OPTIMIZE dir
+    * swap or an external delete — otherwise a stale hit would report
+    * a retired source chain for the JVM's lifetime. */
   def cloneSourceOf(fs: FileSystem, lakeDir: String): Option[String] = {
     val p = cloneSourcePath(lakeDir)
     val key = cloneKey(fs, lakeDir)
     val hit = cloneSourceCache.get(key)
-    if (hit != null) return Some(hit)
+    if (hit != null) {
+      if (fs.exists(p)) return Some(hit)
+      cloneSourceCache.remove(key)
+      return None
+    }
     val st =
       try fs.getFileStatus(p)
       catch { case _: FileNotFoundException => return None }

@@ -86,7 +86,7 @@ object Constraints {
     * source's writer lock; the target is fresh, so generation 0. */
   private[sources] def replicate(fs: org.apache.hadoop.fs.FileSystem,
       lakeDir: String, defs: Seq[(String, String)]): Unit =
-    write(fs, lakeDir, defs)
+    if (defs.nonEmpty) write(fs, lakeDir, defs)
 
   /** Rows of `df` that strictly violate `predicate` (FALSE — never
     * UNKNOWN), up to `n`, rendered for the error message. */

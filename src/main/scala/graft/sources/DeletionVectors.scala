@@ -595,6 +595,17 @@ object DeletionVectors {
     live.drop(FileCol, PosCol)
   }
 
+  /** Thrown by [[readMorChanges]]'s SOUNDNESS guards when a physical
+    * rewrite has invalidated a cursor (committed files retired or
+    * sidecar coverage lost) — the "resync with a full read" signal.
+    * A dedicated type, so consumers ([[IncrementalView.refresh]]'s
+    * full-rebuild degradation) catch EXACTLY cursor invalidation and
+    * never mistake an unrelated argument error (or a reworded guard
+    * message) for it. Extends IllegalArgumentException to preserve
+    * the guards' historical class for callers matching broadly. */
+  final class CursorInvalidatedException(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** A row-level CDC cursor over a merge-on-read lake: the committed
     * data-file names and the covered sidecar names of ONE atomically
     * resolved version ([[CommitLog.committedView]]). Both sets name
@@ -654,16 +665,18 @@ object DeletionVectors {
     // current version
     val (filesH, dvH) = to.map(c => (c.files, c.dvFiles))
       .getOrElse(CommitLog.committedView(fs, lakeDir))
-    require(from.files.subsetOf(filesH),
-      s"readMorChanges: committed files from the cursor version were " +
-        s"rewritten (${(from.files -- filesH).toSeq.sorted.take(3)
-          .mkString(", ")} …) — a physical rewrite (CoW DML, OPTIMIZE, " +
-        "compaction) breaks row-level change tracking; resync with a " +
-        "full read and re-capture the cursor")
-    require(from.dvFiles.subsetOf(dvH),
-      "readMorChanges: sidecar files from the cursor version lost " +
-        "coverage (a compaction applied them) — resync with a full " +
-        "read and re-capture the cursor")
+    if (!from.files.subsetOf(filesH))
+      throw new CursorInvalidatedException(
+        s"readMorChanges: committed files from the cursor version were " +
+          s"rewritten (${(from.files -- filesH).toSeq.sorted.take(3)
+            .mkString(", ")} …) — a physical rewrite (CoW DML, OPTIMIZE, " +
+          "compaction) breaks row-level change tracking; resync with a " +
+          "full read and re-capture the cursor")
+    if (!from.dvFiles.subsetOf(dvH))
+      throw new CursorInvalidatedException(
+        "readMorChanges: sidecar files from the cursor version lost " +
+          "coverage (a compaction applied them) — resync with a full " +
+          "read and re-capture the cursor")
     val committedH = filesH.toSeq.sorted
     require(committedH.nonEmpty,
       s"readMorChanges: no committed files in $lakeDir")
@@ -737,7 +750,19 @@ object DeletionVectors {
       }
       if (touched.isEmpty) {
         // no visible vectors (possibly uncovered debris, or vectors
-        // referencing swept files) — just clear the sidecar
+        // referencing swept files). If the LOG still covers sidecar
+        // names, clear the coverage BEFORE deleting the files: a
+        // covered-but-deleted sidecar would fail every later
+        // vectors()/readMor call on a missing parquet path. Pairs
+        // naming only non-committed files have zero visible effect
+        // (the anti-join never matches a served row), so the clearing
+        // record is view-preserving — a PLAIN checkpoint, not a
+        // mutation (no row content changes; history stays reachable
+        // exactly as a fold would leave it).
+        if (CommitLog.coveredDvNames(fs, lakeDir).nonEmpty) {
+          val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+          CommitLog.commitCheckpoint(fs, lakeDir, id, committed)
+        }
         fs.delete(new Path(dvDir(lakeDir)), true)
         (0, committed.size)
       } else {

@@ -139,9 +139,11 @@ object IncrementalView {
           ("incremental", merged, deltaGroups)
         } catch {
           // the feed's soundness guard: a physical rewrite broke
-          // row-level tracking — rebuild at the pinned head instead
-          case e: IllegalArgumentException
-              if e.getMessage.contains("readMorChanges") =>
+          // row-level tracking — rebuild at the pinned head instead.
+          // Matched by TYPE, never by message text: any other
+          // IllegalArgumentException (e.g. the empty-lake guard) is a
+          // real error and must propagate, not silently degrade.
+          case _: DeletionVectors.CursorInvalidatedException =>
             val full = aggOf(
               DeletionVectors.readMorAt(spark, lakeDir, head),
               groupCols, sumCols).localCheckpoint()

@@ -554,6 +554,15 @@ object ZOrder {
       CommitLog.commitCheckpoint(fs, tmp.toString,
         math.max(CommitLog.maxCommittedId(fs, path), -1L),
         CommitLog.dataFileNames(fs, tmp.toString).toSeq.sorted)
+      // DEFINITION records are table metadata, not log records — the
+      // fresh one-checkpoint log must CARRY them across the swap, or
+      // every post-OPTIMIZE write is ungated (constraints and
+      // generated-column fill/enforce would silently vanish with the
+      // old log dir). Replicated into tmp BEFORE the swap, so the
+      // published layout is never visible without its definitions.
+      Constraints.replicate(fs, tmp.toString, Constraints.list(fs, path))
+      GeneratedColumns.replicate(fs, tmp.toString,
+        GeneratedColumns.list(fs, path))
     }
     fs.delete(old, true) // stale leftover from a prior crashed swap
     require(fs.rename(new Path(path), old),
@@ -562,6 +571,13 @@ object ZOrder {
       s"optimize: could not move new layout into $path — " +
         s"old data preserved at $old (rename it back)")
     fs.delete(old, true)
+    // a shallow clone's source pointer lived in the OLD log dir and is
+    // deliberately NOT carried: the rewrite resolved every committed
+    // byte through the chain into the new local layout, so the lake is
+    // self-contained now. Drop the positive cache entry with it — a
+    // stale hit would keep reporting a retired source chain
+    // (readMorStream would wrongly refuse, restore would consult it).
+    CommitLog.invalidateCloneSource(fs, path)
     indexDir.foreach(idx => StatsIndex.refresh(spark, path, zCols, idx))
   }
 
