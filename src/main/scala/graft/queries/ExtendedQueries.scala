@@ -1408,6 +1408,63 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), sum(col("text_len")).as("sum_len"))
   }
 
+  /** TIME TRAVEL ACROSS DML MUTATIONS (the r10 versioned log),
+    * oracle-checked end to end: the [[loggedLake]] fixture is
+    * MoR-MERGED (`l_quantity + 100` for every `l_orderkey % 7 == 0`
+    * row — a mutation checkpoint at the max id), a junk batch then
+    * lands COMMITTED above it, and a second mutation (MoR DELETE of
+    * pre-1994 shipments) follows — the exact append → MERGE → append
+    * history a production lake accrues. The query reads the version
+    * AS PUBLISHED BETWEEN the mutations
+    * ([[graft.sources.DeletionVectors.readMorAsOf]]): merge applied,
+    * junk batch and delete both invisible. Through r9 this failed
+    * fast — one DML truncated the whole earlier history; now a DML
+    * record is TRANSPARENT to version resolution (it sweeps nothing),
+    * so audit/debug reads against "the table before yesterday's
+    * backfill" work, which is the point of time travel — backfills
+    * ARE DML. The oracle is the CASE-reconstruction of exactly that
+    * version over lineitem: the hash match proves the as-of view
+    * carries the merge's replacements exactly once (a lost vector
+    * would double-count a matched row), none of the junk batch (its
+    * rows would inflate every group), and none of the later delete
+    * (its victims must still be served). In-query `require`s pin the
+    * history surface: both mutations reachable, the junk manifest
+    * reachable, per-commit churn counts on the merge record. The
+    * 100 TB shape: the as-of read is METADATA resolution + one scan
+    * of exactly that version's files — no snapshot copies, ever. */
+  val q81TimeTravelDml: Q = (s, dir) => {
+    import graft.sources.{CommitLog, DeletionVectors}
+    val lake = loggedLake(s, dir, tempWork("graft_q81_"))
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val li = table(s, dir, "lineitem")
+    val keys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val upd = li.filter(col("l_orderkey") % 7 === 0)
+      .withColumn("l_quantity", col("l_quantity") + 100)
+    DeletionVectors.mergeMor(s, lake, upd, keys)
+    val mutId = CommitLog.maxCommittedId(fs, lake)
+    val before = CommitLog.dataFileNames(fs, lake)
+    li.limit(3000).withColumn("l_quantity", col("l_quantity") + 0.125)
+      .write.mode("append").parquet(lake)
+    CommitLog.commit(fs, lake, mutId + 1,
+      (CommitLog.dataFileNames(fs, lake) -- before).toSeq.sorted)
+    DeletionVectors.deleteMor(s, lake,
+      "l_shipdate < TIMESTAMP '1996-01-01 00:00:00'")
+    val h = CommitLog.history(fs, lake)
+    require(h.count(r => r.kind == "mutation" && r.reachable) == 2,
+      "q81: both DML mutations must be live, reachable versions")
+    require(h.exists(r => r.kind == "manifest" && r.id == mutId + 1 &&
+      r.reachable), "q81: the junk manifest must stay reachable")
+    val merge = h.filter(r => r.kind == "mutation" && r.id == mutId)
+      .maxBy(_.gen)
+    require(merge.addedFiles == 1 && merge.removedFiles == 0,
+      "q81: the MoR merge must carry its per-commit delta " +
+        s"(got add=${merge.addedFiles} rm=${merge.removedFiles})")
+    DeletionVectors.readMorAsOf(s, lake, asOf = mutId)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+  }
+
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
     * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
     * aggregated per curve cell. The oracle UNROLLS the same phases as
@@ -1452,6 +1509,7 @@ object ExtendedQueries {
     "q78_constraints" -> q78Constraints,
     "q79_clone" -> q79Clone,
     "q80_generated" -> q80Generated,
+    "q81_time_travel_dml" -> q81TimeTravelDml,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
@@ -1620,6 +1678,13 @@ object ExtendedQueries {
          |  ${sqlSumd("l_extendedprice")} AS sum_price
          |FROM lineitem
          |WHERE NOT (l_orderkey % 5 = 0)
+         |GROUP BY 1""".stripMargin,
+    "q81_time_travel_dml" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd(
+        "CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 100 " +
+          "ELSE l_quantity END")} AS sum_qty
+         |FROM lineitem
          |GROUP BY 1""".stripMargin,
     "q78_constraints" ->
       """SELECT lang, count(*) AS n,

@@ -72,10 +72,12 @@ object Clone {
     * committed view — or, with `asOf`, of a TIME-TRAVEL snapshot
     * (Delta's `CLONE ... VERSION AS OF`: branch from "last night's
     * version" without touching the live table). The as-of arm
-    * resolves through [[CommitLog.committedNamesAt]] and inherits its
-    * guards verbatim: past the fold horizon, or at/under a DML
-    * mutation's rewritten id, it FAILS FAST rather than branch a view
-    * the log can no longer prove complete. Metadata-only either way:
+    * resolves through [[CommitLog.committedViewAt]] — since r10 that
+    * reaches ACROSS later DML mutations (their records sweep nothing)
+    * and serves DV-carrying versions (the clone bootstraps with the
+    * `dv:` coverage, exactly like the current-view arm); it FAILS
+    * FAST past a truncating fold, or when retention already reclaimed
+    * the version's bytes. Metadata-only either way:
     * one pointer write + one bootstrap record (+ the constraint and
     * generated-column definitions, if any) — no data bytes move,
     * whatever the table's size. Runs under the SOURCE's writer lock
@@ -124,14 +126,14 @@ object Clone {
         "sidecar debris would shadow same-named source sidecars and " +
         "corrupt the MoR read (local-wins resolution)")
     CommitLog.withWriterLock(fs, sourceDir) {
-      // the as-of arm serves a PLAIN file list (committedNamesAt
-      // rejects dv-carrying views — a bare list cannot express them),
-      // so its clone never carries coverage
+      // the as-of arm serves the version AS PUBLISHED at that id —
+      // files AND covered deletion vectors (committedViewAt resolves
+      // across later DML mutations since r10), so branching "the
+      // table as of before yesterday's backfill", DV state included,
+      // is one metadata write like every other clone
       val (files, dv) = asOf match {
         case None => CommitLog.committedView(fs, sourceDir)
-        case Some(id) =>
-          (CommitLog.committedNamesAt(fs, sourceDir, id),
-            Set.empty[String])
+        case Some(id) => CommitLog.committedViewAt(fs, sourceDir, id)
       }
       require(files.nonEmpty,
         s"clone: $sourceDir has no committed files — nothing to clone")

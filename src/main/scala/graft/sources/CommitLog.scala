@@ -48,6 +48,22 @@ object CommitLog {
 
   private def isDvEntry(n: String): Boolean = n.startsWith(DvPrefix)
 
+  /** PER-COMMIT DELTA entries, carried by mutation checkpoints since
+    * r10: `add:<name>` = a data file this commit INTRODUCED (delta
+    * files, rewrite outputs), `rm:<name>` = a data file it RETIRED
+    * from the view. The full snapshot (the bare-name entries) remains
+    * the committed view; the deltas make each mutation self-describing
+    * — [[history]] reports per-version churn instead of only totals,
+    * and a consumer diffing versions never has to re-derive what the
+    * mutation knew at publish time. Strictly additive: every reader
+    * below strips them via [[isDataEntry]]. */
+  private[sources] val AddPrefix = "add:"
+  private[sources] val RmPrefix = "rm:"
+
+  /** A plain data-file name — not a dv-coverage or delta entry. */
+  private def isDataEntry(n: String): Boolean =
+    !isDvEntry(n) && !n.startsWith(AddPrefix) && !n.startsWith(RmPrefix)
+
   def manifestPath(lakeDir: String, batchId: Long): Path =
     new Path(logDir(lakeDir), s"$batchId.manifest")
 
@@ -63,15 +79,32 @@ object CommitLog {
     * instead: row CONTENT changed in place at that id (unlike
     * OPTIMIZE/compaction, which reshape files but preserve every
     * row), so the history APIs must not serve that id as an immutable
-    * snapshot — see [[committedNamesAt]]/[[changedNames]]. The parse
-    * helpers read both spellings identically for the committed view. */
+    * snapshot — see [[committedNamesAt]]/[[changedNames]]. A FOLD
+    * ([[checkpoint]]) that lands at a mutation id spells
+    * `<id>.<gen>.fold.mutation.checkpoint`: unlike a DML mutation's
+    * record (which sweeps nothing — the records below stay live and
+    * every older version remains reconstructable), the fold DELETED
+    * the records it subsumed, so the version-resolution guards must
+    * treat it as truncating history. The parse helpers read all
+    * spellings identically for the committed view. */
   def checkpointPath(lakeDir: String, id: Long, gen: Long,
-      mutation: Boolean = false): Path =
+      mutation: Boolean = false, fold: Boolean = false): Path =
     new Path(logDir(lakeDir),
-      s"$id.$gen.${if (mutation) "mutation." else ""}checkpoint")
+      s"$id.$gen.${if (fold && mutation) "fold.mutation."
+        else if (mutation) "mutation." else ""}checkpoint")
 
   private def isMutation(name: String): Boolean =
     name.contains(".mutation.")
+
+  /** Does this checkpoint TRUNCATE the log below itself? Plain
+    * checkpoints do (the fold sweeps subsumed records; OPTIMIZE seeds
+    * a whole new log; compactSmall's swap physically retires names) —
+    * and so does a fold that preserved the mutation marker. A DML
+    * mutation checkpoint does NOT: it publishes a new version and
+    * leaves every earlier record live, which is exactly what lets
+    * time travel, restore and CLONE AS OF reach across it. */
+  private def truncatesBelow(name: String): Boolean =
+    !isMutation(name) || name.contains(".fold.")
 
   /** Flat `*.parquet` names under the lake (the sink writes flat;
     * `_`/`.` prefixes — the log itself, Spark markers — excluded). */
@@ -149,7 +182,7 @@ object CommitLog {
     * our listing and our read; the retry re-lists and sees the
     * checkpoint that replaced it. */
   def committedNames(fs: FileSystem, lakeDir: String): Set[String] =
-    liveEntries(fs, lakeDir).filterNot(isDvEntry).toSet
+    liveEntries(fs, lakeDir).filter(isDataEntry).toSet
 
   /** ONE retried resolution of the live view's raw record entries
     * (newest checkpoint ∪ newer manifests) — the shared base of
@@ -186,78 +219,171 @@ object CommitLog {
     * replacement visible). One resolution makes the pair a consistent
     * snapshot of a single published version. */
   def committedView(fs: FileSystem,
-      lakeDir: String): (Set[String], Set[String]) = {
-    val entries = liveEntries(fs, lakeDir)
-    (entries.filterNot(isDvEntry).toSet,
-      entries.filter(isDvEntry).map(_.substring(DvPrefix.length)).toSet)
-  }
+      lakeDir: String): (Set[String], Set[String]) =
+    splitView(liveEntries(fs, lakeDir))
 
-  /** TIME TRAVEL: the committed file set AS OF `asOf` (inclusive) —
-    * the lake exactly as a reader between batch `asOf` and `asOf + 1`
-    * saw it. Sound cases only:
+  /** The raw record entries of the view AS PUBLISHED at the newest
+    * version with id ≤ `asOf` — the ONE resolution every history verb
+    * ([[committedNamesAt]], [[committedViewAt]], [[restore]]) builds
+    * on, r10's versioned-log core. Mutation checkpoints are
+    * TRANSPARENT: a DML verb's record never sweeps the records below
+    * it, so every earlier version stays reconstructable — time travel,
+    * restore and CLONE AS OF reach ACROSS mutations now, exactly as
+    * Delta reconstructs any version from its per-commit log. Only a
+    * checkpoint that [[truncatesBelow]] (a fold, an OPTIMIZE seed, a
+    * compaction swap) ends the reach — FAIL FAST below it rather than
+    * answer from a partial log; size `checkpointEvery` to the window
+    * you need.
     *
-    *  - no checkpoint newer than `asOf` exists → the records ≤ `asOf`
-    *    are untouched ([[checkpoint]] is the only deleter), so the
-    *    view is the newest checkpoint ≤ `asOf` plus the manifests in
-    *    between;
-    *  - a checkpoint EXACTLY at `asOf` exists → that snapshot IS the
-    *    view, whatever was folded.
-    *
-    * Otherwise a newer fold may have subsumed-and-deleted manifests
-    * the view needs, and completeness cannot be verified — FAIL FAST
-    * rather than answer from a partial log. Same horizon semantics as
-    * Delta/Iceberg: log compaction truncates how far back travel
-    * reaches; size `checkpointEvery` to the travel window you need. */
-  def committedNamesAt(fs: FileSystem, lakeDir: String,
-      asOf: Long): Set[String] = {
+    * Resolution rule (publish order is (id, manifest<checkpoint,
+    * gen)): an exact checkpoint at `asOf` — any kind, highest
+    * generation — IS the view as published; otherwise the newest
+    * checkpoint below `asOf` plus the manifests between it and
+    * `asOf`. Metadata-only: byte existence is the caller's check
+    * ([[requireBytesRetained]]) — vacuum/OPTIMIZE retention may have
+    * reclaimed an old version's bytes, which must fail loudly naming
+    * them, never resolve to a partial read. */
+  private def entriesAsPublishedAt(fs: FileSystem, lakeDir: String,
+      asOf: Long, what: String): Seq[String] = {
     val (ckpts, manifests) = listLog(fs, lakeDir)
     val exact = ckpts.filter(s => ckptKey(s.getPath.getName)._1 == asOf)
-    if (exact.nonEmpty) {
-      val winner = exact.maxBy(s => ckptKey(s.getPath.getName))
-      // a MUTATION checkpoint rewrote row content in place at this id:
-      // serving it as "the snapshot a reader at asOf saw" would hand a
-      // pre-mutation pinner silently different data. Fail fast; pin a
-      // fresh snapshot after mutations (the next appended batch id, or
-      // capture committedNames directly).
-      require(!isMutation(winner.getPath.getName),
-        s"time travel to batch $asOf: a DML mutation rewrote this id " +
-          "in place — the pre-mutation snapshot is gone (history " +
-          "rewritten; re-pin after mutations)")
-      val rec = readRecord(fs, winner)
-      // a record carrying covered deletion vectors (e.g. a fold that
-      // subsumed a MoR mutation) is NOT expressible as a bare file
-      // list — serving the files raw would resurrect deleted rows and
-      // double-serve merged keys
-      require(!rec.exists(isDvEntry),
-        s"time travel to batch $asOf: this version carries deletion " +
-          "vectors — a bare file list cannot express it (read the " +
-          "CURRENT version through DeletionVectors.readMor, or " +
-          "compact first to materialize plain files)")
-      return rec.toSet
-    }
-    require(!ckpts.exists(s => ckptKey(s.getPath.getName)._1 > asOf),
-      s"time travel to batch $asOf: a newer checkpoint folded the " +
-        "records this view needs — history truncated (raise " +
-        "checkpointEvery to widen the travel window)")
+    if (exact.nonEmpty)
+      return readRecord(fs, exact.maxBy(s => ckptKey(s.getPath.getName)))
+    require(!ckpts.exists(s => truncatesBelow(s.getPath.getName) &&
+        ckptKey(s.getPath.getName)._1 > asOf),
+      s"$what: a newer checkpoint folded the records this view needs — " +
+        "history truncated (raise checkpointEvery to widen the window)")
     val base = ckpts.filter(s => ckptKey(s.getPath.getName)._1 < asOf)
       .sortBy(s => ckptKey(s.getPath.getName)).lastOption
     val baseId = base.map(s => ckptKey(s.getPath.getName)._1)
       .getOrElse(Long.MinValue)
-    val names = base.map(readRecord(fs, _)).getOrElse(Seq.empty) ++
+    base.map(readRecord(fs, _)).getOrElse(Seq.empty) ++
       manifests.filter { s =>
         val id = recordId(s.getPath.getName)
         id > baseId && id <= asOf
       }.flatMap(readRecord(fs, _))
-    // same guard as the exact path: a base checkpoint carrying covered
-    // vectors (a MoR mutation at id ≤ asOf) makes the view
-    // inexpressible as a bare file list — raw files would resurrect
-    // MoR-deleted rows and double-serve merged keys
-    require(!names.exists(isDvEntry),
-      s"time travel to batch $asOf: the view at this id carries " +
-        "deletion vectors — a bare file list cannot express it (read " +
-        "the CURRENT version through DeletionVectors.readMor, or " +
-        "compact first to materialize plain files)")
-    names.toSet
+  }
+
+  /** Every resolved name of an OLD version must still be on disk
+    * (locally or through the clone-source chain) — vacuum/OPTIMIZE
+    * retention reclaims rolled-past bytes, and a version whose bytes
+    * are gone must fail LOUDLY naming them (the log cannot resurrect
+    * bytes). One directory listing per dir, never per-file probes. */
+  private def requireBytesRetained(fs: FileSystem, lakeDir: String,
+      what: String, dataNames: Set[String], dvNames: Set[String]): Unit = {
+    val onDisk = resolvableDataNames(fs, lakeDir)
+    val missing = (dataNames -- onDisk).toSeq.sorted
+    require(missing.isEmpty,
+      s"$what: data file(s) reclaimed since — " +
+        s"${missing.mkString(", ")} (vacuum/OPTIMIZE retention has " +
+        "passed this version; the log cannot resurrect bytes)")
+    if (dvNames.nonEmpty) {
+      val dvDisk = DeletionVectors.resolvableDvNames(fs, lakeDir)
+      val missDv = (dvNames -- dvDisk).toSeq.sorted
+      require(missDv.isEmpty,
+        s"$what: deletion-vector sidecar(s) reclaimed since — " +
+          s"${missDv.mkString(", ")} (vacuum retention has passed " +
+          "this version)")
+    }
+  }
+
+  private def splitView(entries: Seq[String]): (Set[String], Set[String]) =
+    (entries.filter(isDataEntry).toSet,
+      entries.filter(isDvEntry).map(_.substring(DvPrefix.length)).toSet)
+
+  /** TIME TRAVEL, pinned-reader contract: the committed file set a
+    * reader pinned between batch `asOf` and `asOf + 1` saw — as a
+    * BARE file list. Since r10 this resolves ACROSS later DML
+    * mutations (their records sweep nothing); it still fails fast
+    * when:
+    *
+    *  - a mutation sits EXACTLY at `asOf` — the id was rewritten in
+    *    place, so "the view at asOf" is ambiguous between the pinner's
+    *    pre-mutation snapshot and the post-mutation publish; address
+    *    the version explicitly ([[committedViewAt]] serves the
+    *    as-published view, [[history]] + [[viewOfVersion]] any exact
+    *    record) or pin between appends;
+    *  - the view carries covered deletion vectors — a bare list cannot
+    *    express it; read it through `DeletionVectors.readMorAsOf`;
+    *  - a truncating checkpoint folded past `asOf` (history gone), or
+    *    retention reclaimed the version's bytes — both loud. */
+  def committedNamesAt(fs: FileSystem, lakeDir: String,
+      asOf: Long): Set[String] = {
+    val what = s"time travel to batch $asOf"
+    val (ckpts, _) = listLog(fs, lakeDir)
+    require(!ckpts.exists(s => isMutation(s.getPath.getName) &&
+        ckptKey(s.getPath.getName)._1 == asOf),
+      s"$what: a DML mutation rewrote this id in place — the " +
+        "pre-mutation snapshot and the post-mutation publish share " +
+        "the id (rewritten history: read the as-published view via " +
+        "committedViewAt / DeletionVectors.readMorAsOf, address an " +
+        "exact record via viewOfVersion, or pin between appends)")
+    val entries = entriesAsPublishedAt(fs, lakeDir, asOf, what)
+    require(!entries.exists(isDvEntry),
+      s"$what: the view at this id carries deletion " +
+        "vectors — a bare file list cannot express it (read it " +
+        "through DeletionVectors.readMorAsOf, or compact first to " +
+        "materialize plain files)")
+    val (data, _) = splitView(entries)
+    requireBytesRetained(fs, lakeDir, what, data, Set.empty)
+    data
+  }
+
+  /** TIME TRAVEL, as-published contract: the (data files, covered
+    * deletion vectors) of the view AS PUBLISHED at the newest version
+    * with id ≤ `asOf` — post-mutation when a mutation shares the id,
+    * the same convention [[restore]] has always used. Unlike
+    * [[committedNamesAt]] this serves DV-carrying versions (the pair
+    * feeds `DeletionVectors.readMorAsOf` / `Clone.shallow(asOf)`),
+    * so a lake's whole MoR history is readable, not just its plain
+    * prefixes. Fails loudly past a truncating fold or when retention
+    * reclaimed the version's bytes. */
+  def committedViewAt(fs: FileSystem, lakeDir: String,
+      asOf: Long): (Set[String], Set[String]) = {
+    val what = s"time travel to batch $asOf"
+    val (data, dv) =
+      splitView(entriesAsPublishedAt(fs, lakeDir, asOf, what))
+    requireBytesRetained(fs, lakeDir, what, data, dv)
+    (data, dv)
+  }
+
+  /** The (data files, covered deletion vectors) of ONE exact version —
+    * a [[VersionRecord]] from [[history]]. A checkpoint row (any kind)
+    * serves its own snapshot, which is how the PRE-append /
+    * POST-mutation views sharing a batch id are told apart; a manifest
+    * row serves the forward reconstruction through it (its id's
+    * pre-mutation view), sound only while no checkpoint at-or-above
+    * its id truncates the records below. Byte retention checked as in
+    * [[committedViewAt]]. */
+  def viewOfVersion(fs: FileSystem, lakeDir: String,
+      v: VersionRecord): (Set[String], Set[String]) = {
+    val what = s"version (id ${v.id}, gen ${v.gen}, ${v.kind})"
+    val (ckpts, manifests) = listLog(fs, lakeDir)
+    val entries: Seq[String] =
+      if (v.kind == "manifest") {
+        require(!ckpts.exists(s => truncatesBelow(s.getPath.getName) &&
+            ckptKey(s.getPath.getName)._1 >= v.id),
+          s"$what: a checkpoint at-or-above this id folded the records " +
+            "this view needs — history truncated")
+        val base = ckpts.filter(s => ckptKey(s.getPath.getName)._1 < v.id)
+          .sortBy(s => ckptKey(s.getPath.getName)).lastOption
+        val baseId = base.map(s => ckptKey(s.getPath.getName)._1)
+          .getOrElse(Long.MinValue)
+        base.map(readRecord(fs, _)).getOrElse(Seq.empty) ++
+          manifests.filter { s =>
+            val id = recordId(s.getPath.getName)
+            id > baseId && id <= v.id
+          }.flatMap(readRecord(fs, _))
+      } else {
+        val rec = ckpts.find(s =>
+          ckptKey(s.getPath.getName) == ((v.id, v.gen)))
+        require(rec.nonEmpty, s"$what: no live checkpoint record — " +
+          "a fold swept it (history truncated)")
+        readRecord(fs, rec.get)
+      }
+    val (data, dv) = splitView(entries)
+    requireBytesRetained(fs, lakeDir, what, data, dv)
+    (data, dv)
   }
 
   /** The deletion-vector sidecar files the CURRENT committed view
@@ -306,7 +432,7 @@ object CommitLog {
     manifests.filter { s =>
       val id = recordId(s.getPath.getName)
       id > fromExclusive && id <= toInclusive
-    }.flatMap(readRecord(fs, _)).filterNot(isDvEntry).toSet
+    }.flatMap(readRecord(fs, _)).filter(isDataEntry).toSet
   }
 
   /** Lake maintenance: delete files that are NOT in the committed
@@ -398,52 +524,26 @@ object CommitLog {
       require(maxId != Long.MinValue, s"restore: $lakeDir has no log")
       require(toBatchId <= maxId,
         s"restore to batch $toBatchId: the log only reaches id $maxId")
-      val (ckpts, manifests) = listLog(fs, lakeDir)
-      val exact = ckpts.filter(s =>
-        ckptKey(s.getPath.getName)._1 == toBatchId)
-      val entries: Seq[String] =
-        if (exact.nonEmpty)
-          readRecord(fs, exact.maxBy(s => ckptKey(s.getPath.getName)))
-        else {
-          require(!ckpts.exists(s =>
-              ckptKey(s.getPath.getName)._1 > toBatchId),
-            s"restore to batch $toBatchId: a newer checkpoint folded " +
-              "the records this view needs — history truncated (raise " +
-              "checkpointEvery to widen the rollback window)")
-          val base = ckpts.filter(s =>
-              ckptKey(s.getPath.getName)._1 < toBatchId)
-            .sortBy(s => ckptKey(s.getPath.getName)).lastOption
-          val baseId = base.map(s => ckptKey(s.getPath.getName)._1)
-            .getOrElse(Long.MinValue)
-          base.map(readRecord(fs, _)).getOrElse(Seq.empty) ++
-            manifests.filter { s =>
-              val id = recordId(s.getPath.getName)
-              id > baseId && id <= toBatchId
-            }.flatMap(readRecord(fs, _))
-        }
-      val (dvEntries, dataEntries) = entries.partition(isDvEntry)
-      val dvNames = dvEntries.map(_.substring(DvPrefix.length)).distinct
-      // existence via ONE directory listing per dir, not a per-file
-      // exists round-trip — a million-file lake on an object store
-      // would otherwise pay a million serial HEAD requests here.
-      // Resolution-aware: a shallow clone's names live in its source
-      // dir (the chain listing covers them)
-      val onDisk = resolvableDataNames(fs, lakeDir)
-      val missingData = dataEntries.distinct.filterNot(onDisk).sorted
-      require(missingData.isEmpty,
-        s"restore to batch $toBatchId: data file(s) reclaimed since — " +
-          s"${missingData.mkString(", ")} (vacuum/OPTIMIZE retention " +
-          "has passed this version; the log cannot resurrect bytes)")
-      val dvOnDisk: Set[String] =
-        if (dvNames.isEmpty) Set.empty
-        else DeletionVectors.resolvableDvNames(fs, lakeDir)
-      val missingDv = dvNames.filterNot(dvOnDisk).sorted
-      require(missingDv.isEmpty,
-        s"restore to batch $toBatchId: deletion-vector sidecar(s) " +
-          s"reclaimed since — ${missingDv.mkString(", ")} (vacuum " +
-          "retention has passed this version)")
+      // the shared versioned-log resolution: exact records (any kind)
+      // serve as published; otherwise forward reconstruction through
+      // any DML mutations in between (their records sweep nothing) —
+      // a restore now reaches PRE-mutation versions too, as long as a
+      // truncating fold has not passed them. Byte-existence checked
+      // with ONE directory listing per dir (resolution-aware: a
+      // shallow clone's names live in its source dir).
+      val entries = entriesAsPublishedAt(fs, lakeDir, toBatchId,
+        s"restore to batch $toBatchId")
+      val (data, dv) = splitView(entries)
+      requireBytesRetained(fs, lakeDir, s"restore to batch $toBatchId",
+        data, dv)
+      // per-commit delta entries: what this rollback adds back and
+      // retires relative to the CURRENT view, so history() reads the
+      // restore's churn directly
+      val (curData, _) = committedView(fs, lakeDir)
       commitMutationCheckpoint(fs, lakeDir, maxId,
-        dataEntries.distinct.sorted, dvNames.sorted)
+        data.toSeq.sorted, dv.toSeq.sorted,
+        added = (data -- curData).toSeq.sorted,
+        removed = (curData -- data).toSeq.sorted)
       maxId
     }
 
@@ -451,13 +551,17 @@ object CommitLog {
     * `manifest` (a batch's added files), `checkpoint` (a full
     * snapshot) or `mutation` (a snapshot that changed row content in
     * place). `current` marks the records whose union IS the committed
-    * view; `reachable` marks ids [[committedNamesAt]]/[[restore]] can
-    * still resolve (an exact non-mutation checkpoint, or any id no
-    * newer checkpoint has folded past — restore additionally accepts
-    * exact MUTATION checkpoints). */
+    * view; `reachable` marks versions [[viewOfVersion]] (and so time
+    * travel / [[restore]]) can still resolve — since r10's versioned
+    * log that is EVERY live checkpoint record (DML mutations included;
+    * even out-ranked same-id generations address exactly), and every
+    * manifest no truncating fold has passed. `addedFiles` /
+    * `removedFiles` are the per-commit delta a mutation record carries
+    * (`add:`/`rm:` entries; a manifest's adds are its whole list). */
   final case class VersionRecord(id: Long, gen: Long, kind: String,
       dataFiles: Int, dvFiles: Int, modifiedMs: Long,
-      current: Boolean, reachable: Boolean)
+      current: Boolean, reachable: Boolean,
+      addedFiles: Int = 0, removedFiles: Int = 0)
 
   /** DESCRIBE HISTORY: the live log records, oldest first — the
     * observability surface for time travel, CDC cursors and
@@ -471,31 +575,36 @@ object CommitLog {
     val (ckpts, manifests) = listLog(fs, lakeDir)
     val ckptMax = ckpts.map(s => ckptKey(s.getPath.getName)._1)
       .foldLeft(Long.MinValue)(math.max)
+    val truncMax = ckpts.filter(s => truncatesBelow(s.getPath.getName))
+      .map(s => ckptKey(s.getPath.getName)._1)
+      .foldLeft(Long.MinValue)(math.max)
     val winner = ckpts.sortBy(s => ckptKey(s.getPath.getName))
       .lastOption.map(_.getPath.getName)
     def row(s: FileStatus, id: Long, gen: Long, kind: String,
         current: Boolean, reachable: Boolean): VersionRecord = {
       val rec = readRecord(fs, s)
-      val (dv, data) = rec.partition(isDvEntry)
-      VersionRecord(id, gen, kind, data.size, dv.size,
-        s.getModificationTime, current, reachable)
+      val (dv, rest) = rec.partition(isDvEntry)
+      VersionRecord(id, gen, kind, rest.count(isDataEntry), dv.size,
+        s.getModificationTime, current, reachable,
+        addedFiles = rest.count(_.startsWith(AddPrefix)),
+        removedFiles = rest.count(_.startsWith(RmPrefix)))
     }
     val c = ckpts.map { s =>
       val (id, gen) = ckptKey(s.getPath.getName)
       val mut = isMutation(s.getPath.getName)
       row(s, id, gen, if (mut) "mutation" else "checkpoint",
         current = winner.contains(s.getPath.getName),
-        // an exact checkpoint always resolves (restore even when
-        // mutation-flagged); out-ranked same-id generations don't
-        reachable = ckpts.filter(o =>
-          ckptKey(o.getPath.getName)._1 == id)
-          .maxBy(o => ckptKey(o.getPath.getName))
-          .getPath.getName == s.getPath.getName)
+        // a live checkpoint record always addresses exactly through
+        // viewOfVersion — mutations and out-ranked generations too
+        reachable = true)
     }
     val m = manifests.map { s =>
       val id = recordId(s.getPath.getName)
       row(s, id, 0L, "manifest",
-        current = id > ckptMax, reachable = id >= ckptMax)
+        current = id > ckptMax,
+        // DML mutations above are transparent to reconstruction;
+        // only a truncating fold at-or-above ends a manifest's reach
+        reachable = id >= truncMax)
     }
     (c ++ m).sortBy(r => (r.id, r.gen, r.kind))
   }
@@ -575,7 +684,15 @@ object CommitLog {
       lakeDir: String): (Set[String], Set[String]) = {
     val (ckpts, manifests) = listLog(fs, lakeDir)
     val entries = (ckpts ++ manifests).flatMap(readRecord(fs, _))
-    (entries.filterNot(isDvEntry).toSet,
+    // delta entries (`add:`/`rm:`) REFERENCE data files too — a
+    // mutation's retired files belong to the versions below it, and
+    // materialize must localize them for the clone's travel reach
+    val data = entries.filterNot(isDvEntry).map { n =>
+      if (n.startsWith(AddPrefix)) n.substring(AddPrefix.length)
+      else if (n.startsWith(RmPrefix)) n.substring(RmPrefix.length)
+      else n
+    }.toSet
+    (data,
       entries.filter(isDvEntry).map(_.substring(DvPrefix.length)).toSet)
   }
 
@@ -675,10 +792,16 @@ object CommitLog {
     val latest = ckpts.sortBy(s => ckptKey(s.getPath.getName)).lastOption
     val snapshotName =
       latest match {
-        case Some(s) if ckptKey(s.getPath.getName)._1 == n =>
-          // the newest snapshot already covers the max id (only stale
-          // subsumed records remain, e.g. a crash mid-sweep) — no new
-          // write needed, just sweep below
+        case Some(s) if ckptKey(s.getPath.getName)._1 == n &&
+            truncatesBelow(s.getPath.getName) =>
+          // the newest snapshot already covers the max id AND already
+          // reads as truncating (a plain checkpoint or an earlier
+          // fold) — no new write needed, just sweep below. A plain
+          // `.mutation.` record must NOT take this arm: sweeping under
+          // it would leave a record the version resolution reads as
+          // TRANSPARENT over records that no longer exist — silent
+          // empty views below; the write branch republishes it with
+          // the `.fold.mutation.` spelling first.
           s.getPath.getName
         case _ =>
           // the fold must CARRY the covered-dv entries forward: a
@@ -690,11 +813,16 @@ object CommitLog {
             .map(s => ckptKey(s.getPath.getName)._2 + 1).getOrElse(0L)
           // folding PRESERVES the mutation marker at the fold id: the
           // in-place rewrite happened whether or not its record
-          // survives, so pinners at this id must keep failing fast
+          // survives, so pinners at this id must keep failing fast.
+          // Spelled `.fold.mutation.` — unlike a live DML record the
+          // fold DELETES the records below (the sweep right after), so
+          // version resolution must read it as truncating, not
+          // transparent
           val mutAtN = ckpts.exists(s =>
             isMutation(s.getPath.getName) &&
               ckptKey(s.getPath.getName)._1 == n)
-          val dst = checkpointPath(lakeDir, n, gen, mutAtN)
+          val dst = checkpointPath(lakeDir, n, gen, mutation = mutAtN,
+            fold = mutAtN)
           writeAtomic(fs, lakeDir, dst, files)
           dst.getName
       }
@@ -802,18 +930,27 @@ object CommitLog {
     commitCheckpointImpl(fs, lakeDir, id, files, mutation = false)
 
   /** A checkpoint that CHANGED row content in place (DML) — same
-    * committed-view semantics, but flagged so the history APIs fail
-    * fast instead of serving it as an immutable snapshot. `dvNames`
+    * committed-view semantics, but flagged so the history APIs treat
+    * the id as rewritten (and, since r10, resolve THROUGH it to the
+    * versions below — a DML record sweeps nothing). `dvNames`
     * is the COMPLETE set of deletion-vector sidecar files this
     * version covers (previous covered set ± this mutation's changes):
     * the one atomic rename publishes data files and vector visibility
     * together, so no crash window can show data without its vectors
-    * or vectors without their data. */
+    * or vectors without their data. `added`/`removed` are the
+    * per-commit data-file delta vs the previous version, carried as
+    * self-describing `add:`/`rm:` entries ([[history]] surfaces them
+    * as churn counts; readers of the view strip them). */
   def commitMutationCheckpoint(fs: FileSystem, lakeDir: String,
       id: Long, files: Seq[String],
-      dvNames: Seq[String] = Seq.empty): Unit =
+      dvNames: Seq[String] = Seq.empty,
+      added: Seq[String] = Seq.empty,
+      removed: Seq[String] = Seq.empty): Unit =
     commitCheckpointImpl(fs, lakeDir, id,
-      files ++ dvNames.sorted.map(DvPrefix + _), mutation = true)
+      files ++ dvNames.sorted.map(DvPrefix + _) ++
+        added.sorted.map(AddPrefix + _) ++
+        removed.sorted.map(RmPrefix + _),
+      mutation = true)
 
   private def commitCheckpointImpl(fs: FileSystem, lakeDir: String,
       id: Long, files: Seq[String], mutation: Boolean): Unit = {

@@ -331,7 +331,8 @@ object DeletionVectors {
       val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
       CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
         committed ++ delta,
-        dvNames = coveredDvFiles(fs, lakeDir) ++ newDv)
+        dvNames = coveredDvFiles(fs, lakeDir) ++ newDv,
+        added = delta)
       CommitLog.vacuum(fs, lakeDir, olderThanMs = 0L)
       // keep a stats index consistent with the new version: delta
       // files footer-read in, nothing else moved (metadata-scale)
@@ -430,7 +431,8 @@ object DeletionVectors {
         val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
         CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
           committed ++ delta,
-          dvNames = coveredDvFiles(fs, lakeDir) ++ newDv)
+          dvNames = coveredDvFiles(fs, lakeDir) ++ newDv,
+          added = delta)
         CommitLog.vacuum(fs, lakeDir, olderThanMs = 0L)
         indexDir.foreach(idx =>
           StatsIndex.refreshSameColumns(spark, lakeDir, idx))
@@ -622,6 +624,30 @@ object DeletionVectors {
     MorCursor(files, dv)
   }
 
+  /** The version AS PUBLISHED at batch `asOf` as a [[MorCursor]] —
+    * [[CommitLog.committedViewAt]]'s (files, vectors) pair, which
+    * since r10 resolves ACROSS later DML mutations (their records
+    * sweep nothing) and fails loudly only past a truncating fold or
+    * reclaimed bytes. */
+  def cursorAt(spark: SparkSession, lakeDir: String,
+      asOf: Long): MorCursor = {
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (files, dv) = CommitLog.committedViewAt(fs, lakeDir, asOf)
+    MorCursor(files, dv)
+  }
+
+  /** TIME TRAVEL over a merge-on-read lake: [[readMor]] of the version
+    * AS PUBLISHED at batch `asOf` — files AND the deletion vectors
+    * that version covered, so a DV-carrying history is as readable as
+    * a plain one (the read [[CommitLog.committedNamesAt]] cannot serve
+    * as a bare file list). An audit query against "the table before
+    * yesterday's backfill" is exactly this: backfills are DML, and the
+    * versioned log reaches across them. */
+  def readMorAsOf(spark: SparkSession, lakeDir: String, asOf: Long,
+      mergeSchema: Boolean = false): DataFrame =
+    readMorAt(spark, lakeDir, cursorAt(spark, lakeDir, asOf), mergeSchema)
+
   /** ROW-LEVEL CHANGE FEED through merge-on-read mutations — the CDC
     * the add-only file contract ([[CommitLog.changedNames]]) cannot
     * express: a CoW mutation forces its consumers into a full resync,
@@ -756,12 +782,14 @@ object DeletionVectors {
         // vectors()/readMor call on a missing parquet path. Pairs
         // naming only non-committed files have zero visible effect
         // (the anti-join never matches a served row), so the clearing
-        // record is view-preserving — a PLAIN checkpoint, not a
-        // mutation (no row content changes; history stays reachable
-        // exactly as a fold would leave it).
+        // record is view-preserving. Published as a MUTATION
+        // checkpoint — not because rows changed (they did not) but
+        // because a mutation record never sweeps the records below
+        // it, so time travel/restore reach under this id survives;
+        // a plain checkpoint here would read as a truncating fold. */
         if (CommitLog.coveredDvNames(fs, lakeDir).nonEmpty) {
           val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
-          CommitLog.commitCheckpoint(fs, lakeDir, id, committed)
+          CommitLog.commitMutationCheckpoint(fs, lakeDir, id, committed)
         }
         fs.delete(new Path(dvDir(lakeDir)), true)
         (0, committed.size)
@@ -788,7 +816,8 @@ object DeletionVectors {
           (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
         val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
         CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
-          (carried ++ freshFiles).sorted)
+          (carried ++ freshFiles).sorted,
+          added = freshFiles, removed = touched)
         fs.delete(new Path(dvDir(lakeDir)), true)
         CommitLog.vacuum(fs, lakeDir, olderThanMs = 0L)
         indexDir.foreach(idx =>

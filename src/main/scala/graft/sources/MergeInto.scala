@@ -375,7 +375,8 @@ object MergeInto {
       }
       val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
       CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
-        (carried ++ fresh).sorted)
+        (carried ++ fresh).sorted,
+        added = fresh, removed = touched.toSeq.sorted)
       CommitLog.vacuum(fs, lakeDir, olderThanMs = 0L)
       // a lake with a stats index must not leave it pointing at the
       // swept files (pruned reads would fail) or blind to the fresh

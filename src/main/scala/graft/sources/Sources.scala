@@ -665,7 +665,7 @@ object ZOrder {
     val newList = ((committed -- small) ++ newFiles).toSeq.sorted
     if (dvOpt.isEmpty) CommitLog.commitCheckpoint(fs, path, maxId, newList)
     else CommitLog.commitMutationCheckpoint(fs, path, maxId, newList,
-      dvNames = survivorDv)
+      dvNames = survivorDv, added = newFiles, removed = small)
     if (failBeforeDelete)
       throw new RuntimeException("injected crash before orphan delete")
     small.foreach { n => fs.delete(new Path(path, n), false); () }

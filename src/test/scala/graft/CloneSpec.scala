@@ -161,14 +161,15 @@ class CloneSpec extends SparkSpec {
     // the branch is a full table: mutate it, source stays 300 rows
     MergeInto.merge(spark, snap, Seq((9, -9L)).toDF("b", "v"), Seq("b"))
     assert(LayoutSink.readCommitted(spark, lake).count() == 300)
-    // a mutation on the source truncates as-of reach — the clone arm
-    // fails fast exactly as committedNamesAt does
+    // a CoW mutation on the source REWRITES the files and its
+    // horizon-0 vacuum reclaims the originals — the r10 versioned log
+    // resolves the pre-mutation view fine (the records are live), but
+    // the BYTES are gone, so the clone arm fails loudly naming them
     MergeInto.delete(spark, lake, "v % 10 = 3")
     val e = intercept[IllegalArgumentException] {
       Clone.shallow(spark, lake, s"$dir/snap2", asOf = Some(1L))
     }
-    assert(e.getMessage.contains("mutation") ||
-      e.getMessage.contains("truncated"))
+    assert(e.getMessage.contains("reclaimed"), e.getMessage)
   }
 
   test("a chained clone keeps resolving after the MIDDLE lake " +

@@ -600,20 +600,28 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(e.getMessage.contains("reserved"), e.getMessage)
   }
 
-  test("a DV delete is a MUTATION in the history surface: snapshot " +
-    "reads at or before its id fail fast") {
+  test("a DV delete is a MUTATION in the history surface: the mutated " +
+    "id itself fails fast (pre/post ambiguity), while snapshots BELOW " +
+    "it keep resolving — r10's versioned log") {
     val lake = mkLake()
     // pre-mutation snapshot works
     assert(LayoutSink.readCommittedAt(spark, lake, asOf = 1L)
       .count() == 200L)
     DeletionVectors.deleteMor(spark, lake, "k < 10")
+    // the mutation record sweeps nothing, so the pre-mutation history
+    // is still fully reconstructable: a MoR delete retires no data
+    // file, and the as-of read below the mutation serves the exact
+    // pre-delete bytes
+    assert(LayoutSink.readCommittedAt(spark, lake, asOf = 1L)
+      .count() == 200L)
+    // … but the REWRITTEN id is ambiguous between the pinner's
+    // pre-mutation snapshot and the post-mutation publish — fail fast
     val e = intercept[IllegalArgumentException](
-      LayoutSink.readCommittedAt(spark, lake, asOf = 1L).count())
-    // either fail-fast arm is correct: the DV publish is a mutation
-    // checkpoint, so the as-of read dies on the mutation flag or on
-    // the records it folded — never serves post-delete content as a
-    // pre-delete snapshot
-    val msg = e.getMessage.toLowerCase
-    assert(msg.contains("mutation") || msg.contains("truncated"), msg)
+      LayoutSink.readCommittedAt(spark, lake, asOf = 2L).count())
+    assert(e.getMessage.contains("rewrote"), e.getMessage)
+    // the as-published addressing serves the post-mutation version at
+    // that id, vectors applied
+    assert(DeletionVectors.readMorAsOf(spark, lake, asOf = 2L)
+      .count() == 290L)
   }
 }
