@@ -1408,6 +1408,51 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), sum(col("text_len")).as("sum_len"))
   }
 
+  /** MIN/MAX + AVG in the INCREMENTALLY-MAINTAINED VIEW (r10),
+    * oracle-checked end to end: a per-language (count, sum, min, max)
+    * aggregate over a doc lake is built once, then a mutation window
+    * lands — a MoR DELETE that removes rows INCLUDING group extrema
+    * (every `doc_id % 7 == 2` doc), an UPDATE that raises a tail
+    * (`n_chars + 1000` for `doc_id % 9 == 1`), and an insert-merge —
+    * and a second refresh folds it in INCREMENTALLY (the in-query
+    * `require` pins the mode): counts/sums re-merge under ±1 signing,
+    * INSERT extrema fold in monotonically, and the DELETE-touched
+    * groups re-scan only their own live rows at the pinned head (a
+    * deleted extremum is not invertible from the aggregate — the
+    * standard MV maintenance trade, cost ∝ touched groups' rows,
+    * never ∝ lake). `avg` is never maintained at all: it derives from
+    * the bit-exact (n, sum) pair at read time as one double division.
+    * The oracle recomputes the end state declaratively — the hash
+    * match proves a deleted minimum really fell out of `min`, the
+    * update's new tail entered `max`, and the derived avg agrees to
+    * the last bit. */
+  val q82IncrViewMinmax: Q = (s, dir) => {
+    import graft.sources.{CommitLog, DeletionVectors, IncrementalView}
+    val work = tempWork("graft_q82_")
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.repartition(3).write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    IncrementalView.refresh(s, lake, s"$work/view",
+      Seq("lang"), Seq("n_chars"), minMaxCols = Seq("n_chars"))
+    DeletionVectors.deleteMor(s, lake, "doc_id % 7 = 2")
+    DeletionVectors.updateMor(s, lake, "doc_id % 9 = 1",
+      Map("n_chars" -> "n_chars + 1000"))
+    DeletionVectors.mergeMor(s, lake,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+        .withColumn("doc_id", -col("doc_id"))
+        .withColumn("n_chars", col("n_chars") + 3), Seq("doc_id"))
+    val st = IncrementalView.refresh(s, lake, s"$work/view",
+      Seq("lang"), Seq("n_chars"), minMaxCols = Seq("n_chars"))
+    require(st.mode == "incremental",
+      s"q82: the second refresh must be incremental, was ${st.mode}")
+    IncrementalView.readViewWithAvgs(s, s"$work/view", Seq("n_chars"))
+  }
+
   /** TIME TRAVEL ACROSS DML MUTATIONS (the r10 versioned log),
     * oracle-checked end to end: the [[loggedLake]] fixture is
     * MoR-MERGED (`l_quantity + 100` for every `l_orderkey % 7 == 0`
@@ -1510,6 +1555,7 @@ object ExtendedQueries {
     "q79_clone" -> q79Clone,
     "q80_generated" -> q80Generated,
     "q81_time_travel_dml" -> q81TimeTravelDml,
+    "q82_incr_view_minmax" -> q82IncrViewMinmax,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
@@ -1686,6 +1732,21 @@ object ExtendedQueries {
           "ELSE l_quantity END")} AS sum_qty
          |FROM lineitem
          |GROUP BY 1""".stripMargin,
+    "q82_incr_view_minmax" ->
+      """WITH final AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 9 = 1 THEN n_chars + 1000
+        |         ELSE n_chars END AS nc
+        |  FROM documents WHERE NOT (doc_id % 7 = 2)
+        |  UNION ALL
+        |  SELECT lang, n_chars + 3 AS nc
+        |  FROM documents WHERE doc_id % 10 = 3
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(nc) AS BIGINT) AS sum_n_chars,
+        |  min(nc) AS min_n_chars, max(nc) AS max_n_chars,
+        |  CAST(sum(nc) AS DOUBLE) / count(*) AS avg_n_chars
+        |FROM final GROUP BY 1""".stripMargin,
     "q78_constraints" ->
       """SELECT lang, count(*) AS n,
         |  CAST(sum(CASE WHEN doc_id % 83 = 2 THEN n_chars + 700

@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   * provably has zero sums too on integral columns, so it simply
   * drops). Bit-exact vs a full recompute for integral sum columns
   * (long arithmetic is associative); fractional columns would carry
-  * float-order noise — keep those in full-recompute views.
+  * float-order noise — keep those in full-recompute views. Since r10
+  * the view also maintains `min_<c>`/`max_<c>` (inserts fold in
+  * monotonically; delete-touched groups re-scan their live rows at
+  * the pinned head — the standard MV maintenance trade) and serves
+  * `avg_<c>` derived from (n, sum) at read time
+  * ([[readViewWithAvgs]]).
   *
   * CONSISTENCY — the race the `to` pin exists for: refresh captures
   * the head [[DeletionVectors.MorCursor]] FIRST, computes the feed
@@ -95,18 +100,43 @@ object IncrementalView {
   }
 
   private def aggOf(rows: DataFrame, groupCols: Seq[String],
-      sumCols: Seq[String]): DataFrame =
-    rows.groupBy(groupCols.map(col): _*).agg(
-      count(lit(1)).as("n"),
-      sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+      sumCols: Seq[String], minMaxCols: Seq[String]): DataFrame = {
+    val aggs = (count(lit(1)).as("n") +:
+      sumCols.map(c => sum(col(c)).as(s"sum_$c"))) ++
+      minMaxCols.flatMap(c => Seq(
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    rows.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The stored view with derived `avg_<c>` columns appended — avg is
+    * never maintained directly: it DERIVES from the bit-exact (n,
+    * sum) pair as one double division, so it can never drift from
+    * what a full recompute would say (oracle twin: `CAST(sum AS
+    * DOUBLE) / n`). */
+  def readViewWithAvgs(spark: SparkSession, viewDir: String,
+      avgOf: Seq[String]): DataFrame =
+    avgOf.foldLeft(readView(spark, viewDir)) { (acc, c) =>
+      acc.withColumn(s"avg_$c",
+        col(s"sum_$c").cast("double") / col("n").cast("double"))
+    }
 
   /** Advance the view to the lake's current version. Returns what it
     * did; `failBeforePublish` injects a crash between the generation
     * write and the pointer publish (spec hook — proves the old
-    * view+cursor pair survives any crash). */
+    * view+cursor pair survives any crash).
+    *
+    * `minMaxCols` adds `min_<c>`/`max_<c>` columns, maintained with
+    * the standard MV trade: INSERTS fold in monotonically (min/max
+    * over old ∪ insert-side extrema), while DELETE-touched groups are
+    * RE-SCANNED at the pinned head — a delete of a group's extremum is
+    * not invertible from the aggregate alone. Cost stays ∝ churn: the
+    * rescan reads only rows of the groups the window deleted from
+    * (one broadcast semi-join), never the lake. The column set is
+    * fixed at the view's first refresh — changing it is a new view. */
   def refresh(spark: SparkSession, lakeDir: String, viewDir: String,
       groupCols: Seq[String], sumCols: Seq[String],
-      failBeforePublish: Boolean = false): RefreshStats = {
+      failBeforePublish: Boolean = false,
+      minMaxCols: Seq[String] = Nil): RefreshStats = {
     require(groupCols.nonEmpty, "refresh needs at least one group column")
     val fs = fsOf(spark, viewDir)
     // pin the window's upper end FIRST — see the consistency note
@@ -115,28 +145,70 @@ object IncrementalView {
     val (mode, rows, touched) = cur match {
       case None =>
         val full = aggOf(DeletionVectors.readMorAt(spark, lakeDir, head),
-          groupCols, sumCols).localCheckpoint()
+          groupCols, sumCols, minMaxCols).localCheckpoint()
         ("full", full, full.count())
       case Some((_, gen)) =>
         val from = readCursor(fs, viewDir, gen)
         val old = readView(spark, viewDir)
+        val expect = (groupCols ++ Seq("n") ++ sumCols.map("sum_" + _) ++
+          minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))).toSet
+        require(old.columns.toSet == expect,
+          s"refresh: $viewDir was built with different columns " +
+            s"(${old.columns.sorted.mkString(", ")}) — the column set " +
+            "is fixed at the first refresh; use a new viewDir")
         try {
           val changes = DeletionVectors.readMorChanges(spark, lakeDir,
             from, to = Some(head))
-          val sign = when(col("_change_type") === "insert", 1L)
-            .otherwise(-1L)
-          val delta = changes.groupBy(groupCols.map(col): _*).agg(
-            sum(sign).as("n"),
-            sumCols.map(c =>
-              sum(col(c) * sign).as(s"sum_$c")): _*)
+          val isIns = col("_change_type") === "insert"
+          val sign = when(isIns, 1L).otherwise(-1L)
+          val deltaAggs = (sum(sign).as("n") +:
+            sumCols.map(c => sum(col(c) * sign).as(s"sum_$c"))) ++
+            minMaxCols.flatMap(c => Seq(
+              min(when(isIns, col(c))).as(s"min_$c"),
+              max(when(isIns, col(c))).as(s"max_$c"))) :+
+            max(when(isIns, 0).otherwise(1)).as("_has_del")
+          val delta = changes.groupBy(groupCols.map(col): _*)
+            .agg(deltaAggs.head, deltaAggs.tail: _*)
             .localCheckpoint()
           val deltaGroups = delta.count()
-          val merged = old.unionByName(delta)
-            .groupBy(groupCols.map(col): _*).agg(
-              sum(col("n")).as("n"),
-              sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+          // counts/sums re-merge under ±1 signing (bit-exact for
+          // integral columns); min/max fold in the INSERT extrema the
+          // same way — valid wherever the window deleted nothing
+          val mergeAggs = (sum(col("n")).as("n") +:
+            sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))) ++
+            minMaxCols.flatMap(c => Seq(
+              min(col(s"min_$c")).as(s"min_$c"),
+              max(col(s"max_$c")).as(s"max_$c")))
+          val merged = old.unionByName(delta.drop("_has_del"))
+            .groupBy(groupCols.map(col): _*)
+            .agg(mergeAggs.head, mergeAggs.tail: _*)
             .filter(col("n") > 0)
-          ("incremental", merged, deltaGroups)
+          val out =
+            if (minMaxCols.isEmpty) merged
+            else {
+              val touchedDel = delta.filter(col("_has_del") === 1)
+                .select(groupCols.map(col): _*).localCheckpoint()
+              if (touchedDel.isEmpty) merged
+              else {
+                // deletes are not invertible for min/max: re-scan the
+                // touched groups' LIVE rows at the pinned head (their
+                // counts/sums stay signed-delta — already exact)
+                val mmAggs = minMaxCols.flatMap(c => Seq(
+                  min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+                val rescan = DeletionVectors
+                  .readMorAt(spark, lakeDir, head)
+                  .join(broadcast(touchedDel), groupCols, "left_semi")
+                  .groupBy(groupCols.map(col): _*)
+                  .agg(mmAggs.head, mmAggs.tail: _*)
+                val counts = (groupCols.map(col) :+ col("n")) ++
+                  sumCols.map(c => col(s"sum_$c"))
+                merged.join(broadcast(touchedDel), groupCols, "left_anti")
+                  .unionByName(merged.select(counts: _*)
+                    .join(broadcast(touchedDel), groupCols, "left_semi")
+                    .join(rescan, groupCols))
+              }
+            }
+          ("incremental", out, deltaGroups)
         } catch {
           // the feed's soundness guard: a physical rewrite broke
           // row-level tracking — rebuild at the pinned head instead.
@@ -146,7 +218,7 @@ object IncrementalView {
           case _: DeletionVectors.CursorInvalidatedException =>
             val full = aggOf(
               DeletionVectors.readMorAt(spark, lakeDir, head),
-              groupCols, sumCols).localCheckpoint()
+              groupCols, sumCols, minMaxCols).localCheckpoint()
             ("full", full, full.count())
         }
     }

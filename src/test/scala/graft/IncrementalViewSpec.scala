@@ -153,4 +153,59 @@ class IncrementalViewSpec extends SparkSpec {
     assert(s2.mode == "incremental")
     assert(view(dir) == recompute(lake))
   }
+
+  private def recomputeMM(lake: String) =
+    DeletionVectors.readMor(spark, lake)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("sum_v"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+
+  private def viewMM(dir: String) =
+    IncrementalView.readView(spark, dir)
+      .select("g", "n", "sum_v", "min_v", "max_v")
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+
+  test("min/max maintenance (r10): insert extrema fold in, a deleted " +
+    "extremum forces the touched group's rescan, a dead group drops, " +
+    "and avg derives from (n, sum)") {
+    val lake = mkLake()
+    val dir = Files.createTempDirectory("graft_ivm_").toString + "/view"
+    IncrementalView.refresh(spark, lake, dir, Seq("g"), Seq("v"),
+      minMaxCols = Seq("v"))
+    assert(viewMM(dir) == recomputeMM(lake))
+    // window 1: kill group g0's MINIMUM (k = 0 is v = 0, the global
+    // min of g0) plus a band; insert a new MAXIMUM into g1
+    DeletionVectors.deleteMor(spark, lake, "v < 30")
+    DeletionVectors.mergeMor(spark, lake,
+      Seq((7001, "g1", 9999999L)).toDF("k", "g", "v"), Seq("k"))
+    val s1 = IncrementalView.refresh(spark, lake, dir, Seq("g"),
+      Seq("v"), minMaxCols = Seq("v"))
+    assert(s1.mode == "incremental")
+    assert(viewMM(dir) == recomputeMM(lake), "window 1 drifted")
+    // window 2: insert-only — min/max fold monotonically, no rescan
+    DeletionVectors.mergeMor(spark, lake,
+      Seq((7002, "g2", -5L)).toDF("k", "g", "v"), Seq("k"))
+    val s2 = IncrementalView.refresh(spark, lake, dir, Seq("g"),
+      Seq("v"), minMaxCols = Seq("v"))
+    assert(s2.mode == "incremental")
+    assert(viewMM(dir) == recomputeMM(lake), "window 2 drifted")
+    // window 3: a whole group dies — its view row must drop
+    DeletionVectors.deleteMor(spark, lake, "g = 'g2'")
+    val s3 = IncrementalView.refresh(spark, lake, dir, Seq("g"),
+      Seq("v"), minMaxCols = Seq("v"))
+    assert(s3.mode == "incremental")
+    assert(viewMM(dir) == recomputeMM(lake), "window 3 drifted")
+    assert(!viewMM(dir).exists(_._1 == "g2"))
+    // derived averages: one double division over the exact pair
+    val avgs = IncrementalView.readViewWithAvgs(spark, dir, Seq("v"))
+      .select("g", "avg_v").orderBy("g").as[(String, Double)]
+      .collect().toSeq
+    val expect = viewMM(dir).map(r => (r._1, r._3.toDouble / r._2))
+    assert(avgs == expect)
+    // the column set is part of the view's identity
+    val e = intercept[IllegalArgumentException] {
+      IncrementalView.refresh(spark, lake, dir, Seq("g"), Seq("v"))
+    }
+    assert(e.getMessage.contains("different columns"), e.getMessage)
+  }
 }
