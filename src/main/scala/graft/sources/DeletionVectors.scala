@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * parquet under `_dv/` holding `(file, pos)` pairs — the file's name
   * and the row's physical position from Spark's
   * `_metadata.row_index` — marks rows dead; [[mergeMor]]/[[updateMor]]
-  * additionally APPEND a delta file carrying the replacement rows.
+  * additionally APPEND target-sized delta files (one for churn-scale
+  * mutations, ⌈rows / targetRowsPerDelta⌉ parallel tasks for bulk
+  * ones) carrying the replacement rows.
   * Cost ∝ matched ROWS, never ∝ touched file bytes.
   *
   * ATOMICITY — one rename flips everything. A mutation publishes ONE
@@ -245,7 +247,9 @@ object DeletionVectors {
     * semantics ([[MergeInto.merge]]) WITHOUT rewriting a single
     * touched file — matched live rows' positions land in the `_dv`
     * sidecar, ALL update rows (replacements and inserts alike) land
-    * in one appended delta file, and ONE mutation checkpoint flips
+    * in appended TARGET-SIZED delta files (⌈rows /
+    * targetRowsPerDelta⌉ parallel writer tasks; one file for sparse
+    * churn), and ONE mutation checkpoint flips
     * data files and vector coverage together. [[readMor]] then serves
     * the merged view unchanged: committed ∪ delta, minus vectors.
     * The 100 TB shape copy-on-write cannot serve: a sparse upsert
@@ -270,13 +274,19 @@ object DeletionVectors {
   def mergeMor(spark: SparkSession, lakeDir: String, updates: DataFrame,
       keys: Seq[String], evolveSchema: Boolean = false,
       indexDir: Option[String] = None,
-      filesPerDelta: Int = 1): (Long, Long) = {
+      targetRowsPerDelta: Long = 1L << 20): (Long, Long) = {
+    require(targetRowsPerDelta > 0, "targetRowsPerDelta must be positive")
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // generated-column FILL first: an update frame omitting a defined
     // column gets it computed before compatibility checks and the
-    // delta write
+    // delta write. localCheckpoint materializes the caller's update
+    // DAG exactly ONCE (outside the writer lock): the key-discovery
+    // join, the row count that sizes the delta files, and the write
+    // all read the materialized partitions instead of re-executing a
+    // possibly expensive plan.
     val updates0 = GeneratedColumns.fill(spark, lakeDir, updates)
+      .localCheckpoint()
     MergeInto.requireUniqueKeys(updates0, keys, "mergeMor")
     requireNoClash(updates0, "mergeMor")
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
@@ -317,8 +327,16 @@ object DeletionVectors {
       val matched = pairs.count()
       val newDv =
         if (matched == 0) Seq.empty else writePairs(fs, lakeDir, pairs)
+      // TARGET-SIZED delta files: ⌈rows / target⌉ writer tasks, so a
+      // sparse upsert keeps today's one-file shape while a bulk one
+      // neither funnels through a single task nor emits one oversized
+      // file compaction must later split. The count reads the
+      // checkpointed partitions — never the caller's DAG.
+      val appended = updates0.count()
+      val nDelta = math.max(1L,
+        (appended + targetRowsPerDelta - 1) / targetRowsPerDelta).toInt
       val before = CommitLog.dataFileNames(fs, lakeDir)
-      updates0.repartition(filesPerDelta).write.mode("append")
+      updates0.repartition(nDelta).write.mode("append")
         .parquet(lakeDir)
       val delta =
         (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
@@ -338,20 +356,16 @@ object DeletionVectors {
       // files footer-read in, nothing else moved (metadata-scale)
       indexDir.foreach(idx =>
         StatsIndex.refreshSameColumns(spark, lakeDir, idx))
-      // appended count from the delta itself — never re-executes the
-      // caller's (possibly expensive) update DAG
-      val appended =
-        if (delta.isEmpty) 0L
-        else spark.read
-          .parquet(CommitLog.resolveDataPaths(fs, lakeDir, delta): _*).count()
       (matched, appended)
     }
   }
 
   /** Merge-on-read UPDATE: `SET col = <sql-expr>` for every LIVE
     * committed row matching `predicate` — old positions land in the
-    * `_dv` sidecar, the post-SET rows land in one appended delta
-    * file, ONE mutation checkpoint flips both. Assignments are
+    * `_dv` sidecar, the post-SET rows land in target-sized appended
+    * delta files (one for sparse churn, ⌈n / targetRowsPerDelta⌉
+    * parallel tasks for a bulk UPDATE), ONE mutation checkpoint flips
+    * both. Assignments are
     * evaluated against the PRE-update row and cast back to the
     * column's type (standard UPDATE semantics, as
     * [[MergeInto.update]]). Rows already MoR-deleted are NOT updated
@@ -363,8 +377,10 @@ object DeletionVectors {
   def updateMor(spark: SparkSession, lakeDir: String, predicate: String,
       set: Map[String, String],
       indexDir: Option[String] = None,
-      impliedRanges: Seq[StatsIndex.ColRange] = Nil): Long = {
+      impliedRanges: Seq[StatsIndex.ColRange] = Nil,
+      targetRowsPerDelta: Long = 1L << 20): Long = {
     require(set.nonEmpty, "updateMor needs at least one SET assignment")
+    require(targetRowsPerDelta > 0, "targetRowsPerDelta must be positive")
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     GeneratedColumns.requireNoGeneratedSet(spark, lakeDir,
@@ -420,8 +436,14 @@ object DeletionVectors {
             }
           }.toIndexedSeq: _*))
         val newDv = writePairs(fs, lakeDir, pairs)
+        // target-sized delta files, same contract as mergeMor: a
+        // churn-scale update keeps one file; a large predicate UPDATE
+        // writes ⌈n / target⌉ files in parallel tasks (n = matched is
+        // already counted off the checkpointed positions)
+        val nDelta = math.max(1L,
+          (n + targetRowsPerDelta - 1) / targetRowsPerDelta).toInt
         val before = CommitLog.dataFileNames(fs, lakeDir)
-        updated.repartition(1).write.mode("append").parquet(lakeDir)
+        updated.repartition(nDelta).write.mode("append").parquet(lakeDir)
         val delta =
           (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
         // same pre-publish CHECK gate as mergeMor: post-SET rows must

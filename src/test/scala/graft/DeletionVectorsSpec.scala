@@ -624,4 +624,41 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(DeletionVectors.readMorAsOf(spark, lake, asOf = 2L)
       .count() == 290L)
   }
+
+  test("target-sized delta files (r10): a bulk UPDATE/MERGE emits " +
+    "⌈n/target⌉ parallel-written delta files that readMor serves " +
+    "identically; sparse churn keeps today's single file") {
+    val lake = mkLake()
+    val f = fs(lake)
+    // bulk UPDATE: 150 matched rows, target 40 → 4 delta files
+    val before1 = CommitLog.dataFileNames(f, lake)
+    val n = DeletionVectors.updateMor(spark, lake, "k % 2 = 0",
+      Map("v" -> "v + 7"), targetRowsPerDelta = 40L)
+    val delta1 = CommitLog.dataFileNames(f, lake) -- before1
+    assert(n == 150L && delta1.size == 4, s"n=$n files=${delta1.size}")
+    val got = DeletionVectors.readMor(spark, lake)
+    assert(got.count() == 300L)
+    // every even-k row updated exactly once, odd-k untouched
+    assert(got.filter(col("k") % 2 === 0 && col("v") =!= col("k") * 2 + 7)
+      .count() == 0L)
+    assert(got.filter(col("k") % 2 === 1 && col("v") =!= col("k") * 2)
+      .count() == 0L)
+    // sparse MERGE at the default target: ONE delta file (the churn
+    // shape the fixed-churn scale cell measures)
+    val before2 = CommitLog.dataFileNames(f, lake)
+    DeletionVectors.mergeMor(spark, lake,
+      Seq((5, -1L)).toDF("k", "v"), Seq("k"))
+    assert((CommitLog.dataFileNames(f, lake) -- before2).size == 1)
+    // bulk MERGE: 120 update rows, target 50 → 3 delta files
+    val before3 = CommitLog.dataFileNames(f, lake)
+    val (m, a) = DeletionVectors.mergeMor(spark, lake,
+      (0 until 120).map(k => (k, -2L)).toDF("k", "v"), Seq("k"),
+      targetRowsPerDelta = 50L)
+    assert(m == 100L && a == 120L, s"m=$m a=$a") // keys 100-119 insert
+    assert((CommitLog.dataFileNames(f, lake) -- before3).size == 3)
+    val end = DeletionVectors.readMor(spark, lake)
+    assert(end.count() == 320L)
+    assert(end.filter(col("k") < 120 && col("k") >= 0)
+      .filter(col("v") =!= -2L).count() == 0L)
+  }
 }
