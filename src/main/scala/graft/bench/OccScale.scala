@@ -1,0 +1,97 @@
+package graft.bench
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CommitLog, Occ}
+
+/** COMMIT THROUGHPUT: optimistic concurrency vs the long writer lock
+  * (r9 VERDICT ask #3). N independent appender threads each commit K
+  * batches into ONE lake:
+  *
+  *  - `locked` — each append's WHOLE body (parquet write + manifest)
+  *    runs inside `CommitLog.withWriterLock`, the serialization shape
+  *    the classic verbs impose on independent pipelines;
+  *  - `occ` — `Occ.append`: the parquet writes overlap freely; only
+  *    the metadata-scale commit section (rename + id claim + one
+  *    record rename) serializes.
+  *
+  * Reported: wall seconds per mode and the speedup. The expected
+  * shape: locked ≈ sum of all write times; occ ≈ max of the per-thread
+  * sums + N·K commit sections (~ms each) — approaching N× with N
+  * appenders on an unloaded box. Row counts are asserted equal, so
+  * both modes do identical work. Results land in SCALE.md
+  * §"Commit throughput". Run: `sbt "runMain graft.bench.OccScale
+  * [appenders] [batchesEach]"`. */
+object OccScale {
+
+  import BenchUtil.{rmrf, secs}
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.filter(_.forall(_.isDigit))
+      .map(_.toInt).getOrElse(4)
+    val k = args.drop(1).headOption.filter(_.forall(_.isDigit))
+      .map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // one batch = a real parquet write (wide-ish rows, one file) so
+    // the measured contention is write-vs-write, not scheduler noise
+    val li = spark.read
+      .parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .limit(200000).localCheckpoint()
+    val exec = Executors.newFixedThreadPool(n)
+    val pool = ExecutionContext.fromExecutor(exec)
+    val expected = li.count() * n * k
+
+    def run(tag: String)(append: (String, Int) => Unit): Double = {
+      val root = s"/root/repo/target/scale/occ_$tag"
+      rmrf(root)
+      val lake = s"$root/lake"
+      val fs = new Path(lake)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // bootstrap so the lake exists with a log
+      fs.mkdirs(new Path(CommitLog.logDir(lake)))
+      val sec = secs {
+        val fut = (0 until n).map { t =>
+          Future { (0 until k).foreach(_ => append(lake, t)) }(pool)
+        }
+        fut.foreach(Await.result(_, 30.minutes))
+      }
+      val got = graft.streaming.LayoutSink.readCommitted(spark, lake)
+        .count()
+      require(got == expected, s"$tag: $got rows, expected $expected")
+      sec
+    }
+
+    val locked = run("locked") { (lake, t) =>
+      val fs = new Path(lake)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      CommitLog.withWriterLock(fs, lake, waitMs = 1800000L) {
+        val before = CommitLog.dataFileNames(fs, lake)
+        li.withColumn("writer", lit(t)).coalesce(1)
+          .write.mode("append").parquet(lake)
+        val files =
+          (CommitLog.dataFileNames(fs, lake) -- before).toSeq.sorted
+        val id = math.max(CommitLog.maxCommittedId(fs, lake), -1L) + 1L
+        CommitLog.commit(fs, lake, id, files)
+      }
+    }
+    val occ = run("occ") { (lake, t) =>
+      Occ.append(spark, lake, li.withColumn("writer", lit(t)),
+        numFiles = 1, commitWaitMs = 1800000L): Unit
+    }
+    exec.shutdown()
+    println(f"""{"metric":"occ_commit_throughput","appenders":$n,""" +
+      f""""batches_each":$k,"locked_sec":$locked%.2f,""" +
+      f""""occ_sec":$occ%.2f,"speedup":${locked / occ}%.2f}""")
+  }
+}

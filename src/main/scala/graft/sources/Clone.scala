@@ -47,11 +47,15 @@ import org.apache.spark.sql.SparkSession
   * CHECK constraints travel: the source's current definitions are
   * replicated into the clone's log at clone time (then evolve
   * independently — Delta clones table properties the same way).
-  * Stats indexes do NOT travel: an index is keyed by physical paths,
-  * and every DML/pruned-read path already refuses a stale index
-  * (file set ≠ committed view), so an un-indexed clone falls back to
-  * full-pass discovery — correct, just not accelerated — until one is
-  * built after [[materialize]].
+  * Stats indexes TRAVEL on request (r10):
+  * [[StatsIndex.adoptClone]] publishes the source's current index
+  * generation as the branch's own — one metadata copy, validated
+  * against the clone's committed view; pruned reads then resolve the
+  * indexed names through the same local-first chain as every other
+  * verb. Without adoption, the un-indexed clone falls back to
+  * full-pass discovery (every DML/pruned-read path refuses a stale
+  * index) until one is built after [[materialize]]; after BRANCH DML
+  * an adopted index is refused the same way until refreshed.
   *
   * [[DeletionVectors.readMorStream]] refuses shallow clones (a
   * single-directory file stream cannot serve source-resident files);

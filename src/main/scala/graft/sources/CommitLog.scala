@@ -856,8 +856,35 @@ object CommitLog {
     * merge's unpublished rewrite files would otherwise race, and a
     * manifest landing mid-merge could be subsumed-but-dropped by the
     * merge's version checkpoint. */
+  /** Same-JVM arbitration in front of the advisory lock file: the
+    * file's create-no-overwrite is atomic on HDFS/object stores but a
+    * check-then-create race on a raw local FS, so two THREADS of one
+    * driver (racing OCC commit sections on local[n]) could both
+    * "acquire" it and mint the same batch id. A per-lake ReentrantLock
+    * closes that in-process window; cross-process exclusion remains
+    * the file's (best-effort on local FS, as documented). */
+  private val jvmWriterLocks =
+    new ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
   def withWriterLock[T](fs: FileSystem, lakeDir: String,
-      staleMs: Long = 600000L)(body: => T): T = {
+      staleMs: Long = 600000L, waitMs: Long = 0L)(body: => T): T = {
+    val jvmKey = fs.makeQualified(new Path(logDir(lakeDir))).toString
+    val jvmLock = jvmWriterLocks.computeIfAbsent(jvmKey,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    val jvmHeld =
+      if (waitMs > 0) jvmLock.tryLock(waitMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      else jvmLock.tryLock()
+    if (!jvmHeld)
+      throw new IllegalStateException(
+        s"another mutation holds the writer lock on $lakeDir — " +
+          "retry after it publishes (in-process contender)")
+    try withFileWriterLock(fs, lakeDir, staleMs, waitMs)(body)
+    finally jvmLock.unlock()
+  }
+
+  private def withFileWriterLock[T](fs: FileSystem, lakeDir: String,
+      staleMs: Long, waitMs: Long)(body: => T): T = {
     val lock = new Path(logDir(lakeDir), "WRITER_LOCK")
     fs.mkdirs(new Path(logDir(lakeDir)))
     def tryAcquire(): Boolean =
@@ -870,6 +897,15 @@ object CommitLog {
         true
       } catch { case _: java.io.IOException => false }
     var held = tryAcquire()
+    // `waitMs > 0` turns the fail-fast acquire into a bounded wait —
+    // the OCC verbs' COMMIT sections are metadata-scale (milliseconds),
+    // so a contender briefly spinning beats failing a whole prepared
+    // mutation; long-lock verbs keep the historical fail-fast default.
+    val deadline = System.currentTimeMillis() + waitMs
+    while (!held && System.currentTimeMillis() < deadline) {
+      Thread.sleep(25L)
+      held = tryAcquire()
+    }
     if (!held) {
       // stale-break must not race: two contenders plainly deleting the
       // stale lock could each also delete the OTHER's fresh

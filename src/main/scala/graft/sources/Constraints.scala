@@ -151,10 +151,23 @@ object Constraints {
     if (files.isEmpty) return
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    validatePaths(spark, lakeDir,
+      CommitLog.resolveDataPaths(fs, lakeDir, files))
+  }
+
+  /** [[validateFiles]] for EXPLICIT physical paths — the OCC verbs
+    * validate their STAGED bytes (written aside, not yet renamed into
+    * the lake) before entering the commit section, so the gate adds
+    * zero time under the lock. */
+  private[sources] def validatePaths(spark: SparkSession, lakeDir: String,
+      paths: Seq[String]): Unit = {
+    if (paths.isEmpty) return
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val defs = list(fs, lakeDir)
     if (defs.isEmpty) return
     val batch = spark.read.option("mergeSchema", "true")
-      .parquet(CommitLog.resolveDataPaths(fs, lakeDir, files): _*)
+      .parquet(paths: _*)
     defs.foreach { case (name, predicate) =>
       val bad =
         try violations(batch, predicate, 3)

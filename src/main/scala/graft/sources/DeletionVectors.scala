@@ -70,10 +70,10 @@ object DeletionVectors {
   /** Internal join-key names. A lake column named `file`/`pos` must
     * survive the MoR read path unharmed, so the position columns are
     * namespaced; colliding with THESE is rejected outright. */
-  private val FileCol = "__dv_file"
-  private val PosCol = "__dv_pos"
+  private[sources] val FileCol = "__dv_file"
+  private[sources] val PosCol = "__dv_pos"
 
-  private def requireNoClash(df: DataFrame, what: String): Unit =
+  private[sources] def requireNoClash(df: DataFrame, what: String): Unit =
     require(!df.columns.contains(FileCol) && !df.columns.contains(PosCol),
       s"$what: the schema carries a reserved column name ($FileCol/" +
         s"$PosCol) — rename it; these are the MoR position join keys")
@@ -154,7 +154,7 @@ object DeletionVectors {
     }
   }
 
-  private def fileNameCol: Column =
+  private[sources] def fileNameCol: Column =
     element_at(split(col("_metadata.file_path"), "/"), -1)
 
   /** Anti-join `base` against the covered vectors (if any) on
@@ -469,7 +469,7 @@ object DeletionVectors {
     * never tear the pair (version N's files with version N+1's
     * vectors would make replaced rows vanish with no replacement
     * visible). */
-  private def vectorsFor(spark: SparkSession, lakeDir: String,
+  private[sources] def vectorsFor(spark: SparkSession, lakeDir: String,
       covered: Set[String]): Option[DataFrame] =
     if (covered.isEmpty) None
     else {

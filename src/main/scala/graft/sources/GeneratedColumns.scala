@@ -193,10 +193,21 @@ object GeneratedColumns {
     if (files.isEmpty) return
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    validatePaths(spark, lakeDir,
+      CommitLog.resolveDataPaths(fs, lakeDir, files))
+  }
+
+  /** [[validateFiles]] for EXPLICIT physical paths — the OCC verbs'
+    * staged-bytes gate (see [[Constraints.validatePaths]]). */
+  private[sources] def validatePaths(spark: SparkSession, lakeDir: String,
+      paths: Seq[String]): Unit = {
+    if (paths.isEmpty) return
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val defs = list(fs, lakeDir)
     if (defs.isEmpty) return
     val batch = spark.read.option("mergeSchema", "true")
-      .parquet(CommitLog.resolveDataPaths(fs, lakeDir, files): _*)
+      .parquet(paths: _*)
     defs.foreach { case (c, e, t) =>
       val bad =
         try {

@@ -1224,6 +1224,41 @@ object StatsIndex {
     readPrunedTyped(spark, dataDir, indexDir,
       ranges.map { case (n, lo, hi) => LongRange(n, lo, hi) })
 
+  /** INDEX TRAVEL for shallow clones (r10): publish the source's
+    * CURRENT index generation as the clone's own index — one
+    * metadata-scale parquet copy, no data pass. Sound because a fresh
+    * clone's committed view IS the source's captured view: the index
+    * rows describe exactly those files, and every pruned-read path
+    * resolves file NAMES through the clone-source chain
+    * ([[graft.sources.CommitLog.resolveDataPaths]]), so rows pointing
+    * at source-resident bytes serve the clone unchanged. Validated
+    * up front: the index's file-name set must EQUAL the clone's
+    * committed names, else fail fast (a stale source index adopted
+    * blindly would silently drop files from pruned reads). The clone's
+    * copy then evolves independently — a later SOURCE refresh cannot
+    * un-current the branch's index, and after BRANCH DML the usual
+    * currency guard refuses it until a refresh, exactly as on any
+    * lake. Returns the number of indexed files adopted. */
+  def adoptClone(spark: SparkSession, cloneDir: String,
+      sourceIndexDir: String, cloneIndexDir: String): Int = {
+    val fs = new Path(cloneDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(CommitLog.cloneSourceOf(fs, cloneDir).nonEmpty,
+      s"adoptClone: $cloneDir is not a shallow clone — build or " +
+        "refresh its index directly")
+    val committed = CommitLog.committedNames(fs, cloneDir)
+    val idxNames = indexedFiles(spark, sourceIndexDir)
+      .map(p => new Path(p).getName).toSet
+    require(idxNames == committed,
+      s"adoptClone: the source index describes a different file set " +
+        s"than the clone's committed view (${(idxNames -- committed).size}" +
+        s" extra, ${(committed -- idxNames).size} missing) — refresh " +
+        "the source index before cloning, or build after materialize")
+    publishGeneration(spark, cloneIndexDir,
+      readIndex(spark, sourceIndexDir))
+    idxNames.size
+  }
+
   /** Widen older index generations to the current column set (a NULL
     * bloom never excludes; a NULL bspace reads as the probe's legacy
     * space; NULL nulls = "null count unknown"). */

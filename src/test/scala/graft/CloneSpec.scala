@@ -346,4 +346,66 @@ class CloneSpec extends SparkSpec {
     assert(LayoutSink.readCommitted(spark, lake).count() == 300)
     assert(LayoutSink.readCommitted(spark, dst).count() == 300)
   }
+
+  test("stats-index travel (r10): adoptClone gives a fresh branch the " +
+    "source's pruning — same file count touched — and branch DML " +
+    "un-currents it until refresh") {
+    import graft.sources.StatsIndex
+    val dir = Files.createTempDirectory("graft_cl_idx_").toString
+    val lake = s"$dir/lake"
+    val f = fs(lake)
+    (0 until 300).map(k => (k, 10L * k)).toDF("k", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions(col("k"))
+      .write.parquet(lake)
+    CommitLog.commit(f, lake, 0L,
+      CommitLog.dataFileNames(f, lake).toSeq.sorted)
+    StatsIndex.build(spark, lake, Seq("k"), s"$dir/srcIdx")
+    val branch = s"$dir/branch"
+    Clone.shallow(spark, lake, branch)
+    // adoption is metadata-only and validated against the clone's view
+    assert(StatsIndex.adoptClone(spark, branch,
+      s"$dir/srcIdx", s"$dir/brIdx") == 4)
+    val ranges = Seq(StatsIndex.LongRange("k", 10L, 60L))
+    val srcTouch = StatsIndex.prunedTyped(spark, s"$dir/srcIdx", ranges)
+    val brTouch = StatsIndex.prunedTyped(spark, s"$dir/brIdx", ranges)
+    assert(srcTouch.size == brTouch.size && srcTouch.nonEmpty,
+      s"branch pruned ${brTouch.size} files, source ${srcTouch.size}")
+    // the pruned MoR read serves identical rows through the chain
+    val got = DeletionVectors.readMorPruned(spark, branch,
+      s"$dir/brIdx", ranges).orderBy("k").collect().toSeq
+    val want = DeletionVectors.readMorPruned(spark, lake,
+      s"$dir/srcIdx", ranges).orderBy("k").collect().toSeq
+    assert(got == want && got.size == 51)
+    // a SOURCE append + source-index refresh cannot un-current the
+    // branch's COPY: the branch's committed view is pinned, its index
+    // generation is its own
+    Seq((9999, 1L)).toDF("k", "v").coalesce(1).write.mode("append")
+      .parquet(lake)
+    CommitLog.commit(f, lake, 1L, (CommitLog.dataFileNames(f, lake) --
+      StatsIndex.indexedFiles(spark, s"$dir/srcIdx")
+        .map(pp => new Path(pp).getName).toSet).toSeq.sorted)
+    StatsIndex.refreshSameColumns(spark, lake, s"$dir/srcIdx")
+    assert(StatsIndex.indexedFiles(spark, s"$dir/srcIdx").size == 5)
+    assert(StatsIndex.indexedFiles(spark, s"$dir/brIdx").size == 4)
+    assert(DeletionVectors.readMorPruned(spark, branch,
+      s"$dir/brIdx", ranges).count() == 51)
+    // BRANCH DML un-currents the adopted index: the pruned read
+    // falls back to the full committed scan — correct, not accelerated
+    DeletionVectors.mergeMor(spark, branch,
+      Seq((20, -20L)).toDF("k", "v"), Seq("k"))
+    val committedNow = CommitLog.committedNames(f, branch)
+    assert(StatsIndex.indexedFiles(spark, s"$dir/brIdx")
+      .map(pp => new Path(pp).getName).toSet != committedNow,
+      "branch DML must leave the adopted index stale")
+    val after = DeletionVectors.readMorPruned(spark, branch,
+      s"$dir/brIdx", ranges)
+    assert(after.count() == 51)
+    assert(after.filter(col("k") === 20).select("v")
+      .as[Long].head() == -20L)
+    // adopting into a diverged branch fails fast
+    val e = intercept[IllegalArgumentException] {
+      StatsIndex.adoptClone(spark, branch, s"$dir/srcIdx", s"$dir/x")
+    }
+    assert(e.getMessage.contains("different file set"), e.getMessage)
+  }
 }

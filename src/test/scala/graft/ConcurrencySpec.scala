@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CommitLog, DeletionVectors, Occ}
+
+/** Optimistic concurrency (`Occ`): appends never conflict and their
+  * data writes overlap (only the ~ms id-claim serializes); a merge's
+  * commit section validates its snapshot and RETRIES on interleaved
+  * commits — no lost update in either interleaving; staged bytes are
+  * invisible until the commit section and conflict losers leave only
+  * aged-sweepable stage dirs. */
+class ConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed single-batch lake: k unique 0..199, v = 2k. */
+  private def mkLake(): String = {
+    val lake = Files.createTempDirectory("graft_occ_").toString + "/lake"
+    val f = fs(lake)
+    (0 until 200).map(k => (k, 2L * k)).toDF("k", "v")
+      .coalesce(1).write.parquet(lake)
+    CommitLog.commit(f, lake, 0L,
+      CommitLog.dataFileNames(f, lake).toSeq.sorted)
+    lake
+  }
+
+  test("racing OCC appenders both land with exact file attribution: " +
+    "distinct batch ids, disjoint manifests, no lost rows") {
+    val lake = mkLake()
+    val f = fs(lake)
+    val a = Future(Occ.append(spark, lake,
+      (1000 until 1100).map(k => (k, 1L)).toDF("k", "v"), numFiles = 2))
+    val b = Future(Occ.append(spark, lake,
+      (2000 until 2150).map(k => (k, 2L)).toDF("k", "v"), numFiles = 3))
+    val (idA, idB) = (Await.result(a, 120.seconds),
+      Await.result(b, 120.seconds))
+    assert(idA != idB && idA > 0 && idB > 0, s"ids $idA / $idB")
+    // manifests are disjoint and complete — a before/after diff under
+    // racing writers would have cross-attributed files
+    val manA = CommitLog.changedNames(f, lake, idA - 1, idA)
+    val manB = CommitLog.changedNames(f, lake, idB - 1, idB)
+    assert((manA & manB).isEmpty && manA.size == 2 && manB.size == 3)
+    val got = graft.streaming.LayoutSink.readCommitted(spark, lake)
+    assert(got.count() == 450L)
+    assert(got.filter(col("k") >= 1000 && col("k") < 1100).count() == 100)
+    assert(got.filter(col("k") >= 2000).count() == 150)
+    // no stage debris survives a clean commit
+    assert(!f.listStatus(new Path(lake)).exists(
+      _.getPath.getName.startsWith(".occ-")))
+  }
+
+  test("append racing an OCC merge, both orders: the append always " +
+    "lands, the merge retries over an interleaved commit — no lost " +
+    "update") {
+    // order A: the append commits INSIDE the merge's window (between
+    // its snapshot and its commit section) via the beforeCommit hook —
+    // deterministic conflict, exactly one retry
+    val lake = mkLake()
+    val injected = new AtomicBoolean(false)
+    val (matched, appended) = Occ.mergeMor(spark, lake,
+      (0 until 50).map(k => (k, -1L)).toDF("k", "v"), Seq("k"),
+      beforeCommit = () => {
+        if (injected.compareAndSet(false, true)) {
+          val id = Occ.append(spark, lake,
+            (3000 until 3050).map(k => (k, 3L)).toDF("k", "v"))
+          assert(id > 0)
+        }
+      })
+    assert(matched == 50L && appended == 50L)
+    val got = DeletionVectors.readMor(spark, lake)
+    assert(got.count() == 250L) // 200 + 50 appended (merge replaces in place)
+    assert(got.filter(col("k") < 50 && col("v") =!= -1L).count() == 0L,
+      "the merge's replacements must all be live")
+    assert(got.filter(col("k") >= 3000).count() == 50L,
+      "the interleaved append must not be lost")
+
+    // order B: the merge commits first, the append lands on top
+    val lake2 = mkLake()
+    val (m2, a2) = Occ.mergeMor(spark, lake2,
+      (0 until 50).map(k => (k, -1L)).toDF("k", "v"), Seq("k"))
+    assert(m2 == 50L && a2 == 50L)
+    assert(Occ.append(spark, lake2,
+      (3000 until 3050).map(k => (k, 3L)).toDF("k", "v")) > 0)
+    val got2 = DeletionVectors.readMor(spark, lake2)
+    assert(got2.count() == 250L)
+    assert(got2.filter(col("k") < 50 && col("v") =!= -1L).count() == 0L)
+    assert(got2.filter(col("k") >= 3000).count() == 50L)
+  }
+
+  test("two merges, one interleaved into the other's window: the " +
+    "loser re-prepares on the winner's snapshot — both apply, " +
+    "including on overlapping keys") {
+    val lake = mkLake()
+    val injected = new AtomicBoolean(false)
+    // the inner (locked) merge wins the window; the outer OCC merge
+    // must retry and re-discover against the POST-inner view, or its
+    // vectors would point at rows the inner merge already replaced
+    val (m, a) = Occ.mergeMor(spark, lake,
+      (0 until 30).map(k => (k, -7L)).toDF("k", "v"), Seq("k"),
+      beforeCommit = () => {
+        if (injected.compareAndSet(false, true)) {
+          DeletionVectors.mergeMor(spark, lake,
+            (20 until 60).map(k => (k, -9L)).toDF("k", "v"), Seq("k"))
+        }
+      })
+    assert(m == 30L && a == 30L)
+    val got = DeletionVectors.readMor(spark, lake)
+    assert(got.count() == 200L)
+    // outer merge applied LAST: keys 0..29 end at -7; the inner
+    // merge's non-overlapping keys 30..59 end at -9
+    assert(got.filter(col("k") < 30 && col("v") =!= -7L).count() == 0L)
+    assert(got.filter(col("k") >= 30 && col("k") < 60 &&
+      col("v") =!= -9L).count() == 0L)
+    assert(got.filter(col("k") >= 60 && col("v") =!= col("k") * 2)
+      .count() == 0L)
+  }
+
+  test("a crashed preparation's stage dir is invisible to readers " +
+    "and aged into the sweep; empty input is a published no-op") {
+    val lake = mkLake()
+    val f = fs(lake)
+    // fake a crashed prepare: a stage dir with a parquet inside
+    val stage = s"$lake/.occ-crashed"
+    Seq((9999, 9L)).toDF("k", "v").write.parquet(s"$stage/data")
+    assert(graft.streaming.LayoutSink.readCommitted(spark, lake)
+      .count() == 200L, "staged bytes must be invisible")
+    assert(spark.read.parquet(lake).count() == 200L,
+      "hidden dirs must not leak into a plain directory read")
+    Occ.sweepStaleStages(f, lake, olderThanMs = 0L)
+    assert(!f.exists(new Path(stage)), "aged stage must be swept")
+    // empty input: no record published, id -1
+    assert(Occ.append(spark, lake,
+      Seq.empty[(Int, Long)].toDF("k", "v")) == -1L)
+    assert(CommitLog.maxCommittedId(f, lake) == 0L)
+  }
+}
