@@ -123,7 +123,7 @@ object CatalogScale {
     "q70_dv_meta_count", "q71_dv_update", "q72_dv_optimize",
     "q73_dv_meta_minmax", "q74_dv_changes", "q75_incr_view",
     "q76_restore", "q77_restore_dv", "q78_constraints", "q79_clone",
-    "q80_generated", "q81_time_travel_dml", "q82_incr_view_minmax",
+    "q80_generated", "q81_time_travel_dml", "q82_incr_view_minmax", "q83_occ_dml",
     "qt29_mixture_sample",
     "qt4_exact_dedup", "qt5_minhash", "qt6_lsh_pairs",
     "qt11_dup_clusters", "qt21_curated_corpus",

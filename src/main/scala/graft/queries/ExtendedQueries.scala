@@ -1510,6 +1510,49 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
   }
 
+  /** OPTIMISTIC-CONCURRENCY DML (r10), oracle-checked end to end:
+    * THREE appenders race their lineitem congruence classes into one
+    * lake through [[graft.sources.Occ.append]] (real concurrent
+    * futures — data writes overlap, only the ~ms id-claim
+    * serializes), then an OCC MoR upsert ([[graft.sources.Occ
+    * .mergeMor]]: `l_quantity + 100` for every `l_orderkey % 7 == 0`
+    * row) and an OCC MoR delete ([[graft.sources.Occ.deleteMor]]:
+    * `l_orderkey % 11 == 5`) land with the lock held only for their
+    * metadata commit sections. The oracle is the declarative end
+    * state over lineitem: the hash match proves the racing appends
+    * covered every row EXACTLY once in whatever order they committed
+    * (a cross-attributed or lost manifest would shift every group),
+    * the upsert replaced each matched row exactly once (a torn
+    * snapshot would double-serve or drop replacements), and the
+    * delete's vectors compose with the merge's. The 100 TB shape:
+    * independent ingest pipelines sharing a lake no longer serialize
+    * their multi-second writes behind one writer lock — SCALE.md
+    * §"Commit throughput" measures the 2.7× at 4 appenders. */
+  val q83OccDml: Q = (s, dir) => {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    import graft.sources.{DeletionVectors, Occ}
+    val work = tempWork("graft_q83_")
+    val lake = s"$work/lake"
+    val li = table(s, dir, "lineitem")
+    val futs = (0 to 2).map { b =>
+      Future(Occ.append(s, lake,
+        li.filter(pmod(col("l_orderkey"), lit(3)) === b)))
+    }
+    val ids = futs.map(Await.result(_, 10.minutes))
+    require(ids.toSet.size == 3 && ids.forall(_ >= 0),
+      s"q83: the racing appends must claim three distinct ids ($ids)")
+    val keys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val upd = li.filter(col("l_orderkey") % 7 === 0)
+      .withColumn("l_quantity", col("l_quantity") + 100)
+    Occ.mergeMor(s, lake, upd, keys)
+    Occ.deleteMor(s, lake, "l_orderkey % 11 = 5")
+    DeletionVectors.readMor(s, lake)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+  }
+
   /** 3-D Hilbert cells, oracle-checked: [[ZOrder.hilbertValueN]]'s
     * Skilling descent (codegen'd [[graft.functions.HilbertIndexN]])
     * aggregated per curve cell. The oracle UNROLLS the same phases as
@@ -1556,6 +1599,7 @@ object ExtendedQueries {
     "q80_generated" -> q80Generated,
     "q81_time_travel_dml" -> q81TimeTravelDml,
     "q82_incr_view_minmax" -> q82IncrViewMinmax,
+    "q83_occ_dml" -> q83OccDml,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
     "q52_ts_pruned_scan" -> q52TsPrunedScan,
@@ -1747,6 +1791,14 @@ object ExtendedQueries {
         |  min(nc) AS min_n_chars, max(nc) AS max_n_chars,
         |  CAST(sum(nc) AS DOUBLE) / count(*) AS avg_n_chars
         |FROM final GROUP BY 1""".stripMargin,
+    "q83_occ_dml" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd(
+        "CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 100 " +
+          "ELSE l_quantity END")} AS sum_qty
+         |FROM lineitem
+         |WHERE NOT (l_orderkey % 11 = 5)
+         |GROUP BY 1""".stripMargin,
     "q78_constraints" ->
       """SELECT lang, count(*) AS n,
         |  CAST(sum(CASE WHEN doc_id % 83 = 2 THEN n_chars + 700

@@ -57,9 +57,10 @@ import org.apache.spark.sql.SparkSession
   * index) until one is built after [[materialize]]; after BRANCH DML
   * an adopted index is refused the same way until refreshed.
   *
-  * [[DeletionVectors.readMorStream]] refuses shallow clones (a
-  * single-directory file stream cannot serve source-resident files);
-  * everything else composes. */
+  * [[DeletionVectors.readMorStream]] serves shallow clones too
+  * (r10): one pinned file stream per clone-chain hop, each
+  * semi-joined against the names that resolve there — every
+  * composition edge on the branch surface now works. */
 object Clone {
 
   /** The source lake `dir` shallow-clones, if any. */

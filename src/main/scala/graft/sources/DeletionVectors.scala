@@ -577,40 +577,45 @@ object DeletionVectors {
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
       s"readMorStream: $lakeDir has no commit log — a raw directory " +
         "stream would serve uncommitted orphans")
-    // Spark's file stream source watches ONE directory, and a shallow
-    // clone's committed files live in its SOURCE's directory — they
-    // would never enter the stream and the semi-join below would
-    // silently drop them. Fail fast; Clone.materialize (or a rewrite
-    // verb) localizes the bytes first.
-    require(CommitLog.cloneSourceOf(fs, lakeDir).isEmpty,
-      s"readMorStream: $lakeDir is a shallow clone — its committed " +
-        "files live in the source directory, which a single-directory " +
-        "file stream cannot serve; run Clone.materialize first")
     // one atomic log resolution: the snapshot's files and vectors are
     // a consistent pair even against a concurrent mutation
     val (files, covered) = CommitLog.committedView(fs, lakeDir)
     val committed = files.toSeq.sorted
     require(committed.nonEmpty,
       s"readMorStream: no committed files in $lakeDir")
+    val resolved = CommitLog.resolveDataPaths(fs, lakeDir, committed)
     // union schema: an evolved lake mixes physical schemas and the
     // stream must see every column deterministically
     val schema = spark.read.option("mergeSchema", "true")
-      .parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*).schema
+      .parquet(resolved: _*).schema
     require(!schema.fieldNames.contains(FileCol) &&
       !schema.fieldNames.contains(PosCol),
       s"readMorStream: the schema carries a reserved column name " +
         s"($FileCol/$PosCol) — rename it")
+    // Spark's file stream source watches ONE directory, but a shallow
+    // clone's committed view spans its whole clone-source CHAIN (r10:
+    // r9 refused clones outright). Group the RESOLVED paths by parent
+    // directory and union one pinned file stream per hop: each hop's
+    // stream is semi-joined against exactly the names that resolve
+    // THERE — a same-named file at another hop (local-wins shadowing)
+    // can never leak in, later appends to any hop are excluded by the
+    // pinned name sets, and a plain lake degenerates to the historical
+    // single-directory plan.
+    val byDir: Seq[(String, Seq[String])] = committed.zip(resolved)
+      .map { case (n, p) => (new Path(p).getParent.toString, n) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
     // vector snapshot: the covered files BY NAME, so later sidecar
     // files can never join in (static file lists are pinned)
     val dvSnap = vectorsFor(spark, lakeDir, covered)
       .map(_.select(col("file").as(FileCol), col("pos").as(PosCol)))
-    val names = committed.toDF(FileCol)
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .parquet(lakeDir)
-      .withColumn(FileCol, fileNameCol)
-      .withColumn(PosCol, col("_metadata.row_index"))
-      .join(broadcast(names), Seq(FileCol), "left_semi")
+    val stream = byDir.map { case (dir, names) =>
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .parquet(dir)
+        .withColumn(FileCol, fileNameCol)
+        .withColumn(PosCol, col("_metadata.row_index"))
+        .join(broadcast(names.toDF(FileCol)), Seq(FileCol), "left_semi")
+    }.reduce(_ unionByName _)
     val live = dvSnap match {
       case None => stream
       case Some(dv) =>

@@ -124,6 +124,67 @@ object Occ {
     id
   }
 
+  /** OCC MERGE-ON-READ DELETE — [[DeletionVectors.deleteMor]]'s
+    * semantics with the lock held only for the commit section: the
+    * predicate scan and sidecar write run unlocked against a pinned
+    * snapshot; the commit publishes IFF nothing moved, else retries.
+    * Covers the third conflict class (predicate delete) beside
+    * [[append]] (blind add) and [[mergeMor]] (key upsert): two
+    * pipelines deleting DIFFERENT users concurrently both land, the
+    * loser paying one re-scan. Returns newly-marked rows (0 publishes
+    * nothing, idempotent like the locked verb). */
+  def deleteMor(spark: SparkSession, lakeDir: String, predicate: String,
+      maxRetries: Int = 5, commitWaitMs: Long = 30000L,
+      beforeCommit: () => Unit = () => ()): Long = {
+    val fs = fsOf(spark, lakeDir)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"deleteMor(occ): $lakeDir has no commit log — cannot publish " +
+        "atomically")
+    sweepStaleStages(fs, lakeDir)
+    var attempt = 0
+    while (true) {
+      val snap @ (filesSnap, dvSnap) = CommitLog.committedView(fs, lakeDir)
+      require(filesSnap.nonEmpty,
+        s"deleteMor(occ): no committed files in $lakeDir")
+      val committed = filesSnap.toSeq.sorted
+      val lake = spark.read.option("mergeSchema", "true")
+        .parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*)
+      val hits = lake.filter(coalesce(expr(predicate), lit(false)))
+        .select(DeletionVectors.fileNameCol.as("file"),
+          col("_metadata.row_index").as("pos"))
+      val fresh = DeletionVectors.vectorsFor(spark, lakeDir, dvSnap) match {
+        case None => hits
+        case Some(dv) => hits.join(dv, Seq("file", "pos"), "left_anti")
+      }
+      val pairs = fresh.localCheckpoint()
+      val n = pairs.count()
+      if (n == 0) return 0L
+      val stage = stageDir(lakeDir)
+      pairs.repartition(1).write.parquet(s"$stage/dv")
+      val newDv = stagedNames(fs, s"$stage/dv")
+      beforeCommit()
+      val won = CommitLog.withWriterLock(fs, lakeDir,
+          waitMs = commitWaitMs) {
+        if (CommitLog.committedView(fs, lakeDir) != snap) false
+        else {
+          renameInto(fs, s"$stage/dv", newDv,
+            DeletionVectors.dvDir(lakeDir))
+          val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+          CommitLog.commitMutationCheckpoint(fs, lakeDir, id, committed,
+            dvNames = dvSnap.toSeq.sorted ++ newDv)
+          true
+        }
+      }
+      fs.delete(new Path(stage), true)
+      if (won) return n
+      attempt += 1
+      require(attempt < maxRetries,
+        s"deleteMor(occ): $maxRetries consecutive commit conflicts on " +
+          s"$lakeDir — retry later or use the locked verb")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** OCC MERGE-ON-READ MERGE — [[DeletionVectors.mergeMor]]'s
     * semantics with the lock held only for the commit section.
     * Prepare (matched-row discovery, sidecar pairs, target-sized

@@ -243,8 +243,7 @@ class CloneSpec extends SparkSpec {
     assert(Clone.materialize(spark, dst) == (0, 0))
   }
 
-  test("fail-fasts: uncommitted source, occupied target, self-clone, " +
-    "streaming a shallow clone") {
+  test("fail-fasts: uncommitted source, occupied target, self-clone") {
     val lake = mkLake()
     val dst = cloneDirFor(lake)
     val plain = Files.createTempDirectory("graft_cl_plain_").toString
@@ -258,10 +257,43 @@ class CloneSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Clone.shallow(spark, lake, dst) // already a lake
     }
-    val e = intercept[IllegalArgumentException] {
-      DeletionVectors.readMorStream(spark, dst)
-    }
-    assert(e.getMessage.contains("shallow clone"))
+  }
+
+  test("readMorStream over a shallow clone (r10): one pinned file " +
+    "stream per chain hop — source-resident carried files, the " +
+    "branch's own churn and its vectors all serve; source-side moves " +
+    "after construction stay invisible") {
+    val lake = mkLake()
+    val dst = cloneDirFor(lake)
+    Clone.shallow(spark, lake, dst)
+    // branch churn: a MoR delete (sidecar under the branch) + a CoW
+    // merge whose rewrite lands locally while 2 files stay carried
+    DeletionVectors.deleteMor(spark, dst, "k % 10 = 3")
+    DeletionVectors.mergeMor(spark, dst,
+      Seq((9000, -1L)).toDF("k", "v"), Seq("k"))
+    val want = DeletionVectors.readMor(spark, dst)
+      .orderBy("k").select("k").as[Int].collect().toSeq
+    val stream = DeletionVectors.readMorStream(spark, dst,
+      maxFilesPerTrigger = 2)
+    // AFTER construction: source append + branch append — both
+    // excluded by the pinned name sets
+    val f = fs(lake)
+    Seq((7777, 1L)).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(lake)
+    CommitLog.commit(f, lake, 1L, (CommitLog.dataFileNames(f, lake) --
+      CommitLog.committedNames(f, lake)).toSeq.sorted)
+    Seq((8888, 2L)).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(dst)
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("clone_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("clone_stream")
+      .orderBy("k").select("k").as[Int].collect().toSeq
+    assert(got == want,
+      s"clone stream drifted: ${got.size} vs ${want.size} rows")
+    assert(got.size == 271 && got.contains(9000)) // 300 - 30 + insert
   }
 
   test("a crashed half-clone (pointer, no records) reads LOUDLY and " +

@@ -144,4 +144,26 @@ class ConcurrencySpec extends SparkSpec {
       Seq.empty[(Int, Long)].toDF("k", "v")) == -1L)
     assert(CommitLog.maxCommittedId(f, lake) == 0L)
   }
+
+  test("OCC delete racing an append: the delete retries over the " +
+    "interleaved commit and marks exactly its predicate's rows") {
+    val lake = mkLake()
+    val injected = new AtomicBoolean(false)
+    val n = Occ.deleteMor(spark, lake, "k % 4 = 1",
+      beforeCommit = () => {
+        if (injected.compareAndSet(false, true)) {
+          // the appended rows INCLUDE predicate matches — the retry's
+          // re-scan must pick them up (a stale snapshot would miss
+          // k = 4001)
+          Occ.append(spark, lake,
+            Seq((4000, 0L), (4001, 1L)).toDF("k", "v")): Unit
+        }
+      })
+    assert(n == 51L, s"marked $n") // 50 base + the appended k=4001
+    val got = DeletionVectors.readMor(spark, lake)
+    assert(got.count() == 151L) // 200 - 50 + 2 - 1
+    assert(got.filter(col("k") % 4 === 1).count() == 0L)
+    // idempotent repeat publishes nothing
+    assert(Occ.deleteMor(spark, lake, "k % 4 = 1") == 0L)
+  }
 }

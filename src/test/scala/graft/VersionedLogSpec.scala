@@ -199,4 +199,69 @@ class VersionedLogSpec extends SparkSpec {
     assert(branch.count() == 290L) // delete applied, append invisible
     assert(branch.filter(col("k") < 10).count() == 0L)
   }
+
+  test("property: random append/merge/delete sequences — EVERY live " +
+    "version's view equals an in-memory model replay") {
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 1 to 3) {
+      val lake = Files.createTempDirectory(s"graft_vlp$round" + "_")
+        .toString + "/lake"
+      val f = fs(lake)
+      // model: k -> v map AFTER each publish, in publish order
+      var state = Map.empty[Int, Long]
+      val snapshots = scala.collection.mutable.ArrayBuffer[Map[Int, Long]]()
+      var nextK = 0
+      var nextId = 0L
+      def appendRows(n: Int): Unit = {
+        val rows = (0 until n).map { _ =>
+          val k = nextK; nextK += 1; (k, rnd.nextLong(1000))
+        }
+        val before = CommitLog.dataFileNames(f, lake)
+        rows.toDF("k", "v").coalesce(1).write.mode("append").parquet(lake)
+        CommitLog.commit(f, lake, nextId,
+          (CommitLog.dataFileNames(f, lake) -- before).toSeq.sorted)
+        nextId += 1
+        state = state ++ rows
+        snapshots += state
+      }
+      appendRows(20)
+      for (_ <- 1 to 7) rnd.nextInt(3) match {
+        case 0 => appendRows(5 + rnd.nextInt(10))
+        case 1 => // upsert a random subset of live keys + one new key
+          val live = state.keys.toSeq.sorted
+          val up = rnd.shuffle(live).take(1 + rnd.nextInt(5))
+            .map(k => (k, -rnd.nextLong(1000))) :+
+            { val k = nextK; nextK += 1; (k, 7777L) }
+          DeletionVectors.mergeMor(spark, lake, up.toDF("k", "v"),
+            Seq("k"))
+          state = state ++ up
+          snapshots += state
+        case 2 => // delete a residue class among live keys
+          val m = 2 + rnd.nextInt(4)
+          val r = rnd.nextInt(m)
+          val n = DeletionVectors.deleteMor(spark, lake,
+            s"k % $m = $r")
+          val expectGone = state.keys.filter(_ % m == r)
+          assert(n == expectGone.size, s"delete marked $n")
+          if (n > 0) { // a zero-match delete publishes NOTHING
+            state = state -- expectGone
+            snapshots += state
+          }
+      }
+      // replay EVERY live version through viewOfVersion + readMorAt
+      // and compare to the model snapshot of the same publish rank
+      val recs = CommitLog.history(f, lake)
+      assert(recs.size == snapshots.size,
+        s"history ${recs.size} records vs ${snapshots.size} publishes")
+      recs.zip(snapshots).foreach { case (rec, want) =>
+        val (d, v) = CommitLog.viewOfVersion(f, lake, rec)
+        val got = DeletionVectors.readMorAt(spark, lake,
+          DeletionVectors.MorCursor(d, v))
+          .select("k", "v").as[(Int, Long)].collect().toMap
+        assert(got == want,
+          s"round $round: version (${rec.id},${rec.gen},${rec.kind}) " +
+            s"drifted: ${got.size} vs ${want.size} rows")
+      }
+    }
+  }
 }
