@@ -159,7 +159,7 @@ object Constraints {
     * validate their STAGED bytes (written aside, not yet renamed into
     * the lake) before entering the commit section, so the gate adds
     * zero time under the lock. */
-  private[sources] def validatePaths(spark: SparkSession, lakeDir: String,
+  private[graft] def validatePaths(spark: SparkSession, lakeDir: String,
       paths: Seq[String]): Unit = {
     if (paths.isEmpty) return
     val fs = new Path(lakeDir)

@@ -199,7 +199,7 @@ object GeneratedColumns {
 
   /** [[validateFiles]] for EXPLICIT physical paths — the OCC verbs'
     * staged-bytes gate (see [[Constraints.validatePaths]]). */
-  private[sources] def validatePaths(spark: SparkSession, lakeDir: String,
+  private[graft] def validatePaths(spark: SparkSession, lakeDir: String,
       paths: Seq[String]): Unit = {
     if (paths.isEmpty) return
     val fs = new Path(lakeDir)

@@ -13,15 +13,17 @@ import org.apache.spark.sql.functions._
   * the snapshot and publishes, or reports a conflict for the caller
   * loop to retry on a fresh snapshot.
   *
-  * Why this beats the long lock at 100 TB: the classic verbs
-  * ([[DeletionVectors.mergeMor]], [[graft.streaming.LayoutSink]])
-  * hold the single writer lock across their WHOLE body, so two
-  * independent ingest pipelines appending to one lake serialize their
-  * multi-second parquet writes behind each other. Under OCC the
-  * writes overlap fully and only the per-commit record publish
-  * serializes — exactly the putIfAbsent arbitration Delta's log
-  * gives; `OccScale` measures the wall-clock gap and SCALE.md carries
-  * the cell.
+  * Why this beats the long lock at 100 TB: the classic DML verbs
+  * ([[DeletionVectors.mergeMor]] and friends) hold the single writer
+  * lock across their WHOLE body, so independent writers sharing one
+  * lake serialize their multi-second parquet writes behind each
+  * other. Under OCC the writes overlap fully and only the per-commit
+  * record publish serializes — exactly the putIfAbsent arbitration
+  * Delta's log gives; `OccScale` measures the wall-clock gap and
+  * SCALE.md carries the cell. [[graft.streaming.LayoutSink]] ingests
+  * with the same staging discipline since r10: its batch write runs
+  * unlocked into a stage, so a long ingest batch no longer blocks
+  * concurrent commits.
   *
   * Conflict rules (validated inside the commit section):
   *
@@ -50,7 +52,7 @@ object Occ {
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def stageDir(lakeDir: String): String =
+  private[graft] def stageDir(lakeDir: String): String =
     s"$lakeDir/.occ-${java.util.UUID.randomUUID()}"
 
   /** Crashed preparations: `.occ-*` dirs older than `olderThanMs`.
@@ -67,7 +69,7 @@ object Occ {
       .foreach { s => fs.delete(s.getPath, true); () }
   }
 
-  private def stagedNames(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def stagedNames(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Seq[String] = {
     val d = new Path(dir)
     if (!fs.exists(d)) Seq.empty
@@ -75,7 +77,7 @@ object Occ {
       .filter(_.endsWith(".parquet")).toSeq.sorted
   }
 
-  private def renameInto(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def renameInto(fs: org.apache.hadoop.fs.FileSystem,
       from: String, names: Seq[String], into: String): Unit = {
     fs.mkdirs(new Path(into))
     names.foreach { n =>

@@ -28,11 +28,14 @@ import graft.sources.{CommitLog, StatsIndex, ZOrder}
   * cost stays bounded over an ingest's life. Per batch, the
   * single-writer streaming query: (1) skips batches already committed
   * — manifest present or subsumed by a checkpoint (replay
-  * after a restart at the checkpoint boundary); (2) deletes data
-  * files not referenced by any manifest — the orphans of a previous
-  * attempt that crashed after writing but before committing; (3)
-  * appends the batch and commits the file list as one
-  * write-then-atomic-rename manifest; (4) refreshes the index — so
+  * after a restart at the checkpoint boundary); (2) STAGES the
+  * clustered batch write into a hidden `.occ-*` dir with no lock held
+  * (r10 — the expensive part of ingest no longer blocks concurrent
+  * DML/OCC commits), then under the writer lock (3) sweeps data files
+  * not referenced by any manifest — a previous attempt's
+  * crashed-publish debris — renames the staged files in, and commits
+  * the file list as one write-then-atomic-rename manifest; (4)
+  * refreshes the index — so
   * the plain `spark.read.parquet(lakeDir)` contract holds again the
   * moment a retry runs, and [[readCommitted]] holds even INSIDE the
   * crash window (it scans only manifest-listed files). The index is
@@ -98,72 +101,82 @@ object LayoutSink {
       }
       return
     }
-    // the batch's lake mutation runs under the shared WRITER LOCK:
-    // without it, (a) the horizon-0 vacuum below could sweep a
-    // concurrent merge's not-yet-published rewrite files, and (b) a
-    // manifest committed mid-merge could be subsumed-but-dropped by
-    // the merge's version checkpoint (its id re-reads the max at
-    // publish). One tiny create+delete per batch buys full
-    // serialization of ingest, DML and maintenance.
-    CommitLog.withWriterLock(fs, lakeDir) {
-    // first commit ever: grandfather pre-existing (bootstrap) files
-    // into their own manifest BEFORE any write, so a crash on the very
-    // first batch still leaves its orphans distinguishable from data
-    // the sink must never delete. Gate on RECORD count, not dir
-    // existence — taking the lock above already created the log dir
-    if (CommitLog.recordCount(fs, lakeDir) == 0)
-      CommitLog.commit(fs, lakeDir, -1L,
-        CommitLog.dataFileNames(fs, lakeDir).toSeq.sorted)
-    // a previous attempt of SOME batch may have crashed between its
-    // write and its commit — remove every unreferenced data file so
-    // the append below starts from exactly the committed lake.
-    // horizon 0: we hold the lock, so nothing can be mid-write
-    CommitLog.vacuum(fs, lakeDir, olderThanMs = 0L)
+    // STAGED ingest (r10): the batch's clustered write — a range
+    // exchange, per-file sort and parquet encode, the expensive part
+    // of ingest — runs with NO lock held, into a hidden `.occ-*`
+    // stage under the lake ([[graft.sources.Occ]]'s discipline:
+    // invisible to every reader and sweep, exact file attribution
+    // from the stage listing). The writer lock is then held only for
+    // a METADATA-scale commit section: renames + one manifest rename
+    // + the index/fold maintenance. Before r10 the lock spanned the
+    // whole write, so a long ingest batch serialized every concurrent
+    // DML/OCC commit behind it; now ingest and mutations interleave
+    // at commit granularity. The lock section still owns the
+    // horizon-0 vacuum (nothing can be mid-publish while it holds)
+    // and the first-commit bootstrap.
+    //
     // persist once: the emptiness probe, the curve write's min/max
     // aggregate and the parquet write are three separate actions —
-    // uncached they would re-read the batch's source files 3×
+    // uncached they would re-read the batch's source files 3×.
     // generated-column FILL: omitted defined columns are computed
-    // here, so every file written below already carries them
+    // here, so every staged file already carries them
     val b = graft.sources.GeneratedColumns.fill(spark, lakeDir, batch)
       .persist()
     try {
+      val stage = graft.sources.Occ.stageDir(lakeDir)
       val newFiles =
         if (b.isEmpty) Seq.empty[String]
         else {
-          val before = CommitLog.dataFileNames(fs, lakeDir)
-          ZOrder.curveWrite(b, lakeDir, zCols, bits,
+          ZOrder.curveWrite(b, stage, zCols, bits,
             numFiles = filesPerBatch, mode = "append", curve = curve)
-          (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
+          graft.sources.Occ.stagedNames(fs, stage)
         }
+      // CHECK-constraint + generated-column gates on exactly the
+      // STAGED bytes — zero lock time; a violating batch throws here
+      // and its stage is crash debris the aged sweep reclaims
+      graft.sources.Constraints.validatePaths(spark, lakeDir,
+        newFiles.map(n => s"$stage/$n"))
+      graft.sources.GeneratedColumns.validatePaths(spark, lakeDir,
+        newFiles.map(n => s"$stage/$n"))
       if (failAfterWrite)
         throw new RuntimeException("injected crash before commit")
-      // CHECK-constraint gate on exactly the files about to commit —
-      // a violating batch throws here and its files stay invisible
-      // debris (the next attempt's horizon-0 vacuum above sweeps them)
-      graft.sources.Constraints.validateFiles(spark, lakeDir, newFiles)
-      // generated-column ENFORCE beside the CHECK gate: a batch that
-      // SUPPLIED a defined column with drifted values is rejected
-      // with the same pre-publish atomicity
-      graft.sources.GeneratedColumns.validateFiles(spark, lakeDir,
-        newFiles)
-      CommitLog.commit(fs, lakeDir, batchId, newFiles)
-      if (failAfterCommit)
-        throw new RuntimeException("injected crash before index refresh")
-      // refresh AFTER commit, on a cleaned lake: the index never sees
-      // an orphan (mid-crash-window the sink is down, so no refresh
-      // runs until the retry has cleaned up)
-      if (newFiles.nonEmpty) {
-        StatsIndex.refresh(spark, lakeDir, zCols, indexDir); ()
+      CommitLog.withWriterLock(fs, lakeDir) {
+        // first commit ever: grandfather pre-existing (bootstrap)
+        // files into their own manifest BEFORE anything lands, so a
+        // crash on the very first batch still leaves its debris
+        // distinguishable from data the sink must never delete. Gate
+        // on RECORD count, not dir existence — taking the lock above
+        // already created the log dir
+        if (CommitLog.recordCount(fs, lakeDir) == 0)
+          CommitLog.commit(fs, lakeDir, -1L,
+            CommitLog.dataFileNames(fs, lakeDir).toSeq.sorted)
+        // a previous attempt of SOME batch may have crashed between
+        // its renames and its commit — remove every unreferenced data
+        // file (horizon 0: we hold the lock, nothing is mid-publish)
+        // and age out crashed attempts' stage dirs
+        CommitLog.vacuum(fs, lakeDir, olderThanMs = 0L)
+        graft.sources.Occ.sweepStaleStages(fs, lakeDir)
+        graft.sources.Occ.renameInto(fs, stage, newFiles, lakeDir)
+        CommitLog.commit(fs, lakeDir, batchId, newFiles)
+        if (failAfterCommit)
+          throw new RuntimeException(
+            "injected crash before index refresh")
+        // refresh AFTER commit, on a cleaned lake: the index never
+        // sees an orphan (mid-crash-window the sink is down, so no
+        // refresh runs until the retry has cleaned up)
+        if (newFiles.nonEmpty) {
+          StatsIndex.refresh(spark, lakeDir, zCols, indexDir); ()
+        }
+        // fold the log once it outgrows the threshold, so per-batch
+        // listing/parse cost stays O(checkpointEvery), not O(batches
+        // ever). Safe here: single writer, data + index already
+        // durable; a crash mid-fold leaves redundant subset records.
+        if (checkpointEvery > 0 &&
+            CommitLog.recordCount(fs, lakeDir) > checkpointEvery)
+          CommitLog.checkpoint(fs, lakeDir)
       }
-      // fold the log once it outgrows the threshold, so per-batch
-      // listing/parse cost stays O(checkpointEvery), not O(batches
-      // ever). Safe here: single writer, data + index already durable;
-      // a crash mid-fold leaves redundant subset records only.
-      if (checkpointEvery > 0 &&
-          CommitLog.recordCount(fs, lakeDir) > checkpointEvery)
-        CommitLog.checkpoint(fs, lakeDir)
+      fs.delete(new Path(stage), true); ()
     } finally { b.unpersist(); () }
-    }
   }
 
   /** Exactly-once read surface: only manifest-listed files, so a
