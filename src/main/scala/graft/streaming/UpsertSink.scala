@@ -40,7 +40,7 @@ object UpsertSink {
     * files, tripping the feed guard — refresh still converges, but by
     * full rebuild every batch.) */
   final case class ViewSpec(viewDir: String, groupCols: Seq[String],
-      sumCols: Seq[String])
+      sumCols: Seq[String], minMaxCols: Seq[String] = Nil)
 
   /** With `indexDir`, each batch's merge also keeps the lake's stats
     * index consistent (and uses it for touched-file discovery) — the
@@ -82,7 +82,8 @@ object UpsertSink {
         // both in (never split, never double-applied)
         view.foreach { v =>
           IncrementalView.refresh(batch.sparkSession, lakeDir,
-            v.viewDir, v.groupCols, v.sumCols): Unit
+            v.viewDir, v.groupCols, v.sumCols,
+            minMaxCols = v.minMaxCols): Unit
         }
         ()
       }

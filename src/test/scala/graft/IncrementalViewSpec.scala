@@ -208,4 +208,29 @@ class IncrementalViewSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("different columns"), e.getMessage)
   }
+
+  test("UpsertSink ViewSpec(minMaxCols) maintains min/max through the " +
+    "stream: replaced extrema rescan their groups per batch") {
+    val lake = mkLake()
+    val dir = Files.createTempDirectory("graft_ivsm_").toString
+    // updates REPLACE low-v rows with large values (old minima die in
+    // the feed → per-batch delete-touched rescans) and add a new group
+    val upd = spark.range(0, 60)
+      .selectExpr("CAST(id AS INT) AS k",
+        "concat('g', CAST(id % 3 AS STRING)) AS g", "id + 100000 AS v")
+    val ins = spark.range(5000, 5020)
+      .selectExpr("CAST(id AS INT) AS k", "'g9' AS g", "-id AS v")
+    upd.unionByName(ins).repartition(3).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val q = graft.streaming.UpsertSink.start(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"),
+      lake, s"$dir/ckp", Seq("k"), mor = true,
+      view = Some(graft.streaming.UpsertSink.ViewSpec(
+        s"$dir/view", Seq("g"), Seq("v"), minMaxCols = Seq("v"))))
+    q.awaitTermination()
+    assert(viewMM(s"$dir/view") == recomputeMM(lake),
+      "stream-maintained min/max view drifted from the recompute")
+    assert(viewMM(s"$dir/view").exists(r => r._1 == "g9" && r._4 < 0))
+  }
 }
