@@ -134,7 +134,8 @@ object CatalogScale {
     // state stores and all
     "qs5_stream_append_daily", "qs11_stream_lsh_incremental",
     "qs14_stream_layout", "qs15_stream_upsert", "qs16_stream_dv_read",
-    "qs17_stream_upsert_mor", "qs18_stream_view")
+    "qs17_stream_upsert_mor", "qs18_stream_view",
+    "qs19_stream_view_minmax")
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.filter(_.forall(_.isDigit))

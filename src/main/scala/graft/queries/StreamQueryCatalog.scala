@@ -510,6 +510,50 @@ object StreamQueryCatalog {
     IncrementalView.readView(s, s"$work/view")
   }
 
+  /** STREAM-MAINTAINED MIN/MAX + AVG VIEW (r10), oracle-checked end
+    * to end: qs18's MoR upsert stream with
+    * [[graft.streaming.UpsertSink.ViewSpec]]`(minMaxCols)` — every
+    * micro-batch's refresh folds insert extrema in monotonically and
+    * RESCANS only the groups whose extrema the batch's replacements
+    * killed (an upsert's feed is delete(old)+insert(new), so a
+    * replaced minimum per batch exercises the rescan arm repeatedly,
+    * across batch boundaries). The served result derives avg from the
+    * bit-exact (n, sum) pair at read time. The oracle recomputes the
+    * declarative last-wins end state with min/max/avg directly — the
+    * hash match proves per-batch min/max maintenance composes across
+    * every boundary to exactly the recompute, the r10 batch
+    * capability (q82) held under streaming maintenance. */
+  val qs19StreamViewMinmax: Q = (s, dir) => {
+    import graft.sources.{CommitLog, IncrementalView}
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_qs19_").toString
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    docs.withColumn("score", col("n_chars"))
+      .repartition(3).write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    val upd = docs.filter(col("doc_id") % 4 === 1)
+      .withColumn("score", col("n_chars") * 3)
+    val ins = docs.filter(col("doc_id") % 9 === 2)
+      .withColumn("doc_id", -col("doc_id"))
+      .withColumn("score", -col("n_chars"))
+    upd.unionByName(ins).repartition(4).write.parquet(s"$work/in")
+    val schema = s.read.parquet(s"$work/in").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+    val q = graft.streaming.UpsertSink.start(stream, lake,
+      s"$work/ckp", Seq("doc_id"), mor = true,
+      view = Some(graft.streaming.UpsertSink.ViewSpec(
+        s"$work/view", Seq("lang"), Seq("score"),
+        minMaxCols = Seq("score"))))
+    q.awaitTermination()
+    IncrementalView.readViewWithAvgs(s, s"$work/view", Seq("score"))
+  }
+
   /** STREAMING × MERGE-ON-READ boundary, oracle-checked end to end
     * (r8 VERDICT ask #5): a committed lake with crash orphans and
     * MoR-deleted rows consumed AS A STREAM through
@@ -541,6 +585,7 @@ object StreamQueryCatalog {
   }
 
   val defs: Map[String, Q] = Map(
+    "qs19_stream_view_minmax" -> qs19StreamViewMinmax,
     "qs18_stream_view" -> qs18StreamView,
     "qs17_stream_upsert_mor" -> qs17StreamUpsertMor,
     "qs16_stream_dv_read" -> qs16StreamDvRead,
@@ -561,6 +606,21 @@ object StreamQueryCatalog {
     "qs4_stream_dedup" -> qs4StreamDedup)
 
   val sql: Map[String, String] = Map(
+    "qs19_stream_view_minmax" ->
+      """WITH merged AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 4 = 1 THEN n_chars * 3 ELSE n_chars
+        |      END AS score
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT lang, -n_chars AS score
+        |  FROM documents WHERE doc_id % 9 = 2
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(score) AS BIGINT) AS sum_score,
+        |  min(score) AS min_score, max(score) AS max_score,
+        |  CAST(sum(score) AS DOUBLE) / count(*) AS avg_score
+        |FROM merged GROUP BY 1""".stripMargin,
     "qs18_stream_view" ->
       """WITH merged AS (
         |  SELECT lang,

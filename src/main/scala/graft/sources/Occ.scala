@@ -187,6 +187,107 @@ object Occ {
     throw new IllegalStateException("unreachable")
   }
 
+  /** OCC MERGE-ON-READ UPDATE — [[DeletionVectors.updateMor]]'s
+    * semantics (SET evaluated against the pre-update row, cast back
+    * to the column type; live rows only) with the lock held only for
+    * the commit section. Completes the OCC DML verb set:
+    * [[append]] / [[mergeMor]] / [[deleteMor]] / updateMor cover the
+    * blind-add, key-upsert, predicate-delete and predicate-update
+    * conflict classes. The matched scan, SET projection, staged
+    * sidecar + target-sized delta files and the constraint/generated
+    * gates all run unlocked against a pinned snapshot; an interleaved
+    * commit retries the whole discovery (its rows may have moved).
+    * Returns the number of rows updated. */
+  def updateMor(spark: SparkSession, lakeDir: String, predicate: String,
+      set: Map[String, String],
+      targetRowsPerDelta: Long = 1L << 20,
+      maxRetries: Int = 5, commitWaitMs: Long = 30000L,
+      beforeCommit: () => Unit = () => ()): Long = {
+    require(set.nonEmpty, "updateMor(occ) needs at least one SET")
+    require(targetRowsPerDelta > 0, "targetRowsPerDelta must be positive")
+    val fs = fsOf(spark, lakeDir)
+    GeneratedColumns.requireNoGeneratedSet(spark, lakeDir,
+      set.keySet, "updateMor(occ)")
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"updateMor(occ): $lakeDir has no commit log — cannot publish " +
+        "atomically")
+    sweepStaleStages(fs, lakeDir)
+    var attempt = 0
+    while (true) {
+      val snap @ (filesSnap, dvSnap) = CommitLog.committedView(fs, lakeDir)
+      require(filesSnap.nonEmpty,
+        s"updateMor(occ): no committed files in $lakeDir — ingest first")
+      val committed = filesSnap.toSeq.sorted
+      val lake = spark.read.option("mergeSchema", "true")
+        .parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*)
+      DeletionVectors.requireNoClash(lake, "updateMor(occ)")
+      val unknown = set.keySet -- lake.columns.toSet
+      require(unknown.isEmpty,
+        s"updateMor(occ): SET names unknown columns " +
+          s"${unknown.toSeq.sorted.mkString(", ")}")
+      val positioned = lake
+        .withColumn(DeletionVectors.FileCol, DeletionVectors.fileNameCol)
+        .withColumn(DeletionVectors.PosCol, col("_metadata.row_index"))
+      val live = DeletionVectors.vectorsFor(spark, lakeDir, dvSnap) match {
+        case None => positioned
+        case Some(dv) => positioned.join(
+          dv.select(col("file").as(DeletionVectors.FileCol),
+            col("pos").as(DeletionVectors.PosCol)),
+          Seq(DeletionVectors.FileCol, DeletionVectors.PosCol),
+          "left_anti")
+      }
+      val matched = live
+        .filter(coalesce(expr(predicate), lit(false)))
+        .localCheckpoint()
+      val n = matched.count()
+      if (n == 0) return 0L
+      val stage = stageDir(lakeDir)
+      matched
+        .select(col(DeletionVectors.FileCol).as("file"),
+          col(DeletionVectors.PosCol).as("pos"))
+        .repartition(1).write.parquet(s"$stage/dv")
+      val newDv = stagedNames(fs, s"$stage/dv")
+      val updated = GeneratedColumns.recompute(spark, lakeDir,
+        matched.select(lake.schema.fields.map { f =>
+          set.get(f.name) match {
+            case Some(e) => expr(e).cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }.toIndexedSeq: _*))
+      val nDelta = math.max(1L,
+        (n + targetRowsPerDelta - 1) / targetRowsPerDelta).toInt
+      updated.repartition(nDelta).write.parquet(s"$stage/data")
+      val delta = stagedNames(fs, s"$stage/data")
+      Constraints.validatePaths(spark, lakeDir,
+        delta.map(d => s"$stage/data/$d"))
+      GeneratedColumns.validatePaths(spark, lakeDir,
+        delta.map(d => s"$stage/data/$d"))
+      beforeCommit()
+      val won = CommitLog.withWriterLock(fs, lakeDir,
+          waitMs = commitWaitMs) {
+        if (CommitLog.committedView(fs, lakeDir) != snap) false
+        else {
+          renameInto(fs, s"$stage/dv", newDv,
+            DeletionVectors.dvDir(lakeDir))
+          renameInto(fs, s"$stage/data", delta, lakeDir)
+          val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+          CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
+            committed ++ delta,
+            dvNames = dvSnap.toSeq.sorted ++ newDv,
+            added = delta)
+          true
+        }
+      }
+      fs.delete(new Path(stage), true)
+      if (won) return n
+      attempt += 1
+      require(attempt < maxRetries,
+        s"updateMor(occ): $maxRetries consecutive commit conflicts on " +
+          s"$lakeDir — retry later or use the locked verb")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** OCC MERGE-ON-READ MERGE — [[DeletionVectors.mergeMor]]'s
     * semantics with the lock held only for the commit section.
     * Prepare (matched-row discovery, sidecar pairs, target-sized

@@ -166,4 +166,37 @@ class ConcurrencySpec extends SparkSpec {
     // idempotent repeat publishes nothing
     assert(Occ.deleteMor(spark, lake, "k % 4 = 1") == 0L)
   }
+
+  test("OCC update racing a merge: the update retries, applies to the " +
+    "post-merge LIVE rows, and never updates dead rows") {
+    val lake = mkLake()
+    // seed 5 matching rows so the first attempt prepares a real stage
+    DeletionVectors.mergeMor(spark, lake,
+      (100 until 105).map(k => (k, -5L)).toDF("k", "v"), Seq("k"))
+    val injected = new AtomicBoolean(false)
+    // the injected (locked) merge replaces k < 20 with v = -100 INSIDE
+    // the update's window: the retry must re-evaluate the predicate
+    // over the post-merge live view — 20 fresh matches join the 5
+    // seeded ones, and a stale snapshot would update only 5
+    val n = Occ.updateMor(spark, lake, "v < 0",
+      Map("v" -> "v - 1"),
+      beforeCommit = () => {
+        if (injected.compareAndSet(false, true)) {
+          DeletionVectors.mergeMor(spark, lake,
+            (0 until 20).map(k => (k, -100L)).toDF("k", "v"), Seq("k"))
+        }
+      })
+    assert(n == 25L, s"updated $n")
+    val got = DeletionVectors.readMor(spark, lake)
+    assert(got.count() == 200L)
+    assert(got.filter(col("k") < 20 && col("v") =!= -101L).count() == 0L)
+    assert(got.filter(col("k") >= 100 && col("k") < 105 &&
+      col("v") =!= -6L).count() == 0L)
+    assert(got.filter((col("k") >= 20 && col("k") < 100 ||
+      col("k") >= 105) && col("v") =!= col("k") * 2).count() == 0L)
+    // idempotence of the POSITIONS: the updated rows are live, their
+    // predecessors dead; a second disjoint update touches none of them
+    assert(Occ.updateMor(spark, lake, "v > 999999",
+      Map("v" -> "0")) == 0L)
+  }
 }
