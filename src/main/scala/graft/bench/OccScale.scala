@@ -51,6 +51,7 @@ object OccScale {
     val exec = Executors.newFixedThreadPool(n)
     val pool = ExecutionContext.fromExecutor(exec)
     val expected = li.count() * n * k
+    try {
 
     def run(tag: String)(append: (String, Int) => Unit): Double = {
       val root = s"/root/repo/target/scale/occ_$tag"
@@ -89,9 +90,87 @@ object OccScale {
       Occ.append(spark, lake, li.withColumn("writer", lit(t)),
         numFiles = 1, commitWaitMs = 1800000L): Unit
     }
-    exec.shutdown()
+
+    // MIXED cell: (n-1) appender threads + ONE merger thread doing k
+    // sequential MoR upserts against a pre-committed base — the
+    // ingest-meets-DML interleave the staged-writer surface exists
+    // for. `locked` uses the classic long-lock verbs; `occ` the
+    // staged ones (the merge pays conflict retries when an append
+    // commits inside its window — the honest Delta trade, measured).
+    import graft.sources.DeletionVectors
+    val base = spark.range(2000000L)
+      .selectExpr("CAST(id AS LONG) AS k", "id * 2 AS v")
+      .localCheckpoint()
+    val upd = spark.range(50000L)
+      .selectExpr("CAST(id AS LONG) AS k", "CAST(-1 AS LONG) AS v")
+      .localCheckpoint()
+    def runMixed(tag: String)(
+        append: (String, Int) => Unit, merge: String => Unit): Double = {
+      val root = s"/root/repo/target/scale/occm_$tag"
+      rmrf(root)
+      val lake = s"$root/lake"
+      val fs = new Path(lake)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      base.coalesce(4).write.parquet(lake)
+      CommitLog.commit(fs, lake, 0L,
+        CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+      val sec = secs {
+        val appends = (0 until n - 1).map { t =>
+          Future { (0 until k).foreach(_ => append(lake, t)) }(pool)
+        }
+        val merges = Future { (0 until k).foreach(_ => merge(lake)) }(pool)
+        (appends :+ merges).foreach(Await.result(_, 30.minutes))
+      }
+      val got = DeletionVectors.readMor(spark, lake)
+      require(got.count() ==
+        2000000L + li.count() * (n - 1) * k &&
+        got.filter(col("k") < 50000 && col("v") =!= -1L).count() == 0L,
+        s"$tag: mixed end state drifted")
+      sec
+    }
+    val mixedLocked = runMixed("locked")(
+      append = { (lake, t) =>
+        val fs = new Path(lake)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        CommitLog.withWriterLock(fs, lake, waitMs = 1800000L) {
+          val before = CommitLog.dataFileNames(fs, lake)
+          li.select((col("l_orderkey") + lit(t) * 100000000L + 10000000L)
+              .as("k"), lit(9L).as("v"))
+            .coalesce(1).write.mode("append").parquet(lake)
+          val files =
+            (CommitLog.dataFileNames(fs, lake) -- before).toSeq.sorted
+          val id = math.max(CommitLog.maxCommittedId(fs, lake), -1L) + 1L
+          CommitLog.commit(fs, lake, id, files)
+        }
+      },
+      merge = { lake =>
+        // the locked verb fails fast on a held lock — spin-retry as a
+        // production caller would, so the cell measures serialization,
+        // not give-up
+        var done = false
+        while (!done) {
+          try { DeletionVectors.mergeMor(spark, lake, upd, Seq("k"))
+            done = true }
+          catch { case _: IllegalStateException => Thread.sleep(50L) }
+        }
+      })
+    val mixedOcc = runMixed("occ")(
+      append = { (lake, t) =>
+        Occ.append(spark, lake,
+          li.select((col("l_orderkey") + lit(t) * 100000000L + 10000000L)
+            .as("k"), lit(9L).as("v")),
+          numFiles = 1, commitWaitMs = 1800000L): Unit
+      },
+      merge = { lake =>
+        Occ.mergeMor(spark, lake, upd, Seq("k"),
+          maxRetries = 50, commitWaitMs = 1800000L): Unit
+      })
     println(f"""{"metric":"occ_commit_throughput","appenders":$n,""" +
       f""""batches_each":$k,"locked_sec":$locked%.2f,""" +
-      f""""occ_sec":$occ%.2f,"speedup":${locked / occ}%.2f}""")
+      f""""occ_sec":$occ%.2f,"speedup":${locked / occ}%.2f,""" +
+      f""""mixed_locked_sec":$mixedLocked%.2f,""" +
+      f""""mixed_occ_sec":$mixedOcc%.2f,""" +
+      f""""mixed_speedup":${mixedLocked / mixedOcc}%.2f}""")
+    } finally exec.shutdown()
   }
 }

@@ -98,7 +98,20 @@ object Occ {
     * and nothing else, where a before/after diff of the live dir
     * would blame a concurrent appender's files on this manifest.
     * Returns the committed batch id, or -1 for empty input (no-op —
-    * nothing published). */
+    * nothing published).
+    *
+    * ID-SPACE CONTRACT: the claimed id is `max committed + 1`, so OCC
+    * appenders and the DML verbs (which publish AT the max) compose
+    * freely — but an EPOCH-REPLAYING streaming sink
+    * ([[graft.streaming.LayoutSink]], `UpsertSink`'s checkpointed
+    * query) must OWN its lake's id space: its restart-replay
+    * idempotence reads "id ≤ a committed id" as "already done", so an
+    * Occ.append claiming ids ABOVE the sink's next epoch would make
+    * the sink silently skip that epoch's rows when its counter
+    * reaches the same number (the exact collision
+    * [[CommitLog.restore]]'s publishes-at-max convention exists to
+    * avoid). One lake, one id-claiming discipline: an epoch sink
+    * alone, or OCC appenders (+ DML verbs) alone. */
   def append(spark: SparkSession, lakeDir: String, df: DataFrame,
       numFiles: Int = 0, commitWaitMs: Long = 30000L): Long = {
     val fs = fsOf(spark, lakeDir)
