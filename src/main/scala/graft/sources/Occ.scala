@@ -130,6 +130,16 @@ object Occ {
       names.map(n => s"$stage/$n"))
     val id = CommitLog.withWriterLock(fs, lakeDir,
         waitMs = commitWaitMs) {
+      // first commit ever on a lake with PRE-EXISTING plain files:
+      // grandfather them into the bootstrap manifest first (the
+      // LayoutSink convention) — without it those files would drop
+      // out of the committed view and age into vacuum's sweep as
+      // false orphans
+      if (CommitLog.recordCount(fs, lakeDir) == 0) {
+        val existing = CommitLog.dataFileNames(fs, lakeDir)
+        if (existing.nonEmpty)
+          CommitLog.commit(fs, lakeDir, -1L, existing.toSeq.sorted)
+      }
       renameInto(fs, stage, names, lakeDir)
       val next = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L) + 1L
       CommitLog.commit(fs, lakeDir, next, names)

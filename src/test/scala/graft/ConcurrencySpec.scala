@@ -199,4 +199,23 @@ class ConcurrencySpec extends SparkSpec {
     assert(Occ.updateMor(spark, lake, "v > 999999",
       Map("v" -> "0")) == 0L)
   }
+
+  test("Occ.append on a lake with pre-existing UNLOGGED files " +
+    "grandfathers them into the bootstrap manifest — nothing becomes " +
+    "a false orphan") {
+    val dir = Files.createTempDirectory("graft_occ_boot_").toString
+    val lake = s"$dir/lake"
+    val f = fs(lake)
+    (0 until 100).map(k => (k, 1L)).toDF("k", "v").coalesce(1)
+      .write.parquet(lake) // plain data, no log
+    val id = Occ.append(spark, lake,
+      (1000 until 1050).map(k => (k, 2L)).toDF("k", "v"))
+    assert(id == 0L)
+    val got = graft.streaming.LayoutSink.readCommitted(spark, lake)
+    assert(got.count() == 150L, "pre-existing rows must stay committed")
+    // the grandfathered files survive an aggressive vacuum
+    assert(CommitLog.vacuum(f, lake, olderThanMs = 0L).isEmpty)
+    assert(graft.streaming.LayoutSink.readCommitted(spark, lake)
+      .count() == 150L)
+  }
 }
