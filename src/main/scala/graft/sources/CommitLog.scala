@@ -602,11 +602,57 @@ object CommitLog {
       val id = recordId(s.getPath.getName)
       row(s, id, 0L, "manifest",
         current = id > ckptMax,
-        // DML mutations above are transparent to reconstruction;
-        // only a truncating fold at-or-above ends a manifest's reach
-        reachable = id >= truncMax)
+        // DML mutations above are transparent to reconstruction; only
+        // a truncating fold AT-OR-ABOVE ends a manifest's reach —
+        // strictly-above here, matching [[viewOfVersion]]'s refusal
+        // (`>= v.id`) exactly, so history never reports reachable a
+        // version the travel API then rejects (the id == truncMax
+        // boundary the normal compactSmall flow produces)
+        reachable = id > truncMax)
     }
     (c ++ m).sortBy(r => (r.id, r.gen, r.kind))
+  }
+
+  /** EPOCH-OWNER marker (under the log dir): present when an
+    * epoch-replaying streaming sink ([[graft.streaming.LayoutSink]])
+    * owns this lake's manifest-id space. The sink's restart-replay
+    * idempotence reads "id ≤ a committed id" as "already done"
+    * ([[isCommitted]]), so a foreign writer claiming ids ABOVE the
+    * sink's next epoch ([[graft.sources.Occ.append]]'s max+1) would
+    * make the sink silently skip a whole epoch's rows — silent data
+    * loss. The marker turns that documented one-lake-one-id-discipline
+    * contract into a runtime gate: the sink publishes it inside its
+    * first commit section, and `Occ.append` REFUSES an epoch-owned
+    * lake (DML verbs are unaffected — they publish AT the max, never
+    * claiming a new id). Never a log record (no `.manifest`/
+    * `.checkpoint` suffix); content names the claimant for the
+    * refusal diagnostic. */
+  private val EpochOwnerName = "_epoch_owner"
+
+  private def epochOwnerPath(lakeDir: String): Path =
+    new Path(logDir(lakeDir), EpochOwnerName)
+
+  /** Claim the lake's id space for an epoch-replaying sink —
+    * idempotent (first claim wins; re-claims by the same or a
+    * restarted sink are no-ops). Callers hold the writer lock. */
+  def claimEpochOwner(fs: FileSystem, lakeDir: String,
+      owner: String): Unit = {
+    val p = epochOwnerPath(lakeDir)
+    if (fs.exists(p)) return
+    fs.mkdirs(new Path(logDir(lakeDir)))
+    val out =
+      try fs.create(p, /* overwrite = */ false)
+      catch { case _: java.io.IOException => return } // raced: claimed
+    try out.write(owner.getBytes(UTF_8)) finally out.close()
+  }
+
+  /** The epoch sink owning this lake's id space, if one claimed it. */
+  def epochOwner(fs: FileSystem, lakeDir: String): Option[String] = {
+    val p = epochOwnerPath(lakeDir)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+    finally in.close()
   }
 
   /** SHALLOW-CLONE pointer file name (under the log dir): when
@@ -866,8 +912,24 @@ object CommitLog {
   private val jvmWriterLocks =
     new ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
 
+  /** Test seam: the in-process arbitration lock for `lakeDir`, so a
+    * spec can occupy the JVM stage alone and assert the `waitMs`
+    * bound spans BOTH acquisition stages (one deadline — a contender
+    * must not wait up to waitMs on the JVM lock and then up to
+    * ANOTHER waitMs on the file lock). */
+  private[graft] def jvmLockFor(fs: FileSystem,
+      lakeDir: String): java.util.concurrent.locks.ReentrantLock =
+    jvmWriterLocks.computeIfAbsent(
+      fs.makeQualified(new Path(logDir(lakeDir))).toString,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+
   def withWriterLock[T](fs: FileSystem, lakeDir: String,
       staleMs: Long = 600000L, waitMs: Long = 0L)(body: => T): T = {
+    // ONE deadline across both acquisition stages: without it a
+    // contender could wait up to waitMs on the in-process lock and
+    // then up to ANOTHER waitMs in the file-lock spin — ~2× the bound
+    // the caller asked for
+    val deadline = System.currentTimeMillis() + waitMs
     val jvmKey = fs.makeQualified(new Path(logDir(lakeDir))).toString
     val jvmLock = jvmWriterLocks.computeIfAbsent(jvmKey,
       _ => new java.util.concurrent.locks.ReentrantLock())
@@ -879,7 +941,10 @@ object CommitLog {
       throw new IllegalStateException(
         s"another mutation holds the writer lock on $lakeDir — " +
           "retry after it publishes (in-process contender)")
-    try withFileWriterLock(fs, lakeDir, staleMs, waitMs)(body)
+    val remainingMs =
+      if (waitMs > 0) math.max(0L, deadline - System.currentTimeMillis())
+      else 0L
+    try withFileWriterLock(fs, lakeDir, staleMs, remainingMs)(body)
     finally jvmLock.unlock()
   }
 

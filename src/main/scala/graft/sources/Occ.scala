@@ -86,6 +86,24 @@ object Occ {
     }
   }
 
+  /** The lake's live CHECK-constraint + generated-column definitions,
+    * pinned as one comparable value. OCC verbs run the data-quality
+    * gates (and generated-column recompute/fill) against STAGED bytes
+    * with no lock held, so a definition added or changed between
+    * prepare and commit would otherwise publish unvalidated (or
+    * stale-generated) rows — [[Constraints.add]] validates only what
+    * is COMMITTED at its scan, and a staged-but-unpublished batch is
+    * invisible to it. Pinning the definitions into the snapshot and
+    * comparing inside the commit section closes that window: the DML
+    * verbs treat a definition change as a CONFLICT (full re-prepare —
+    * their staged rows may embed the old definitions via recompute/
+    * fill), while [[append]] re-validates its unchanged staged bytes
+    * under the lock (caller-provided rows; only the gate re-runs). */
+  private def defsSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+      lakeDir: String): (Seq[(String, String)],
+      Seq[(String, String, String)]) =
+    (Constraints.list(fs, lakeDir), GeneratedColumns.list(fs, lakeDir))
+
   /** OCC APPEND: stage the parquet write with no lock held, then
     * claim the next batch id and publish the manifest in a
     * metadata-scale commit section. Never conflicts: a blind add
@@ -111,10 +129,27 @@ object Occ {
     * reaches the same number (the exact collision
     * [[CommitLog.restore]]'s publishes-at-max convention exists to
     * avoid). One lake, one id-claiming discipline: an epoch sink
-    * alone, or OCC appenders (+ DML verbs) alone. */
+    * alone, or OCC appenders (+ DML verbs) alone — ENFORCED at
+    * runtime since r11: the sink claims its lake with an
+    * [[CommitLog.claimEpochOwner]] marker at first commit, and this
+    * verb REFUSES a marked lake up front (before any staged write)
+    * and again inside the commit section (a sink may claim between
+    * prepare and commit). */
   def append(spark: SparkSession, lakeDir: String, df: DataFrame,
-      numFiles: Int = 0, commitWaitMs: Long = 30000L): Long = {
+      numFiles: Int = 0, commitWaitMs: Long = 30000L,
+      beforeCommit: () => Unit = () => ()): Long = {
     val fs = fsOf(spark, lakeDir)
+    def requireNotEpochOwned(): Unit =
+      CommitLog.epochOwner(fs, lakeDir).foreach { owner =>
+        throw new IllegalStateException(
+          s"Occ.append: $lakeDir's id space is owned by an " +
+            s"epoch-replaying sink ($owner) — an append claiming " +
+            "max+1 would make the sink's replay-idempotence check " +
+            "silently skip a future epoch's rows. Ingest through the " +
+            "sink, or merge/update via the DML verbs (they publish " +
+            "at the current max, never claiming a new id)")
+      }
+    requireNotEpochOwned()
     sweepStaleStages(fs, lakeDir)
     val stage = stageDir(lakeDir)
     val framed = if (numFiles > 0) df.repartition(numFiles) else df
@@ -124,12 +159,28 @@ object Occ {
       spark.read.parquet(names.map(n => s"$stage/$n"): _*).head(1).nonEmpty
     if (!hasRows) { fs.delete(new Path(stage), true); return -1L }
     // pre-publish gates read the STAGED bytes — zero lock time
+    val defsSnap = defsSnapshot(fs, lakeDir)
     Constraints.validatePaths(spark, lakeDir,
       names.map(n => s"$stage/$n"))
     GeneratedColumns.validatePaths(spark, lakeDir,
       names.map(n => s"$stage/$n"))
+    beforeCommit()
     val id = CommitLog.withWriterLock(fs, lakeDir,
         waitMs = commitWaitMs) {
+      requireNotEpochOwned()
+      // a constraint/generated-column added between the staged-bytes
+      // validation and this commit section was gated against the
+      // COMMITTED rows only — re-run the gates on the (unchanged)
+      // staged bytes under the lock, so no committed version can
+      // violate a live definition. Rare (definition churn), so the
+      // usually-metadata-scale section paying one O(batch) re-read
+      // here is the cheap arm of the advice's retry-or-revalidate
+      if (defsSnapshot(fs, lakeDir) != defsSnap) {
+        Constraints.validatePaths(spark, lakeDir,
+          names.map(n => s"$stage/$n"))
+        GeneratedColumns.validatePaths(spark, lakeDir,
+          names.map(n => s"$stage/$n"))
+      }
       // first commit ever on a lake with PRE-EXISTING plain files:
       // grandfather them into the bootstrap manifest first (the
       // LayoutSink convention) — without it those files would drop
@@ -238,6 +289,14 @@ object Occ {
     var attempt = 0
     while (true) {
       val snap @ (filesSnap, dvSnap) = CommitLog.committedView(fs, lakeDir)
+      // definitions are part of the snapshot: recompute and the gates
+      // below embed them into the staged delta, so a mid-prepare
+      // add/drop is a conflict exactly like a moved file (re-checked
+      // here too — a definition landing mid-loop must not silently
+      // override this SET)
+      val defsSnap = defsSnapshot(fs, lakeDir)
+      GeneratedColumns.requireNoGeneratedSet(spark, lakeDir,
+        set.keySet, "updateMor(occ)")
       require(filesSnap.nonEmpty,
         s"updateMor(occ): no committed files in $lakeDir — ingest first")
       val committed = filesSnap.toSeq.sorted
@@ -288,7 +347,8 @@ object Occ {
       beforeCommit()
       val won = CommitLog.withWriterLock(fs, lakeDir,
           waitMs = commitWaitMs) {
-        if (CommitLog.committedView(fs, lakeDir) != snap) false
+        if (CommitLog.committedView(fs, lakeDir) != snap ||
+            defsSnapshot(fs, lakeDir) != defsSnap) false
         else {
           renameInto(fs, s"$stage/dv", newDv,
             DeletionVectors.dvDir(lakeDir))
@@ -337,16 +397,22 @@ object Occ {
       s"mergeMor(occ): $lakeDir has no commit log — cannot publish " +
         "atomically")
     sweepStaleStages(fs, lakeDir)
-    val updates0 = GeneratedColumns.fill(spark, lakeDir, updates)
-      .localCheckpoint()
-    MergeInto.requireUniqueKeys(updates0, keys, "mergeMor(occ)")
-    DeletionVectors.requireNoClash(updates0, "mergeMor(occ)")
-    val appended = updates0.count()
-    if (appended == 0) return (0L, 0L)
     var attempt = 0
     while (true) {
       // ---- PREPARE (no lock): everything expensive happens here ----
       val snap @ (filesSnap, dvSnap) = CommitLog.committedView(fs, lakeDir)
+      // definitions are part of the snapshot (see [[defsSnapshot]]);
+      // the generated-column FILL below embeds them into the staged
+      // delta, so it re-runs per attempt — a mid-prepare definition
+      // change is a conflict, and the retry re-fills under the fresh
+      // definitions instead of publishing stale-generated rows
+      val defsSnap = defsSnapshot(fs, lakeDir)
+      val updates0 = GeneratedColumns.fill(spark, lakeDir, updates)
+        .localCheckpoint()
+      MergeInto.requireUniqueKeys(updates0, keys, "mergeMor(occ)")
+      DeletionVectors.requireNoClash(updates0, "mergeMor(occ)")
+      val appended = updates0.count()
+      if (appended == 0) return (0L, 0L)
       require(filesSnap.nonEmpty,
         s"mergeMor(occ): no committed files in $lakeDir — ingest first")
       val committed = filesSnap.toSeq.sorted
@@ -398,7 +464,8 @@ object Occ {
       // ---- COMMIT SECTION (locked, metadata-scale) ----
       val won = CommitLog.withWriterLock(fs, lakeDir,
           waitMs = commitWaitMs) {
-        if (CommitLog.committedView(fs, lakeDir) != snap) false
+        if (CommitLog.committedView(fs, lakeDir) != snap ||
+            defsSnapshot(fs, lakeDir) != defsSnap) false
         else {
           renameInto(fs, s"$stage/dv", newDv,
             DeletionVectors.dvDir(lakeDir))

@@ -563,6 +563,11 @@ object ZOrder {
       Constraints.replicate(fs, tmp.toString, Constraints.list(fs, path))
       GeneratedColumns.replicate(fs, tmp.toString,
         GeneratedColumns.list(fs, path))
+      // the epoch-owner marker is table metadata too: dropping it
+      // across the swap would re-open the lake to an Occ.append whose
+      // max+1 id claim collides with the owning sink's future epochs
+      CommitLog.epochOwner(fs, path).foreach(owner =>
+        CommitLog.claimEpochOwner(fs, tmp.toString, owner))
     }
     fs.delete(old, true) // stale leftover from a prior crashed swap
     require(fs.rename(new Path(path), old),

@@ -86,7 +86,8 @@ object LayoutSink {
       filesPerBatch: Int, curve: String,
       failAfterWrite: Boolean = false,
       failAfterCommit: Boolean = false,
-      checkpointEvery: Int = 16): Unit = {
+      checkpointEvery: Int = 16,
+      commitWaitMs: Long = 30000L): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -133,14 +134,37 @@ object LayoutSink {
         }
       // CHECK-constraint + generated-column gates on exactly the
       // STAGED bytes — zero lock time; a violating batch throws here
-      // and its stage is crash debris the aged sweep reclaims
-      graft.sources.Constraints.validatePaths(spark, lakeDir,
-        newFiles.map(n => s"$stage/$n"))
-      graft.sources.GeneratedColumns.validatePaths(spark, lakeDir,
-        newFiles.map(n => s"$stage/$n"))
+      // and its stage is crash debris the aged sweep reclaims. The
+      // definitions read here are PINNED: a Constraints.add landing
+      // between this gate and the commit section validated only the
+      // committed rows (this stage is invisible to it), so the commit
+      // section re-runs the gates when the pin no longer matches
+      def defsPin() = (graft.sources.Constraints.list(fs, lakeDir),
+        graft.sources.GeneratedColumns.list(fs, lakeDir))
+      val pinnedDefs = defsPin()
+      def validateStaged(): Unit = {
+        graft.sources.Constraints.validatePaths(spark, lakeDir,
+          newFiles.map(n => s"$stage/$n"))
+        graft.sources.GeneratedColumns.validatePaths(spark, lakeDir,
+          newFiles.map(n => s"$stage/$n"))
+      }
+      validateStaged()
       if (failAfterWrite)
         throw new RuntimeException("injected crash before commit")
-      CommitLog.withWriterLock(fs, lakeDir) {
+      // bounded wait, NOT fail-fast: the concurrent ingest+OCC mix
+      // means an OCC verb's ms-scale commit section can be in flight
+      // at this acquire — failing the fully-staged batch (and the
+      // whole streaming query with it) over a millisecond of
+      // contention is the wrong trade; briefly waiting is the same
+      // courtesy the OCC verbs extend to the sink
+      CommitLog.withWriterLock(fs, lakeDir, waitMs = commitWaitMs) {
+        // claim the lake's manifest-id space for epoch replay: an
+        // Occ.append claiming max+1 on this lake would collide with a
+        // FUTURE batchId of this query and silently skip that epoch's
+        // rows (isCommitted reads "id ≤ committed" as done) — the
+        // marker makes Occ.append refuse. Idempotent, one probe
+        CommitLog.claimEpochOwner(fs, lakeDir, "LayoutSink")
+        if (defsPin() != pinnedDefs) validateStaged()
         // first commit ever: grandfather pre-existing (bootstrap)
         // files into their own manifest BEFORE anything lands, so a
         // crash on the very first batch still leaves its debris

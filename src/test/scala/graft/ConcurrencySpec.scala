@@ -218,4 +218,161 @@ class ConcurrencySpec extends SparkSpec {
     assert(graft.streaming.LayoutSink.readCommitted(spark, lake)
       .count() == 150L)
   }
+
+  test("Occ.append refuses an epoch-owned lake (the sink's id space); " +
+    "DML verbs, which publish at the max, still compose") {
+    val dir = Files.createTempDirectory("graft_occ_epoch_").toString
+    val lake = s"$dir/lake"
+    val f = fs(lake)
+    // one sink batch claims the manifest-id space for epoch replay
+    graft.streaming.LayoutSink.processBatch(
+      (0 until 100).map(k => (k, 2L * k)).toDF("k", "v"), batchId = 0L,
+      lake, s"$dir/idx", Seq("k"), bits = 10, filesPerBatch = 2,
+      curve = "morton")
+    assert(CommitLog.epochOwner(f, lake).contains("LayoutSink"))
+    val e = intercept[IllegalStateException] {
+      Occ.append(spark, lake, Seq((5000, 5L)).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("epoch"), e.getMessage)
+    // nothing was staged-then-published: the committed view is intact
+    assert(graft.streaming.LayoutSink.readCommitted(spark, lake)
+      .count() == 100L)
+    // the sink's NEXT epoch replays cleanly — no skipped batch
+    graft.streaming.LayoutSink.processBatch(
+      Seq((9000, 9L)).toDF("k", "v"), batchId = 1L,
+      lake, s"$dir/idx", Seq("k"), bits = 10, filesPerBatch = 1,
+      curve = "morton")
+    assert(graft.streaming.LayoutSink.readCommitted(spark, lake)
+      .count() == 101L)
+    // a MoR merge publishes AT the max id (no new id claim) — allowed
+    val (m, a) = Occ.mergeMor(spark, lake,
+      Seq((0, -1L)).toDF("k", "v"), Seq("k"))
+    assert(m == 1L && a == 1L)
+    // a sink that claims BETWEEN an append's prepare and its commit
+    // section is caught by the in-lock re-check, not just the entry one
+    val lake2 = mkLake()
+    val e2 = intercept[IllegalStateException] {
+      Occ.append(spark, lake2, Seq((1, 1L)).toDF("k", "v"),
+        beforeCommit = () =>
+          CommitLog.claimEpochOwner(fs(lake2), lake2, "LayoutSink"))
+    }
+    assert(e2.getMessage.contains("epoch"), e2.getMessage)
+    assert(graft.streaming.LayoutSink.readCommitted(spark, lake2)
+      .count() == 200L)
+  }
+
+  test("a CHECK constraint added between an OCC append's staged-bytes " +
+    "validation and its commit section still gates the publish: the " +
+    "in-lock re-validation rejects a violating batch") {
+    val lake = mkLake() // committed rows all have v >= 0
+    val f = fs(lake)
+    val e = intercept[graft.sources.Constraints.ConstraintViolation] {
+      Occ.append(spark, lake,
+        Seq((10000, -5L)).toDF("k", "v"), // violates the future gate
+        beforeCommit = () =>
+          graft.sources.Constraints.add(spark, lake, "v_nonneg", "v >= 0"))
+    }
+    assert(e.name == "v_nonneg")
+    // nothing published: committed view unchanged, no committed row
+    // violates the live constraint
+    val got = graft.streaming.LayoutSink.readCommitted(spark, lake)
+    assert(got.count() == 200L)
+    assert(got.filter(col("v") < 0).count() == 0L)
+  }
+
+  test("a definition change inside an OCC DML verb's window is a " +
+    "CONFLICT: the verb re-prepares under the fresh definitions — " +
+    "a violating update is rejected, a compatible merge lands") {
+    // negative arm: the update's staged delta violates the constraint
+    // that landed mid-window; the conflict retry re-validates and throws
+    val lake = mkLake()
+    val added = new AtomicBoolean(false)
+    val e = intercept[graft.sources.Constraints.ConstraintViolation] {
+      Occ.updateMor(spark, lake, "k < 10", Map("v" -> "-1"),
+        beforeCommit = () => {
+          if (added.compareAndSet(false, true))
+            graft.sources.Constraints.add(spark, lake, "v_nonneg", "v >= 0")
+        })
+    }
+    assert(e.name == "v_nonneg")
+    val got = graft.sources.DeletionVectors.readMor(spark, lake)
+    assert(got.count() == 200L)
+    assert(got.filter(col("v") < 0).count() == 0L,
+      "the rejected update must not publish stale-validated rows")
+    // positive arm: a merge whose delta SATISFIES the mid-window
+    // constraint pays exactly one conflict retry and lands
+    val lake2 = mkLake()
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val (m, a) = Occ.mergeMor(spark, lake2,
+      (0 until 5).map(k => (k, 7L)).toDF("k", "v"), Seq("k"),
+      beforeCommit = () => {
+        if (calls.incrementAndGet() == 1)
+          graft.sources.Constraints.add(spark, lake2, "v_nonneg", "v >= 0")
+      })
+    assert(m == 5L && a == 5L)
+    assert(calls.get() == 2, s"expected one conflict retry, saw $calls")
+    val got2 = graft.sources.DeletionVectors.readMor(spark, lake2)
+    assert(got2.filter(col("k") < 5 && col("v") =!= 7L).count() == 0L)
+    assert(got2.count() == 200L)
+  }
+
+  test("the sink's commit section WAITS out a briefly-held writer " +
+    "lock instead of failing the fully-staged batch (and the " +
+    "streaming query with it)") {
+    val dir = Files.createTempDirectory("graft_occ_sinkwait_").toString
+    val lake = s"$dir/lake"
+    val f = fs(lake)
+    val acquired = new java.util.concurrent.CountDownLatch(1)
+    // an OCC commit section (here: stretched to seconds) holds the
+    // lock when the sink's acquire lands
+    val holder = Future {
+      CommitLog.withWriterLock(f, lake) {
+        acquired.countDown()
+        Thread.sleep(3000L)
+      }
+    }
+    assert(acquired.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    // fail-fast (waitMs = 0) used to throw HERE, killing the batch
+    graft.streaming.LayoutSink.processBatch(
+      (0 until 50).map(k => (k, k.toLong)).toDF("k", "v"), batchId = 0L,
+      lake, s"$dir/idx", Seq("k"), bits = 10, filesPerBatch = 1,
+      curve = "morton")
+    Await.result(holder, 60.seconds)
+    assert(graft.streaming.LayoutSink.readCommitted(spark, lake)
+      .count() == 50L)
+  }
+
+  test("withWriterLock's waitMs is ONE deadline across the in-process " +
+    "and file-lock stages — a contender never waits ~2x the bound") {
+    val lake = mkLake()
+    val f = fs(lake)
+    // an "external process" holds the file lock for the whole test
+    val lockPath = new Path(CommitLog.logDir(lake), "WRITER_LOCK")
+    f.mkdirs(new Path(CommitLog.logDir(lake)))
+    val out = f.create(lockPath, false)
+    out.write(s"${System.currentTimeMillis()} ext".getBytes("UTF-8"))
+    out.close()
+    // ...and an in-process holder occupies the JVM stage for ~400 ms
+    val jvm = CommitLog.jvmLockFor(f, lake)
+    jvm.lock()
+    val t0 = System.nanoTime()
+    val fut = Future {
+      intercept[IllegalStateException] {
+        CommitLog.withWriterLock(f, lake, waitMs = 700L) {
+          fail("must not enter: the file lock is held throughout")
+        }
+      }
+      (System.nanoTime() - t0) / 1e6
+    }
+    Thread.sleep(400L)
+    jvm.unlock()
+    val elapsedMs = Await.result(fut, 30.seconds)
+    // two stacked waits would be ~400 (JVM) + 700 (file) = ~1100 ms;
+    // one deadline caps the total at ~700 ms (+ scheduling slack)
+    assert(elapsedMs >= 500, f"gave up too early: $elapsedMs%.0f ms")
+    assert(elapsedMs < 1050,
+      f"waited ~2x the bound: $elapsedMs%.0f ms — the deadline must " +
+        "span both stages")
+    f.delete(lockPath, false)
+  }
 }

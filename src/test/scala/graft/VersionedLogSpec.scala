@@ -158,6 +158,35 @@ class VersionedLogSpec extends SparkSpec {
     assert(CommitLog.isCommitted(f, lake, 1L))
   }
 
+  test("history's manifest reach agrees with viewOfVersion at the " +
+    "fold boundary: a truncating checkpoint AT a live manifest's id " +
+    "marks it unreachable (the compactSmall shape)") {
+    val lake = mkLake() // manifests 0..2
+    val f = fs(lake)
+    // a compaction-style direct checkpoint at the max id: truncating,
+    // but it never sweeps the max id's own manifest — the exact
+    // id == truncMax boundary where the two predicates used to split
+    CommitLog.commitCheckpoint(f, lake, 2L,
+      CommitLog.committedNames(f, lake).toSeq.sorted)
+    val h = CommitLog.history(f, lake)
+    val man2 = h.find(r => r.kind == "manifest" && r.id == 2L).get
+    assert(!man2.reachable,
+      "a manifest viewOfVersion refuses must not be reported reachable")
+    // the agreement property, every manifest: reachable == servable
+    h.filter(_.kind == "manifest").foreach { r =>
+      val servable =
+        try { CommitLog.viewOfVersion(f, lake, r); true }
+        catch { case _: IllegalArgumentException => false }
+      assert(r.reachable == servable,
+        s"manifest id ${r.id}: history says reachable=${r.reachable} " +
+          s"but viewOfVersion ${if (servable) "serves" else "refuses"}")
+    }
+    // the checkpoint row itself still serves the as-published view
+    val ck = h.find(r => r.kind == "checkpoint" && r.id == 2L).get
+    assert(ck.reachable && CommitLog.viewOfVersion(f, lake, ck)._1
+      == CommitLog.committedNames(f, lake))
+  }
+
   test("same-id generations address exactly: two merges without an " +
     "append in between stay individually reconstructable") {
     val lake = mkLake()
