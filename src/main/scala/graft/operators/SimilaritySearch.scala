@@ -455,7 +455,7 @@ object SimilaritySearch {
     * a literal codebook subvector: Σ (a_i − c_i)² over doubles in array
     * order — DuckDB's `list_sum` folds identically, so the argmin (and
     * therefore every code) is oracle-reproducible bit for bit. */
-  private def pqD2(sub: Column, c: Array[Float]): Column =
+  private[graft] def pqD2(sub: Column, c: Array[Float]): Column =
     aggregate(
       zip_with(sub, typedLit(c.map(_.toDouble).toSeq), (x, h) =>
         (x.cast("double") - h) * (x.cast("double") - h)),

@@ -266,7 +266,37 @@ object VectorQueryCatalog {
       col("label") <= 4, typedlit(qvec), k = 10, baseProbes = 4)
   }
 
+  /** The PERSISTED ANN index lifecycle end to end
+    * ([[graft.sources.VectorIndex]] — r10 VERDICT ask #1): build the
+    * index over a committed base lake (80% of the corpus), OCC-append
+    * the remaining 20%, REFRESH (assigns only the appended files'
+    * rows against the pinned centroids — cost ∝ churn), then answer
+    * the probes=4 top-10 from the STORED buckets (partition-pruned
+    * probe scan + live-DV filter). The oracle replays the equivalent
+    * in-query computation (qv6's SQL with the centroid sample
+    * restricted to the base rows): a hash match proves the stored
+    * index answers bit-identically to computing everything in-query
+    * over the final corpus — the index changes WHERE the work
+    * happens, never the answer. */
+  val qv18IndexedKnn: Q = (s, dir) => {
+    import graft.sources.{Occ, VectorIndex}
+    val work = ExtendedQueries.tempWork("graft_qv18_")
+    val lake = s"$work/lake"
+    val idx = s"$work/vidx"
+    val emb = table(s, dir, "embeddings")
+    Occ.append(s, lake, emb.filter(pmod(col("vec_id"), lit(5)) =!= 0))
+    VectorIndex.build(s, lake, idx, VectorIndex.Params(c = 16))
+    Occ.append(s, lake, emb.filter(pmod(col("vec_id"), lit(5)) === 0))
+    val (nFiles, nRows) = VectorIndex.refresh(s, lake, idx)
+    require(nFiles > 0 && nRows > 0,
+      s"qv18: refresh must cover the appended batch ($nFiles/$nRows)")
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0)
+    VectorIndex.query(s, lake, idx, qvec, k = 10, probes = 4)
+  }
+
   val defs: Map[String, Q] = Map(
+    "qv18_indexed_knn" -> qv18IndexedKnn,
     "qv17_filtered_knn_auto" -> qv17FilteredKnnAuto,
     "qv16_filtered_knn" -> qv16FilteredKnn,
     "qv15_ivfpq_query" -> qv15IvfPqQuery,
@@ -659,6 +689,33 @@ object VectorQueryCatalog {
          |SELECT count(*) AS k, count(a.vec_id) AS n_hit,
          |  CAST(count(a.vec_id) AS DOUBLE) / count(*) AS recall
          |FROM truth t LEFT JOIN approx a ON a.vec_id = t.vec_id""".stripMargin,
+    "qv18_indexed_knn" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS centroid_id, embedding AS centroid
+         |  FROM embeddings WHERE vec_id % 5 <> 0
+         |  ORDER BY ${hash32OfInt("vec_id")}, vec_id LIMIT 16),
+         |scored AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    ${cosineSql("e.embedding", "c.centroid")} AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id AS bucket FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, centroid_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT centroid_id AS bucket
+         |  FROM cents CROSS JOIN q
+         |  ORDER BY ${cosineSql("centroid", "qv")} DESC, centroid_id
+         |  LIMIT 4)
+         |SELECT e.vec_id, ${cosineSql("e.embedding", "qv")} AS sim
+         |FROM embeddings e
+         |JOIN assigned a ON a.vec_id = e.vec_id
+         |JOIN probes p ON p.bucket = a.bucket
+         |CROSS JOIN q
+         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
     "qv6_ivf_query" ->
       s"""WITH cents AS ($centroidsSql),
          |scored AS (

@@ -1,0 +1,414 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilaritySearch
+
+/** PERSISTED, VERSIONED ANN INDEX — the lake sidecar that makes the
+  * `SimilaritySearch` operators deployable at 100 TB. Every in-query
+  * ANN path (`qv4`/`qv6`/`qv15`) trains its centroids / codebooks and
+  * assigns every vector INSIDE the query; a 100 TB corpus builds that
+  * index ONCE, stores it beside the data, refreshes it by churn, and
+  * answers queries from the stored buckets. This object is that
+  * lifecycle:
+  *
+  *  - [[build]]: one pass over the lake's committed rows → centroids
+  *    (deterministic hash-sample for oracle-reproducible tests, or
+  *    k-means via `trainedCentroids` — the production choice), the
+  *    bucket assignment of every row, optional packed PQ codes + the
+  *    codebook, all written as ONE immutable index generation.
+  *  - [[refresh]]: assigns ONLY rows of files appended since the
+  *    pinned snapshot — cost ∝ churn, never O(corpus). Centroids and
+  *    codebook are pinned at build time (centroid drift is a REBUILD
+  *    decision an operator schedules, not something a refresh silently
+  *    does — the assignment would change under existing rows).
+  *  - [[query]] / [[queryPq]]: probe the stored buckets. The scan
+  *    touches only the probed buckets' partitions (the assignment is
+  *    written `partitionBy(bucket)`, so probe pruning is directory
+  *    pruning) and drops MoR-deleted rows by anti-joining the lake's
+  *    CURRENT deletion vectors — a delete is visible to ANN queries
+  *    the moment it commits, with NO index refresh at all.
+  *
+  * Storage layout — [[StatsIndex]]'s generation discipline
+  * (`StatsIndex.scala`'s `vNNNNN` + `CURRENT` pointer, same rationale:
+  * pointer-flip publish is atomic, a reader resolves the old or the
+  * new generation but never a missing path, the previous generation
+  * survives one publish for in-flight readers):
+  *
+  * {{{
+  *   indexDir/
+  *     CURRENT              one line: the live generation's name
+  *     vNNNNN/
+  *       centroids/         (centroid_id int, centroid array<float>)
+  *       assign/            partitionBy(bucket):
+  *                          (vec_id, embedding, file, pos[, pq_packed])
+  *       codebook/          (code_id int, codevec array<float>) — PQ only
+  *       meta/              (kind string, name string): pinned committed
+  *                          data-file names + params
+  * }}}
+  *
+  * STALENESS is a fail-fast contract, same as [[DeletionVectors]]'s
+  * `MorCursor` guards: the meta pins the committed DATA FILE set the
+  * assignment covers. A query on a lake whose committed set gained
+  * files demands a [[refresh]] (answering would silently miss the new
+  * rows); a lake whose committed set LOST pinned files was physically
+  * rewritten (OPTIMIZE, compact of MoR deltas, restore) — positions
+  * the index memorised are meaningless, so query AND refresh both
+  * throw [[StaleVectorIndexException]] naming the retired files; only
+  * [[build]] recovers. Deletion-vector churn is deliberately NOT
+  * pinned: vectors are applied at query time from the live view.
+  */
+object VectorIndex {
+
+  /** The index no longer matches the lake — message says whether a
+    * [[refresh]] suffices (new files) or a [[build]] is required
+    * (pinned files retired by a physical rewrite). */
+  final class StaleVectorIndexException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** `c` centroids; `pqM` > 0 additionally stores packed PQ codes
+    * (`pqM` subspaces × `pqK` codes — [[SimilaritySearch.PqM]]'s
+    * conventions). `trainedCentroids` swaps the deterministic
+    * hash-sample for `ml.KMeans` (production quality, not
+    * SQL-expressible — measured in `VectorIndexSpec`, not
+    * oracle-hashed). */
+  final case class Params(c: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding", pqM: Int = 0, pqK: Int = 16,
+      trainedCentroids: Boolean = false, seed: Long = 42L)
+
+  // ---- generation layout (StatsIndex's pointer protocol) -----------
+
+  private val PointerFile = "CURRENT"
+  private val VersionRe = "^v(\\d{5,})$".r
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Option[String] = {
+    val ptr = new Path(root, PointerFile)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      val name =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(VersionRe.findFirstIn(name).isDefined,
+        s"vector-index pointer $ptr holds '$name' — not a generation")
+      Some(name)
+    }
+  }
+
+  private def liveGen(spark: SparkSession, indexDir: String): Path = {
+    val root = new Path(indexDir)
+    val fs = fsOf(spark, indexDir)
+    val name = readPointer(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"no vector index at $indexDir — build one first"))
+    val gen = new Path(root, name)
+    require(fs.exists(gen),
+      s"vector-index pointer names missing generation $gen")
+    gen
+  }
+
+  /** Write a new generation via `body` (into a fresh vNNNNN dir),
+    * then atomically flip CURRENT to it; keep the previous live
+    * generation for in-flight readers, sweep everything older
+    * (including dangling dirs from crashed publishes). */
+  private def publishGeneration(spark: SparkSession, indexDir: String)(
+      body: Path => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val live = readPointer(fs, root)
+    val taken = fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+      case VersionRe(num) => num.toInt
+    }
+    val next = f"v${taken.maxOption.getOrElse(0) + 1}%05d"
+    body(new Path(root, next)) // any failure leaves the live gen as-is
+    val tmp = new Path(root, PointerFile + ".tmp")
+    val out = fs.create(tmp, /* overwrite = */ true)
+    try out.write((next + "\n").getBytes("UTF-8")) finally out.close()
+    val fc =
+      org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp),
+      fs.makeQualified(new Path(root, PointerFile)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val keep: Set[String] = Set(next) ++ live
+    for (st <- fs.listStatus(root)) {
+      val n = st.getPath.getName
+      if (VersionRe.findFirstIn(n).isDefined && !keep.contains(n))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  // ---- lake read plumbing -------------------------------------------
+
+  /** Committed data-file names — the snapshot unit the index pins. */
+  private def committedFiles(spark: SparkSession,
+      lakeDir: String): Set[String] = {
+    val fs = fsOf(spark, lakeDir)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"VectorIndex: $lakeDir has no commit log — the index pins " +
+        "committed snapshots; ingest through a logged writer first")
+    CommitLog.committedView(fs, lakeDir)._1
+  }
+
+  /** Rows of exactly `files`, with (file, pos) attribution for the
+    * query-time deletion-vector anti-join. */
+  private def rowsOf(spark: SparkSession, lakeDir: String,
+      files: Seq[String], p: Params): DataFrame = {
+    val fs = fsOf(spark, lakeDir)
+    spark.read.option("mergeSchema", "true")
+      .parquet(CommitLog.resolveDataPaths(fs, lakeDir, files.sorted): _*)
+      .select(col(p.idCol), col(p.vecCol),
+        DeletionVectors.fileNameCol.as("file"),
+        col("_metadata.row_index").as("pos"))
+  }
+
+  /** Live rows (current deletion vectors applied) of `df` — the
+    * query-time filter that makes MoR deletes visible with no index
+    * refresh. */
+  private def liveRows(spark: SparkSession, lakeDir: String,
+      df: DataFrame): DataFrame = {
+    val fs = fsOf(spark, lakeDir)
+    val dv = CommitLog.committedView(fs, lakeDir)._2
+    DeletionVectors.vectorsFor(spark, lakeDir, dv) match {
+      case None => df
+      case Some(v) => df.join(broadcast(v), Seq("file", "pos"),
+        "left_anti")
+    }
+  }
+
+  private def metaFiles(spark: SparkSession, gen: Path): Set[String] = {
+    import spark.implicits._
+    spark.read.parquet(new Path(gen, "meta").toString)
+      .filter(col("kind") === "file").select(col("name"))
+      .as[String].collect().toSet
+  }
+
+  private def metaParam(spark: SparkSession, gen: Path,
+      key: String): String = {
+    import spark.implicits._
+    spark.read.parquet(new Path(gen, "meta").toString)
+      .filter(col("kind") === lit(s"param:$key")).select(col("name"))
+      .as[String].head()
+  }
+
+  private def readCodebook(spark: SparkSession,
+      gen: Path): Seq[Array[Float]] =
+    spark.read.parquet(new Path(gen, "codebook").toString)
+      .orderBy(col("code_id"))
+      .collect().map(_.getSeq[Float](1).toArray).toSeq
+
+  /** Assign `rows` to the stored centroids — the SAME argmax the
+    * in-query path uses ([[SimilaritySearch.ivfAssignExact]]: decimal
+    * cosine, partial-agg max-struct, ties to the smallest centroid
+    * id), so a stored-index query is bit-identical to the in-query
+    * answer. PQ codes via the codegen'd packed encoder. */
+  private def assignRows(rows: DataFrame, cents: DataFrame,
+      codebook: Seq[Array[Float]], p: Params): DataFrame = {
+    val buckets = SimilaritySearch.ivfAssignExact(
+      rows, cents, idCol = p.idCol, vecCol = p.vecCol)
+    val assigned = rows.join(buckets, Seq(p.idCol))
+    if (p.pqM == 0) assigned
+    else assigned.join(
+      SimilaritySearch.pqEncodePacked(rows, codebook, m = p.pqM,
+        idCol = p.idCol, vecCol = p.vecCol),
+      Seq(p.idCol))
+  }
+
+  private def writeGeneration(spark: SparkSession, gen: Path,
+      cents: DataFrame, assigned: DataFrame,
+      codebook: Seq[Array[Float]], files: Set[String],
+      p: Params): Unit = {
+    import spark.implicits._
+    cents.repartition(1).write.parquet(new Path(gen, "centroids").toString)
+    assigned.write.partitionBy("bucket")
+      .parquet(new Path(gen, "assign").toString)
+    if (p.pqM > 0)
+      codebook.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+        .toDF("code_id", "codevec")
+        .repartition(1).write.parquet(new Path(gen, "codebook").toString)
+    val meta =
+      files.toSeq.sorted.map(f => ("file", f)) ++ Seq(
+        ("param:c", p.c.toString), ("param:idCol", p.idCol),
+        ("param:vecCol", p.vecCol), ("param:pqM", p.pqM.toString),
+        ("param:pqK", p.pqK.toString))
+    meta.toDF("kind", "name").repartition(1)
+      .write.parquet(new Path(gen, "meta").toString)
+  }
+
+  // ---- the lifecycle ------------------------------------------------
+
+  /** Build the index over the lake's CURRENT committed live rows: one
+    * centroid pass (hash-sample collect, or k-means fit), one
+    * assignment pass (N·C cosines, map-side-combined argmax), one
+    * optional PQ encode (map-only) — then a single atomic generation
+    * publish. Re-building over an existing index publishes a fresh
+    * generation and sweeps the old ones. */
+  def build(spark: SparkSession, lakeDir: String, indexDir: String,
+      params: Params = Params()): Unit = {
+    val files = committedFiles(spark, lakeDir)
+    require(files.nonEmpty,
+      s"VectorIndex.build: no committed files in $lakeDir")
+    val rows = liveRows(spark, lakeDir,
+      rowsOf(spark, lakeDir, files.toSeq, params)).localCheckpoint()
+    val cents =
+      (if (params.trainedCentroids)
+        SimilaritySearch.kmeansCentroids(rows, params.c,
+          seed = params.seed, vecCol = params.vecCol)
+      else
+        SimilaritySearch.hashSampledCentroids(rows, params.c,
+          idCol = params.idCol, vecCol = params.vecCol))
+        .localCheckpoint()
+    val codebook: Seq[Array[Float]] =
+      if (params.pqM == 0) Seq.empty
+      else SimilaritySearch.pqSampleVectors(rows, params.pqK,
+        idCol = params.idCol, vecCol = params.vecCol)
+    val assigned = assignRows(rows, cents, codebook, params)
+    publishGeneration(spark, indexDir) { gen =>
+      writeGeneration(spark, gen, cents, assigned, codebook, files,
+        params)
+    }
+  }
+
+  /** Incremental refresh: assign ONLY the rows of files the lake
+    * committed since the pinned snapshot, against the PINNED centroids
+    * and codebook — cost ∝ churn. Carried assignment rows are moved by
+    * name into the new generation (no recompute, no re-read of their
+    * embeddings beyond the copy). Fails fast with
+    * [[StaleVectorIndexException]] when pinned files were retired (a
+    * physical rewrite — rebuild required). Returns (new files, new
+    * rows assigned); (0, 0) means the index was already current and
+    * NO new generation was published. */
+  def refresh(spark: SparkSession, lakeDir: String,
+      indexDir: String): (Int, Long) = {
+    val gen = liveGen(spark, indexDir)
+    val pinned = metaFiles(spark, gen)
+    val current = committedFiles(spark, lakeDir)
+    val retired = (pinned -- current).toSeq.sorted
+    if (retired.nonEmpty)
+      throw new StaleVectorIndexException(
+        s"vector index $indexDir pins ${retired.size} file(s) the lake " +
+          s"retired (physical rewrite): ${retired.take(3).mkString(", ")}" +
+          s"${if (retired.size > 3) ", …" else ""} — rebuild the index")
+    val added = (current -- pinned).toSeq.sorted
+    if (added.isEmpty) return (0, 0L)
+    val p = Params(
+      c = metaParam(spark, gen, "c").toInt,
+      idCol = metaParam(spark, gen, "idCol"),
+      vecCol = metaParam(spark, gen, "vecCol"),
+      pqM = metaParam(spark, gen, "pqM").toInt,
+      pqK = metaParam(spark, gen, "pqK").toInt)
+    val cents = spark.read.parquet(new Path(gen, "centroids").toString)
+      .localCheckpoint()
+    val codebook =
+      if (p.pqM == 0) Seq.empty[Array[Float]] else readCodebook(spark, gen)
+    val fresh = rowsOf(spark, lakeDir, added, p).localCheckpoint()
+    val nRows = fresh.count()
+    val freshAssigned = assignRows(fresh, cents, codebook, p)
+    val carried = spark.read
+      .parquet(new Path(gen, "assign").toString)
+      .select(freshAssigned.columns.map(col).toIndexedSeq: _*)
+    publishGeneration(spark, indexDir) { out =>
+      writeGeneration(spark, out, cents,
+        carried.unionByName(freshAssigned), codebook, current, p)
+    }
+    (added.size, nRows)
+  }
+
+  /** The stored centroids of the live generation. */
+  def centroids(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(
+      new Path(liveGen(spark, indexDir), "centroids").toString)
+
+  /** Fail unless the pinned snapshot matches the lake's committed
+    * file set exactly — the query-time soundness gate. Returns the
+    * live generation. */
+  private def currentGenOrFail(spark: SparkSession, lakeDir: String,
+      indexDir: String): Path = {
+    val gen = liveGen(spark, indexDir)
+    val pinned = metaFiles(spark, gen)
+    val current = committedFiles(spark, lakeDir)
+    val retired = (pinned -- current).toSeq.sorted
+    if (retired.nonEmpty)
+      throw new StaleVectorIndexException(
+        s"vector index $indexDir pins ${retired.size} file(s) the lake " +
+          s"retired (physical rewrite): ${retired.take(3).mkString(", ")}" +
+          s"${if (retired.size > 3) ", …" else ""} — rebuild the index")
+    val added = (current -- pinned).toSeq.sorted
+    if (added.nonEmpty)
+      throw new StaleVectorIndexException(
+        s"vector index $indexDir lags the lake by ${added.size} " +
+          s"committed file(s) (${added.take(3).mkString(", ")}" +
+          s"${if (added.size > 3) ", …" else ""}) — refresh the index " +
+          "(answering now would silently miss those rows)")
+    gen
+  }
+
+  /** The probed slice of the stored assignment: pick the `probes`
+    * buckets whose centroids are nearest the query (exact cosine, C
+    * rows — metadata-scale), then scan ONLY those buckets' partitions
+    * (`bucket IN (…)` literals → directory pruning on the
+    * partitionBy(bucket) layout) and drop MoR-deleted rows against the
+    * live deletion vectors. */
+  private def probedLive(spark: SparkSession, lakeDir: String,
+      gen: Path, queryVec: Seq[Float], probes: Int): DataFrame = {
+    val cents = spark.read.parquet(new Path(gen, "centroids").toString)
+    val probeIds = cents
+      .withColumn("qsim", graft.functions.VectorFunctions.cosineExact(
+        col("centroid"), typedLit(queryVec)))
+      .orderBy(col("qsim").desc, col("centroid_id"))
+      .limit(probes)
+      .select(col("centroid_id").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    val assign = spark.read.parquet(new Path(gen, "assign").toString)
+      .filter(col("bucket").isin(probeIds: _*))
+    liveRows(spark, lakeDir, assign)
+  }
+
+  /** ANN top-k from the STORED index — [[SimilaritySearch.ivfQuery]]'s
+    * semantics (exact-cosine rank, ties to the smallest id), but the
+    * assignment is read, not recomputed: query cost is probed-fraction
+    * scan + k-heap, independent of corpus build cost. Returns
+    * (idCol, sim). */
+  def query(spark: SparkSession, lakeDir: String, indexDir: String,
+      queryVec: Seq[Float], k: Int, probes: Int): DataFrame = {
+    val gen = currentGenOrFail(spark, lakeDir, indexDir)
+    val p = metaParam(spark, gen, "idCol")
+    val vecCol = metaParam(spark, gen, "vecCol")
+    probedLive(spark, lakeDir, gen, queryVec, probes)
+      .select(col(p), graft.functions.VectorFunctions.cosineExact(
+        col(vecCol), typedLit(queryVec)).as("sim"))
+      .orderBy(col("sim").desc, col(p))
+      .limit(k)
+  }
+
+  /** IVF-PQ top-k from the stored index: probe → packed-code ADC
+    * shortlist (no embedding touched) → exact squared-L2 re-rank of
+    * the ≤ `shortlist` survivors — [[SimilaritySearch.ivfPqQuery]]'s
+    * read path over stored codes. Requires a `pqM > 0` build. */
+  def queryPq(spark: SparkSession, lakeDir: String, indexDir: String,
+      queryVec: Array[Float], k: Int, probes: Int,
+      shortlist: Int): DataFrame = {
+    val gen = currentGenOrFail(spark, lakeDir, indexDir)
+    val p = metaParam(spark, gen, "idCol")
+    val vecCol = metaParam(spark, gen, "vecCol")
+    val m = metaParam(spark, gen, "pqM").toInt
+    require(m > 0, s"vector index $indexDir was built without PQ codes")
+    val codebook = readCodebook(spark, gen)
+    val probed = probedLive(spark, lakeDir, gen, queryVec.toSeq, probes)
+      .localCheckpoint()
+    val short = SimilaritySearch.pqAdcTopKPacked(
+      probed, codebook, queryVec, shortlist, m, idCol = p)
+    probed.join(broadcast(short.select(col(p))), Seq(p))
+      .select(col(p), SimilaritySearch.pqD2(col(vecCol), queryVec)
+        .as("d2"))
+      .orderBy(col("d2").asc, col(p).asc)
+      .limit(k)
+  }
+}

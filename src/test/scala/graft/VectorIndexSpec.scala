@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilaritySearch
+import graft.sources.{DeletionVectors, Occ, VectorIndex, ZOrder}
+import graft.sources.VectorIndex.StaleVectorIndexException
+
+/** The persisted ANN index ([[graft.sources.VectorIndex]]): a stored
+  * index must answer bit-identically to the in-query computation it
+  * replaces (the oracle twin is `qv18_indexed_knn`; here the same
+  * equality plus everything not SQL-expressible), refresh by churn,
+  * fail fast when the lake moved under it, and see MoR deletes with
+  * no refresh at all. */
+class VectorIndexSpec extends SparkSpec {
+
+  private lazy val emb = graft.queries.Oracle
+    .table(spark, "/root/testdata/sf0.001", "embeddings")
+    .localCheckpoint()
+
+  private lazy val qvec: Seq[Float] = emb.filter(col("vec_id") === 0)
+    .select(col("embedding")).head.getSeq[Float](0)
+
+  private def mkLake(df: org.apache.spark.sql.DataFrame): (String, String) = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_vidx_").toString
+    val lake = s"$dir/lake"
+    assert(Occ.append(spark, lake, df) >= 0L)
+    (lake, s"$dir/vidx")
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("stored-index query == the in-query IVF answer over the same " +
+    "corpus and centroids") {
+    val (lake, idx) = mkLake(emb)
+    VectorIndex.build(spark, lake, idx)
+    val got = pairs(
+      VectorIndex.query(spark, lake, idx, qvec, k = 10, probes = 4))
+    val cents = SimilaritySearch.hashSampledCentroids(emb, 16)
+    val bucketed = emb.join(
+      SimilaritySearch.ivfAssignExact(emb, cents), Seq("vec_id"))
+    val want = pairs(SimilaritySearch.ivfQuery(bucketed, cents,
+      typedlit(qvec), k = 10, probes = 4))
+    assert(got == want)
+  }
+
+  test("refresh is churn-bounded: it assigns exactly the appended " +
+    "files' rows, no-ops on an unchanged lake, and the refreshed " +
+    "index answers over the full corpus") {
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val (lake, idx) = mkLake(base)
+    VectorIndex.build(spark, lake, idx)
+    assert(Occ.append(spark, lake, batch) > 0L)
+    val (nFiles, nRows) = VectorIndex.refresh(spark, lake, idx)
+    assert(nFiles > 0)
+    assert(nRows == batch.count(),
+      s"refresh must assign exactly the appended rows, saw $nRows")
+    // already current: nothing to do, no generation published
+    assert(VectorIndex.refresh(spark, lake, idx) == ((0, 0L)))
+    // the refreshed answer covers base AND batch rows, with the
+    // centroids still pinned to the BASE sample (refresh never moves
+    // them — assignment stability is the contract)
+    val cents = SimilaritySearch.hashSampledCentroids(base, 16)
+    val bucketed = emb.join(
+      SimilaritySearch.ivfAssignExact(emb, cents), Seq("vec_id"))
+    val want = pairs(SimilaritySearch.ivfQuery(bucketed, cents,
+      typedlit(qvec), k = 10, probes = 4))
+    val got = pairs(
+      VectorIndex.query(spark, lake, idx, qvec, k = 10, probes = 4))
+    assert(got == want)
+  }
+
+  test("an un-refreshed index REFUSES to answer after an append — " +
+    "silently missing the new rows is the failure mode the guard " +
+    "exists for") {
+    val (lake, idx) = mkLake(emb.filter(col("vec_id") < 400))
+    VectorIndex.build(spark, lake, idx)
+    assert(Occ.append(spark, lake, emb.filter(col("vec_id") >= 400)) > 0L)
+    val e = intercept[StaleVectorIndexException] {
+      VectorIndex.query(spark, lake, idx, qvec, k = 10, probes = 4)
+    }
+    assert(e.getMessage.contains("refresh"), e.getMessage)
+  }
+
+  test("a physical rewrite (OPTIMIZE) trips the stale guard on query " +
+    "AND refresh; only a rebuild recovers") {
+    val (lake, idx) = mkLake(emb)
+    VectorIndex.build(spark, lake, idx)
+    ZOrder.optimize(spark, lake, Seq("vec_id"), bits = 10, numFiles = 2)
+    val eq = intercept[StaleVectorIndexException] {
+      VectorIndex.query(spark, lake, idx, qvec, k = 10, probes = 4)
+    }
+    assert(eq.getMessage.contains("rebuild"), eq.getMessage)
+    val er = intercept[StaleVectorIndexException] {
+      VectorIndex.refresh(spark, lake, idx)
+    }
+    assert(er.getMessage.contains("rebuild"), er.getMessage)
+    VectorIndex.build(spark, lake, idx)
+    assert(VectorIndex.query(spark, lake, idx, qvec, k = 10, probes = 4)
+      .count() == 10L)
+  }
+
+  test("a MoR delete is visible to the stored index with NO refresh: " +
+    "dead rows drop out of the answer the moment the delete commits") {
+    val (lake, idx) = mkLake(emb)
+    VectorIndex.build(spark, lake, idx)
+    val before = pairs(
+      VectorIndex.query(spark, lake, idx, qvec, k = 10, probes = 4))
+    val victim = before.head._1 // the top hit (vec_id = 0 itself)
+    assert(DeletionVectors.deleteMor(spark, lake,
+      s"vec_id = $victim") == 1L)
+    // deletion-vector churn does not even require a refresh
+    assert(VectorIndex.refresh(spark, lake, idx) == ((0, 0L)))
+    val after = pairs(
+      VectorIndex.query(spark, lake, idx, qvec, k = 10, probes = 4))
+    assert(!after.exists(_._1 == victim),
+      s"deleted vec_id $victim still served from the index")
+    assert(after.size == 10,
+      "the k-heap must refill from live rows")
+  }
+
+  test("stored IVF-PQ: queryPq == the in-query ivfPqQuery over the " +
+    "same corpus, centroids and codebook") {
+    val (lake, idx) = mkLake(emb)
+    VectorIndex.build(spark, lake, idx,
+      VectorIndex.Params(c = 16, pqM = 8, pqK = 16))
+    val got = pairs(VectorIndex.queryPq(spark, lake, idx, qvec.toArray,
+      k = 5, probes = 4, shortlist = 32))
+    val cents = SimilaritySearch.hashSampledCentroids(emb, 16)
+    val bucketed = emb.join(
+      SimilaritySearch.ivfAssignExact(emb, cents), Seq("vec_id"))
+    val sample = SimilaritySearch.pqSampleVectors(emb, 16)
+    val want = pairs(SimilaritySearch.ivfPqQuery(bucketed, cents, sample,
+      qvec.toArray, k = 5, probes = 4, shortlist = 32))
+    assert(got == want)
+  }
+
+  test("trained centroids through the stored index: recall@10 >= 0.9 " +
+    "at C=8, probes=4 (the production build, measured not hashed)") {
+    val (lake, idx) = mkLake(emb)
+    VectorIndex.build(spark, lake, idx,
+      VectorIndex.Params(c = 8, trainedCentroids = true))
+    val approx =
+      VectorIndex.query(spark, lake, idx, qvec, k = 10, probes = 4)
+    val truth = SimilaritySearch.bruteForceTopK(
+      emb.crossJoin(broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv")))), col("qv"), 10)
+    val r = SimilaritySearch.recallAtK(truth, approx).head()
+    assert(r.getDouble(2) >= 0.9,
+      s"stored trained-centroid recall@10 = ${r.getDouble(2)}")
+  }
+}
