@@ -1569,7 +1569,56 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price"))
   }
 
+  /** COLUMN MAPPING end to end ([[graft.sources.ColumnMapping]] — r10
+    * VERDICT ask #3): append half of lineitem, build a stats index,
+    * RENAME two columns and DROP one (three metadata-only record
+    * publishes — zero data I/O, every committed file keeps its
+    * physical schema), append the other half UNDER THE NEW LOGICAL
+    * NAMES (the write path projects them back to the shared physical
+    * names), then answer a pruned aggregate: the pre-rename index
+    * prunes under the MAPPED name ([[ColumnMapping.physicalName]] —
+    * no index rebuild on rename), the read surfaces both generations
+    * as one logical schema, and the dropped column is hidden. The
+    * oracle is the plain filtered aggregate over lineitem under the
+    * ORIGINAL names: a hash match proves the mapping changed names
+    * only — never a value, a row, or the pruning answer. */
+  val q84ColumnMapping: Q = (s, dir) => {
+    import graft.sources.{ColumnMapping, Occ, StatsIndex}
+    val work = tempWork("graft_q84_")
+    val lake = s"$work/lake"
+    val idx = s"$work/idx"
+    val li = table(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+      col("l_returnflag"), col("l_tax"))
+    require(Occ.append(s, lake,
+      li.filter(col("l_orderkey") % 2 === 0), numFiles = 4) >= 0L)
+    StatsIndex.build(s, lake, Seq("l_partkey"), idx)
+    ColumnMapping.rename(s, lake, "l_quantity", "qty")
+    ColumnMapping.rename(s, lake, "l_partkey", "part")
+    ColumnMapping.drop(s, lake, "l_tax")
+    require(Occ.append(s, lake,
+      li.filter(col("l_orderkey") % 2 === 1)
+        .withColumnRenamed("l_quantity", "qty")
+        .withColumnRenamed("l_partkey", "part")
+        .drop("l_tax"), numFiles = 4) > 0L)
+    StatsIndex.refresh(s, lake, Seq("l_partkey"), idx)
+    val logical = graft.streaming.LayoutSink.readCommitted(s, lake,
+      mergeSchema = true)
+    require(!logical.columns.contains("l_tax"),
+      "q84: the dropped column must be hidden from committed reads")
+    require(logical.columns.contains("qty") &&
+      logical.columns.contains("part"),
+      "q84: renamed columns must surface under their logical names")
+    val phys = ColumnMapping.physicalName(s, lake, "part") // l_partkey
+    val pruned = ColumnMapping.toLogical(s, lake,
+      StatsIndex.readPruned(s, lake, idx, Seq((phys, 100L, 1500L))))
+    pruned.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumd(col("qty")).as("sum_qty"),
+        max(col("part")).as("max_part"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q84_column_mapping" -> q84ColumnMapping,
     "q54_time_travel" -> q54TimeTravel,
     "q55_vacuum" -> q55Vacuum,
     "q56_read_changes" -> q56ReadChanges,
@@ -1858,6 +1907,13 @@ object ExtendedQueries {
         "CASE WHEN l_returnflag = 'R' THEN l_discount * 0.5 " +
           "ELSE l_discount END")} AS sum_disc
          |FROM lineitem
+         |GROUP BY 1""".stripMargin,
+    "q84_column_mapping" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_quantity")} AS sum_qty,
+         |  max(l_partkey) AS max_part
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 100 AND 1500
          |GROUP BY 1""".stripMargin,
     "q59_schema_evolution" ->
       s"""SELECT l_returnflag, count(*) AS n,

@@ -120,7 +120,8 @@ object Clone {
       fs.delete(CommitLog.cloneSourcePath(cloneDir), false)
       CommitLog.invalidateCloneSource(fs, cloneDir)
       DefRecords.allFiles(fs, cloneDir,
-        Seq(Constraints.Prefix, GeneratedColumns.Prefix))
+        Seq(Constraints.Prefix, GeneratedColumns.Prefix,
+          ColumnMapping.Prefix))
         .foreach { p => fs.delete(p, false); () }
     }
     require(CommitLog.dataFileNames(fs, cloneDir).isEmpty,
@@ -150,6 +151,11 @@ object Clone {
       CommitLog.writeCloneSource(fs, cloneDir, srcQ)
       if (defs.nonEmpty) Constraints.replicate(fs, cloneDir, defs)
       GeneratedColumns.replicate(fs, cloneDir, genDefs)
+      // the clone reads the SOURCE's physical files through the
+      // pointer chain — it needs the source's column map or a rename
+      // would un-apply in the clone (maps evolve independently after)
+      ColumnMapping.replicate(fs, cloneDir,
+        ColumnMapping.rawLines(fs, sourceDir))
       val names = files.toSeq.sorted
       if (dv.isEmpty) CommitLog.commit(fs, cloneDir, -1L, names)
       else CommitLog.commitMutationCheckpoint(fs, cloneDir, -1L, names,

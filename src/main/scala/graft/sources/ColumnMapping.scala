@@ -1,0 +1,221 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** COLUMN MAPPING — RENAME / DROP COLUMN with ZERO data I/O (the
+  * Delta column-mapping feature class). Schema evolution here was
+  * additive-only (`q59`, mergeSchema unions); renaming or dropping a
+  * column would otherwise mean rewriting every committed file at a
+  * 100 TB lake. Instead the table keeps a logical→physical name map
+  * as a definition record ([[DefRecords]]: `COLMAP.<gen>`, the same
+  * generation-versioned atomic-publish discipline as [[Constraints]],
+  * replicated across OPTIMIZE's dir swap and into shallow clones):
+  *
+  *  - [[rename]] updates the map — every committed file keeps its
+  *    physical column name; reads project physical→logical
+  *    ([[toLogical]], applied by the committed read surfaces:
+  *    [[DeletionVectors.readMor]], `LayoutSink.readCommitted` /
+  *    `readCommittedAt` / `readChanges`), and writes project
+  *    logical→physical ([[toPhysical]], applied by [[Occ.append]]) —
+  *    so files appended before and after a rename share one physical
+  *    schema and read as one logical one, no mergeSchema divergence.
+  *  - [[drop]] tombstones the physical name: reads hide the column
+  *    (dead bytes stay in place, invisible), appends that carry a
+  *    same-named column are REJECTED rather than silently resurrecting
+  *    the dead bytes under a recreated column. (Delta recreates with a
+  *    fresh physical UUID; here recreate-after-drop is an explicit
+  *    fail-fast non-feature until someone needs it — rename the new
+  *    column before appending.)
+  *
+  * A lake with no map record pays one log-listing probe per read —
+  * every committed read already lists the log, so the mapping is free
+  * until first used. [[StatsIndex]] keys its stats by PHYSICAL names
+  * (it reads footers); [[physicalName]] is the translation a pruning
+  * caller applies, so an index built before a rename keeps pruning
+  * unchanged after it — no index rebuild on rename.
+  *
+  * Limitations (documented, loud): DML predicate surfaces
+  * (`deleteMor`/`updateMor`/`mergeMor`) address PHYSICAL names — a
+  * logical-name predicate on a renamed column fails to resolve
+  * (AnalysisException), never silently matches the wrong rows. Time
+  * travel applies the CURRENT map to every version (the map is table
+  * metadata, not versioned state), matching Delta's behavior. */
+object ColumnMapping {
+
+  private[sources] val Prefix = "COLMAP."
+
+  /** `renames`: (logical, physical), one entry per renamed column,
+    * logicals and physicals each unique. `dropped`: tombstoned
+    * physical names. */
+  final case class Mapping(renames: Seq[(String, String)],
+      dropped: Seq[String]) {
+    def isEmpty: Boolean = renames.isEmpty && dropped.isEmpty
+    def physicalOf(logical: String): String =
+      renames.find(_._1 == logical).map(_._2).getOrElse(logical)
+    def logicalOf(physical: String): Option[String] =
+      if (dropped.contains(physical)) None
+      else Some(renames.find(_._2 == physical).map(_._1)
+        .getOrElse(physical))
+  }
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The live map (empty when the lake never renamed/dropped). Lines:
+    * `map<TAB>logical<TAB>physical` | `dropped<TAB>physical`. */
+  def mapping(fs: org.apache.hadoop.fs.FileSystem,
+      lakeDir: String): Mapping = {
+    val lines = DefRecords.readLines(fs, lakeDir, Prefix)
+    val renames = Seq.newBuilder[(String, String)]
+    val dropped = Seq.newBuilder[String]
+    lines.foreach { line =>
+      line.split('\t') match {
+        case Array("map", lg, ph) => renames += ((lg, ph))
+        case Array("dropped", ph) => dropped += ph
+        case _ => throw new IllegalArgumentException(
+          s"corrupt $Prefix record line: '$line'")
+      }
+    }
+    Mapping(renames.result(), dropped.result())
+  }
+
+  private def write(fs: org.apache.hadoop.fs.FileSystem, lakeDir: String,
+      m: Mapping): Unit =
+    DefRecords.writeLines(fs, lakeDir, Prefix,
+      m.renames.map { case (lg, ph) => s"map\t$lg\t$ph" } ++
+        m.dropped.map(ph => s"dropped\t$ph"))
+
+  /** [[Clone.shallow]] replicates the source's current map lines. */
+  private[sources] def rawLines(fs: org.apache.hadoop.fs.FileSystem,
+      lakeDir: String): Seq[String] =
+    DefRecords.readLines(fs, lakeDir, Prefix)
+
+  private[sources] def replicate(fs: org.apache.hadoop.fs.FileSystem,
+      lakeDir: String, lines: Seq[String]): Unit =
+    if (lines.nonEmpty) DefRecords.writeLines(fs, lakeDir, Prefix, lines)
+
+  /** PHYSICAL → LOGICAL: the committed-read projection. One select —
+    * tombstoned physicals dropped, mapped physicals aliased to their
+    * logical names, everything else passed through. Identity (and
+    * plan-free) when the lake has no map. */
+  def toLogical(spark: SparkSession, lakeDir: String,
+      df: DataFrame): DataFrame = {
+    val m = mapping(fsOf(spark, lakeDir), lakeDir)
+    if (m.isEmpty) return df
+    val cols = df.columns.toSeq.flatMap { c =>
+      m.logicalOf(c) match {
+        case None => None // tombstoned — hidden with zero I/O
+        case Some(lg) if lg == c => Some(col(c))
+        case Some(lg) => Some(col(c).as(lg))
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  /** LOGICAL → PHYSICAL: the write projection. Mapped logicals alias
+    * to their physical names; a column named like a tombstoned
+    * physical or a remapped-away physical is REJECTED (the first
+    * would resurrect dead bytes, the second is a stale producer still
+    * writing the pre-rename name). Identity when the lake has no
+    * map. */
+  def toPhysical(spark: SparkSession, lakeDir: String,
+      df: DataFrame): DataFrame = {
+    val m = mapping(fsOf(spark, lakeDir), lakeDir)
+    if (m.isEmpty) return df
+    val logicals = m.renames.map(_._1).toSet
+    val remappedAway = m.renames.map(_._2).toSet -- logicals
+    val cols = df.columns.toSeq.map { c =>
+      if (logicals.contains(c)) col(c).as(m.physicalOf(c))
+      else if (m.dropped.contains(c))
+        throw new IllegalArgumentException(
+          s"column '$c' was DROPPED from $lakeDir — appending it would " +
+            "resurrect the dropped bytes under a recreated column; " +
+            "rename the new column before appending")
+      else if (remappedAway.contains(c))
+        throw new IllegalArgumentException(
+          s"column '$c' was RENAMED to " +
+            s"'${m.renames.find(_._2 == c).get._1}' in $lakeDir — " +
+            "write under the current logical name")
+      else col(c)
+    }
+    df.select(cols: _*)
+  }
+
+  /** The current LOGICAL column names of the committed view (physical
+    * union schema through the map) — the rename/drop validation
+    * base. One mergeSchema footer pass, metadata-scale. */
+  private def logicalColumns(spark: SparkSession,
+      lakeDir: String): Seq[String] = {
+    val fs = fsOf(spark, lakeDir)
+    val files = CommitLog.committedView(fs, lakeDir)._1
+    if (files.isEmpty) return Seq.empty
+    val phys = spark.read.option("mergeSchema", "true")
+      .parquet(CommitLog.resolveDataPaths(fs, lakeDir,
+        files.toSeq.sorted): _*).columns.toSeq
+    val m = mapping(fs, lakeDir)
+    phys.flatMap(m.logicalOf)
+  }
+
+  /** RENAME COLUMN — metadata-only (one map-record publish under the
+    * writer lock; zero data I/O). `from` must be a live logical
+    * column; `to` must be free. Renaming back to the physical name
+    * removes the entry (identity restored). */
+  def rename(spark: SparkSession, lakeDir: String, from: String,
+      to: String): Unit = {
+    require(from.nonEmpty && to.nonEmpty && from != to,
+      s"rename: bad names '$from' -> '$to'")
+    require(!Seq(from, to).exists(_.exists(c => c == '\t' || c == '\n')),
+      "rename: names must not contain tabs/newlines")
+    val fs = fsOf(spark, lakeDir)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"rename: $lakeDir has no commit log — column mapping needs one")
+    CommitLog.withWriterLock(fs, lakeDir) {
+      val live = logicalColumns(spark, lakeDir)
+      require(live.contains(from),
+        s"rename: no live column '$from' in $lakeDir " +
+          s"(live: ${live.mkString(", ")})")
+      require(!live.contains(to),
+        s"rename: column '$to' already exists in $lakeDir")
+      val m = mapping(fs, lakeDir)
+      val physical = m.physicalOf(from)
+      val kept = m.renames.filterNot(_._1 == from)
+      val renames =
+        if (to == physical) kept // renamed back — identity again
+        else kept :+ ((to, physical))
+      write(fs, lakeDir, Mapping(renames, m.dropped))
+    }
+  }
+
+  /** DROP COLUMN — metadata-only: tombstones the physical name, reads
+    * hide it from the next resolution on, bytes stay in place. */
+  def drop(spark: SparkSession, lakeDir: String, name: String): Unit = {
+    val fs = fsOf(spark, lakeDir)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"drop column: $lakeDir has no commit log — column mapping " +
+        "needs one")
+    CommitLog.withWriterLock(fs, lakeDir) {
+      val live = logicalColumns(spark, lakeDir)
+      require(live.contains(name),
+        s"drop column: no live column '$name' in $lakeDir " +
+          s"(live: ${live.mkString(", ")})")
+      val m = mapping(fs, lakeDir)
+      val physical = m.physicalOf(name)
+      write(fs, lakeDir, Mapping(m.renames.filterNot(_._1 == name),
+        m.dropped :+ physical))
+    }
+  }
+
+  /** The physical name behind a logical column — what a
+    * [[StatsIndex]] pruning caller passes as the range column, so an
+    * index built before a rename prunes unchanged after it. */
+  def physicalName(spark: SparkSession, lakeDir: String,
+      logical: String): String = {
+    val m = mapping(fsOf(spark, lakeDir), lakeDir)
+    require(!m.dropped.contains(m.physicalOf(logical)) ||
+        m.renames.exists(_._1 == logical),
+      s"physicalName: column '$logical' was dropped from $lakeDir")
+    m.physicalOf(logical)
+  }
+}

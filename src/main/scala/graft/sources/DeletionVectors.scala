@@ -512,7 +512,9 @@ object DeletionVectors {
     val rdr = if (mergeSchema) spark.read.option("mergeSchema", "true")
       else spark.read
     val base = rdr.parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*)
-    applyVectors(base, vectorsFor(spark, lakeDir, covered))
+    // column mapping last: physical names scan, logical names out
+    ColumnMapping.toLogical(spark, lakeDir,
+      applyVectors(base, vectorsFor(spark, lakeDir, covered)))
   }
 
   /** [[readMor]] with FILE-LEVEL SKIPPING: the committed ∩

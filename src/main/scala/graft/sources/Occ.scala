@@ -152,7 +152,11 @@ object Occ {
     requireNotEpochOwned()
     sweepStaleStages(fs, lakeDir)
     val stage = stageDir(lakeDir)
-    val framed = if (numFiles > 0) df.repartition(numFiles) else df
+    // column mapping: logical names in, PHYSICAL names on disk — a
+    // post-rename append shares the committed files' physical schema
+    // (identity on unmapped lakes; rejects tombstoned/stale names)
+    val mapped = ColumnMapping.toPhysical(spark, lakeDir, df)
+    val framed = if (numFiles > 0) mapped.repartition(numFiles) else mapped
     framed.write.mode("overwrite").parquet(stage)
     val names = stagedNames(fs, stage)
     val hasRows = names.nonEmpty &&

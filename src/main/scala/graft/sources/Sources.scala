@@ -563,6 +563,12 @@ object ZOrder {
       Constraints.replicate(fs, tmp.toString, Constraints.list(fs, path))
       GeneratedColumns.replicate(fs, tmp.toString,
         GeneratedColumns.list(fs, path))
+      // the column map survives the swap for the same reason: the
+      // rewritten files carry PHYSICAL names (the rewrite read the
+      // raw parquet), so losing the map would surface physical names
+      // and resurrect dropped columns on every post-OPTIMIZE read
+      ColumnMapping.replicate(fs, tmp.toString,
+        ColumnMapping.rawLines(fs, path))
       // the epoch-owner marker is table metadata too: dropping it
       // across the swap would re-open the lake to an Occ.append whose
       // max+1 id claim collides with the owning sink's future epochs

@@ -242,7 +242,10 @@ object LayoutSink {
         s"readCommitted: committed file $n missing from $lakeDir — " +
           "lake rewritten without retiring the commit log")
     }
-    rd.parquet(paths: _*)
+    // column mapping: physical scan, logical names out (identity on
+    // unmapped lakes)
+    graft.sources.ColumnMapping.toLogical(spark, lakeDir,
+      rd.parquet(paths: _*))
   }
 
   /** INCREMENTAL read: only the rows batches `(fromExclusive,
@@ -263,8 +266,9 @@ object LayoutSink {
       return if (CommitLog.dataFileNames(fs, lakeDir).isEmpty)
         spark.emptyDataFrame
       else spark.read.parquet(lakeDir).limit(0)
-    spark.read.parquet(
-      CommitLog.resolveDataPaths(fs, lakeDir, names): _*)
+    graft.sources.ColumnMapping.toLogical(spark, lakeDir,
+      spark.read.parquet(
+        CommitLog.resolveDataPaths(fs, lakeDir, names): _*))
   }
 
   /** TIME TRAVEL read: the lake exactly as of batch `asOf` —
@@ -294,6 +298,9 @@ object LayoutSink {
         s"readCommittedAt: committed file $n missing from $lakeDir — " +
           "lake rewritten without retiring the commit log")
     }
-    spark.read.parquet(paths: _*)
+    // the CURRENT map applies to every travelled version (the map is
+    // table metadata, not versioned state — Delta's behavior)
+    graft.sources.ColumnMapping.toLogical(spark, lakeDir,
+      spark.read.parquet(paths: _*))
   }
 }

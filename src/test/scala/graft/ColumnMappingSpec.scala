@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Clone, ColumnMapping, CommitLog, DeletionVectors, Occ, ZOrder}
+import graft.streaming.LayoutSink
+
+/** Column mapping ([[graft.sources.ColumnMapping]]): RENAME/DROP are
+  * metadata-only record publishes — zero data I/O — that every
+  * committed read resolves and every mapped write inverts. Oracle
+  * twin: `q84_column_mapping`; here the arms SQL can't express:
+  * byte-level no-rewrite proof, rename-back identity, stale/resurrect
+  * rejection, travel/clone/OPTIMIZE metadata carry. */
+class ColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Lake with one committed batch: (k, v, extra), k unique 0..99. */
+  private def mkLake(): String = {
+    val lake = Files.createTempDirectory("graft_cmap_").toString + "/lake"
+    assert(Occ.append(spark,
+      lake, (0 until 100).map(k => (k, 2L * k, s"x$k"))
+        .toDF("k", "v", "extra")) >= 0L)
+    lake
+  }
+
+  private def dataState(lake: String): Seq[(String, Long, Long)] = {
+    val f = fs(lake)
+    CommitLog.dataFileNames(f, lake).toSeq.sorted.map { n =>
+      val st = f.getFileStatus(new Path(lake, n))
+      (n, st.getLen, st.getModificationTime)
+    }
+  }
+
+  test("RENAME and DROP are zero data I/O: no file is added, removed, " +
+    "resized or rewritten") {
+    val lake = mkLake()
+    val before = dataState(lake)
+    ColumnMapping.rename(spark, lake, "v", "value")
+    ColumnMapping.drop(spark, lake, "extra")
+    assert(dataState(lake) == before,
+      "a metadata-only rename/drop must not touch a single data byte")
+    val got = LayoutSink.readCommitted(spark, lake)
+    assert(got.columns.toSeq == Seq("k", "value"))
+    assert(got.agg(sum($"value")).head.getLong(0) ==
+      (0 until 100).map(2L * _).sum)
+  }
+
+  test("files appended before and after a rename share one physical " +
+    "schema and read as one logical one — through readCommitted AND " +
+    "the MoR surface") {
+    val lake = mkLake()
+    ColumnMapping.rename(spark, lake, "v", "value")
+    // the write path projects the new logical name back to the
+    // committed physical one — no mergeSchema divergence
+    assert(Occ.append(spark, lake,
+      (100 until 150).map(k => (k, 3L * k, s"x$k"))
+        .toDF("k", "value", "extra")) > 0L)
+    val phys = spark.read.option("mergeSchema", "true").parquet(lake)
+    assert(phys.columns.contains("v") && !phys.columns.contains("value"),
+      "on disk there must be exactly ONE physical name")
+    val got = LayoutSink.readCommitted(spark, lake, mergeSchema = true)
+    assert(got.columns.toSeq.sorted == Seq("extra", "k", "value"))
+    assert(got.count() == 150L)
+    // MoR read surface applies the map too (and a delete composes)
+    assert(DeletionVectors.deleteMor(spark, lake, "k < 10") == 10L)
+    val mor = DeletionVectors.readMor(spark, lake, mergeSchema = true)
+    assert(mor.count() == 140L)
+    assert(mor.filter($"value" === 3L * 120).count() == 1L)
+  }
+
+  test("rename BACK to the physical name restores identity: the map " +
+    "entry disappears instead of accreting") {
+    val lake = mkLake()
+    ColumnMapping.rename(spark, lake, "v", "value")
+    ColumnMapping.rename(spark, lake, "value", "v")
+    assert(ColumnMapping.mapping(fs(lake), lake).renames.isEmpty)
+    assert(LayoutSink.readCommitted(spark, lake).columns
+      .contains("v"))
+  }
+
+  test("rejections are loud: occupied target, missing source, stale " +
+    "physical producer, resurrect-after-drop") {
+    val lake = mkLake()
+    intercept[IllegalArgumentException] {
+      ColumnMapping.rename(spark, lake, "v", "k") // taken
+    }
+    intercept[IllegalArgumentException] {
+      ColumnMapping.rename(spark, lake, "nope", "v2") // missing
+    }
+    ColumnMapping.rename(spark, lake, "v", "value")
+    // a producer still writing the PRE-rename name is stale, not
+    // silently accepted under the old physical
+    val stale = intercept[IllegalArgumentException] {
+      Occ.append(spark, lake, Seq((900, 1L, "x")).toDF("k", "v", "extra"))
+    }
+    assert(stale.getMessage.contains("RENAMED"), stale.getMessage)
+    ColumnMapping.drop(spark, lake, "extra")
+    // recreating a dropped column would resurrect its dead bytes
+    val res = intercept[IllegalArgumentException] {
+      Occ.append(spark, lake,
+        Seq((901, 1L, "x")).toDF("k", "value", "extra"))
+    }
+    assert(res.getMessage.contains("DROPPED"), res.getMessage)
+    // nothing above published anything
+    assert(LayoutSink.readCommitted(spark, lake).count() == 100L)
+  }
+
+  test("time travel applies the CURRENT map to every version (the map " +
+    "is table metadata, not versioned state)") {
+    val lake = mkLake()
+    assert(Occ.append(spark, lake,
+      (100 until 120).map(k => (k, 9L, s"x$k"))
+        .toDF("k", "v", "extra")) > 0L)
+    ColumnMapping.rename(spark, lake, "v", "value")
+    ColumnMapping.drop(spark, lake, "extra")
+    val at0 = LayoutSink.readCommittedAt(spark, lake, asOf = 0L)
+    assert(at0.columns.toSeq == Seq("k", "value"))
+    assert(at0.count() == 100L)
+  }
+
+  test("the map survives OPTIMIZE's dir swap and replicates into a " +
+    "shallow clone (evolving independently after)") {
+    val lake = mkLake()
+    ColumnMapping.rename(spark, lake, "v", "value")
+    ColumnMapping.drop(spark, lake, "extra")
+    ZOrder.optimize(spark, lake, Seq("k"), bits = 8, numFiles = 2)
+    val post = LayoutSink.readCommitted(spark, lake)
+    assert(post.columns.toSeq.sorted == Seq("k", "value"),
+      s"post-OPTIMIZE columns: ${post.columns.mkString(", ")}")
+    assert(post.count() == 100L)
+    val cloneDir = Files.createTempDirectory("graft_cmap_cl_")
+      .toString + "/clone"
+    Clone.shallow(spark, lake, cloneDir)
+    val cl = LayoutSink.readCommitted(spark, cloneDir)
+    assert(cl.columns.toSeq.sorted == Seq("k", "value"))
+    assert(cl.count() == 100L)
+    // clone-side evolution does not leak back to the source
+    ColumnMapping.rename(spark, cloneDir, "value", "val2")
+    assert(LayoutSink.readCommitted(spark, lake).columns
+      .contains("value"))
+  }
+}
