@@ -104,9 +104,9 @@ object OccScale {
     val upd = spark.range(50000L)
       .selectExpr("CAST(id AS LONG) AS k", "CAST(-1 AS LONG) AS v")
       .localCheckpoint()
-    def runMixed(tag: String)(
+    def runMixed(tag: String, prefix: String = "occm")(
         append: (String, Int) => Unit, merge: String => Unit): Double = {
-      val root = s"/root/repo/target/scale/occm_$tag"
+      val root = s"/root/repo/target/scale/${prefix}_$tag"
       rmrf(root)
       val lake = s"$root/lake"
       val fs = new Path(lake)
@@ -165,12 +165,56 @@ object OccScale {
         Occ.mergeMor(spark, lake, upd, Seq("k"),
           maxRetries = 50, commitWaitMs = 1800000L): Unit
       })
+    // COW MIX (r10 ask #5): same interleave, but the merger runs
+    // COPY-ON-WRITE merges — the verb class that before r11 held the
+    // writer lock across its whole touched-file rewrite. `locked` is
+    // MergeInto.merge behind a spin-retry (the lock is fail-fast);
+    // `occ` is Occ.merge, whose commit section conflicts only on
+    // touched-file intersection — the racing appends commute, so the
+    // rewrite overlaps the ingest instead of serializing it.
+    import graft.sources.MergeInto
+    val mixedCowLocked = runMixed("locked", prefix = "occc")(
+      append = { (lake, t) =>
+        val fs = new Path(lake)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        CommitLog.withWriterLock(fs, lake, waitMs = 1800000L) {
+          val before = CommitLog.dataFileNames(fs, lake)
+          li.select((col("l_orderkey") + lit(t) * 100000000L + 10000000L)
+              .as("k"), lit(9L).as("v"))
+            .coalesce(1).write.mode("append").parquet(lake)
+          val files =
+            (CommitLog.dataFileNames(fs, lake) -- before).toSeq.sorted
+          val id = math.max(CommitLog.maxCommittedId(fs, lake), -1L) + 1L
+          CommitLog.commit(fs, lake, id, files)
+        }
+      },
+      merge = { lake =>
+        var done = false
+        while (!done) {
+          try { MergeInto.merge(spark, lake, upd, Seq("k")); done = true }
+          catch { case _: IllegalStateException => Thread.sleep(50L) }
+        }
+      })
+    val mixedCowOcc = runMixed("occ", prefix = "occc")(
+      append = { (lake, t) =>
+        Occ.append(spark, lake,
+          li.select((col("l_orderkey") + lit(t) * 100000000L + 10000000L)
+            .as("k"), lit(9L).as("v")),
+          numFiles = 1, commitWaitMs = 1800000L): Unit
+      },
+      merge = { lake =>
+        Occ.merge(spark, lake, upd, Seq("k"),
+          maxRetries = 50, commitWaitMs = 1800000L): Unit
+      })
     println(f"""{"metric":"occ_commit_throughput","appenders":$n,""" +
       f""""batches_each":$k,"locked_sec":$locked%.2f,""" +
       f""""occ_sec":$occ%.2f,"speedup":${locked / occ}%.2f,""" +
       f""""mixed_locked_sec":$mixedLocked%.2f,""" +
       f""""mixed_occ_sec":$mixedOcc%.2f,""" +
-      f""""mixed_speedup":${mixedLocked / mixedOcc}%.2f}""")
+      f""""mixed_speedup":${mixedLocked / mixedOcc}%.2f,""" +
+      f""""mixed_cow_locked_sec":$mixedCowLocked%.2f,""" +
+      f""""mixed_cow_occ_sec":$mixedCowOcc%.2f,""" +
+      f""""mixed_cow_speedup":${mixedCowLocked / mixedCowOcc}%.2f}""")
     } finally exec.shutdown()
   }
 }

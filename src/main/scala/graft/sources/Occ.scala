@@ -375,6 +375,208 @@ object Occ {
     throw new IllegalStateException("unreachable")
   }
 
+  /** OCC COPY-ON-WRITE MERGE — [[MergeInto.merge]]'s semantics with
+    * the writer lock held only for a metadata-scale commit section
+    * (r10 VERDICT ask #5: the CoW verbs serialized their whole
+    * multi-second rewrites behind the long lock). Prepare (touched-
+    * file discovery, the survivors-union rewrite into target-count
+    * staged files, the constraint/generated gates) runs unlocked
+    * against a pinned snapshot; the commit section validates and
+    * publishes, or the loser deletes its staged bytes and re-prepares.
+    *
+    * CONFLICT = TOUCHED-FILE INTERSECTION (Delta's WriteSerializable
+    * arbitration, not full-view equality):
+    *
+    *  - a concurrent commit that RETIRED any file this merge rewrote
+    *    (an overlapping CoW mutation) → conflict, retry;
+    *  - deletion vectors appearing/changing → conflict (a CoW rewrite
+    *    without them would resurrect DV-deleted rows);
+    *  - a constraint/generated-column definition change → conflict
+    *    (the staged rows embed the old definitions);
+    *  - a concurrent blind APPEND does NOT conflict: its files are
+    *    carried into the published version untouched (the carry list
+    *    is recomputed FROM THE COMMIT-TIME VIEW, never the snapshot,
+    *    so nothing a disjoint writer published is dropped or
+    *    resurrected). Rows appended concurrently are semantically
+    *    AFTER this merge — they are not matched even if their keys
+    *    collide, exactly Delta's WriteSerializable reading.
+    *
+    * Returns (filesRewritten, filesCarried at commit time). */
+  def merge(spark: SparkSession, lakeDir: String, updates: DataFrame,
+      keys: Seq[String], filesPerRewrite: Int = 4,
+      evolveSchema: Boolean = false, indexDir: Option[String] = None,
+      maxRetries: Int = 5, commitWaitMs: Long = 30000L,
+      beforeCommit: () => Unit = () => ()): (Int, Int) = {
+    val fs = fsOf(spark, lakeDir)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"merge(occ): $lakeDir has no commit log — cannot publish " +
+        "atomically")
+    sweepStaleStages(fs, lakeDir)
+    var attempt = 0
+    while (true) {
+      // ---- PREPARE (no lock) ----
+      val (filesSnap, dvSnap) = CommitLog.committedView(fs, lakeDir)
+      val defsSnap = defsSnapshot(fs, lakeDir)
+      require(dvSnap.isEmpty,
+        s"merge(occ): $lakeDir has unapplied deletion vectors — run " +
+          "DeletionVectors.compact first (a copy-on-write rewrite " +
+          "would resurrect DV-deleted rows)")
+      require(filesSnap.nonEmpty,
+        s"merge(occ): no committed files in $lakeDir — ingest first")
+      val updates0 = GeneratedColumns.fill(spark, lakeDir, updates)
+        .localCheckpoint()
+      MergeInto.requireUniqueKeys(updates0, keys, "merge(occ)")
+      val committed = filesSnap.toSeq.sorted
+      val lake = spark.read.option("mergeSchema", "true")
+        .parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*)
+      MergeInto.requireFullRowCompatible(lake, updates0, "merge(occ)",
+        evolveSchema)
+      def touchedIn(base: DataFrame): Set[String] = base
+        .select(col("_metadata.file_path").as("__file") +:
+          keys.map(col): _*)
+        .join(updates0.select(keys.map(col): _*).distinct(), keys,
+          "left_semi")
+        .select(col("__file")).distinct()
+        .collect().map(r => new Path(r.getString(0)).getName).toSet
+      val touched = MergeInto.keyCandidateFiles(spark, updates0, keys,
+          indexDir, committed) match {
+        case Some(Seq()) => Set.empty[String] // pure-insert merge
+        case Some(cand) => touchedIn(
+          spark.read.schema(lake.schema).parquet(cand: _*))
+        case None => touchedIn(lake)
+      }
+      val survivors =
+        if (touched.isEmpty) updates0
+        else spark.read.schema(lake.schema)
+          .parquet(CommitLog.resolveDataPaths(fs, lakeDir,
+            touched.toSeq.sorted): _*)
+          .join(updates0.select(keys.map(col): _*).distinct(), keys,
+            "left_anti")
+          .unionByName(updates0, allowMissingColumns = true)
+      val stage = stageDir(lakeDir)
+      survivors.repartition(filesPerRewrite).write
+        .parquet(s"$stage/data")
+      val fresh = stagedNames(fs, s"$stage/data")
+      Constraints.validatePaths(spark, lakeDir,
+        fresh.map(n => s"$stage/data/$n"))
+      GeneratedColumns.validatePaths(spark, lakeDir,
+        fresh.map(n => s"$stage/data/$n"))
+      beforeCommit()
+      // ---- COMMIT SECTION (locked, metadata-scale) ----
+      var carried = -1
+      val won = CommitLog.withWriterLock(fs, lakeDir,
+          waitMs = commitWaitMs) {
+        val (curFiles, curDv) = CommitLog.committedView(fs, lakeDir)
+        if (curDv != dvSnap ||
+            defsSnapshot(fs, lakeDir) != defsSnap ||
+            !touched.subsetOf(curFiles)) false
+        else {
+          renameInto(fs, s"$stage/data", fresh, lakeDir)
+          val carry = (curFiles -- touched).toSeq.sorted
+          carried = carry.size
+          val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+          CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
+            (carry ++ fresh).sorted,
+            added = fresh, removed = touched.toSeq.sorted)
+          // the replaced files are unreferenced now; sweep under the
+          // lock (nothing can be mid-publish) so the plain directory
+          // read converges immediately, as the locked verb does
+          CommitLog.vacuum(fs, lakeDir, olderThanMs = 0L)
+          indexDir.foreach(idx =>
+            StatsIndex.refreshSameColumns(spark, lakeDir, idx))
+          true
+        }
+      }
+      fs.delete(new Path(stage), true)
+      if (won) return (touched.size, carried)
+      attempt += 1
+      require(attempt < maxRetries,
+        s"merge(occ): $maxRetries consecutive commit conflicts on " +
+          s"$lakeDir — retry later or use the locked verb")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** OCC ONLINE OPTIMIZE — the whole-lake curve rewrite
+    * ([[ZOrder.optimize]]'s layout result) as a VALIDATE-AND-RETRY
+    * maintenance pass instead of a lock-holding one: the expensive
+    * re-cluster (range exchange + per-file sorts + parquet encode of
+    * the ENTIRE snapshot) runs unlocked into a stage; the commit
+    * section publishes IFF no snapshot file was retired and no
+    * deletion vector changed. A concurrent blind APPEND never
+    * conflicts — its files are carried into the published version
+    * un-optimized (they join the next pass), so ingest keeps flowing
+    * through a maintenance rewrite and an appender never vanishes
+    * (the r10 OPTIMIZE-racing-appender arm). Deletion vectors pinned
+    * at the snapshot are APPLIED by the rewrite (dead rows drop,
+    * coverage ends with the published checkpoint); vectors added
+    * mid-rewrite → conflict, retry.
+    *
+    * Publishes a plain (truncating) checkpoint at the current max id
+    * — rows are preserved, so this is compaction-class history: time
+    * travel below it ends loudly, and a live [[
+    * graft.streaming.ChangeStream]] trips its typed cursor guard,
+    * exactly as the locked maintenance verbs behave. Returns
+    * (snapshotFilesRewritten, appendsCarried). */
+  def optimize(spark: SparkSession, lakeDir: String, zCols: Seq[String],
+      bits: Int = 10, numFiles: Int = 0, curve: String = "morton",
+      maxRetries: Int = 5, commitWaitMs: Long = 30000L,
+      beforeCommit: () => Unit = () => ()): (Int, Int) = {
+    val fs = fsOf(spark, lakeDir)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"optimize(occ): $lakeDir has no commit log — cannot publish " +
+        "atomically")
+    sweepStaleStages(fs, lakeDir)
+    var attempt = 0
+    while (true) {
+      // ---- PREPARE (no lock): the full-snapshot re-cluster ----
+      val (filesSnap, dvSnap) = CommitLog.committedView(fs, lakeDir)
+      require(filesSnap.nonEmpty,
+        s"optimize(occ): no committed files in $lakeDir")
+      val committed = filesSnap.toSeq.sorted
+      val base = spark.read.option("mergeSchema", "true")
+        .parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*)
+      val input = DeletionVectors.vectorsFor(spark, lakeDir, dvSnap)
+        match {
+        case None => base
+        case Some(dv) => DeletionVectors.applyVectors(base, Some(dv))
+      }
+      val stage = stageDir(lakeDir)
+      ZOrder.curveWrite(input, stage, zCols, bits, numFiles,
+        mode = "append", curve = curve)
+      val fresh = stagedNames(fs, stage)
+      beforeCommit()
+      // ---- COMMIT SECTION (locked, metadata-scale) ----
+      var carriedAppends = -1
+      val won = CommitLog.withWriterLock(fs, lakeDir,
+          waitMs = commitWaitMs) {
+        val (curFiles, curDv) = CommitLog.committedView(fs, lakeDir)
+        if (curDv != dvSnap || !filesSnap.subsetOf(curFiles)) false
+        else {
+          renameInto(fs, stage, fresh, lakeDir)
+          val appends = (curFiles -- filesSnap).toSeq.sorted
+          carriedAppends = appends.size
+          val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+          // no dv entries: the snapshot's vectors were applied by the
+          // rewrite and nothing else can be covered (a vector landing
+          // mid-rewrite is the conflict arm above)
+          CommitLog.commitCheckpoint(fs, lakeDir, id,
+            (fresh ++ appends).sorted)
+          CommitLog.vacuum(fs, lakeDir, olderThanMs = 0L)
+          true
+        }
+      }
+      fs.delete(new Path(stage), true)
+      if (won) return (committed.size, carriedAppends)
+      attempt += 1
+      require(attempt < maxRetries,
+        s"optimize(occ): $maxRetries consecutive commit conflicts on " +
+          s"$lakeDir — the lake is mutating faster than the rewrite; " +
+          "retry later or use the locked ZOrder.optimize")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** OCC MERGE-ON-READ MERGE — [[DeletionVectors.mergeMor]]'s
     * semantics with the lock held only for the commit section.
     * Prepare (matched-row discovery, sidecar pairs, target-sized

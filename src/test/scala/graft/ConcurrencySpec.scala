@@ -316,6 +316,105 @@ class ConcurrencySpec extends SparkSpec {
     assert(got2.count() == 200L)
   }
 
+  test("CoW merge racing an append, both orders: the append's files " +
+    "are carried (WriteSerializable — appends commute), the merge " +
+    "lands without a retry, and no row is lost") {
+    // order A: the append commits INSIDE the merge's window — NOT a
+    // conflict (touched-file intersection is empty); the commit-time
+    // carry picks the appended files up
+    val lake = mkLake()
+    val injected = new AtomicBoolean(false)
+    val (rew, carried) = Occ.merge(spark, lake,
+      (0 until 50).map(k => (k, -1L)).toDF("k", "v"), Seq("k"),
+      beforeCommit = () => {
+        if (injected.compareAndSet(false, true)) {
+          assert(Occ.append(spark, lake,
+            (4000 until 4040).map(k => (k, 4L)).toDF("k", "v"),
+            numFiles = 2) > 0L)
+        }
+      })
+    assert(rew == 1 && carried >= 2,
+      s"the interleaved append's files must be carried ($rew/$carried)")
+    val got = graft.streaming.LayoutSink.readCommitted(spark, lake)
+    assert(got.count() == 240L) // 200 base + 40 appended (50 replaced)
+    assert(got.filter(col("k") < 50 && col("v") =!= -1L).count() == 0L)
+    assert(got.filter(col("k") >= 4000).count() == 40L)
+    // order B: merge first, append after — trivially both land
+    assert(Occ.append(spark, lake,
+      (5000 until 5010).map(k => (k, 5L)).toDF("k", "v")) > 0L)
+    assert(graft.streaming.LayoutSink.readCommitted(spark, lake)
+      .count() == 250L)
+  }
+
+  test("two CoW merges, overlapping touched files: the loser RETRIES " +
+    "over the winner's version — no lost update") {
+    val lake = mkLake()
+    val injected = new AtomicBoolean(false)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val (rew, _) = Occ.merge(spark, lake,
+      (0 until 30).map(k => (k, -1L)).toDF("k", "v"), Seq("k"),
+      beforeCommit = () => {
+        calls.incrementAndGet()
+        if (injected.compareAndSet(false, true)) {
+          // same single-file lake: the inner merge touches THE file
+          // the outer one rewrote — deterministic conflict
+          val (r2, _) = Occ.merge(spark, lake,
+            (100 until 130).map(k => (k, -2L)).toDF("k", "v"), Seq("k"))
+          assert(r2 == 1)
+        }
+      })
+    // the retry re-discovers over the winner's 4-file rewrite, so the
+    // outer merge's touched set grows from 1 file to up to 4
+    assert(rew >= 1 && calls.get() == 2,
+      s"expected exactly one conflict retry, saw ${calls.get()} " +
+        s"(touched $rew)")
+    val got = graft.streaming.LayoutSink.readCommitted(spark, lake)
+    assert(got.count() == 200L)
+    assert(got.filter(col("k") < 30 && col("v") =!= -1L).count() == 0L)
+    assert(got.filter(col("k") >= 100 && col("k") < 130 &&
+      col("v") =!= -2L).count() == 0L,
+      "the inner merge's update must survive the outer one's retry")
+  }
+
+  test("OCC OPTIMIZE racing an appender: the append survives (carried " +
+    "un-optimized), the rewrite lands, rows are exactly preserved; a " +
+    "mid-rewrite MUTATION forces the retry instead") {
+    val lake = mkLake()
+    val injected = new AtomicBoolean(false)
+    val (rewritten, carriedAppends) = Occ.optimize(spark, lake,
+      Seq("k"), bits = 8, numFiles = 2,
+      beforeCommit = () => {
+        if (injected.compareAndSet(false, true)) {
+          assert(Occ.append(spark, lake,
+            (6000 until 6025).map(k => (k, 6L)).toDF("k", "v"),
+            numFiles = 1) > 0L)
+        }
+      })
+    assert(rewritten == 1 && carriedAppends == 1,
+      s"append carried through the rewrite ($rewritten/$carriedAppends)")
+    val got = graft.streaming.LayoutSink.readCommitted(spark, lake)
+    assert(got.count() == 225L)
+    assert(got.agg(sum(col("v"))).head.getLong(0) ==
+      (0 until 200).map(2L * _).sum + 25 * 6L)
+    // a DV landing mid-rewrite is a CONFLICT: the retry re-clusters
+    // over the post-delete view and the dead rows stay dead
+    val injected2 = new AtomicBoolean(false)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val (_, _) = Occ.optimize(spark, lake, Seq("k"), bits = 8,
+      numFiles = 2,
+      beforeCommit = () => {
+        calls.incrementAndGet()
+        if (injected2.compareAndSet(false, true)) {
+          assert(Occ.deleteMor(spark, lake, "k < 20") == 20L)
+        }
+      })
+    assert(calls.get() == 2, s"expected one retry, saw ${calls.get()}")
+    val after = graft.streaming.LayoutSink.readCommitted(spark, lake)
+    assert(after.count() == 205L)
+    assert(after.filter(col("k") < 20).count() == 0L,
+      "DV-deleted rows must not be resurrected by the rewrite")
+  }
+
   test("the sink's commit section WAITS out a briefly-held writer " +
     "lock instead of failing the fully-staged batch (and the " +
     "streaming query with it)") {
