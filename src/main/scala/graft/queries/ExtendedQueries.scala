@@ -1617,7 +1617,55 @@ object ExtendedQueries {
         max(col("part")).as("max_part"))
   }
 
+  /** AGE-BASED RETENTION end to end
+    * ([[graft.sources.CommitLog.retention]] — r10 VERDICT ask #6): a
+    * doc lake takes a MoR delete + update + insert-merge (row-level
+    * history at id 0) and a later append, then a retention pass with
+    * the cutoff between them expires every superseded version — the
+    * mutation trail folds into ONE `.fold.mutation.` base carrying
+    * the deletion-vector coverage, the expired records are gone, and
+    * the lake still answers EXACTLY its pre-retention content (the
+    * clock is injected, so the probe is deterministic). The oracle
+    * computes the end state declaratively from `documents`: the hash
+    * match proves retention is a pure metadata/history operation —
+    * it can expire a week of versions without moving one committed
+    * row. */
+  val q85Retention: Q = (s, dir) => {
+    import graft.sources.{CommitLog, DeletionVectors, Occ}
+    val work = tempWork("graft_q85_")
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.repartition(3).write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    DeletionVectors.deleteMor(s, lake, "doc_id % 7 = 2")
+    DeletionVectors.updateMor(s, lake, "doc_id % 7 = 3",
+      Map("n_chars" -> "n_chars + 50"))
+    DeletionVectors.mergeMor(s, lake,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 1)
+        .withColumn("doc_id", -col("doc_id")), Seq("doc_id"))
+    require(Occ.append(s, lake,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 5)
+        .withColumn("doc_id", col("doc_id") + 1000000L)) > 0L)
+    // cutoff one hour in the (injected) future: every version the
+    // append superseded expires; the append itself never does
+    val (expired, _) = CommitLog.retention(fs, lake,
+      olderThanMs = 3600000L, graceMs = 0L,
+      nowMs = System.currentTimeMillis() + 7200000L)
+    require(expired == 4,
+      s"q85: the base manifest + three mutation generations expire " +
+        s"(saw $expired)")
+    DeletionVectors.readMor(s, lake)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q85_retention" -> q85Retention,
     "q84_column_mapping" -> q84ColumnMapping,
     "q54_time_travel" -> q54TimeTravel,
     "q55_vacuum" -> q55Vacuum,
@@ -1908,6 +1956,22 @@ object ExtendedQueries {
           "ELSE l_discount END")} AS sum_disc
          |FROM lineitem
          |GROUP BY 1""".stripMargin,
+    "q85_retention" ->
+      s"""WITH final AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 7 = 3 THEN n_chars + 50
+         |      ELSE n_chars END AS n_chars
+         |  FROM documents WHERE doc_id % 7 <> 2
+         |  UNION ALL
+         |  SELECT -doc_id, lang, n_chars
+         |  FROM documents WHERE doc_id % 7 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, n_chars
+         |  FROM documents WHERE doc_id % 7 = 5
+         |)
+         |SELECT lang, count(*) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM final GROUP BY 1""".stripMargin,
     "q84_column_mapping" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  ${sqlSumd("l_quantity")} AS sum_qty,

@@ -477,6 +477,127 @@ object CommitLog {
     swept ++ dvSwept.map(n => s"_dv/$n")
   }
 
+  /** AGE-BASED RETENTION — the operational policy beside the
+    * id-horizon tools ([[vacuum]] is an orphan sweep, [[checkpoint]]
+    * a full fold): expire every version SUPERSEDED before
+    * `nowMs - olderThanMs`, keeping newer time travel intact. A
+    * version is expired when its SUCCESSOR was already published at
+    * the cutoff (Delta's reading: the version had stopped being
+    * current by then); the current version never expires. The
+    * boundary is then rolled back to a strict id boundary (a fold
+    * cannot split same-id generations) and the pass:
+    *
+    *  1. publishes ONE truncating fold holding the boundary version's
+    *     as-published view (data files AND covered vectors — dropping
+    *     them would resurrect MoR-deleted rows), spelled
+    *     `.fold.mutation.` when a DML record lives at that id, so the
+    *     version-resolution guards keep failing fast exactly as
+    *     [[checkpoint]]'s fold does;
+    *  2. deletes every record at-or-below the boundary id (the fold
+    *     subsumes them) — those versions become unreachable, loudly:
+    *     travel below the fold reports "history truncated";
+    *  3. sweeps data/sidecar files no SURVIVING record references,
+    *     aged past `graceMs` (the same crash-window grace every sweep
+    *     here uses) — the expired versions' exclusive bytes. Bytes
+    *     shared with live versions are never touched.
+    *
+    * Metadata-scale: one log listing + one read per live record; the
+    * byte sweep stats only unreferenced names. Runs under the writer
+    * lock. `nowMs` is injectable for deterministic tests/backdating.
+    * Returns (records expired, file names reclaimed). */
+  def retention(fs: FileSystem, lakeDir: String, olderThanMs: Long,
+      graceMs: Long = 3600000L,
+      nowMs: Long = System.currentTimeMillis()): (Int, Seq[String]) = {
+    require(olderThanMs >= 0, "retention: olderThanMs must be >= 0")
+    if (!fs.exists(new Path(logDir(lakeDir)))) return (0, Seq.empty)
+    withWriterLock(fs, lakeDir) {
+      val cutoff = nowMs - olderThanMs
+      val (ckpts, manifests) = listLog(fs, lakeDir)
+      // publish order: (id, manifest < checkpoint, gen)
+      val ordered: Seq[(FileStatus, Long, Long, Boolean)] =
+        (manifests.map(s => (s, recordId(s.getPath.getName), 0L, false))
+          ++ ckpts.map { s =>
+            val (id, gen) = ckptKey(s.getPath.getName)
+            (s, id, gen, true)
+          }).sortBy { case (_, id, gen, isCkpt) => (id, isCkpt, gen) }
+      if (ordered.size <= 1) return (0, Seq.empty)
+      // expired = superseded before the cutoff (successor's modtime)
+      var expired = 0
+      while (expired + 1 < ordered.size &&
+          ordered(expired + 1)._1.getModificationTime <= cutoff)
+        expired += 1
+      // roll back to a strict id boundary: the fold outranks every
+      // same-id generation, so the first SURVIVOR must sit at a
+      // strictly greater id than the boundary record
+      while (expired > 0 &&
+          ordered(expired)._2 == ordered(expired - 1)._2)
+        expired -= 1
+      if (expired == 0) return (0, Seq.empty)
+      val (pivotSt, pivotId, pivotGen, pivotIsCkpt) = ordered(expired - 1)
+      // CONVERGENCE: the boundary version stays behind as the fold's
+      // base (Delta keeps the retention-boundary checkpoint too), so
+      // a previous pass's base re-qualifies as "superseded" forever —
+      // when the would-be pivot IS already a truncating base with
+      // nothing beneath it, there is nothing left to expire
+      if (pivotIsCkpt && truncatesBelow(pivotSt.getPath.getName) &&
+          !ordered.take(expired - 1).exists(_._2 <= pivotId))
+        return (0, Seq.empty)
+      // the boundary version's exact as-published view
+      val kind =
+        if (!pivotIsCkpt) "manifest"
+        else if (isMutation(pivotSt.getPath.getName)) "mutation"
+        else "checkpoint"
+      val (data, dv) = viewOfVersion(fs, lakeDir,
+        VersionRecord(pivotId, pivotGen, kind, 0, 0, 0L,
+          current = false, reachable = true))
+      val foldGen = ckpts.map(s => ckptKey(s.getPath.getName)._2)
+        .foldLeft(-1L)(math.max) + 1L
+      val mutAt = ckpts.exists(s => isMutation(s.getPath.getName) &&
+        ckptKey(s.getPath.getName)._1 == pivotId) || kind == "mutation"
+      writeAtomic(fs, lakeDir,
+        checkpointPath(lakeDir, pivotId, foldGen, mutation = mutAt,
+          fold = mutAt),
+        data.toSeq.sorted ++ dv.toSeq.sorted.map(DvPrefix + _))
+      // subsumed: every record at-or-below the boundary id, except
+      // the fold just published
+      val foldName = checkpointPath(lakeDir, pivotId, foldGen,
+        mutation = mutAt, fold = mutAt).getName
+      (ckpts ++ manifests).foreach { s =>
+        val n = s.getPath.getName
+        if (recordId(n) <= pivotId && n != foldName) {
+          fs.delete(s.getPath, false); ()
+        }
+      }
+      // reclaim the expired versions' EXCLUSIVE bytes: anything no
+      // surviving record references, past the crash-window grace
+      val (ckpts2, manifests2) = listLog(fs, lakeDir)
+      val liveEntriesAll = (ckpts2 ++ manifests2)
+        .flatMap(readRecord(fs, _)).toSet
+      val liveData = liveEntriesAll.filter(isDataEntry) ++
+        liveEntriesAll.collect {
+          case e if e.startsWith(AddPrefix) => e.substring(AddPrefix.length)
+          case e if e.startsWith(RmPrefix) => e.substring(RmPrefix.length)
+        }
+      val liveDv = liveEntriesAll.collect {
+        case e if isDvEntry(e) => e.substring(DvPrefix.length)
+      }
+      def aged(p: Path): Boolean =
+        try nowMs - fs.getFileStatus(p).getModificationTime >= graceMs
+        catch { case _: FileNotFoundException => false }
+      val sweptData = (dataFileNames(fs, lakeDir) -- liveData)
+        .toSeq.sorted.filter(n => aged(new Path(lakeDir, n)))
+      sweptData.foreach { n => fs.delete(new Path(lakeDir, n), false); () }
+      val dvd = new Path(DeletionVectors.dvDir(lakeDir))
+      val sweptDv =
+        if (!fs.exists(dvd)) Seq.empty[String]
+        else fs.listStatus(dvd).iterator.map(_.getPath.getName)
+          .filter(n => n.endsWith(".parquet") && !liveDv(n))
+          .filter(n => aged(new Path(dvd, n))).toSeq.sorted
+      sweptDv.foreach { n => fs.delete(new Path(dvd, n), false); () }
+      (expired, sweptData ++ sweptDv.map(n => s"_dv/$n"))
+    }
+  }
+
   /** RESTORE (rollback): republish the committed view AS OF
     * `toBatchId` as the table's NEW current version — ONE
     * metadata-scale checkpoint write, ZERO data I/O, so rolling a
