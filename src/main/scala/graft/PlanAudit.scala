@@ -50,6 +50,7 @@ object PlanAudit {
     "q26_median", // final rank filter over the tiny histogram
     "qv1_knn", // global top-k: TakeOrdered final stage
     "qv6_ivf_query", // global top-k over probed buckets
+    "qv18_indexed_knn", // same top-k shape, served from the stored index
     "qm2_pca_variance", "qm4_corr_matrix", // driver-built 1-row frames
     // 1-row global MIN/MAX whose DV'd-file gap scan must aggregate
     // (q63's clean-lake twin answers from metadata literals alone)
