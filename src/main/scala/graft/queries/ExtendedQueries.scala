@@ -1664,7 +1664,54 @@ object ExtendedQueries {
         sum(col("n_chars")).cast("long").as("sum_chars"))
   }
 
+  /** TIMESTAMP AS OF — Delta's wall-clock time travel
+    * ([[graft.sources.CommitLog.committedViewAtTime]]): the version
+    * served is the newest one PUBLISHED at-or-before the requested
+    * instant. The probe pins the log records to spaced deterministic
+    * timestamps (the same injectable clock retention uses), then
+    * reads TWO instants: one between the second and third append
+    * (→ exactly batches 0–1) and one after a MoR delete (→ the full
+    * table minus the dead rows, vectors applied through the
+    * [[graft.sources.DeletionVectors.readMorAtTime]] surface). The
+    * oracle computes both pinned states declaratively; the hash match
+    * proves timestamp resolution picks exactly the right version on
+    * both sides of a mutation — never an empty view, never a torn
+    * one. */
+  val q86TimeTravelTs: Q = (s, dir) => {
+    import graft.sources.{CommitLog, DeletionVectors}
+    val lake = loggedLake(s, dir, tempWork("graft_q86_"))
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    DeletionVectors.deleteMor(s, lake, "l_orderkey % 11 = 5")
+    // pin the publish clock: batch b at T + 1000·b, the mutation after
+    val T = 1700000000000L
+    val log = new org.apache.hadoop.fs.Path(CommitLog.logDir(lake))
+    fs.listStatus(log).foreach { st =>
+      val n = st.getPath.getName
+      val t =
+        if (n == "0.manifest") T
+        else if (n == "1.manifest") T + 1000L
+        else if (n == "2.manifest") T + 2000L
+        else if (n.endsWith(".checkpoint")) T + 3000L
+        else -1L
+      if (t >= 0) fs.setTimes(st.getPath, t, -1)
+    }
+    val pre = graft.streaming.LayoutSink
+      .readCommittedAtTime(s, lake, T + 1500L) // batches 0 and 1
+    val post = DeletionVectors
+      .readMorAtTime(s, lake, T + 3500L) // head, dead rows gone
+    pre.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+      .withColumn("pin", lit("pre"))
+      .unionByName(
+        post.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sumd(col("l_quantity")).as("sum_qty"))
+          .withColumn("pin", lit("post")))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q86_time_travel_ts" -> q86TimeTravelTs,
     "q85_retention" -> q85Retention,
     "q84_column_mapping" -> q84ColumnMapping,
     "q54_time_travel" -> q54TimeTravel,
@@ -1955,6 +2002,16 @@ object ExtendedQueries {
         "CASE WHEN l_returnflag = 'R' THEN l_discount * 0.5 " +
           "ELSE l_discount END")} AS sum_disc
          |FROM lineitem
+         |GROUP BY 1""".stripMargin,
+    "q86_time_travel_ts" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_quantity")} AS sum_qty, 'pre' AS pin
+         |FROM lineitem WHERE l_orderkey % 3 <> 2
+         |GROUP BY 1
+         |UNION ALL
+         |SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_quantity")} AS sum_qty, 'post' AS pin
+         |FROM lineitem WHERE NOT (l_orderkey % 11 = 5)
          |GROUP BY 1""".stripMargin,
     "q85_retention" ->
       s"""WITH final AS (

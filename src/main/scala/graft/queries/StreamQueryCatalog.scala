@@ -650,7 +650,53 @@ object StreamQueryCatalog {
       .toDF("lang", "n", "sum_chars")
   }
 
+  /** STREAMING-MAINTAINED VECTOR INDEX — qv18's live twin: the ANN
+    * index ([[graft.sources.VectorIndex]]) is built ONCE on a base
+    * lake, then a micro-batched embedding stream appends the rest and
+    * REFRESHES the index after every batch (cost ∝ that batch's rows
+    * — the per-trigger discipline `LayoutSink` applies to the stats
+    * index, here for the ANN sidecar), so the index never lags the
+    * lake past a trigger. The final probe answers from the STORED
+    * buckets; the oracle recomputes the whole thing in-query over the
+    * final corpus with the base-pinned centroid sample — the hash
+    * match proves per-batch incremental maintenance converges to
+    * exactly the one-shot build's answer. */
+  val qs21StreamVectorIndex: Q = (s, dir) => {
+    import graft.sources.{Occ, VectorIndex}
+    val work = ExtendedQueries.tempWork("graft_qs21_")
+    val lake = s"$work/lake"
+    val idx = s"$work/vidx"
+    val emb = Oracle.table(s, dir, "embeddings")
+    Occ.append(s, lake, emb.filter(pmod(col("vec_id"), lit(5)) =!= 0))
+    VectorIndex.build(s, lake, idx, VectorIndex.Params(c = 16))
+    // the live remainder: one file per micro-batch
+    val rest = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    rest.repartition(4).write.parquet(s"$work/in")
+    val stream = s.readStream.schema(rest.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+    val refreshed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$work/ckp")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (Occ.append(batch.sparkSession, lake, batch) >= 0L) {
+          val (_, rows) = VectorIndex.refresh(batch.sparkSession,
+            lake, idx)
+          refreshed.addAndGet(rows); ()
+        }
+      }
+      .start()
+    q.awaitTermination()
+    require(refreshed.get() == rest.count(),
+      s"qs21: per-batch refresh must cover every streamed row " +
+        s"(${refreshed.get()})")
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0)
+    VectorIndex.query(s, lake, idx, qvec, k = 10, probes = 4)
+  }
+
   val defs: Map[String, Q] = Map(
+    "qs21_stream_vector_index" -> qs21StreamVectorIndex,
     "qs20_stream_cdc" -> qs20StreamCdc,
     "qs19_stream_view_minmax" -> qs19StreamViewMinmax,
     "qs18_stream_view" -> qs18StreamView,
@@ -673,6 +719,11 @@ object StreamQueryCatalog {
     "qs4_stream_dedup" -> qs4StreamDedup)
 
   val sql: Map[String, String] = Map(
+    // qv18's oracle verbatim: the streaming-maintained index must
+    // answer exactly what the one-shot build answers — same base
+    // centroid sample, same final corpus, same probes/tiebreaks
+    "qs21_stream_vector_index" ->
+      VectorQueryCatalog.sql("qv18_indexed_knn"),
     "qs20_stream_cdc" ->
       """WITH final AS (
         |  SELECT doc_id, lang,

@@ -295,7 +295,32 @@ object VectorQueryCatalog {
     VectorIndex.query(s, lake, idx, qvec, k = 10, probes = 4)
   }
 
+  /** FILTERED ANN over the PERSISTED index: the label predicate
+    * evaluates INSIDE the probe-pruned index scan — at build time the
+    * index CARRIED the filter column beside each vector
+    * (`Params.carryCols`), so a filtered query never joins back to
+    * the lake per candidate row (the storage-side half of the
+    * qv16/qv17 filtered-search family). The oracle is qv16's exact
+    * in-query computation: a hash match proves the stored-index
+    * filtered answer is bit-identical to filtering the in-query
+    * assignment — same centroids, same probes, same tiebreaks. */
+  val qv19IndexedFilteredKnn: Q = (s, dir) => {
+    import graft.sources.{Occ, VectorIndex}
+    val work = ExtendedQueries.tempWork("graft_qv19_")
+    val lake = s"$work/lake"
+    val idx = s"$work/vidx"
+    val emb = table(s, dir, "embeddings")
+    Occ.append(s, lake, emb)
+    VectorIndex.build(s, lake, idx,
+      VectorIndex.Params(c = 16, carryCols = Seq("label")))
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0)
+    VectorIndex.queryFiltered(s, lake, idx, col("label") === 3, qvec,
+      k = 10, probes = 4)
+  }
+
   val defs: Map[String, Q] = Map(
+    "qv19_indexed_filtered_knn" -> qv19IndexedFilteredKnn,
     "qv18_indexed_knn" -> qv18IndexedKnn,
     "qv17_filtered_knn_auto" -> qv17FilteredKnnAuto,
     "qv16_filtered_knn" -> qv16FilteredKnn,
@@ -464,6 +489,31 @@ object VectorQueryCatalog {
          |JOIN probes p ON p.bucket = a.bucket
          |CROSS JOIN q
          |WHERE e.label <= 4
+         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "qv19_indexed_filtered_knn" ->
+      s"""WITH cents AS ($centroidsSql),
+         |cscored AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    ${cosineSql("e.embedding", "c.centroid")} AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id AS bucket FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, centroid_id) AS rn
+         |    FROM cscored) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT centroid_id AS bucket
+         |  FROM cents CROSS JOIN q
+         |  ORDER BY ${cosineSql("centroid", "qv")} DESC, centroid_id
+         |  LIMIT 4)
+         |SELECT e.vec_id, ${cosineSql("e.embedding", "qv")} AS sim
+         |FROM embeddings e
+         |JOIN assigned a ON a.vec_id = e.vec_id
+         |JOIN probes p ON p.bucket = a.bucket
+         |CROSS JOIN q
+         |WHERE e.label = 3
          |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
     "qv16_filtered_knn" ->
       s"""WITH cents AS ($centroidsSql),

@@ -477,6 +477,35 @@ object CommitLog {
     swept ++ dvSwept.map(n => s"_dv/$n")
   }
 
+  /** TIMESTAMP AS OF — Delta's time-travel-by-wall-clock beside the
+    * id-addressed [[committedViewAt]]: the version served is the
+    * NEWEST one published at-or-before `tsMs` (publish order, record
+    * modification times — the same clock [[retention]] expires by).
+    * Fails loudly when `tsMs` predates the first live record (either
+    * genuinely before the lake existed, or the history below was
+    * expired/folded — the caller cannot tell the difference and must
+    * not get an empty view for it). Resolution and byte-retention
+    * guards are [[viewOfVersion]]'s. Returns ((files, dv), the
+    * record's (id, modifiedMs)) so callers can report what they
+    * resolved to. */
+  def committedViewAtTime(fs: FileSystem, lakeDir: String,
+      tsMs: Long): ((Set[String], Set[String]), (Long, Long)) = {
+    val recs = history(fs, lakeDir)
+    require(recs.nonEmpty,
+      s"time travel to $tsMs: $lakeDir has no commit log records")
+    val at = recs.filter(_.modifiedMs <= tsMs)
+    require(at.nonEmpty,
+      s"time travel to $tsMs: before the first live record " +
+        s"(oldest = ${recs.map(_.modifiedMs).min}) — either the lake " +
+        "did not exist yet or that history was expired/folded")
+    // true publish order: (id, manifest < checkpoint, gen) — history()
+    // sorts kinds lexicographically, which misorders a same-(id, gen)
+    // restore checkpoint against its manifest
+    val v = at.sortBy(r =>
+      (r.id, if (r.kind == "manifest") 0 else 1, r.gen)).last
+    (viewOfVersion(fs, lakeDir, v), (v.id, v.modifiedMs))
+  }
+
   /** AGE-BASED RETENTION — the operational policy beside the
     * id-horizon tools ([[vacuum]] is an orphan sweep, [[checkpoint]]
     * a full fold): expire every version SUPERSEDED before

@@ -272,20 +272,26 @@ object DeletionVectors {
     * for [[CommitLog.vacuum]], uncovered `_dv` files for the next
     * writer's sweep). */
   def mergeMor(spark: SparkSession, lakeDir: String, updates: DataFrame,
-      keys: Seq[String], evolveSchema: Boolean = false,
+      keys0: Seq[String], evolveSchema: Boolean = false,
       indexDir: Option[String] = None,
       targetRowsPerDelta: Long = 1L << 20): (Long, Long) = {
     require(targetRowsPerDelta > 0, "targetRowsPerDelta must be positive")
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // generated-column FILL first: an update frame omitting a defined
+    // column mapping first: callers speak LOGICAL names (frame columns
+    // AND keys); the delta files and the key-discovery join run over
+    // the shared PHYSICAL schema (identity on unmapped lakes).
+    // generated-column FILL second: an update frame omitting a defined
     // column gets it computed before compatibility checks and the
     // delta write. localCheckpoint materializes the caller's update
     // DAG exactly ONCE (outside the writer lock): the key-discovery
     // join, the row count that sizes the delta files, and the write
     // all read the materialized partitions instead of re-executing a
     // possibly expensive plan.
-    val updates0 = GeneratedColumns.fill(spark, lakeDir, updates)
+    val cmap = ColumnMapping.mapping(fs, lakeDir)
+    val keys = keys0.map(cmap.physicalOf)
+    val updates0 = GeneratedColumns.fill(spark, lakeDir,
+      ColumnMapping.toPhysical(spark, lakeDir, updates))
       .localCheckpoint()
     MergeInto.requireUniqueKeys(updates0, keys, "mergeMor")
     requireNoClash(updates0, "mergeMor")
@@ -676,6 +682,20 @@ object DeletionVectors {
   def readMorAsOf(spark: SparkSession, lakeDir: String, asOf: Long,
       mergeSchema: Boolean = false): DataFrame =
     readMorAt(spark, lakeDir, cursorAt(spark, lakeDir, asOf), mergeSchema)
+
+  /** [[readMorAsOf]] addressed by WALL CLOCK (Delta's TIMESTAMP AS
+    * OF): the newest version published at-or-before `tsMs`, vectors
+    * applied, current column map applied — loud below the oldest live
+    * record and past reclaimed bytes
+    * ([[CommitLog.committedViewAtTime]]'s guards). */
+  def readMorAtTime(spark: SparkSession, lakeDir: String, tsMs: Long,
+      mergeSchema: Boolean = false): DataFrame = {
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ((files, dv), _) = CommitLog.committedViewAtTime(fs, lakeDir, tsMs)
+    ColumnMapping.toLogical(spark, lakeDir,
+      readMorAt(spark, lakeDir, MorCursor(files, dv), mergeSchema))
+  }
 
   /** ROW-LEVEL CHANGE FEED through merge-on-read mutations — the CDC
     * the add-only file contract ([[CommitLog.changedNames]]) cannot

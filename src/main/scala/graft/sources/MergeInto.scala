@@ -58,13 +58,19 @@ object MergeInto {
     * version ([[StatsIndex.refreshSameColumns]] under the same lock).
     * Returns (filesRewritten, filesCarried). */
   def merge(spark: SparkSession, lakeDir: String, updates: DataFrame,
-      keys: Seq[String], filesPerRewrite: Int = 4,
+      keys0: Seq[String], filesPerRewrite: Int = 4,
       evolveSchema: Boolean = false,
       indexDir: Option[String] = None): (Int, Int) = {
-    // generated-column FILL first: an update frame omitting a defined
+    // column mapping first (callers speak logical names — frame AND
+    // keys; the rewrite shares the committed physical schema), then
+    // generated-column FILL: an update frame omitting a defined
     // column gets it computed, so full-row compatibility and the
     // rewrite both see the complete row
-    val updates0 = GeneratedColumns.fill(spark, lakeDir, updates)
+    val fs0 = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keys = keys0.map(ColumnMapping.mapping(fs0, lakeDir).physicalOf)
+    val updates0 = GeneratedColumns.fill(spark, lakeDir,
+      ColumnMapping.toPhysical(spark, lakeDir, updates))
     requireUniqueKeys(updates0, keys, "merge")
     mutate(spark, lakeDir, "merge", filesPerRewrite,
         indexDir) { (lake, committed) =>

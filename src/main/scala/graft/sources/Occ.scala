@@ -402,8 +402,8 @@ object Occ {
     *    collide, exactly Delta's WriteSerializable reading.
     *
     * Returns (filesRewritten, filesCarried at commit time). */
-  def merge(spark: SparkSession, lakeDir: String, updates: DataFrame,
-      keys: Seq[String], filesPerRewrite: Int = 4,
+  def merge(spark: SparkSession, lakeDir: String, updates0In: DataFrame,
+      keys0: Seq[String], filesPerRewrite: Int = 4,
       evolveSchema: Boolean = false, indexDir: Option[String] = None,
       maxRetries: Int = 5, commitWaitMs: Long = 30000L,
       beforeCommit: () => Unit = () => ()): (Int, Int) = {
@@ -411,6 +411,10 @@ object Occ {
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
       s"merge(occ): $lakeDir has no commit log — cannot publish " +
         "atomically")
+    // column mapping: logical names in (frame and keys), the shared
+    // physical schema on disk — identity on unmapped lakes
+    val keys = keys0.map(ColumnMapping.mapping(fs, lakeDir).physicalOf)
+    val updates = ColumnMapping.toPhysical(spark, lakeDir, updates0In)
     sweepStaleStages(fs, lakeDir)
     var attempt = 0
     while (true) {
@@ -591,8 +595,8 @@ object Occ {
     * racing a merge: the append always lands, the merge retries over
     * it. `beforeCommit` is a spec hook, invoked after preparation and
     * BEFORE the commit section's lock. Returns (matched, appended). */
-  def mergeMor(spark: SparkSession, lakeDir: String, updates: DataFrame,
-      keys: Seq[String], evolveSchema: Boolean = false,
+  def mergeMor(spark: SparkSession, lakeDir: String, updates0In: DataFrame,
+      keys0: Seq[String], evolveSchema: Boolean = false,
       indexDir: Option[String] = None,
       targetRowsPerDelta: Long = 1L << 20,
       maxRetries: Int = 5, commitWaitMs: Long = 30000L,
@@ -602,6 +606,9 @@ object Occ {
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
       s"mergeMor(occ): $lakeDir has no commit log — cannot publish " +
         "atomically")
+    // column mapping: logical names in, physical schema on disk
+    val keys = keys0.map(ColumnMapping.mapping(fs, lakeDir).physicalOf)
+    val updates = ColumnMapping.toPhysical(spark, lakeDir, updates0In)
     sweepStaleStages(fs, lakeDir)
     var attempt = 0
     while (true) {

@@ -74,9 +74,15 @@ object VectorIndex {
     * hash-sample for `ml.KMeans` (production quality, not
     * SQL-expressible — measured in `VectorIndexSpec`, not
     * oracle-hashed). */
+  /** `carryCols` are metadata columns STORED IN THE INDEX beside each
+    * vector (label, language, license …) — what makes filtered ANN an
+    * index operation at 100 TB: the predicate evaluates inside the
+    * probe-pruned scan ([[queryFiltered]]) instead of forcing a join
+    * back to the lake per candidate row. */
   final case class Params(c: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding", pqM: Int = 0, pqK: Int = 16,
-      trainedCentroids: Boolean = false, seed: Long = 42L)
+      trainedCentroids: Boolean = false, seed: Long = 42L,
+      carryCols: Seq[String] = Nil)
 
   // ---- generation layout (StatsIndex's pointer protocol) -----------
 
@@ -164,9 +170,10 @@ object VectorIndex {
     val fs = fsOf(spark, lakeDir)
     spark.read.option("mergeSchema", "true")
       .parquet(CommitLog.resolveDataPaths(fs, lakeDir, files.sorted): _*)
-      .select(col(p.idCol), col(p.vecCol),
+      .select(Seq(col(p.idCol), col(p.vecCol)) ++
+        p.carryCols.map(col) ++ Seq(
         DeletionVectors.fileNameCol.as("file"),
-        col("_metadata.row_index").as("pos"))
+        col("_metadata.row_index").as("pos")): _*)
   }
 
   /** Live rows (current deletion vectors applied) of `df` — the
@@ -196,6 +203,15 @@ object VectorIndex {
     spark.read.parquet(new Path(gen, "meta").toString)
       .filter(col("kind") === lit(s"param:$key")).select(col("name"))
       .as[String].head()
+  }
+
+  /** [[metaParam]] tolerating pre-r11 generations lacking the key. */
+  private def metaParamOr(spark: SparkSession, gen: Path, key: String,
+      default: String): String = {
+    import spark.implicits._
+    spark.read.parquet(new Path(gen, "meta").toString)
+      .filter(col("kind") === lit(s"param:$key")).select(col("name"))
+      .as[String].collect().headOption.getOrElse(default)
   }
 
   private def readCodebook(spark: SparkSession,
@@ -237,7 +253,8 @@ object VectorIndex {
       files.toSeq.sorted.map(f => ("file", f)) ++ Seq(
         ("param:c", p.c.toString), ("param:idCol", p.idCol),
         ("param:vecCol", p.vecCol), ("param:pqM", p.pqM.toString),
-        ("param:pqK", p.pqK.toString))
+        ("param:pqK", p.pqK.toString),
+        ("param:carryCols", p.carryCols.mkString(",")))
     meta.toDF("kind", "name").repartition(1)
       .write.parquet(new Path(gen, "meta").toString)
   }
@@ -303,7 +320,9 @@ object VectorIndex {
       idCol = metaParam(spark, gen, "idCol"),
       vecCol = metaParam(spark, gen, "vecCol"),
       pqM = metaParam(spark, gen, "pqM").toInt,
-      pqK = metaParam(spark, gen, "pqK").toInt)
+      pqK = metaParam(spark, gen, "pqK").toInt,
+      carryCols = metaParamOr(spark, gen, "carryCols", "")
+        .split(',').toSeq.filter(_.nonEmpty))
     val cents = spark.read.parquet(new Path(gen, "centroids").toString)
       .localCheckpoint()
     val codebook =
@@ -382,6 +401,28 @@ object VectorIndex {
     val p = metaParam(spark, gen, "idCol")
     val vecCol = metaParam(spark, gen, "vecCol")
     probedLive(spark, lakeDir, gen, queryVec, probes)
+      .select(col(p), graft.functions.VectorFunctions.cosineExact(
+        col(vecCol), typedLit(queryVec)).as("sim"))
+      .orderBy(col("sim").desc, col(p))
+      .limit(k)
+  }
+
+  /** FILTERED ANN from the stored index: the metadata predicate
+    * (over columns the build CARRIED into the index — `Params.
+    * carryCols`) evaluates INSIDE the probe-pruned scan, before any
+    * cosine is paid — the [[graft.operators.SimilaritySearch
+    * .autoProbes]] family's storage-side half. Probe budget is the
+    * caller's (escalate it for selective predicates, exactly the
+    * qv17 rule — selectivity can come from [[StatsIndex]] counts at
+    * lake scale). Same staleness gates as [[query]]. */
+  def queryFiltered(spark: SparkSession, lakeDir: String,
+      indexDir: String, pred: org.apache.spark.sql.Column,
+      queryVec: Seq[Float], k: Int, probes: Int): DataFrame = {
+    val gen = currentGenOrFail(spark, lakeDir, indexDir)
+    val p = metaParam(spark, gen, "idCol")
+    val vecCol = metaParam(spark, gen, "vecCol")
+    probedLive(spark, lakeDir, gen, queryVec, probes)
+      .filter(pred)
       .select(col(p), graft.functions.VectorFunctions.cosineExact(
         col(vecCol), typedLit(queryVec)).as("sim"))
       .orderBy(col("sim").desc, col(p))

@@ -98,7 +98,9 @@ object LayoutSink {
       // a fully-converged replay is a metadata no-op) so the index can
       // never lag the lake past a retry
       if (CommitLog.dataFileNames(fs, lakeDir).nonEmpty) {
-        StatsIndex.refresh(spark, lakeDir, zCols, indexDir); ()
+        StatsIndex.refresh(spark, lakeDir,
+          zCols.map(graft.sources.ColumnMapping.mapping(fs, lakeDir)
+            .physicalOf), indexDir); ()
       }
       return
     }
@@ -119,16 +121,22 @@ object LayoutSink {
     // persist once: the emptiness probe, the curve write's min/max
     // aggregate and the parquet write are three separate actions —
     // uncached they would re-read the batch's source files 3×.
+    // column mapping first (a stream producing logical names keeps
+    // landing the committed physical schema across a rename; the
+    // clustering columns translate the same way), then the
     // generated-column FILL: omitted defined columns are computed
     // here, so every staged file already carries them
-    val b = graft.sources.GeneratedColumns.fill(spark, lakeDir, batch)
+    val cmap = graft.sources.ColumnMapping.mapping(fs, lakeDir)
+    val zPhys = zCols.map(cmap.physicalOf)
+    val b = graft.sources.GeneratedColumns.fill(spark, lakeDir,
+      graft.sources.ColumnMapping.toPhysical(spark, lakeDir, batch))
       .persist()
     try {
       val stage = graft.sources.Occ.stageDir(lakeDir)
       val newFiles =
         if (b.isEmpty) Seq.empty[String]
         else {
-          ZOrder.curveWrite(b, stage, zCols, bits,
+          ZOrder.curveWrite(b, stage, zPhys, bits,
             numFiles = filesPerBatch, mode = "append", curve = curve)
           graft.sources.Occ.stagedNames(fs, stage)
         }
@@ -189,7 +197,7 @@ object LayoutSink {
         // sees an orphan (mid-crash-window the sink is down, so no
         // refresh runs until the retry has cleaned up)
         if (newFiles.nonEmpty) {
-          StatsIndex.refresh(spark, lakeDir, zCols, indexDir); ()
+          StatsIndex.refresh(spark, lakeDir, zPhys, indexDir); ()
         }
         // fold the log once it outgrows the threshold, so per-batch
         // listing/parse cost stays O(checkpointEvery), not O(batches
@@ -262,6 +270,32 @@ object LayoutSink {
     CommitLog.requireNotHalfClone(fs, lakeDir, "readChanges")
     val names = CommitLog.changedNames(fs, lakeDir, fromExclusive,
       toInclusive).toSeq.sorted
+    if (names.isEmpty)
+      return if (CommitLog.dataFileNames(fs, lakeDir).isEmpty)
+        spark.emptyDataFrame
+      else spark.read.parquet(lakeDir).limit(0)
+    graft.sources.ColumnMapping.toLogical(spark, lakeDir,
+      spark.read.parquet(
+        CommitLog.resolveDataPaths(fs, lakeDir, names): _*))
+  }
+
+  /** TIMESTAMP AS OF read — Delta's wall-clock time travel: the lake
+    * as of the newest version published at-or-before `tsMs`
+    * ([[CommitLog.committedViewAtTime]]; loud below the oldest live
+    * record, loud past reclaimed bytes, current column map applied).
+    * For MoR lakes read the DV-aware twin
+    * ([[graft.sources.DeletionVectors.readMorAtTime]]) — this surface
+    * serves the DATA FILES of the resolved version only. */
+  def readCommittedAtTime(spark: SparkSession, lakeDir: String,
+      tsMs: Long): DataFrame = {
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"readCommittedAtTime: $lakeDir has no commit log — no history " +
+        "to travel")
+    CommitLog.requireNotHalfClone(fs, lakeDir, "readCommittedAtTime")
+    val ((files, _), _) = CommitLog.committedViewAtTime(fs, lakeDir, tsMs)
+    val names = files.toSeq.sorted
     if (names.isEmpty)
       return if (CommitLog.dataFileNames(fs, lakeDir).isEmpty)
         spark.emptyDataFrame

@@ -124,6 +124,48 @@ class ColumnMappingSpec extends SparkSpec {
     assert(at0.count() == 100L)
   }
 
+  test("every write path speaks LOGICAL names across a rename: sink " +
+    "ingest (clustering columns included), CoW merge and MoR merge " +
+    "keys/frames all land the shared physical schema") {
+    val dir = Files.createTempDirectory("graft_cmap_wp_").toString
+    val lake = s"$dir/lake"
+    // batch 0 under the original names
+    LayoutSink.processBatch(
+      (0 until 100).map(k => (k.toLong, 2L * k)).toDF("k", "v"),
+      batchId = 0L, lake, s"$dir/idx", Seq("k"), bits = 8,
+      filesPerBatch = 1, curve = "morton")
+    ColumnMapping.rename(spark, lake, "k", "id")
+    ColumnMapping.rename(spark, lake, "v", "value")
+    // batch 1 arrives under the NEW logical names — including the
+    // clustering column the sink z-orders by
+    LayoutSink.processBatch(
+      (100 until 150).map(k => (k.toLong, 3L * k)).toDF("id", "value"),
+      batchId = 1L, lake, s"$dir/idx", Seq("id"), bits = 8,
+      filesPerBatch = 1, curve = "morton")
+    val phys = spark.read.parquet(lake)
+    assert(phys.columns.sorted.toSeq == Seq("k", "v"),
+      s"one physical schema on disk, saw ${phys.columns.mkString(",")}")
+    assert(LayoutSink.readCommitted(spark, lake).count() == 150L)
+    // MoR merge: logical key name, logical frame columns
+    val (m1, a1) = DeletionVectors.mergeMor(spark, lake,
+      Seq((0L, -1L), (900L, -9L)).toDF("id", "value"), Seq("id"))
+    assert(m1 == 1L && a1 == 2L)
+    val mor = DeletionVectors.readMor(spark, lake)
+    assert(mor.filter($"id" === 0L).select($"value").head.getLong(0)
+      == -1L)
+    assert(mor.filter($"id" === 900L).count() == 1L)
+    // CoW merge on a vector-free lake: compact first, then merge with
+    // logical names
+    DeletionVectors.compact(spark, lake)
+    val (rw, _) = graft.sources.MergeInto.merge(spark, lake,
+      Seq((1L, -2L)).toDF("id", "value"), Seq("id"))
+    assert(rw >= 1)
+    val got = LayoutSink.readCommitted(spark, lake, mergeSchema = true)
+    assert(got.filter($"id" === 1L).select($"value").head.getLong(0)
+      == -2L)
+    assert(got.count() == 151L) // 150 + one net insert (id 900)
+  }
+
   test("the map survives OPTIMIZE's dir swap and replicates into a " +
     "shallow clone (evolving independently after)") {
     val lake = mkLake()

@@ -138,6 +138,27 @@ class VectorIndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("carried filter columns survive a refresh: the stored filtered " +
+    "answer == filtering the in-query assignment over the full corpus") {
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val (lake, idx) = mkLake(base)
+    VectorIndex.build(spark, lake, idx,
+      VectorIndex.Params(c = 16, carryCols = Seq("label")))
+    assert(Occ.append(spark, lake, batch) > 0L)
+    val (nf, _) = VectorIndex.refresh(spark, lake, idx)
+    assert(nf > 0)
+    val got = pairs(VectorIndex.queryFiltered(spark, lake, idx,
+      col("label") === 3, qvec, k = 10, probes = 4))
+    val cents = SimilaritySearch.hashSampledCentroids(base, 16)
+    val bucketed = emb.join(
+      SimilaritySearch.ivfAssignExact(emb, cents), Seq("vec_id"))
+      .filter(col("label") === 3)
+    val want = pairs(SimilaritySearch.ivfQuery(bucketed, cents,
+      typedlit(qvec), k = 10, probes = 4))
+    assert(got == want)
+  }
+
   test("trained centroids through the stored index: recall@10 >= 0.9 " +
     "at C=8, probes=4 (the production build, measured not hashed)") {
     val (lake, idx) = mkLake(emb)
