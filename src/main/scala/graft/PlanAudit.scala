@@ -51,6 +51,8 @@ object PlanAudit {
     "qv1_knn", // global top-k: TakeOrdered final stage
     "qv6_ivf_query", // global top-k over probed buckets
     "qv18_indexed_knn", // same top-k shape, served from the stored index
+    "qv19_indexed_filtered_knn", // filtered stored-index top-k
+    "qs21_stream_vector_index", // stored-index top-k after streaming upkeep
     "qm2_pca_variance", "qm4_corr_matrix", // driver-built 1-row frames
     // 1-row global MIN/MAX whose DV'd-file gap scan must aggregate
     // (q63's clean-lake twin answers from metadata literals alone)

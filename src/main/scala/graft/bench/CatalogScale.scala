@@ -124,19 +124,21 @@ object CatalogScale {
     "q73_dv_meta_minmax", "q74_dv_changes", "q75_incr_view",
     "q76_restore", "q77_restore_dv", "q78_constraints", "q79_clone",
     "q80_generated", "q81_time_travel_dml", "q82_incr_view_minmax", "q83_occ_dml",
-    "q84_column_mapping", "q85_retention",
+    "q84_column_mapping", "q85_retention", "q86_time_travel_ts",
     "qt29_mixture_sample",
     "qt4_exact_dedup", "qt5_minhash", "qt6_lsh_pairs",
     "qt11_dup_clusters", "qt21_curated_corpus",
     "qv4_ivf_assign", "qv6_ivf_query", "qv15_ivfpq_query",
     "qv17_filtered_knn_auto", "qv18_indexed_knn",
+    "qv19_indexed_filtered_knn",
     // streaming chains: finite micro-batched runs over the same
     // tables — the 10× cell shows per-batch cost scaling with input,
     // state stores and all
     "qs5_stream_append_daily", "qs11_stream_lsh_incremental",
     "qs14_stream_layout", "qs15_stream_upsert", "qs16_stream_dv_read",
     "qs17_stream_upsert_mor", "qs18_stream_view",
-    "qs19_stream_view_minmax", "qs20_stream_cdc")
+    "qs19_stream_view_minmax", "qs20_stream_cdc",
+    "qs21_stream_vector_index")
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.filter(_.forall(_.isDigit))

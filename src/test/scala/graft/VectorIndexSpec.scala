@@ -159,6 +159,28 @@ class VectorIndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("PQ codes through a churn refresh: new rows are encoded with " +
+    "the PINNED codebook and queryPq == the in-query IVF-PQ answer") {
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val (lake, idx) = mkLake(base)
+    VectorIndex.build(spark, lake, idx,
+      VectorIndex.Params(c = 16, pqM = 8, pqK = 16))
+    assert(Occ.append(spark, lake, batch) > 0L)
+    assert(VectorIndex.refresh(spark, lake, idx)._2 == batch.count())
+    val got = pairs(VectorIndex.queryPq(spark, lake, idx, qvec.toArray,
+      k = 5, probes = 4, shortlist = 32))
+    // in-query twin with the BASE-pinned centroids and codebook over
+    // the FULL corpus — exactly what the refreshed index must answer
+    val cents = SimilaritySearch.hashSampledCentroids(base, 16)
+    val bucketed = emb.join(
+      SimilaritySearch.ivfAssignExact(emb, cents), Seq("vec_id"))
+    val sample = SimilaritySearch.pqSampleVectors(base, 16)
+    val want = pairs(SimilaritySearch.ivfPqQuery(bucketed, cents, sample,
+      qvec.toArray, k = 5, probes = 4, shortlist = 32))
+    assert(got == want)
+  }
+
   test("trained centroids through the stored index: recall@10 >= 0.9 " +
     "at C=8, probes=4 (the production build, measured not hashed)") {
     val (lake, idx) = mkLake(emb)
