@@ -42,11 +42,15 @@ import graft.operators.SimilaritySearch
   *     CURRENT              one line: the live generation's name
   *     vNNNNN/
   *       centroids/         (centroid_id int, centroid array<float>)
-  *       assign/            partitionBy(bucket):
-  *                          (vec_id, embedding, file, pos[, pq_packed])
   *       codebook/          (code_id int, codevec array<float>) — PQ only
   *       meta/              (kind string, name string): pinned committed
-  *                          data-file names + params
+  *                          data-file names + SEGMENT references + params
+  *     segments/seg-<uuid>/ immutable assignment increments,
+  *                          partitionBy(bucket): (vec_id, embedding,
+  *                          [carryCols,] file, pos[, pq_packed]) —
+  *                          a generation is a MANIFEST over segments,
+  *                          so a refresh publishes one churn-sized
+  *                          segment + metadata, never an O(index) copy
   * }}}
   *
   * STALENESS is a fail-fast contract, same as [[DeletionVectors]]'s
@@ -73,12 +77,11 @@ object VectorIndex {
     * conventions). `trainedCentroids` swaps the deterministic
     * hash-sample for `ml.KMeans` (production quality, not
     * SQL-expressible — measured in `VectorIndexSpec`, not
-    * oracle-hashed). */
-  /** `carryCols` are metadata columns STORED IN THE INDEX beside each
-    * vector (label, language, license …) — what makes filtered ANN an
-    * index operation at 100 TB: the predicate evaluates inside the
-    * probe-pruned scan ([[queryFiltered]]) instead of forcing a join
-    * back to the lake per candidate row. */
+    * oracle-hashed). `carryCols` are metadata columns STORED IN THE
+    * INDEX beside each vector (label, language, license …) — what
+    * makes filtered ANN an index operation at 100 TB: the predicate
+    * evaluates inside the probe-pruned scan ([[queryFiltered]])
+    * instead of forcing a join back to the lake per candidate row. */
   final case class Params(c: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding", pqM: Int = 0, pqK: Int = 16,
       trainedCentroids: Boolean = false, seed: Long = 42L,
@@ -149,6 +152,11 @@ object VectorIndex {
       if (VersionRe.findFirstIn(n).isDefined && !keep.contains(n))
         fs.delete(st.getPath, true)
     }
+    // segment GC: everything the kept generations still reference
+    // survives; crashed publishes' segments and dropped generations'
+    // exclusive segments go
+    sweepSegments(spark, indexDir,
+      keep.toSeq.sorted.map(new Path(root, _)))
   }
 
   // ---- lake read plumbing -------------------------------------------
@@ -190,28 +198,30 @@ object VectorIndex {
     }
   }
 
-  private def metaFiles(spark: SparkSession, gen: Path): Set[String] = {
-    import spark.implicits._
-    spark.read.parquet(new Path(gen, "meta").toString)
-      .filter(col("kind") === "file").select(col("name"))
-      .as[String].collect().toSet
+  /** A generation's whole meta record, ONE parquet read (a dozen
+    * rows): the pinned data-file snapshot, the assignment segment
+    * references, and the build params. Every lifecycle verb reads
+    * this once — per-key reads were a Spark job each, and the fixed
+    * overhead dominated a churn-sized refresh. */
+  private final case class Meta(files: Set[String],
+      segments: Seq[String], paramsMap: Map[String, String]) {
+    def param(key: String): String = paramsMap(key)
+    def params: Params = Params(
+      c = param("c").toInt, idCol = param("idCol"),
+      vecCol = param("vecCol"), pqM = param("pqM").toInt,
+      pqK = param("pqK").toInt,
+      carryCols = paramsMap.getOrElse("carryCols", "")
+        .split(',').toSeq.filter(_.nonEmpty))
   }
 
-  private def metaParam(spark: SparkSession, gen: Path,
-      key: String): String = {
-    import spark.implicits._
-    spark.read.parquet(new Path(gen, "meta").toString)
-      .filter(col("kind") === lit(s"param:$key")).select(col("name"))
-      .as[String].head()
-  }
-
-  /** [[metaParam]] tolerating pre-r11 generations lacking the key. */
-  private def metaParamOr(spark: SparkSession, gen: Path, key: String,
-      default: String): String = {
-    import spark.implicits._
-    spark.read.parquet(new Path(gen, "meta").toString)
-      .filter(col("kind") === lit(s"param:$key")).select(col("name"))
-      .as[String].collect().headOption.getOrElse(default)
+  private def readMeta(spark: SparkSession, gen: Path): Meta = {
+    val rows = spark.read.parquet(new Path(gen, "meta").toString)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    Meta(
+      rows.collect { case ("file", n) => n }.toSet,
+      rows.collect { case ("segment", n) => n }.toSeq.sorted,
+      rows.collect { case (k, v) if k.startsWith("param:") =>
+        (k.substring(6), v) }.toMap)
   }
 
   private def readCodebook(spark: SparkSession,
@@ -237,20 +247,79 @@ object VectorIndex {
       Seq(p.idCol))
   }
 
+  // ---- assignment SEGMENTS ------------------------------------------
+  //
+  // The assignment is NOT stored inside the generation: a refresh that
+  // copied the carried rows forward would cost O(index) per publish
+  // (measured: a 2% churn refresh paid 0.48× a full build before r11's
+  // restructure). Instead the rows live in IMMUTABLE segment dirs
+  // under `indexDir/segments/seg-*` — each build/refresh writes ONE
+  // churn-sized segment — and a generation's meta carries the SEGMENT
+  // LIST (`segment:` rows), the same manifest-references-files shape
+  // as the lake's own commit log. Readers union the listed segments
+  // (each written partitionBy(bucket), so probe pruning stays
+  // directory pruning per segment); the sweep after a pointer flip
+  // deletes segments no KEPT generation references — a crashed
+  // publish's segment is unreferenced debris the next publish clears,
+  // and the one-generation reader grace extends to segments because
+  // the previous generation's references are kept with it.
+
+  private def segmentsRoot(indexDir: String): Path =
+    new Path(indexDir, "segments")
+
+  /** Write `assigned` as one new immutable segment; returns its name. */
+  private def writeSegment(spark: SparkSession, indexDir: String,
+      assigned: DataFrame): String = {
+    val name = s"seg-${java.util.UUID.randomUUID()}"
+    assigned.write.partitionBy("bucket")
+      .parquet(new Path(segmentsRoot(indexDir), name).toString)
+    name
+  }
+
+
+  /** The generation's full assignment: the union of its segments'
+    * probe-prunable reads. `pred` is pushed into EVERY segment scan
+    * (bucket `isin` → directory pruning per segment). */
+  private def readAssign(spark: SparkSession, indexDir: String,
+      segments: Seq[String],
+      pred: Option[org.apache.spark.sql.Column]): DataFrame =
+    segments.map { name =>
+      val df = spark.read.parquet(
+        new Path(segmentsRoot(indexDir), name).toString)
+      pred.map(df.filter).getOrElse(df)
+    }.reduce(_ unionByName _)
+
+  /** Delete segments no KEPT generation references (crashed publishes'
+    * debris, dropped-generation leftovers). Runs after the pointer
+    * flip, when `keptGens` = the new live generation + the previous
+    * one (in-flight reader grace). */
+  private def sweepSegments(spark: SparkSession, indexDir: String,
+      keptGens: Seq[Path]): Unit = {
+    val fs = fsOf(spark, indexDir)
+    val root = segmentsRoot(indexDir)
+    if (!fs.exists(root)) return
+    val referenced = keptGens.filter(g => fs.exists(g))
+      .flatMap(g => readMeta(spark, g).segments).toSet
+    fs.listStatus(root).foreach { st =>
+      if (!referenced.contains(st.getPath.getName)) {
+        fs.delete(st.getPath, true); ()
+      }
+    }
+  }
+
   private def writeGeneration(spark: SparkSession, gen: Path,
-      cents: DataFrame, assigned: DataFrame,
+      cents: DataFrame, segments: Seq[String],
       codebook: Seq[Array[Float]], files: Set[String],
       p: Params): Unit = {
     import spark.implicits._
     cents.repartition(1).write.parquet(new Path(gen, "centroids").toString)
-    assigned.write.partitionBy("bucket")
-      .parquet(new Path(gen, "assign").toString)
     if (p.pqM > 0)
       codebook.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
         .toDF("code_id", "codevec")
         .repartition(1).write.parquet(new Path(gen, "codebook").toString)
     val meta =
-      files.toSeq.sorted.map(f => ("file", f)) ++ Seq(
+      files.toSeq.sorted.map(f => ("file", f)) ++
+        segments.sorted.map(sg => ("segment", sg)) ++ Seq(
         ("param:c", p.c.toString), ("param:idCol", p.idCol),
         ("param:vecCol", p.vecCol), ("param:pqM", p.pqM.toString),
         ("param:pqK", p.pqK.toString),
@@ -272,6 +341,11 @@ object VectorIndex {
     val files = committedFiles(spark, lakeDir)
     require(files.nonEmpty,
       s"VectorIndex.build: no committed files in $lakeDir")
+    // training reads the NATURAL lake layout (k-means|| init is
+    // partition-layout sensitive — the recall floors in
+    // VectorIndexSpec/IvfRecallSpec are pinned against it); only the
+    // N·C ASSIGNMENT fans out below, by id hash (content-
+    // deterministic), so a few-file lake still assigns on every core
     val rows = liveRows(spark, lakeDir,
       rowsOf(spark, lakeDir, files.toSeq, params)).localCheckpoint()
     val cents =
@@ -286,9 +360,13 @@ object VectorIndex {
       if (params.pqM == 0) Seq.empty
       else SimilaritySearch.pqSampleVectors(rows, params.pqK,
         idCol = params.idCol, vecCol = params.vecCol)
-    val assigned = assignRows(rows, cents, codebook, params)
+    val assigned = assignRows(
+      rows.repartition(spark.sparkContext.defaultParallelism,
+        col(params.idCol)),
+      cents, codebook, params)
+    val segment = writeSegment(spark, indexDir, assigned)
     publishGeneration(spark, indexDir) { gen =>
-      writeGeneration(spark, gen, cents, assigned, codebook, files,
+      writeGeneration(spark, gen, cents, Seq(segment), codebook, files,
         params)
     }
   }
@@ -305,7 +383,8 @@ object VectorIndex {
   def refresh(spark: SparkSession, lakeDir: String,
       indexDir: String): (Int, Long) = {
     val gen = liveGen(spark, indexDir)
-    val pinned = metaFiles(spark, gen)
+    val meta = readMeta(spark, gen)
+    val pinned = meta.files
     val current = committedFiles(spark, lakeDir)
     val retired = (pinned -- current).toSeq.sorted
     if (retired.nonEmpty)
@@ -315,29 +394,54 @@ object VectorIndex {
           s"${if (retired.size > 3) ", …" else ""} — rebuild the index")
     val added = (current -- pinned).toSeq.sorted
     if (added.isEmpty) return (0, 0L)
-    val p = Params(
-      c = metaParam(spark, gen, "c").toInt,
-      idCol = metaParam(spark, gen, "idCol"),
-      vecCol = metaParam(spark, gen, "vecCol"),
-      pqM = metaParam(spark, gen, "pqM").toInt,
-      pqK = metaParam(spark, gen, "pqK").toInt,
-      carryCols = metaParamOr(spark, gen, "carryCols", "")
-        .split(',').toSeq.filter(_.nonEmpty))
+    val p = meta.params
     val cents = spark.read.parquet(new Path(gen, "centroids").toString)
       .localCheckpoint()
     val codebook =
       if (p.pqM == 0) Seq.empty[Array[Float]] else readCodebook(spark, gen)
-    val fresh = rowsOf(spark, lakeDir, added, p).localCheckpoint()
+    // fan the churn batch out BEFORE the N·C assignment: an appended
+    // batch often arrives as one file, and without this the whole
+    // decimal-cosine argmax would run on one core (measured: a 10%
+    // churn refresh cost MORE than the full 16-file build)
+    val fresh = rowsOf(spark, lakeDir, added, p)
+      .repartition(spark.sparkContext.defaultParallelism, col(p.idCol))
+      .localCheckpoint()
     val nRows = fresh.count()
-    val freshAssigned = assignRows(fresh, cents, codebook, p)
-    val carried = spark.read
-      .parquet(new Path(gen, "assign").toString)
-      .select(freshAssigned.columns.map(col).toIndexedSeq: _*)
+    // ONE churn-sized segment write; carried rows are carried BY
+    // REFERENCE (the new generation lists the old segments), so the
+    // publish is metadata + O(churn) bytes, never O(index)
+    val segment = writeSegment(spark, indexDir,
+      assignRows(fresh, cents, codebook, p))
+    val segments = meta.segments :+ segment
     publishGeneration(spark, indexDir) { out =>
-      writeGeneration(spark, out, cents,
-        carried.unionByName(freshAssigned), codebook, current, p)
+      writeGeneration(spark, out, cents, segments, codebook, current, p)
     }
     (added.size, nRows)
+  }
+
+  /** Fold the accumulated refresh segments into ONE (the small-file
+    * compaction of the index itself — after K refreshes the probe
+    * union spans K segment dirs; this folds them off the hot path).
+    * Pure reshuffle: assignments, centroids, codebook and the pinned
+    * snapshot are unchanged. Returns the segment count folded. */
+  def compactSegments(spark: SparkSession, lakeDir: String,
+      indexDir: String): Int = {
+    val gen = liveGen(spark, indexDir)
+    val meta = readMeta(spark, gen)
+    val segs = meta.segments
+    if (segs.size <= 1) return segs.size
+    val p = meta.params
+    val cents = spark.read.parquet(new Path(gen, "centroids").toString)
+      .localCheckpoint()
+    val codebook =
+      if (p.pqM == 0) Seq.empty[Array[Float]] else readCodebook(spark, gen)
+    val folded = writeSegment(spark, indexDir,
+      readAssign(spark, indexDir, segs, None))
+    val files = meta.files
+    publishGeneration(spark, indexDir) { out =>
+      writeGeneration(spark, out, cents, Seq(folded), codebook, files, p)
+    }
+    segs.size
   }
 
   /** The stored centroids of the live generation. */
@@ -349,9 +453,10 @@ object VectorIndex {
     * file set exactly — the query-time soundness gate. Returns the
     * live generation. */
   private def currentGenOrFail(spark: SparkSession, lakeDir: String,
-      indexDir: String): Path = {
+      indexDir: String): (Path, Meta) = {
     val gen = liveGen(spark, indexDir)
-    val pinned = metaFiles(spark, gen)
+    val meta = readMeta(spark, gen)
+    val pinned = meta.files
     val current = committedFiles(spark, lakeDir)
     val retired = (pinned -- current).toSeq.sorted
     if (retired.nonEmpty)
@@ -366,7 +471,7 @@ object VectorIndex {
           s"committed file(s) (${added.take(3).mkString(", ")}" +
           s"${if (added.size > 3) ", …" else ""}) — refresh the index " +
           "(answering now would silently miss those rows)")
-    gen
+    (gen, meta)
   }
 
   /** The probed slice of the stored assignment: pick the `probes`
@@ -376,7 +481,8 @@ object VectorIndex {
     * partitionBy(bucket) layout) and drop MoR-deleted rows against the
     * live deletion vectors. */
   private def probedLive(spark: SparkSession, lakeDir: String,
-      gen: Path, queryVec: Seq[Float], probes: Int): DataFrame = {
+      indexDir: String, gen: Path, segments: Seq[String],
+      queryVec: Seq[Float], probes: Int): DataFrame = {
     val cents = spark.read.parquet(new Path(gen, "centroids").toString)
     val probeIds = cents
       .withColumn("qsim", graft.functions.VectorFunctions.cosineExact(
@@ -385,8 +491,8 @@ object VectorIndex {
       .limit(probes)
       .select(col("centroid_id").cast("long"))
       .collect().map(_.getLong(0)).toSeq
-    val assign = spark.read.parquet(new Path(gen, "assign").toString)
-      .filter(col("bucket").isin(probeIds: _*))
+    val assign = readAssign(spark, indexDir, segments,
+      Some(col("bucket").isin(probeIds: _*)))
     liveRows(spark, lakeDir, assign)
   }
 
@@ -397,10 +503,11 @@ object VectorIndex {
     * (idCol, sim). */
   def query(spark: SparkSession, lakeDir: String, indexDir: String,
       queryVec: Seq[Float], k: Int, probes: Int): DataFrame = {
-    val gen = currentGenOrFail(spark, lakeDir, indexDir)
-    val p = metaParam(spark, gen, "idCol")
-    val vecCol = metaParam(spark, gen, "vecCol")
-    probedLive(spark, lakeDir, gen, queryVec, probes)
+    val (gen, meta) = currentGenOrFail(spark, lakeDir, indexDir)
+    val p = meta.param("idCol")
+    val vecCol = meta.param("vecCol")
+    probedLive(spark, lakeDir, indexDir, gen, meta.segments, queryVec,
+        probes)
       .select(col(p), graft.functions.VectorFunctions.cosineExact(
         col(vecCol), typedLit(queryVec)).as("sim"))
       .orderBy(col("sim").desc, col(p))
@@ -418,10 +525,11 @@ object VectorIndex {
   def queryFiltered(spark: SparkSession, lakeDir: String,
       indexDir: String, pred: org.apache.spark.sql.Column,
       queryVec: Seq[Float], k: Int, probes: Int): DataFrame = {
-    val gen = currentGenOrFail(spark, lakeDir, indexDir)
-    val p = metaParam(spark, gen, "idCol")
-    val vecCol = metaParam(spark, gen, "vecCol")
-    probedLive(spark, lakeDir, gen, queryVec, probes)
+    val (gen, meta) = currentGenOrFail(spark, lakeDir, indexDir)
+    val p = meta.param("idCol")
+    val vecCol = meta.param("vecCol")
+    probedLive(spark, lakeDir, indexDir, gen, meta.segments, queryVec,
+        probes)
       .filter(pred)
       .select(col(p), graft.functions.VectorFunctions.cosineExact(
         col(vecCol), typedLit(queryVec)).as("sim"))
@@ -436,13 +544,14 @@ object VectorIndex {
   def queryPq(spark: SparkSession, lakeDir: String, indexDir: String,
       queryVec: Array[Float], k: Int, probes: Int,
       shortlist: Int): DataFrame = {
-    val gen = currentGenOrFail(spark, lakeDir, indexDir)
-    val p = metaParam(spark, gen, "idCol")
-    val vecCol = metaParam(spark, gen, "vecCol")
-    val m = metaParam(spark, gen, "pqM").toInt
+    val (gen, meta) = currentGenOrFail(spark, lakeDir, indexDir)
+    val p = meta.param("idCol")
+    val vecCol = meta.param("vecCol")
+    val m = meta.param("pqM").toInt
     require(m > 0, s"vector index $indexDir was built without PQ codes")
     val codebook = readCodebook(spark, gen)
-    val probed = probedLive(spark, lakeDir, gen, queryVec.toSeq, probes)
+    val probed = probedLive(spark, lakeDir, indexDir, gen, meta.segments,
+      queryVec.toSeq, probes)
       .localCheckpoint()
     val short = SimilaritySearch.pqAdcTopKPacked(
       probed, codebook, queryVec, shortlist, m, idCol = p)

@@ -159,6 +159,39 @@ class VectorIndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("refresh accretes assignment SEGMENTS by reference (O(churn) " +
+    "publish, never an index copy); compactSegments folds them and " +
+    "the sweep GCs what no kept generation references") {
+    val third = emb.count() / 3
+    val (lake, idx) = mkLake(emb.filter(col("vec_id") < third))
+    VectorIndex.build(spark, lake, idx)
+    assert(Occ.append(spark, lake, emb.filter(
+      col("vec_id") >= third && col("vec_id") < 2 * third)) > 0L)
+    assert(VectorIndex.refresh(spark, lake, idx)._1 > 0)
+    assert(Occ.append(spark, lake,
+      emb.filter(col("vec_id") >= 2 * third)) > 0L)
+    assert(VectorIndex.refresh(spark, lake, idx)._1 > 0)
+    val segRoot = new org.apache.hadoop.fs.Path(s"$idx/segments")
+    val f = segRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.listStatus(segRoot).length == 3,
+      "build + two refreshes = three immutable segments")
+    val before = pairs(
+      VectorIndex.query(spark, lake, idx, qvec, k = 10, probes = 4))
+    assert(VectorIndex.compactSegments(spark, lake, idx) == 3)
+    val after = pairs(
+      VectorIndex.query(spark, lake, idx, qvec, k = 10, probes = 4))
+    assert(after == before, "a segment fold must not change one answer")
+    // the fold kept the previous generation's 3 segments (reader
+    // grace) + its own 1; the NEXT publish drops that generation and
+    // its exclusive segments with it
+    assert(f.listStatus(segRoot).length == 4)
+    assert(VectorIndex.compactSegments(spark, lake, idx) == 1) // no-op
+    VectorIndex.build(spark, lake, idx) // fresh gen; prev = the fold
+    assert(f.listStatus(segRoot).length == 2,
+      s"sweep must GC unreferenced segments, saw ${
+        f.listStatus(segRoot).length}")
+  }
+
   test("PQ codes through a churn refresh: new rows are encoded with " +
     "the PINNED codebook and queryPq == the in-query IVF-PQ answer") {
     val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
