@@ -89,6 +89,42 @@ class ChangeStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("the feed speaks LOGICAL names: a rename lands in every " +
+    "subsequent window's schema, and the values keep flowing") {
+    val (lake, ckp) = mkLake()
+    val schemas = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val vals = ArrayBuffer.empty[(String, Long, Long)]
+    val q = ChangeStream.start(spark, lake, ckp, pollMs = 20L) {
+      (df, _) =>
+        val cols = df.columns.toSeq.sorted
+        val valueCol = if (cols.contains("value")) "value" else "v"
+        val rows = df.select(col("_change_type"), col("k"),
+          col(valueCol)).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        vals.synchronized { schemas += cols; vals ++= rows; () }
+    }
+    try {
+      assert(Occ.append(spark, lake,
+        Seq((500L, 5L)).toDF("k", "v")) > 0L)
+      q.processAllAvailable()
+      graft.sources.ColumnMapping.rename(spark, lake, "v", "value")
+      // post-rename: a logical-name append + a MoR delete — both
+      // windows must surface the LOGICAL column
+      assert(Occ.append(spark, lake,
+        Seq((600L, 6L)).toDF("k", "value")) > 0L)
+      assert(DeletionVectors.deleteMor(spark, lake, "k = 3") == 1L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(q.exception.isEmpty, q.exception.toString)
+    val (ss, vv) = vals.synchronized { (schemas.toList, vals.toSet) }
+    assert(ss.head.contains("v") && !ss.head.contains("value"),
+      s"pre-rename window under the old name: ${ss.head}")
+    assert(ss.last.contains("value") && !ss.last.contains("v"),
+      s"post-rename windows under the new name: ${ss.last}")
+    assert(vv == Set(("insert", 500L, 5L), ("insert", 600L, 6L),
+      ("delete", 3L, 30L)), s"saw $vv")
+  }
+
   test("a mid-stream physical rewrite (compact) trips the TYPED " +
     "cursor guard: the query terminates and awaitTermination " +
     "rethrows CursorInvalidatedException") {
