@@ -365,9 +365,17 @@ object VectorIndex {
         col(params.idCol)),
       cents, codebook, params)
     val segment = writeSegment(spark, indexDir, assigned)
-    publishGeneration(spark, indexDir) { gen =>
-      writeGeneration(spark, gen, cents, Seq(segment), codebook, files,
-        params)
+    // publish under the LAKE's writer lock: two index writers racing
+    // the vNNNNN allocation would collide on the generation dir (the
+    // same arbitration every lake publish uses; the expensive segment
+    // write above stays outside the lock). A racing build: last one
+    // wins whole, which is rebuild semantics.
+    CommitLog.withWriterLock(fsOf(spark, lakeDir), lakeDir,
+        waitMs = 30000L) {
+      publishGeneration(spark, indexDir) { gen =>
+        writeGeneration(spark, gen, cents, Seq(segment), codebook, files,
+          params)
+      }
     }
   }
 
@@ -381,7 +389,8 @@ object VectorIndex {
     * rows assigned); (0, 0) means the index was already current and
     * NO new generation was published. */
   def refresh(spark: SparkSession, lakeDir: String,
-      indexDir: String): (Int, Long) = {
+      indexDir: String,
+      beforePublish: () => Unit = () => ()): (Int, Long) = {
     val gen = liveGen(spark, indexDir)
     val meta = readMeta(spark, gen)
     val pinned = meta.files
@@ -413,8 +422,25 @@ object VectorIndex {
     val segment = writeSegment(spark, indexDir,
       assignRows(fresh, cents, codebook, p))
     val segments = meta.segments :+ segment
-    publishGeneration(spark, indexDir) { out =>
-      writeGeneration(spark, out, cents, segments, codebook, current, p)
+    beforePublish() // spec hook: inject a racing publish here
+    // COMMIT SECTION under the lake's writer lock: the manifest this
+    // refresh composed references the generation it READ — if another
+    // index writer published meanwhile, composing over the stale one
+    // would silently drop that writer's segment references (the lost
+    // update). Conflict = the live pointer moved; loud, retryable.
+    val fs = fsOf(spark, lakeDir)
+    CommitLog.withWriterLock(fs, lakeDir, waitMs = 30000L) {
+      val liveNow = readPointer(fs, new Path(indexDir))
+      if (!liveNow.contains(gen.getName))
+        throw new StaleVectorIndexException(
+          s"vector index $indexDir was republished (now " +
+            s"${liveNow.getOrElse("<none>")}, read ${gen.getName}) " +
+            "while this refresh prepared — retry the refresh (the " +
+            "staged segment is unreferenced debris the next publish " +
+            "sweeps)")
+      publishGeneration(spark, indexDir) { out =>
+        writeGeneration(spark, out, cents, segments, codebook, current, p)
+      }
     }
     (added.size, nRows)
   }
@@ -438,8 +464,19 @@ object VectorIndex {
     val folded = writeSegment(spark, indexDir,
       readAssign(spark, indexDir, segs, None))
     val files = meta.files
-    publishGeneration(spark, indexDir) { out =>
-      writeGeneration(spark, out, cents, Seq(folded), codebook, files, p)
+    // same commit-section discipline as refresh: the fold must not
+    // publish over a generation it did not read
+    val fs = fsOf(spark, lakeDir)
+    CommitLog.withWriterLock(fs, lakeDir, waitMs = 30000L) {
+      val liveNow = readPointer(fs, new Path(indexDir))
+      if (!liveNow.contains(gen.getName))
+        throw new StaleVectorIndexException(
+          s"vector index $indexDir was republished while this fold " +
+            "prepared — retry compactSegments")
+      publishGeneration(spark, indexDir) { out =>
+        writeGeneration(spark, out, cents, Seq(folded), codebook, files,
+          p)
+      }
     }
     segs.size
   }

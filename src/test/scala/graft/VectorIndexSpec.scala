@@ -192,6 +192,39 @@ class VectorIndexSpec extends SparkSpec {
         f.listStatus(segRoot).length}")
   }
 
+  test("two refreshes racing: the loser's commit section detects the " +
+    "republish and fails LOUDLY instead of silently dropping the " +
+    "winner's segment references; the retry converges") {
+    val half = emb.count() / 2
+    val (lake, idx) = mkLake(emb.filter(col("vec_id") < half))
+    VectorIndex.build(spark, lake, idx)
+    assert(Occ.append(spark, lake,
+      emb.filter(col("vec_id") >= half)) > 0L)
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[VectorIndex.StaleVectorIndexException] {
+      VectorIndex.refresh(spark, lake, idx, beforePublish = () => {
+        if (injected.compareAndSet(false, true)) {
+          // a concurrent refresh lands WHOLE inside the window
+          val (nf0, nr0) = VectorIndex.refresh(spark, lake, idx)
+          assert(nf0 > 0 && nr0 == emb.count() - half)
+        }
+      })
+    }
+    assert(e.getMessage.contains("retry the refresh"), e.getMessage)
+    // the retry composes over the republished generation: the racing
+    // refresh already covered the batch, so it converges to a no-op
+    assert(VectorIndex.refresh(spark, lake, idx) == ((0, 0L)))
+    // and the converged index answers exactly the in-query twin
+    val cents = SimilaritySearch.hashSampledCentroids(
+      emb.filter(col("vec_id") < half), 16)
+    val bucketed = emb.join(
+      SimilaritySearch.ivfAssignExact(emb, cents), Seq("vec_id"))
+    val want = pairs(SimilaritySearch.ivfQuery(bucketed, cents,
+      typedlit(qvec), k = 10, probes = 4))
+    assert(pairs(VectorIndex.query(spark, lake, idx, qvec,
+      k = 10, probes = 4)) == want)
+  }
+
   test("PQ codes through a churn refresh: new rows are encoded with " +
     "the PINNED codebook and queryPq == the in-query IVF-PQ answer") {
     val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
