@@ -36,6 +36,13 @@ object Dedup {
   val SpanK = 8
   /** 8 hashes in 4 bands of 2: candidates share at least one band. */
   val BandSize = 2
+  /** Default LSH bucket cap (ON by default — see [[lshCandidatePairs]]).
+    * A bucket of 1000 ids still emits ~500k pairs from one task — near
+    * the practical per-task ceiling — while any bucket larger than that
+    * is boilerplate/template saturation carrying no near-dup signal
+    * (every member pairs with every other; the cluster is better found
+    * by exact dedup on the shared span). */
+  val DefaultMaxBucket = 1000
 
   /** Exact dedup: keep the smallest id per normalised-text fingerprint.
     * Equivalent to `dropDuplicates` but deterministic about WHICH row
@@ -85,10 +92,18 @@ object Dedup {
     * emits its sorted-id pairs from a generated array — no second scan, no
     * join. `distinct` dedups pairs that collide in several bands.
     *
-    * Skew note: a saturated bucket of m ids emits m·(m-1)/2 pairs from one
-    * task — that is the LSH contract, not an implementation artifact; at
-    * 100 TB, cap pathological buckets with `maxBucket` (standard practice:
-    * a bucket hit by half the corpus carries no near-dup signal anyway). */
+    * Skew defense (ON by default): a saturated bucket of m ids would emit
+    * m·(m-1)/2 pairs — and, worse, materialise all m ids in ONE
+    * aggregation buffer during `collect_list` — so oversized buckets are
+    * dropped BEFORE the collect: a pre-pass `groupBy(band, band_key)
+    * .count()` finds keys above `maxBucket` and an inner join keeps only
+    * the survivors. The pre-pass shuffles (key, count) pairs — bytes per
+    * bucket, not ids per bucket — so per-task memory stays bounded no
+    * matter how many documents share one band key (a bucket hit by half
+    * the corpus is boilerplate saturation carrying no near-dup signal;
+    * standard practice is to drop it). Both the pre-pass and the collect
+    * hash-partition on the same (band, band_key) keys, so AQE/exchange
+    * reuse keeps the added cost to one cheap count-shuffle. */
   /** Banded `(id, band, band_key)` rows — the LSH bucket table shared by
     * the batch pair generator and the incremental streaming index
     * ([[graft.streaming.IncrementalDedup]]). Docs with < K tokens have
@@ -111,13 +126,24 @@ object Dedup {
   }
 
   def lshCandidatePairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxBucket: Option[Int] = None): DataFrame = {
+      textCol: String = "text",
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     val banded = bandedSignatures(docs, idCol, textCol)
-    val buckets = banded
+    // cap BEFORE collect_list: keys sized by a count-only aggregate
+    // (bounded buffers), oversized ones never reach the collect
+    val capped = maxBucket match {
+      case Some(m) =>
+        val keep = banded.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") > 1 && col("_bn") <= m)
+          .select(col("band"), col("band_key"))
+        banded.join(keep, Seq("band", "band_key"))
+      case None => banded
+    }
+    val buckets = capped
       .groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1 &&
-        maxBucket.map(m => size(col("ids")) <= m).getOrElse(lit(true)))
+      .filter(size(col("ids")) > 1)
     val ids = col("ids")
     buckets
       .select(explode(flatten(
@@ -242,8 +268,10 @@ object Dedup {
     * convergence counter per round. */
   def dupClusters(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxIter: Int = 20,
-      starFallback: Boolean = true): DataFrame =
-    dupClustersWithRounds(docs, idCol, textCol, maxIter, starFallback)._1
+      starFallback: Boolean = true,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame =
+    dupClustersWithRounds(docs, idCol, textCol, maxIter, starFallback,
+      maxBucket)._1
 
   /** Alternating large-star / small-star connected components (Kiveris
     * et al., "Connected Components in MapReduce and Beyond", SoCC'14):
@@ -306,8 +334,9 @@ object Dedup {
     * as the measured component diameter. */
   def dupClustersWithRounds(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxIter: Int = 20,
-      starFallback: Boolean = true): (DataFrame, Int) = {
-    val pairs = lshCandidatePairs(docs, idCol, textCol)
+      starFallback: Boolean = true,
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): (DataFrame, Int) = {
+    val pairs = lshCandidatePairs(docs, idCol, textCol, maxBucket)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint() // pairs are tiny relative to the corpus; computed once
@@ -413,8 +442,9 @@ object Dedup {
     * projections — here each is recomputed once, which the oracle
     * scale tolerates. */
   def minhashJaccardEstimate(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val pairs = lshCandidatePairs(docs, idCol, textCol)
+      textCol: String = "text",
+      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
+    val pairs = lshCandidatePairs(docs, idCol, textCol, maxBucket)
     val sigs = minhashSignatures(docs, idCol, textCol)
     val sets = docs.select(col(idCol),
       array_distinct(wordShingles(col(textCol), ShingleK)).as("_sh"))
