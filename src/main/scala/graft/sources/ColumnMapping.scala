@@ -39,9 +39,24 @@ import org.apache.spark.sql.functions.col
   * Limitations (documented, loud): DML predicate surfaces
   * (`deleteMor`/`updateMor`/`mergeMor`) address PHYSICAL names — a
   * logical-name predicate on a renamed column fails to resolve
-  * (AnalysisException), never silently matches the wrong rows. Time
-  * travel applies the CURRENT map to every version (the map is table
-  * metadata, not versioned state), matching Delta's behavior. */
+  * (AnalysisException), never silently matches the wrong rows.
+  * [[Constraints]] / [[GeneratedColumns]] definitions resolve in
+  * LOGICAL-name space (both `add` and the write-side gates project
+  * through [[toLogical]]); [[rename]]/[[drop]] REJECT a column any
+  * live definition references, so a definition can never be silently
+  * orphaned by a later rename — drop the definition first, exactly
+  * Delta's rename-blocked-by-CHECK-constraint behavior.
+  *
+  * DELIBERATE DIVERGENCE from Delta on time travel: the map here is
+  * UNVERSIONED table metadata — a travelled read applies the CURRENT
+  * map to every historical version, so old versions surface under
+  * post-rename names and dropped columns vanish from all history.
+  * Delta versions column-mapping metadata with the table schema and
+  * surfaces the as-of names. One map keeps every read surface (plain,
+  * travelled, CDC, streaming) a single projection with no per-version
+  * schema resolution; consumers that fold history never see a column
+  * change names mid-fold, which for a training-data lake is the shape
+  * we want. */
 object ColumnMapping {
 
   private[sources] val Prefix = "COLMAP."
@@ -158,6 +173,49 @@ object ColumnMapping {
     phys.flatMap(m.logicalOf)
   }
 
+  /** Live definitions (CHECK constraints / generated columns) that
+    * reference logical column `column`. Definitions resolve in
+    * LOGICAL-name space; renaming or dropping a referenced column
+    * would orphan them — the write-side gates would stop resolving
+    * and silently pass everything. Catalyst's parser gives the exact
+    * attribute set; an unparseable definition (cannot happen — `add`
+    * validated it) degrades to a conservative substring match. */
+  private def referencingDefs(spark: SparkSession, lakeDir: String,
+      column: String): Seq[String] = {
+    val fs = fsOf(spark, lakeDir)
+    val parser = spark.sessionState.sqlParser
+    val target = column.toLowerCase(java.util.Locale.ROOT)
+    def references(e: String): Boolean =
+      (try {
+        parser.parseExpression(e).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+        }.toSet
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          if (e.toLowerCase(java.util.Locale.ROOT).contains(target))
+            Set(target)
+          else Set.empty[String]
+      }).contains(target)
+    Constraints.list(fs, lakeDir).collect {
+      case (n, p) if references(p) => s"CHECK constraint '$n'"
+    } ++ GeneratedColumns.list(fs, lakeDir).collect {
+      case (c, e, _)
+          if c.toLowerCase(java.util.Locale.ROOT) == target ||
+            references(e) =>
+        s"generated column '$c'"
+    }
+  }
+
+  private def requireUnreferenced(spark: SparkSession, lakeDir: String,
+      column: String, verb: String): Unit = {
+    val refs = referencingDefs(spark, lakeDir, column)
+    require(refs.isEmpty,
+      s"$verb: column '$column' is referenced by " +
+        s"${refs.mkString(", ")} — drop the definition(s) first " +
+        "(a rename would silently orphan them; Delta blocks this too)")
+  }
+
   /** RENAME COLUMN — metadata-only (one map-record publish under the
     * writer lock; zero data I/O). `from` must be a live logical
     * column; `to` must be free. Renaming back to the physical name
@@ -178,6 +236,7 @@ object ColumnMapping {
           s"(live: ${live.mkString(", ")})")
       require(!live.contains(to),
         s"rename: column '$to' already exists in $lakeDir")
+      requireUnreferenced(spark, lakeDir, from, "rename")
       val m = mapping(fs, lakeDir)
       val physical = m.physicalOf(from)
       val kept = m.renames.filterNot(_._1 == from)
@@ -200,6 +259,7 @@ object ColumnMapping {
       require(live.contains(name),
         s"drop column: no live column '$name' in $lakeDir " +
           s"(live: ${live.mkString(", ")})")
+      requireUnreferenced(spark, lakeDir, name, "drop column")
       val m = mapping(fs, lakeDir)
       val physical = m.physicalOf(name)
       write(fs, lakeDir, Mapping(m.renames.filterNot(_._1 == name),

@@ -166,14 +166,22 @@ object Constraints {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val defs = list(fs, lakeDir)
     if (defs.isEmpty) return
-    val batch = spark.read.option("mergeSchema", "true")
-      .parquet(paths: _*)
+    // Definitions live in LOGICAL-name space ([[add]] validated
+    // against the mapped live view), so the gate must evaluate them
+    // there too: raw parquet carries PHYSICAL names, and a predicate
+    // on a renamed column would otherwise hit the AnalysisException
+    // arm below and silently stop gating. One extra metadata read
+    // ([[ColumnMapping.mapping]]); identity projection when no map.
+    val batch = ColumnMapping.toLogical(spark, lakeDir,
+      spark.read.option("mergeSchema", "true").parquet(paths: _*))
     defs.foreach { case (name, predicate) =>
       val bad =
         try violations(batch, predicate, 3)
         catch {
           // the predicate names a column these files don't carry:
-          // pre-evolution batch, all-NULL, UNKNOWN passes
+          // pre-evolution batch, all-NULL, UNKNOWN passes. (A RENAMED
+          // column cannot land here — [[ColumnMapping.rename]] rejects
+          // renames of definition-referenced columns.)
           case _: org.apache.spark.sql.AnalysisException => Seq.empty
         }
       if (bad.nonEmpty) throw new ConstraintViolation(name, predicate, bad)

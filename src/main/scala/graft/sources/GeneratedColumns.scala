@@ -206,8 +206,11 @@ object GeneratedColumns {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val defs = list(fs, lakeDir)
     if (defs.isEmpty) return
-    val batch = spark.read.option("mergeSchema", "true")
-      .parquet(paths: _*)
+    // evaluate in LOGICAL-name space, same reasoning as
+    // [[Constraints.validatePaths]]: definitions were captured against
+    // the mapped live view, raw parquet carries physical names
+    val batch = ColumnMapping.toLogical(spark, lakeDir,
+      spark.read.option("mergeSchema", "true").parquet(paths: _*))
     defs.foreach { case (c, e, t) =>
       val bad =
         try {

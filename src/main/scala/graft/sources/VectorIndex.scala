@@ -438,6 +438,21 @@ object VectorIndex {
             "while this refresh prepared — retry the refresh (the " +
             "staged segment is unreferenced debris the next publish " +
             "sweeps)")
+      // Also re-check the LAKE: a physical rewrite (CoW DML, OPTIMIZE,
+      // compact) landing between prepare and this lock would let the
+      // publish pin files the lake just retired. The query-time gate
+      // would still catch it (answers are never wrong), but then the
+      // staleness error surfaces at the first probe instead of at the
+      // refresh that caused it — fail HERE, where the cause is.
+      val lakeNow = committedFiles(spark, lakeDir)
+      val retiredNow = (current -- lakeNow).toSeq.sorted
+      if (retiredNow.nonEmpty)
+        throw new StaleVectorIndexException(
+          s"vector index $indexDir: the lake rewrote " +
+            s"${retiredNow.size} file(s) this refresh was about to pin " +
+            s"(${retiredNow.take(3).mkString(", ")}" +
+            s"${if (retiredNow.size > 3) ", …" else ""}) — rebuild the " +
+            "index")
       publishGeneration(spark, indexDir) { out =>
         writeGeneration(spark, out, cents, segments, codebook, current, p)
       }
@@ -473,6 +488,15 @@ object VectorIndex {
         throw new StaleVectorIndexException(
           s"vector index $indexDir was republished while this fold " +
             "prepared — retry compactSegments")
+      // same lake re-check as refresh: never publish a generation
+      // pinning files a concurrent rewrite just retired
+      val lakeNow = committedFiles(spark, lakeDir)
+      val retiredNow = (files -- lakeNow).toSeq.sorted
+      if (retiredNow.nonEmpty)
+        throw new StaleVectorIndexException(
+          s"vector index $indexDir: the lake rewrote " +
+            s"${retiredNow.size} pinned file(s) while this fold " +
+            "prepared — rebuild the index")
       publishGeneration(spark, indexDir) { out =>
         writeGeneration(spark, out, cents, Seq(folded), codebook, files,
           p)

@@ -78,11 +78,18 @@ object ChangeStream {
       val out = f.create(tmp, true)
       try out.write(lines.mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      if (!f.rename(tmp, ckptPath)) {
-        f.delete(ckptPath, false)
-        require(f.rename(tmp, ckptPath),
-          s"change stream: cannot publish cursor checkpoint $ckptPath")
-      }
+      // Atomic pointer flip (the CommitLog / VectorIndex publish
+      // idiom). FileSystem.rename refuses to overwrite on HDFS/object
+      // stores, and a delete-then-rename fallback has a crash window
+      // with NO checkpoint — a restart would then bootstrap fresh and
+      // either skip every change since the lost cursor or re-serve a
+      // full snapshot. Rename.OVERWRITE replaces the old cursor in one
+      // metadata operation: the checkpoint is always either the
+      // previous cursor or the new one, never absent.
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(ckptPath),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
 
     private def readCheckpoint(): Option[MorCursor] = {

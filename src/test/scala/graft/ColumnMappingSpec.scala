@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
-import graft.sources.{Clone, ColumnMapping, CommitLog, DeletionVectors, Occ, ZOrder}
+import graft.sources.{Clone, ColumnMapping, CommitLog, Constraints, DeletionVectors, GeneratedColumns, Occ, ZOrder}
 import graft.streaming.LayoutSink
 
 /** Column mapping ([[graft.sources.ColumnMapping]]): RENAME/DROP are
@@ -164,6 +164,56 @@ class ColumnMappingSpec extends SparkSpec {
     assert(got.filter($"id" === 1L).select($"value").head.getLong(0)
       == -2L)
     assert(got.count() == 151L) // 150 + one net insert (id 900)
+  }
+
+  test("definitions resolve in LOGICAL-name space across a rename: a " +
+    "CHECK constraint on the NEW name is ENFORCED at the write gate " +
+    "(files carry the physical name), and a referenced column cannot " +
+    "be renamed or dropped away from under a live definition") {
+    val lake = mkLake()
+    ColumnMapping.rename(spark, lake, "v", "value")
+    // definition under the post-rename logical name: add validates
+    // against the mapped live view, and the write-side gate must
+    // evaluate in the same space — before the toLogical projection in
+    // validatePaths this predicate hit AnalysisException on the
+    // physical files and silently stopped gating
+    Constraints.add(spark, lake, "pos_value", "value >= 0")
+    val bad = intercept[Constraints.ConstraintViolation] {
+      Occ.append(spark, lake,
+        Seq((990, -5L, "x")).toDF("k", "value", "extra"))
+    }
+    assert(bad.name == "pos_value")
+    assert(LayoutSink.readCommitted(spark, lake).count() == 100L,
+      "the rejected batch must not have published")
+    assert(Occ.append(spark, lake,
+      Seq((991, 5L, "x991")).toDF("k", "value", "extra")) > 0L)
+    // renaming or dropping the referenced column would orphan the
+    // definition (the gate would stop resolving and pass everything) —
+    // rejected loudly, Delta's behavior
+    val r = intercept[IllegalArgumentException] {
+      ColumnMapping.rename(spark, lake, "value", "v2")
+    }
+    assert(r.getMessage.contains("pos_value"), r.getMessage)
+    intercept[IllegalArgumentException] {
+      ColumnMapping.drop(spark, lake, "value")
+    }
+    // dropping the DEFINITION re-frees the column
+    Constraints.drop(spark, lake, "pos_value")
+    ColumnMapping.rename(spark, lake, "value", "v2")
+    // generated columns: same space, same guard — definition over the
+    // renamed dependency enforces on appends and pins both columns
+    GeneratedColumns.add(spark, lake, "extra", "concat('x', k)")
+    val gbad = intercept[GeneratedColumns.GeneratedColumnViolation] {
+      Occ.append(spark, lake,
+        Seq((992, 7L, "WRONG")).toDF("k", "v2", "extra"))
+    }
+    assert(gbad.column == "extra")
+    intercept[IllegalArgumentException] { // the generated column itself
+      ColumnMapping.rename(spark, lake, "extra", "tag")
+    }
+    intercept[IllegalArgumentException] { // its dependency
+      ColumnMapping.drop(spark, lake, "k")
+    }
   }
 
   test("the map survives OPTIMIZE's dir swap and replicates into a " +

@@ -225,6 +225,28 @@ class VectorIndexSpec extends SparkSpec {
       k = 10, probes = 4)) == want)
   }
 
+  test("a LAKE rewrite landing inside refresh's prepare/publish window " +
+    "fails the refresh itself — not a wasted publish whose staleness " +
+    "only surfaces at the first query") {
+    val half = emb.count() / 2
+    val (lake, idx) = mkLake(emb.filter(col("vec_id") < half))
+    VectorIndex.build(spark, lake, idx)
+    assert(Occ.append(spark, lake,
+      emb.filter(col("vec_id") >= half)) > 0L)
+    val e = intercept[StaleVectorIndexException] {
+      VectorIndex.refresh(spark, lake, idx, beforePublish = () =>
+        // a physical rewrite (CoW OPTIMIZE) retires every file the
+        // prepared generation was about to pin
+        ZOrder.optimize(spark, lake, Seq("vec_id"), bits = 10,
+          numFiles = 2))
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    // the cause failed AT the refresh; rebuild recovers as documented
+    VectorIndex.build(spark, lake, idx)
+    assert(VectorIndex.query(spark, lake, idx, qvec, k = 10, probes = 4)
+      .count() == 10L)
+  }
+
   test("PQ codes through a churn refresh: new rows are encoded with " +
     "the PINNED codebook and queryPq == the in-query IVF-PQ answer") {
     val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
