@@ -21,6 +21,12 @@ import org.apache.spark.sql.SparkSession
   *    reps whenever the base spread exceeds 1.5× (r6 ask #7), so no
   *    single page-cache/draw outlier can move the median. A trimmed
   *    mean (drop one min + one max) rides along as `e2e_X_iso_tmean`.
+  *    The PCA cells additionally run PREPARED (r11 ask #4,
+  *    `E2EBench.isoPrepared`): their labeled-frame cache — the one
+  *    page-cache-sensitive term the r11 phase probe isolated — is
+  *    materialized once per session, untimed, so the timed reps
+  *    measure the fits at steady state; the interleaved key keeps the
+  *    full label+fit cost.
   *    These are the authoritative per-cell numbers for BASELINE
   *    comparison. Scale mains (CatalogScale/E2EScale/DmlChurnScale)
   *    must run in a SEPARATE invocation AFTER this artifact is
@@ -179,6 +185,18 @@ object Bench {
             // any page-cache eviction — e.g. a preceding scale run's
             // 3 GB replica — and the rep spread widens spuriously
             preTouch(s, Seq(path))
+            // prepared cells (r11 ask #4): materialize the
+            // page-cache-sensitive labeled cache once, untimed; the
+            // timed reps then measure the fits. No session-wide
+            // clearCache between this cell's warms/reps — it would
+            // drop the prepared cache; the cell body unpersists
+            // everything IT creates (E2EBench.isoPrepared scaladoc).
+            val prep = bench.E2EBench.isoPrepared.get(name)
+              .map(p => p(s, path))
+            val repBody: () => Unit = prep match {
+              case Some((body, _)) => () => { body(): Unit }
+              case None => () => { fn(s, path): Unit }
+            }
             // ... and THREE untimed FULL-SCALE executions: the 20k-row
             // warmup compiles the plan paths but not the full-scale
             // JIT tier (treeAggregate inner loops, BLAS dispatch),
@@ -193,13 +211,13 @@ object Bench {
             // number, where every executor outlives its first task
             // by hours
             (1 to 3).foreach { _ =>
-              try { fn(s, path): Unit } catch { case _: Throwable => () }
-              s.sharedState.cacheManager.clearCache()
+              try repBody() catch { case _: Throwable => () }
+              if (prep.isEmpty) s.sharedState.cacheManager.clearCache()
             }
             def oneRep(): Timing = {
-              s.sharedState.cacheManager.clearCache()
+              if (prep.isEmpty) s.sharedState.cacheManager.clearCache()
               System.gc()
-              time { fn(s, path): Unit }
+              time { repBody() }
             }
             val baseReps = (1 to math.max(1, e2eReps)).map(_ => oneRep())
             // adaptive widening (VERDICT r6 ask #7): when the base

@@ -114,6 +114,15 @@ object E2EBench {
     * before the training cache. */
   def rfPca(spark: SparkSession, path: String): Double = {
     val labeled = labelScalable(load(spark, path)).cache()
+    try rfPcaOn(labeled) finally labeled.unpersist()
+  }
+
+  /** The fits over an already-materialized labeled frame — the timed
+    * body of the iso protocol's steady-state rep ([[isoPrepared]]).
+    * Every cache this body creates, it unpersists, so reps can run
+    * back-to-back without a session-wide cache clear (which would
+    * drop the prepared labeled frame too). */
+  def rfPcaOn(labeled: DataFrame): Double = {
     val (transformed, _) = MlPipelines.scaledPca(labeled,
       StockSchema.rfRawFeatures, k = 12, prefix = "all")
     val rf = MlPipelines.rfMllibParity().setFeaturesCol("pca_all_features")
@@ -123,7 +132,6 @@ object E2EBench {
     val model = rf.fit(train)
     val auc = MlPipelines.evaluate(model.transform(test))("areaUnderROC")
     cached.unpersist()
-    labeled.unpersist()
     auc
   }
 
@@ -150,6 +158,11 @@ object E2EBench {
     * of the engine's schema surface). */
   def svmPca(spark: SparkSession, path: String): Double = {
     val labeled = labelScalable(load(spark, path)).cache()
+    try svmPcaOn(labeled) finally labeled.unpersist()
+  }
+
+  /** Timed body over a materialized labeled frame (see [[rfPcaOn]]). */
+  def svmPcaOn(labeled: DataFrame): Double = {
     // cache the assembled/scaled frames: three scaler fits and two PCA
     // fits scan them (the reference re-executes the assembly chain per
     // fit — same replayed WORK here, minus the recomputation sin, like
@@ -165,7 +178,7 @@ object E2EBench {
     MlPipelines.pca("scaled_all_features", "pca_all_features", 12).fit(scaled)
     val auc = trainAuc(labeled, StockSchema.svmFeatures,
       MlPipelines.svm(), seed = 123L)
-    scaled.unpersist(); va.unpersist(); labeled.unpersist()
+    scaled.unpersist(); va.unpersist()
     auc
   }
 
@@ -214,4 +227,29 @@ object E2EBench {
     "e2e_svm_raw" -> svmRaw,
     "e2e_svm_pca" -> svmPca,
     "e2e_rf_mllib" -> rfMllib)
+
+  /** Iso-protocol preparation (r11 VERDICT ask #4). The PCA cells
+    * cache the labeled frame before their fits, and that cache FILL
+    * was the one page-cache-sensitive term left inside the timed
+    * region — the phase probe measured it at 8.9 s cold vs 0.7 s warm
+    * (12.7× spread) while the scaler/PCA/RF fits held steady, and two
+    * rounds running the widest iso cell needed a post-hoc cold-fill
+    * explanation (svm_pca r9/r10, rf_pca r10/r11). Bench materializes
+    * the labeled frame ONCE per fresh session, untimed, and the timed
+    * reps measure the fits over it — the steady-state number a
+    * long-lived cluster sees, with the OS page cache taken out of the
+    * protocol. The interleaved key (`e2e_X`, no `_iso`) keeps timing
+    * the full label+fit pipeline, so both totals stay in the artifact.
+    * Returns (timedBody, cleanup). */
+  val isoPrepared: Map[String,
+      (SparkSession, String) => (() => Double, () => Unit)] = Map(
+    "e2e_rf_pca" -> ((s, p) => prepareLabeled(s, p, rfPcaOn)),
+    "e2e_svm_pca" -> ((s, p) => prepareLabeled(s, p, svmPcaOn)))
+
+  private def prepareLabeled(spark: SparkSession, path: String,
+      body: DataFrame => Double): (() => Double, () => Unit) = {
+    val labeled = labelScalable(load(spark, path)).cache()
+    labeled.count(): Unit // the fill is preparation, never a rep's cost
+    (() => body(labeled), () => { labeled.unpersist(); () })
+  }
 }

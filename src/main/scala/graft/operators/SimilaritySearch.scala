@@ -90,6 +90,28 @@ object SimilaritySearch {
       .select(col(idCol), (-col("best.neg_cid")).as("bucket"))
   }
 
+  /** [[ivfAssignExact]] keeping the WINNING cosine as `_asim` — the
+    * assignment-quality statistic [[graft.sources.VectorIndex]]'s
+    * centroid-drift probe aggregates. Same cross-join/argmax plan (the
+    * max-struct already carries the sim; [[ivfAssignExact]] merely
+    * projects it away); the extra column costs one float per row. */
+  def ivfAssignExactSim(embeddings: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol), col(vecCol),
+      sqrt(norm2Exact(col(vecCol))).as("_nv"))
+    val c = centroids.select(col("centroid_id"), col("centroid"),
+      sqrt(norm2Exact(col("centroid"))).as("_nc"))
+    e.crossJoin(broadcast(c))
+      .select(col(idCol), col("centroid_id"),
+        cosineExactPre(col(vecCol), col("centroid"), col("_nv"), col("_nc"))
+          .as("sim"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("sim"), (-col("centroid_id")).as("neg_cid")))
+        .as("best"))
+      .select(col(idCol), (-col("best.neg_cid")).as("bucket"),
+        col("best.sim").as("_asim"))
+  }
+
   /** Trained IVF centroids: `ml.KMeans` over the embedding column
     * (Lloyd's with k-means|| init — a few distributed passes over the
     * data, each a treeAggregate; the model is C vectors on the driver,
@@ -255,8 +277,21 @@ object SimilaritySearch {
     * pruned, so the min-id member of each semantic-dup group survives.
     * The cluster partition is what makes the quadratic term tractable —
     * candidate pairs are per-cluster (one shuffle keyed by cluster),
-    * identical in shape to the in-bucket LSH joins; at 100 TB you raise
-    * C so N²/C per cluster stays bounded, exactly as the paper does.
+    * identical in shape to the in-bucket LSH joins.
+    *
+    * SIZING RULE (the primary 100 TB defense): per-cluster pair cost
+    * is (N/C)², so C must grow WITH the corpus — C ∝ N keeps expected
+    * cluster size (and thus per-task work) constant; the paper sizes
+    * its k-means the same way. `maxCluster` is the BACKSTOP for when
+    * the rule is violated anyway (undersized C, or a degenerate
+    * embedding distribution collapsing the corpus onto one centroid —
+    * the boilerplate-text failure mode): clusters above the cap are
+    * excluded from the pairwise phase BEFORE the join, by a count-only
+    * pre-pass (bounded aggregation buffers, the same pre-count
+    * discipline as [[graft.operators.Dedup.lshCandidatePairs]]'s
+    * `maxBucket`), so the blowup degrades to unpruned survivors in
+    * those clusters instead of a quadratic stall. Members of a capped
+    * cluster keep their cluster id and report `pruned = false`.
     *
     * Runs the PRODUCTION scoring path end to end: codegen'd FloatDot
     * cosines for both the assignment argmax and the pair verify
@@ -264,7 +299,8 @@ object SimilaritySearch {
     * fold), norms hoisted below the joins, argmax as a partial-agg
     * max-struct (the shuffle carries no embedding payload). */
   def semDedup(embeddings: DataFrame, centroids: DataFrame, tau: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCluster: Int = 10000): DataFrame = {
     import graft.functions.VectorFunctions.{cosinePre, dot}
     val e0 = embeddings.select(col(idCol), col(vecCol),
       sqrt(dot(col(vecCol), col(vecCol))).as("_n"))
@@ -280,9 +316,16 @@ object SimilaritySearch {
         .as("best"))
       .select(col(idCol), (-col("best.neg_cid")).as("cluster"))
     val e = e0.join(assigned, Seq(idCol)).localCheckpoint()
-    val l = e.select(col("cluster"), col(idCol).as("id_a"),
+    // oversized-cluster backstop: count-only pre-pass (never
+    // materializes a cluster's members in one buffer), then anti-join
+    // the oversized cluster ids out BEFORE the quadratic join — the
+    // shuffle carries (cluster, count) pairs, not embeddings
+    val oversized = e.groupBy(col("cluster")).count()
+      .filter(col("count") > maxCluster).select(col("cluster"))
+    val paired = e.join(oversized, Seq("cluster"), "left_anti")
+    val l = paired.select(col("cluster"), col(idCol).as("id_a"),
       col(vecCol).as("va"), col("_n").as("na"))
-    val r = e.select(col("cluster"), col(idCol).as("id_b"),
+    val r = paired.select(col("cluster"), col(idCol).as("id_b"),
       col(vecCol).as("vb"), col("_n").as("nb"))
     val dominated = l.join(r, Seq("cluster"))
       .filter(col("id_a") < col("id_b") &&

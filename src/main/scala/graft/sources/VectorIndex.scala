@@ -23,7 +23,14 @@ import graft.operators.SimilaritySearch
   *    pinned snapshot — cost ∝ churn, never O(corpus). Centroids and
   *    codebook are pinned at build time (centroid drift is a REBUILD
   *    decision an operator schedules, not something a refresh silently
-  *    does — the assignment would change under existing rows).
+  *    does — the assignment would change under existing rows). WHEN
+  *    to schedule that rebuild is measured, not guessed: every
+  *    segment stores each row's winning assignment cosine (`_asim`),
+  *    build records the corpus mean as the baseline, refresh records
+  *    the batch mean, and [[driftReport]] compares them — advise a
+  *    rebuild at ratio < [[DriftRebuildRatio]], which the measured
+  *    decay curve (SCALE.md §"Centroid drift") places well before
+  *    stale-centroid recall@10 falls under 0.9.
   *  - [[query]] / [[queryPq]]: probe the stored buckets. The scan
   *    touches only the probed buckets' partitions (the assignment is
   *    written `partitionBy(bucket)`, so probe pruning is directory
@@ -237,7 +244,12 @@ object VectorIndex {
     * answer. PQ codes via the codegen'd packed encoder. */
   private def assignRows(rows: DataFrame, cents: DataFrame,
       codebook: Seq[Array[Float]], p: Params): DataFrame = {
-    val buckets = SimilaritySearch.ivfAssignExact(
+    // the Sim variant keeps the winning cosine as `_asim` — stored in
+    // the segment (one float per row), it is the drift probe's input:
+    // build/refresh aggregate the SEGMENT's mean, so the probe costs
+    // one column scan of bytes the publish just wrote, never a second
+    // N·C assignment pass
+    val buckets = SimilaritySearch.ivfAssignExactSim(
       rows, cents, idCol = p.idCol, vecCol = p.vecCol)
     val assigned = rows.join(buckets, Seq(p.idCol))
     if (p.pqM == 0) assigned
@@ -287,7 +299,9 @@ object VectorIndex {
       val df = spark.read.parquet(
         new Path(segmentsRoot(indexDir), name).toString)
       pred.map(df.filter).getOrElse(df)
-    }.reduce(_ unionByName _)
+    // allowMissingColumns: segments written before the drift probe
+    // carry no `_asim` — they read as null, which avg() skips
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Delete segments no KEPT generation references (crashed publishes'
     * debris, dropped-generation leftovers). Runs after the pointer
@@ -310,7 +324,7 @@ object VectorIndex {
   private def writeGeneration(spark: SparkSession, gen: Path,
       cents: DataFrame, segments: Seq[String],
       codebook: Seq[Array[Float]], files: Set[String],
-      p: Params): Unit = {
+      p: Params, extraParams: Seq[(String, String)] = Nil): Unit = {
     import spark.implicits._
     cents.repartition(1).write.parquet(new Path(gen, "centroids").toString)
     if (p.pqM > 0)
@@ -323,9 +337,75 @@ object VectorIndex {
         ("param:c", p.c.toString), ("param:idCol", p.idCol),
         ("param:vecCol", p.vecCol), ("param:pqM", p.pqM.toString),
         ("param:pqK", p.pqK.toString),
-        ("param:carryCols", p.carryCols.mkString(",")))
+        ("param:carryCols", p.carryCols.mkString(","))) ++
+        extraParams.map { case (k, v) => (s"param:$k", v) }
     meta.toDF("kind", "name").repartition(1)
       .write.parquet(new Path(gen, "meta").toString)
+  }
+
+  // ---- centroid-drift probe -------------------------------------------
+
+  /** Mean `_asim` (winning assignment cosine) of one written segment —
+    * a single-column scan of bytes the publish just wrote. None when
+    * the segment predates the probe or is empty. */
+  private def segmentMeanAsim(spark: SparkSession, indexDir: String,
+      segment: String): Option[Double] = {
+    val df = spark.read.parquet(
+      new Path(segmentsRoot(indexDir), segment).toString)
+    if (!df.columns.contains("_asim")) None
+    else Option(df.agg(avg(col("_asim"))).head.get(0))
+      .map(_.asInstanceOf[Double])
+  }
+
+  private def driftParams(base: Option[Double],
+      last: Option[Double]): Seq[(String, String)] =
+    base.map(b => "driftBaseMean" -> b.toString).toSeq ++
+      last.map(l => "driftLastMean" -> l.toString).toSeq
+
+  /** Advise a rebuild when the last refresh batch's mean best-cosine
+    * deviates from the build-time mean by more than this fraction —
+    * in EITHER direction, because both tails are drift:
+    *
+    *  - ratio BELOW 1: new rows sit BETWEEN the pinned centroids
+    *    (nothing represents them) — the classic recall risk;
+    *  - ratio ABOVE 1: new rows are MORE coherent than the training
+    *    corpus (a new topic/mode crowding one pinned bucket) — probe
+    *    cost skews now, and it is the measured precursor of the
+    *    recall cliff: the crowd eventually spans regions one centroid
+    *    cannot rank correctly for a query.
+    *
+    * Calibrated against the measured curve (SCALE.md §"Centroid
+    * drift", VectorDriftScale): a 4-mode drifted distribution moves
+    * the ratio to ~0.955 at the FIRST drifted refresh (any churn
+    * level — the ratio measures the batch, not the accumulation),
+    * while corpus-mixed recall@10 through the stale centroids decays
+    * with the drifted FRACTION and crosses 0.9 only past ~30% churn;
+    * a same-distribution batch stays within ~0.5% of 1.0. The 2%
+    * tolerance therefore flags at the first drifted refresh — well
+    * before the recall cliff — and never on distribution-identical
+    * churn. */
+  val DriftRebuildTolerance: Double = 0.02
+
+  /** Assignment-quality drift: how well the PINNED centroids fit the
+    * most recent refresh batch, relative to how well they fit the
+    * corpus they were trained on. Refresh deliberately never moves
+    * centroids (assignment stability — see the class doc); this is
+    * the measured signal for WHEN that pin demands a [[build]].
+    * `None` until a post-build refresh has run (or for a pre-probe
+    * index generation). */
+  final case class DriftReport(baseMean: Double, lastRefreshMean: Double) {
+    def ratio: Double = lastRefreshMean / baseMean
+    def rebuildAdvised: Boolean =
+      math.abs(ratio - 1.0) > DriftRebuildTolerance
+  }
+
+  def driftReport(spark: SparkSession,
+      indexDir: String): Option[DriftReport] = {
+    val meta = readMeta(spark, liveGen(spark, indexDir))
+    for {
+      b <- meta.paramsMap.get("driftBaseMean").map(_.toDouble)
+      l <- meta.paramsMap.get("driftLastMean").map(_.toDouble)
+    } yield DriftReport(b, l)
   }
 
   // ---- the lifecycle ------------------------------------------------
@@ -365,6 +445,10 @@ object VectorIndex {
         col(params.idCol)),
       cents, codebook, params)
     val segment = writeSegment(spark, indexDir, assigned)
+    // drift baseline: how well the just-trained centroids fit their
+    // own training corpus — the reference level [[driftReport]]
+    // compares refresh batches against
+    val base = segmentMeanAsim(spark, indexDir, segment)
     // publish under the LAKE's writer lock: two index writers racing
     // the vNNNNN allocation would collide on the generation dir (the
     // same arbitration every lake publish uses; the expensive segment
@@ -374,7 +458,7 @@ object VectorIndex {
         waitMs = 30000L) {
       publishGeneration(spark, indexDir) { gen =>
         writeGeneration(spark, gen, cents, Seq(segment), codebook, files,
-          params)
+          params, extraParams = driftParams(base, None))
       }
     }
   }
@@ -422,6 +506,10 @@ object VectorIndex {
     val segment = writeSegment(spark, indexDir,
       assignRows(fresh, cents, codebook, p))
     val segments = meta.segments :+ segment
+    // drift probe, free at this point: the batch's winning cosines are
+    // already in the segment bytes — one column scan vs the baseline
+    val freshMean = segmentMeanAsim(spark, indexDir, segment)
+    val base = meta.paramsMap.get("driftBaseMean").map(_.toDouble)
     beforePublish() // spec hook: inject a racing publish here
     // COMMIT SECTION under the lake's writer lock: the manifest this
     // refresh composed references the generation it READ — if another
@@ -454,7 +542,8 @@ object VectorIndex {
             s"${if (retiredNow.size > 3) ", …" else ""}) — rebuild the " +
             "index")
       publishGeneration(spark, indexDir) { out =>
-        writeGeneration(spark, out, cents, segments, codebook, current, p)
+        writeGeneration(spark, out, cents, segments, codebook, current, p,
+          extraParams = driftParams(base, freshMean))
       }
     }
     (added.size, nRows)
@@ -498,8 +587,10 @@ object VectorIndex {
             s"${retiredNow.size} pinned file(s) while this fold " +
             "prepared — rebuild the index")
       publishGeneration(spark, indexDir) { out =>
+        // a fold is a pure reshuffle — the drift state rides along
         writeGeneration(spark, out, cents, Seq(folded), codebook, files,
-          p)
+          p, extraParams = meta.paramsMap.toSeq
+            .filter(_._1.startsWith("drift")).sortBy(_._1))
       }
     }
     segs.size

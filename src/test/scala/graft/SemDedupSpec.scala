@@ -31,6 +31,48 @@ class SemDedupSpec extends SparkSpec {
     assert(out(3L) == (1, false))
   }
 
+  test("oversized-cluster backstop: a 90%-one-cluster adversarial " +
+    "corpus completes with the saturated cluster excluded from the " +
+    "pairwise phase — its members survive unpruned, every other " +
+    "cluster still prunes, and the default cap leaves the real corpus " +
+    "untouched") {
+    // 1000 vectors, 900 collapsing onto centroid 0 (the degenerate
+    // boilerplate-embedding distribution), 100 spread over centroid 1
+    val emb = spark.range(1000).select(col("id").as("vec_id"),
+      when(col("id") < 900,
+        array(lit(1.0f), ((col("id") % 7) / lit(1000.0)).cast("float")))
+        .otherwise(array(((col("id") % 5) / lit(1000.0)).cast("float"),
+          lit(1.0f)))
+        .as("embedding"))
+    val cents = Seq((0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f)))
+      .toDF("centroid_id", "centroid")
+    val out = SimilaritySearch.semDedup(emb, cents, tau = 0.99,
+      maxCluster = 200).cache()
+    try {
+      assert(out.count() == 1000L, "every row must appear in the output")
+      // cluster 0 (saturated, 900 > cap): excluded from pairing —
+      // nothing pruned, cluster attribution intact
+      val c0 = out.filter(col("cluster") === 0)
+      assert(c0.count() == 900L)
+      assert(c0.filter(col("pruned")).count() == 0L,
+        "a capped cluster degrades to unpruned survivors, not a stall")
+      // cluster 1 (100 <= cap): pruning still active — every member
+      // is within tau of every other (the id%5 jitter moves cosine by
+      // ~1e-5), so only the min id survives
+      val c1p = out.filter(col("cluster") === 1 && col("pruned")).count()
+      assert(c1p == 99L, s"expected 99 pruned in the healthy cluster, got $c1p")
+    } finally { out.unpersist(); () }
+    // the DEFAULT cap is far above any real cluster here: qv14's
+    // answer is bit-identical with and without it
+    val real = spark.read.parquet(sf("embeddings"))
+    val rc = SimilaritySearch.hashSampledCentroids(real, 16)
+    val withCap = SimilaritySearch.semDedup(real, rc, tau = 0.2)
+    val uncapped = SimilaritySearch.semDedup(real, rc, tau = 0.2,
+      maxCluster = Int.MaxValue)
+    assert(withCap.exceptAll(uncapped).isEmpty &&
+      uncapped.exceptAll(withCap).isEmpty)
+  }
+
   test("corpus invariant: min-id member of each cluster is never pruned") {
     val emb = spark.read.parquet(sf("embeddings"))
     val out = SimilaritySearch.semDedup(emb,

@@ -247,6 +247,67 @@ class VectorIndexSpec extends SparkSpec {
       .count() == 10L)
   }
 
+  test("centroid-drift probe: a same-distribution refresh stays inside " +
+    "the tolerance (no false rebuild), a drifted refresh flags one — " +
+    "and the flag fires while mixed-population recall@10 through the " +
+    "STALE centroids is still >= 0.9 (early warning, not post-mortem)") {
+    val dim = 16
+    // clustered corpus, the VectorDriftScale construction at spec
+    // scale: mode center (hash-derived unit direction) + row jitter;
+    // base draws 16 modes, drift draws 4 NOVEL ones
+    def mixture(from: Long, until: Long, nModes: Int, modeBase: Int) = {
+      val mode = pmod(col("id"), lit(nModes)) + lit(modeBase)
+      spark.range(from, until)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            (((pmod(hash(mode, j), lit(100001)).cast("float") -
+              lit(50000f)) / lit(50000f)) +
+              ((pmod(hash(col("id"), j, lit(17)), lit(100001))
+                .cast("float") - lit(50000f)) / lit(50000f)) * lit(0.35f))
+              .cast("float")).as("embedding"))
+    }
+    def base(a: Long, b: Long) = mixture(a, b, 16, 0)
+    def drifted(a: Long, b: Long) = mixture(a, b, 4, 1000)
+    val (lake, idx) = mkLake(base(0L, 10000L))
+    VectorIndex.build(spark, lake, idx,
+      VectorIndex.Params(c = 16, trainedCentroids = true))
+    assert(VectorIndex.driftReport(spark, idx).isEmpty,
+      "no refresh yet — nothing to compare")
+    // control: churn from the SAME distribution must not cry wolf
+    assert(Occ.append(spark, lake, base(10000L, 11000L)) > 0L)
+    assert(VectorIndex.refresh(spark, lake, idx)._2 == 1000L)
+    val ctl = VectorIndex.driftReport(spark, idx).get
+    assert(!ctl.rebuildAdvised,
+      s"same-distribution churn flagged a rebuild (ratio ${ctl.ratio})")
+    // drifted churn: novel modes the pinned centroids never saw
+    assert(Occ.append(spark, lake, drifted(11000L, 12000L)) > 0L)
+    assert(VectorIndex.refresh(spark, lake, idx)._2 == 1000L)
+    val rep = VectorIndex.driftReport(spark, idx).get
+    assert(rep.rebuildAdvised && rep.ratio < 0.9,
+      s"drifted churn must flag loudly, ratio was ${rep.ratio}")
+    // the flag precedes the cliff: recall@10 over queries drawn ∝ the
+    // corpus composition (11/12 base, 1/12 drifted) is still >= 0.9
+    // through the stale centroids
+    val queries = base(20000L, 20011L).unionAll(drifted(20011L, 20012L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .localCheckpoint()
+    val corpus = base(0L, 11000L).unionAll(drifted(11000L, 12000L))
+    val truth = SimilaritySearch.knnJoin(corpus, queries, 10)
+      .select(col("query_id"), col("vec_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = queries.collect().map { r =>
+      val got = VectorIndex.query(spark, lake, idx,
+        r.getSeq[Float](1).toSeq, k = 10, probes = 4)
+        .collect().map(_.getLong(0)).toSet
+      (got intersect truth(r.getLong(0))).size.toDouble / 10
+    }
+    val recall = recalls.sum / recalls.length
+    assert(recall >= 0.9,
+      s"stale recall@10 already under 0.9 ($recall) when the probe " +
+        "flagged — the probe would be a post-mortem, not a warning")
+  }
+
   test("PQ codes through a churn refresh: new rows are encoded with " +
     "the PINNED codebook and queryPq == the in-query IVF-PQ answer") {
     val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
