@@ -60,6 +60,16 @@ object TextQueryCatalog {
   val qt6LshPairs: Q = (s, dir) =>
     Dedup.lshCandidatePairs(table(s, dir, "documents"))
 
+  /** qt6 with the skew cap BITING (r12): `maxBucket = 2` keeps only
+    * two-member buckets, so any bucket a boilerplate group saturates
+    * past two is excluded BEFORE the collect. The oracle sizes the
+    * buckets and applies the same exclusion declaratively — the hash
+    * match proves the count-only pre-pass drops exactly the oversized
+    * buckets' pairs and nothing else. */
+  val qt30LshCapped: Q = (s, dir) =>
+    Dedup.lshCandidatePairs(table(s, dir, "documents"),
+      maxBucket = Some(2))
+
   /** n-gram Jaccard similarity of consecutive doc ids (linear proxy for
     * pairwise near-dup scoring; the quadratic version goes through LSH).
     * Each doc's distinct shingle set is computed ONCE and materialised
@@ -543,6 +553,7 @@ object TextQueryCatalog {
     "qt4_exact_dedup" -> qt4ExactDedup,
     "qt5_minhash" -> qt5Minhash,
     "qt6_lsh_pairs" -> qt6LshPairs,
+    "qt30_lsh_capped" -> qt30LshCapped,
     "qt7_ngram_jaccard" -> qt7NgramJaccard,
     "qt8_simhash" -> qt8Simhash,
     "qt9_multimodal_meta" -> qt9MultimodalMeta)
@@ -594,6 +605,21 @@ object TextQueryCatalog {
     s"""$sigCte,
        |$pairsCtes
        |SELECT id_a, id_b FROM pairs""".stripMargin
+
+  /** qt6's CTEs plus a bucket-size gate: only buckets of EXACTLY two
+    * members pair (`maxBucket = 2` on the Spark side). */
+  private lazy val qt30Sql: String =
+    s"""$sigCte,
+       |$pairsCtes,
+       |small AS (
+       |  SELECT band, band_key FROM banded
+       |  GROUP BY band, band_key HAVING count(*) = 2),
+       |capped AS (
+       |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id
+       |  JOIN small s ON s.band = l.band AND s.band_key = l.band_key)
+       |SELECT id_a, id_b FROM capped""".stripMargin
 
   private lazy val qt11Sql: String =
     s"""WITH RECURSIVE pairs AS (
@@ -902,6 +928,7 @@ object TextQueryCatalog {
       s"""$sigCte
          |SELECT * FROM sig""".stripMargin,
     "qt6_lsh_pairs" -> qt6Sql,
+    "qt30_lsh_capped" -> qt30Sql,
     "qt16_minhash_est" -> {
       val agree = Dedup.MinhashA.indices
         .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")

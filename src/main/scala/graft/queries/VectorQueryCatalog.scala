@@ -206,6 +206,18 @@ object VectorQueryCatalog {
       SimilaritySearch.hashSampledCentroids(table(s, dir, "embeddings"), 64),
       tau = 0.2)
 
+  /** qv14 with the oversized-cluster backstop BITING (r12): a cap of
+    * 10 excludes the biggest clusters from the pairwise phase — their
+    * members survive unpruned — while small clusters keep pruning.
+    * The oracle recomputes the cluster sizes and applies the same
+    * exclusion declaratively, so the hash match proves the guard
+    * changes exactly the capped clusters' verdicts and nothing
+    * else. */
+  val qv20SemDedupCapped: Q = (s, dir) =>
+    SimilaritySearch.semDedup(table(s, dir, "embeddings"),
+      SimilaritySearch.hashSampledCentroids(table(s, dir, "embeddings"), 64),
+      tau = 0.2, maxCluster = 10)
+
   /** The deployed IVF-PQ read path composed end to end
     * ([[SimilaritySearch.ivfPqQuery]]): probe the 4 nearest of 16 IVF
     * buckets, ADC-shortlist 50 candidates over the packed PQ codes
@@ -326,6 +338,7 @@ object VectorQueryCatalog {
     "qv16_filtered_knn" -> qv16FilteredKnn,
     "qv15_ivfpq_query" -> qv15IvfPqQuery,
     "qv14_semdedup" -> qv14SemDedup,
+    "qv20_semdedup_capped" -> qv20SemDedupCapped,
     "qv13_pq_packed" -> qv13PqPacked,
     "qv11_pq_encode" -> qv11PqEncode,
     "qv12_pq_adc" -> qv12PqAdc,
@@ -639,6 +652,34 @@ object VectorQueryCatalog {
          |  SELECT DISTINCT b.vec_id
          |  FROM assigned a JOIN assigned b
          |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE ${cosineSeqSql("ea.embedding", "eb.embedding")} >= 0.2)
+         |SELECT a.vec_id, a.cluster, d.vec_id IS NOT NULL AS pruned
+         |FROM assigned a LEFT JOIN dominated d ON d.vec_id = a.vec_id""".stripMargin,
+    "qv20_semdedup_capped" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS centroid_id, embedding AS centroid
+         |  FROM embeddings
+         |  ORDER BY ${hash32OfInt("vec_id")}, vec_id LIMIT 64),
+         |scored AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    ${cosineSeqSql("e.embedding", "c.centroid")} AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id AS cluster FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, centroid_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |small AS (
+         |  SELECT cluster FROM assigned
+         |  GROUP BY cluster HAVING count(*) <= 10),
+         |dominated AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  JOIN small s ON s.cluster = a.cluster
          |  JOIN embeddings ea ON ea.vec_id = a.vec_id
          |  JOIN embeddings eb ON eb.vec_id = b.vec_id
          |  WHERE ${cosineSeqSql("ea.embedding", "eb.embedding")} >= 0.2)
