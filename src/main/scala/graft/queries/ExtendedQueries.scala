@@ -595,6 +595,88 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
   }
 
+  /** The FULL `MERGE INTO` clause grammar
+    * ([[graft.sources.MergeInto.mergeClauses]]), oracle-checked end to
+    * end over the [[loggedLake]] fixture: a conditional
+    * `WHEN MATCHED AND t.l_returnflag = 'R' THEN DELETE`, a
+    * fallthrough `WHEN MATCHED THEN UPDATE SET l_quantity =
+    * s.l_quantity` (source carries quantity + 50), a conditional
+    * `WHEN NOT MATCHED AND s.l_quantity > 25 THEN INSERT *` over
+    * re-keyed rows, and a `WHEN NOT MATCHED BY SOURCE AND
+    * t.l_linestatus = 'O' THEN UPDATE SET l_discount = 0.99`. The
+    * oracle rebuilds the same table as CASE + complement-filter +
+    * UNION ALL over lineitem: the hash match proves clause order
+    * (delete shadows the fallthrough update for 'R' rows), exact
+    * once-each application, by-source updates reaching ONLY
+    * not-matched rows, the failed insert condition dropping rows, and
+    * untouched rows carrying byte-identically. */
+  val q87MergeClauses: Q = (s, dir) => {
+    import graft.sources.MergeInto
+    import graft.sources.MergeInto.{BySourceUpdate, MatchedDelete,
+      MatchedUpdate, NotMatchedInsert}
+    val lake = loggedLake(s, dir, tempWork("graft_q87_"))
+    val li = table(s, dir, "lineitem")
+    val keys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val src = li.filter(col("l_orderkey") % 5 === 0)
+      .withColumn("l_quantity", col("l_quantity") + 50)
+      .unionByName(li.filter(col("l_orderkey") % 13 === 1)
+        .withColumn("l_orderkey", -col("l_orderkey")))
+    MergeInto.mergeClauses(s, lake, src, keys,
+      matched = Seq(
+        MatchedDelete(Some("t.l_returnflag = 'R'")),
+        MatchedUpdate(Map("l_quantity" -> "s.l_quantity"))),
+      notMatched = Seq(
+        NotMatchedInsert(condition = Some("s.l_quantity > 25"))),
+      notMatchedBySource = Seq(
+        BySourceUpdate(Map("l_discount" -> "0.99"),
+          Some("t.l_linestatus = 'O'"))))
+    graft.streaming.LayoutSink.readCommitted(s, lake)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("l_discount")).as("sum_disc"))
+  }
+
+  /** CHANGE DATA FEED ([[graft.sources.ChangeDataFeed]]),
+    * oracle-checked end to end: batches 0–1 committed, the feed
+    * enabled, then an UPDATE (`l_quantity += 5 WHERE l_returnflag =
+    * 'R'`), a DELETE (`l_orderkey % 7 = 0`), and a fresh append of
+    * batch 2. Reading `(Version(1,0), current]` must serve the
+    * update's pre/post images at gen 1, the delete's images at gen 2
+    * — reflecting the post-update values, because the delete ran on
+    * the updated table — and batch 2's rows as gen-0 inserts, while
+    * batches 0–1's insert segments stay outside the cursor. The
+    * oracle rebuilds the same feed as a UNION ALL of filtered/CASEd
+    * lineitem slices: the hash match proves row-level change capture,
+    * version-key attribution, and mutation sequencing. */
+  val q88ChangeFeed: Q = (s, dir) => {
+    import graft.sources.{ChangeDataFeed, CommitLog, MergeInto}
+    val lake = tempWork("graft_q88_") + "/lake"
+    val fsq = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val li = table(s, dir, "lineitem")
+    for (b <- 0 to 1) {
+      val before = CommitLog.dataFileNames(fsq, lake)
+      li.filter(pmod(col("l_orderkey"), lit(3)) === b)
+        .write.mode("append").parquet(lake)
+      CommitLog.commit(fsq, lake, b,
+        (CommitLog.dataFileNames(fsq, lake) -- before).toSeq.sorted)
+    }
+    ChangeDataFeed.enable(s, lake)
+    MergeInto.update(s, lake, "l_returnflag = 'R'",
+      Map("l_quantity" -> "l_quantity + 5"))
+    MergeInto.delete(s, lake, "l_orderkey % 7 = 0")
+    val before2 = CommitLog.dataFileNames(fsq, lake)
+    li.filter(pmod(col("l_orderkey"), lit(3)) === 2)
+      .write.mode("append").parquet(lake)
+    CommitLog.commit(fsq, lake, 2,
+      (CommitLog.dataFileNames(fsq, lake) -- before2).toSeq.sorted)
+    ChangeDataFeed.read(s, lake, ChangeDataFeed.Version(1, 0),
+        ChangeDataFeed.currentVersion(s, lake))
+      .groupBy(col("_change_type"), col("_commit_gen"),
+        col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+  }
+
   /** Copy-on-write DELETE, oracle-checked end to end: the
     * [[loggedLake]] fixture with every pre-1995 shipment deleted,
     * then the committed view aggregated. Only files containing a
@@ -1718,6 +1800,8 @@ object ExtendedQueries {
     "q55_vacuum" -> q55Vacuum,
     "q56_read_changes" -> q56ReadChanges,
     "q57_merge_upsert" -> q57MergeUpsert,
+    "q87_merge_clauses" -> q87MergeClauses,
+    "q88_change_feed" -> q88ChangeFeed,
     "q58_delete" -> q58Delete,
     "q59_schema_evolution" -> q59SchemaEvolution,
     "q60_update" -> q60Update,
@@ -1797,6 +1881,44 @@ object ExtendedQueries {
          |  FROM lineitem WHERE l_orderkey % 11 = 3
          |)
          |SELECT l_returnflag, count(*) AS n, ${sqlSumd("q")} AS sum_qty
+         |FROM merged GROUP BY 1""".stripMargin,
+    "q88_change_feed" ->
+      s"""WITH feed AS (
+         |  SELECT 'update_preimage' AS _change_type,
+         |    CAST(1 AS BIGINT) AS _commit_gen, l_returnflag,
+         |    l_quantity AS q
+         |  FROM lineitem WHERE l_orderkey % 3 < 2 AND l_returnflag = 'R'
+         |  UNION ALL
+         |  SELECT 'update_postimage', CAST(1 AS BIGINT), l_returnflag,
+         |    l_quantity + 5
+         |  FROM lineitem WHERE l_orderkey % 3 < 2 AND l_returnflag = 'R'
+         |  UNION ALL
+         |  SELECT 'delete', CAST(2 AS BIGINT), l_returnflag,
+         |    CASE WHEN l_returnflag = 'R' THEN l_quantity + 5
+         |         ELSE l_quantity END
+         |  FROM lineitem WHERE l_orderkey % 3 < 2 AND l_orderkey % 7 = 0
+         |  UNION ALL
+         |  SELECT 'insert', CAST(0 AS BIGINT), l_returnflag, l_quantity
+         |  FROM lineitem WHERE l_orderkey % 3 = 2
+         |)
+         |SELECT _change_type, _commit_gen, l_returnflag,
+         |  count(*) AS n, ${sqlSumd("q")} AS sum_qty
+         |FROM feed GROUP BY 1, 2, 3""".stripMargin,
+    "q87_merge_clauses" ->
+      s"""WITH merged AS (
+         |  SELECT l_returnflag,
+         |    CASE WHEN l_orderkey % 5 = 0 THEN l_quantity + 50
+         |         ELSE l_quantity END AS q,
+         |    CASE WHEN l_orderkey % 5 <> 0 AND l_linestatus = 'O'
+         |         THEN 0.99 ELSE l_discount END AS d
+         |  FROM lineitem
+         |  WHERE NOT (l_orderkey % 5 = 0 AND l_returnflag = 'R')
+         |  UNION ALL
+         |  SELECT l_returnflag, l_quantity AS q, l_discount AS d
+         |  FROM lineitem WHERE l_orderkey % 13 = 1 AND l_quantity > 25
+         |)
+         |SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("q")} AS sum_qty, ${sqlSumd("d")} AS sum_disc
          |FROM merged GROUP BY 1""".stripMargin,
     "q58_delete" ->
       s"""SELECT l_returnflag, count(*) AS n,

@@ -61,7 +61,7 @@ object CommitLog {
   private[sources] val RmPrefix = "rm:"
 
   /** A plain data-file name — not a dv-coverage or delta entry. */
-  private def isDataEntry(n: String): Boolean =
+  private[sources] def isDataEntry(n: String): Boolean =
     !isDvEntry(n) && !n.startsWith(AddPrefix) && !n.startsWith(RmPrefix)
 
   def manifestPath(lakeDir: String, batchId: Long): Path =
@@ -93,7 +93,7 @@ object CommitLog {
       s"$id.$gen.${if (fold && mutation) "fold.mutation."
         else if (mutation) "mutation." else ""}checkpoint")
 
-  private def isMutation(name: String): Boolean =
+  private[sources] def isMutation(name: String): Boolean =
     name.contains(".mutation.")
 
   /** Does this checkpoint TRUNCATE the log below itself? Plain
@@ -103,7 +103,7 @@ object CommitLog {
     * mutation checkpoint does NOT: it publishes a new version and
     * leaves every earlier record live, which is exactly what lets
     * time travel, restore and CLONE AS OF reach across it. */
-  private def truncatesBelow(name: String): Boolean =
+  private[sources] def truncatesBelow(name: String): Boolean =
     !isMutation(name) || name.contains(".fold.")
 
   /** Flat `*.parquet` names under the lake (the sink writes flat;
@@ -128,7 +128,7 @@ object CommitLog {
   private val recordCache =
     new ConcurrentHashMap[(String, Long, Long), Seq[String]]()
 
-  private def readRecord(fs: FileSystem, m: FileStatus): Seq[String] = {
+  private[sources] def readRecord(fs: FileSystem, m: FileStatus): Seq[String] = {
     val key = (m.getPath.toString, m.getLen, m.getModificationTime)
     var cached = recordCache.get(key)
     if (cached == null) {
@@ -154,17 +154,17 @@ object CommitLog {
     cached
   }
 
-  private def recordId(name: String): Long =
+  private[sources] def recordId(name: String): Long =
     name.substring(0, name.indexOf('.')).toLong
 
   /** (id, gen) of a checkpoint name; bare `<id>.checkpoint` = gen 0. */
-  private def ckptKey(name: String): (Long, Long) = {
+  private[sources] def ckptKey(name: String): (Long, Long) = {
     val parts = name.split('.')
     (parts(0).toLong, if (parts.length >= 3) parts(1).toLong else 0L)
   }
 
   /** One listing of the log dir, split (checkpoints, manifests). */
-  private def listLog(fs: FileSystem,
+  private[sources] def listLog(fs: FileSystem,
       lakeDir: String): (Seq[FileStatus], Seq[FileStatus]) = {
     val log = new Path(logDir(lakeDir))
     if (!fs.exists(log)) return (Seq.empty, Seq.empty)
@@ -1196,18 +1196,33 @@ object CommitLog {
       id: Long, files: Seq[String],
       dvNames: Seq[String] = Seq.empty,
       added: Seq[String] = Seq.empty,
-      removed: Seq[String] = Seq.empty): Unit =
+      removed: Seq[String] = Seq.empty,
+      gen: Option[Long] = None): Unit =
     commitCheckpointImpl(fs, lakeDir, id,
       files ++ dvNames.sorted.map(DvPrefix + _) ++
         added.sorted.map(AddPrefix + _) ++
         removed.sorted.map(RmPrefix + _),
-      mutation = true)
+      mutation = true, genOverride = gen)
+
+  /** The generation the NEXT checkpoint publish will take — what a
+    * writer (under the lock, so nothing can race the answer) uses to
+    * stamp side artifacts (the change-data-feed directory) with the
+    * exact version key its publish is about to claim, then passes
+    * back via `commitMutationCheckpoint(gen = ...)` so the two can
+    * never drift. Floored at 1: gen 0 is the MANIFEST convention
+    * (`ckptKey` reads a bare append as `(id, 0)`), so a checkpoint at
+    * gen 0 would share a version key with the append whose id it
+    * reuses — and a strictly-above version cursor
+    * ([[ChangeDataFeed]]) would silently skip the mutation. */
+  private[sources] def nextGen(fs: FileSystem, lakeDir: String): Long =
+    math.max(1L, listLog(fs, lakeDir)._1
+      .map(s => ckptKey(s.getPath.getName)._2)
+      .foldLeft(-1L)(math.max) + 1L)
 
   private def commitCheckpointImpl(fs: FileSystem, lakeDir: String,
-      id: Long, files: Seq[String], mutation: Boolean): Unit = {
-    val (ckpts, _) = listLog(fs, lakeDir)
-    val gen = ckpts.map(s => ckptKey(s.getPath.getName)._2)
-      .foldLeft(-1L)(math.max) + 1L
+      id: Long, files: Seq[String], mutation: Boolean,
+      genOverride: Option[Long] = None): Unit = {
+    val gen = genOverride.getOrElse(nextGen(fs, lakeDir))
     writeAtomic(fs, lakeDir, checkpointPath(lakeDir, id, gen, mutation),
       files)
   }

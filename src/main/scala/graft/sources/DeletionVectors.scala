@@ -236,8 +236,26 @@ object DeletionVectors {
       if (n > 0) {
         val newDv = writePairs(fs, lakeDir, pairs)
         val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+        // change feed: the newly dead rows' full images, resolved by
+        // semi-joining the lake against the tiny checkpointed pair
+        // set — written BEFORE the publish claims the same (id, gen),
+        // exactly [[MergeInto.mutate]]'s contract
+        val gen =
+          if (!ChangeDataFeed.isEnabled(fs, lakeDir)) None
+          else {
+            val g = CommitLog.nextGen(fs, lakeDir)
+            ChangeDataFeed.writeChanges(spark, lakeDir, id, g,
+              lake.withColumn(FileCol, fileNameCol)
+                .withColumn(PosCol, col("_metadata.row_index"))
+                .join(pairs.select(col("file").as(FileCol),
+                  col("pos").as(PosCol)), Seq(FileCol, PosCol),
+                  "left_semi")
+                .drop(FileCol, PosCol)
+                .withColumn(ChangeDataFeed.ChangeTypeCol, lit("delete")))
+            Some(g)
+          }
         CommitLog.commitMutationCheckpoint(fs, lakeDir, id, committed,
-          dvNames = coveredDvFiles(fs, lakeDir) ++ newDv)
+          dvNames = coveredDvFiles(fs, lakeDir) ++ newDv, gen = gen)
       }
       n
     }
@@ -353,10 +371,38 @@ object DeletionVectors {
       Constraints.validateFiles(spark, lakeDir, delta)
       GeneratedColumns.validateFiles(spark, lakeDir, delta)
       val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+      // change feed: pre-images are the newly dead rows (semi-join
+      // against the checkpointed pair set), post-images the update
+      // rows whose key had a live match (split off the tiny pre-image
+      // key set — a dead-key-only "match" correctly feeds as an
+      // insert, because that key was absent from the live view)
+      val gen =
+        if (!ChangeDataFeed.isEnabled(fs, lakeDir)) None
+        else {
+          val ct = ChangeDataFeed.ChangeTypeCol
+          val g = CommitLog.nextGen(fs, lakeDir)
+          val pre = lake.withColumn(FileCol, fileNameCol)
+            .withColumn(PosCol, col("_metadata.row_index"))
+            .join(pairs.select(col("file").as(FileCol),
+              col("pos").as(PosCol)), Seq(FileCol, PosCol), "left_semi")
+            .drop(FileCol, PosCol)
+          val matchedKeys = pre.select(keys.map(col): _*).distinct()
+          ChangeDataFeed.writeChanges(spark, lakeDir, id, g,
+            pre.withColumn(ct, lit("update_preimage"))
+              .unionByName(updates0
+                .join(matchedKeys, keys, "left_semi")
+                .withColumn(ct, lit("update_postimage")),
+                allowMissingColumns = true)
+              .unionByName(updates0
+                .join(matchedKeys, keys, "left_anti")
+                .withColumn(ct, lit("insert")),
+                allowMissingColumns = true))
+          Some(g)
+        }
       CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
         committed ++ delta,
         dvNames = coveredDvFiles(fs, lakeDir) ++ newDv,
-        added = delta)
+        added = delta, gen = gen)
       CommitLog.vacuum(fs, lakeDir, olderThanMs = 0L)
       // keep a stats index consistent with the new version: delta
       // files footer-read in, nothing else moved (metadata-scale)
@@ -457,10 +503,26 @@ object DeletionVectors {
         Constraints.validateFiles(spark, lakeDir, delta)
         GeneratedColumns.validateFiles(spark, lakeDir, delta)
         val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+        // change feed: `matched` is already the checkpointed full
+        // pre-SET rows, `updated` their post-SET projection — no
+        // extra lake pass at all for a MoR update
+        val gen =
+          if (!ChangeDataFeed.isEnabled(fs, lakeDir)) None
+          else {
+            val ct = ChangeDataFeed.ChangeTypeCol
+            val g = CommitLog.nextGen(fs, lakeDir)
+            ChangeDataFeed.writeChanges(spark, lakeDir, id, g,
+              matched.select(lake.schema.fieldNames.map(col)
+                  .toIndexedSeq: _*)
+                .withColumn(ct, lit("update_preimage"))
+                .unionByName(
+                  updated.withColumn(ct, lit("update_postimage"))))
+            Some(g)
+          }
         CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
           committed ++ delta,
           dvNames = coveredDvFiles(fs, lakeDir) ++ newDv,
-          added = delta)
+          added = delta, gen = gen)
         CommitLog.vacuum(fs, lakeDir, olderThanMs = 0L)
         indexDir.foreach(idx =>
           StatsIndex.refreshSameColumns(spark, lakeDir, idx))
@@ -838,7 +900,16 @@ object DeletionVectors {
         // a plain checkpoint here would read as a truncating fold. */
         if (CommitLog.coveredDvNames(fs, lakeDir).nonEmpty) {
           val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
-          CommitLog.commitMutationCheckpoint(fs, lakeDir, id, committed)
+          // row-preserving: an empty change-feed stamp, never a gap
+          val gen =
+            if (!ChangeDataFeed.isEnabled(fs, lakeDir)) None
+            else {
+              val g = CommitLog.nextGen(fs, lakeDir)
+              ChangeDataFeed.writeEmpty(spark, lakeDir, id, g)
+              Some(g)
+            }
+          CommitLog.commitMutationCheckpoint(fs, lakeDir, id, committed,
+            gen = gen)
         }
         fs.delete(new Path(dvDir(lakeDir)), true)
         (0, committed.size)
@@ -864,9 +935,18 @@ object DeletionVectors {
         val freshFiles =
           (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
         val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+        // row-preserving (dead rows were already invisible): an empty
+        // change-feed stamp keeps cursors flowing through the compact
+        val gen =
+          if (!ChangeDataFeed.isEnabled(fs, lakeDir)) None
+          else {
+            val g = CommitLog.nextGen(fs, lakeDir)
+            ChangeDataFeed.writeEmpty(spark, lakeDir, id, g)
+            Some(g)
+          }
         CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
           (carried ++ freshFiles).sorted,
-          added = freshFiles, removed = touched)
+          added = freshFiles, removed = touched, gen = gen)
         fs.delete(new Path(dvDir(lakeDir)), true)
         CommitLog.vacuum(fs, lakeDir, olderThanMs = 0L)
         indexDir.foreach(idx =>

@@ -40,6 +40,39 @@ import org.apache.spark.sql.functions._
   * same error). */
 object MergeInto {
 
+  /** A `WHEN MATCHED [AND condition]` clause for [[mergeClauses]].
+    * Conditions and SET expressions are SQL over the qualified names
+    * `t.<col>` (the lake row) and `s.<col>` (the matching source
+    * row); a NULL condition keeps the row untouched (SQL three-valued
+    * logic — same as Delta). */
+  sealed trait MatchedClause { def condition: Option[String] }
+  /** `WHEN MATCHED [AND condition] THEN UPDATE SET col = expr, ...` —
+    * unassigned columns keep the lake row's value. */
+  final case class MatchedUpdate(set: Map[String, String],
+      condition: Option[String] = None) extends MatchedClause
+  /** `WHEN MATCHED [AND condition] THEN DELETE`. */
+  final case class MatchedDelete(condition: Option[String] = None)
+      extends MatchedClause
+
+  /** `WHEN NOT MATCHED [AND condition] THEN INSERT` — `values` maps
+    * lake columns to SQL over `s.<col>` ONLY (there is no target row
+    * to reference); unassigned columns insert NULL. An EMPTY `values`
+    * is `INSERT *`: every non-generated lake column is taken from the
+    * same-named source column (all must exist — Delta's INSERT-star
+    * resolution error otherwise); generated columns are recomputed
+    * from their definitions either way. */
+  final case class NotMatchedInsert(values: Map[String, String] =
+      Map.empty, condition: Option[String] = None)
+
+  /** A `WHEN NOT MATCHED BY SOURCE [AND condition]` clause — acts on
+    * LAKE rows whose key has no source row. Conditions and SET
+    * expressions reference `t.<col>` ONLY (there is no source row). */
+  sealed trait BySourceClause { def condition: Option[String] }
+  final case class BySourceUpdate(set: Map[String, String],
+      condition: Option[String] = None) extends BySourceClause
+  final case class BySourceDelete(condition: Option[String] = None)
+      extends BySourceClause
+
   /** Upsert `updates` (full lake schema, unique on `keys`) into the
     * lake. With `evolveSchema`, `updates` may ADD columns beyond the
     * lake's schema: rewritten/inserted rows carry them, carried files
@@ -73,7 +106,7 @@ object MergeInto {
       ColumnMapping.toPhysical(spark, lakeDir, updates))
     requireUniqueKeys(updates0, keys, "merge")
     mutate(spark, lakeDir, "merge", filesPerRewrite,
-        indexDir) { (lake, committed) =>
+        indexDir) { (lake, committed, cdcWanted) =>
       requireFullRowCompatible(lake, updates0, "merge", evolveSchema)
       // touched-file discovery: with a CURRENT stats index (its file
       // set matches the committed view — stale indexes are never
@@ -118,7 +151,296 @@ object MergeInto {
           .join(updates0.select(keys.map(col): _*).distinct(), keys,
             "left_anti")
           .unionByName(updates0, allowMissingColumns = true)
-      (touched, Some(survivors))
+      // change feed: matched lake rows are pre-images, their update
+      // rows post-images, the rest of the updates inserts — change
+      // volume ∝ touched data, same reads the rewrite already does
+      val changes =
+        if (!cdcWanted) None
+        else {
+          val ct = ChangeDataFeed.ChangeTypeCol
+          if (touched.isEmpty)
+            Some(updates0.withColumn(ct, lit("insert")))
+          else {
+            val base = spark.read.schema(lake.schema)
+              .parquet(CommitLog.resolveDataPaths(spark, lakeDir,
+                touched.toSeq.sorted): _*)
+            val baseKeys = base.select(keys.map(col): _*).distinct()
+            val pre = base
+              .join(updates0.select(keys.map(col): _*).distinct(), keys,
+                "left_semi")
+              .withColumn(ct, lit("update_preimage"))
+            val post = updates0.join(baseKeys, keys, "left_semi")
+              .withColumn(ct, lit("update_postimage"))
+            val ins = updates0.join(baseKeys, keys, "left_anti")
+              .withColumn(ct, lit("insert"))
+            Some(pre.unionByName(post, allowMissingColumns = true)
+              .unionByName(ins, allowMissingColumns = true))
+          }
+        }
+      (touched, Some(survivors), changes)
+    }
+  }
+
+  /** The FULL `MERGE INTO` clause grammar — Delta's
+    * `WHEN MATCHED [AND c] THEN UPDATE/DELETE`,
+    * `WHEN NOT MATCHED [AND c] THEN INSERT`, and
+    * `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE/DELETE` — over
+    * the same copy-on-write scaffold as [[merge]]. Clauses within a
+    * group are evaluated IN ORDER and the first whose condition holds
+    * acts (so every clause but the last in its group must carry a
+    * condition — later ones would be dead code; Delta raises the same
+    * analysis error); a row no clause claims carries through
+    * unchanged, even inside a rewritten file.
+    *
+    * Expression contexts (SQL strings, PHYSICAL column names — the
+    * same limitation the UPDATE/DELETE predicates document in
+    * [[ColumnMapping]]): matched clauses see `t.<col>` and `s.<col>`;
+    * insert clauses see `s.<col>` only; by-source clauses see
+    * `t.<col>` only. NULL conditions act as false.
+    *
+    * The 100 TB shape: touched-file discovery is (a) the key
+    * semi-join pass of [[merge]] (index-accelerated via
+    * [[StatsIndex]] key pruning when available) for the matched
+    * side — skipped entirely when no matched clause exists — plus
+    * (b) for by-source clauses, a column-pruned anti-join pass
+    * keeping only files holding a not-matched row that satisfies
+    * SOME by-source condition. An unconditional by-source clause
+    * therefore touches every file holding any not-matched row — the
+    * inherent cost of `NOT MATCHED BY SOURCE` (Delta's docs carry
+    * the same warning); give such clauses a tight condition on a
+    * clustered column so discovery prunes. Insert-side match
+    * detection reads ONLY the matched files' key columns (a source
+    * key present anywhere in the lake is present in a matched file,
+    * so the anti-join against those keys is exact), never a second
+    * full-lake pass.
+    *
+    * `source` needs only the key columns plus whatever the clause
+    * expressions reference (plus every non-generated lake column for
+    * `INSERT *`) — unlike [[merge]], partial frames are the point.
+    * Schema evolution is not supported here: SET/VALUES target
+    * existing lake columns. Generated columns may not be assigned;
+    * they are recomputed over post-SET rows and filled on inserts.
+    * Returns (filesRewritten, filesCarried). */
+  def mergeClauses(spark: SparkSession, lakeDir: String,
+      source0: DataFrame, keys0: Seq[String],
+      matched: Seq[MatchedClause] = Nil,
+      notMatched: Seq[NotMatchedInsert] = Nil,
+      notMatchedBySource: Seq[BySourceClause] = Nil,
+      filesPerRewrite: Int = 4,
+      indexDir: Option[String] = None): (Int, Int) = {
+    import org.apache.spark.sql.Column
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "mergeClauses: no clauses given")
+    // only the LAST clause of each group may omit its condition —
+    // an unconditioned clause earlier in the order shadows everything
+    // after it (Delta's MERGE analysis raises the same error)
+    def requireOrdered(n: String, conds: Seq[Option[String]]): Unit =
+      require(conds.dropRight(1).forall(_.nonEmpty),
+        s"mergeClauses: every $n clause but the last needs a " +
+          "condition — an unconditioned one shadows all later clauses")
+    requireOrdered("whenMatched", matched.map(_.condition))
+    requireOrdered("whenNotMatched", notMatched.map(_.condition))
+    requireOrdered("whenNotMatchedBySource",
+      notMatchedBySource.map(_.condition))
+    val fs0 = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keys = keys0.map(ColumnMapping.mapping(fs0, lakeDir).physicalOf)
+    val source = ColumnMapping.toPhysical(spark, lakeDir, source0)
+    require(!source.columns.contains("__m") &&
+      !source.columns.contains("__c"),
+      "mergeClauses: source columns __m/__c collide with merge markers")
+    val missingKeys = keys.toSet -- source.columns.toSet
+    require(missingKeys.isEmpty, "mergeClauses: source lacks key " +
+      s"columns ${missingKeys.toSeq.sorted.mkString(", ")}")
+    requireUniqueKeys(source, keys, "mergeClauses")
+    val allSets = (matched.collect { case MatchedUpdate(s, _) => s } ++
+      notMatchedBySource.collect { case BySourceUpdate(s, _) => s })
+      .flatMap(_.keySet).toSet
+    val insertAssigned = notMatched.flatMap(_.values.keySet).toSet
+    GeneratedColumns.requireNoGeneratedSet(spark, lakeDir,
+      allSets ++ insertAssigned, "mergeClauses")
+    // a NULL condition is "does not act", not "acts" (SQL 3VL)
+    def holds(c: Option[String]): Column =
+      c.map(e => coalesce(expr(e), lit(false))).getOrElse(lit(true))
+    mutate(spark, lakeDir, "mergeClauses", filesPerRewrite,
+        indexDir) { (lake, committed, cdcWanted) =>
+      val lakeCols = lake.columns.toSet
+      val unknown = (allSets ++ insertAssigned) -- lakeCols
+      require(unknown.isEmpty, "mergeClauses: SET/VALUES name unknown " +
+        s"columns ${unknown.toSeq.sorted.mkString(", ")}")
+      val genCols = GeneratedColumns.list(fs0, lakeDir).map(_._1).toSet
+      notMatched.filter(_.values.isEmpty).foreach { _ =>
+        val need = lakeCols -- genCols -- source.columns.toSet
+        require(need.isEmpty, "mergeClauses: INSERT * needs source " +
+          s"columns ${need.toSeq.sorted.mkString(", ")} (or assign " +
+          "them explicitly)")
+      }
+      val srcKeys = source.select(keys.map(col): _*).distinct()
+      // (a) matched-side discovery — needed for any matched clause
+      // AND for insert-side match detection; index key-pruning first
+      def matchedIn(base: DataFrame): Set[String] = base
+        .select(col("_metadata.file_path").as("__file") +:
+          keys.map(col): _*)
+        .join(srcKeys, keys, "left_semi")
+        .select(col("__file")).distinct()
+        .collect().map(r => new Path(r.getString(0)).getName).toSet
+      val matchedFiles: Set[String] =
+        if (matched.isEmpty && notMatched.isEmpty) Set.empty
+        else keyCandidateFiles(spark, source, keys, indexDir,
+            committed).map {
+          case cand if cand.isEmpty => Set.empty[String]
+          case cand => matchedIn(
+            spark.read.schema(lake.schema).parquet(cand: _*))
+        }.getOrElse(matchedIn(lake))
+      // (b) by-source discovery — files holding a NOT-matched row
+      // some by-source condition claims (unconditional clause ⇒ any
+      // not-matched row)
+      val bySourceFiles: Set[String] =
+        if (notMatchedBySource.isEmpty) Set.empty
+        else {
+          val claims = notMatchedBySource.map(c => holds(c.condition))
+            .reduce(_ || _)
+          lake.withColumn("__file", col("_metadata.file_path"))
+            .alias("t")
+            .join(srcKeys.alias("s"),
+              keys.map(k => col(s"t.$k") === col(s"s.$k"))
+                .reduce(_ && _), "left_anti")
+            .filter(claims).select(col("__file")).distinct()
+            .collect().map(r => new Path(r.getString(0)).getName).toSet
+        }
+      val rewriteFiles =
+        (if (matched.nonEmpty) matchedFiles else Set.empty[String]) ++
+          bySourceFiles
+      // first-claiming-clause index over the rewritten files' rows:
+      // matched clauses at 0.., by-source clauses at 1000.., -1 = carry
+      val matchedIdx = matched.zipWithIndex
+      val bySourceIdx = notMatchedBySource.zipWithIndex
+        .map { case (c, j) => (c, 1000 + j) }
+      val deleteIdxs = (matchedIdx.collect {
+        case (MatchedDelete(_), i) => i
+      } ++ bySourceIdx.collect { case (BySourceDelete(_), j) => j })
+      val setsByIdx: Seq[(Int, Map[String, String])] =
+        matchedIdx.collect { case (MatchedUpdate(s, _), i) => (i, s) } ++
+          bySourceIdx.collect { case (BySourceUpdate(s, _), j) => (j, s) }
+      // post-SET per-column values, keyed on the staged clause index
+      val values = lake.schema.fields.map { f =>
+        setsByIdx.foldRight(col(s"t.${f.name}")) {
+          case ((i, set), acc) => set.get(f.name) match {
+            case Some(e) =>
+              when(col("__c") === i, expr(e).cast(f.dataType))
+                .otherwise(acc)
+            case None => acc
+          }
+        }.as(f.name)
+      }.toIndexedSeq
+      // the rewritten files' rows, source-joined and stamped with the
+      // first claiming clause's index (-1 = no clause: carry) — the
+      // one frame both the rewrite and the change feed project from
+      val staged: Option[DataFrame] =
+        if (rewriteFiles.isEmpty) None
+        else {
+          val rows = spark.read.schema(lake.schema)
+            .parquet(CommitLog.resolveDataPaths(spark, lakeDir,
+              rewriteFiles.toSeq.sorted): _*)
+          val joined = rows.alias("t")
+            .join(source.withColumn("__m", lit(true)).alias("s"),
+              keys.map(k => col(s"t.$k") === col(s"s.$k"))
+                .reduce(_ && _), "left")
+          val isM = coalesce(col("s.__m"), lit(false))
+          val clauseIdx =
+            (matchedIdx.map { case (c, i) => (isM && holds(c.condition), i) } ++
+              bySourceIdx.map { case (c, j) => (!isM && holds(c.condition), j) })
+              .foldRight(lit(-1): Column) { case ((cond, i), acc) =>
+                when(cond, lit(i)).otherwise(acc)
+              }
+          Some(joined.withColumn("__c", clauseIdx))
+        }
+      val updatedRows: Option[DataFrame] = staged.map { st =>
+        val keep =
+          if (deleteIdxs.isEmpty) lit(true)
+          else !col("__c").isin(deleteIdxs.map(Int.box): _*)
+        GeneratedColumns.recompute(spark, lakeDir,
+          st.filter(keep).select(values: _*))
+      }
+      // inserts: source keys absent from the lake ⇔ absent from the
+      // matched files' keys (a present key's rows all live in matched
+      // files), so the anti-join reads only those files' key columns
+      val inserts: Option[DataFrame] =
+        if (notMatched.isEmpty) None
+        else {
+          val matchedKeys =
+            if (matchedFiles.isEmpty)
+              srcKeys.limit(0)
+            else spark.read.schema(lake.schema)
+              .parquet(CommitLog.resolveDataPaths(spark, lakeDir,
+                matchedFiles.toSeq.sorted): _*)
+              .select(keys.map(col): _*).distinct()
+          val unmatched = source.join(matchedKeys, keys, "left_anti")
+            .alias("s")
+          val insIdx = notMatched.zipWithIndex
+            .foldRight(lit(-1): Column) { case ((c, i), acc) =>
+              when(holds(c.condition), lit(i)).otherwise(acc)
+            }
+          val values = lake.schema.fields.map { f =>
+            notMatched.zipWithIndex.foldRight(
+                lit(null).cast(f.dataType): Column) {
+              case ((c, i), acc) =>
+                val v =
+                  if (c.values.isEmpty) {
+                    if (genCols(f.name) && !unmatched.columns.contains(f.name))
+                      lit(null).cast(f.dataType)
+                    else col(s"s.${f.name}").cast(f.dataType)
+                  } else c.values.get(f.name)
+                    .map(e => expr(e).cast(f.dataType))
+                    .getOrElse(lit(null).cast(f.dataType))
+                when(col("__c") === i, v).otherwise(acc)
+            }.as(f.name)
+          }
+          Some(GeneratedColumns.fill(spark, lakeDir,
+            GeneratedColumns.recompute(spark, lakeDir,
+              unmatched.withColumn("__c", insIdx)
+                .filter(col("__c") >= 0)
+                .select(values.toIndexedSeq: _*))))
+        }
+      val survivors = (updatedRows, inserts) match {
+        case (Some(u), Some(i)) => Some(u.unionByName(i))
+        case (u, i) => u.orElse(i)
+      }
+      // change feed: per-clause row images from the SAME staged frame
+      // the rewrite projects — deletes and update pre-images in the
+      // lake's columns, post-images through the SET projection,
+      // inserts as built
+      val changes =
+        if (!cdcWanted) None
+        else {
+          val ct = ChangeDataFeed.ChangeTypeCol
+          val tCols = lake.schema.fields
+            .map(f => col(s"t.${f.name}").as(f.name)).toIndexedSeq
+          val updateIdxs = setsByIdx.map(_._1)
+          val segs = Seq.newBuilder[DataFrame]
+          staged.foreach { st =>
+            if (deleteIdxs.nonEmpty)
+              segs += st.filter(col("__c")
+                  .isin(deleteIdxs.map(Int.box): _*))
+                .select(tCols: _*).withColumn(ct, lit("delete"))
+            if (updateIdxs.nonEmpty) {
+              val upd = st.filter(col("__c")
+                .isin(updateIdxs.map(Int.box): _*))
+              segs += upd.select(tCols: _*)
+                .withColumn(ct, lit("update_preimage"))
+              segs += GeneratedColumns.recompute(spark, lakeDir,
+                  upd.select(values: _*))
+                .withColumn(ct, lit("update_postimage"))
+            }
+          }
+          inserts.foreach(i => segs += i.withColumn(ct, lit("insert")))
+          val all = segs.result()
+          Some(
+            if (all.isEmpty)
+              lake.limit(0).withColumn(ct, lit("")).limit(0)
+            else all.reduce(_.unionByName(_, allowMissingColumns = true)))
+        }
+      (rewriteFiles, survivors, changes)
     }
   }
 
@@ -151,16 +473,27 @@ object MergeInto {
       indexDir: Option[String] = None,
       impliedRanges: Seq[StatsIndex.ColRange] = Nil): (Int, Int) =
     mutate(spark, lakeDir, "delete", filesPerRewrite,
-        indexDir) { (lake, committed) =>
+        indexDir) { (lake, committed, cdcWanted) =>
       val touched = touchedUnder(spark, lakeDir, lake, committed,
         predicate, indexDir, impliedRanges)
+      def touchedRows = spark.read.schema(lake.schema)
+        .parquet(CommitLog.resolveDataPaths(spark, lakeDir,
+          touched.toSeq.sorted): _*)
       val survivors =
         if (touched.isEmpty) None
-        else Some(spark.read.schema(lake.schema)
-          .parquet(CommitLog.resolveDataPaths(spark, lakeDir,
-            touched.toSeq.sorted): _*)
+        else Some(touchedRows
           .filter(!coalesce(expr(predicate), lit(false))))
-      (touched, survivors)
+      val changes =
+        if (!cdcWanted) None
+        else Some {
+          val ct = ChangeDataFeed.ChangeTypeCol
+          if (touched.isEmpty)
+            lake.limit(0).withColumn(ct, lit("delete")).limit(0)
+          else touchedRows
+            .filter(coalesce(expr(predicate), lit(false)))
+            .withColumn(ct, lit("delete"))
+        }
+      (touched, survivors, changes)
     }
 
   /** Copy-on-write UPDATE: `SET col = <sql-expr>` for every committed
@@ -177,34 +510,50 @@ object MergeInto {
     GeneratedColumns.requireNoGeneratedSet(spark, lakeDir,
       set.keySet, "update")
     mutate(spark, lakeDir, "update", filesPerRewrite,
-        indexDir) { (lake, committed) =>
+        indexDir) { (lake, committed, cdcWanted) =>
       val unknown = set.keySet -- lake.columns.toSet
       require(unknown.isEmpty,
         s"update: SET names unknown columns ${unknown.toSeq.sorted
           .mkString(", ")}")
       val touched = touchedUnder(spark, lakeDir, lake, committed,
         predicate, indexDir, impliedRanges)
+      val matches = coalesce(expr(predicate), lit(false))
+      def touchedRows = spark.read.schema(lake.schema)
+        .parquet(CommitLog.resolveDataPaths(spark, lakeDir,
+          touched.toSeq.sorted): _*)
+      def setCols(guarded: Boolean) = lake.schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(e) if guarded =>
+            when(matches, expr(e).cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+          case Some(e) => expr(e).cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq
       val survivors =
         if (touched.isEmpty) None
-        else {
-          val matches = coalesce(expr(predicate), lit(false))
-          val cols = lake.schema.fields.map { f =>
-            set.get(f.name) match {
-              case Some(e) =>
-                when(matches, expr(e).cast(f.dataType))
-                  .otherwise(col(f.name)).as(f.name)
-              case None => col(f.name)
-            }
+        // generated columns RECOMPUTE over the post-SET row
+        // (identity for rows whose dependencies did not change)
+        else Some(GeneratedColumns.recompute(spark, lakeDir,
+          touchedRows.select(setCols(guarded = true): _*)))
+      // change feed: matching rows before and after the SET — the
+      // unguarded projection is safe because the frame is pre-filtered
+      val changes =
+        if (!cdcWanted) None
+        else Some {
+          val ct = ChangeDataFeed.ChangeTypeCol
+          if (touched.isEmpty)
+            lake.limit(0).withColumn(ct, lit("")).limit(0)
+          else {
+            val hit = touchedRows.filter(matches)
+            hit.withColumn(ct, lit("update_preimage"))
+              .unionByName(
+                GeneratedColumns.recompute(spark, lakeDir,
+                  hit.select(setCols(guarded = false): _*))
+                  .withColumn(ct, lit("update_postimage")))
           }
-          // generated columns RECOMPUTE over the post-SET row
-          // (identity for rows whose dependencies did not change)
-          Some(GeneratedColumns.recompute(spark, lakeDir,
-            spark.read.schema(lake.schema)
-              .parquet(CommitLog.resolveDataPaths(spark, lakeDir,
-                touched.toSeq.sorted): _*)
-              .select(cols.toIndexedSeq: _*)))
         }
-      (touched, survivors)
+      (touched, survivors, changes)
     }
   }
 
@@ -342,9 +691,17 @@ object MergeInto {
     * an id no batch has committed would make that future batch's
     * replay a silent no-op and lose its rows), so streaming replay
     * idempotence is untouched. */
+  /** `plan(lake, committedNames, cdcWanted)` returns (touched file
+    * names, replacement rows, change-feed rows). The change frame is
+    * demanded only when the lake has the feed enabled
+    * ([[ChangeDataFeed]]) — it is written under `_cdf/<id>.<gen>/`
+    * BEFORE the checkpoint publish claims the same version key, still
+    * under the writer lock, so a published mutation always has its
+    * changes and a crash leaves only unreferenced debris. */
   private def mutate(spark: SparkSession, lakeDir: String, verb: String,
       filesPerRewrite: Int, indexDir: Option[String] = None)(
-      plan: (DataFrame, Seq[String]) => (Set[String], Option[DataFrame]))
+      plan: (DataFrame, Seq[String], Boolean) =>
+        (Set[String], Option[DataFrame], Option[DataFrame]))
       : (Int, Int) = {
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -363,7 +720,8 @@ object MergeInto {
       // later mutation's view of the evolved column nondeterministic
       val lake = spark.read.option("mergeSchema", "true")
         .parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*)
-      val (touched, survivors) = plan(lake, committed)
+      val cdcWanted = ChangeDataFeed.isEnabled(fs, lakeDir)
+      val (touched, survivors, changes) = plan(lake, committed, cdcWanted)
       val carried = committed.filterNot(touched)
       val before = CommitLog.dataFileNames(fs, lakeDir)
       survivors.foreach(_.repartition(filesPerRewrite)
@@ -380,9 +738,21 @@ object MergeInto {
         GeneratedColumns.validateFiles(spark, lakeDir, fresh)
       }
       val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+      // change feed: row-level deltas land BEFORE the publish that
+      // claims their (id, gen) key — readers only trust directories a
+      // published checkpoint points at, so the crash window is benign
+      val gen =
+        if (!cdcWanted) None
+        else {
+          val cdc = changes.getOrElse(throw new IllegalStateException(
+            s"$verb: change feed enabled but no change frame built"))
+          val g = CommitLog.nextGen(fs, lakeDir)
+          ChangeDataFeed.writeChanges(spark, lakeDir, id, g, cdc)
+          Some(g)
+        }
       CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
         (carried ++ fresh).sorted,
-        added = fresh, removed = touched.toSeq.sorted)
+        added = fresh, removed = touched.toSeq.sorted, gen = gen)
       CommitLog.vacuum(fs, lakeDir, olderThanMs = 0L)
       // a lake with a stats index must not leave it pointing at the
       // swept files (pruned reads would fail) or blind to the fresh

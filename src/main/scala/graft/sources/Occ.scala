@@ -242,6 +242,21 @@ object Occ {
       val stage = stageDir(lakeDir)
       pairs.repartition(1).write.parquet(s"$stage/dv")
       val newDv = stagedNames(fs, s"$stage/dv")
+      // change feed: stage the dead rows' full images UNLOCKED against
+      // the pinned snapshot; the commit section renames them into
+      // place iff it wins
+      val cdcWanted = ChangeDataFeed.isEnabled(fs, lakeDir)
+      if (cdcWanted)
+        lake.withColumn(DeletionVectors.FileCol,
+            DeletionVectors.fileNameCol)
+          .withColumn(DeletionVectors.PosCol, col("_metadata.row_index"))
+          .join(pairs.select(col("file").as(DeletionVectors.FileCol),
+            col("pos").as(DeletionVectors.PosCol)),
+            Seq(DeletionVectors.FileCol, DeletionVectors.PosCol),
+            "left_semi")
+          .drop(DeletionVectors.FileCol, DeletionVectors.PosCol)
+          .withColumn(ChangeDataFeed.ChangeTypeCol, lit("delete"))
+          .write.parquet(s"$stage/cdc")
       beforeCommit()
       val won = CommitLog.withWriterLock(fs, lakeDir,
           waitMs = commitWaitMs) {
@@ -250,8 +265,16 @@ object Occ {
           renameInto(fs, s"$stage/dv", newDv,
             DeletionVectors.dvDir(lakeDir))
           val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+          val gen =
+            if (!cdcWanted) None
+            else {
+              val g = CommitLog.nextGen(fs, lakeDir)
+              ChangeDataFeed.publishStaged(fs, lakeDir, id, g,
+                s"$stage/cdc")
+              Some(g)
+            }
           CommitLog.commitMutationCheckpoint(fs, lakeDir, id, committed,
-            dvNames = dvSnap.toSeq.sorted ++ newDv)
+            dvNames = dvSnap.toSeq.sorted ++ newDv, gen = gen)
           true
         }
       }
@@ -348,6 +371,16 @@ object Occ {
         delta.map(d => s"$stage/data/$d"))
       GeneratedColumns.validatePaths(spark, lakeDir,
         delta.map(d => s"$stage/data/$d"))
+      // change feed: pre/post images staged unlocked off the already-
+      // checkpointed `matched` rows, renamed into place iff we win
+      val cdcWanted = ChangeDataFeed.isEnabled(fs, lakeDir)
+      if (cdcWanted) {
+        val ct = ChangeDataFeed.ChangeTypeCol
+        matched.select(lake.schema.fieldNames.map(col).toIndexedSeq: _*)
+          .withColumn(ct, lit("update_preimage"))
+          .unionByName(updated.withColumn(ct, lit("update_postimage")))
+          .write.parquet(s"$stage/cdc")
+      }
       beforeCommit()
       val won = CommitLog.withWriterLock(fs, lakeDir,
           waitMs = commitWaitMs) {
@@ -358,10 +391,18 @@ object Occ {
             DeletionVectors.dvDir(lakeDir))
           renameInto(fs, s"$stage/data", delta, lakeDir)
           val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+          val gen =
+            if (!cdcWanted) None
+            else {
+              val g = CommitLog.nextGen(fs, lakeDir)
+              ChangeDataFeed.publishStaged(fs, lakeDir, id, g,
+                s"$stage/cdc")
+              Some(g)
+            }
           CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
             committed ++ delta,
             dvNames = dvSnap.toSeq.sorted ++ newDv,
-            added = delta)
+            added = delta, gen = gen)
           true
         }
       }
@@ -465,6 +506,30 @@ object Occ {
         fresh.map(n => s"$stage/data/$n"))
       GeneratedColumns.validatePaths(spark, lakeDir,
         fresh.map(n => s"$stage/data/$n"))
+      // change feed: same images as the locked verb
+      // ([[MergeInto.merge]]), staged unlocked off the pinned snapshot
+      val cdcWanted = ChangeDataFeed.isEnabled(fs, lakeDir)
+      if (cdcWanted) {
+        val ct = ChangeDataFeed.ChangeTypeCol
+        val cdc =
+          if (touched.isEmpty) updates0.withColumn(ct, lit("insert"))
+          else {
+            val base = spark.read.schema(lake.schema)
+              .parquet(CommitLog.resolveDataPaths(fs, lakeDir,
+                touched.toSeq.sorted): _*)
+            val baseKeys = base.select(keys.map(col): _*).distinct()
+            base.join(updates0.select(keys.map(col): _*).distinct(),
+                keys, "left_semi")
+              .withColumn(ct, lit("update_preimage"))
+              .unionByName(updates0.join(baseKeys, keys, "left_semi")
+                .withColumn(ct, lit("update_postimage")),
+                allowMissingColumns = true)
+              .unionByName(updates0.join(baseKeys, keys, "left_anti")
+                .withColumn(ct, lit("insert")),
+                allowMissingColumns = true)
+          }
+        cdc.write.parquet(s"$stage/cdc")
+      }
       beforeCommit()
       // ---- COMMIT SECTION (locked, metadata-scale) ----
       var carried = -1
@@ -479,9 +544,17 @@ object Occ {
           val carry = (curFiles -- touched).toSeq.sorted
           carried = carry.size
           val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+          val gen =
+            if (!cdcWanted) None
+            else {
+              val g = CommitLog.nextGen(fs, lakeDir)
+              ChangeDataFeed.publishStaged(fs, lakeDir, id, g,
+                s"$stage/cdc")
+              Some(g)
+            }
           CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
             (carry ++ fresh).sorted,
-            added = fresh, removed = touched.toSeq.sorted)
+            added = fresh, removed = touched.toSeq.sorted, gen = gen)
           // the replaced files are unreferenced now; sweep under the
           // lock (nothing can be mid-publish) so the plain directory
           // read converges immediately, as the locked verb does
@@ -673,6 +746,31 @@ object Occ {
         delta.map(n => s"$stage/data/$n"))
       GeneratedColumns.validatePaths(spark, lakeDir,
         delta.map(n => s"$stage/data/$n"))
+      // change feed: same images as the locked MoR merge
+      // ([[DeletionVectors.mergeMor]]), staged unlocked off the pinned
+      // snapshot — pre-images resolved by semi-joining the snapshot
+      // against the checkpointed pair set
+      val cdcWanted = ChangeDataFeed.isEnabled(fs, lakeDir)
+      if (cdcWanted) {
+        val ct = ChangeDataFeed.ChangeTypeCol
+        val pre = lake
+          .withColumn(DeletionVectors.FileCol, DeletionVectors.fileNameCol)
+          .withColumn(DeletionVectors.PosCol, col("_metadata.row_index"))
+          .join(pairs.select(col("file").as(DeletionVectors.FileCol),
+            col("pos").as(DeletionVectors.PosCol)),
+            Seq(DeletionVectors.FileCol, DeletionVectors.PosCol),
+            "left_semi")
+          .drop(DeletionVectors.FileCol, DeletionVectors.PosCol)
+        val matchedKeys = pre.select(keys.map(col): _*).distinct()
+        pre.withColumn(ct, lit("update_preimage"))
+          .unionByName(updates0.join(matchedKeys, keys, "left_semi")
+            .withColumn(ct, lit("update_postimage")),
+            allowMissingColumns = true)
+          .unionByName(updates0.join(matchedKeys, keys, "left_anti")
+            .withColumn(ct, lit("insert")),
+            allowMissingColumns = true)
+          .write.parquet(s"$stage/cdc")
+      }
       beforeCommit()
       // ---- COMMIT SECTION (locked, metadata-scale) ----
       val won = CommitLog.withWriterLock(fs, lakeDir,
@@ -684,10 +782,18 @@ object Occ {
             DeletionVectors.dvDir(lakeDir))
           renameInto(fs, s"$stage/data", delta, lakeDir)
           val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+          val gen =
+            if (!cdcWanted) None
+            else {
+              val g = CommitLog.nextGen(fs, lakeDir)
+              ChangeDataFeed.publishStaged(fs, lakeDir, id, g,
+                s"$stage/cdc")
+              Some(g)
+            }
           CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
             committed ++ delta,
             dvNames = dvSnap.toSeq.sorted ++ newDv,
-            added = delta)
+            added = delta, gen = gen)
           indexDir.foreach(idx =>
             StatsIndex.refreshSameColumns(spark, lakeDir, idx))
           true

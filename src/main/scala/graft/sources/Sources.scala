@@ -675,8 +675,20 @@ object ZOrder {
     val maxId = math.max(CommitLog.maxCommittedId(fs, path), -1L)
     val newList = ((committed -- small) ++ newFiles).toSeq.sorted
     if (dvOpt.isEmpty) CommitLog.commitCheckpoint(fs, path, maxId, newList)
-    else CommitLog.commitMutationCheckpoint(fs, path, maxId, newList,
-      dvNames = survivorDv, added = newFiles, removed = small)
+    else {
+      // row-preserving for the live view: an empty change-feed stamp
+      // keeps feed cursors flowing through the vector-folding compact
+      val gen =
+        if (!ChangeDataFeed.isEnabled(fs, path)) None
+        else {
+          val g = CommitLog.nextGen(fs, path)
+          ChangeDataFeed.writeEmpty(spark, path, maxId, g)
+          Some(g)
+        }
+      CommitLog.commitMutationCheckpoint(fs, path, maxId, newList,
+        dvNames = survivorDv, added = newFiles, removed = small,
+        gen = gen)
+    }
     if (failBeforeDelete)
       throw new RuntimeException("injected crash before orphan delete")
     small.foreach { n => fs.delete(new Path(path, n), false); () }

@@ -1,0 +1,251 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.{ChangeDataFeed, CommitLog, MergeInto}
+import graft.sources.ChangeDataFeed.Version
+import graft.sources.MergeInto.{BySourceDelete, MatchedUpdate,
+  NotMatchedInsert}
+
+/** Change data feed over CoW DML: row-level pre/post images land
+  * with the mutation's own (id, gen) version key, appends serve as
+  * inserts from their committed files, cursors are version keys (an
+  * id alone cannot separate an append from the mutation that later
+  * reused its id), and every unservable window fails fast instead of
+  * silently skipping changes. */
+class ChangeDataFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Batches 0..2, one file each (keys 0-99, 1000-1099, 2000-2099):
+    * v = 2k, s = "x". */
+  private def mkLake(): String = {
+    val lake = Files.createTempDirectory("graft_cdf_").toString + "/lake"
+    val f = fs(lake)
+    for (b <- 0 to 2) {
+      val before = CommitLog.dataFileNames(f, lake)
+      (0 until 100).map(b * 1000 + _).map(k => (k, k.toLong * 2, "x"))
+        .toDF("k", "v", "s")
+        .coalesce(1).write.mode("append").parquet(lake)
+      CommitLog.commit(f, lake, b,
+        (CommitLog.dataFileNames(f, lake) -- before).toSeq.sorted)
+    }
+    lake
+  }
+
+  test("update and delete feed pre/post images keyed by the " +
+    "mutation's own version; appends feed as inserts") {
+    val lake = mkLake()
+    ChangeDataFeed.enable(spark, lake)
+    MergeInto.update(spark, lake, "k < 3", Map("v" -> "v + 100"))
+    MergeInto.delete(spark, lake, "k = 1005")
+    // cursor after append 1: batch 2's inserts + both mutations
+    val feed = ChangeDataFeed.read(spark, lake,
+      Version(1, 0), ChangeDataFeed.currentVersion(spark, lake))
+    val byType = feed.groupBy(col("_change_type")).count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 100L, "update_preimage" -> 3L,
+      "update_postimage" -> 3L, "delete" -> 1L), byType.toString)
+    // post-images carry the post-SET value, pre-images the original
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .agg(sum(col("v"))).head.getLong(0) == (0 + 2 + 4) + 300)
+    assert(feed.filter(col("_change_type") === "update_preimage")
+      .agg(sum(col("v"))).head.getLong(0) == (0 + 2 + 4))
+    assert(feed.filter(col("_change_type") === "delete")
+      .select(col("k")).as[Int].head() == 1005)
+    // the two mutations share id 2 but carry DISTINCT gens; the
+    // append feeds at gen 0
+    val keys = feed.select(col("_commit_id"), col("_commit_gen"))
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(keys.size == 3 && keys.forall(_._1 == 2L), keys.toString)
+    assert(keys.count(_._2 == 0L) == 1)
+  }
+
+  test("a version cursor separates an append from the mutation that " +
+    "reused its id; consumed mutations drop out") {
+    val lake = mkLake()
+    ChangeDataFeed.enable(spark, lake)
+    MergeInto.update(spark, lake, "k = 0", Map("v" -> "-1"))
+    val v1 = ChangeDataFeed.currentVersion(spark, lake)
+    MergeInto.delete(spark, lake, "k = 1")
+    val v2 = ChangeDataFeed.currentVersion(spark, lake)
+    assert(v1.id == v2.id && v2.gen > v1.gen, s"$v1 $v2")
+    // from the append at (2,0): both mutations, no batch-2 re-serve
+    val both = ChangeDataFeed.read(spark, lake, Version(2, 0), v2)
+    assert(both.count() == 3) // pre+post+delete
+    // from v1: only the delete
+    val tail = ChangeDataFeed.read(spark, lake, v1, v2)
+    assert(tail.select(col("_change_type")).as[String].collect()
+      .toSeq == Seq("delete"))
+    // fully consumed: empty, not an error
+    assert(ChangeDataFeed.read(spark, lake, v2, v2).count() == 0)
+  }
+
+  test("merge and mergeClauses feed insert/update/delete rows " +
+    "matching their verb semantics") {
+    val lake = mkLake()
+    ChangeDataFeed.enable(spark, lake)
+    val from = ChangeDataFeed.currentVersion(spark, lake)
+    MergeInto.merge(spark, lake,
+      Seq((5, -1L, "upd"), (9999, 9L, "new")).toDF("k", "v", "s"),
+      Seq("k"))
+    MergeInto.mergeClauses(spark, lake,
+      Seq((7, -2L), (8888, 8L)).toDF("k", "nv"), Seq("k"),
+      matched = Seq(MatchedUpdate(Map("v" -> "s.nv"))),
+      notMatched = Seq(NotMatchedInsert(
+        Map("k" -> "s.k", "v" -> "s.nv"))),
+      notMatchedBySource = Seq(BySourceDelete(Some("t.k = 2000"))))
+    val feed = ChangeDataFeed.read(spark, lake, from,
+      ChangeDataFeed.currentVersion(spark, lake))
+    val byType = feed.groupBy(col("_change_type")).count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 2L, "update_preimage" -> 2L,
+      "update_postimage" -> 2L, "delete" -> 1L), byType.toString)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select(col("k")).as[Int].head() == 2000)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .select(col("k"), col("v")).as[(Int, Long)].collect().toSet ==
+      Set((5, -1L), (7, -2L)))
+    assert(feed.filter(col("_change_type") === "insert")
+      .select(col("k")).as[Int].collect().toSet == Set(9999, 8888))
+  }
+
+  test("fail fast: a mutation that predates enablement") {
+    val lake = mkLake()
+    MergeInto.update(spark, lake, "k = 0", Map("v" -> "-1"))
+    ChangeDataFeed.enable(spark, lake)
+    // the pre-enablement mutation has no change data
+    val e1 = intercept[IllegalArgumentException] {
+      ChangeDataFeed.read(spark, lake, Version(1, 0),
+        ChangeDataFeed.currentVersion(spark, lake)).count()
+    }
+    assert(e1.getMessage.contains("before the feed was enabled"))
+    // cursor past it works: the next mutation feeds
+    val v1 = ChangeDataFeed.currentVersion(spark, lake)
+    MergeInto.delete(spark, lake, "k = 2")
+    assert(ChangeDataFeed.read(spark, lake, v1,
+      ChangeDataFeed.currentVersion(spark, lake)).count() == 1)
+  }
+
+  test("fail fast: a swept insert segment and a truncating fold " +
+    "above the cursor") {
+    val lake = mkLake()
+    ChangeDataFeed.enable(spark, lake)
+    val preFold = ChangeDataFeed.currentVersion(spark, lake)
+    // the delete REWRITES batch 0's file and sweeps it: batch 0's
+    // insert segment is gone and must fail, not silently shrink
+    MergeInto.delete(spark, lake, "k = 2")
+    val e2 = intercept[IllegalArgumentException] {
+      ChangeDataFeed.read(spark, lake, Version.Start,
+        ChangeDataFeed.currentVersion(spark, lake)).count()
+    }
+    assert(e2.getMessage.contains("swept"), e2.getMessage)
+    // untouched appends still feed from past the swept one
+    assert(ChangeDataFeed.read(spark, lake, Version(0, 0),
+      ChangeDataFeed.currentVersion(spark, lake))
+      .filter(col("_change_type") === "insert").count() == 200)
+    // a fold checkpoint truncates attribution below it
+    CommitLog.checkpoint(fs(lake), lake)
+    val e3 = intercept[IllegalArgumentException] {
+      ChangeDataFeed.read(spark, lake, preFold,
+        ChangeDataFeed.currentVersion(spark, lake))
+    }
+    assert(e3.getMessage.contains("truncated"), e3.getMessage)
+  }
+
+  test("merge-on-read verbs feed the same images as their CoW twins; " +
+    "a compact stamps an empty segment cursors flow through") {
+    import graft.sources.DeletionVectors
+    val lake = mkLake()
+    ChangeDataFeed.enable(spark, lake)
+    val from = ChangeDataFeed.currentVersion(spark, lake)
+    assert(DeletionVectors.deleteMor(spark, lake, "k = 4") == 1L)
+    assert(DeletionVectors.updateMor(spark, lake, "k = 6",
+      Map("v" -> "v * 10")) == 1L)
+    DeletionVectors.mergeMor(spark, lake,
+      Seq((9, -9L, "m"), (7777, 7L, "new")).toDF("k", "v", "s"),
+      Seq("k"))
+    // a source key matching only a DEAD row feeds as an insert: the
+    // key was absent from the live view
+    DeletionVectors.mergeMor(spark, lake,
+      Seq((4, 44L, "revived")).toDF("k", "v", "s"), Seq("k"))
+    val mid = ChangeDataFeed.currentVersion(spark, lake)
+    val feed = ChangeDataFeed.read(spark, lake, from, mid)
+    val byType = feed.groupBy(col("_change_type")).count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("delete" -> 1L, "update_preimage" -> 2L,
+      "update_postimage" -> 2L, "insert" -> 2L), byType.toString)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select(col("k")).as[Int].head() == 4)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .select(col("k"), col("v")).as[(Int, Long)].collect().toSet ==
+      Set((6, 120L), (9, -9L)))
+    assert(feed.filter(col("_change_type") === "insert")
+      .select(col("k")).as[Int].collect().toSet == Set(7777, 4))
+    // compact folds the vectors physically but changes no live row:
+    // the SAME cursor still reads through it, plus zero new rows
+    DeletionVectors.compact(spark, lake)
+    val after = ChangeDataFeed.read(spark, lake, from,
+      ChangeDataFeed.currentVersion(spark, lake))
+    assert(after.count() == feed.count())
+    assert(ChangeDataFeed.read(spark, lake, mid,
+      ChangeDataFeed.currentVersion(spark, lake)).count() == 0)
+  }
+
+  test("OCC verbs stage change rows unlocked and publish them only " +
+    "with the winning commit") {
+    import graft.sources.Occ
+    val lake = mkLake()
+    ChangeDataFeed.enable(spark, lake)
+    val from = ChangeDataFeed.currentVersion(spark, lake)
+    // CoW merge first: it refuses a lake with live deletion vectors
+    Occ.merge(spark, lake,
+      Seq((13, -13L, "occ"), (6666, 6L, "occnew")).toDF("k", "v", "s"),
+      Seq("k"))
+    assert(Occ.deleteMor(spark, lake, "k = 11") == 1L)
+    assert(Occ.updateMor(spark, lake, "k = 12",
+      Map("v" -> "v + 1")) == 1L)
+    Occ.mergeMor(spark, lake,
+      Seq((14, -14L, "mor"), (5555, 5L, "mornew")).toDF("k", "v", "s"),
+      Seq("k"))
+    val feed = ChangeDataFeed.read(spark, lake, from,
+      ChangeDataFeed.currentVersion(spark, lake))
+    val byType = feed.groupBy(col("_change_type")).count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("delete" -> 1L, "update_preimage" -> 3L,
+      "update_postimage" -> 3L, "insert" -> 2L), byType.toString)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .select(col("k"), col("v")).as[(Int, Long)].collect().toSet ==
+      Set((12, 25L), (13, -13L), (14, -14L)))
+    assert(feed.filter(col("_change_type") === "insert")
+      .select(col("k")).as[Int].collect().toSet == Set(6666, 5555))
+  }
+
+  test("crash debris: an orphan _cdf directory no checkpoint claims " +
+    "is never served and is replaced by the next claimant") {
+    val lake = mkLake()
+    ChangeDataFeed.enable(spark, lake)
+    // fake a crashed mutation: change rows for the key the NEXT
+    // publish will claim, checkpoint never lands
+    val f = fs(lake)
+    Seq((12345, 0L, "ghost")).toDF("k", "v", "s")
+      .withColumn("_change_type", lit("delete"))
+      .write.parquet(s"$lake/_cdf/2.1")
+    // nothing published: the feed serves appends only
+    val feed0 = ChangeDataFeed.read(spark, lake, Version(1, 0),
+      ChangeDataFeed.currentVersion(spark, lake))
+    assert(feed0.filter(col("_change_type") =!= "insert").count() == 0)
+    // a real mutation claims (2, 1): the debris is replaced wholesale
+    MergeInto.update(spark, lake, "k = 3", Map("v" -> "0"))
+    val feed = ChangeDataFeed.read(spark, lake, Version(2, 0),
+      ChangeDataFeed.currentVersion(spark, lake))
+    assert(feed.filter(col("s") === "ghost").count() == 0)
+    assert(feed.count() == 2) // pre + post
+    assert(CommitLog.isCommitted(f, lake, 2L))
+  }
+}
