@@ -596,6 +596,79 @@ object StreamQueryCatalog {
     * from `documents`: the hash match proves the feed delivered every
     * change exactly once — no torn window, no double-served pair, no
     * manual cursor anywhere in the consumer. */
+  /** STREAMING CHANGE DATA FEED — qs20's stronger sibling: the
+    * [[graft.streaming.FeedStream]] consumer crosses COPY-ON-WRITE
+    * DML and a vector-folding COMPACT alive, the two verbs that KILL
+    * the MoR position stream (its cursor invalidates on any physical
+    * rewrite). Enabled by the `_cdf` change capture every mutation
+    * verb writes ([[graft.sources.ChangeDataFeed]]): the stream folds
+    * signed per-lang deltas from pre/post images across a CoW
+    * update, a CoW delete, a MoR delete, a compaction (an EMPTY feed
+    * stamp — served, zero rows), and a CoW merge's inserts. The
+    * oracle computes the end state declaratively from `documents`:
+    * the hash match proves row-level capture across every verb class
+    * and exactly-once window delivery under live mutation. */
+  val qs22StreamChangeFeed: Q = (s, dir) => {
+    import graft.sources.{ChangeDataFeed, CommitLog, DeletionVectors,
+      MergeInto}
+    import graft.streaming.FeedStream
+    val work = ExtendedQueries.tempWork("graft_qs22_")
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val docs = Oracle.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.repartition(3).write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    ChangeDataFeed.enable(s, lake)
+    val state =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val q = FeedStream.start(s, lake, s"$work/ckp", pollMs = 25L,
+        initialSnapshot = true) { (changes, _) =>
+      changes.select(col("lang"),
+          when(col("_change_type")
+            .isin("insert", "update_postimage"), 1L)
+            .when(col("_change_type")
+              .isin("delete", "update_preimage"), -1L)
+            .otherwise(0L).as("sgn"),
+          col("n_chars").cast("long").as("c"))
+        .groupBy(col("lang"))
+        .agg(sum(col("sgn")).as("dn"),
+          sum(col("sgn") * col("c")).as("dsum"))
+        .collect()
+        .foreach { r =>
+          if (r.getString(0) != null)
+            state.merge(r.getString(0), (r.getLong(1), r.getLong(2)),
+              (a, b) => (a._1 + b._1, a._2 + b._2))
+        }
+    }
+    try {
+      MergeInto.update(s, lake, "doc_id % 10 = 7",
+        Map("n_chars" -> "n_chars + 55")) // CoW — lethal to qs20's stream
+      q.processAllAvailable()
+      MergeInto.delete(s, lake, "doc_id % 10 = 1")
+      q.processAllAvailable()
+      DeletionVectors.deleteMor(s, lake, "doc_id % 10 = 4")
+      DeletionVectors.compact(s, lake) // physical fold: empty stamp
+      q.processAllAvailable()
+      MergeInto.merge(s, lake,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+          .withColumn("doc_id", -col("doc_id")), Seq("doc_id"))
+      q.processAllAvailable()
+    } finally q.stop()
+    require(q.exception.isEmpty,
+      s"qs22: the feed stream failed: ${q.exception}")
+    require(q.batchesProcessed >= 5L,
+      s"qs22: expected the snapshot + four live windows, saw " +
+        s"${q.batchesProcessed} batches")
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    state.entrySet().iterator().asScala
+      .map(e => (e.getKey, e.getValue._1, e.getValue._2)).toSeq
+      .toDF("lang", "n", "sum_chars")
+  }
+
   val qs20StreamCdc: Q = (s, dir) => {
     import graft.sources.{CommitLog, DeletionVectors}
     import graft.streaming.ChangeStream
@@ -696,6 +769,7 @@ object StreamQueryCatalog {
   }
 
   val defs: Map[String, Q] = Map(
+    "qs22_stream_change_feed" -> qs22StreamChangeFeed,
     "qs21_stream_vector_index" -> qs21StreamVectorIndex,
     "qs20_stream_cdc" -> qs20StreamCdc,
     "qs19_stream_view_minmax" -> qs19StreamViewMinmax,
@@ -724,6 +798,19 @@ object StreamQueryCatalog {
     // centroid sample, same final corpus, same probes/tiebreaks
     "qs21_stream_vector_index" ->
       VectorQueryCatalog.sql("qv18_indexed_knn"),
+    "qs22_stream_change_feed" ->
+      """WITH final AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 10 = 7 THEN n_chars + 55
+        |      ELSE n_chars END AS nc
+        |  FROM documents WHERE doc_id % 10 NOT IN (1, 4)
+        |  UNION ALL
+        |  SELECT lang, n_chars
+        |  FROM documents WHERE doc_id % 10 = 3
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars
+        |FROM final GROUP BY 1""".stripMargin,
     "qs20_stream_cdc" ->
       """WITH final AS (
         |  SELECT doc_id, lang,
