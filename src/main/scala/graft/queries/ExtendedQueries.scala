@@ -1535,6 +1535,55 @@ object ExtendedQueries {
     IncrementalView.readViewWithAvgs(s, s"$work/view", Seq("n_chars"))
   }
 
+  /** FEED-MAINTAINED MATERIALIZED VIEW
+    * ([[graft.sources.IncrementalView.refreshFeed]]), oracle-checked
+    * end to end — q82's stronger sibling: the view is maintained from
+    * the CHANGE DATA FEED, so it stays INCREMENTAL across the verbs
+    * that force the MoR-cursor refresh into a full rebuild — a CoW
+    * UPDATE, a CoW DELETE, and a vector-folding COMPACT (an empty
+    * feed stamp) — plus a MoR delete and a clause-merge INSERT *.
+    * Each refresh's `mode == "incremental"` is asserted in-query; the
+    * oracle recomputes the end-state aggregate declaratively: the
+    * hash match proves signed pre/post-image folding, min/max rescan
+    * on removal-touched groups, and the derived avg, bit-exactly. */
+  val q89FeedView: Q = (s, dir) => {
+    import graft.sources.{ChangeDataFeed, CommitLog, DeletionVectors,
+      IncrementalView, MergeInto}
+    val work = tempWork("graft_q89_")
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.repartition(3).write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    ChangeDataFeed.enable(s, lake)
+    IncrementalView.refreshFeed(s, lake, s"$work/view",
+      Seq("lang"), Seq("n_chars"), minMaxCols = Seq("n_chars"))
+    MergeInto.update(s, lake, "doc_id % 9 = 1",
+      Map("n_chars" -> "n_chars + 1000")) // CoW rewrite
+    val st1 = IncrementalView.refreshFeed(s, lake, s"$work/view",
+      Seq("lang"), Seq("n_chars"), minMaxCols = Seq("n_chars"))
+    require(st1.mode == "incremental",
+      s"q89: refresh across CoW UPDATE must be incremental, was " +
+        st1.mode)
+    MergeInto.delete(s, lake, "doc_id % 7 = 2") // CoW rewrite
+    DeletionVectors.deleteMor(s, lake, "doc_id % 11 = 3")
+    DeletionVectors.compact(s, lake) // physical fold: empty stamp
+    MergeInto.mergeClauses(s, lake,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+        .withColumn("doc_id", -col("doc_id"))
+        .withColumn("n_chars", col("n_chars") + 3), Seq("doc_id"),
+      notMatched = Seq(MergeInto.NotMatchedInsert()))
+    val st2 = IncrementalView.refreshFeed(s, lake, s"$work/view",
+      Seq("lang"), Seq("n_chars"), minMaxCols = Seq("n_chars"))
+    require(st2.mode == "incremental",
+      s"q89: refresh across delete/compact/merge must be " +
+        s"incremental, was ${st2.mode}")
+    IncrementalView.readViewWithAvgs(s, s"$work/view", Seq("n_chars"))
+  }
+
   /** TIME TRAVEL ACROSS DML MUTATIONS (the r10 versioned log),
     * oracle-checked end to end: the [[loggedLake]] fixture is
     * MoR-MERGED (`l_quantity + 100` for every `l_orderkey % 7 == 0`
@@ -1827,6 +1876,7 @@ object ExtendedQueries {
     "q80_generated" -> q80Generated,
     "q81_time_travel_dml" -> q81TimeTravelDml,
     "q82_incr_view_minmax" -> q82IncrViewMinmax,
+    "q89_feed_view" -> q89FeedView,
     "q83_occ_dml" -> q83OccDml,
     "qo1_orc" -> qo1Orc,
     "q53_ts_bloom_scan" -> q53TsBloomScan,
@@ -2048,6 +2098,22 @@ object ExtendedQueries {
         |    CASE WHEN doc_id % 9 = 1 THEN n_chars + 1000
         |         ELSE n_chars END AS nc
         |  FROM documents WHERE NOT (doc_id % 7 = 2)
+        |  UNION ALL
+        |  SELECT lang, n_chars + 3 AS nc
+        |  FROM documents WHERE doc_id % 10 = 3
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(nc) AS BIGINT) AS sum_n_chars,
+        |  min(nc) AS min_n_chars, max(nc) AS max_n_chars,
+        |  CAST(sum(nc) AS DOUBLE) / count(*) AS avg_n_chars
+        |FROM final GROUP BY 1""".stripMargin,
+    "q89_feed_view" ->
+      """WITH final AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 9 = 1 THEN n_chars + 1000
+        |         ELSE n_chars END AS nc
+        |  FROM documents
+        |  WHERE NOT (doc_id % 7 = 2) AND NOT (doc_id % 11 = 3)
         |  UNION ALL
         |  SELECT lang, n_chars + 3 AS nc
         |  FROM documents WHERE doc_id % 10 = 3

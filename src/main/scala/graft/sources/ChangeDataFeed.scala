@@ -46,9 +46,18 @@ import org.apache.spark.sql.functions._
   *    rewrites preserve every row, so they never appear IN the feed;
   *    they only bound how far back a cursor may lag.
   *
-  * Output schema: the data columns (unioned by name across segments —
-  * additive schema evolution surfaces as NULLs on older segments) plus
-  * `_change_type`, `_commit_id`, `_commit_gen`. */
+  * Output schema: the data columns under their LOGICAL names
+  * ([[ColumnMapping]], like every committed read; unioned by name
+  * across segments — additive schema evolution surfaces as NULLs on
+  * older segments, dropped columns vanish) plus `_change_type`,
+  * `_commit_id`, `_commit_gen`.
+  *
+  * Lifecycle: enablement is PER LAKE (a clone starts disabled — its
+  * log is its own); directories whose `(id, gen)` no live checkpoint
+  * claims (crash debris, folded-away history) age into
+  * [[CommitLog.vacuum]]'s sweep; [[versionAt]] gives wall-clock
+  * cursors (Delta's `startingTimestamp`); [[graft.streaming
+  * .FeedStream]] is the live consumer. */
 object ChangeDataFeed {
 
   /** A committed version key — see the ordering contract above. */
@@ -66,6 +75,16 @@ object ChangeDataFeed {
   val ChangeTypeCol = "_change_type"
   val CommitIdCol = "_commit_id"
   val CommitGenCol = "_commit_gen"
+
+  /** The TYPED "this window cannot be served" failure — a truncating
+    * checkpoint past the cursor, a mutation with no change data (ran
+    * pre-enablement, or a RESTORE), or a swept insert segment.
+    * Consumers that can degrade ([[IncrementalView.refreshFeed]]'s
+    * full rebuild) match THIS type, never message text — any other
+    * IllegalArgumentException (an empty-range cursor, a missing log)
+    * is caller error and must propagate. */
+  final class FeedUnservableException(msg: String)
+    extends IllegalArgumentException(msg)
 
   private[sources] def cdfRoot(lakeDir: String): Path =
     new Path(lakeDir, "_cdf")
@@ -100,6 +119,34 @@ object ChangeDataFeed {
     require(keys.nonEmpty, s"change feed: $lakeDir has no commits")
     val (i, g) = keys.max
     Version(i, g)
+  }
+
+  /** TIMESTAMP-ADDRESSED cursor — Delta's `startingTimestamp`: the
+    * newest version PUBLISHED at-or-before `tsMs` (record modification
+    * times, the same clock [[CommitLog.committedViewAtTime]] and
+    * retention run on), so `read(versionAt(ts), current)` serves
+    * exactly the changes after wall-clock `ts`. Fails loudly when
+    * `tsMs` predates the first live record — expired history and
+    * never-existed look identical to the caller, and a silent
+    * everything-since-genesis answer would re-serve the world. */
+  def versionAt(spark: SparkSession, lakeDir: String,
+      tsMs: Long): Version = {
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val recs = CommitLog.history(fs, lakeDir)
+    require(recs.nonEmpty,
+      s"change feed at $tsMs: $lakeDir has no commit log records")
+    val at = recs.filter(_.modifiedMs <= tsMs)
+    require(at.nonEmpty,
+      s"change feed at $tsMs: before the first live record (oldest = " +
+        s"${recs.map(_.modifiedMs).min}) — either the lake did not " +
+        "exist yet or that history was expired/folded")
+    // publish order: (id, manifest < checkpoint, gen) — the feed's
+    // version order, with the manifest-below-checkpoint tiebreak for
+    // a same-(id, gen) restore record
+    val v = at.sortBy(r =>
+      (r.id, if (r.kind == "manifest") 0 else 1, r.gen)).last
+    Version(v.id, if (v.kind == "manifest") 0L else v.gen)
   }
 
   /** A mutation verb's pre-publish change write (writer lock held;
@@ -158,7 +205,7 @@ object ChangeDataFeed {
         Version(i, g) > fromExclusive
       }
     }.foreach { s =>
-      throw new IllegalArgumentException(
+      throw new FeedUnservableException(
         s"change feed after $fromExclusive: checkpoint " +
           s"${s.getPath.getName} truncated per-version attribution — " +
           "resync with a full read, then cursor from currentVersion")
@@ -174,10 +221,11 @@ object ChangeDataFeed {
       .sorted
       .map { case (i, g) =>
         val dir = cdfDir(lakeDir, i, g)
-        require(fs.exists(dir),
-          s"change feed: mutation $i.$g has no change data — it ran " +
-            "before the feed was enabled, or is a RESTORE (which " +
-            "never captures changes); resync with a full read")
+        if (!fs.exists(dir))
+          throw new FeedUnservableException(
+            s"change feed: mutation $i.$g has no change data — it " +
+              "ran before the feed was enabled, or is a RESTORE " +
+              "(which never captures changes); resync with a full read")
         spark.read.parquet(dir.toString)
           .withColumn(CommitIdCol, lit(i))
           .withColumn(CommitGenCol, lit(g))
@@ -191,7 +239,7 @@ object ChangeDataFeed {
         val names = CommitLog.readRecord(fs, s)
           .filter(CommitLog.isDataEntry)
         names.find(n => !fs.exists(new Path(lakeDir, n))).foreach { n =>
-          throw new IllegalArgumentException(
+          throw new FeedUnservableException(
             s"change feed: append batch $i's file $n was rewritten " +
               "by a later mutation and swept — the insert segment is " +
               "gone (resync with a full read, then cursor from " +
@@ -218,7 +266,12 @@ object ChangeDataFeed {
         .withColumn(ChangeTypeCol, lit(""))
         .withColumn(CommitIdCol, lit(0L))
         .withColumn(CommitGenCol, lit(0L))
-    segs.foldLeft(anchor)(
-      (a, b) => a.unionByName(b, allowMissingColumns = true))
+    // logical names out, like every committed read: each segment maps
+    // physical → logical individually (the anchor is already logical —
+    // readCommitted maps; identity on unmapped lakes; the feed's meta
+    // columns pass through as unknowns)
+    segs.map(ColumnMapping.toLogical(spark, lakeDir, _))
+      .foldLeft(anchor)(
+        (a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 }

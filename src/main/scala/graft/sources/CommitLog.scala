@@ -474,7 +474,25 @@ object CommitLog {
           .filter(n => aged(new Path(dvd, n))).toSeq.sorted
       }
     dvSwept.foreach { n => fs.delete(new Path(dvd, n), false); () }
-    swept ++ dvSwept.map(n => s"_dv/$n")
+    // change-feed directories with NO live checkpoint at their
+    // (id, gen) key are unreadable by contract — a crashed mutation's
+    // debris (aged past the horizon, same in-flight protection as
+    // data files: the pre-publish write is fresh) or a version a
+    // truncating fold already swept. Live keys' directories are the
+    // feed itself and are never touched here.
+    val cdfRoot = new Path(ChangeDataFeed.cdfRoot(lakeDir).toString)
+    val cdfSwept =
+      if (!fs.exists(cdfRoot)) Seq.empty
+      else {
+        val live = listLog(fs, lakeDir)._1
+          .map(s => ckptKey(s.getPath.getName))
+          .map { case (i, g) => s"$i.$g" }.toSet
+        fs.listStatus(cdfRoot).toSeq
+          .filter(d => !live(d.getPath.getName) && aged(d.getPath))
+          .map(_.getPath.getName).sorted
+      }
+    cdfSwept.foreach { n => fs.delete(new Path(cdfRoot, n), true); () }
+    swept ++ dvSwept.map(n => s"_dv/$n") ++ cdfSwept.map(n => s"_cdf/$n")
   }
 
   /** TIMESTAMP AS OF — Delta's time-travel-by-wall-clock beside the

@@ -247,4 +247,175 @@ object IncrementalView {
       .foreach { g => fs.delete(new Path(viewDir, g), true); () }
     RefreshStats(mode, touched)
   }
+
+  private def readFeedCursor(fs: FileSystem, viewDir: String,
+      gen: String): ChangeDataFeed.Version = {
+    val in = fs.open(new Path(s"$viewDir/$gen", "cursor"))
+    val text =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, UTF_8).trim
+      } finally in.close()
+    text.split('\t') match {
+      case Array("feed", i, g) =>
+        ChangeDataFeed.Version(i.toLong, g.toLong)
+      case _ => throw new IllegalArgumentException(
+        s"refreshFeed: $viewDir was maintained by the MoR position " +
+          "cursor (refresh()) — the two cursor kinds do not mix; use " +
+          "a new viewDir")
+    }
+  }
+
+  /** [[refresh]] over the CHANGE DATA FEED ([[ChangeDataFeed]])
+    * instead of the MoR position feed — the difference is what stays
+    * INCREMENTAL: copy-on-write DML and vector-folding compactions
+    * invalidate position tracking (refresh() degrades to a full
+    * rebuild there), but they arrive in the feed as ordinary
+    * pre/post-image rows and empty stamps, so this refresh keeps the
+    * ∝-churn cost across EVERY mutation verb. Only a genuinely
+    * unservable window — RESTORE, truncated or pre-enablement
+    * history ([[ChangeDataFeed.FeedUnservableException]]) — degrades
+    * to the full rebuild. Requires the lake's feed enabled before the
+    * first mutation the view must cross.
+    *
+    * Signing: `insert`/`update_postimage` fold +1,
+    * `delete`/`update_preimage` fold −1 — an update is a signed
+    * remove-then-add, so counts/sums stay bit-exact for integral
+    * columns exactly as in [[refresh]]. For `minMaxCols`, add-side
+    * extrema fold in monotonically; groups the window REMOVED rows
+    * from (a delete or an update pre-image — the old row may have
+    * held the extremum) re-scan their live rows.
+    *
+    * CONSISTENCY — feed cursors cannot pin a read the way
+    * [[DeletionVectors.MorCursor]] pins file sets, so the refresh is
+    * a VALIDATE-AND-RETRY: compute and MATERIALIZE the new view
+    * against the head version, then re-resolve the head — if a
+    * mutation landed mid-compute, retry on the fresh head (the OCC
+    * commit-section shape). The published cursor therefore always
+    * names exactly the version the stored rows reflect. */
+  def refreshFeed(spark: SparkSession, lakeDir: String, viewDir: String,
+      groupCols: Seq[String], sumCols: Seq[String],
+      failBeforePublish: Boolean = false,
+      minMaxCols: Seq[String] = Nil): RefreshStats = {
+    require(groupCols.nonEmpty,
+      "refreshFeed needs at least one group column")
+    val fs = fsOf(spark, viewDir)
+    val cur = currentPointer(fs, viewDir)
+    var attempt = 0
+    while (true) {
+      val head = ChangeDataFeed.currentVersion(spark, lakeDir)
+      val (mode, rows, touched) = cur match {
+        case None =>
+          val full = aggOf(DeletionVectors.readMor(spark, lakeDir),
+            groupCols, sumCols, minMaxCols).localCheckpoint()
+          ("full", full, full.count())
+        case Some((_, gen)) =>
+          val from = readFeedCursor(fs, viewDir, gen)
+          val old = readView(spark, viewDir)
+          val expect = (groupCols ++ Seq("n") ++
+            sumCols.map("sum_" + _) ++
+            minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))).toSet
+          require(old.columns.toSet == expect,
+            s"refreshFeed: $viewDir was built with different columns " +
+              s"(${old.columns.sorted.mkString(", ")}) — the column " +
+              "set is fixed at the first refresh; use a new viewDir")
+          try {
+            val changes = ChangeDataFeed.read(spark, lakeDir, from, head)
+            val isAdd = col("_change_type")
+              .isin("insert", "update_postimage")
+            val isDrop = col("_change_type")
+              .isin("delete", "update_preimage")
+            val sign = when(isAdd, 1L).when(isDrop, -1L).otherwise(0L)
+            val deltaAggs = (sum(sign).as("n") +:
+              sumCols.map(c => sum(col(c) * sign).as(s"sum_$c"))) ++
+              minMaxCols.flatMap(c => Seq(
+                min(when(isAdd, col(c))).as(s"min_$c"),
+                max(when(isAdd, col(c))).as(s"max_$c"))) :+
+              max(when(isDrop, 1).otherwise(0)).as("_has_drop")
+            val delta = changes.filter(isAdd || isDrop)
+              .groupBy(groupCols.map(col): _*)
+              .agg(deltaAggs.head, deltaAggs.tail: _*)
+              .localCheckpoint()
+            val deltaGroups = delta.count()
+            val mergeAggs = (sum(col("n")).as("n") +:
+              sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))) ++
+              minMaxCols.flatMap(c => Seq(
+                min(col(s"min_$c")).as(s"min_$c"),
+                max(col(s"max_$c")).as(s"max_$c")))
+            val merged = old.unionByName(delta.drop("_has_drop"))
+              .groupBy(groupCols.map(col): _*)
+              .agg(mergeAggs.head, mergeAggs.tail: _*)
+              .filter(col("n") > 0)
+            val out =
+              if (minMaxCols.isEmpty) merged
+              else {
+                val touchedDrop = delta.filter(col("_has_drop") === 1)
+                  .select(groupCols.map(col): _*).localCheckpoint()
+                if (touchedDrop.isEmpty) merged
+                else {
+                  // a removed row may have held the extremum: re-scan
+                  // the touched groups' LIVE rows (head-stability is
+                  // validated below before anything publishes)
+                  val mmAggs = minMaxCols.flatMap(c => Seq(
+                    min(col(c)).as(s"min_$c"),
+                    max(col(c)).as(s"max_$c")))
+                  val rescan = DeletionVectors.readMor(spark, lakeDir)
+                    .join(broadcast(touchedDrop), groupCols, "left_semi")
+                    .groupBy(groupCols.map(col): _*)
+                    .agg(mmAggs.head, mmAggs.tail: _*)
+                  val counts = (groupCols.map(col) :+ col("n")) ++
+                    sumCols.map(c => col(s"sum_$c"))
+                  merged.join(broadcast(touchedDrop), groupCols,
+                      "left_anti")
+                    .unionByName(merged.select(counts: _*)
+                      .join(broadcast(touchedDrop), groupCols,
+                        "left_semi")
+                      .join(rescan, groupCols))
+                }
+              }
+            ("incremental", out.localCheckpoint(), deltaGroups)
+          } catch {
+            // typed degradation ONLY: an unservable window (RESTORE,
+            // truncated/pre-enablement history) rebuilds at head;
+            // anything else is a real error and propagates
+            case _: ChangeDataFeed.FeedUnservableException =>
+              val full = aggOf(DeletionVectors.readMor(spark, lakeDir),
+                groupCols, sumCols, minMaxCols).localCheckpoint()
+              ("full", full, full.count())
+          }
+      }
+      // the validate-and-retry gate: everything above is materialized
+      // (localCheckpoint); if the head moved mid-compute the rows may
+      // mix versions — recompute on the fresh head
+      if (ChangeDataFeed.currentVersion(spark, lakeDir) == head) {
+        val gen = s"gen-${java.util.UUID.randomUUID()}"
+        rows.coalesce(1).write.parquet(s"$viewDir/$gen/data")
+        val out = fs.create(new Path(s"$viewDir/$gen", "cursor"), false)
+        try out.write(s"feed\t${head.id}\t${head.gen}".getBytes(UTF_8))
+        finally out.close()
+        if (failBeforePublish)
+          throw new RuntimeException(
+            "injected crash before pointer publish")
+        val n = cur.map(_._1 + 1).getOrElse(0L)
+        val ptr = fs.create(new Path(viewDir, s"$n.current"), false)
+        try ptr.write(gen.getBytes(UTF_8)) finally ptr.close()
+        fs.listStatus(new Path(viewDir)).iterator
+          .map(_.getPath.getName).filter(_.endsWith(".current"))
+          .filter(_.stripSuffix(".current").toLong < n)
+          .foreach { p => fs.delete(new Path(viewDir, p), false); () }
+        val live = currentPointer(fs, viewDir).map(_._2).toSet
+        fs.listStatus(new Path(viewDir)).iterator
+          .map(_.getPath.getName)
+          .filter(g => g.startsWith("gen-") && !live.contains(g))
+          .foreach { g => fs.delete(new Path(viewDir, g), true); () }
+        return RefreshStats(mode, touched)
+      }
+      attempt += 1
+      require(attempt < 20,
+        "refreshFeed: 20 consecutive mid-compute mutations — the lake " +
+          "is mutating faster than the view can refresh; retry later")
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

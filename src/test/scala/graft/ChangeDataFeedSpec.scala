@@ -226,6 +226,65 @@ class ChangeDataFeedSpec extends SparkSpec {
       .select(col("k")).as[Int].collect().toSet == Set(6666, 5555))
   }
 
+  test("the feed surfaces LOGICAL column names across a rename, like " +
+    "every committed read") {
+    import graft.sources.ColumnMapping
+    val lake = mkLake()
+    ChangeDataFeed.enable(spark, lake)
+    ColumnMapping.rename(spark, lake, "v", "value")
+    val from = ChangeDataFeed.currentVersion(spark, lake)
+    // UPDATE's predicate/SET speak physical names (the documented
+    // ColumnMapping limitation); the FEED output is logical
+    MergeInto.update(spark, lake, "k = 3", Map("v" -> "123"))
+    val feed = ChangeDataFeed.read(spark, lake, from,
+      ChangeDataFeed.currentVersion(spark, lake))
+    assert(feed.columns.contains("value") && !feed.columns.contains("v"))
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .select(col("value")).as[Long].head() == 123L)
+  }
+
+  test("versionAt resolves a wall-clock cursor in publish order — " +
+    "Delta's startingTimestamp") {
+    val lake = mkLake()
+    ChangeDataFeed.enable(spark, lake)
+    Thread.sleep(20)
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(20)
+    MergeInto.update(spark, lake, "k = 3", Map("v" -> "0"))
+    Thread.sleep(20)
+    val t1 = System.currentTimeMillis()
+    val v0 = ChangeDataFeed.versionAt(spark, lake, t0)
+    val v1 = ChangeDataFeed.versionAt(spark, lake, t1)
+    assert(v0 == Version(2, 0), v0.toString) // the newest append
+    assert(v1.id == 2 && v1.gen >= 1, v1.toString)
+    assert(ChangeDataFeed.read(spark, lake, v0, v1).count() == 2)
+    assert(ChangeDataFeed.read(spark, lake, v1, v1).count() == 0)
+    intercept[IllegalArgumentException] {
+      ChangeDataFeed.versionAt(spark, lake, 1000L) // prehistoric
+    }
+  }
+
+  test("vacuum reclaims _cdf directories no live checkpoint claims — " +
+    "crash debris and folded-away versions — and keeps the live feed") {
+    val lake = mkLake()
+    val f = fs(lake)
+    ChangeDataFeed.enable(spark, lake)
+    MergeInto.update(spark, lake, "k = 3", Map("v" -> "0")) // (2,1)
+    // crash debris at a key no checkpoint claims
+    Seq((1, 1L, "x")).toDF("k", "v", "s")
+      .withColumn("_change_type", lit("delete"))
+      .write.parquet(s"$lake/_cdf/99.99")
+    val swept1 = CommitLog.vacuum(f, lake, olderThanMs = 0L)
+    assert(swept1.contains("_cdf/99.99"), swept1.toString)
+    assert(f.exists(new Path(s"$lake/_cdf/2.1")),
+      "the live mutation's feed directory must survive vacuum")
+    // a fold truncates attribution; the folded mutation's directory
+    // becomes unreadable debris and ages into the sweep
+    CommitLog.checkpoint(f, lake)
+    val swept2 = CommitLog.vacuum(f, lake, olderThanMs = 0L)
+    assert(swept2.contains("_cdf/2.1"), swept2.toString)
+  }
+
   test("crash debris: an orphan _cdf directory no checkpoint claims " +
     "is never served and is replaced by the next claimant") {
     val lake = mkLake()

@@ -82,6 +82,70 @@ class IncrementalViewSpec extends SparkSpec {
     assert(view(dir) == recompute(lake))
   }
 
+  test("refreshFeed stays INCREMENTAL across CoW DML and a compact — " +
+    "the verbs that force refresh() into a full rebuild") {
+    import graft.sources.{ChangeDataFeed, MergeInto}
+    val lake = mkLake()
+    ChangeDataFeed.enable(spark, lake)
+    val dir = Files.createTempDirectory("graft_ivf_").toString + "/view"
+    val s0 = IncrementalView.refreshFeed(spark, lake, dir,
+      Seq("g"), Seq("v"), minMaxCols = Seq("v"))
+    assert(s0 == IncrementalView.RefreshStats("full", 3))
+    // CoW update + delete: position tracking dies here; the feed
+    // serves pre/post images instead
+    MergeInto.update(spark, lake, "k % 10 = 6",
+      Map("v" -> "v + 1000000"))
+    MergeInto.delete(spark, lake, "k % 10 = 4")
+    val s1 = IncrementalView.refreshFeed(spark, lake, dir,
+      Seq("g"), Seq("v"), minMaxCols = Seq("v"))
+    assert(s1.mode == "incremental", s1.toString)
+    def mmRecompute() = DeletionVectors.readMor(spark, lake)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("sum_v"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    def mmView() = IncrementalView.readView(spark, dir)
+      .select(col("g"), col("n"), col("sum_v"), col("min_v"),
+        col("max_v"))
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(mmView() == mmRecompute())
+    // MoR delete + physical compact (kills refresh()'s cursor; the
+    // feed stamps an empty segment) + a clause-merge insert
+    DeletionVectors.deleteMor(spark, lake, "k = 1001")
+    DeletionVectors.compact(spark, lake)
+    MergeInto.mergeClauses(spark, lake,
+      Seq((9999, "g0", -5L)).toDF("k", "g", "v"), Seq("k"),
+      notMatched = Seq(MergeInto.NotMatchedInsert()))
+    val s2 = IncrementalView.refreshFeed(spark, lake, dir,
+      Seq("g"), Seq("v"), minMaxCols = Seq("v"))
+    assert(s2.mode == "incremental", s2.toString)
+    assert(mmView() == mmRecompute())
+    // min_v of g0 must now be the inserted -5 (monotonic fold-in)
+    assert(mmView().find(_._1 == "g0").get._4 == -5L)
+  }
+
+  test("refreshFeed degrades to a FULL rebuild only on a typed " +
+    "unservable window (RESTORE), and cursor kinds do not mix") {
+    import graft.sources.{ChangeDataFeed, MergeInto}
+    val lake = mkLake()
+    ChangeDataFeed.enable(spark, lake)
+    val dir = Files.createTempDirectory("graft_ivf2_").toString + "/view"
+    IncrementalView.refreshFeed(spark, lake, dir, Seq("g"), Seq("v"))
+    DeletionVectors.deleteMor(spark, lake, "k = 7")
+    CommitLog.restore(fs(lake), lake, 1L) // no change data, by design
+    MergeInto.update(spark, lake, "k = 3", Map("v" -> "0"))
+    val s = IncrementalView.refreshFeed(spark, lake, dir,
+      Seq("g"), Seq("v"))
+    assert(s.mode == "full", s.toString)
+    assert(view(dir) == recompute(lake))
+    // a refresh()-maintained view rejects the feed cursor loudly
+    val dir2 = Files.createTempDirectory("graft_ivf3_").toString + "/view"
+    IncrementalView.refresh(spark, lake, dir2, Seq("g"), Seq("v"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalView.refreshFeed(spark, lake, dir2, Seq("g"), Seq("v"))
+    }
+    assert(e.getMessage.contains("do not mix"), e.getMessage)
+  }
+
   test("a crash between generation write and pointer publish changes " +
     "nothing; the re-run applies the same window exactly once") {
     val lake = mkLake()
