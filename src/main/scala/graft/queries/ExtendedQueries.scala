@@ -636,6 +636,46 @@ object ExtendedQueries {
         sumd(col("l_discount")).as("sum_disc"))
   }
 
+  /** q87's MERGE-ON-READ twin
+    * ([[graft.sources.DeletionVectors.mergeClausesMor]]): the SAME
+    * clause program — conditional matched DELETE shadowing a
+    * fallthrough UPDATE, conditional INSERT *, by-source UPDATE —
+    * executed with zero file rewrites: claimed rows DV-marked,
+    * post-images and inserts appended as delta files, one checkpoint.
+    * The in-query require pins that every base file survived; the
+    * oracle is IDENTICAL to q87's — the hash match proves the MoR
+    * execution lands the exact CoW answer. */
+  val q90MergeClausesMor: Q = (s, dir) => {
+    import graft.sources.{CommitLog, DeletionVectors, MergeInto}
+    import graft.sources.MergeInto.{BySourceUpdate, MatchedDelete,
+      MatchedUpdate, NotMatchedInsert}
+    val lake = loggedLake(s, dir, tempWork("graft_q90_"))
+    val fsq = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val li = table(s, dir, "lineitem")
+    val keys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val src = li.filter(col("l_orderkey") % 5 === 0)
+      .withColumn("l_quantity", col("l_quantity") + 50)
+      .unionByName(li.filter(col("l_orderkey") % 13 === 1)
+        .withColumn("l_orderkey", -col("l_orderkey")))
+    val base = CommitLog.committedNames(fsq, lake)
+    DeletionVectors.mergeClausesMor(s, lake, src, keys,
+      matched = Seq(
+        MatchedDelete(Some("t.l_returnflag = 'R'")),
+        MatchedUpdate(Map("l_quantity" -> "s.l_quantity"))),
+      notMatched = Seq(
+        NotMatchedInsert(condition = Some("s.l_quantity > 25"))),
+      notMatchedBySource = Seq(
+        BySourceUpdate(Map("l_discount" -> "0.99"),
+          Some("t.l_linestatus = 'O'"))))
+    require(base.subsetOf(CommitLog.committedNames(fsq, lake)),
+      "q90: a merge-on-read clause merge must rewrite nothing")
+    DeletionVectors.readMor(s, lake)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("l_discount")).as("sum_disc"))
+  }
+
   /** CHANGE DATA FEED ([[graft.sources.ChangeDataFeed]]),
     * oracle-checked end to end: batches 0–1 committed, the feed
     * enabled, then an UPDATE (`l_quantity += 5 WHERE l_returnflag =
@@ -1851,6 +1891,7 @@ object ExtendedQueries {
     "q57_merge_upsert" -> q57MergeUpsert,
     "q87_merge_clauses" -> q87MergeClauses,
     "q88_change_feed" -> q88ChangeFeed,
+    "q90_merge_clauses_mor" -> q90MergeClausesMor,
     "q58_delete" -> q58Delete,
     "q59_schema_evolution" -> q59SchemaEvolution,
     "q60_update" -> q60Update,
@@ -1954,6 +1995,22 @@ object ExtendedQueries {
          |SELECT _change_type, _commit_gen, l_returnflag,
          |  count(*) AS n, ${sqlSumd("q")} AS sum_qty
          |FROM feed GROUP BY 1, 2, 3""".stripMargin,
+    "q90_merge_clauses_mor" ->
+      s"""WITH merged AS (
+         |  SELECT l_returnflag,
+         |    CASE WHEN l_orderkey % 5 = 0 THEN l_quantity + 50
+         |         ELSE l_quantity END AS q,
+         |    CASE WHEN l_orderkey % 5 <> 0 AND l_linestatus = 'O'
+         |         THEN 0.99 ELSE l_discount END AS d
+         |  FROM lineitem
+         |  WHERE NOT (l_orderkey % 5 = 0 AND l_returnflag = 'R')
+         |  UNION ALL
+         |  SELECT l_returnflag, l_quantity AS q, l_discount AS d
+         |  FROM lineitem WHERE l_orderkey % 13 = 1 AND l_quantity > 25
+         |)
+         |SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("q")} AS sum_qty, ${sqlSumd("d")} AS sum_disc
+         |FROM merged GROUP BY 1""".stripMargin,
     "q87_merge_clauses" ->
       s"""WITH merged AS (
          |  SELECT l_returnflag,

@@ -412,6 +412,240 @@ object DeletionVectors {
     }
   }
 
+  /** The FULL `MERGE INTO` clause grammar
+    * ([[MergeInto.mergeClauses]] — conditional matched UPDATE/DELETE,
+    * conditional NOT MATCHED INSERT, NOT MATCHED BY SOURCE
+    * UPDATE/DELETE) executed MERGE-ON-READ: a claimed live row is
+    * DV-marked instead of rewritten — an UPDATE clause's rows
+    * additionally append their post-SET images to target-sized delta
+    * files, a DELETE clause's rows just die, inserts append — and ONE
+    * mutation checkpoint flips delta files and vector coverage
+    * together. The cost a sparse conditional merge should pay at
+    * 100 TB: one column-pruned clause-evaluation pass over the live
+    * view plus O(claimed + inserted rows) of writes, never O(touched
+    * file bytes). Clause semantics, expression contexts (`t.`/`s.`
+    * SQL over PHYSICAL names) and validations are exactly
+    * [[MergeInto.mergeClauses]]'s; rows already MoR-deleted are never
+    * claimed (the live view is the input). Feed-enabled lakes get the
+    * same change images as the CoW verb. Returns
+    * (rowsMarked, rowsAppended); (0, 0) publishes nothing. */
+  def mergeClausesMor(spark: SparkSession, lakeDir: String,
+      source0: DataFrame, keys0: Seq[String],
+      matched: Seq[MergeInto.MatchedClause] = Nil,
+      notMatched: Seq[MergeInto.NotMatchedInsert] = Nil,
+      notMatchedBySource: Seq[MergeInto.BySourceClause] = Nil,
+      indexDir: Option[String] = None,
+      targetRowsPerDelta: Long = 1L << 20): (Long, Long) = {
+    import MergeInto.{BySourceDelete, BySourceUpdate, MatchedDelete,
+      MatchedUpdate}
+    require(targetRowsPerDelta > 0, "targetRowsPerDelta must be positive")
+    MergeInto.requireClauseShape(matched, notMatched, notMatchedBySource,
+      "mergeClausesMor")
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"mergeClausesMor: $lakeDir has no commit log — cannot publish " +
+        "atomically")
+    val keys = keys0.map(ColumnMapping.mapping(fs, lakeDir).physicalOf)
+    val source = ColumnMapping.toPhysical(spark, lakeDir, source0)
+      .localCheckpoint()
+    require(!source.columns.contains("__m") &&
+      !source.columns.contains("__c"),
+      "mergeClausesMor: source columns __m/__c collide with merge " +
+        "markers")
+    requireNoClash(source, "mergeClausesMor")
+    val missingKeys = keys.toSet -- source.columns.toSet
+    require(missingKeys.isEmpty, "mergeClausesMor: source lacks key " +
+      s"columns ${missingKeys.toSeq.sorted.mkString(", ")}")
+    MergeInto.requireUniqueKeys(source, keys, "mergeClausesMor")
+    val allSets = (matched.collect { case MatchedUpdate(s, _) => s } ++
+      notMatchedBySource.collect { case BySourceUpdate(s, _) => s })
+      .flatMap(_.keySet).toSet
+    val insertAssigned = notMatched.flatMap(_.values.keySet).toSet
+    GeneratedColumns.requireNoGeneratedSet(spark, lakeDir,
+      allSets ++ insertAssigned, "mergeClausesMor")
+    CommitLog.withWriterLock(fs, lakeDir) {
+      sweepUncovered(fs, lakeDir)
+      val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
+      require(committed.nonEmpty,
+        s"mergeClausesMor: no committed files in $lakeDir — ingest first")
+      val lake = spark.read.option("mergeSchema", "true")
+        .parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*)
+      requireNoClash(lake, "mergeClausesMor")
+      val lakeCols = lake.columns.toSet
+      val unknown = (allSets ++ insertAssigned) -- lakeCols
+      require(unknown.isEmpty, "mergeClausesMor: SET/VALUES name " +
+        s"unknown columns ${unknown.toSeq.sorted.mkString(", ")}")
+      val genCols = GeneratedColumns.list(fs, lakeDir).map(_._1).toSet
+      notMatched.filter(_.values.isEmpty).foreach { _ =>
+        val need = lakeCols -- genCols -- source.columns.toSet
+        require(need.isEmpty, "mergeClausesMor: INSERT * needs source " +
+          s"columns ${need.toSeq.sorted.mkString(", ")} (or assign " +
+          "them explicitly)")
+      }
+      // the LIVE view with positions — dead rows are never claimed
+      val positioned = lake
+        .withColumn(FileCol, fileNameCol)
+        .withColumn(PosCol, col("_metadata.row_index"))
+      val live = vectors(spark, lakeDir) match {
+        case None => positioned
+        case Some(dv) => positioned.join(
+          dv.select(col("file").as(FileCol), col("pos").as(PosCol)),
+          Seq(FileCol, PosCol), "left_anti")
+      }
+      // first-claiming-clause index, exactly the CoW verb's chain
+      val joined = live.alias("t")
+        .join(source.withColumn("__m", lit(true)).alias("s"),
+          keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+          "left")
+      val isM = coalesce(col("s.__m"), lit(false))
+      val matchedIdx = matched.zipWithIndex
+      val bySourceIdx = notMatchedBySource.zipWithIndex
+        .map { case (c, j) => (c, 1000 + j) }
+      val deleteIdxs = (matchedIdx.collect {
+        case (MatchedDelete(_), i) => i
+      } ++ bySourceIdx.collect { case (BySourceDelete(_), j) => j })
+      val setsByIdx: Seq[(Int, Map[String, String])] =
+        matchedIdx.collect { case (MatchedUpdate(s, _), i) => (i, s) } ++
+          bySourceIdx.collect { case (BySourceUpdate(s, _), j) => (j, s) }
+      val updateIdxs = setsByIdx.map(_._1)
+      val clauseIdx =
+        (matchedIdx.map { case (c, i) =>
+          (isM && MergeInto.holdsCond(c.condition), i) } ++
+          bySourceIdx.map { case (c, j) =>
+            (!isM && MergeInto.holdsCond(c.condition), j) })
+          .foldRight(lit(-1): Column) { case ((cond, i), acc) =>
+            when(cond, lit(i)).otherwise(acc)
+          }
+      // post-SET projections keyed on the clause index; pre-images
+      // carried beside them (`__pre_*`) so the change feed never needs
+      // a second lake pass
+      val values = lake.schema.fields.map { f =>
+        setsByIdx.foldRight(col(s"t.${f.name}")) {
+          case ((i, set), acc) => set.get(f.name) match {
+            case Some(e) =>
+              when(col("__c") === i, expr(e).cast(f.dataType))
+                .otherwise(acc)
+            case None => acc
+          }
+        }.as(f.name)
+      }.toIndexedSeq
+      val preCols = lake.schema.fields
+        .map(f => col(s"t.${f.name}").as(s"__pre_${f.name}")).toIndexedSeq
+      // ONE materialized pass holds everything downstream needs:
+      // positions (the DV pairs), the claiming clause, post-SET rows,
+      // pre-images
+      val prepared = joined.withColumn("__c", clauseIdx)
+        .filter(col("__c") >= 0)
+        .select(Seq(col(FileCol), col(PosCol), col("__c")) ++
+          values ++ preCols: _*)
+        .localCheckpoint()
+      val nMarked = prepared.count()
+      val pairs = prepared
+        .select(col(FileCol).as("file"), col(PosCol).as("pos"))
+      val updated =
+        if (updateIdxs.isEmpty) None
+        else Some(GeneratedColumns.recompute(spark, lakeDir,
+          prepared.filter(col("__c").isin(updateIdxs.map(Int.box): _*))
+            .select(lake.schema.fieldNames.map(col).toIndexedSeq: _*)))
+      // insert split: a source key with ANY live match (claimed or
+      // not) never inserts; dead-key-only matches correctly do
+      val inserts: Option[DataFrame] =
+        if (notMatched.isEmpty) None
+        else {
+          val matchedKeys = source.select(keys.map(col): _*).distinct()
+            .join(live.select(keys.map(col): _*), keys, "left_semi")
+          val unmatched = source.join(matchedKeys, keys, "left_anti")
+            .alias("s")
+          val insIdx = notMatched.zipWithIndex
+            .foldRight(lit(-1): Column) { case ((c, i), acc) =>
+              when(MergeInto.holdsCond(c.condition), lit(i))
+                .otherwise(acc)
+            }
+          val insValues = lake.schema.fields.map { f =>
+            notMatched.zipWithIndex.foldRight(
+                lit(null).cast(f.dataType): Column) {
+              case ((c, i), acc) =>
+                val v =
+                  if (c.values.isEmpty) {
+                    if (genCols(f.name) &&
+                        !unmatched.columns.contains(f.name))
+                      lit(null).cast(f.dataType)
+                    else col(s"s.${f.name}").cast(f.dataType)
+                  } else c.values.get(f.name)
+                    .map(e => expr(e).cast(f.dataType))
+                    .getOrElse(lit(null).cast(f.dataType))
+                when(col("__c") === i, v).otherwise(acc)
+            }.as(f.name)
+          }
+          Some(GeneratedColumns.fill(spark, lakeDir,
+            GeneratedColumns.recompute(spark, lakeDir,
+              unmatched.withColumn("__c", insIdx)
+                .filter(col("__c") >= 0)
+                .select(insValues.toIndexedSeq: _*)))
+            .localCheckpoint())
+        }
+      val delta0 = (updated, inserts) match {
+        case (Some(u), Some(i)) => Some(u.unionByName(i))
+        case (u, i) => u.orElse(i)
+      }
+      val appended = delta0.map(_.count()).getOrElse(0L)
+      if (nMarked == 0 && appended == 0) (0L, 0L)
+      else {
+      val newDv =
+        if (nMarked == 0) Seq.empty else writePairs(fs, lakeDir, pairs)
+      val delta =
+        if (appended == 0) Seq.empty[String]
+        else {
+          val nDelta = math.max(1L,
+            (appended + targetRowsPerDelta - 1) / targetRowsPerDelta)
+            .toInt
+          val before = CommitLog.dataFileNames(fs, lakeDir)
+          delta0.get.repartition(nDelta).write.mode("append")
+            .parquet(lakeDir)
+          (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
+        }
+      Constraints.validateFiles(spark, lakeDir, delta)
+      GeneratedColumns.validateFiles(spark, lakeDir, delta)
+      val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+      // change feed: pre-images ride the prepared pass — no second
+      // lake scan, same images as the CoW clause verb
+      val gen =
+        if (!ChangeDataFeed.isEnabled(fs, lakeDir)) None
+        else {
+          val ct = ChangeDataFeed.ChangeTypeCol
+          val g = CommitLog.nextGen(fs, lakeDir)
+          def pre(idxs: Seq[Int], tag: String): Option[DataFrame] =
+            if (idxs.isEmpty) None
+            else Some(prepared
+              .filter(col("__c").isin(idxs.map(Int.box): _*))
+              .select(lake.schema.fieldNames
+                .map(n => col(s"__pre_$n").as(n)).toIndexedSeq: _*)
+              .withColumn(ct, lit(tag)))
+          val segs =
+            pre(deleteIdxs, "delete").toSeq ++
+              pre(updateIdxs, "update_preimage").toSeq ++
+              updated.map(_.withColumn(ct, lit("update_postimage"))) ++
+              inserts.map(_.withColumn(ct, lit("insert")))
+          val cdc =
+            if (segs.isEmpty)
+              lake.limit(0).withColumn(ct, lit("")).limit(0)
+            else segs.reduce(
+              _.unionByName(_, allowMissingColumns = true))
+          ChangeDataFeed.writeChanges(spark, lakeDir, id, g, cdc)
+          Some(g)
+        }
+      CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
+        committed ++ delta,
+        dvNames = coveredDvFiles(fs, lakeDir) ++ newDv,
+        added = delta, gen = gen)
+      indexDir.foreach(idx =>
+        StatsIndex.refreshSameColumns(spark, lakeDir, idx))
+      (nMarked, appended)
+      }
+    }
+  }
+
   /** Merge-on-read UPDATE: `SET col = <sql-expr>` for every LIVE
     * committed row matching `predicate` — old positions land in the
     * `_dv` sidecar, the post-SET rows land in target-sized appended

@@ -229,19 +229,8 @@ object MergeInto {
       filesPerRewrite: Int = 4,
       indexDir: Option[String] = None): (Int, Int) = {
     import org.apache.spark.sql.Column
-    require(matched.nonEmpty || notMatched.nonEmpty ||
-      notMatchedBySource.nonEmpty, "mergeClauses: no clauses given")
-    // only the LAST clause of each group may omit its condition —
-    // an unconditioned clause earlier in the order shadows everything
-    // after it (Delta's MERGE analysis raises the same error)
-    def requireOrdered(n: String, conds: Seq[Option[String]]): Unit =
-      require(conds.dropRight(1).forall(_.nonEmpty),
-        s"mergeClauses: every $n clause but the last needs a " +
-          "condition — an unconditioned one shadows all later clauses")
-    requireOrdered("whenMatched", matched.map(_.condition))
-    requireOrdered("whenNotMatched", notMatched.map(_.condition))
-    requireOrdered("whenNotMatchedBySource",
-      notMatchedBySource.map(_.condition))
+    requireClauseShape(matched, notMatched, notMatchedBySource,
+      "mergeClauses")
     val fs0 = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keys = keys0.map(ColumnMapping.mapping(fs0, lakeDir).physicalOf)
@@ -259,9 +248,7 @@ object MergeInto {
     val insertAssigned = notMatched.flatMap(_.values.keySet).toSet
     GeneratedColumns.requireNoGeneratedSet(spark, lakeDir,
       allSets ++ insertAssigned, "mergeClauses")
-    // a NULL condition is "does not act", not "acts" (SQL 3VL)
-    def holds(c: Option[String]): Column =
-      c.map(e => coalesce(expr(e), lit(false))).getOrElse(lit(true))
+    val holds = holdsCond _
     mutate(spark, lakeDir, "mergeClauses", filesPerRewrite,
         indexDir) { (lake, committed, cdcWanted) =>
       val lakeCols = lake.columns.toSet
@@ -640,6 +627,31 @@ object MergeInto {
         else Some(sets.reduce(_ intersect _).toSeq.sorted)
       }
     }
+
+  /** Clause-shape preconditions [[mergeClauses]] and
+    * [[DeletionVectors.mergeClausesMor]] share: at least one clause,
+    * and only the LAST clause of each group may omit its condition —
+    * an unconditioned clause earlier in the order shadows everything
+    * after it (Delta's MERGE analysis raises the same error). */
+  private[sources] def requireClauseShape(matched: Seq[MatchedClause],
+      notMatched: Seq[NotMatchedInsert],
+      notMatchedBySource: Seq[BySourceClause], verb: String): Unit = {
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, s"$verb: no clauses given")
+    def requireOrdered(n: String, conds: Seq[Option[String]]): Unit =
+      require(conds.dropRight(1).forall(_.nonEmpty),
+        s"$verb: every $n clause but the last needs a " +
+          "condition — an unconditioned one shadows all later clauses")
+    requireOrdered("whenMatched", matched.map(_.condition))
+    requireOrdered("whenNotMatched", notMatched.map(_.condition))
+    requireOrdered("whenNotMatchedBySource",
+      notMatchedBySource.map(_.condition))
+  }
+
+  /** A NULL clause condition is "does not act", not "acts" (3VL). */
+  private[sources] def holdsCond(c: Option[String])
+      : org.apache.spark.sql.Column =
+    c.map(e => coalesce(expr(e), lit(false))).getOrElse(lit(true))
 
   /** The merge-shape preconditions [[merge]] and
     * [[DeletionVectors.mergeMor]] share: `updates` must be unique on

@@ -142,6 +142,89 @@ class MergeClausesSpec extends SparkSpec {
     assert(row.select(col("s")).as[String].head() == "star")
   }
 
+  test("merge-on-read clause grammar: claimed rows are DV-marked, " +
+    "update images and inserts land in delta files, ZERO rewrites") {
+    import graft.sources.DeletionVectors
+    val lake = mkLake()
+    val f = fs(lake)
+    val baseNames = CommitLog.committedNames(f, lake)
+    val src = Seq((5, -7L), (15, -8L), (1005, -9L), (9999, 42L),
+      (9998, 43L)).toDF("k", "nv")
+    val (marked, appended) = DeletionVectors.mergeClausesMor(spark,
+      lake, src, Seq("k"),
+      matched = Seq(
+        MatchedUpdate(Map("v" -> "s.nv"), Some("t.k = 5")),
+        MatchedDelete()),
+      notMatched = Seq(
+        NotMatchedInsert(Map("k" -> "s.k", "v" -> "s.nv"),
+          Some("s.k = 9999"))),
+      notMatchedBySource = Seq(BySourceDelete(Some("t.k >= 2050"))))
+    // 1 update + 2 matched deletes + 50 by-source deletes marked;
+    // 1 post-image + 1 insert appended
+    assert(marked == 53 && appended == 2, s"($marked, $appended)")
+    // not one base file was rewritten — they are all still committed
+    assert(baseNames.subsetOf(CommitLog.committedNames(f, lake)))
+    val now = DeletionVectors.readMor(spark, lake)
+    assert(now.count() == 249)
+    assert(now.filter(col("k") === 5).select(col("v"), col("s"))
+      .as[(Long, String)].head() == ((-7L, "x")))
+    assert(now.filter(col("k").isin(15, 1005)).count() == 0)
+    assert(now.filter(col("k") >= 2050 && col("k") < 9000).count() == 0)
+    assert(now.filter(col("k") === 9999).count() == 1)
+    assert(now.filter(col("k") === 9998).count() == 0)
+  }
+
+  test("MoR and CoW clause merges land the identical end state; a " +
+    "dead-key-only match inserts") {
+    import graft.sources.DeletionVectors
+    val cow = mkLake()
+    val mor = mkLake()
+    val src = Seq((7, 0L), (2020, 1L), (8888, 8L)).toDF("k", "nv")
+    val clausesM = Seq(
+      MatchedUpdate(Map("v" -> "s.nv + t.v"), Some("t.k = 7")),
+      MatchedDelete())
+    val clausesI = Seq(NotMatchedInsert(
+      Map("k" -> "s.k", "v" -> "s.nv", "s" -> "'ins'")))
+    val clausesB: Seq[graft.sources.MergeInto.BySourceClause] =
+      Seq(BySourceUpdate(Map("s" -> "'aged'"), Some("t.k = 1050")))
+    MergeInto.mergeClauses(spark, cow, src, Seq("k"),
+      matched = clausesM, notMatched = clausesI,
+      notMatchedBySource = clausesB)
+    DeletionVectors.mergeClausesMor(spark, mor, src, Seq("k"),
+      matched = clausesM, notMatched = clausesI,
+      notMatchedBySource = clausesB)
+    val a = graft.streaming.LayoutSink.readCommitted(spark, cow)
+      .select(col("k"), col("v"), col("s"))
+      .as[(Int, Long, String)].collect().toSet
+    val b = DeletionVectors.readMor(spark, mor)
+      .select(col("k"), col("v"), col("s"))
+      .as[(Int, Long, String)].collect().toSet
+    assert(a == b)
+    // dead-key-only match: kill k = 4, then merge a source row for it
+    DeletionVectors.deleteMor(spark, mor, "k = 4")
+    val (m2, a2) = DeletionVectors.mergeClausesMor(spark, mor,
+      Seq((4, 44L)).toDF("k", "nv"), Seq("k"),
+      matched = Seq(MatchedUpdate(Map("v" -> "s.nv"))),
+      notMatched = Seq(NotMatchedInsert(
+        Map("k" -> "s.k", "v" -> "s.nv", "s" -> "'revived'"))))
+    assert(m2 == 0 && a2 == 1, s"($m2, $a2)")
+    assert(DeletionVectors.readMor(spark, mor)
+      .filter(col("k") === 4).select(col("s"))
+      .as[String].head() == "revived")
+  }
+
+  test("a no-op MoR clause merge publishes nothing") {
+    import graft.sources.DeletionVectors
+    val lake = mkLake()
+    val f = fs(lake)
+    val before = CommitLog.committedNames(f, lake)
+    val (m, a) = DeletionVectors.mergeClausesMor(spark, lake,
+      Seq((123456, 0L)).toDF("k", "nv"), Seq("k"),
+      matched = Seq(MatchedDelete(Some("t.k = -1"))))
+    assert(m == 0 && a == 0)
+    assert(CommitLog.committedNames(f, lake) == before)
+  }
+
   test("fail fast: shadowing unconditioned clause, INSERT * with a " +
     "missing source column, unknown SET target, no clauses") {
     val lake = mkLake()
