@@ -226,6 +226,34 @@ class ChangeDataFeedSpec extends SparkSpec {
       .select(col("k")).as[Int].collect().toSet == Set(6666, 5555))
   }
 
+  test("additive schema evolution through the feed: pre-images of " +
+    "old rows read NULL in the new column, post-images carry it") {
+    val lake = mkLake()
+    ChangeDataFeed.enable(spark, lake)
+    val from = ChangeDataFeed.currentVersion(spark, lake)
+    val upd = Seq((5, -1L, "upd", 7L), (9999, 9L, "new", 8L))
+      .toDF("k", "v", "s", "bonus")
+    MergeInto.merge(spark, lake, upd, Seq("k"), evolveSchema = true)
+    val feed = ChangeDataFeed.read(spark, lake, from,
+      ChangeDataFeed.currentVersion(spark, lake))
+    assert(feed.columns.contains("bonus"))
+    // the pre-image predates the column: NULL, not a fabricated value
+    assert(feed.filter(col("_change_type") === "update_preimage")
+      .filter(col("bonus").isNull).count() == 1)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .select(col("bonus")).as[Long].head() == 7L)
+    assert(feed.filter(col("_change_type") === "insert")
+      .select(col("bonus")).as[Long].head() == 8L)
+    // a later same-schema mutation: its images carry the evolved
+    // column too (mergeSchema reads), and windows still union
+    MergeInto.delete(spark, lake, "k = 7")
+    val all = ChangeDataFeed.read(spark, lake, from,
+      ChangeDataFeed.currentVersion(spark, lake))
+    assert(all.filter(col("_change_type") === "delete")
+      .select(col("k")).as[Int].head() == 7)
+    assert(all.count() == 4)
+  }
+
   test("the feed surfaces LOGICAL column names across a rename, like " +
     "every committed read") {
     import graft.sources.ColumnMapping
