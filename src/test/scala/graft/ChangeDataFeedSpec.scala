@@ -292,6 +292,33 @@ class ChangeDataFeedSpec extends SparkSpec {
     }
   }
 
+  test("a losing OCC writer's staged change rows are never served; " +
+    "the retry publishes its window exactly once") {
+    import graft.sources.Occ
+    val lake = mkLake()
+    ChangeDataFeed.enable(spark, lake)
+    val from = ChangeDataFeed.currentVersion(spark, lake)
+    // interleave a conflicting update inside the delete's prepare →
+    // commit window: the delete loses its first commit, retries on
+    // the fresh snapshot, and only the retry's change rows publish
+    var injected = false
+    assert(Occ.deleteMor(spark, lake, "k = 5", beforeCommit = () => {
+      if (!injected) {
+        injected = true
+        Occ.updateMor(spark, lake, "k = 6", Map("v" -> "0")): Unit
+      }
+    }) == 1L)
+    assert(injected, "the conflict must actually have been injected")
+    val feed = ChangeDataFeed.read(spark, lake, from,
+      ChangeDataFeed.currentVersion(spark, lake))
+    val byType = feed.groupBy(col("_change_type")).count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("delete" -> 1L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L), byType.toString)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select(col("k")).as[Int].head() == 5)
+  }
+
   test("vacuum reclaims _cdf directories no live checkpoint claims — " +
     "crash debris and folded-away versions — and keeps the live feed") {
     val lake = mkLake()
