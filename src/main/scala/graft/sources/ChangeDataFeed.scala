@@ -237,8 +237,13 @@ object ChangeDataFeed {
       .sortBy(_._1)
       .map { case (i, s) =>
         val names = CommitLog.readRecord(fs, s)
-          .filter(CommitLog.isDataEntry)
-        names.find(n => !fs.exists(new Path(lakeDir, n))).foreach { n =>
+          .filter(CommitLog.isDataEntry).sorted
+        // resolve through the clone chain — a shallow clone's
+        // committed names live in its SOURCE directory
+        val paths = CommitLog.resolveDataPaths(fs, lakeDir, names)
+        names.zip(paths).find { case (_, p) =>
+          !fs.exists(new Path(p))
+        }.foreach { case (n, _) =>
           throw new FeedUnservableException(
             s"change feed: append batch $i's file $n was rewritten " +
               "by a later mutation and swept — the insert segment is " +
@@ -251,7 +256,7 @@ object ChangeDataFeed {
             graft.streaming.LayoutSink.readCommitted(spark, lakeDir)
               .limit(0)
           else spark.read.option("mergeSchema", "true")
-            .parquet(names.sorted.map(n => s"$lakeDir/$n"): _*)
+            .parquet(paths: _*)
         base.withColumn(ChangeTypeCol, lit("insert"))
           .withColumn(CommitIdCol, lit(i))
           .withColumn(CommitGenCol, lit(0L))

@@ -292,6 +292,42 @@ class ChangeDataFeedSpec extends SparkSpec {
     }
   }
 
+  test("the feed works on a shallow clone: post-clone appends " +
+    "resolve through the clone chain, mutations feed from the " +
+    "clone's own _cdf") {
+    import graft.sources.Clone
+    val src = mkLake()
+    val cloneDir =
+      Files.createTempDirectory("graft_cdf_cl_").toString + "/branch"
+    Clone.shallow(spark, src, cloneDir)
+    ChangeDataFeed.enable(spark, cloneDir)
+    val from = ChangeDataFeed.currentVersion(spark, cloneDir)
+    // a post-clone append: its manifest names the clone's OWN file —
+    // but the window also spans nothing from the source, by pinning
+    val f = fs(cloneDir)
+    val before = CommitLog.dataFileNames(f, cloneDir)
+    val id = CommitLog.maxCommittedId(f, cloneDir) + 1
+    Seq((7777, 7L, "b")).toDF("k", "v", "s")
+      .coalesce(1).write.mode("append").parquet(cloneDir)
+    CommitLog.commit(f, cloneDir, id,
+      (CommitLog.dataFileNames(f, cloneDir) -- before).toSeq.sorted)
+    // a branch mutation touching INHERITED (source-resident) rows
+    MergeInto.update(spark, cloneDir, "k = 5", Map("v" -> "-5"))
+    val feed = ChangeDataFeed.read(spark, cloneDir, from,
+      ChangeDataFeed.currentVersion(spark, cloneDir))
+    val byType = feed.groupBy(col("_change_type")).count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 1L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L), byType.toString)
+    assert(feed.filter(col("_change_type") === "insert")
+      .select(col("k")).as[Int].head() == 7777)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .select(col("v")).as[Long].head() == -5L)
+    // the source lake is untouched by any of it
+    assert(graft.streaming.LayoutSink.readCommitted(spark, src)
+      .filter(col("k") === 5).select(col("v")).as[Long].head() == 10L)
+  }
+
   test("a losing OCC writer's staged change rows are never served; " +
     "the retry publishes its window exactly once") {
     import graft.sources.Occ
