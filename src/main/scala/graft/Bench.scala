@@ -233,6 +233,10 @@ object Bench {
                   okBase.max / math.max(okBase.min, 1e-9) > 1.5)
                 baseReps ++ (1 to 2).map(_ => oneRep())
               else baseReps
+            // release the prepared labeled cache now that the cell's
+            // reps are done (the session stop below would reclaim it
+            // anyway, but the harness shouldn't rely on that)
+            prep.foreach { case (_, cleanup) => cleanup() }
             isoReps += (name + "_iso") -> reps
             val (errs, times) = (reps.collect { case Left(e) => e },
               reps.collect { case Right(v) => v }.sorted)

@@ -260,7 +260,12 @@ object Occ {
       beforeCommit()
       val won = CommitLog.withWriterLock(fs, lakeDir,
           waitMs = commitWaitMs) {
-        if (CommitLog.committedView(fs, lakeDir) != snap) false
+        // the feed flipping ON between staging and here is a conflict:
+        // publishing without change data would make every later feed
+        // window spanning this version permanently unservable — retry
+        // so the restage captures it
+        if (CommitLog.committedView(fs, lakeDir) != snap ||
+            (!cdcWanted && ChangeDataFeed.isEnabled(fs, lakeDir))) false
         else {
           renameInto(fs, s"$stage/dv", newDv,
             DeletionVectors.dvDir(lakeDir))
@@ -385,7 +390,8 @@ object Occ {
       val won = CommitLog.withWriterLock(fs, lakeDir,
           waitMs = commitWaitMs) {
         if (CommitLog.committedView(fs, lakeDir) != snap ||
-            defsSnapshot(fs, lakeDir) != defsSnap) false
+            defsSnapshot(fs, lakeDir) != defsSnap ||
+            (!cdcWanted && ChangeDataFeed.isEnabled(fs, lakeDir))) false
         else {
           renameInto(fs, s"$stage/dv", newDv,
             DeletionVectors.dvDir(lakeDir))
@@ -538,7 +544,8 @@ object Occ {
         val (curFiles, curDv) = CommitLog.committedView(fs, lakeDir)
         if (curDv != dvSnap ||
             defsSnapshot(fs, lakeDir) != defsSnap ||
-            !touched.subsetOf(curFiles)) false
+            !touched.subsetOf(curFiles) ||
+            (!cdcWanted && ChangeDataFeed.isEnabled(fs, lakeDir))) false
         else {
           renameInto(fs, s"$stage/data", fresh, lakeDir)
           val carry = (curFiles -- touched).toSeq.sorted
@@ -776,7 +783,8 @@ object Occ {
       val won = CommitLog.withWriterLock(fs, lakeDir,
           waitMs = commitWaitMs) {
         if (CommitLog.committedView(fs, lakeDir) != snap ||
-            defsSnapshot(fs, lakeDir) != defsSnap) false
+            defsSnapshot(fs, lakeDir) != defsSnap ||
+            (!cdcWanted && ChangeDataFeed.isEnabled(fs, lakeDir))) false
         else {
           renameInto(fs, s"$stage/dv", newDv,
             DeletionVectors.dvDir(lakeDir))

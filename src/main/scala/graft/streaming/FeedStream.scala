@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{ChangeDataFeed, ColumnMapping, CommitLog}
+import graft.sources.{ChangeDataFeed, CommitLog}
 import graft.sources.ChangeDataFeed.Version
 
 /** The CHANGE DATA FEED as a streaming source — [[ChangeStream]]'s
@@ -94,19 +94,20 @@ object FeedStream {
     private def pollOnce(): Boolean = {
       val head = ChangeDataFeed.currentVersion(spark, lakeDir)
       if (head <= last.get()) return false
+      // ChangeDataFeed.read already projects every segment through
+      // ColumnMapping.toLogical — mapping again here would re-apply
+      // the rename table to ALREADY-LOGICAL names, which corrupts the
+      // batch whenever a retired physical name was reused as another
+      // column's logical name (rename y->tmp, x->y), so the window
+      // passes through unchanged.
       val window = ChangeDataFeed.read(spark, lakeDir,
         last.get(), head)
-      onBatch(toLogicalKeepingMeta(window), batches)
+      onBatch(window, batches)
       writeCheckpoint(head)
       last.set(head)
       batches += 1
       true
     }
-
-    /** Data columns to logical names; the `_`-prefixed feed metadata
-      * columns pass through untouched (they are not lake columns). */
-    private def toLogicalKeepingMeta(df: DataFrame): DataFrame =
-      ColumnMapping.toLogical(spark, lakeDir, df)
 
     private[FeedStream] def bootstrap(): Unit = {
       readCheckpoint() match {
@@ -121,15 +122,21 @@ object FeedStream {
             var done = false
             while (!done) {
               val v1 = ChangeDataFeed.currentVersion(spark, lakeDir)
+              // readCommitted already emits LOGICAL names (no second
+              // mapping pass), and the snapshot is MATERIALIZED before
+              // the v2 stability check so a concurrent CoW rewrite +
+              // vacuum cannot sweep the pinned files between the gate
+              // and the actual read inside onBatch — the stability
+              // gate covers the bytes the consumer is served.
               val snap = LayoutSink.readCommitted(spark, lakeDir)
                 .withColumn(ChangeDataFeed.ChangeTypeCol, lit("insert"))
                 .withColumn(ChangeDataFeed.CommitIdCol, lit(v1.id))
                 .withColumn(ChangeDataFeed.CommitGenCol, lit(v1.gen))
+                .localCheckpoint(true)
               val v2 = ChangeDataFeed.currentVersion(spark, lakeDir)
               if (v1 == v2) {
                 last.set(v1)
-                onBatch(ColumnMapping.toLogical(spark, lakeDir, snap),
-                  0L)
+                onBatch(snap, 0L)
                 writeCheckpoint(v1)
                 batches = 1L
                 done = true

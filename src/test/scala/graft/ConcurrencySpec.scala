@@ -415,6 +415,33 @@ class ConcurrencySpec extends SparkSpec {
       "DV-deleted rows must not be resurrected by the rewrite")
   }
 
+  test("the change feed flipping ON inside an OCC verb's window is a " +
+    "conflict: the verb retries and the published version carries " +
+    "change data") {
+    import graft.sources.ChangeDataFeed
+    val lake = mkLake()
+    // feed NOT enabled when the verb stages; enable() lands between
+    // the unlocked staging and the commit section (beforeCommit).
+    // Without the in-lock isEnabled re-check the mutation publishes
+    // with no _cdf directory and every later feed window spanning it
+    // is permanently unservable.
+    val pre = ChangeDataFeed.currentVersion(spark, lake)
+    val flipped = new AtomicBoolean(false)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val n = Occ.deleteMor(spark, lake, "k < 10",
+      beforeCommit = () => {
+        calls.incrementAndGet()
+        if (flipped.compareAndSet(false, true))
+          ChangeDataFeed.enable(spark, lake)
+      })
+    assert(n == 10L)
+    assert(calls.get() == 2, s"expected one retry, saw ${calls.get()}")
+    val head = ChangeDataFeed.currentVersion(spark, lake)
+    val win = ChangeDataFeed.read(spark, lake, pre, head)
+    assert(win.filter(col("_change_type") === "delete").count() == 10L,
+      "the retried verb must publish its change rows")
+  }
+
   test("the sink's commit section WAITS out a briefly-held writer " +
     "lock instead of failing the fully-staged batch (and the " +
     "streaming query with it)") {

@@ -7,8 +7,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.sources.{ChangeDataFeed, CommitLog, DeletionVectors,
-  MergeInto}
+import graft.sources.{ChangeDataFeed, ColumnMapping, CommitLog,
+  DeletionVectors, MergeInto}
 import graft.sources.MergeInto.NotMatchedInsert
 import graft.streaming.FeedStream
 
@@ -119,6 +119,45 @@ class FeedStreamSpec extends SparkSpec {
     assert(q2.exception.isEmpty, q2.exception.toString)
     assert(state.get() == directAgg(lake))
     assert(state.get()._1 == afterFirst._1 - 1)
+  }
+
+  test("a rename chain that reuses a retired physical name never " +
+    "relabels a live column: batches arrive in logical names, mapped " +
+    "exactly once") {
+    val lake = mkLake() // logical/physical columns k, v, s
+    val work = Files.createTempDirectory("graft_fstr_ck4_").toString
+    ChangeDataFeed.enable(spark, lake)
+    // retire physical 'v' (v -> tmp), then REUSE 'v' as the logical
+    // name of physical 'k' (k -> v). The feed already serves LOGICAL
+    // names; a second physical->logical pass over such a frame would
+    // match the live logical 'v' against the retired physical 'v' and
+    // relabel it 'tmp' — two 'tmp' columns, the live one corrupted
+    ColumnMapping.rename(spark, lake, "v", "tmp")
+    ColumnMapping.rename(spark, lake, "k", "v")
+    val seen = new AtomicReference[Set[Seq[String]]](Set.empty)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = FeedStream.start(spark, lake, s"$work/ckp", pollMs = 25L,
+      initialSnapshot = true) { (changes, _) =>
+      seen.updateAndGet(_ + changes.columns.toSeq.sorted)
+      rows.addAndGet(changes.count()); ()
+    }
+    try {
+      // one post-rename append batch so pollOnce's window path is
+      // exercised too (raw files carry the shared PHYSICAL schema)
+      val f = fs(lake)
+      val before = CommitLog.dataFileNames(f, lake)
+      Seq((5000, 1L, "b3")).toDF("k", "v", "s")
+        .coalesce(1).write.mode("append").parquet(lake)
+      CommitLog.commit(f, lake, 3,
+        (CommitLog.dataFileNames(f, lake) -- before).toSeq.sorted)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(q.exception.isEmpty, q.exception.toString)
+    val expected = Seq("s", "tmp", "v", ChangeDataFeed.ChangeTypeCol,
+      ChangeDataFeed.CommitIdCol, ChangeDataFeed.CommitGenCol).sorted
+    assert(seen.get() == Set(expected),
+      s"column sets seen: ${seen.get()}")
+    assert(rows.get() == 301L, s"${rows.get()} rows") // 300 snap + 1
   }
 
   test("a RESTORE still fails the stream loudly — rollbacks are not " +
