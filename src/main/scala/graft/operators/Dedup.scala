@@ -95,15 +95,18 @@ object Dedup {
     * Skew defense (ON by default): a saturated bucket of m ids would emit
     * m·(m-1)/2 pairs — and, worse, materialise all m ids in ONE
     * aggregation buffer during `collect_list` — so oversized buckets are
-    * dropped BEFORE the collect: a pre-pass `groupBy(band, band_key)
-    * .count()` finds keys above `maxBucket` and an inner join keeps only
-    * the survivors. The pre-pass shuffles (key, count) pairs — bytes per
-    * bucket, not ids per bucket — so per-task memory stays bounded no
-    * matter how many documents share one band key (a bucket hit by half
-    * the corpus is boilerplate saturation carrying no near-dup signal;
-    * standard practice is to drop it). Both the pre-pass and the collect
-    * hash-partition on the same (band, band_key) keys, so AQE/exchange
-    * reuse keeps the added cost to one cheap count-shuffle. */
+    * dropped BEFORE the collect by a window count over (band, band_key):
+    * the banded pipeline (scan + md5 + explode) runs ONCE and shuffles
+    * ONCE — the window's hash partitioning is exactly the distribution
+    * the collect aggregate requires, so no second exchange is planned
+    * (r12's count-prepass + self-join shape recomputed the banded
+    * pipeline on both join sides, because the column-pruned count
+    * exchange could not be reused for the full-row probe side — the
+    * measured 2.6× on qt6). WindowExec's partition buffer SPILLS past a
+    * few thousand rows, so a bucket hit by half the corpus costs disk,
+    * never executor memory, and its rows are filtered out before any
+    * collect_list buffer sees them (boilerplate saturation carries no
+    * near-dup signal; dropping it is standard practice). */
   /** Banded `(id, band, band_key)` rows — the LSH bucket table shared by
     * the batch pair generator and the incremental streaming index
     * ([[graft.streaming.IncrementalDedup]]). Docs with < K tokens have
@@ -129,15 +132,17 @@ object Dedup {
       textCol: String = "text",
       maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     val banded = bandedSignatures(docs, idCol, textCol)
-    // cap BEFORE collect_list: keys sized by a count-only aggregate
-    // (bounded buffers), oversized ones never reach the collect
+    // cap BEFORE collect_list: a spill-safe window count sizes every
+    // key in the SAME (one and only) shuffle the collect needs —
+    // oversized buckets are filtered out before any aggregation
+    // buffer sees their ids
     val capped = maxBucket match {
       case Some(m) =>
-        val keep = banded.groupBy(col("band"), col("band_key"))
-          .agg(count(lit(1)).as("_bn"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key"))
+        banded.withColumn("_bn", count(lit(1)).over(w))
           .filter(col("_bn") > 1 && col("_bn") <= m)
-          .select(col("band"), col("band_key"))
-        banded.join(keep, Seq("band", "band_key"))
+          .drop("_bn")
       case None => banded
     }
     val buckets = capped

@@ -676,6 +676,74 @@ object ExtendedQueries {
         sumd(col("l_discount")).as("sum_disc"))
   }
 
+  /** The FULL clause grammar under OPTIMISTIC CONCURRENCY
+    * ([[graft.sources.Occ.mergeClauses]] /
+    * [[graft.sources.Occ.mergeClausesMor]]), oracle-checked end to
+    * end with REAL interleaved writers in both windows. CoW lake:
+    * q87's exact clause program runs with a blind append
+    * (`l_orderkey % 17 = 3` rows) committed INSIDE its
+    * prepare-to-commit window via the beforeCommit hook — appends
+    * commute, so the merge must land WITHOUT a retry, carrying the
+    * appended file untouched (the in-query require pins exactly one
+    * attempt). MoR lake: the same program runs with a conflicting
+    * MoR delete (`l_orderkey % 19 = 4`) landing inside its window —
+    * ANY interleaved commit conflicts under the MoR rule, so the
+    * merge must retry EXACTLY once and re-evaluate its clauses on
+    * the post-delete live view (source rows whose only key row died
+    * become inserts; the oracle's third branch). The hash match
+    * proves both OCC executions land the declarative end state —
+    * no lost append, no lost update, no double-applied clause. */
+  val q91OccMergeClauses: Q = (s, dir) => {
+    import graft.sources.{CommitLog, DeletionVectors, Occ}
+    import graft.sources.MergeInto.{BySourceUpdate, MatchedDelete,
+      MatchedUpdate, NotMatchedInsert}
+    val li = table(s, dir, "lineitem")
+    val keys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val src = li.filter(col("l_orderkey") % 5 === 0)
+      .withColumn("l_quantity", col("l_quantity") + 50)
+      .unionByName(li.filter(col("l_orderkey") % 13 === 1)
+        .withColumn("l_orderkey", -col("l_orderkey")))
+    val matched = Seq(
+      MatchedDelete(Some("t.l_returnflag = 'R'")),
+      MatchedUpdate(Map("l_quantity" -> "s.l_quantity")))
+    val notMatched = Seq(
+      NotMatchedInsert(condition = Some("s.l_quantity > 25")))
+    val bySource = Seq(
+      BySourceUpdate(Map("l_discount" -> "0.99"),
+        Some("t.l_linestatus = 'O'")))
+    // CoW arm: disjoint appender inside the window — zero retries
+    val lakeCow = loggedLake(s, dir, tempWork("graft_q91c_"))
+    val cowCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    Occ.mergeClauses(s, lakeCow, src, keys, matched, notMatched,
+      bySource, beforeCommit = () => {
+        if (cowCalls.incrementAndGet() == 1)
+          require(Occ.append(s, lakeCow,
+            li.filter(col("l_orderkey") % 17 === 3)) > 0)
+      })
+    require(cowCalls.get() == 1,
+      s"q91: an interleaved APPEND must not conflict a clause merge " +
+        s"(${cowCalls.get()} attempts)")
+    // MoR arm: conflicting delete inside the window — exactly 1 retry
+    val lakeMor = loggedLake(s, dir, tempWork("graft_q91m_"))
+    val morCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    Occ.mergeClausesMor(s, lakeMor, src, keys, matched, notMatched,
+      bySource, beforeCommit = () => {
+        if (morCalls.incrementAndGet() == 1)
+          require(Occ.deleteMor(s, lakeMor,
+            "l_orderkey % 19 = 4") > 0)
+      })
+    require(morCalls.get() == 2,
+      s"q91: an interleaved MUTATION must conflict a MoR clause " +
+        s"merge exactly once (${morCalls.get()} attempts)")
+    val agg = (df: org.apache.spark.sql.DataFrame, mode: String) => df
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("l_discount")).as("sum_disc"))
+      .withColumn("mode", lit(mode))
+    agg(graft.streaming.LayoutSink.readCommitted(s, lakeCow), "cow")
+      .unionByName(agg(DeletionVectors.readMor(s, lakeMor), "mor"))
+  }
+
   /** CHANGE DATA FEED ([[graft.sources.ChangeDataFeed]]),
     * oracle-checked end to end: batches 0–1 committed, the feed
     * enabled, then an UPDATE (`l_quantity += 5 WHERE l_returnflag =
@@ -1892,6 +1960,7 @@ object ExtendedQueries {
     "q87_merge_clauses" -> q87MergeClauses,
     "q88_change_feed" -> q88ChangeFeed,
     "q90_merge_clauses_mor" -> q90MergeClausesMor,
+    "q91_occ_merge_clauses" -> q91OccMergeClauses,
     "q58_delete" -> q58Delete,
     "q59_schema_evolution" -> q59SchemaEvolution,
     "q60_update" -> q60Update,
@@ -2027,6 +2096,45 @@ object ExtendedQueries {
          |SELECT l_returnflag, count(*) AS n,
          |  ${sqlSumd("q")} AS sum_qty, ${sqlSumd("d")} AS sum_disc
          |FROM merged GROUP BY 1""".stripMargin,
+    "q91_occ_merge_clauses" ->
+      s"""WITH cow AS (
+         |  SELECT l_returnflag,
+         |    CASE WHEN l_orderkey % 5 = 0 THEN l_quantity + 50
+         |         ELSE l_quantity END AS q,
+         |    CASE WHEN l_orderkey % 5 <> 0 AND l_linestatus = 'O'
+         |         THEN 0.99 ELSE l_discount END AS d
+         |  FROM lineitem
+         |  WHERE NOT (l_orderkey % 5 = 0 AND l_returnflag = 'R')
+         |  UNION ALL
+         |  SELECT l_returnflag, l_quantity AS q, l_discount AS d
+         |  FROM lineitem WHERE l_orderkey % 13 = 1 AND l_quantity > 25
+         |  UNION ALL
+         |  SELECT l_returnflag, l_quantity AS q, l_discount AS d
+         |  FROM lineitem WHERE l_orderkey % 17 = 3
+         |), mor AS (
+         |  SELECT l_returnflag,
+         |    CASE WHEN l_orderkey % 5 = 0 THEN l_quantity + 50
+         |         ELSE l_quantity END AS q,
+         |    CASE WHEN l_orderkey % 5 <> 0 AND l_linestatus = 'O'
+         |         THEN 0.99 ELSE l_discount END AS d
+         |  FROM lineitem
+         |  WHERE NOT (l_orderkey % 19 = 4)
+         |    AND NOT (l_orderkey % 5 = 0 AND l_returnflag = 'R')
+         |  UNION ALL
+         |  SELECT l_returnflag, l_quantity AS q, l_discount AS d
+         |  FROM lineitem WHERE l_orderkey % 13 = 1 AND l_quantity > 25
+         |  UNION ALL
+         |  SELECT l_returnflag, l_quantity + 50 AS q, l_discount AS d
+         |  FROM lineitem WHERE l_orderkey % 5 = 0 AND l_orderkey % 19 = 4
+         |    AND l_quantity + 50 > 25
+         |)
+         |SELECT 'cow' AS mode, l_returnflag, count(*) AS n,
+         |  ${sqlSumd("q")} AS sum_qty, ${sqlSumd("d")} AS sum_disc
+         |FROM cow GROUP BY 1, 2
+         |UNION ALL
+         |SELECT 'mor' AS mode, l_returnflag, count(*) AS n,
+         |  ${sqlSumd("q")} AS sum_qty, ${sqlSumd("d")} AS sum_disc
+         |FROM mor GROUP BY 1, 2""".stripMargin,
     "q58_delete" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  ${sqlSumd("l_extendedprice")} AS sum_price

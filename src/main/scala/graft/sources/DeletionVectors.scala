@@ -436,34 +436,14 @@ object DeletionVectors {
       notMatchedBySource: Seq[MergeInto.BySourceClause] = Nil,
       indexDir: Option[String] = None,
       targetRowsPerDelta: Long = 1L << 20): (Long, Long) = {
-    import MergeInto.{BySourceDelete, BySourceUpdate, MatchedDelete,
-      MatchedUpdate}
     require(targetRowsPerDelta > 0, "targetRowsPerDelta must be positive")
-    MergeInto.requireClauseShape(matched, notMatched, notMatchedBySource,
-      "mergeClausesMor")
     val fs = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
       s"mergeClausesMor: $lakeDir has no commit log — cannot publish " +
         "atomically")
-    val keys = keys0.map(ColumnMapping.mapping(fs, lakeDir).physicalOf)
-    val source = ColumnMapping.toPhysical(spark, lakeDir, source0)
-      .localCheckpoint()
-    require(!source.columns.contains("__m") &&
-      !source.columns.contains("__c"),
-      "mergeClausesMor: source columns __m/__c collide with merge " +
-        "markers")
-    requireNoClash(source, "mergeClausesMor")
-    val missingKeys = keys.toSet -- source.columns.toSet
-    require(missingKeys.isEmpty, "mergeClausesMor: source lacks key " +
-      s"columns ${missingKeys.toSeq.sorted.mkString(", ")}")
-    MergeInto.requireUniqueKeys(source, keys, "mergeClausesMor")
-    val allSets = (matched.collect { case MatchedUpdate(s, _) => s } ++
-      notMatchedBySource.collect { case BySourceUpdate(s, _) => s })
-      .flatMap(_.keySet).toSet
-    val insertAssigned = notMatched.flatMap(_.values.keySet).toSet
-    GeneratedColumns.requireNoGeneratedSet(spark, lakeDir,
-      allSets ++ insertAssigned, "mergeClausesMor")
+    val prepare = clausesMorPrepare(spark, lakeDir, source0, keys0,
+      matched, notMatched, notMatchedBySource, "mergeClausesMor")
     CommitLog.withWriterLock(fs, lakeDir) {
       sweepUncovered(fs, lakeDir)
       val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
@@ -471,15 +451,105 @@ object DeletionVectors {
         s"mergeClausesMor: no committed files in $lakeDir — ingest first")
       val lake = spark.read.option("mergeSchema", "true")
         .parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*)
-      requireNoClash(lake, "mergeClausesMor")
+      val prep = prepare(lake, vectors(spark, lakeDir))
+      if (prep.nMarked == 0 && prep.appended == 0) (0L, 0L)
+      else {
+        val newDv =
+          if (prep.nMarked == 0) Seq.empty
+          else writePairs(fs, lakeDir, prep.pairs)
+        val delta =
+          if (prep.appended == 0) Seq.empty[String]
+          else {
+            val nDelta = math.max(1L,
+              (prep.appended + targetRowsPerDelta - 1) /
+                targetRowsPerDelta).toInt
+            val before = CommitLog.dataFileNames(fs, lakeDir)
+            prep.delta0.get.repartition(nDelta).write.mode("append")
+              .parquet(lakeDir)
+            (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
+          }
+        Constraints.validateFiles(spark, lakeDir, delta)
+        GeneratedColumns.validateFiles(spark, lakeDir, delta)
+        val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+        // change feed: pre-images ride the prepared pass — no second
+        // lake scan, same images as the CoW clause verb
+        val gen =
+          if (!ChangeDataFeed.isEnabled(fs, lakeDir)) None
+          else {
+            val g = CommitLog.nextGen(fs, lakeDir)
+            ChangeDataFeed.writeChanges(spark, lakeDir, id, g,
+              clausesMorChanges(lake, prep))
+            Some(g)
+          }
+        CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
+          committed ++ delta,
+          dvNames = coveredDvFiles(fs, lakeDir) ++ newDv,
+          added = delta, gen = gen)
+        indexDir.foreach(idx =>
+          StatsIndex.refreshSameColumns(spark, lakeDir, idx))
+        (prep.nMarked, prep.appended)
+      }
+    }
+  }
+
+  /** Everything a MoR clause merge's PREPARE pass produced: the
+    * materialized claimed-row frame (positions + claiming clause +
+    * post-SET rows + `__pre_*` images), the DV pairs, the post-image
+    * and insert frames, their counts, and the clause-index sets the
+    * change-feed projection needs. */
+  private[sources] final case class ClausesMorPrep(
+      prepared: DataFrame, nMarked: Long, pairs: DataFrame,
+      updated: Option[DataFrame], inserts: Option[DataFrame],
+      delta0: Option[DataFrame], appended: Long,
+      deleteIdxs: Seq[Int], updateIdxs: Seq[Int])
+
+  /** The MoR clause-grammar PREPARE stage, shared verbatim by
+    * [[mergeClausesMor]] (runs it under the writer lock against the
+    * CURRENT vectors) and [[Occ.mergeClausesMor]] (runs it UNLOCKED
+    * against a PINNED snapshot's vectors): validates the source and
+    * clause shape once, then returns `(lake, liveVectors) =>`
+    * [[ClausesMorPrep]]. One implementation, two publication
+    * disciplines, so the clause semantics cannot drift between them. */
+  private[sources] def clausesMorPrepare(spark: SparkSession,
+      lakeDir: String, source0: DataFrame, keys0: Seq[String],
+      matched: Seq[MergeInto.MatchedClause],
+      notMatched: Seq[MergeInto.NotMatchedInsert],
+      notMatchedBySource: Seq[MergeInto.BySourceClause],
+      verb: String)
+      : (DataFrame, Option[DataFrame]) => ClausesMorPrep = {
+    import MergeInto.{BySourceDelete, BySourceUpdate, MatchedDelete,
+      MatchedUpdate}
+    MergeInto.requireClauseShape(matched, notMatched, notMatchedBySource,
+      verb)
+    val fs = new Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keys = keys0.map(ColumnMapping.mapping(fs, lakeDir).physicalOf)
+    val source = ColumnMapping.toPhysical(spark, lakeDir, source0)
+      .localCheckpoint()
+    require(!source.columns.contains("__m") &&
+      !source.columns.contains("__c"),
+      s"$verb: source columns __m/__c collide with merge markers")
+    requireNoClash(source, verb)
+    val missingKeys = keys.toSet -- source.columns.toSet
+    require(missingKeys.isEmpty, s"$verb: source lacks key " +
+      s"columns ${missingKeys.toSeq.sorted.mkString(", ")}")
+    MergeInto.requireUniqueKeys(source, keys, verb)
+    val allSets = (matched.collect { case MatchedUpdate(s, _) => s } ++
+      notMatchedBySource.collect { case BySourceUpdate(s, _) => s })
+      .flatMap(_.keySet).toSet
+    val insertAssigned = notMatched.flatMap(_.values.keySet).toSet
+    GeneratedColumns.requireNoGeneratedSet(spark, lakeDir,
+      allSets ++ insertAssigned, verb)
+    (lake: DataFrame, vecs: Option[DataFrame]) => {
+      requireNoClash(lake, verb)
       val lakeCols = lake.columns.toSet
       val unknown = (allSets ++ insertAssigned) -- lakeCols
-      require(unknown.isEmpty, "mergeClausesMor: SET/VALUES name " +
+      require(unknown.isEmpty, s"$verb: SET/VALUES name " +
         s"unknown columns ${unknown.toSeq.sorted.mkString(", ")}")
       val genCols = GeneratedColumns.list(fs, lakeDir).map(_._1).toSet
       notMatched.filter(_.values.isEmpty).foreach { _ =>
         val need = lakeCols -- genCols -- source.columns.toSet
-        require(need.isEmpty, "mergeClausesMor: INSERT * needs source " +
+        require(need.isEmpty, s"$verb: INSERT * needs source " +
           s"columns ${need.toSeq.sorted.mkString(", ")} (or assign " +
           "them explicitly)")
       }
@@ -487,7 +557,7 @@ object DeletionVectors {
       val positioned = lake
         .withColumn(FileCol, fileNameCol)
         .withColumn(PosCol, col("_metadata.row_index"))
-      val live = vectors(spark, lakeDir) match {
+      val live = vecs match {
         case None => positioned
         case Some(dv) => positioned.join(
           dv.select(col("file").as(FileCol), col("pos").as(PosCol)),
@@ -590,60 +660,33 @@ object DeletionVectors {
         case (u, i) => u.orElse(i)
       }
       val appended = delta0.map(_.count()).getOrElse(0L)
-      if (nMarked == 0 && appended == 0) (0L, 0L)
-      else {
-      val newDv =
-        if (nMarked == 0) Seq.empty else writePairs(fs, lakeDir, pairs)
-      val delta =
-        if (appended == 0) Seq.empty[String]
-        else {
-          val nDelta = math.max(1L,
-            (appended + targetRowsPerDelta - 1) / targetRowsPerDelta)
-            .toInt
-          val before = CommitLog.dataFileNames(fs, lakeDir)
-          delta0.get.repartition(nDelta).write.mode("append")
-            .parquet(lakeDir)
-          (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
-        }
-      Constraints.validateFiles(spark, lakeDir, delta)
-      GeneratedColumns.validateFiles(spark, lakeDir, delta)
-      val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
-      // change feed: pre-images ride the prepared pass — no second
-      // lake scan, same images as the CoW clause verb
-      val gen =
-        if (!ChangeDataFeed.isEnabled(fs, lakeDir)) None
-        else {
-          val ct = ChangeDataFeed.ChangeTypeCol
-          val g = CommitLog.nextGen(fs, lakeDir)
-          def pre(idxs: Seq[Int], tag: String): Option[DataFrame] =
-            if (idxs.isEmpty) None
-            else Some(prepared
-              .filter(col("__c").isin(idxs.map(Int.box): _*))
-              .select(lake.schema.fieldNames
-                .map(n => col(s"__pre_$n").as(n)).toIndexedSeq: _*)
-              .withColumn(ct, lit(tag)))
-          val segs =
-            pre(deleteIdxs, "delete").toSeq ++
-              pre(updateIdxs, "update_preimage").toSeq ++
-              updated.map(_.withColumn(ct, lit("update_postimage"))) ++
-              inserts.map(_.withColumn(ct, lit("insert")))
-          val cdc =
-            if (segs.isEmpty)
-              lake.limit(0).withColumn(ct, lit("")).limit(0)
-            else segs.reduce(
-              _.unionByName(_, allowMissingColumns = true))
-          ChangeDataFeed.writeChanges(spark, lakeDir, id, g, cdc)
-          Some(g)
-        }
-      CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
-        committed ++ delta,
-        dvNames = coveredDvFiles(fs, lakeDir) ++ newDv,
-        added = delta, gen = gen)
-      indexDir.foreach(idx =>
-        StatsIndex.refreshSameColumns(spark, lakeDir, idx))
-      (nMarked, appended)
-      }
+      ClausesMorPrep(prepared, nMarked, pairs, updated, inserts,
+        delta0, appended, deleteIdxs, updateIdxs)
     }
+  }
+
+  /** The change-feed frame for a prepared MoR clause merge: deletes
+    * and update pre-images project from the `__pre_*` columns the
+    * prepare pass carried (no second lake scan), post-images and
+    * inserts ride as built — identical images to the CoW clause
+    * verb's. */
+  private[sources] def clausesMorChanges(lake: DataFrame,
+      prep: ClausesMorPrep): DataFrame = {
+    val ct = ChangeDataFeed.ChangeTypeCol
+    def pre(idxs: Seq[Int], tag: String): Option[DataFrame] =
+      if (idxs.isEmpty) None
+      else Some(prep.prepared
+        .filter(col("__c").isin(idxs.map(Int.box): _*))
+        .select(lake.schema.fieldNames
+          .map(n => col(s"__pre_$n").as(n)).toIndexedSeq: _*)
+        .withColumn(ct, lit(tag)))
+    val segs =
+      pre(prep.deleteIdxs, "delete").toSeq ++
+        pre(prep.updateIdxs, "update_preimage").toSeq ++
+        prep.updated.map(_.withColumn(ct, lit("update_postimage"))) ++
+        prep.inserts.map(_.withColumn(ct, lit("insert")))
+    if (segs.isEmpty) lake.limit(0).withColumn(ct, lit("")).limit(0)
+    else segs.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Merge-on-read UPDATE: `SET col = <sql-expr>` for every LIVE

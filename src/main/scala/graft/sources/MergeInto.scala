@@ -227,38 +227,55 @@ object MergeInto {
       notMatched: Seq[NotMatchedInsert] = Nil,
       notMatchedBySource: Seq[BySourceClause] = Nil,
       filesPerRewrite: Int = 4,
-      indexDir: Option[String] = None): (Int, Int) = {
+      indexDir: Option[String] = None): (Int, Int) =
+    mutate(spark, lakeDir, "mergeClauses", filesPerRewrite, indexDir)(
+      clausesPlanFor(spark, lakeDir, source0, keys0, matched,
+        notMatched, notMatchedBySource, indexDir, "mergeClauses"))
+
+  /** The clause-grammar PREPARE stage, shared verbatim by the locked
+    * verb above and [[Occ.mergeClauses]]: validates the source/clause
+    * shape once, then returns the plan closure `(lake, committed,
+    * cdcWanted) => (rewriteFiles, survivors, changes)` — the locked
+    * verb runs it under the writer lock, the OCC verb runs it UNLOCKED
+    * against a pinned snapshot. One implementation, two publication
+    * disciplines, so the clause semantics cannot drift between them. */
+  private[sources] def clausesPlanFor(spark: SparkSession,
+      lakeDir: String, source0: DataFrame, keys0: Seq[String],
+      matched: Seq[MatchedClause],
+      notMatched: Seq[NotMatchedInsert],
+      notMatchedBySource: Seq[BySourceClause],
+      indexDir: Option[String], verb: String)
+      : (DataFrame, Seq[String], Boolean) =>
+        (Set[String], Option[DataFrame], Option[DataFrame]) = {
     import org.apache.spark.sql.Column
-    requireClauseShape(matched, notMatched, notMatchedBySource,
-      "mergeClauses")
+    requireClauseShape(matched, notMatched, notMatchedBySource, verb)
     val fs0 = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keys = keys0.map(ColumnMapping.mapping(fs0, lakeDir).physicalOf)
     val source = ColumnMapping.toPhysical(spark, lakeDir, source0)
     require(!source.columns.contains("__m") &&
       !source.columns.contains("__c"),
-      "mergeClauses: source columns __m/__c collide with merge markers")
+      s"$verb: source columns __m/__c collide with merge markers")
     val missingKeys = keys.toSet -- source.columns.toSet
-    require(missingKeys.isEmpty, "mergeClauses: source lacks key " +
+    require(missingKeys.isEmpty, s"$verb: source lacks key " +
       s"columns ${missingKeys.toSeq.sorted.mkString(", ")}")
-    requireUniqueKeys(source, keys, "mergeClauses")
+    requireUniqueKeys(source, keys, verb)
     val allSets = (matched.collect { case MatchedUpdate(s, _) => s } ++
       notMatchedBySource.collect { case BySourceUpdate(s, _) => s })
       .flatMap(_.keySet).toSet
     val insertAssigned = notMatched.flatMap(_.values.keySet).toSet
     GeneratedColumns.requireNoGeneratedSet(spark, lakeDir,
-      allSets ++ insertAssigned, "mergeClauses")
+      allSets ++ insertAssigned, verb)
     val holds = holdsCond _
-    mutate(spark, lakeDir, "mergeClauses", filesPerRewrite,
-        indexDir) { (lake, committed, cdcWanted) =>
+    (lake: DataFrame, committed: Seq[String], cdcWanted: Boolean) => {
       val lakeCols = lake.columns.toSet
       val unknown = (allSets ++ insertAssigned) -- lakeCols
-      require(unknown.isEmpty, "mergeClauses: SET/VALUES name unknown " +
+      require(unknown.isEmpty, s"$verb: SET/VALUES name unknown " +
         s"columns ${unknown.toSeq.sorted.mkString(", ")}")
       val genCols = GeneratedColumns.list(fs0, lakeDir).map(_._1).toSet
       notMatched.filter(_.values.isEmpty).foreach { _ =>
         val need = lakeCols -- genCols -- source.columns.toSet
-        require(need.isEmpty, "mergeClauses: INSERT * needs source " +
+        require(need.isEmpty, s"$verb: INSERT * needs source " +
           s"columns ${need.toSeq.sorted.mkString(", ")} (or assign " +
           "them explicitly)")
       }

@@ -817,4 +817,220 @@ object Occ {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** OCC `MERGE INTO` with the FULL clause grammar — [[MergeInto
+    * .mergeClauses]]'s semantics (conditional matched UPDATE/DELETE,
+    * conditional NOT MATCHED INSERT, NOT MATCHED BY SOURCE
+    * UPDATE/DELETE) with the writer lock held only for the
+    * metadata-scale commit section. The prepare — discovery, clause
+    * evaluation, rewrite staging, change images — is the locked verb's
+    * OWN plan ([[MergeInto.clausesPlanFor]], one implementation, two
+    * publication disciplines) run UNLOCKED against a pinned snapshot.
+    * Conflict rules mirror [[merge]]: a touched file retired, a
+    * deletion vector or definition change, or the change feed flipping
+    * on since staging → delete the staged bytes and retry on a fresh
+    * snapshot; a concurrent blind APPEND never conflicts — its files
+    * are carried (two clause merges over DISJOINT files both commit,
+    * the overlapping pair conflicts exactly once). Returns
+    * (filesRewritten, filesCarried at commit time). */
+  def mergeClauses(spark: SparkSession, lakeDir: String,
+      source0: DataFrame, keys0: Seq[String],
+      matched: Seq[MergeInto.MatchedClause] = Nil,
+      notMatched: Seq[MergeInto.NotMatchedInsert] = Nil,
+      notMatchedBySource: Seq[MergeInto.BySourceClause] = Nil,
+      filesPerRewrite: Int = 4, indexDir: Option[String] = None,
+      maxRetries: Int = 5, commitWaitMs: Long = 30000L,
+      beforeCommit: () => Unit = () => ()): (Int, Int) = {
+    val fs = fsOf(spark, lakeDir)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"mergeClauses(occ): $lakeDir has no commit log — cannot " +
+        "publish atomically")
+    val plan = MergeInto.clausesPlanFor(spark, lakeDir, source0, keys0,
+      matched, notMatched, notMatchedBySource, indexDir,
+      "mergeClauses(occ)")
+    sweepStaleStages(fs, lakeDir)
+    var attempt = 0
+    while (true) {
+      // ---- PREPARE (no lock): the locked verb's plan, pinned ----
+      val (filesSnap, dvSnap) = CommitLog.committedView(fs, lakeDir)
+      val defsSnap = defsSnapshot(fs, lakeDir)
+      require(dvSnap.isEmpty,
+        s"mergeClauses(occ): $lakeDir has unapplied deletion vectors " +
+          "— run DeletionVectors.compact first (a copy-on-write " +
+          "rewrite would resurrect DV-deleted rows)")
+      require(filesSnap.nonEmpty,
+        s"mergeClauses(occ): no committed files in $lakeDir — ingest " +
+          "first")
+      val committed = filesSnap.toSeq.sorted
+      val lake = spark.read.option("mergeSchema", "true")
+        .parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*)
+      val cdcWanted = ChangeDataFeed.isEnabled(fs, lakeDir)
+      val (touched, survivors, changes) = plan(lake, committed, cdcWanted)
+      val stage = stageDir(lakeDir)
+      val fresh = survivors match {
+        case None => Seq.empty[String]
+        case Some(sv) =>
+          sv.repartition(filesPerRewrite).write.parquet(s"$stage/data")
+          stagedNames(fs, s"$stage/data")
+      }
+      Constraints.validatePaths(spark, lakeDir,
+        fresh.map(n => s"$stage/data/$n"))
+      GeneratedColumns.validatePaths(spark, lakeDir,
+        fresh.map(n => s"$stage/data/$n"))
+      if (cdcWanted)
+        changes.getOrElse(throw new IllegalStateException(
+          "mergeClauses(occ): change feed enabled but no change " +
+            "frame built")).write.parquet(s"$stage/cdc")
+      beforeCommit()
+      // ---- COMMIT SECTION (locked, metadata-scale) ----
+      var carried = -1
+      val won = CommitLog.withWriterLock(fs, lakeDir,
+          waitMs = commitWaitMs) {
+        val (curFiles, curDv) = CommitLog.committedView(fs, lakeDir)
+        if (curDv != dvSnap ||
+            defsSnapshot(fs, lakeDir) != defsSnap ||
+            !touched.subsetOf(curFiles) ||
+            (!cdcWanted && ChangeDataFeed.isEnabled(fs, lakeDir))) false
+        else {
+          renameInto(fs, s"$stage/data", fresh, lakeDir)
+          val carry = (curFiles -- touched).toSeq.sorted
+          carried = carry.size
+          val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+          val gen =
+            if (!cdcWanted) None
+            else {
+              val g = CommitLog.nextGen(fs, lakeDir)
+              ChangeDataFeed.publishStaged(fs, lakeDir, id, g,
+                s"$stage/cdc")
+              Some(g)
+            }
+          CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
+            (carry ++ fresh).sorted,
+            added = fresh, removed = touched.toSeq.sorted, gen = gen)
+          // replaced files are unreferenced; sweep under the lock so
+          // the plain directory read converges immediately
+          CommitLog.vacuum(fs, lakeDir, olderThanMs = 0L)
+          indexDir.foreach(idx =>
+            StatsIndex.refreshSameColumns(spark, lakeDir, idx))
+          true
+        }
+      }
+      fs.delete(new Path(stage), true)
+      if (won) return (touched.size, carried)
+      attempt += 1
+      require(attempt < maxRetries,
+        s"mergeClauses(occ): $maxRetries consecutive commit conflicts " +
+          s"on $lakeDir — retry later or use the locked verb")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** OCC MERGE-ON-READ clause merge — [[DeletionVectors
+    * .mergeClausesMor]]'s semantics (claimed rows DV-marked, post-SET
+    * images and inserts appended as target-sized delta files, one
+    * checkpoint) with the lock held only for the commit section. The
+    * prepare is the locked verb's own pass ([[DeletionVectors
+    * .clausesMorPrepare]]) run UNLOCKED against a pinned snapshot's
+    * files AND vectors — a torn (files, vectors) pair can never feed
+    * the clause evaluation. ANY interleaved commit conflicts (the
+    * claimed positions may have moved or died), exactly [[mergeMor]]'s
+    * rule; the loser re-prepares on a fresh snapshot. Returns
+    * (rowsMarked, rowsAppended); (0, 0) publishes nothing. */
+  def mergeClausesMor(spark: SparkSession, lakeDir: String,
+      source0: DataFrame, keys0: Seq[String],
+      matched: Seq[MergeInto.MatchedClause] = Nil,
+      notMatched: Seq[MergeInto.NotMatchedInsert] = Nil,
+      notMatchedBySource: Seq[MergeInto.BySourceClause] = Nil,
+      indexDir: Option[String] = None,
+      targetRowsPerDelta: Long = 1L << 20,
+      maxRetries: Int = 5, commitWaitMs: Long = 30000L,
+      beforeCommit: () => Unit = () => ()): (Long, Long) = {
+    require(targetRowsPerDelta > 0, "targetRowsPerDelta must be positive")
+    val fs = fsOf(spark, lakeDir)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"mergeClausesMor(occ): $lakeDir has no commit log — cannot " +
+        "publish atomically")
+    val prepare = DeletionVectors.clausesMorPrepare(spark, lakeDir,
+      source0, keys0, matched, notMatched, notMatchedBySource,
+      "mergeClausesMor(occ)")
+    sweepStaleStages(fs, lakeDir)
+    var attempt = 0
+    while (true) {
+      // ---- PREPARE (no lock): the locked verb's pass, pinned ----
+      val snap @ (filesSnap, dvSnap) = CommitLog.committedView(fs, lakeDir)
+      val defsSnap = defsSnapshot(fs, lakeDir)
+      require(filesSnap.nonEmpty,
+        s"mergeClausesMor(occ): no committed files in $lakeDir — " +
+          "ingest first")
+      val committed = filesSnap.toSeq.sorted
+      val lake = spark.read.option("mergeSchema", "true")
+        .parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*)
+      val prep = prepare(lake,
+        DeletionVectors.vectorsFor(spark, lakeDir, dvSnap))
+      if (prep.nMarked == 0 && prep.appended == 0) return (0L, 0L)
+      val stage = stageDir(lakeDir)
+      val newDv =
+        if (prep.nMarked == 0) Seq.empty[String]
+        else {
+          prep.pairs.repartition(1).write.parquet(s"$stage/dv")
+          stagedNames(fs, s"$stage/dv")
+        }
+      val delta =
+        if (prep.appended == 0) Seq.empty[String]
+        else {
+          val nDelta = math.max(1L,
+            (prep.appended + targetRowsPerDelta - 1) /
+              targetRowsPerDelta).toInt
+          prep.delta0.get.repartition(nDelta).write
+            .parquet(s"$stage/data")
+          stagedNames(fs, s"$stage/data")
+        }
+      Constraints.validatePaths(spark, lakeDir,
+        delta.map(n => s"$stage/data/$n"))
+      GeneratedColumns.validatePaths(spark, lakeDir,
+        delta.map(n => s"$stage/data/$n"))
+      val cdcWanted = ChangeDataFeed.isEnabled(fs, lakeDir)
+      if (cdcWanted)
+        DeletionVectors.clausesMorChanges(lake, prep)
+          .write.parquet(s"$stage/cdc")
+      beforeCommit()
+      // ---- COMMIT SECTION (locked, metadata-scale) ----
+      val won = CommitLog.withWriterLock(fs, lakeDir,
+          waitMs = commitWaitMs) {
+        if (CommitLog.committedView(fs, lakeDir) != snap ||
+            defsSnapshot(fs, lakeDir) != defsSnap ||
+            (!cdcWanted && ChangeDataFeed.isEnabled(fs, lakeDir))) false
+        else {
+          renameInto(fs, s"$stage/dv", newDv,
+            DeletionVectors.dvDir(lakeDir))
+          renameInto(fs, s"$stage/data", delta, lakeDir)
+          val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+          val gen =
+            if (!cdcWanted) None
+            else {
+              val g = CommitLog.nextGen(fs, lakeDir)
+              ChangeDataFeed.publishStaged(fs, lakeDir, id, g,
+                s"$stage/cdc")
+              Some(g)
+            }
+          CommitLog.commitMutationCheckpoint(fs, lakeDir, id,
+            committed ++ delta,
+            dvNames = dvSnap.toSeq.sorted ++ newDv,
+            added = delta, gen = gen)
+          indexDir.foreach(idx =>
+            StatsIndex.refreshSameColumns(spark, lakeDir, idx))
+          true
+        }
+      }
+      fs.delete(new Path(stage), true)
+      if (won) return (prep.nMarked, prep.appended)
+      attempt += 1
+      require(attempt < maxRetries,
+        s"mergeClausesMor(occ): $maxRetries consecutive commit " +
+          s"conflicts on $lakeDir — the lake is mutating faster than " +
+          "this merge can re-prepare; retry later or use the locked " +
+          "verb")
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

@@ -355,6 +355,52 @@ class ChangeDataFeedSpec extends SparkSpec {
       .select(col("k")).as[Int].head() == 5)
   }
 
+  test("a losing OCC CLAUSE merge's staged change rows are never " +
+    "served; the retry publishes its whole clause program exactly once") {
+    import graft.sources.Occ
+    import graft.sources.MergeInto.{MatchedDelete, MatchedUpdate,
+      NotMatchedInsert}
+    val lake = mkLake()
+    ChangeDataFeed.enable(spark, lake)
+    val from = ChangeDataFeed.currentVersion(spark, lake)
+    // clause program: delete k=5, fallthrough-update k=6, insert 9999;
+    // a conflicting MoR update (k=7) lands inside the merge's window,
+    // so the merge loses once and its FIRST attempt's staged images
+    // (delete + pre/post + insert) must all vanish with it
+    var injected = false
+    val src = Seq((5, 0L), (6, -6L), (9999, 123L)).toDF("k", "nv")
+    val (marked, appended) = Occ.mergeClausesMor(spark, lake, src,
+      Seq("k"),
+      matched = Seq(
+        MatchedDelete(Some("t.k = 5")),
+        MatchedUpdate(Map("v" -> "s.nv"))),
+      notMatched = Seq(NotMatchedInsert(
+        Map("k" -> "s.k", "v" -> "s.nv", "s" -> "'new'"))),
+      beforeCommit = () => {
+        if (!injected) {
+          injected = true
+          Occ.updateMor(spark, lake, "k = 7", Map("v" -> "0")): Unit
+        }
+      })
+    assert(injected, "the conflict must actually have been injected")
+    assert(marked == 2L && appended == 2L, s"($marked, $appended)")
+    val feed = ChangeDataFeed.read(spark, lake, from,
+      ChangeDataFeed.currentVersion(spark, lake))
+    val byType = feed.groupBy(col("_change_type")).count()
+      .as[(String, Long)].collect().toMap
+    // one delete (k=5), two updates (k=6 from the retry, k=7 from the
+    // interleaved winner), one insert (9999) — nothing doubled
+    assert(byType == Map("delete" -> 1L, "insert" -> 1L,
+      "update_preimage" -> 2L, "update_postimage" -> 2L),
+      byType.toString)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select(col("k")).as[Int].head() == 5)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .select(col("k")).as[Int].collect().toSet == Set(6, 7))
+    assert(feed.filter(col("_change_type") === "insert")
+      .select(col("k")).as[Int].head() == 9999)
+  }
+
   test("vacuum reclaims _cdf directories no live checkpoint claims — " +
     "crash debris and folded-away versions — and keeps the live feed") {
     val lake = mkLake()

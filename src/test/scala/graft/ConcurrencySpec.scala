@@ -415,6 +415,79 @@ class ConcurrencySpec extends SparkSpec {
       "DV-deleted rows must not be resurrected by the rewrite")
   }
 
+  test("OCC clause merges: two over DISJOINT files commit " +
+    "concurrently (no retry — the carry recomputes); an OVERLAPPING " +
+    "pair conflicts exactly once and both clause programs apply") {
+    import graft.sources.MergeInto
+    import graft.sources.MergeInto.MatchedUpdate
+    // two-file lake: batch 0 holds k < 200, batch 1 holds k >= 1000
+    val dir = Files.createTempDirectory("graft_occ_cl_").toString
+    val lake = s"$dir/lake"
+    val f = fs(lake)
+    (0 until 200).map(k => (k, 2L * k)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(lake)
+    CommitLog.commit(f, lake, 0L,
+      CommitLog.dataFileNames(f, lake).toSeq.sorted)
+    val before = CommitLog.dataFileNames(f, lake)
+    (1000 until 1200).map(k => (k, 2L * k)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(lake)
+    CommitLog.commit(f, lake, 1L,
+      (CommitLog.dataFileNames(f, lake) -- before).toSeq.sorted)
+    // DISJOINT: the outer merge touches only the k<200 file; the
+    // inner one (committed inside its window) rewrites only the
+    // k>=1000 file — the outer's touched files all survive, so its
+    // commit section must WIN on the first attempt, carrying the
+    // inner merge's fresh files
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val injected = new AtomicBoolean(false)
+    Occ.mergeClauses(spark, lake,
+      (0 until 50).map(k => (k, -1L)).toDF("k", "nv"), Seq("k"),
+      matched = Seq(MatchedUpdate(Map("v" -> "s.nv"))),
+      beforeCommit = () => {
+        calls.incrementAndGet()
+        if (injected.compareAndSet(false, true)) {
+          Occ.mergeClauses(spark, lake,
+            (1000 until 1050).map(k => (k, -2L)).toDF("k", "nv"),
+            Seq("k"),
+            matched = Seq(MatchedUpdate(Map("v" -> "s.nv")))): Unit
+        }
+      })
+    assert(calls.get() == 1,
+      s"disjoint clause merges must not conflict (${calls.get()} attempts)")
+    val got = graft.streaming.LayoutSink.readCommitted(spark, lake)
+    assert(got.count() == 400L)
+    assert(got.filter(col("k") < 50 && col("v") =!= -1L).count() == 0L)
+    assert(got.filter(col("k") >= 1000 && col("k") < 1050 &&
+      col("v") =!= -2L).count() == 0L)
+
+    // OVERLAPPING: same file — exactly one retry; the loser
+    // re-evaluates its clauses on the winner's version, so both
+    // programs apply (outer last on the shared keys)
+    val lake2 = mkLake()
+    val injected2 = new AtomicBoolean(false)
+    val calls2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    Occ.mergeClauses(spark, lake2,
+      (0 to 30).map(k => (k, -7L)).toDF("k", "nv"), Seq("k"),
+      matched = Seq(MatchedUpdate(Map("v" -> "s.nv"))),
+      beforeCommit = () => {
+        calls2.incrementAndGet()
+        if (injected2.compareAndSet(false, true)) {
+          MergeInto.mergeClauses(spark, lake2,
+            (20 to 60).map(k => (k, -9L)).toDF("k", "nv"), Seq("k"),
+            matched = Seq(MatchedUpdate(Map("v" -> "s.nv")))): Unit
+        }
+      })
+    assert(calls2.get() == 2,
+      s"expected exactly one retry, saw ${calls2.get()} attempts")
+    val got2 = graft.streaming.LayoutSink.readCommitted(spark, lake2)
+    assert(got2.count() == 200L)
+    assert(got2.filter(col("k") <= 30 && col("v") =!= -7L).count() == 0L,
+      "the retried outer program must apply last on the overlap")
+    assert(got2.filter(col("k") > 30 && col("k") <= 60 &&
+      col("v") =!= -9L).count() == 0L,
+      "the interleaved winner's program must not be lost")
+  }
+
   test("the change feed flipping ON inside an OCC verb's window is a " +
     "conflict: the verb retries and the published version carries " +
     "change data") {

@@ -7,15 +7,19 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
 
-/** LSH bucket-skew defense (r11 VERDICT ask #1): oversized buckets must
-  * be dropped BEFORE `collect_list`, so a saturated bucket never
-  * materialises its id list in one aggregation buffer. The adversarial
-  * corpus here puts 30% of all documents behind ONE template text (→
-  * one saturated bucket per band); the spec asserts the cap both
-  * semantically (no pairs from the saturated set, planted near-dup
-  * signal intact) and through Spark's own SQLMetrics (the join feeding
-  * the collect sees exactly the surviving banded rows — the saturated
-  * ids provably never reach an aggregation buffer). */
+/** LSH bucket-skew defense (r11 VERDICT ask #1, restructured r13 per
+  * ask #4): oversized buckets must be dropped BEFORE `collect_list`,
+  * so a saturated bucket never materialises its id list in one
+  * aggregation buffer. The cap is a spill-safe window count riding the
+  * collect's OWN shuffle — one exchange, no join, the banded pipeline
+  * computed once. The adversarial corpus here puts 30% of all
+  * documents behind ONE template text (→ one saturated bucket per
+  * band); the spec asserts the cap semantically (no pairs from the
+  * saturated set, planted near-dup signal intact), structurally (no
+  * join in the plan — the r12 prepass+join shape recomputed the banded
+  * pipeline twice) and through Spark's own SQLMetrics (the cap filter
+  * passes exactly the surviving banded rows — the saturated ids
+  * provably never reach an aggregation buffer). */
 class LshSkewSpec extends SparkSpec {
   import spark.implicits._
 
@@ -38,7 +42,8 @@ class LshSkewSpec extends SparkSpec {
     LshSkewSpec.allPhysicalNodes(p)
 
   test("saturated bucket is dropped before collect_list: no pairs from " +
-    "it, near-dup signal intact, join metric == surviving banded rows") {
+    "it, near-dup signal intact, cap-filter metric == surviving " +
+    "banded rows, one shuffle and no join") {
     val cap = 50
     val pairs = Dedup.lshCandidatePairs(docs, maxBucket = Some(cap))
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -50,11 +55,11 @@ class LshSkewSpec extends SparkSpec {
     assert(!got.exists(p => p._1 >= 10000L && p._2 >= 10000L),
       "saturated-bucket pairs leaked through the cap")
 
-    // metrics: the one join in the plan (banded ⋈ surviving keys) feeds
-    // the collect_list aggregate; its output-row SQLMetric must equal
-    // the independently computed count of banded rows in buckets of
-    // size (1, cap] — i.e. the 4×300 saturated rows never reached an
-    // aggregation buffer
+    // metrics: the window-count cap filter feeds the collect_list
+    // aggregate; its output-row SQLMetric must equal the independently
+    // computed count of banded rows in buckets of size (1, cap] —
+    // i.e. the 4×300 saturated rows never reached an aggregation
+    // buffer
     val banded = Dedup.bandedSignatures(docs)
     val survivors = banded.groupBy($"band", $"band_key")
       .agg(count(lit(1)).as("n"))
@@ -63,12 +68,23 @@ class LshSkewSpec extends SparkSpec {
     val totalBanded = banded.count()
     assert(totalBanded - survivors >= 4 * 300L,
       "fixture lost its saturation: the template block must dominate")
-    val joins = allNodes(pairs.queryExecution.executedPlan)
-      .collect { case j: BaseJoinExec => j }
-    assert(joins.nonEmpty, "cap pre-filter join missing from the plan")
-    val joinOut = joins.map(_.metrics("numOutputRows").value).max
-    assert(joinOut == survivors,
-      s"collect_list consumed $joinOut rows, expected $survivors " +
+    val nodes = allNodes(pairs.queryExecution.executedPlan)
+    // structure: the cap rides the collect's own shuffle — no join
+    // anywhere (the r12 prepass+join shape planned one and recomputed
+    // the banded pipeline on both of its sides)
+    assert(!nodes.exists(_.isInstanceOf[BaseJoinExec]),
+      "the window-count cap must not plan a join")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "spill-safe window count missing from the plan")
+    val capFilters = nodes.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("_bn") => f
+    }
+    assert(capFilters.nonEmpty, "cap filter missing from the plan")
+    val filterOut = capFilters.map(_.metrics("numOutputRows").value).max
+    assert(filterOut == survivors,
+      s"collect_list consumed $filterOut rows, expected $survivors " +
         "(saturated ids reached the aggregation buffer)")
   }
 
