@@ -99,6 +99,82 @@ object CdfScale {
         println("  " + (if (i > 0) "," else "") + l)
       }
     println("]}")
+    retentionCells(spark, sf01)
     spark.stop()
+  }
+
+  /** FEED RETENTION HORIZON (r12 VERDICT ask #8): `_cdf` directories
+    * age into vacuum's sweep once [[CommitLog.retention]] expires
+    * their versions' records — this arm MEASURES that operational
+    * contract at two churn sizes. Six MoR updates of B keys each;
+    * age-based retention (injected clock) expires the first ~half;
+    * vacuum then reclaims exactly the expired mutations' `_cdf`
+    * bytes — reclaimed ∝ expired churn, and the live feed window
+    * stays servable — while a cursor from BELOW the fold fails fast
+    * with the resync message (a lagging consumer can never silently
+    * skip the expired changes). */
+  private def retentionCells(spark: SparkSession, sf01: String): Unit = {
+    import graft.sources.DeletionVectors
+    import spark.implicits._
+    val nBatches = 6
+    println("""{"probe":"cdf_retention","cells":[""")
+    Seq(500, 5000).zipWithIndex.foreach { case (b, i) =>
+      val lake = buildLake(spark, sf01, s"ret_$b", 16)
+      val fs = new Path(lake)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      ChangeDataFeed.enable(spark, lake)
+      val from = ChangeDataFeed.currentVersion(spark, lake)
+      val keys = spark.read.parquet(s"$sf01/lineitem.parquet")
+        .select(col("l_orderkey")).distinct().orderBy(col("l_orderkey"))
+        .limit(b * nBatches + 1).as[Long].collect()
+      val oneRow = spark.read.parquet(s"$sf01/lineitem.parquet")
+        .limit(1).localCheckpoint()
+      var tMid = 0L
+      var liveFrom = from
+      (0 until nBatches).foreach { j =>
+        if (j == nBatches / 2) { Thread.sleep(1500L)
+          tMid = System.currentTimeMillis() }
+        if (j == nBatches - 1)
+          liveFrom = ChangeDataFeed.currentVersion(spark, lake)
+        // a 1-row blind append first: retention expires whole IDS (a
+        // fold cannot split same-id generations), so each batch must
+        // claim its own commit id before its MoR update publishes at it
+        graft.sources.Occ.append(spark, lake, oneRow): Unit
+        val (lo, hi) = (keys(j * b), keys((j + 1) * b))
+        DeletionVectors.updateMor(spark, lake,
+          s"l_orderkey >= $lo AND l_orderkey < $hi",
+          Map("l_quantity" -> "l_quantity + 1")): Unit
+      }
+      def cdfBytes: Long = {
+        val p = new Path(s"$lake/_cdf")
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      }
+      val before = cdfBytes
+      val now = System.currentTimeMillis()
+      val (expired, _) = CommitLog.retention(fs, lake,
+        olderThanMs = now - tMid, graceMs = 0L, nowMs = now)
+      val sweptCdf = CommitLog.vacuum(fs, lake, olderThanMs = 0L)
+        .count(_.startsWith("_cdf/"))
+      val after = cdfBytes
+      // the live window still serves; a pre-fold cursor fails fast
+      val head = ChangeDataFeed.currentVersion(spark, lake)
+      val liveRows = ChangeDataFeed.read(spark, lake, liveFrom, head)
+        .count()
+      val failFast =
+        try { ChangeDataFeed.read(spark, lake, from, head).count(); false }
+        catch {
+          case e: ChangeDataFeed.FeedUnservableException =>
+            e.getMessage.contains("resync")
+        }
+      require(failFast,
+        "a pre-fold cursor must fail fast with the resync message")
+      val l = f"""{"cell":$b,"batches":$nBatches,""" +
+        f""""records_expired":$expired,"cdf_dirs_swept":$sweptCdf,""" +
+        f""""cdf_bytes_before":$before,"cdf_bytes_after":$after,""" +
+        f""""cdf_bytes_reclaimed":${before - after},""" +
+        f""""live_window_rows":$liveRows,"prefold_cursor_fails":true}"""
+      println("  " + (if (i > 0) "," else "") + l)
+    }
+    println("]}")
   }
 }

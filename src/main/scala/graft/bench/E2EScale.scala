@@ -21,11 +21,13 @@ object E2EScale {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  /** One window-heavy + one training-heavy cell: feature-engineered RF
-    * (13 engineered features over per-day windows) and raw SVM (pure
-    * LinearSVC iterations). The remaining cells are linear mixes of
-    * these two phases. */
-  val Cells: Seq[String] = Seq("e2e_rf_fe", "e2e_svm_raw")
+  /** One window-heavy + one training-heavy cell — feature-engineered
+    * RF (13 engineered features over per-day windows) and raw SVM
+    * (pure LinearSVC iterations) — plus the headline `e2e_rf_raw`
+    * (r12 VERDICT ask #6: the flagship baseline-comparison cell,
+    * measured at the reference's published 671k scale AND 10×). The
+    * remaining cells are linear mixes of these phases. */
+  val Cells: Seq[String] = Seq("e2e_rf_raw", "e2e_rf_fe", "e2e_svm_raw")
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.filter(_.forall(_.isDigit))

@@ -44,7 +44,8 @@ object FeedStreamScale {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val sf = "/root/testdata/sf0.1"
-    val sizes = Seq(1000, 5000, 25000) // distinct orderkeys per batch
+    val sizes = Seq(1000, 5000, 20000) // distinct orderkeys per batch
+    // (sf0.1 lineitem holds ~150k distinct orderkeys; 20000×6 fits)
 
     def pollMsAvg(lake: String, n: Int = 50): Double =
       secs { (1 to n).foreach { _ =>

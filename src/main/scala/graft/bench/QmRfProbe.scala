@@ -47,8 +47,13 @@ object QmRfProbe {
         col("l_extendedprice"), col("l_discount"), col("l_tax"),
         col("l_linenumber").cast("double").as("lineno"))
       // fitPredict's exact shape: cache the RAW frame, split, assemble
-      // INSIDE the pipeline fit (the assembler is a pipeline stage)
-      val cached = feat.cache()
+      // INSIDE the pipeline fit (the assembler is a pipeline stage).
+      // SPARK_GRAFT_QM_PARTS=0 probes the pre-fix single-partition
+      // scan; default mirrors qm1's fitPartitions = Some(32)
+      val parts = sys.env.get("SPARK_GRAFT_QM_PARTS")
+        .flatMap(p => scala.util.Try(p.toInt).toOption).getOrElse(32)
+      val cached =
+        (if (parts > 0) feat.repartition(parts) else feat).cache()
       t("feature_cache") = secs { cached.count(): Unit }
       var train: org.apache.spark.sql.DataFrame = null
       var test: org.apache.spark.sql.DataFrame = null

@@ -85,14 +85,25 @@ object MlPipelines {
   def fitPredict(data: DataFrame, featureCols: Seq[String],
       classifier: org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]],
       seed: Option[Long] = Some(42L),
-      labelCol: String = "buy_or_sell"): (PipelineModel, DataFrame) = {
+      labelCol: String = "buy_or_sell",
+      fitPartitions: Option[Int] = None): (PipelineModel, DataFrame) = {
     val pipeline = new Pipeline().setStages(Array(
       assembler(featureCols),
       classifier.asInstanceOf[org.apache.spark.ml.PipelineStage]))
     // cache before the double scan: randomSplit plans two weighted samples
     // of the upstream DAG; the reference re-executes its whole 13-join FE
-    // plan twice because it never caches (SURVEY.md §4.1)
-    val cached = data.cache()
+    // plan twice because it never caches (SURVEY.md §4.1).
+    // fitPartitions: a frame scanned from ONE small parquet file plans
+    // ONE partition, and the classifier's treeAggregate rounds inherit
+    // it — the fit runs single-core on a 32-core box (the r12 qm1
+    // "regression": QmRfProbe measured rf_fit at 83% of the cell).
+    // Callers whose input is a narrow scan pass an explicit constant
+    // (randomSplit stays deterministic — it sorts each partition before
+    // sampling — and a constant keeps goldens machine-independent);
+    // callers whose input already carries a real partitioning (the e2e
+    // labeled frames) leave it unset and plan no extra shuffle.
+    val cached = fitPartitions.map(data.repartition(_))
+      .getOrElse(data).cache()
     val Array(train, test) = seed
       .map(sd => cached.randomSplit(Array(0.7, 0.3), sd))
       .getOrElse(cached.randomSplit(Array(0.7, 0.3)))

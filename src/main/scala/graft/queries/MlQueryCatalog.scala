@@ -32,8 +32,12 @@ object MlQueryCatalog {
     * (numTrees=10, gini, maxDepth=10, maxBins=32, seed=42), 70/30 split
     * seed 42, native confusion matrix (no collect+sklearn). */
   val qm1RfConfusion: Q = (s, dir) => {
+    // fitPartitions: the feature frame scans ONE small parquet file
+    // (one partition) — without the explicit spread the RF fit's
+    // treeAggregate rounds run single-core (r12's qm1 17.6 s; 9.5 s
+    // with it — SCALE.md §"qm1_rf_confusion phase split")
     val (_, pred) = MlPipelines.fitPredict(featureFrame(s, dir), featCols,
-      MlPipelines.rfMllibParity())
+      MlPipelines.rfMllibParity(), fitPartitions = Some(32))
     MlPipelines.confusionMatrix(pred)
   }
 
@@ -52,8 +56,9 @@ object MlQueryCatalog {
   /** M6+M11 — LinearSVC (maxIter=10, regParam=0.1) with confusion
     * matrix. */
   val qm3SvmConfusion: Q = (s, dir) => {
+    // fitPartitions: same single-file-scan starvation as qm1
     val (_, pred) = MlPipelines.fitPredict(featureFrame(s, dir), featCols,
-      MlPipelines.svm(), seed = Some(123L))
+      MlPipelines.svm(), seed = Some(123L), fitPartitions = Some(32))
     MlPipelines.confusionMatrix(pred)
   }
 

@@ -422,6 +422,49 @@ class ChangeDataFeedSpec extends SparkSpec {
     assert(swept2.contains("_cdf/2.1"), swept2.toString)
   }
 
+  test("age-based retention: expired mutations' feed directories age " +
+    "into vacuum's sweep, a pre-fold cursor fails fast with the " +
+    "resync message, the live window keeps serving") {
+    val lake = mkLake() // appends at ids 0..2
+    val f = fs(lake)
+    ChangeDataFeed.enable(spark, lake)
+    MergeInto.update(spark, lake, "k = 0", Map("v" -> "1")) // (2,1)
+    def appendBatch(id: Long, k: Int): Unit = {
+      val before = CommitLog.dataFileNames(f, lake)
+      Seq((k, 1L, "x")).toDF("k", "v", "s").coalesce(1)
+        .write.mode("append").parquet(lake)
+      CommitLog.commit(f, lake, id,
+        (CommitLog.dataFileNames(f, lake) -- before).toSeq.sorted)
+    }
+    appendBatch(3, 5000) // the expired region ends at a strict id
+    Thread.sleep(1200L)  // boundary below this append
+    val tMid = System.currentTimeMillis()
+    val liveFrom = ChangeDataFeed.currentVersion(spark, lake) // (3,0)
+    appendBatch(4, 5001)
+    // MoR on purpose: a CoW rewrite would sweep (2,1)'s files and the
+    // retention fold at that boundary would (correctly) fail loudly
+    graft.sources.DeletionVectors.updateMor(spark, lake, "k = 1",
+      Map("v" -> "2")): Unit // (4,1)
+    val now = System.currentTimeMillis()
+    val (expired, _) = CommitLog.retention(f, lake,
+      olderThanMs = now - tMid, graceMs = 0L, nowMs = now)
+    assert(expired > 0, "retention must expire the pre-cutoff versions")
+    val swept = CommitLog.vacuum(f, lake, olderThanMs = 0L)
+    assert(swept.contains("_cdf/2.1"),
+      s"the expired mutation's feed directory must be reclaimed: $swept")
+    assert(f.listStatus(new Path(s"$lake/_cdf")).exists(
+      _.getPath.getName.startsWith("4.")),
+      "the live mutation's feed directory must survive")
+    val head = ChangeDataFeed.currentVersion(spark, lake)
+    // post-retention consumers keep streaming: insert + pre/post images
+    assert(ChangeDataFeed.read(spark, lake, liveFrom, head).count() == 3)
+    // a consumer lagging past the horizon is told to resync, loudly
+    val ex = intercept[ChangeDataFeed.FeedUnservableException] {
+      ChangeDataFeed.read(spark, lake, Version(1, 0), head).count(): Unit
+    }
+    assert(ex.getMessage.contains("resync"), ex.getMessage)
+  }
+
   test("crash debris: an orphan _cdf directory no checkpoint claims " +
     "is never served and is replaced by the next claimant") {
     val lake = mkLake()

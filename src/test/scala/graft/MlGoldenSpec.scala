@@ -35,12 +35,16 @@ class MlGoldenSpec extends SparkSpec {
       s"$what drifted: got $got, golden $want (eps $eps)")
 
   test("GOLDEN qm1: RF (seed 42) AUC/accuracy/F1 pinned") {
+    // fitPartitions = Some(32): the catalog's exact call shape (the
+    // r13 single-file-scan fix) — and it makes the split/fit
+    // partitioning an explicit constant instead of whatever the scan
+    // planned, so the golden is machine-independent too
     val (_, pred) = MlPipelines.fitPredict(featureFrame, featCols,
-      MlPipelines.rfMllibParity())
+      MlPipelines.rfMllibParity(), fitPartitions = Some(32))
     val m = MlPipelines.evaluate(pred)
-    approx(m("areaUnderROC"), 0.5001007323035657, 1e-6, "rf AUC")
-    approx(m("accuracy"), 0.49767441860465117, 1e-6, "rf accuracy")
-    approx(m("f1"), 0.4975242843074843, 1e-6, "rf f1")
+    approx(m("areaUnderROC"), 0.5129373596952858, 1e-6, "rf AUC")
+    approx(m("accuracy"), 0.5126005361930295, 1e-6, "rf accuracy")
+    approx(m("f1"), 0.5125604537813004, 1e-6, "rf f1")
   }
 
   test("GOLDEN qm2: PCA explainedVariance vector pinned") {
@@ -57,11 +61,11 @@ class MlGoldenSpec extends SparkSpec {
 
   test("GOLDEN qm3: LinearSVC (seed 123) AUC/accuracy/F1 pinned") {
     val (_, pred) = MlPipelines.fitPredict(featureFrame, featCols,
-      MlPipelines.svm(), seed = Some(123L))
+      MlPipelines.svm(), seed = Some(123L), fitPartitions = Some(32))
     val m = MlPipelines.evaluate(pred)
-    approx(m("areaUnderROC"), 0.48686365237591933, 1e-6, "svm AUC")
-    approx(m("accuracy"), 0.48636859323882226, 1e-6, "svm accuracy")
-    approx(m("f1"), 0.31829844839987487, 1e-6, "svm f1")
+    approx(m("areaUnderROC"), 0.4927263693001568, 1e-6, "svm AUC")
+    approx(m("accuracy"), 0.48223350253807107, 1e-6, "svm accuracy")
+    approx(m("f1"), 0.31378207356929283, 1e-6, "svm f1")
   }
 
   test("GOLDEN qm4: Pearson correlation matrix pinned") {
