@@ -120,33 +120,45 @@ object FeedStream {
             // recorded cursor are the same published version
             var attempt = 0
             var done = false
+            def overrun(): Unit = {
+              attempt += 1
+              require(attempt < 20,
+                "feed stream: could not pin a stable snapshot " +
+                  "version in 20 attempts — the lake is mutating " +
+                  "faster than the bootstrap can read it")
+            }
             while (!done) {
               val v1 = ChangeDataFeed.currentVersion(spark, lakeDir)
-              // readCommitted already emits LOGICAL names (no second
-              // mapping pass), and the snapshot is MATERIALIZED before
-              // the v2 stability check so a concurrent CoW rewrite +
-              // vacuum cannot sweep the pinned files between the gate
-              // and the actual read inside onBatch — the stability
-              // gate covers the bytes the consumer is served.
+              // readCommitted already emits LOGICAL names — no second
+              // mapping pass. The snapshot is served LAZILY (a 100 TB
+              // batch 0 must never materialize into local storage);
+              // the v1==v2 gate catches mutations landing while the
+              // frame is BUILT, and a sweep landing while it is READ
+              // (a CoW rewrite + vacuum inside onBatch) surfaces as a
+              // read failure with a MOVED version — re-pin and
+              // re-serve the whole attempt, which is exactly the
+              // declared at-least-once-at-batch-granularity contract.
+              // A failure with the version UNCHANGED is the consumer's
+              // own and rethrows.
               val snap = LayoutSink.readCommitted(spark, lakeDir)
                 .withColumn(ChangeDataFeed.ChangeTypeCol, lit("insert"))
                 .withColumn(ChangeDataFeed.CommitIdCol, lit(v1.id))
                 .withColumn(ChangeDataFeed.CommitGenCol, lit(v1.gen))
-                .localCheckpoint(true)
               val v2 = ChangeDataFeed.currentVersion(spark, lakeDir)
               if (v1 == v2) {
                 last.set(v1)
-                onBatch(snap, 0L)
-                writeCheckpoint(v1)
-                batches = 1L
-                done = true
-              } else {
-                attempt += 1
-                require(attempt < 20,
-                  "feed stream: could not pin a stable snapshot " +
-                    "version in 20 attempts — the lake is mutating " +
-                    "faster than the bootstrap can read it")
-              }
+                try {
+                  onBatch(snap, 0L)
+                  writeCheckpoint(v1)
+                  batches = 1L
+                  done = true
+                } catch {
+                  case t: Throwable =>
+                    if (ChangeDataFeed.currentVersion(spark, lakeDir)
+                        == v1) throw t
+                    overrun()
+                }
+              } else overrun()
             }
           } else {
             val head = ChangeDataFeed.currentVersion(spark, lakeDir)

@@ -121,6 +121,43 @@ class FeedStreamSpec extends SparkSpec {
     assert(state.get()._1 == afterFirst._1 - 1)
   }
 
+  test("a failing snapshot batch under a CONCURRENT mutation re-pins " +
+    "and re-serves (batch-granularity at-least-once); a failure with " +
+    "a stable version rethrows as the consumer's own") {
+    val lake = mkLake()
+    val work = Files.createTempDirectory("graft_fstr_ck5_").toString
+    ChangeDataFeed.enable(spark, lake)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    // the snapshot is served LAZILY (no 100 TB materialization), so a
+    // mutation sweeping pinned files mid-read surfaces as a batch
+    // failure with a MOVED version — simulated here: attempt 1 commits
+    // a mutation and throws; the bootstrap must re-pin and re-serve
+    val q = FeedStream.start(spark, lake, s"$work/ckp", pollMs = 25L,
+      initialSnapshot = true) { (changes, _) =>
+      if (calls.incrementAndGet() == 1) {
+        MergeInto.update(spark, lake, "k = 0", Map("v" -> "-1"))
+        throw new RuntimeException("simulated mid-read sweep")
+      }
+      rows.addAndGet(changes.count()); ()
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(q.exception.isEmpty, q.exception.toString)
+    assert(calls.get() == 2, s"${calls.get()} attempts")
+    // the re-pinned snapshot already CONTAINS the mutation (its
+    // version is the post-update one) — nothing re-served later
+    assert(rows.get() == 300L, s"${rows.get()} rows")
+    // a consumer failure with the version UNCHANGED is not retried
+    val work2 = Files.createTempDirectory("graft_fstr_ck6_").toString
+    val ex = intercept[RuntimeException] {
+      FeedStream.start(spark, lake, s"$work2/ckp", pollMs = 25L,
+        initialSnapshot = true) { (_, _) =>
+        throw new RuntimeException("consumer bug")
+      }
+    }
+    assert(ex.getMessage == "consumer bug")
+  }
+
   test("a rename chain that reuses a retired physical name never " +
     "relabels a live column: batches arrive in logical names, mapped " +
     "exactly once") {
