@@ -9,13 +9,14 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
 import graft.sources.{ChangeDataFeed, CommitLog, DeletionVectors,
-  MergeInto}
+  MergeInto, Occ}
 import graft.sources.MergeInto.{MatchedDelete, MatchedUpdate,
   NotMatchedInsert}
 
 /** Property net over the change data feed: for RANDOM mutation
   * sequences mixing every verb class (CoW update/delete/merge, MoR
-  * delete/merge, clause merges both ways, appends, compactions), a
+  * delete/merge, clause merges both ways — locked AND OCC since
+  * r13 — appends, compactions), a
   * consumer that replays the feed version-by-version — removals
   * (delete/update_preimage) before additions (insert/
   * update_postimage) within each version — reconstructs the lake's
@@ -59,7 +60,7 @@ class FeedPropertySpec extends SparkSpec {
     val m = rnd.nextInt(30)
     def baseKey(): Int =
       if (rnd.nextBoolean()) rnd.nextInt(75) else 1000 + rnd.nextInt(75)
-    rnd.nextInt(8) match {
+    rnd.nextInt(10) match {
       case 0 =>
         DeletionVectors.compact(spark, lake): Unit
         MergeInto.update(spark, lake, s"k % 30 = $m AND k < 50000",
@@ -114,6 +115,30 @@ class FeedPropertySpec extends SparkSpec {
         CommitLog.commit(f, lake, id,
           (CommitLog.dataFileNames(f, lake) -- before).toSeq.sorted)
         "append"
+      // the r13 OCC clause verbs: same capture contract as their
+      // locked twins (they run the SAME prepare code), exercised here
+      // through the staged-then-published `_cdf` path
+      case 8 =>
+        DeletionVectors.compact(spark, lake): Unit
+        Occ.mergeClauses(spark, lake,
+          Seq((baseKey(), rnd.nextLong(1000)),
+            (fresh.next(), rnd.nextLong(1000))).toDF("k", "nv"),
+          Seq("k"),
+          matched = Seq(MatchedUpdate(Map("v" -> "s.nv"))),
+          notMatched = Seq(NotMatchedInsert(
+            Map("k" -> "s.k", "v" -> "s.nv")))): Unit
+        "occ-cow-clauses"
+      case 9 =>
+        Occ.mergeClausesMor(spark, lake,
+          Seq((baseKey(), rnd.nextLong(1000)),
+            (fresh.next(), rnd.nextLong(1000))).toDF("k", "nv"),
+          Seq("k"),
+          matched = Seq(
+            MatchedDelete(Some(s"t.v % 5 = ${rnd.nextInt(5)}")),
+            MatchedUpdate(Map("v" -> "s.nv"))),
+          notMatched = Seq(NotMatchedInsert(
+            Map("k" -> "s.k", "v" -> "s.nv")))): Unit
+        "occ-mor-clauses"
     }
   }
 
