@@ -488,6 +488,39 @@ class ConcurrencySpec extends SparkSpec {
       "the interleaved winner's program must not be lost")
   }
 
+  test("REAL racing clause merges: two OCC clause programs on " +
+    "disjoint keys plus a blind appender, genuinely concurrent — all " +
+    "three land under any interleaving, CoW and MoR") {
+    import graft.sources.MergeInto.MatchedUpdate
+    def program(lake: String, lo: Int, hi: Int, nv: Long,
+        mor: Boolean): Unit = {
+      val src = (lo until hi).map(k => (k, nv)).toDF("k", "nv")
+      if (mor) Occ.mergeClausesMor(spark, lake, src, Seq("k"),
+        matched = Seq(MatchedUpdate(Map("v" -> "s.nv")))): Unit
+      else Occ.mergeClauses(spark, lake, src, Seq("k"),
+        matched = Seq(MatchedUpdate(Map("v" -> "s.nv")))): Unit
+    }
+    for (mor <- Seq(false, true)) {
+      val lake = mkLake() // ONE file — the merges genuinely collide
+      val a = Future(program(lake, 0, 40, -11L, mor))
+      val b = Future(program(lake, 100, 140, -22L, mor))
+      val c = Future(Occ.append(spark, lake,
+        (7000 until 7050).map(k => (k, 7L)).toDF("k", "v")))
+      Await.result(a, 10.minutes)
+      Await.result(b, 10.minutes)
+      assert(Await.result(c, 10.minutes) > 0)
+      val got = DeletionVectors.readMor(spark, lake)
+      assert(got.count() == 250L, s"mor=$mor: ${got.count()}")
+      assert(got.filter(col("k") < 40 && col("v") =!= -11L)
+        .count() == 0L, s"mor=$mor: program A partially lost")
+      assert(got.filter(col("k") >= 100 && col("k") < 140 &&
+        col("v") =!= -22L).count() == 0L,
+        s"mor=$mor: program B partially lost")
+      assert(got.filter(col("k") >= 7000).count() == 50L,
+        s"mor=$mor: the racing append must not be lost")
+    }
+  }
+
   test("the change feed flipping ON inside an OCC verb's window is a " +
     "conflict: the verb retries and the published version carries " +
     "change data") {
