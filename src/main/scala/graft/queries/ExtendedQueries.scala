@@ -744,6 +744,51 @@ object ExtendedQueries {
       .unionByName(agg(DeletionVectors.readMor(s, lakeMor), "mor"))
   }
 
+  /** REORG … APPLY (PURGE) ([[graft.sources.ColumnMapping.purge]]),
+    * oracle-checked end to end: `l_tax` is DROPped (metadata-only
+    * tombstone), a MoR delete marks rows, a CLEAN batch (born
+    * without the column) appends, then the
+    * purge physically reclaims the dead bytes — in-query requires pin
+    * that it rewrote the carrying files AND carried the clean one by
+    * name, that no committed footer still advertises the column, and
+    * that a post-purge append RECREATES the dropped name (the lifted
+    * tombstone — rejected before purge, additive evolution after:
+    * old rows read NULL). The final MoR aggregate folds all of it —
+    * deleted rows absent, clean rows present, recreated values only
+    * on the reborn batch — so a resurrected byte, lost row, or
+    * half-lifted tombstone shifts the hash. */
+  val q92ReorgPurge: Q = (s, dir) => {
+    import graft.sources.{ColumnMapping, CommitLog, DeletionVectors, Occ}
+    val lake = loggedLake(s, dir, tempWork("graft_q92_"))
+    val fsq = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val li = table(s, dir, "lineitem")
+    ColumnMapping.drop(s, lake, "l_tax")
+    require(DeletionVectors.deleteMor(s, lake,
+      "l_orderkey % 7 = 3") > 0L)
+    // a clean batch, born without the dropped column — purge must
+    // carry its file(s) by name
+    require(Occ.append(s, lake,
+      li.filter(col("l_orderkey") % 11 === 5).drop("l_tax")) > 0L)
+    val (rewritten, carried) = ColumnMapping.purge(s, lake)
+    require(rewritten > 0 && carried > 0,
+      s"q92: purge must rewrite the carrying files and carry the " +
+        s"clean one ($rewritten, $carried)")
+    val committed = CommitLog.committedNames(fsq, lake).toSeq.sorted
+    require(!s.read.option("mergeSchema", "true")
+        .parquet(CommitLog.resolveDataPaths(fsq, lake, committed): _*)
+        .columns.contains("l_tax"),
+      "q92: a committed footer still advertises the purged column")
+    // the tombstone lifted with the purge: the name is appendable again
+    require(Occ.append(s, lake,
+      li.filter(col("l_orderkey") % 13 === 1)
+        .withColumn("l_tax", lit(9.99))) > 0L)
+    DeletionVectors.readMor(s, lake, mergeSchema = true)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"),
+        count(col("l_tax")).as("n_tax"))
+  }
+
   /** CHANGE DATA FEED ([[graft.sources.ChangeDataFeed]]),
     * oracle-checked end to end: batches 0–1 committed, the feed
     * enabled, then an UPDATE (`l_quantity += 5 WHERE l_returnflag =
@@ -1961,6 +2006,7 @@ object ExtendedQueries {
     "q88_change_feed" -> q88ChangeFeed,
     "q90_merge_clauses_mor" -> q90MergeClausesMor,
     "q91_occ_merge_clauses" -> q91OccMergeClauses,
+    "q92_reorg_purge" -> q92ReorgPurge,
     "q58_delete" -> q58Delete,
     "q59_schema_evolution" -> q59SchemaEvolution,
     "q60_update" -> q60Update,
@@ -2013,6 +2059,21 @@ object ExtendedQueries {
     "qi1_indicator_frames" -> qi1IndicatorFrames)
 
   val sql: Map[String, String] = Map(
+    "q92_reorg_purge" ->
+      s"""WITH live AS (
+         |  SELECT l_returnflag, l_quantity, CAST(NULL AS DOUBLE) AS c
+         |  FROM lineitem WHERE l_orderkey % 7 <> 3
+         |  UNION ALL
+         |  SELECT l_returnflag, l_quantity, CAST(NULL AS DOUBLE) AS c
+         |  FROM lineitem WHERE l_orderkey % 11 = 5
+         |  UNION ALL
+         |  SELECT l_returnflag, l_quantity, 9.99 AS c
+         |  FROM lineitem WHERE l_orderkey % 13 = 1
+         |)
+         |SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_quantity")} AS sum_qty,
+         |  count(c) AS n_tax
+         |FROM live GROUP BY 1""".stripMargin,
     "q54_time_travel" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  ${sqlSumd("l_extendedprice")} AS sum_price

@@ -1,6 +1,11 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -25,9 +30,17 @@ import org.apache.spark.sql.functions.col
   *    (dead bytes stay in place, invisible), appends that carry a
   *    same-named column are REJECTED rather than silently resurrecting
   *    the dead bytes under a recreated column. (Delta recreates with a
-  *    fresh physical UUID; here recreate-after-drop is an explicit
-  *    fail-fast non-feature until someone needs it — rename the new
-  *    column before appending.)
+  *    fresh physical UUID; here recreate-after-drop requires a
+  *    [[purge]] first — until the dead bytes are physically gone, a
+  *    recreated column would silently resurrect them on every
+  *    mergeSchema read.)
+  *  - [[purge]] is Delta's `REORG TABLE … APPLY (PURGE)`: physically
+  *    rewrite ONLY the committed files whose footer schema still
+  *    carries a tombstoned physical column (dead bytes reclaimed,
+  *    scan width shrinks), carry every clean file by name with zero
+  *    I/O, then LIFT the tombstones — the dropped name is appendable
+  *    again, behaving like an additively-evolved column (old rows
+  *    read NULL under mergeSchema).
   *
   * A lake with no map record pays one log-listing probe per read —
   * every committed read already lists the log, so the mapping is free
@@ -277,5 +290,141 @@ object ColumnMapping {
         m.renames.exists(_._1 == logical),
       s"physicalName: column '$logical' was dropped from $lakeDir")
     m.physicalOf(logical)
+  }
+
+  /** Distributed footer probe: which of `names` (committed data-file
+    * names, resolved through the clone chain to `paths`) still CARRY
+    * any of the tombstoned top-level physical columns. One footer
+    * read per file on the executors ([[StatsIndex]]'s shipped-conf
+    * pattern) — metadata-scale, never a data byte. */
+  private def filesCarrying(spark: SparkSession, names: Seq[String],
+      paths: Seq[String], dropped: Set[String]): Seq[String] = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val confEntries = spark.sparkContext.broadcast(
+      conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray)
+    val deadB = spark.sparkContext.broadcast(dropped)
+    names.zip(paths).toDF("name", "path")
+      .repartition(math.max(1, math.min(names.size, 64)))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val c = new Configuration(false)
+        confEntries.value.foreach { case (k, v) => c.set(k, v) }
+        it.flatMap { case (name, path) =>
+          val r = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(path), c))
+          try {
+            val fields = r.getFooter.getFileMetaData.getSchema
+              .getFields.asScala.map(_.getName).toSet
+            if (fields.exists(deadB.value.contains)) Some(name) else None
+          } finally r.close()
+        }
+      }.collect().toSeq.sorted
+  }
+
+  /** REORG … APPLY (PURGE): physically reclaim the tombstoned
+    * columns' bytes and make the dropped names reusable. [[drop]] is
+    * metadata-only by design — at a 100 TB lake the dead bytes stay
+    * in place, every mergeSchema footer still advertises them, and
+    * nothing (not even [[Sources.ZOrder.optimize]], which rewrites
+    * RAW physical files and replicates this map exactly so reads stay
+    * stable) ever removes them. This is the missing maintenance verb:
+    *
+    *  - DISCOVERY is a distributed footer probe ([[filesCarrying]]) —
+    *    only files whose physical schema still holds a tombstoned
+    *    column rewrite; a lake whose churn already replaced them
+    *    rewrites NOTHING. Cost ∝ carrying files, never lake size
+    *    (Delta documents the same REORG cost shape).
+    *  - The rewrite reads the carrying files' LIVE rows (their
+    *    covered deletion vectors fold in — row identity changes
+    *    anyway), drops the tombstoned physical columns, and appends
+    *    `filesPerRewrite` replacement files; untouched files carry by
+    *    name with zero I/O, their surviving vector pairs re-covered
+    *    in a fresh sidecar ([[DeletionVectors.rewriteSurvivorVectors]],
+    *    the [[Sources.compactSmall]] discipline).
+    *  - ONE mutation checkpoint flips the view (add/rm churn deltas
+    *    carried); live rows are preserved, so a change-data-feed lake
+    *    gets an EMPTY stamp and feed cursors flow through, while
+    *    file-pinned `MorCursor`s trip their resync guard exactly as
+    *    on any physical rewrite.
+    *  - The tombstones LIFT in the same locked section: from this
+    *    version on the dropped name is appendable again ([[toPhysical]]
+    *    stops rejecting it), behaving like an additively-evolved
+    *    column — old rows read NULL under mergeSchema, nothing can
+    *    resurrect because the bytes are gone.
+    *
+    * Returns (filesRewritten, filesCarried). Idempotent: a second
+    * call finds no tombstones and publishes nothing. */
+  def purge(spark: SparkSession, lakeDir: String,
+      filesPerRewrite: Int = 4,
+      indexDir: Option[String] = None): (Int, Int) = {
+    val fs = fsOf(spark, lakeDir)
+    require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
+      s"purge: $lakeDir has no commit log — cannot publish atomically")
+    CommitLog.withWriterLock(fs, lakeDir) {
+      val m = mapping(fs, lakeDir)
+      val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
+      if (m.dropped.isEmpty) return (0, committed.size)
+      val carrying =
+        if (committed.isEmpty) Seq.empty[String]
+        else filesCarrying(spark, committed,
+          CommitLog.resolveDataPaths(fs, lakeDir, committed),
+          m.dropped.toSet)
+      if (carrying.isEmpty) {
+        // bytes already gone (churn replaced every carrying file) —
+        // lifting the tombstones is pure metadata
+        write(fs, lakeDir, Mapping(m.renames, Seq.empty))
+        return (0, committed.size)
+      }
+      val dvOpt = DeletionVectors.vectors(spark, lakeDir)
+      val oldDv = DeletionVectors.coveredDvFiles(fs, lakeDir)
+      val before = CommitLog.dataFileNames(fs, lakeDir)
+      // mergeSchema: carrying files can mix physical schemas (an old
+      // file and an additively-evolved delta can both carry the dead
+      // column) — a single-schema read would silently drop a live
+      // evolved column from the rewritten rows
+      val base = spark.read.option("mergeSchema", "true")
+        .parquet(CommitLog.resolveDataPaths(fs, lakeDir, carrying): _*)
+      DeletionVectors.applyVectors(base, dvOpt)
+        .drop(m.dropped: _*)
+        .repartition(math.max(1, filesPerRewrite))
+        .write.mode("append").parquet(lakeDir)
+      val newFiles =
+        (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
+      val survivorDv = dvOpt match {
+        case None => Seq.empty[String]
+        case Some(dv) => DeletionVectors.rewriteSurvivorVectors(
+          spark, fs, lakeDir, dv, carrying.toSet)
+      }
+      val maxId = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+      // live rows preserved (dead rows were already invisible): an
+      // empty change-feed stamp keeps feed cursors flowing through
+      val gen =
+        if (!ChangeDataFeed.isEnabled(fs, lakeDir)) None
+        else {
+          val g = CommitLog.nextGen(fs, lakeDir)
+          ChangeDataFeed.writeEmpty(spark, lakeDir, maxId, g)
+          Some(g)
+        }
+      CommitLog.commitMutationCheckpoint(fs, lakeDir, maxId,
+        (committed.filterNot(carrying.toSet) ++ newFiles).sorted,
+        dvNames = survivorDv, added = newFiles, removed = carrying,
+        gen = gen)
+      // tombstones lift atomically with the publish (same lock): the
+      // bytes are gone, so the name is safe to recreate
+      write(fs, lakeDir, Mapping(m.renames, Seq.empty))
+      // replaced files and their retired sidecars: local files delete
+      // now; clone-source-resident ones just stop being referenced
+      // (the source's own vacuum owns those bytes)
+      carrying.foreach { n =>
+        fs.delete(new Path(lakeDir, n), false); ()
+      }
+      oldDv.foreach { n =>
+        fs.delete(new Path(DeletionVectors.dvDir(lakeDir), n), false); ()
+      }
+      indexDir.foreach(idx =>
+        StatsIndex.refreshSameColumns(spark, lakeDir, idx))
+      (carrying.size, committed.size - carrying.size)
+    }
   }
 }

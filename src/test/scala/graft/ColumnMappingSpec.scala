@@ -237,4 +237,112 @@ class ColumnMappingSpec extends SparkSpec {
     assert(LayoutSink.readCommitted(spark, lake).columns
       .contains("value"))
   }
+
+  // ---- REORG … APPLY (PURGE) ----------------------------------------
+
+  test("PURGE reclaims the dropped bytes, keeps renames, lifts the " +
+    "tombstone, and a second purge is a no-op") {
+    val lake = mkLake()
+    ColumnMapping.rename(spark, lake, "v", "value")
+    ColumnMapping.drop(spark, lake, "extra")
+    val viewBefore = LayoutSink.readCommitted(spark, lake)
+      .collect().toSet
+    val (rewritten, carried) = ColumnMapping.purge(spark, lake)
+    assert(rewritten > 0 && carried == 0,
+      s"every file carried 'extra': ($rewritten, $carried)")
+    // the bytes are physically gone: no footer advertises the column
+    val phys = spark.read.option("mergeSchema", "true").parquet(lake)
+    assert(!phys.columns.contains("extra"),
+      s"physical columns after purge: ${phys.columns.mkString(", ")}")
+    // the rename survives (purge lifts TOMBSTONES, not the map)
+    val m = ColumnMapping.mapping(fs(lake), lake)
+    assert(m.dropped.isEmpty && m.renames == Seq(("value", "v")))
+    assert(LayoutSink.readCommitted(spark, lake).collect().toSet
+      == viewBefore, "purge must not move a live row or value")
+    // idempotent: no tombstones left, nothing rewrites
+    val state = dataState(lake)
+    assert(ColumnMapping.purge(spark, lake) == (0, state.size))
+    assert(dataState(lake) == state,
+      "a tombstone-free purge must not touch a data byte")
+  }
+
+  test("PURGE rewrites ONLY carrying files — a post-drop append's " +
+    "clean file is carried by name with zero I/O") {
+    val lake = mkLake()
+    ColumnMapping.drop(spark, lake, "extra")
+    // this batch is born clean (toPhysical cannot even carry 'extra')
+    assert(Occ.append(spark, lake,
+      (100 until 120).map(k => (k, 5L * k)).toDF("k", "v")) > 0L)
+    val cleanBefore = dataState(lake).filter { case (n, _, _) =>
+      !spark.read.parquet(s"$lake/$n").columns.contains("extra")
+    }
+    assert(cleanBefore.nonEmpty)
+    val (rewritten, carried) = ColumnMapping.purge(spark, lake)
+    assert(carried == cleanBefore.size,
+      s"clean files must carry: rewrote $rewritten, carried $carried")
+    val after = dataState(lake)
+    cleanBefore.foreach { st =>
+      assert(after.contains(st),
+        s"clean file ${st._1} must survive purge byte-identically")
+    }
+    assert(LayoutSink.readCommitted(spark, lake, mergeSchema = true)
+      .count() == 120L)
+  }
+
+  test("PURGE folds the carrying files' deletion vectors and re-covers " +
+    "the clean files' survivors — dead rows stay dead") {
+    val lake = mkLake() // batch 0 carries 'extra'
+    ColumnMapping.drop(spark, lake, "extra")
+    assert(Occ.append(spark, lake,
+      (100 until 120).map(k => (k, 5L * k)).toDF("k", "v")) > 0L)
+    // one delete spanning a carrying file (k<5) and the clean one (110)
+    assert(DeletionVectors.deleteMor(spark, lake,
+      "k < 5 OR k = 110") == 6L)
+    val before = DeletionVectors.readMor(spark, lake, mergeSchema = true)
+      .collect().toSet
+    val (rewritten, carried) = ColumnMapping.purge(spark, lake)
+    assert(rewritten > 0 && carried > 0)
+    val after = DeletionVectors.readMor(spark, lake, mergeSchema = true)
+    assert(after.collect().toSet == before,
+      "purge must preserve the live view exactly")
+    assert(after.filter($"k" === 110 || $"k" < 5).count() == 0L,
+      "a deleted row must never resurrect through a purge rewrite")
+  }
+
+  test("recreate-after-drop: rejected before PURGE, an ordinary " +
+    "additively-evolved column after it") {
+    val lake = mkLake()
+    ColumnMapping.drop(spark, lake, "extra")
+    intercept[IllegalArgumentException] {
+      Occ.append(spark, lake, Seq((200, 1L, "y")).toDF("k", "v", "extra"))
+    }
+    assert(ColumnMapping.purge(spark, lake)._1 > 0)
+    assert(Occ.append(spark, lake,
+      Seq((200, 1L, "reborn")).toDF("k", "v", "extra")) > 0L)
+    val got = LayoutSink.readCommitted(spark, lake, mergeSchema = true)
+    assert(got.filter($"extra" === "reborn").count() == 1L)
+    assert(got.filter($"extra".isNull).count() == 100L,
+      "pre-purge rows read the recreated column as NULL — additive " +
+        "evolution semantics, never resurrected bytes")
+  }
+
+  test("a change-data-feed cursor flows THROUGH a purge (row-" +
+    "preserving empty stamp), and the purge publishes one mutation " +
+    "version") {
+    import graft.sources.ChangeDataFeed
+    val lake = mkLake()
+    ColumnMapping.drop(spark, lake, "extra")
+    ChangeDataFeed.enable(spark, lake)
+    val v0 = ChangeDataFeed.currentVersion(spark, lake)
+    assert(DeletionVectors.deleteMor(spark, lake, "k = 7") == 1L)
+    assert(ColumnMapping.purge(spark, lake)._1 > 0)
+    assert(Occ.append(spark, lake,
+      Seq((300, 1L)).toDF("k", "v")) > 0L)
+    val feed = ChangeDataFeed.read(spark, lake, v0,
+      ChangeDataFeed.currentVersion(spark, lake))
+    val byType = feed.groupBy($"_change_type").count().as[(String, Long)]
+      .collect().toMap
+    assert(byType == Map("delete" -> 1L, "insert" -> 1L),
+      s"the purge contributes NO feed rows (empty stamp): $byType")
+  }
 }
