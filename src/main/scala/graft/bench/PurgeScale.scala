@@ -1,0 +1,78 @@
+package graft.bench
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.{ColumnMapping, CommitLog, Occ}
+
+/** REORG … APPLY (PURGE) cost contract, measured: *purge cost is ∝
+  * the CARRYING files' bytes, never ∝ lake size.* A constant-size
+  * lake (sf0.1 lineitem, 64 committed files) is built with a varying
+  * carrying fraction — `carrying` files hold the tombstoned `l_tax`
+  * column (they predate the DROP), the rest were appended clean after
+  * it — and the purge wall time across carrying ∈ {64, 16, 4, 1}
+  * should fall roughly linearly with the carrying byte share while
+  * the flat remainder (the 64-footer probe + one checkpoint publish)
+  * stays constant: the Delta REORG cost shape. Each cell asserts the
+  * rewrite accounting ((rewritten, carried) == (carrying, clean)) and
+  * that no live row moved.
+  *
+  * Run: `sbt "runMain graft.bench.PurgeScale [reps]"`.
+  * Results land in SCALE.md §"REORG PURGE". */
+object PurgeScale {
+
+  import BenchUtil.{rmrf, secs => t}
+
+  private val TotalFiles = 64
+
+  /** Lake with `carrying` of [[TotalFiles]] files carrying `l_tax`:
+    * rows split by `l_orderkey % TotalFiles`, the carrying band
+    * committed BEFORE the drop, the clean band appended after it
+    * (born without the column). Returns (lake, expectedRows). */
+  private def buildLake(spark: SparkSession, src: String,
+      carrying: Int): (String, Long) = {
+    val root = s"/root/repo/target/scale/purge_$carrying"
+    rmrf(root)
+    val lake = s"$root/lake"
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val band = pmod(col("l_orderkey"), lit(TotalFiles))
+    val fs = new Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    li.filter(band < carrying).repartition(carrying)
+      .write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    ColumnMapping.drop(spark, lake, "l_tax")
+    if (carrying < TotalFiles)
+      require(Occ.append(spark, lake,
+        li.filter(band >= carrying).drop("l_tax"),
+        numFiles = TotalFiles - carrying) > 0L)
+    (lake, li.count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.filter(_.forall(_.isDigit))
+      .map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf01 = "/root/testdata/sf0.1"
+
+    for (carrying <- Seq(TotalFiles, 16, 4, 1); rep <- 1 to reps) {
+      val (lake, expect) = buildLake(spark, sf01, carrying)
+      var out: (Int, Int) = (0, 0)
+      val wall = t { out = ColumnMapping.purge(spark, lake) }
+      require(out == ((carrying, TotalFiles - carrying)),
+        s"accounting: $out vs ($carrying, ${TotalFiles - carrying})")
+      val rows = graft.streaming.LayoutSink
+        .readCommitted(spark, lake, mergeSchema = true).count()
+      require(rows == expect, s"rows: $rows vs $expect")
+      println(f"PURGE carrying=$carrying%2d/$TotalFiles rep=$rep " +
+        f"wall=$wall%.2fs rewritten=${out._1} carried=${out._2}")
+    }
+    spark.stop()
+  }
+}
