@@ -789,6 +789,37 @@ object ExtendedQueries {
         count(col("l_tax")).as("n_tax"))
   }
 
+  /** Metadata-first GROUPED COUNT
+    * ([[graft.sources.StatsIndex.countByGroup]]), oracle-checked: the
+    * documents corpus laid out lang-sharded (one file per language —
+    * the layout a language-partitioned corpus lake has) plus ONE
+    * deliberately MIXED tail file (every 5th doc of every language),
+    * so the answer composes the zero-I/O arm (single-group files
+    * contribute `(lang, row_count)` from footer stats alone) with the
+    * boundary scan (only the mixed file is read and grouped). The
+    * hash match against the plain DuckDB `GROUP BY` proves the
+    * metadata arm counts exactly — the dashboard "count by partition"
+    * shape that at 100 TB reads a handful of boundary files instead
+    * of the corpus (`StatsIndexSpec` proves the zero-I/O claim by
+    * DELETING the data under an all-interior lake). */
+  val q93MetaGroupCount: Q = (s, dir) => {
+    import graft.sources.StatsIndex
+    import s.implicits._
+    val work = tempWork("graft_q93_")
+    val docs = table(s, dir, "documents")
+    val langs = docs.select(col("lang")).distinct()
+      .orderBy(col("lang")).as[String].collect()
+    langs.foreach { l =>
+      docs.filter(col("lang") === l && col("doc_id") % 5 =!= 0)
+        .coalesce(1).write.mode("append").parquet(s"$work/lake")
+    }
+    docs.filter(col("doc_id") % 5 === 0)
+      .coalesce(1).write.mode("append").parquet(s"$work/lake")
+    StatsIndex.build(s, s"$work/lake", Seq("lang"), s"$work/idx")
+    StatsIndex.countByGroup(s, s"$work/lake", s"$work/idx", "lang")
+      .select(col("lang"), col("n").as("n_docs"))
+  }
+
   /** CHANGE DATA FEED ([[graft.sources.ChangeDataFeed]]),
     * oracle-checked end to end: batches 0–1 committed, the feed
     * enabled, then an UPDATE (`l_quantity += 5 WHERE l_returnflag =
@@ -2007,6 +2038,7 @@ object ExtendedQueries {
     "q90_merge_clauses_mor" -> q90MergeClausesMor,
     "q91_occ_merge_clauses" -> q91OccMergeClauses,
     "q92_reorg_purge" -> q92ReorgPurge,
+    "q93_meta_group_count" -> q93MetaGroupCount,
     "q58_delete" -> q58Delete,
     "q59_schema_evolution" -> q59SchemaEvolution,
     "q60_update" -> q60Update,
@@ -2059,6 +2091,8 @@ object ExtendedQueries {
     "qi1_indicator_frames" -> qi1IndicatorFrames)
 
   val sql: Map[String, String] = Map(
+    "q93_meta_group_count" ->
+      "SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1",
     "q92_reorg_purge" ->
       s"""WITH live AS (
          |  SELECT l_returnflag, l_quantity, CAST(NULL AS DOUBLE) AS c

@@ -1204,6 +1204,129 @@ object StatsIndex {
     interiorRows + boundaryRows
   }
 
+  /** Metadata-first GROUPED COUNT — `SELECT g, count(*) GROUP BY g`
+    * answered from footer stats wherever the layout allows: on a lake
+    * CLUSTERED by the group column most files are SINGLE-GROUP
+    * (`min == max` with zero proven nulls), and such a file
+    * contributes `(min, row_count)` with ZERO data I/O — the
+    * dashboard "count by partition/day/language" shape, exact, never
+    * an estimate. Only the MIXED files (cluster boundaries, files
+    * with nulls or unknown stats) are scanned and grouped; a lake
+    * not clustered by `g` degrades to the plain grouped count —
+    * correct, just not accelerated.
+    *
+    * Provable-value arms mirror [[minMaxPruned]]'s dtype discipline:
+    * integral columns under kind "long" (footer bounds are exact
+    * values of the RECORDED type), DATE from epoch days, strings via
+    * the bound pinch (truncation-safe bounds with `smin == smax`
+    * force every value equal — a truncated prefix can never equal an
+    * upper bound of longer real values). Fractional columns never
+    * prove (the build's one-ulp widening keeps `dmin < dmax`),
+    * instant timestamps never prove (micros/nanos normalization);
+    * both scan. A file proven ALL-NULL contributes the NULL group
+    * from metadata alone. DV-AWARE like [[countPruned]]: a
+    * single-group file's dead rows provably held that same value, so
+    * its contribution drops by the covered-pair count exactly; mixed
+    * files anti-join the vectors in the scan. Groups whose live
+    * count reaches zero are dropped — `GROUP BY` over zero rows has
+    * no row. */
+  def countByGroup(spark: SparkSession, dataDir: String,
+      indexDir: String, groupCol: String): DataFrame = {
+    import spark.implicits._
+    val idx = widened(readIndex(spark, indexDir))
+    val hasStr = idx.columns.contains("smin") &&
+      idx.columns.contains("smax")
+    val dvOpt = DeletionVectors.vectors(spark, dataDir)
+    val deadByFile: Map[String, Long] = dvOpt match {
+      case None => Map.empty
+      case Some(dv) => dv.groupBy(col("file")).count()
+        .as[(String, Long)].collect().toMap
+    }
+    val rows = idx
+      .filter(col("col") === groupCol && col("kind") =!= "bloom")
+      .select(col("file"), col("kind"), col("lmin"), col("lmax"),
+        (if (hasStr) col("smin") else lit(null).cast("string"))
+          .as("smin"),
+        (if (hasStr) col("smax") else lit(null).cast("string"))
+          .as("smax"),
+        col("nulls"), col("row_count"), col("dtype"))
+      .collect()
+    val allFiles = idx.select(col("file")).distinct()
+      .as[String].collect().toSeq.sorted
+    // ONE recorded Spark type decides which kind proves VALUES (the
+    // minMaxPruned/ADVICE-r7 rule); drift or legacy rows → all scan
+    val dtypes = rows.iterator.filterNot(_.isNullAt(8))
+      .map(_.getString(8)).toSeq.distinct
+    val dt: Option[String] = dtypes match {
+      case Seq(one) => Some(one)
+      case _ => None
+    }
+    val longExact = dt.exists(Set("tinyint", "smallint", "int", "bigint"))
+    // file -> (group value as a portable string, live rows). NULL
+    // group = None value; values travel as strings and cast back to
+    // the recorded type below (bit-exact for integral/date/string)
+    val interior = scala.collection.mutable.Map
+      .empty[String, (Option[String], Long)]
+    // dt=None (legacy/drifting index) proves nothing — even the
+    // all-null arm needs the recorded type to build a typed NULL
+    // group that unions with the boundary scan's real column
+    if (dt.isDefined) rows.foreach { r =>
+      val file = r.getString(0)
+      val rcOk = !r.isNullAt(7)
+      val nullsKnown = !r.isNullAt(6)
+      if (rcOk && nullsKnown) {
+        val live = r.getLong(7) - deadByFile.getOrElse(
+          new Path(file).getName, 0L)
+        if (r.getLong(6) == r.getLong(7)) {
+          // proven all-null: the NULL group, from metadata alone
+          // (sound under vectors: dead rows were null-group too)
+          interior(file) = (None, live)
+        } else if (r.getLong(6) == 0L) r.getString(1) match {
+          case "long" if longExact && !r.isNullAt(2) &&
+              !r.isNullAt(3) && r.getLong(2) == r.getLong(3) =>
+            interior(file) = (Some(r.getLong(2).toString), live)
+          case "date" if dt.contains("date") && !r.isNullAt(2) &&
+              !r.isNullAt(3) && r.getLong(2) == r.getLong(3) =>
+            interior(file) = (Some(java.time.LocalDate
+              .ofEpochDay(r.getLong(2)).toString), live)
+          case "string" if dt.contains("string") && !r.isNullAt(4) &&
+              !r.isNullAt(5) && r.getString(4) == r.getString(5) =>
+            interior(file) = (Some(r.getString(4)), live)
+          case _ => () // fractional/ts/full/mixed bounds: scan
+        }
+      }
+    }
+    val dtName = dt.getOrElse("string")
+    val boundary = allFiles.filterNot(interior.keySet)
+    val interiorDf =
+      if (interior.isEmpty) None
+      else Some(interior.valuesIterator.toSeq
+        .groupMapReduce(_._1)(_._2)(_ + _).toSeq
+        .map { case (v, n) => (v.orNull, n) }.toDF("__g", "n")
+        .select(col("__g").cast(dtName).as(groupCol), col("n")))
+    val boundaryDf =
+      if (boundary.isEmpty) None
+      else {
+        // mergeSchema + typed-NULL backfill: under additive evolution
+        // the boundary shell may predate the column entirely
+        val scan0 = DeletionVectors.applyVectors(
+          spark.read.option("mergeSchema", "true")
+            .parquet(boundary: _*), dvOpt)
+        val scan =
+          if (scan0.columns.contains(groupCol)) scan0
+          else scan0.withColumn(groupCol, lit(null).cast(dtName))
+        Some(scan.groupBy(col(groupCol))
+          .agg(count(lit(1)).as("n")))
+      }
+    val parts = interiorDf.toSeq ++ boundaryDf.toSeq
+    require(parts.nonEmpty,
+      s"countByGroup: index at $indexDir describes no files")
+    parts.reduce(_ unionByName _)
+      .groupBy(col(groupCol)).agg(sum(col("n")).as("n"))
+      .filter(col("n") > 0L)
+      .select(col(groupCol), col("n").cast("bigint").as("n"))
+  }
+
   /** Scan only the files that can satisfy `ranges`, then re-apply the
     * exact predicate — the index prunes, the filter decides. Row-group
     * pruning inside the surviving files still happens via the pushed

@@ -1395,4 +1395,110 @@ class StatsIndexSpec extends SparkSpec {
       "k", dimD, "dk")
     assert(gotD.count() == 2L, "fractional-key fallback lost join rows")
   }
+
+  // ---- metadata-first GROUPED COUNT ---------------------------------
+
+  test("countByGroup equals the plain grouped count on a group-" +
+    "clustered lake — and the interior answer SURVIVES DELETING THE " +
+    "DATA (proof of zero I/O)") {
+    val dir = Files.createTempDirectory("graft_cbg_").toString
+    // 8 groups, each written as its own file: every file single-group
+    (0 until 8).foreach { g =>
+      spark.range(1000L * (g + 1)).select(lit(g).as("g"),
+          col("id").as("v"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    }
+    StatsIndex.build(spark, s"$dir/data", Seq("g"), s"$dir/idx")
+    val want = spark.read.parquet(s"$dir/data").groupBy(col("g"))
+      .count().as[(Int, Long)].collect().toMap
+    val got = StatsIndex.countByGroup(spark, s"$dir/data", s"$dir/idx",
+      "g").as[(Int, Long)].collect().toMap
+    assert(got == want, s"$got vs $want")
+    // physically delete every data file; the index alone must answer
+    new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    val fromMeta = StatsIndex.countByGroup(spark, s"$dir/data",
+      s"$dir/idx", "g").as[(Int, Long)].collect().toMap
+    assert(fromMeta == want,
+      "an all-interior grouped count must never open a data file")
+  }
+
+  test("countByGroup: string groups, a NULL group, and a MIXED " +
+    "boundary file all reconcile with the plain grouped count") {
+    val dir = Files.createTempDirectory("graft_cbg_s_").toString
+    Seq("en", "de", "fr").zipWithIndex.foreach { case (lang, i) =>
+      spark.range(500L * (i + 1)).select(lit(lang).as("lang"),
+        col("id").as("v")).coalesce(1)
+        .write.mode("append").parquet(s"$dir/data")
+    }
+    // one mixed file: two groups plus NULL-group rows — must scan
+    spark.range(300).select(
+        when(col("id") % 3 === 0, lit("en"))
+          .when(col("id") % 3 === 1, lit("zz"))
+          .otherwise(lit(null).cast("string")).as("lang"),
+        col("id").as("v"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("lang"), s"$dir/idx")
+    val want = spark.read.parquet(s"$dir/data").groupBy(col("lang"))
+      .count().collect().map(r =>
+        (Option(r.get(0)).map(_.toString), r.getLong(1))).toMap
+    val got = StatsIndex.countByGroup(spark, s"$dir/data", s"$dir/idx",
+      "lang").collect().map(r =>
+        (Option(r.get(0)).map(_.toString), r.getLong(1))).toMap
+    assert(got == want, s"$got vs $want")
+    assert(got.contains(None), "the NULL group must surface")
+  }
+
+  test("countByGroup is DV-aware: single-group files subtract their " +
+    "dead rows exactly, and a fully-deleted group disappears") {
+    import graft.sources.{DeletionVectors, Occ}
+    val dir = Files.createTempDirectory("graft_cbg_dv_").toString
+    val lake = s"$dir/lake"
+    (0 until 4).foreach { g =>
+      assert(Occ.append(spark, lake,
+        spark.range(100L * (g + 1)).select(lit(g).as("g"),
+          col("id").as("v")), numFiles = 1) >= 0L)
+    }
+    StatsIndex.build(spark, lake, Seq("g"), s"$dir/idx")
+    assert(DeletionVectors.deleteMor(spark, lake,
+      "g = 2 AND v < 40") == 40L)
+    assert(DeletionVectors.deleteMor(spark, lake, "g = 0") == 100L)
+    val want = DeletionVectors.readMor(spark, lake).groupBy(col("g"))
+      .count().as[(Int, Long)].collect().toMap
+    val got = StatsIndex.countByGroup(spark, lake, s"$dir/idx", "g")
+      .as[(Int, Long)].collect().toMap
+    assert(got == want, s"$got vs $want")
+    assert(!got.contains(0), "a fully-dead group must not surface")
+    assert(got(2) == 260L)
+  }
+
+  test("countByGroup: DATE groups recover exactly; an UNCLUSTERED " +
+    "lake degrades to the plain grouped count") {
+    val dir = Files.createTempDirectory("graft_cbg_d_").toString
+    (0 until 3).foreach { d =>
+      spark.range(200L + d).select(
+          date_add(lit(java.sql.Date.valueOf("2024-03-01")), lit(d))
+            .as("day"), col("id").as("v"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    }
+    StatsIndex.build(spark, s"$dir/data", Seq("day"), s"$dir/idx")
+    val want = spark.read.parquet(s"$dir/data").groupBy(col("day"))
+      .count().collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .toMap
+    val got = StatsIndex.countByGroup(spark, s"$dir/data", s"$dir/idx",
+      "day").collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .toMap
+    assert(got == want, s"$got vs $want")
+    // unclustered: every file mixes groups — all-boundary, still exact
+    val u = Files.createTempDirectory("graft_cbg_u_").toString
+    spark.range(20000).select(pmod(hash(col("id")), lit(7)).as("g"),
+        col("id").as("v"))
+      .repartition(6).write.parquet(s"$u/data")
+    StatsIndex.build(spark, s"$u/data", Seq("g"), s"$u/idx")
+    val wantU = spark.read.parquet(s"$u/data").groupBy(col("g"))
+      .count().as[(Int, Long)].collect().toMap
+    val gotU = StatsIndex.countByGroup(spark, s"$u/data", s"$u/idx",
+      "g").as[(Int, Long)].collect().toMap
+    assert(gotU == wantU)
+  }
 }
