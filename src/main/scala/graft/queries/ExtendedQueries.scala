@@ -820,6 +820,46 @@ object ExtendedQueries {
       .select(col("lang"), col("n").as("n_docs"))
   }
 
+  /** Exact COUNT(DISTINCT) in the incrementally-maintained view
+    * ([[graft.sources.IncrementalView]] `distinctCols`), oracle-checked:
+    * the per-language view additionally maintains `nd_source` — the
+    * distinct sources per language — via the refcount auxiliary (the
+    * classic IVM shape: ±1 per (group, value) pair, a pair at 0
+    * drops), which unlike min/max is fully DELETE-INVERTIBLE: the
+    * delete, relabel-update and insert windows below all fold in with
+    * NO group rescan, and the in-query require pins that the second
+    * pass ran incrementally. The hash match against DuckDB's
+    * `count(DISTINCT ...)` end state proves the refcounts track every
+    * verb exactly — a leaked dead value or double-counted relabel
+    * shifts nd_source. */
+  val q94IncrViewDistinct: Q = (s, dir) => {
+    import graft.sources.{CommitLog, DeletionVectors, IncrementalView}
+    val work = tempWork("graft_q94_")
+    val lake = s"$work/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    docs.repartition(3).write.parquet(lake)
+    CommitLog.commit(fs, lake, 0L,
+      CommitLog.dataFileNames(fs, lake).toSeq.sorted)
+    IncrementalView.refresh(s, lake, s"$work/view",
+      Seq("lang"), Seq("n_chars"), distinctCols = Seq("source"))
+    DeletionVectors.deleteMor(s, lake, "doc_id % 10 = 4")
+    DeletionVectors.updateMor(s, lake, "doc_id % 10 = 6",
+      Map("source" -> "'relabeled'"))
+    DeletionVectors.mergeMor(s, lake,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+        .withColumn("doc_id", -col("doc_id"))
+        .withColumn("source", lit("minted")), Seq("doc_id"))
+    val st = IncrementalView.refresh(s, lake, s"$work/view",
+      Seq("lang"), Seq("n_chars"), distinctCols = Seq("source"))
+    require(st.mode == "incremental",
+      s"q94: the second refresh must be incremental, was ${st.mode}")
+    IncrementalView.readView(s, s"$work/view")
+  }
+
+
   /** CHANGE DATA FEED ([[graft.sources.ChangeDataFeed]]),
     * oracle-checked end to end: batches 0–1 committed, the feed
     * enabled, then an UPDATE (`l_quantity += 5 WHERE l_returnflag =
@@ -2039,6 +2079,7 @@ object ExtendedQueries {
     "q91_occ_merge_clauses" -> q91OccMergeClauses,
     "q92_reorg_purge" -> q92ReorgPurge,
     "q93_meta_group_count" -> q93MetaGroupCount,
+    "q94_incr_view_distinct" -> q94IncrViewDistinct,
     "q58_delete" -> q58Delete,
     "q59_schema_evolution" -> q59SchemaEvolution,
     "q60_update" -> q60Update,
@@ -2093,6 +2134,20 @@ object ExtendedQueries {
   val sql: Map[String, String] = Map(
     "q93_meta_group_count" ->
       "SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1",
+    "q94_incr_view_distinct" ->
+      """WITH final AS (
+        |  SELECT lang, n_chars AS nc,
+        |    CASE WHEN doc_id % 10 = 6 THEN 'relabeled'
+        |         ELSE source END AS src
+        |  FROM documents WHERE doc_id % 10 <> 4
+        |  UNION ALL
+        |  SELECT lang, n_chars AS nc, 'minted' AS src
+        |  FROM documents WHERE doc_id % 10 = 3
+        |)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(nc) AS BIGINT) AS sum_n_chars,
+        |  count(DISTINCT src) AS nd_source
+        |FROM final GROUP BY 1""".stripMargin,
     "q92_reorg_purge" ->
       s"""WITH live AS (
          |  SELECT l_returnflag, l_quantity, CAST(NULL AS DOUBLE) AS c

@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   * monotonically; delete-touched groups re-scan their live rows at
   * the pinned head — the standard MV maintenance trade) and serves
   * `avg_<c>` derived from (n, sum) at read time
-  * ([[readViewWithAvgs]]).
+  * ([[readViewWithAvgs]]). Since r13 `distinctCols` maintains
+  * `nd_<c>` = exact `count(DISTINCT c)` per group via a refcount
+  * auxiliary stored with each generation — fully delete-invertible
+  * (no rescans, unlike min/max); see the refcount section below.
   *
   * CONSISTENCY — the race the `to` pin exists for: refresh captures
   * the head [[DeletionVectors.MorCursor]] FIRST, computes the feed
@@ -108,6 +111,61 @@ object IncrementalView {
     rows.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  // ---- exact COUNT(DISTINCT) maintenance (refcount auxiliary) -------
+  //
+  // `nd_<c>` = count(DISTINCT c) per group, maintained EXACTLY and —
+  // unlike min/max — fully delete-invertible: the generation stores an
+  // auxiliary `(groupCols, __v, __rc)` table per distinct column (the
+  // classic IVM refcount), inserts fold +1 and removals −1 per
+  // (group, value) pair, a pair at refcount 0 drops, and the nd column
+  // is just the live pair count per group. Cost: each refresh folds
+  // the window's signed pair deltas into the stored aux and rewrites
+  // it — ∝ the view's distinct-pair state plus churn, never ∝ lake.
+  // NULL values never count (SQL COUNT(DISTINCT) semantics).
+
+  private def ndName(c: String) = s"nd_$c"
+
+  /** Full-build aux for `c`: one row per live (group, value) pair. */
+  private def auxOf(rows: DataFrame, groupCols: Seq[String],
+      c: String): DataFrame =
+    rows.filter(col(c).isNotNull)
+      .groupBy((groupCols.map(col) :+ col(c).as("__v")): _*)
+      .agg(count(lit(1)).as("__rc"))
+
+  /** Signed aux delta from a change window (`sign` = ±1 per row). */
+  private def auxDelta(changes: DataFrame, groupCols: Seq[String],
+      c: String, sign: org.apache.spark.sql.Column): DataFrame =
+    changes.filter(col(c).isNotNull)
+      .groupBy((groupCols.map(col) :+ col(c).as("__v")): _*)
+      .agg(sum(sign).as("__rc"))
+
+  /** Fold a signed delta into the stored aux; dead pairs drop. */
+  private def mergeAux(old: DataFrame, delta: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    old.unionByName(delta)
+      .groupBy((groupCols.map(col) :+ col("__v")): _*)
+      .agg(sum(col("__rc")).as("__rc"))
+      .filter(col("__rc") > 0L)
+
+  /** Append `nd_<c>` per aux to the view rows (absent group → 0). */
+  private def joinNd(view: DataFrame, groupCols: Seq[String],
+      auxes: Seq[(String, DataFrame)]): DataFrame =
+    auxes.foldLeft(view) { case (acc, (c, aux)) =>
+      acc.join(aux.groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as(ndName(c))), groupCols, "left")
+        .withColumn(ndName(c), coalesce(col(ndName(c)), lit(0L)))
+    }
+
+  private def readAux(spark: SparkSession, viewDir: String, gen: String,
+      c: String): DataFrame =
+    spark.read.parquet(s"$viewDir/$gen/aux_$c")
+
+  private def writeAuxes(viewDir: String, gen: String,
+      auxes: Seq[(String, DataFrame)]): Unit =
+    auxes.foreach { case (c, aux) =>
+      aux.coalesce(1).write.parquet(s"$viewDir/$gen/aux_$c")
+    }
+
   /** The stored view with derived `avg_<c>` columns appended — avg is
     * never maintained directly: it DERIVES from the bit-exact (n,
     * sum) pair as one double division, so it can never drift from
@@ -136,29 +194,40 @@ object IncrementalView {
   def refresh(spark: SparkSession, lakeDir: String, viewDir: String,
       groupCols: Seq[String], sumCols: Seq[String],
       failBeforePublish: Boolean = false,
-      minMaxCols: Seq[String] = Nil): RefreshStats = {
+      minMaxCols: Seq[String] = Nil,
+      distinctCols: Seq[String] = Nil): RefreshStats = {
     require(groupCols.nonEmpty, "refresh needs at least one group column")
     val fs = fsOf(spark, viewDir)
     // pin the window's upper end FIRST — see the consistency note
     val head = DeletionVectors.cursor(spark, lakeDir)
     val cur = currentPointer(fs, viewDir)
-    val (mode, rows, touched) = cur match {
-      case None =>
-        val full = aggOf(DeletionVectors.readMorAt(spark, lakeDir, head),
-          groupCols, sumCols, minMaxCols).localCheckpoint()
-        ("full", full, full.count())
+    def fullBuild(): (String, DataFrame, Long, Seq[(String, DataFrame)]) = {
+      val live = DeletionVectors.readMorAt(spark, lakeDir, head)
+      val auxes = distinctCols.map(c =>
+        c -> auxOf(live, groupCols, c).localCheckpoint())
+      val full = joinNd(aggOf(live, groupCols, sumCols, minMaxCols),
+        groupCols, auxes).localCheckpoint()
+      ("full", full, full.count(), auxes)
+    }
+    val (mode, rows, touched, auxes) = cur match {
+      case None => fullBuild()
       case Some((_, gen)) =>
         val from = readCursor(fs, viewDir, gen)
         val old = readView(spark, viewDir)
         val expect = (groupCols ++ Seq("n") ++ sumCols.map("sum_" + _) ++
-          minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))).toSet
+          minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
+          distinctCols.map(ndName)).toSet
         require(old.columns.toSet == expect,
           s"refresh: $viewDir was built with different columns " +
             s"(${old.columns.sorted.mkString(", ")}) — the column set " +
             "is fixed at the first refresh; use a new viewDir")
         try {
-          val changes = DeletionVectors.readMorChanges(spark, lakeDir,
+          val changes0 = DeletionVectors.readMorChanges(spark, lakeDir,
             from, to = Some(head))
+          // one materialization feeds the main delta AND every aux
+          // delta — the feed window never re-scans per distinct column
+          val changes = if (distinctCols.isEmpty) changes0
+            else changes0.localCheckpoint()
           val isIns = col("_change_type") === "insert"
           val sign = when(isIns, 1L).otherwise(-1L)
           val deltaAggs = (sum(sign).as("n") +:
@@ -179,7 +248,16 @@ object IncrementalView {
             minMaxCols.flatMap(c => Seq(
               min(col(s"min_$c")).as(s"min_$c"),
               max(col(s"max_$c")).as(s"max_$c")))
-          val merged = old.unionByName(delta.drop("_has_del"))
+          // refcount auxiliaries fold the same signed window — fully
+          // invertible, no rescan (the old view's nd columns are
+          // recomputed from the merged aux, so drop them pre-merge)
+          val mergedAuxes = distinctCols.map { c =>
+            c -> mergeAux(readAux(spark, viewDir, gen, c),
+              auxDelta(changes, groupCols, c, sign), groupCols)
+              .localCheckpoint()
+          }
+          val merged = old.drop(distinctCols.map(ndName): _*)
+            .unionByName(delta.drop("_has_del"))
             .groupBy(groupCols.map(col): _*)
             .agg(mergeAggs.head, mergeAggs.tail: _*)
             .filter(col("n") > 0)
@@ -208,7 +286,8 @@ object IncrementalView {
                     .join(rescan, groupCols))
               }
             }
-          ("incremental", out, deltaGroups)
+          ("incremental", joinNd(out, groupCols, mergedAuxes),
+            deltaGroups, mergedAuxes)
         } catch {
           // the feed's soundness guard: a physical rewrite broke
           // row-level tracking — rebuild at the pinned head instead.
@@ -216,15 +295,13 @@ object IncrementalView {
           // IllegalArgumentException (e.g. the empty-lake guard) is a
           // real error and must propagate, not silently degrade.
           case _: DeletionVectors.CursorInvalidatedException =>
-            val full = aggOf(
-              DeletionVectors.readMorAt(spark, lakeDir, head),
-              groupCols, sumCols, minMaxCols).localCheckpoint()
-            ("full", full, full.count())
+            fullBuild()
         }
     }
     // write the new generation aside, then publish one pointer
     val gen = s"gen-${java.util.UUID.randomUUID()}"
     rows.coalesce(1).write.parquet(s"$viewDir/$gen/data")
+    writeAuxes(viewDir, gen, auxes)
     val cursorBytes = (
       head.files.toSeq.sorted.map("file " + _) ++
         head.dvFiles.toSeq.sorted.map("dv " + _)).mkString("\n")
@@ -297,31 +374,40 @@ object IncrementalView {
   def refreshFeed(spark: SparkSession, lakeDir: String, viewDir: String,
       groupCols: Seq[String], sumCols: Seq[String],
       failBeforePublish: Boolean = false,
-      minMaxCols: Seq[String] = Nil): RefreshStats = {
+      minMaxCols: Seq[String] = Nil,
+      distinctCols: Seq[String] = Nil): RefreshStats = {
     require(groupCols.nonEmpty,
       "refreshFeed needs at least one group column")
     val fs = fsOf(spark, viewDir)
     val cur = currentPointer(fs, viewDir)
     var attempt = 0
+    def fullBuild(): (String, DataFrame, Long, Seq[(String, DataFrame)]) = {
+      val live = DeletionVectors.readMor(spark, lakeDir)
+      val auxes = distinctCols.map(c =>
+        c -> auxOf(live, groupCols, c).localCheckpoint())
+      val full = joinNd(aggOf(live, groupCols, sumCols, minMaxCols),
+        groupCols, auxes).localCheckpoint()
+      ("full", full, full.count(), auxes)
+    }
     while (true) {
       val head = ChangeDataFeed.currentVersion(spark, lakeDir)
-      val (mode, rows, touched) = cur match {
-        case None =>
-          val full = aggOf(DeletionVectors.readMor(spark, lakeDir),
-            groupCols, sumCols, minMaxCols).localCheckpoint()
-          ("full", full, full.count())
+      val (mode, rows, touched, auxes) = cur match {
+        case None => fullBuild()
         case Some((_, gen)) =>
           val from = readFeedCursor(fs, viewDir, gen)
           val old = readView(spark, viewDir)
           val expect = (groupCols ++ Seq("n") ++
             sumCols.map("sum_" + _) ++
-            minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))).toSet
+            minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
+            distinctCols.map(ndName)).toSet
           require(old.columns.toSet == expect,
             s"refreshFeed: $viewDir was built with different columns " +
               s"(${old.columns.sorted.mkString(", ")}) — the column " +
               "set is fixed at the first refresh; use a new viewDir")
           try {
-            val changes = ChangeDataFeed.read(spark, lakeDir, from, head)
+            val changes0 = ChangeDataFeed.read(spark, lakeDir, from, head)
+            val changes = if (distinctCols.isEmpty) changes0
+              else changes0.localCheckpoint()
             val isAdd = col("_change_type")
               .isin("insert", "update_postimage")
             val isDrop = col("_change_type")
@@ -343,7 +429,13 @@ object IncrementalView {
               minMaxCols.flatMap(c => Seq(
                 min(col(s"min_$c")).as(s"min_$c"),
                 max(col(s"max_$c")).as(s"max_$c")))
-            val merged = old.unionByName(delta.drop("_has_drop"))
+            val mergedAuxes = distinctCols.map { c =>
+              c -> mergeAux(readAux(spark, viewDir, gen, c),
+                auxDelta(changes.filter(isAdd || isDrop), groupCols, c,
+                  sign), groupCols).localCheckpoint()
+            }
+            val merged = old.drop(distinctCols.map(ndName): _*)
+              .unionByName(delta.drop("_has_drop"))
               .groupBy(groupCols.map(col): _*)
               .agg(mergeAggs.head, mergeAggs.tail: _*)
               .filter(col("n") > 0)
@@ -374,15 +466,15 @@ object IncrementalView {
                       .join(rescan, groupCols))
                 }
               }
-            ("incremental", out.localCheckpoint(), deltaGroups)
+            ("incremental",
+              joinNd(out, groupCols, mergedAuxes).localCheckpoint(),
+              deltaGroups, mergedAuxes)
           } catch {
             // typed degradation ONLY: an unservable window (RESTORE,
             // truncated/pre-enablement history) rebuilds at head;
             // anything else is a real error and propagates
             case _: ChangeDataFeed.FeedUnservableException =>
-              val full = aggOf(DeletionVectors.readMor(spark, lakeDir),
-                groupCols, sumCols, minMaxCols).localCheckpoint()
-              ("full", full, full.count())
+              fullBuild()
           }
       }
       // the validate-and-retry gate: everything above is materialized
@@ -391,6 +483,7 @@ object IncrementalView {
       if (ChangeDataFeed.currentVersion(spark, lakeDir) == head) {
         val gen = s"gen-${java.util.UUID.randomUUID()}"
         rows.coalesce(1).write.parquet(s"$viewDir/$gen/data")
+        writeAuxes(viewDir, gen, auxes)
         val out = fs.create(new Path(s"$viewDir/$gen", "cursor"), false)
         try out.write(s"feed\t${head.id}\t${head.gen}".getBytes(UTF_8))
         finally out.close()

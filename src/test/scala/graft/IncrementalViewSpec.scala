@@ -297,4 +297,117 @@ class IncrementalViewSpec extends SparkSpec {
       "stream-maintained min/max view drifted from the recompute")
     assert(viewMM(s"$dir/view").exists(r => r._1 == "g9" && r._4 < 0))
   }
+
+
+  // ---- exact COUNT(DISTINCT) maintenance (distinctCols) -------------
+
+  private def recomputeNd(lake: String) =
+    DeletionVectors.readMor(spark, lake)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("sum_v"),
+        countDistinct(col("d")).as("nd_d"))
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+
+  private def viewNd(dir: String) =
+    IncrementalView.readView(spark, dir)
+      .select(col("g"), col("n"), col("sum_v"), col("nd_d"))
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+
+  /** Lake of (k, g, v, d): d has heavy duplication inside groups, so
+    * refcounts genuinely exceed 1 and deletes must NOT drop a value
+    * that other rows still hold. */
+  private def mkNdLake(): String = {
+    val lake = Files.createTempDirectory("graft_ivnd_").toString + "/lake"
+    val f = fs(lake)
+    for (b <- 0 to 1) {
+      val before = CommitLog.dataFileNames(f, lake)
+      (0 until 150).map(b * 1000 + _)
+        .map(k => (k, s"g${k % 3}", k.toLong,
+          if (k % 7 == 0) null else s"src${k % 5}"))
+        .toDF("k", "g", "v", "d")
+        .coalesce(1).write.mode("append").parquet(lake)
+      CommitLog.commit(f, lake, b,
+        (CommitLog.dataFileNames(f, lake) -- before).toSeq.sorted)
+    }
+    lake
+  }
+
+  test("distinctCols maintains count(DISTINCT) EXACTLY across delete/" +
+    "update/merge windows — including a value dying in one group " +
+    "while surviving in another, with no rescan needed") {
+    val lake = mkNdLake()
+    val dir = Files.createTempDirectory("graft_ivndv_").toString + "/view"
+    val s0 = IncrementalView.refresh(spark, lake, dir, Seq("g"),
+      Seq("v"), distinctCols = Seq("d"))
+    assert(s0.mode == "full")
+    assert(viewNd(dir) == recomputeNd(lake))
+    // window 1: delete EVERY row holding one value inside one group
+    // (src1 in g0 ⇔ k % 15 == 6... enumerate: kill d='src1' rows in g0)
+    DeletionVectors.deleteMor(spark, lake,
+      "g = 'g0' AND k % 5 = 1 AND k % 7 <> 0")
+    val s1 = IncrementalView.refresh(spark, lake, dir, Seq("g"),
+      Seq("v"), distinctCols = Seq("d"))
+    assert(s1.mode == "incremental")
+    assert(viewNd(dir) == recomputeNd(lake), "window 1 drifted")
+    val g0 = viewNd(dir).find(_._1 == "g0").get
+    val g1 = viewNd(dir).find(_._1 == "g1").get
+    assert(g0._4 == g1._4 - 1,
+      s"src1 must vanish from g0 only ($g0 vs $g1)")
+    // window 2: a MoR update rewrites d for some rows — the update's
+    // delete(old)+insert(new) images move refcounts between values
+    DeletionVectors.updateMor(spark, lake, "k % 10 = 2",
+      Map("d" -> "'srcX'"))
+    val s2 = IncrementalView.refresh(spark, lake, dir, Seq("g"),
+      Seq("v"), distinctCols = Seq("d"))
+    assert(s2.mode == "incremental")
+    assert(viewNd(dir) == recomputeNd(lake), "window 2 drifted")
+    // window 3: merge-inserts re-add the g0 value killed in window 1
+    // (refcount resurrects from 0) plus a brand-new group
+    DeletionVectors.mergeMor(spark, lake,
+      Seq((9001, "g0", 1L, "src1"), (9002, "g7", 2L, "src1"),
+        (9003, "g7", 3L, null.asInstanceOf[String]))
+        .toDF("k", "g", "v", "d"), Seq("k"))
+    val s3 = IncrementalView.refresh(spark, lake, dir, Seq("g"),
+      Seq("v"), distinctCols = Seq("d"))
+    assert(s3.mode == "incremental")
+    assert(viewNd(dir) == recomputeNd(lake), "window 3 drifted")
+    assert(viewNd(dir).find(_._1 == "g7").get._4 == 1L,
+      "NULL never counts toward distinct")
+    // empty window is a no-op
+    IncrementalView.refresh(spark, lake, dir, Seq("g"), Seq("v"),
+      distinctCols = Seq("d"))
+    assert(viewNd(dir) == recomputeNd(lake))
+    // column pinning: dropping distinctCols on a later refresh fails
+    val e = intercept[IllegalArgumentException] {
+      IncrementalView.refresh(spark, lake, dir, Seq("g"), Seq("v"))
+    }
+    assert(e.getMessage.contains("different columns"))
+  }
+
+  test("distinctCols through refreshFeed: stays incremental across a " +
+    "CoW update (the verb that breaks position cursors) and matches " +
+    "the recompute") {
+    import graft.sources.{ChangeDataFeed, MergeInto}
+    val lake = mkNdLake()
+    ChangeDataFeed.enable(spark, lake)
+    val dir = Files.createTempDirectory("graft_ivndf_").toString + "/view"
+    val s0 = IncrementalView.refreshFeed(spark, lake, dir, Seq("g"),
+      Seq("v"), distinctCols = Seq("d"))
+    assert(s0.mode == "full")
+    assert(viewNd(dir) == recomputeNd(lake))
+    // CoW UPDATE rewrites files — position cursors would die here;
+    // the feed serves it as pre/post images and refcounts move
+    MergeInto.update(spark, lake, "k % 10 = 3",
+      Map("d" -> "'cowX'", "v" -> "v + 10"))
+    val s1 = IncrementalView.refreshFeed(spark, lake, dir, Seq("g"),
+      Seq("v"), distinctCols = Seq("d"))
+    assert(s1.mode == "incremental",
+      "a CoW update must stay incremental through the feed")
+    assert(viewNd(dir) == recomputeNd(lake), "feed window drifted")
+    // MoR delete of every row of one value in one group
+    DeletionVectors.deleteMor(spark, lake, "d = 'cowX' AND g = 'g1'")
+    val s2 = IncrementalView.refreshFeed(spark, lake, dir, Seq("g"),
+      Seq("v"), distinctCols = Seq("d"))
+    assert(s2.mode == "incremental")
+    assert(viewNd(dir) == recomputeNd(lake))
+  }
 }
