@@ -326,6 +326,82 @@ class ColumnMappingSpec extends SparkSpec {
         "evolution semantics, never resurrected bytes")
   }
 
+  test("PURGE on a shallow CLONE: carrying source-resident files " +
+    "rewrite INTO the clone, the source stays byte-identical and " +
+    "keeps its column") {
+    val lake = mkLake()
+    val cloneDir = Files.createTempDirectory("graft_cmap_pcl_")
+      .toString + "/clone"
+    Clone.shallow(spark, lake, cloneDir)
+    val srcState = dataState(lake)
+    ColumnMapping.drop(spark, cloneDir, "extra")
+    val viewBefore = LayoutSink.readCommitted(spark, cloneDir)
+      .collect().toSet
+    val (rewritten, _) = ColumnMapping.purge(spark, cloneDir)
+    assert(rewritten > 0)
+    assert(dataState(lake) == srcState,
+      "purging a clone must not touch one source byte")
+    assert(LayoutSink.readCommitted(spark, lake).columns
+      .contains("extra"), "the source keeps its column")
+    assert(LayoutSink.readCommitted(spark, cloneDir).collect().toSet
+      == viewBefore, "the clone's view must be preserved")
+    assert(!spark.read.option("mergeSchema", "true")
+      .parquet(cloneDir).columns.contains("extra"),
+      "the clone's replacement files must not carry the column")
+  }
+
+  test("PURGE property net: random lakes (batch counts, clean " +
+    "appends, DV patterns) — view preserved, bytes gone, accounting " +
+    "exact, second purge a no-op") {
+    for (seed <- Seq(11, 402)) {
+      val rnd = new scala.util.Random(seed)
+      val lake = Files.createTempDirectory(s"graft_cmap_net$seed")
+        .toString + "/lake"
+      val nCarry = 1 + rnd.nextInt(3)
+      (0 until nCarry).foreach { b =>
+        assert(Occ.append(spark, lake,
+          (0 until 50 + rnd.nextInt(100))
+            .map(i => (b * 10000 + i, 2L * i, s"x$i"))
+            .toDF("k", "v", "extra"), numFiles = 1 + rnd.nextInt(2)) >= 0L)
+      }
+      ColumnMapping.drop(spark, lake, "extra")
+      val nClean = rnd.nextInt(3)
+      (0 until nClean).foreach { b =>
+        assert(Occ.append(spark, lake,
+          (0 until 30).map(i => (90000 + b * 1000 + i, 5L * i))
+            .toDF("k", "v"), numFiles = 1) > 0L)
+      }
+      if (rnd.nextBoolean())
+        DeletionVectors.deleteMor(spark, lake,
+          s"k % ${2 + rnd.nextInt(5)} = 1"): Unit
+      val before = DeletionVectors
+        .readMor(spark, lake, mergeSchema = true)
+        .select($"k", $"v").collect().toSet
+      val f = fs(lake)
+      val committedN = CommitLog.committedNames(f, lake).size
+      val carryFiles = CommitLog.committedNames(f, lake).count { n =>
+        spark.read.parquet(s"$lake/$n").columns.contains("extra")
+      }
+      val (rewritten, carried) = ColumnMapping.purge(spark, lake)
+      assert(rewritten == carryFiles && carried == committedN - carryFiles,
+        s"seed $seed: ($rewritten, $carried) vs " +
+          s"($carryFiles carrying of $committedN committed)")
+      val after = DeletionVectors
+        .readMor(spark, lake, mergeSchema = true)
+        .select($"k", $"v").collect().toSet
+      assert(after == before, s"seed $seed: view drifted through purge")
+      assert(!spark.read.option("mergeSchema", "true")
+        .parquet(CommitLog.resolveDataPaths(f, lake,
+          CommitLog.committedNames(f, lake).toSeq.sorted): _*)
+        .columns.contains("extra"), s"seed $seed: bytes survived")
+      val state = dataState(lake)
+      assert(ColumnMapping.purge(spark, lake) == ((0, state.size)),
+        s"seed $seed: second purge must be a no-op")
+      assert(dataState(lake) == state,
+        s"seed $seed: the no-op purge must not touch a byte")
+    }
+  }
+
   test("a change-data-feed cursor flows THROUGH a purge (row-" +
     "preserving empty stamp), and the purge publishes one mutation " +
     "version") {
