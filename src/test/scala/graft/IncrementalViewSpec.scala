@@ -410,4 +410,38 @@ class IncrementalViewSpec extends SparkSpec {
     assert(s2.mode == "incremental")
     assert(viewNd(dir) == recomputeNd(lake))
   }
+
+
+  test("distinctCols crash safety: a crash between generation write " +
+    "and pointer publish leaves view AND refcount aux intact; the " +
+    "re-run folds the window's pairs exactly once") {
+    val lake = mkNdLake()
+    val dir = Files.createTempDirectory("graft_ivndc_").toString + "/view"
+    IncrementalView.refresh(spark, lake, dir, Seq("g"), Seq("v"),
+      distinctCols = Seq("d"))
+    val before = viewNd(dir)
+    // the window both removes a value's last holders in one group and
+    // adds a fresh value — double-applying EITHER side would show
+    DeletionVectors.deleteMor(spark, lake,
+      "g = 'g0' AND k % 5 = 1 AND k % 7 <> 0")
+    DeletionVectors.mergeMor(spark, lake,
+      Seq((7001, "g1", 1L, "crashv")).toDF("k", "g", "v", "d"),
+      Seq("k"))
+    intercept[RuntimeException](IncrementalView.refresh(spark, lake,
+      dir, Seq("g"), Seq("v"), distinctCols = Seq("d"),
+      failBeforePublish = true))
+    assert(viewNd(dir) == before,
+      "crashed refresh leaked into the published view")
+    val s = IncrementalView.refresh(spark, lake, dir, Seq("g"),
+      Seq("v"), distinctCols = Seq("d"))
+    assert(s.mode == "incremental")
+    assert(viewNd(dir) == recomputeNd(lake),
+      "re-run double-applied the refcount window")
+    // debris swept: one live generation, holding data AND the aux
+    val gens = fs(dir).listStatus(new Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("gen-"))
+    assert(gens.length == 1)
+    assert(fs(dir).exists(new Path(s"$dir/${gens.head}/aux_d")),
+      "the live generation must carry its refcount auxiliary")
+  }
 }

@@ -1501,4 +1501,56 @@ class StatsIndexSpec extends SparkSpec {
       "g").as[(Int, Long)].collect().toMap
     assert(gotU == wantU)
   }
+
+
+  test("countByGroup property net: random group type x layout x " +
+    "nulls x vectors — always equals the plain grouped count") {
+    import graft.sources.{DeletionVectors, Occ}
+    for (seed <- Seq(19, 523)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"graft_cbgnet$seed").toString
+      val lake = s"$dir/lake"
+      val kind = rnd.nextInt(3) // 0 = int, 1 = string, 2 = date
+      def gExpr(gi: Int) = kind match {
+        case 0 => lit(gi)
+        case 1 => lit(s"grp$gi")
+        case _ => date_add(lit(java.sql.Date.valueOf("2024-06-01")),
+          lit(gi))
+      }
+      val nGroups = 3 + rnd.nextInt(4)
+      val withNulls = rnd.nextBoolean()
+      val withMixed = rnd.nextBoolean()
+      (0 until nGroups).foreach { gi =>
+        assert(Occ.append(spark, lake,
+          spark.range(100L + rnd.nextInt(200))
+            .select(gExpr(gi).as("g"),
+              (col("id") + gi * 100000).as("v")), numFiles = 1) >= 0L)
+      }
+      if (withNulls) // an all-NULL-group file (metadata NULL group)
+        assert(Occ.append(spark, lake,
+          spark.range(50).select(
+            lit(null).cast(kind match { case 0 => "int"
+              case 1 => "string"; case _ => "date" }).as("g"),
+            (col("id") + 900000).as("v")), numFiles = 1) > 0L)
+      if (withMixed) // a boundary file mixing two groups
+        assert(Occ.append(spark, lake,
+          spark.range(80).select(
+            when(col("id") % 2 === 0, gExpr(0)).otherwise(gExpr(1))
+              .as("g"), (col("id") + 800000).as("v")),
+          numFiles = 1) > 0L)
+      if (rnd.nextBoolean())
+        DeletionVectors.deleteMor(spark, lake,
+          s"v % ${3 + rnd.nextInt(4)} = 1"): Unit
+      StatsIndex.build(spark, lake, Seq("g"), s"$dir/idx")
+      def key(r: org.apache.spark.sql.Row) =
+        (Option(r.get(0)).map(_.toString), r.getLong(1))
+      val want = DeletionVectors.readMor(spark, lake)
+        .groupBy(col("g")).count().collect().map(key).toMap
+      val got = StatsIndex.countByGroup(spark, lake, s"$dir/idx", "g")
+        .collect().map(key).toMap
+      assert(got == want,
+        s"seed $seed (kind=$kind nulls=$withNulls mixed=$withMixed): " +
+          s"$got vs $want")
+    }
+  }
 }
