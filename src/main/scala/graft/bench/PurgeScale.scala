@@ -26,17 +26,22 @@ object PurgeScale {
 
   private val TotalFiles = 64
 
-  /** Lake with `carrying` of [[TotalFiles]] files carrying `l_tax`:
-    * rows split by `l_orderkey % TotalFiles`, the carrying band
-    * committed BEFORE the drop, the clean band appended after it
-    * (born without the column). Returns (lake, expectedRows). */
-  private def buildLake(spark: SparkSession, src: String,
-      carrying: Int): (String, Long) = {
-    val root = s"/root/repo/target/scale/purge_$carrying"
+  /** Lake with `carrying` of `total` files carrying `l_tax`: rows
+    * split by `l_orderkey % total`, the carrying band committed
+    * BEFORE the drop, the clean band appended after it (born without
+    * the column); `copies` unions the sf0.1 table into a bigger lake
+    * with the same SHARE. Returns (lake, expectedRows). */
+  private def buildLake(spark: SparkSession, src: String, tag: String,
+      carrying: Int, total: Int, copies: Int = 1): (String, Long) = {
+    val root = s"/root/repo/target/scale/purge_$tag"
     rmrf(root)
     val lake = s"$root/lake"
-    val li = spark.read.parquet(s"$src/lineitem.parquet")
-    val band = pmod(col("l_orderkey"), lit(TotalFiles))
+    val one = spark.read.parquet(s"$src/lineitem.parquet")
+    val li = (1 until copies).foldLeft(one) { (df, i) =>
+      df.unionByName(one.withColumn("l_orderkey",
+        col("l_orderkey") + lit(i * 100000000L)))
+    }
+    val band = pmod(col("l_orderkey"), lit(total))
     val fs = new Path(lake)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     li.filter(band < carrying).repartition(carrying)
@@ -44,10 +49,10 @@ object PurgeScale {
     CommitLog.commit(fs, lake, 0L,
       CommitLog.dataFileNames(fs, lake).toSeq.sorted)
     ColumnMapping.drop(spark, lake, "l_tax")
-    if (carrying < TotalFiles)
+    if (carrying < total)
       require(Occ.append(spark, lake,
         li.filter(band >= carrying).drop("l_tax"),
-        numFiles = TotalFiles - carrying) > 0L)
+        numFiles = total - carrying) > 0L)
     (lake, li.count())
   }
 
@@ -62,7 +67,8 @@ object PurgeScale {
     val sf01 = "/root/testdata/sf0.1"
 
     for (carrying <- Seq(TotalFiles, 16, 4, 1); rep <- 1 to reps) {
-      val (lake, expect) = buildLake(spark, sf01, carrying)
+      val (lake, expect) = buildLake(spark, sf01, s"c$carrying",
+        carrying, TotalFiles)
       var out: (Int, Int) = (0, 0)
       val wall = t { out = ColumnMapping.purge(spark, lake) }
       require(out == ((carrying, TotalFiles - carrying)),
@@ -72,6 +78,24 @@ object PurgeScale {
       require(rows == expect, s"rows: $rows vs $expect")
       println(f"PURGE carrying=$carrying%2d/$TotalFiles rep=$rep " +
         f"wall=$wall%.2fs rewritten=${out._1} carried=${out._2}")
+    }
+    // the 10x arm: same 25% carrying SHARE, lake 10x bigger — purge
+    // wall should track the carrying BYTES (~10x), the probe the file
+    // count; exponents land beside the share sweep in SCALE.md
+    for ((tag, copies, total) <- Seq(("1x", 1, 64), ("10x", 10, 640));
+        rep <- 1 to reps) {
+      val carrying = total / 4
+      val (lake, expect) = buildLake(spark, sf01, tag, carrying,
+        total, copies)
+      var out: (Int, Int) = (0, 0)
+      val wall = t { out = ColumnMapping.purge(spark, lake) }
+      require(out == ((carrying, total - carrying)),
+        s"$tag accounting: $out")
+      val rows = graft.streaming.LayoutSink
+        .readCommitted(spark, lake, mergeSchema = true).count()
+      require(rows == expect, s"$tag rows: $rows vs $expect")
+      println(f"PURGE10X $tag%3s rep=$rep carrying=$carrying/$total " +
+        f"wall=$wall%.2fs")
     }
     spark.stop()
   }
