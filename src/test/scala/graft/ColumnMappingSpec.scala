@@ -421,4 +421,46 @@ class ColumnMappingSpec extends SparkSpec {
     assert(byType == Map("delete" -> 1L, "insert" -> 1L),
       s"the purge contributes NO feed rows (empty stamp): $byType")
   }
+
+
+  test("PURGE is a first-class mutation in the history surface: " +
+    "as-of reads below it fail LOUDLY naming the reclaimed bytes, " +
+    "history shows its add/rm churn, and purge(indexDir) keeps the " +
+    "skipping index current") {
+    import graft.sources.{CommitLog, StatsIndex}
+    import graft.streaming.LayoutSink
+    val lake = mkLake()
+    val idx = lake.stripSuffix("/lake") + "/idx"
+    StatsIndex.build(spark, lake, Seq("k"), idx)
+    ColumnMapping.drop(spark, lake, "extra")
+    val f = fs(lake)
+    val maxId = CommitLog.maxCommittedId(f, lake)
+    val (rewritten, _) = ColumnMapping.purge(spark, lake,
+      indexDir = Some(idx))
+    assert(rewritten > 0)
+    // the bare-id pinner refuses the rewritten id outright (pre/post
+    // ambiguity), and addressing the pre-purge manifest record
+    // explicitly fails fast naming the RECLAIMED bytes — the same
+    // two-tier contract as every physical rewrite
+    val amb = intercept[IllegalArgumentException] {
+      LayoutSink.readCommittedAt(spark, lake, maxId).collect()
+    }
+    assert(amb.getMessage.contains("rewrote this id"), amb.getMessage)
+    val pre = CommitLog.history(f, lake)
+      .find(r => r.id == maxId && r.kind == "manifest").get
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.viewOfVersion(f, lake, pre)
+    }
+    assert(e.getMessage.contains("reclaimed"), e.getMessage)
+    // history surfaces the purge's churn as add:/rm: deltas
+    val rec = CommitLog.history(f, lake).last
+    assert(rec.addedFiles > 0 && rec.removedFiles > 0,
+      s"purge must publish its churn: +${rec.addedFiles} " +
+        s"-${rec.removedFiles}")
+    // the re-synced index prunes the NEW layout exactly
+    val got = StatsIndex.readPruned(spark, lake, idx,
+      Seq(("k", 10L, 39L))).agg(sum($"v")).head.getLong(0)
+    assert(got == (10 until 40).map(2L * _).sum,
+      "post-purge pruned read drifted")
+  }
 }
