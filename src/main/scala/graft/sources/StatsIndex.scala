@@ -718,19 +718,17 @@ object StatsIndex {
   private def statsFor(spark: SparkSession, files: Seq[String],
       cols: Seq[String]): DataFrame = {
     import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
     val colsB = spark.sparkContext.broadcast(cols)
-    // ship the session's Hadoop conf to the executors as plain entries
-    // (fs.defaultFS, object-store credentials/endpoints, HA nameservice
-    // mappings) — a fresh `new Configuration()` on the executor would
-    // only ever resolve local/default filesystems
+    // ship the session's filesystem-relevant Hadoop conf to the
+    // executors ([[FsConfShip]] — the one vetted implementation, shared
+    // with ColumnMapping's footer probe): a fresh `new Configuration()`
+    // on the executor would only ever resolve local/default filesystems
     val confEntries = spark.sparkContext.broadcast(
-      conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray)
+      FsConfShip.entries(spark.sparkContext.hadoopConfiguration))
     files.toDF("file")
       .repartition(math.max(1, math.min(files.size, 64)))
       .mapPartitions { it =>
-        val c = new Configuration(false)
-        confEntries.value.foreach { case (k, v) => c.set(k, v) }
+        val c = FsConfShip.rebuild(confEntries.value)
         it.map { row =>
           val f = row.getString(0)
           val r = ParquetFileReader.open(
@@ -1237,12 +1235,7 @@ object StatsIndex {
     val hasStr = idx.columns.contains("smin") &&
       idx.columns.contains("smax")
     val dvOpt = DeletionVectors.vectors(spark, dataDir)
-    val deadByFile: Map[String, Long] = dvOpt match {
-      case None => Map.empty
-      case Some(dv) => dv.groupBy(col("file")).count()
-        .as[(String, Long)].collect().toMap
-    }
-    val rows = idx
+    val gRows = idx
       .filter(col("col") === groupCol && col("kind") =!= "bloom")
       .select(col("file"), col("kind"), col("lmin"), col("lmax"),
         (if (hasStr) col("smin") else lit(null).cast("string"))
@@ -1250,60 +1243,78 @@ object StatsIndex {
         (if (hasStr) col("smax") else lit(null).cast("string"))
           .as("smax"),
         col("nulls"), col("row_count"), col("dtype"))
-      .collect()
-    val allFiles = idx.select(col("file")).distinct()
-      .as[String].collect().toSeq.sorted
     // ONE recorded Spark type decides which kind proves VALUES (the
-    // minMaxPruned/ADVICE-r7 rule); drift or legacy rows → all scan
-    val dtypes = rows.iterator.filterNot(_.isNullAt(8))
-      .map(_.getString(8)).toSeq.distinct
+    // minMaxPruned/ADVICE-r7 rule); drift or legacy rows → all scan.
+    // Distinct dtypes is bounded by the type census, never file count
+    val dtypes = gRows.filter(col("dtype").isNotNull)
+      .select(col("dtype")).distinct().as[String].collect().toSeq
     val dt: Option[String] = dtypes match {
       case Seq(one) => Some(one)
       case _ => None
     }
     val longExact = dt.exists(Set("tinyint", "smallint", "int", "bigint"))
-    // file -> (group value as a portable string, live rows). NULL
-    // group = None value; values travel as strings and cast back to
-    // the recorded type below (bit-exact for integral/date/string)
-    val interior = scala.collection.mutable.Map
-      .empty[String, (Option[String], Long)]
+    // DISTRIBUTED interior/boundary classification (r14 — the r13
+    // shape collected every index row and classified in a driver Map,
+    // a footprint ∝ lake FILE COUNT): each file's arm is a codegen'd
+    // when-chain over its own index row, dead-row subtraction joins
+    // the sidecar counts by file name, and interior contributions
+    // aggregate map-side. The driver materializes ONLY the boundary
+    // shell's path list (the same list the parquet reader needs as
+    // scan paths — the irreducible driver cost) plus the dtype census.
+    // Files with NO index row for the group column (pre-evolution
+    // files) left-join to null arms and classify boundary, as before.
+    val deadDf = dvOpt.map(_.groupBy(col("file").as("__base"))
+      .agg(count(lit(1)).as("__dead")))
+    val allFiles = idx.select(col("file")).distinct()
+    val joined0 = allFiles.join(gRows, Seq("file"), "left")
+      .withColumn("__base", element_at(split(col("file"), "/"), -1))
+    val joined = deadDf match {
+      case None => joined0.withColumn("__dead", lit(0L))
+      case Some(d) => joined0.join(d, Seq("__base"), "left")
+        .withColumn("__dead", coalesce(col("__dead"), lit(0L)))
+    }
+    val statsKnown = col("row_count").isNotNull && col("nulls").isNotNull
+    val allNull = statsKnown && col("nulls") === col("row_count")
+    // the provable-value arms: same dtype discipline as the driver
+    // loop had — integral under "long", DATE from epoch days (ISO
+    // string via date_from_unix_date, the LocalDate.toString twin),
+    // string via the truncation-safe bound pinch
+    val gval =
+      when(col("kind") === "long" && lit(longExact) &&
+          col("lmin").isNotNull && col("lmax").isNotNull &&
+          col("lmin") === col("lmax"), col("lmin").cast("string"))
+        .when(col("kind") === "date" && lit(dt.contains("date")) &&
+          col("lmin").isNotNull && col("lmax").isNotNull &&
+          col("lmin") === col("lmax"),
+          date_from_unix_date(col("lmin").cast("int")).cast("string"))
+        .when(col("kind") === "string" && lit(dt.contains("string")) &&
+          col("smin").isNotNull && col("smax").isNotNull &&
+          col("smin") === col("smax"), col("smin"))
     // dt=None (legacy/drifting index) proves nothing — even the
     // all-null arm needs the recorded type to build a typed NULL
     // group that unions with the boundary scan's real column
-    if (dt.isDefined) rows.foreach { r =>
-      val file = r.getString(0)
-      val rcOk = !r.isNullAt(7)
-      val nullsKnown = !r.isNullAt(6)
-      if (rcOk && nullsKnown) {
-        val live = r.getLong(7) - deadByFile.getOrElse(
-          new Path(file).getName, 0L)
-        if (r.getLong(6) == r.getLong(7)) {
-          // proven all-null: the NULL group, from metadata alone
-          // (sound under vectors: dead rows were null-group too)
-          interior(file) = (None, live)
-        } else if (r.getLong(6) == 0L) r.getString(1) match {
-          case "long" if longExact && !r.isNullAt(2) &&
-              !r.isNullAt(3) && r.getLong(2) == r.getLong(3) =>
-            interior(file) = (Some(r.getLong(2).toString), live)
-          case "date" if dt.contains("date") && !r.isNullAt(2) &&
-              !r.isNullAt(3) && r.getLong(2) == r.getLong(3) =>
-            interior(file) = (Some(java.time.LocalDate
-              .ofEpochDay(r.getLong(2)).toString), live)
-          case "string" if dt.contains("string") && !r.isNullAt(4) &&
-              !r.isNullAt(5) && r.getString(4) == r.getString(5) =>
-            interior(file) = (Some(r.getString(4)), live)
-          case _ => () // fractional/ts/full/mixed bounds: scan
-        }
-      }
-    }
+    val interiorFlag =
+      if (dt.isEmpty) lit(false)
+      else allNull || (statsKnown && col("nulls") === 0L &&
+        gval.isNotNull)
+    val classified = joined
+      .withColumn("__interior", interiorFlag)
+      // NULL group travels as a null value string; proven values as
+      // portable strings, cast back to the recorded type below
+      // (bit-exact for integral/date/string)
+      .withColumn("__g", when(allNull, lit(null).cast("string"))
+        .otherwise(gval))
+      .withColumn("__live", col("row_count") - col("__dead"))
     val dtName = dt.getOrElse("string")
-    val boundary = allFiles.filterNot(interior.keySet)
+    val interiorAgg = classified.filter(col("__interior"))
+      .groupBy(col("__g")).agg(sum(col("__live")).as("n"))
+    val hasInterior = interiorAgg.head(1).nonEmpty
     val interiorDf =
-      if (interior.isEmpty) None
-      else Some(interior.valuesIterator.toSeq
-        .groupMapReduce(_._1)(_._2)(_ + _).toSeq
-        .map { case (v, n) => (v.orNull, n) }.toDF("__g", "n")
+      if (!hasInterior) None
+      else Some(interiorAgg
         .select(col("__g").cast(dtName).as(groupCol), col("n")))
+    val boundary = classified.filter(!col("__interior"))
+      .select(col("file")).distinct().as[String].collect().toSeq.sorted
     val boundaryDf =
       if (boundary.isEmpty) None
       else {
