@@ -97,6 +97,54 @@ object PurgeScale {
       println(f"PURGE10X $tag%3s rep=$rep carrying=$carrying/$total " +
         f"wall=$wall%.2fs")
     }
+
+    // BLOCKED-WRITER WINDOW (r14 staged purge): a clean Occ.append
+    // stream races the purge of a 25%-carrying lake. Under the r13
+    // long-lock purge every append would block (or time out) behind
+    // the whole probe+rewrite; under the staged shape appends COMMUTE
+    // (narrowed conflict rule) and only contend with the metadata-
+    // scale commit section — so max(append wall during purge) should
+    // sit near the idle-append baseline, not near the purge wall.
+    {
+      val carrying = 16
+      val (lake, expect) = buildLake(spark, sf01, "race", carrying,
+        TotalFiles)
+      val one = spark.read.parquet(s"$sf01/lineitem.parquet")
+        .limit(1000).drop("l_tax").cache()
+      require(one.count() == 1000L)
+      val idle = (1 to 3).map(_ => t {
+        require(Occ.append(spark, lake, one, numFiles = 1) > 0L)
+      })
+      val walls = scala.collection.mutable.ArrayBuffer[Double]()
+      @volatile var purgeDone = false
+      var out: (Int, Int) = (0, 0)
+      var purgeWall = 0.0
+      val th = new Thread(() => {
+        purgeWall = t { out = ColumnMapping.purge(spark, lake) }
+        purgeDone = true
+      })
+      th.start()
+      // at least one racing append even if the purge wins the sprint
+      while ({
+        walls += t {
+          require(Occ.append(spark, lake, one, numFiles = 1) > 0L)
+        }
+        !purgeDone
+      }) ()
+      th.join()
+      require(out._1 == carrying,
+        s"race: the purge must land despite the append stream: $out")
+      val rows = graft.streaming.LayoutSink
+        .readCommitted(spark, lake, mergeSchema = true).count()
+      val appended = 1000L * (3 + walls.size)
+      require(rows == expect + appended,
+        s"race rows: $rows vs ${expect + appended}")
+      val idleMean = idle.sum / idle.size
+      println(f"PURGERACE purge=$purgeWall%.2fs appends=${walls.size} " +
+        f"idle_append=$idleMean%.3fs racing_append_max=${walls.max}%.3fs " +
+        f"racing_append_mean=${walls.sum / walls.size}%.3fs")
+      one.unpersist(); ()
+    }
     spark.stop()
   }
 }

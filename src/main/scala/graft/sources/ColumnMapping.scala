@@ -2,7 +2,6 @@ package graft.sources
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -300,16 +299,17 @@ object ColumnMapping {
   private def filesCarrying(spark: SparkSession, names: Seq[String],
       paths: Seq[String], dropped: Set[String]): Seq[String] = {
     import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
+    // filesystem-relevant conf only, via the shared vetted helper
+    // ([[FsConfShip]], ADVICE r13 — the previous wholesale broadcast
+    // shipped every session entry, credentials included, per purge)
     val confEntries = spark.sparkContext.broadcast(
-      conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray)
+      FsConfShip.entries(spark.sparkContext.hadoopConfiguration))
     val deadB = spark.sparkContext.broadcast(dropped)
     names.zip(paths).toDF("name", "path")
       .repartition(math.max(1, math.min(names.size, 64)))
       .as[(String, String)]
       .mapPartitions { it =>
-        val c = new Configuration(false)
-        confEntries.value.foreach { case (k, v) => c.set(k, v) }
+        val c = FsConfShip.rebuild(confEntries.value)
         it.flatMap { case (name, path) =>
           val r = ParquetFileReader.open(
             HadoopInputFile.fromPath(new Path(path), c))
@@ -320,6 +320,18 @@ object ColumnMapping {
           } finally r.close()
         }
       }.collect().toSeq.sorted
+  }
+
+  /** Driver-side single-footer probe — the commit section's
+    * added-file check. No Spark job: one footer read on the calling
+    * thread, ∝ files appended during the purge window. */
+  private def footerCarriesDead(spark: SparkSession, path: String,
+      dropped: Set[String]): Boolean = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(path), spark.sparkContext.hadoopConfiguration))
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(_.getName).exists(dropped.contains)
+    finally r.close()
   }
 
   /** REORG … APPLY (PURGE): physically reclaim the tombstoned
@@ -354,77 +366,193 @@ object ColumnMapping {
     *    resurrect because the bytes are gone.
     *
     * Returns (filesRewritten, filesCarried). Idempotent: a second
-    * call finds no tombstones and publishes nothing. */
+    * call finds no tombstones and publishes nothing.
+    *
+    * STAGED (OCC) since r14 — the r13 shape held the writer lock
+    * across the footer probe AND the data rewrite, the one remaining
+    * verb whose lock-hold grew with data BYTES (minutes of a blocked
+    * writer matrix at a 100 TB purge). Now purge follows [[Occ]]'s
+    * discipline exactly: the probe and the carrying-file rewrite run
+    * UNLOCKED against a pinned snapshot into a hidden `.occ-*` stage,
+    * and the lock is held only for a metadata-scale commit section
+    * (snapshot re-validation, staged-file renames, survivor-vector
+    * sidecar rewrite — 16 bytes/deleted row — and one checkpoint +
+    * map publish). Conflict rule, validated inside the section —
+    * deliberately NARROWER than "view moved" so an append stream can
+    * never starve a long purge (Delta's disjoint-file-set conflict
+    * discipline):
+    *
+    *  - the TOMBSTONE set changed (a concurrent [[drop]]): retry —
+    *    lifting an un-probed tombstone would resurrect its bytes;
+    *  - any CARRYING file left the view (replaced by OPTIMIZE /
+    *    compaction / another purge): retry — the staged rewrite
+    *    embeds rows a newer version already replaced;
+    *  - the covered-vector set changed (concurrent MoR DML): retry —
+    *    the staged rewrite folded the PINNED vectors, a newer delete
+    *    on a carrying file would silently resurrect;
+    *  - a file ADDED since the snapshot carries a tombstoned column
+    *    (only reachable via raw-manifest surgery or [[CommitLog]]
+    *    restore to a pre-drop version — every committed write path
+    *    projects through [[toPhysical]], which rejects tombstoned
+    *    names): retry, so the re-probe rewrites it too. Probed from
+    *    the added files' FOOTERS under the lock — metadata-scale,
+    *    ∝ files appended during the purge window, usually zero.
+    *
+    * Anything else — appends of clean files, DML on clean files —
+    * COMMUTES: the purge publishes over the CURRENT view (clean
+    * additions carry through by name). The loser of a real conflict
+    * deletes its stage and re-runs the whole prepare on a fresh
+    * snapshot, up to `maxRetries`. `PurgeScale` measures the
+    * blocked-writer window directly: a racing [[Occ.append]] stream
+    * commits DURING the purge rewrite and the purge still lands.
+    *
+    * `filesPerRewrite` ≤ 0 (the default) sizes the replacement file
+    * count from the carrying BYTES (`targetFileBytes` per output, the
+    * `compactSmall` totalBytes/minBytes shape) — a purge of 160
+    * carrying files no longer funnels every live row into 4 huge
+    * files (ADVICE r13); an explicit positive value pins the count. */
   def purge(spark: SparkSession, lakeDir: String,
-      filesPerRewrite: Int = 4,
-      indexDir: Option[String] = None): (Int, Int) = {
+      filesPerRewrite: Int = 0,
+      indexDir: Option[String] = None,
+      targetFileBytes: Long = 128L << 20,
+      maxRetries: Int = 5, commitWaitMs: Long = 30000L,
+      beforeCommit: () => Unit = () => ()): (Int, Int) = {
     val fs = fsOf(spark, lakeDir)
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
       s"purge: $lakeDir has no commit log — cannot publish atomically")
-    CommitLog.withWriterLock(fs, lakeDir) {
+    require(targetFileBytes > 0L,
+      s"purge: targetFileBytes must be positive, got $targetFileBytes")
+    Occ.sweepStaleStages(fs, lakeDir)
+    var attempt = 0
+    while (true) {
+      // ---- PREPARE, no lock held: pin ONE consistent snapshot ----
       val m = mapping(fs, lakeDir)
-      val committed = CommitLog.committedNames(fs, lakeDir).toSeq.sorted
+      val snap @ (filesSnap, dvSnap) = CommitLog.committedView(fs, lakeDir)
+      val committed = filesSnap.toSeq.sorted
       if (m.dropped.isEmpty) return (0, committed.size)
       val carrying =
         if (committed.isEmpty) Seq.empty[String]
         else filesCarrying(spark, committed,
           CommitLog.resolveDataPaths(fs, lakeDir, committed),
           m.dropped.toSet)
-      if (carrying.isEmpty) {
-        // bytes already gone (churn replaced every carrying file) —
-        // lifting the tombstones is pure metadata
-        write(fs, lakeDir, Mapping(m.renames, Seq.empty))
-        return (0, committed.size)
-      }
-      val dvOpt = DeletionVectors.vectors(spark, lakeDir)
-      val oldDv = DeletionVectors.coveredDvFiles(fs, lakeDir)
-      val before = CommitLog.dataFileNames(fs, lakeDir)
-      // mergeSchema: carrying files can mix physical schemas (an old
-      // file and an additively-evolved delta can both carry the dead
-      // column) — a single-schema read would silently drop a live
-      // evolved column from the rewritten rows
-      val base = spark.read.option("mergeSchema", "true")
-        .parquet(CommitLog.resolveDataPaths(fs, lakeDir, carrying): _*)
-      DeletionVectors.applyVectors(base, dvOpt)
-        .drop(m.dropped: _*)
-        .repartition(math.max(1, filesPerRewrite))
-        .write.mode("append").parquet(lakeDir)
-      val newFiles =
-        (CommitLog.dataFileNames(fs, lakeDir) -- before).toSeq.sorted
-      val survivorDv = dvOpt match {
-        case None => Seq.empty[String]
-        case Some(dv) => DeletionVectors.rewriteSurvivorVectors(
-          spark, fs, lakeDir, dv, carrying.toSet)
-      }
-      val maxId = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
-      // live rows preserved (dead rows were already invisible): an
-      // empty change-feed stamp keeps feed cursors flowing through
-      val gen =
-        if (!ChangeDataFeed.isEnabled(fs, lakeDir)) None
+      val dvOpt = DeletionVectors.vectorsFor(spark, lakeDir, dvSnap)
+      val stage = Occ.stageDir(lakeDir)
+      val newFiles: Seq[String] =
+        if (carrying.isEmpty) Seq.empty
         else {
-          val g = CommitLog.nextGen(fs, lakeDir)
-          ChangeDataFeed.writeEmpty(spark, lakeDir, maxId, g)
-          Some(g)
+          val carryingPaths =
+            CommitLog.resolveDataPaths(fs, lakeDir, carrying)
+          // replacement file count ∝ carrying bytes (dead-column share
+          // is usually small, so sizing from the pre-drop bytes only
+          // errs toward slightly smaller outputs), clamped to the
+          // carrying count — a purge never EXPANDS the file census
+          val carryBytes = carryingPaths.iterator
+            .map(p => fs.getFileStatus(new Path(p)).getLen).sum
+          val nOut =
+            if (filesPerRewrite > 0) filesPerRewrite
+            else math.max(1L, math.min(carrying.size.toLong,
+              (carryBytes + targetFileBytes - 1) / targetFileBytes)).toInt
+          // mergeSchema: carrying files can mix physical schemas (an
+          // old file and an additively-evolved delta can both carry
+          // the dead column) — a single-schema read would silently
+          // drop a live evolved column from the rewritten rows
+          val base = spark.read.option("mergeSchema", "true")
+            .parquet(carryingPaths: _*)
+          DeletionVectors.applyVectors(base, dvOpt)
+            .drop(m.dropped: _*)
+            .repartition(nOut)
+            .write.parquet(s"$stage/data")
+          Occ.stagedNames(fs, s"$stage/data")
         }
-      CommitLog.commitMutationCheckpoint(fs, lakeDir, maxId,
-        (committed.filterNot(carrying.toSet) ++ newFiles).sorted,
-        dvNames = survivorDv, added = newFiles, removed = carrying,
-        gen = gen)
-      // tombstones lift atomically with the publish (same lock): the
-      // bytes are gone, so the name is safe to recreate
-      write(fs, lakeDir, Mapping(m.renames, Seq.empty))
-      // replaced files and their retired sidecars: local files delete
-      // now; clone-source-resident ones just stop being referenced
-      // (the source's own vacuum owns those bytes)
-      carrying.foreach { n =>
-        fs.delete(new Path(lakeDir, n), false); ()
+      beforeCommit()
+      // ---- COMMIT SECTION: metadata-scale, conflict-validated ----
+      val outcome: Option[(Int, Int)] = CommitLog.withWriterLock(fs,
+          lakeDir, waitMs = commitWaitMs) {
+        val mNow = mapping(fs, lakeDir)
+        val (filesNow, dvNow) = CommitLog.committedView(fs, lakeDir)
+        // files added since the snapshot: clean by construction (every
+        // committed write path projects through toPhysical, which
+        // rejects tombstoned names) — but restore/raw surgery can
+        // resurrect carriers, so their footers are verified here,
+        // ∝ files appended during the purge window (usually zero)
+        lazy val addedCarries = (filesNow -- filesSnap).toSeq.sorted
+          .exists { n =>
+            footerCarriesDead(spark,
+              CommitLog.resolveDataPaths(fs, lakeDir, Seq(n)).head,
+              m.dropped.toSet)
+          }
+        if (mNow.dropped.toSet != m.dropped.toSet) None
+        else if (carrying.isEmpty) {
+          // bytes already gone (churn replaced every carrying file) —
+          // lifting the tombstones is pure metadata
+          if (addedCarries) None
+          else {
+            write(fs, lakeDir, Mapping(mNow.renames, Seq.empty))
+            Some((0, filesNow.size))
+          }
+        } else if (!carrying.forall(filesNow.contains) ||
+            dvNow != dvSnap || addedCarries) None
+        else {
+          // clean concurrent appends COMMUTE: publish over the
+          // CURRENT file set, carrying them through by name
+          val oldDv = DeletionVectors.coveredDvFiles(fs, lakeDir)
+          Occ.renameInto(fs, s"$stage/data", newFiles, lakeDir)
+          val survivorDv = dvOpt match {
+            case None => Seq.empty[String]
+            case Some(dv) => DeletionVectors.rewriteSurvivorVectors(
+              spark, fs, lakeDir, dv, carrying.toSet)
+          }
+          val maxId = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
+          // live rows preserved (dead rows were already invisible): an
+          // empty change-feed stamp keeps feed cursors flowing through
+          val gen =
+            if (!ChangeDataFeed.isEnabled(fs, lakeDir)) None
+            else {
+              val g = CommitLog.nextGen(fs, lakeDir)
+              ChangeDataFeed.writeEmpty(spark, lakeDir, maxId, g)
+              Some(g)
+            }
+          CommitLog.commitMutationCheckpoint(fs, lakeDir, maxId,
+            (filesNow.toSeq.filterNot(carrying.toSet) ++ newFiles)
+              .sorted,
+            dvNames = survivorDv, added = newFiles, removed = carrying,
+            gen = gen)
+          // tombstones lift atomically with the publish (same lock):
+          // the bytes are gone, so the name is safe to recreate —
+          // concurrent renames since the snapshot are preserved
+          // (mNow.renames; only the validated dropped set lifts)
+          write(fs, lakeDir, Mapping(mNow.renames, Seq.empty))
+          // replaced files and their retired sidecars: local files
+          // delete now; clone-source-resident ones just stop being
+          // referenced (the source's own vacuum owns those bytes)
+          carrying.foreach { n =>
+            fs.delete(new Path(lakeDir, n), false); ()
+          }
+          oldDv.foreach { n =>
+            fs.delete(new Path(DeletionVectors.dvDir(lakeDir), n),
+              false); ()
+          }
+          Some((carrying.size, filesNow.size - carrying.size))
+        }
       }
-      oldDv.foreach { n =>
-        fs.delete(new Path(DeletionVectors.dvDir(lakeDir), n), false); ()
+      fs.delete(new Path(stage), true)
+      outcome match {
+        case Some(res) =>
+          // derived artifact, current-view semantics — refreshing
+          // under the lock would put footer I/O back into the blocked
+          // window
+          indexDir.foreach(idx =>
+            StatsIndex.refreshSameColumns(spark, lakeDir, idx))
+          return res
+        case None => ()
       }
-      indexDir.foreach(idx =>
-        StatsIndex.refreshSameColumns(spark, lakeDir, idx))
-      (carrying.size, committed.size - carrying.size)
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new IllegalStateException(
+          s"purge: lost the commit race $attempt times on $lakeDir " +
+            "(concurrent commits or tombstone churn) — raise " +
+            "maxRetries or quiesce the writer matrix")
     }
+    throw new IllegalStateException("unreachable")
   }
 }

@@ -463,4 +463,133 @@ class ColumnMappingSpec extends SparkSpec {
     assert(got == (10 until 40).map(2L * _).sum,
       "post-purge pruned read drifted")
   }
+
+  // ---- staged (OCC) purge: conflict + crash arms (r14) --------------
+
+  test("a concurrent append COMMUTES with a staged purge: the purge " +
+    "lands on its FIRST attempt, carries the appended clean file by " +
+    "name, and the append is never blocked behind the rewrite") {
+    val lake = mkLake()
+    ColumnMapping.drop(spark, lake, "extra")
+    var hookCalls = 0
+    val (rewritten, carried) = ColumnMapping.purge(spark, lake,
+      beforeCommit = () => {
+        hookCalls += 1
+        // lands BETWEEN purge's prepare and its commit section — under
+        // the r13 long-lock shape this appender would have blocked (or
+        // timed out) for the whole rewrite window; under the narrowed
+        // conflict rule it does not even cost the purge a retry
+        if (hookCalls == 1)
+          assert(Occ.append(spark, lake,
+            (100 until 150).map(k => (k, 7L * k)).toDF("k", "v")) > 0L)
+      })
+    assert(hookCalls == 1,
+      s"a clean append must not force a purge retry ($hookCalls " +
+        "prepare attempts)")
+    // the commit section published over the CURRENT view: the mid-
+    // purge append's clean file is carried
+    assert(rewritten > 0 && carried > 0,
+      s"commute accounting: ($rewritten, $carried)")
+    val got = LayoutSink.readCommitted(spark, lake, mergeSchema = true)
+    assert(got.count() == 150L,
+      "both the purge rewrite and the racing append must survive")
+    assert(!spark.read.option("mergeSchema", "true").parquet(lake)
+      .columns.contains("extra"), "the dead bytes must still be gone")
+    assert(ColumnMapping.mapping(fs(lake), lake).dropped.isEmpty,
+      "the tombstone lifts on the winning attempt")
+  }
+
+  test("a concurrent MoR DELETE on a carrying file IS a conflict: the " +
+    "purge retries and the deleted row stays dead through the rewrite") {
+    val lake = mkLake()
+    ColumnMapping.drop(spark, lake, "extra")
+    var hookCalls = 0
+    val (rewritten, _) = ColumnMapping.purge(spark, lake,
+      beforeCommit = () => {
+        hookCalls += 1
+        // a delete AFTER the rewrite staged: the staged bytes folded
+        // the OLD vector set — publishing them would resurrect k=3
+        if (hookCalls == 1)
+          assert(DeletionVectors.deleteMor(spark, lake, "k = 3") == 1L)
+      })
+    assert(hookCalls == 2,
+      s"DV churn on a carrying file must force a retry ($hookCalls)")
+    assert(rewritten > 0)
+    val got = DeletionVectors.readMor(spark, lake, mergeSchema = true)
+    assert(got.filter($"k" === 3).count() == 0L,
+      "the mid-purge delete must hold through the rewrite")
+    assert(got.count() == 99L)
+  }
+
+  test("STAGED PURGE refuses to lift a tombstone it never probed: a " +
+    "concurrent DROP between prepare and commit forces a re-probe " +
+    "that reclaims BOTH columns") {
+    val lake = mkLake()
+    ColumnMapping.drop(spark, lake, "extra")
+    var dropped = false
+    val (rewritten, _) = ColumnMapping.purge(spark, lake,
+      beforeCommit = () => if (!dropped) {
+        dropped = true
+        ColumnMapping.drop(spark, lake, "v")
+      })
+    assert(dropped && rewritten > 0)
+    val phys = spark.read.option("mergeSchema", "true").parquet(lake)
+    assert(phys.columns.toSeq == Seq("k"),
+      s"a stale prepare must not lift 'v' un-purged: " +
+        s"${phys.columns.mkString(", ")}")
+    assert(ColumnMapping.mapping(fs(lake), lake).dropped.isEmpty,
+      "both tombstones lift only once both byte sets are gone")
+    assert(LayoutSink.readCommitted(spark, lake).count() == 100L)
+  }
+
+  test("a purge that dies mid-prepare leaves the lake untouched (the " +
+    "stage is invisible), and the aged stage sweeps on the next verb") {
+    val lake = mkLake()
+    ColumnMapping.drop(spark, lake, "extra")
+    val before = dataState(lake)
+    val viewBefore = LayoutSink.readCommitted(spark, lake)
+      .collect().toSet
+    val boom = intercept[RuntimeException] {
+      ColumnMapping.purge(spark, lake,
+        beforeCommit = () => throw new RuntimeException("crash"))
+    }
+    assert(boom.getMessage == "crash")
+    assert(dataState(lake) == before,
+      "a crashed prepare must not move one committed byte")
+    assert(LayoutSink.readCommitted(spark, lake).collect().toSet
+      == viewBefore)
+    val f = fs(lake)
+    assert(f.listStatus(new Path(lake)).exists(
+      _.getPath.getName.startsWith(".occ-")),
+      "the crashed stage should still be on disk (hidden)")
+    Occ.sweepStaleStages(f, lake, olderThanMs = 0L)
+    assert(!f.listStatus(new Path(lake)).exists(
+      _.getPath.getName.startsWith(".occ-")),
+      "the aged stage must sweep")
+    // and a clean purge afterwards is exact
+    val (rewritten, _) = ColumnMapping.purge(spark, lake)
+    assert(rewritten > 0)
+    assert(LayoutSink.readCommitted(spark, lake).collect().toSet
+      == viewBefore)
+  }
+
+  test("filesPerRewrite unset sizes replacement files from carrying " +
+    "bytes: a tiny purge stays at ONE file, never a fixed fan-out, " +
+    "and an explicit count pins it") {
+    val lake = mkLake()
+    ColumnMapping.drop(spark, lake, "extra")
+    val f = fs(lake)
+    val beforeNames = CommitLog.dataFileNames(f, lake)
+    assert(ColumnMapping.purge(spark, lake)._1 > 0)
+    val added = CommitLog.dataFileNames(f, lake) -- beforeNames
+    assert(added.size == 1,
+      s"~KB of carrying bytes must produce ONE file, got ${added.size}")
+    // explicit pin still respected
+    val lake2 = mkLake()
+    ColumnMapping.drop(spark, lake2, "extra")
+    val f2 = fs(lake2)
+    val before2 = CommitLog.dataFileNames(f2, lake2)
+    assert(ColumnMapping.purge(spark, lake2, filesPerRewrite = 3)._1 > 0)
+    assert((CommitLog.dataFileNames(f2, lake2) -- before2).size == 3)
+  }
 }
