@@ -36,6 +36,66 @@ object MlPipelines {
     new VectorAssembler().setInputCols(inputCols.toArray)
       .setOutputCol(outputCol)
 
+  /** Sessions below this width never trip the parallelism gate — a
+    * local[2]/local[4] test session legitimately plans one partition
+    * for tiny fixtures, and the cliff the gate exists for (a 32-core
+    * box training single-core) needs real width to matter. */
+  private val GuardMinCores = 8
+
+  /** Does the PHYSICAL plan shuffle anywhere (through AQE roots and
+    * cached-relation children)? A shuffle output is always
+    * `spark.sql.shuffle.partitions` wide, so such a frame can't plan
+    * the one-partition cliff — and skipping the probe for it matters,
+    * because materializing an RDD under AQE executes the plan's
+    * intermediate stages, work a later fit action would NOT reuse
+    * (exchange reuse never crosses actions). */
+  private def hasShuffle(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    p.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        true
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        hasShuffle(im.relation.cachedPlan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        hasShuffle(a.executedPlan)
+      case _ => false
+    }
+
+  /** THE PARALLELISM GATE (r13 VERDICT "missing" #2) — the r12 qm1
+    * regression generalized from a hand-applied fix into an invariant:
+    * a frame scanned from ONE small parquet file plans ONE partition,
+    * every `treeAggregate` round of an iterative fit (RF, LinearSVC,
+    * scaler, PCA, Correlation) inherits it, and a 32-core box trains
+    * single-core — SCALE.md §"qm1_rf_confusion phase split" measured
+    * the fit at 83% of the cell. The fix was applied to qm1/qm3 by
+    * hand in r13; nothing stopped the NEXT narrow-scan ML query from
+    * silently re-hitting the cliff. Now every [[MlPipelines]] fit
+    * entry point calls this gate: on a real session (≥
+    * [[GuardMinCores]] cores) a shuffle-free single-partition input
+    * FAILS LOUDLY naming the fix instead of quietly burning one core.
+    * Cost: a plan-tree walk, plus an RDD partition probe only on
+    * shuffle-free plans (where building the RDD materializes nothing). */
+  private[graft] def guardFitParallelism(df: DataFrame,
+      what: String): Unit = {
+    val sc = df.sparkSession.sparkContext
+    // `spark.graft.ml.guardMinCores` overrides the threshold (the spec
+    // arms it on a narrow test session; an operator can raise it out
+    // of the way) — default [[GuardMinCores]]
+    val minCores = df.sparkSession.conf
+      .getOption("spark.graft.ml.guardMinCores").map(_.trim.toInt)
+      .getOrElse(GuardMinCores)
+    if (sc.defaultParallelism < minCores) return
+    if (hasShuffle(df.queryExecution.executedPlan)) return
+    if (df.rdd.getNumPartitions == 1)
+      throw new IllegalStateException(
+        s"$what: the fit input plans ONE partition on a " +
+          s"${sc.defaultParallelism}-core session — every " +
+          "treeAggregate round of the fit would run single-core " +
+          "(the r12 qm1 cliff, SCALE.md §\"qm1_rf_confusion phase " +
+          "split\"). Pass fitPartitions=Some(n) (catalog queries use " +
+          "32) or repartition the input frame")
+  }
+
   /** M2 — StandardScaler with the reference's ACTUAL config: std-only, no
     * centering (`G_2_rf_pca.py:79-90` uses the defaults; the slide's
     * "removed the average" claim is not what the code does —
@@ -104,6 +164,7 @@ object MlPipelines {
     // labeled frames) leave it unset and plan no extra shuffle.
     val cached = fitPartitions.map(data.repartition(_))
       .getOrElse(data).cache()
+    guardFitParallelism(cached, "fitPredict")
     val Array(train, test) = seed
       .map(sd => cached.randomSplit(Array(0.7, 0.3), sd))
       .getOrElse(cached.randomSplit(Array(0.7, 0.3)))
@@ -160,9 +221,11 @@ object MlPipelines {
     * `getEstimatorParamMaps` for grid inspection. */
   def crossValidate(data: DataFrame, featureCols: Seq[String],
       labelCol: String = "buy_or_sell", numFolds: Int = 3,
-      seed: Long = 42L)
+      seed: Long = 42L, fitPartitions: Option[Int] = None)
       : org.apache.spark.ml.tuning.CrossValidatorModel = {
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val base = fitPartitions.map(data.repartition(_)).getOrElse(data)
+    guardFitParallelism(base, "crossValidate")
     val rf = rfMllibParity(labelCol)
     val pipeline = new Pipeline().setStages(Array(assembler(featureCols), rf))
     val grid = new ParamGridBuilder()
@@ -177,7 +240,7 @@ object MlPipelines {
       .setNumFolds(numFolds)
       .setSeed(seed)
       .setParallelism(2)
-      .fit(data.cache())
+      .fit(base.cache())
   }
 
   /** M14 — confusion matrix natively (vs the reference's
@@ -189,8 +252,11 @@ object MlPipelines {
 
   /** A8 — distributed correlation matrix (vs the reference's
     * toPandas().corr(), ipynb cell 34). */
-  def correlationMatrix(data: DataFrame, cols: Seq[String]): Vector = {
-    val assembled = assembler(cols, "corr_vec").transform(data)
+  def correlationMatrix(data: DataFrame, cols: Seq[String],
+      fitPartitions: Option[Int] = None): Vector = {
+    val base = fitPartitions.map(data.repartition(_)).getOrElse(data)
+    guardFitParallelism(base, "correlationMatrix")
+    val assembled = assembler(cols, "corr_vec").transform(base)
     Correlation.corr(assembled, "corr_vec").head.getAs[
       org.apache.spark.ml.linalg.Matrix](0).toDense.values
     match { case v => org.apache.spark.ml.linalg.Vectors.dense(v) }
@@ -200,8 +266,11 @@ object MlPipelines {
     * shape: returns the PCA model whose `explainedVariance` the reference
     * prints. */
   def scaledPca(data: DataFrame, cols: Seq[String], k: Int,
-      prefix: String): (DataFrame, PCAModel) = {
-    val va = assembler(cols, s"${prefix}_features").transform(data)
+      prefix: String,
+      fitPartitions: Option[Int] = None): (DataFrame, PCAModel) = {
+    val base = fitPartitions.map(data.repartition(_)).getOrElse(data)
+    guardFitParallelism(base, "scaledPca")
+    val va = assembler(cols, s"${prefix}_features").transform(base)
     val sc = scaler(s"${prefix}_features", s"scaled_${prefix}_features")
       .fit(va).transform(va)
     val model = pca(s"scaled_${prefix}_features", s"pca_${prefix}_features", k)

@@ -44,8 +44,11 @@ object MlQueryCatalog {
   /** M2+M3+M15 — scale (std-only, the reference's actual config) → PCA →
     * explainedVariance, one row per component. */
   val qm2PcaVariance: Q = (s, dir) => {
+    // fitPartitions: same single-file-scan starvation as qm1 — the
+    // scaler + PCA treeAggregates would otherwise run single-core
+    // (and the r14 parallelism gate now REFUSES the 1-partition fit)
     val (_, model) = MlPipelines.scaledPca(featureFrame(s, dir), featCols,
-      k = 3, prefix = "all")
+      k = 3, prefix = "all", fitPartitions = Some(32))
     val s2 = s
     import s2.implicits._
     model.explainedVariance.toArray.toSeq.zipWithIndex
@@ -65,7 +68,10 @@ object MlQueryCatalog {
   /** A8 — distributed Pearson correlation matrix (the reference round-
     * trips through pandas), flattened to (i, j, corr) rows. */
   val qm4CorrMatrix: Q = (s, dir) => {
-    val v = MlPipelines.correlationMatrix(featureFrame(s, dir), featCols)
+    // fitPartitions: Correlation.corr aggregates with the same
+    // partition-inheriting shape as the fits — spread it too
+    val v = MlPipelines.correlationMatrix(featureFrame(s, dir), featCols,
+      fitPartitions = Some(32))
     val n = featCols.size
     val s2 = s
     import s2.implicits._

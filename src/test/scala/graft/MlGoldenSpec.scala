@@ -48,8 +48,10 @@ class MlGoldenSpec extends SparkSpec {
   }
 
   test("GOLDEN qm2: PCA explainedVariance vector pinned") {
+    // fitPartitions = Some(32): the catalog's exact call shape (r14
+    // spreads qm2's single-file scan like qm1/qm3)
     val (_, model) = MlPipelines.scaledPca(featureFrame, featCols,
-      k = 3, prefix = "all")
+      k = 3, prefix = "all", fitPartitions = Some(32))
     val golden = Seq(0.26275460630901454, 0.2526502253132061,
       0.2439331228926631)
     val got = model.explainedVariance.toArray.toSeq
@@ -74,8 +76,8 @@ class MlGoldenSpec extends SparkSpec {
       0.015349884139697076, 1.0, 0.03374779700771355, -0.011909315197638314,
       0.009070592937241525, 0.03374779700771355, 1.0, -0.02583178268353664,
       0.009151139930903395, -0.011909315197638314, -0.02583178268353664, 1.0)
-    val got = MlPipelines.correlationMatrix(featureFrame, featCols)
-      .toArray.toSeq
+    val got = MlPipelines.correlationMatrix(featureFrame, featCols,
+      fitPartitions = Some(32)).toArray.toSeq
     assert(got.size == 16)
     golden.zip(got).zipWithIndex.foreach { case ((w, g), k) =>
       approx(g, w, 1e-12, s"corr(${k % 4}, ${k / 4})")
