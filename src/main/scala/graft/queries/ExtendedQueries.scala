@@ -789,6 +789,48 @@ object ExtendedQueries {
         count(col("l_tax")).as("n_tax"))
   }
 
+  /** STAGED purge under CONCURRENCY ([[graft.sources.ColumnMapping
+    * .purge]], r14 — the probe+rewrite run UNLOCKED against a pinned
+    * snapshot; only a metadata-scale commit section takes the writer
+    * lock): two writers land BETWEEN the purge's prepare and its
+    * commit, exercising both arms of the narrowed conflict rule in
+    * one oracle-checked pass. A clean append COMMUTES (the purge
+    * carries its file by name with no retry), while MoR-DELETE
+    * vector churn on a carrying file IS a conflict (the staged
+    * rewrite folded the OLD vector set — publishing it would
+    * resurrect the deleted rows), so the purge re-prepares exactly
+    * once; the in-query require pins the attempt count at 2. The
+    * final MoR aggregate folds all three writers' effects — a lost
+    * delete, a blocked append, a resurrected row, or a spurious
+    * retry shifts the hash or trips the pin. */
+  val q95PurgeStaged: Q = (s, dir) => {
+    import graft.sources.{ColumnMapping, DeletionVectors, Occ}
+    val lake = loggedLake(s, dir, tempWork("graft_q95_"))
+    val li = table(s, dir, "lineitem")
+    ColumnMapping.drop(s, lake, "l_tax")
+    var attempts = 0
+    val (rewritten, carried) = ColumnMapping.purge(s, lake,
+      beforeCommit = () => {
+        attempts += 1
+        if (attempts == 1) {
+          // clean append (born without the dropped column): commutes
+          require(Occ.append(s, lake,
+            li.filter(col("l_orderkey") % 11 === 5).drop("l_tax")) > 0L)
+          // DV churn reaching the carrying files: a REAL conflict
+          require(DeletionVectors.deleteMor(s, lake,
+            "l_orderkey % 7 = 3") > 0L)
+        }
+      })
+    require(attempts == 2,
+      s"q95: the delete must cost exactly one retry and the append " +
+        s"none — $attempts prepare attempts")
+    require(rewritten > 0 && carried > 0,
+      s"q95: purge accounting ($rewritten, $carried)")
+    DeletionVectors.readMor(s, lake, mergeSchema = true)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+  }
+
   /** Metadata-first GROUPED COUNT
     * ([[graft.sources.StatsIndex.countByGroup]]), oracle-checked: the
     * documents corpus laid out lang-sharded (one file per language —
@@ -810,7 +852,11 @@ object ExtendedQueries {
     val langs = docs.select(col("lang")).distinct()
       .orderBy(col("lang")).as[String].collect()
     langs.foreach { l =>
-      docs.filter(col("lang") === l && col("doc_id") % 5 =!= 0)
+      // null-safe shard predicate (ADVICE r13): `===` never matches a
+      // NULL lang, so a corpus that gained NULL langs would silently
+      // drop those docs from the lake and diverge from the oracle's
+      // plain GROUP BY; `<=>` keeps the fixture oracle-equivalent
+      docs.filter(col("lang") <=> l && col("doc_id") % 5 =!= 0)
         .coalesce(1).write.mode("append").parquet(s"$work/lake")
     }
     docs.filter(col("doc_id") % 5 === 0)
@@ -2078,6 +2124,7 @@ object ExtendedQueries {
     "q90_merge_clauses_mor" -> q90MergeClausesMor,
     "q91_occ_merge_clauses" -> q91OccMergeClauses,
     "q92_reorg_purge" -> q92ReorgPurge,
+    "q95_purge_staged" -> q95PurgeStaged,
     "q93_meta_group_count" -> q93MetaGroupCount,
     "q94_incr_view_distinct" -> q94IncrViewDistinct,
     "q58_delete" -> q58Delete,
@@ -2132,6 +2179,18 @@ object ExtendedQueries {
     "qi1_indicator_frames" -> qi1IndicatorFrames)
 
   val sql: Map[String, String] = Map(
+    "q95_purge_staged" ->
+      s"""WITH live AS (
+         |  SELECT l_returnflag, l_quantity
+         |  FROM lineitem WHERE l_orderkey % 7 <> 3
+         |  UNION ALL
+         |  SELECT l_returnflag, l_quantity
+         |  FROM lineitem
+         |  WHERE l_orderkey % 11 = 5 AND l_orderkey % 7 <> 3
+         |)
+         |SELECT l_returnflag, count(*) AS n,
+         |  ${sqlSumd("l_quantity")} AS sum_qty
+         |FROM live GROUP BY 1""".stripMargin,
     "q93_meta_group_count" ->
       "SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1",
     "q94_incr_view_distinct" ->
