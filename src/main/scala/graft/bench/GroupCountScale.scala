@@ -36,7 +36,8 @@ object GroupCountScale {
     val df = big.withColumn("grp", pmod(col("l_orderkey"), lit(64L)))
     PartitionedLake.writeClustered(df, lake, Seq("grp", "l_orderkey"),
       numFiles = files)
-    StatsIndex.build(spark, lake, Seq("grp"), s"$root/idx")
+    StatsIndex.build(spark, lake, Seq("grp", "l_orderkey"),
+      s"$root/idx")
     lake
   }
 
@@ -68,6 +69,27 @@ object GroupCountScale {
           s"grouped counts diverge at $tag (${meta.size} vs ${plain.size} groups)")
         println(f"GCOUNT $tag%3s rep=$rep meta=$tMeta%.2fs " +
           f"plain=$tPlain%.2fs groups=${meta.size}")
+        // min/max sibling (r14): same layout, extrema from footer
+        // bounds — same flat-vs-linear contract
+        var metaMm: Map[Long, (Long, Long)] = Map.empty
+        val tMetaMm = t {
+          metaMm = StatsIndex.minMaxByGroup(spark, lake, idx, "grp",
+            "l_orderkey").collect()
+            .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+            .toMap
+        }
+        var plainMm: Map[Long, (Long, Long)] = Map.empty
+        val tPlainMm = t {
+          plainMm = spark.read.parquet(lake).groupBy(col("grp"))
+            .agg(min(col("l_orderkey")), max(col("l_orderkey")))
+            .collect()
+            .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+            .toMap
+        }
+        require(metaMm == plainMm,
+          s"grouped min/max diverge at $tag")
+        println(f"GMINMAX $tag%3s rep=$rep meta=$tMetaMm%.2fs " +
+          f"plain=$tPlainMm%.2fs groups=${metaMm.size}")
       }
     }
     spark.stop()

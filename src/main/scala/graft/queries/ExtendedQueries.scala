@@ -866,6 +866,39 @@ object ExtendedQueries {
       .select(col("lang"), col("n").as("n_docs"))
   }
 
+  /** Metadata-first GROUPED MIN/MAX
+    * ([[graft.sources.StatsIndex.minMaxByGroup]], r14 — the
+    * metadata-answerable family's min/max member beside q93's count),
+    * oracle-checked on the same lang-sharded layout: single-group
+    * files serve their `n_chars` extrema straight from footer bounds
+    * (exact for integral kinds — parquet stats exclude nulls, so
+    * partial nullness costs nothing), only the deliberately MIXED
+    * tail file scans, and the hash match against DuckDB's plain
+    * `min/max GROUP BY` proves the bounds-as-extrema arm exact.
+    * `StatsIndexSpec` proves the zero-I/O claim by deleting the data
+    * and pins the DV discipline (a covered file always scans — a
+    * dead row could be the extremum). */
+  val q96MetaGroupMinmax: Q = (s, dir) => {
+    import graft.sources.StatsIndex
+    import s.implicits._
+    val work = tempWork("graft_q96_")
+    val docs = table(s, dir, "documents")
+    val langs = docs.select(col("lang")).distinct()
+      .orderBy(col("lang")).as[String].collect()
+    langs.foreach { l =>
+      docs.filter(col("lang") <=> l && col("doc_id") % 5 =!= 0)
+        .coalesce(1).write.mode("append").parquet(s"$work/lake")
+    }
+    docs.filter(col("doc_id") % 5 === 0)
+      .coalesce(1).write.mode("append").parquet(s"$work/lake")
+    StatsIndex.build(s, s"$work/lake", Seq("lang", "n_chars"),
+      s"$work/idx")
+    StatsIndex.minMaxByGroup(s, s"$work/lake", s"$work/idx",
+      "lang", "n_chars")
+      .select(col("lang"), col("vmin").as("min_chars"),
+        col("vmax").as("max_chars"))
+  }
+
   /** Exact COUNT(DISTINCT) in the incrementally-maintained view
     * ([[graft.sources.IncrementalView]] `distinctCols`), oracle-checked:
     * the per-language view additionally maintains `nd_source` — the
@@ -2126,6 +2159,7 @@ object ExtendedQueries {
     "q92_reorg_purge" -> q92ReorgPurge,
     "q95_purge_staged" -> q95PurgeStaged,
     "q93_meta_group_count" -> q93MetaGroupCount,
+    "q96_meta_group_minmax" -> q96MetaGroupMinmax,
     "q94_incr_view_distinct" -> q94IncrViewDistinct,
     "q58_delete" -> q58Delete,
     "q59_schema_evolution" -> q59SchemaEvolution,
@@ -2193,6 +2227,10 @@ object ExtendedQueries {
          |FROM live GROUP BY 1""".stripMargin,
     "q93_meta_group_count" ->
       "SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1",
+    "q96_meta_group_minmax" ->
+      """SELECT lang, min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     "q94_incr_view_distinct" ->
       """WITH final AS (
         |  SELECT lang, n_chars AS nc,

@@ -1338,6 +1338,148 @@ object StatsIndex {
       .select(col(groupCol), col("n").cast("bigint").as("n"))
   }
 
+  /** Metadata-first GROUPED MIN/MAX — `SELECT g, min(v), max(v)
+    * GROUP BY g` answered from footer stats wherever the layout
+    * allows, completing the metadata-answerable aggregate family
+    * beside [[countByGroup]] (parquet footers hold counts, null
+    * counts and bounds — count/min/max are exactly what they can
+    * prove; sums never). A file is INTERIOR when BOTH sides prove:
+    * the GROUP side exactly as countByGroup (single proven group
+    * value, or proven all-null → the NULL group), and the VALUE side
+    * with EXACT extrema — integral kinds under "long" and DATE epoch
+    * days, where the recorded bounds ARE the file's min/max of the
+    * non-null values (parquet stats exclude nulls, so partial
+    * nullness costs nothing); a value column proven ALL-NULL
+    * contributes typed-NULL extrema (SQL's `min` over an all-null
+    * group). Fractional values never prove (one-ulp widened bounds),
+    * strings never prove (64-char bound truncation makes smin/smax
+    * inexact for long values — unlike the countByGroup PINCH, which
+    * only needs equality), instant timestamps never prove
+    * (normalization); those files scan. DV discipline is STRICTER
+    * than countByGroup's subtraction: a dead row may have HELD the
+    * extremum, so any file with covered pairs goes to the boundary
+    * scan (vectors applied there) — correctness first, the
+    * metadata answer only where it is provable. Classification is
+    * fully distributed (the r14 countByGroup shape); the driver
+    * materializes the boundary path list + the two dtype censuses.
+    * Output: (groupCol, vmin, vmax), groups with zero live rows
+    * absent. */
+  def minMaxByGroup(spark: SparkSession, dataDir: String,
+      indexDir: String, groupCol: String, valueCol: String): DataFrame = {
+    import spark.implicits._
+    val idx = widened(readIndex(spark, indexDir))
+    val hasStr = idx.columns.contains("smin") &&
+      idx.columns.contains("smax")
+    val dvOpt = DeletionVectors.vectors(spark, dataDir)
+    def rowsFor(c: String, p: String) = idx
+      .filter(col("col") === c && col("kind") =!= "bloom")
+      .select(col("file"), col("kind").as(s"${p}kind"),
+        col("lmin").as(s"${p}lmin"), col("lmax").as(s"${p}lmax"),
+        (if (hasStr) col("smin") else lit(null).cast("string"))
+          .as(s"${p}smin"),
+        (if (hasStr) col("smax") else lit(null).cast("string"))
+          .as(s"${p}smax"),
+        col("nulls").as(s"${p}nulls"), col("row_count").as(s"${p}rc"),
+        col("dtype").as(s"${p}dtype"))
+    val gRows = rowsFor(groupCol, "g_")
+    val vRows = rowsFor(valueCol, "v_")
+    def census(df: DataFrame, c: String): Option[String] =
+      df.filter(col(c).isNotNull).select(col(c)).distinct()
+        .as[String].collect().toSeq match {
+          case Seq(one) => Some(one)
+          case _ => None
+        }
+    val gdt = census(gRows, "g_dtype")
+    val vdt = census(vRows, "v_dtype")
+    val integral = Set("tinyint", "smallint", "int", "bigint")
+    val gLongExact = gdt.exists(integral)
+    val vLongExact = vdt.exists(integral)
+    val deadDf = dvOpt.map(_.groupBy(col("file").as("__base"))
+      .agg(count(lit(1)).as("__dead")))
+    val allFiles = idx.select(col("file")).distinct()
+    val joined0 = allFiles.join(gRows, Seq("file"), "left")
+      .join(vRows, Seq("file"), "left")
+      .withColumn("__base", element_at(split(col("file"), "/"), -1))
+    val joined = deadDf match {
+      case None => joined0.withColumn("__dead", lit(0L))
+      case Some(d) => joined0.join(d, Seq("__base"), "left")
+        .withColumn("__dead", coalesce(col("__dead"), lit(0L)))
+    }
+    val gStats = col("g_rc").isNotNull && col("g_nulls").isNotNull
+    val gAllNull = gStats && col("g_nulls") === col("g_rc")
+    val gval =
+      when(col("g_kind") === "long" && lit(gLongExact) &&
+          col("g_lmin").isNotNull && col("g_lmax").isNotNull &&
+          col("g_lmin") === col("g_lmax"), col("g_lmin").cast("string"))
+        .when(col("g_kind") === "date" && lit(gdt.contains("date")) &&
+          col("g_lmin").isNotNull && col("g_lmax").isNotNull &&
+          col("g_lmin") === col("g_lmax"),
+          date_from_unix_date(col("g_lmin").cast("int")).cast("string"))
+        .when(col("g_kind") === "string" && lit(gdt.contains("string")) &&
+          col("g_smin").isNotNull && col("g_smax").isNotNull &&
+          col("g_smin") === col("g_smax"), col("g_smin"))
+    val vAllNull = col("v_rc").isNotNull && col("v_nulls").isNotNull &&
+      col("v_nulls") === col("v_rc")
+    val vExact =
+      (col("v_kind") === "long" && lit(vLongExact) ||
+        col("v_kind") === "date" && lit(vdt.contains("date"))) &&
+        col("v_lmin").isNotNull && col("v_lmax").isNotNull
+    val interiorFlag =
+      if (gdt.isEmpty || vdt.isEmpty) lit(false)
+      else col("__dead") === 0L && col("g_rc") > 0L &&
+        (gAllNull || (gStats && col("g_nulls") === 0L &&
+          gval.isNotNull)) &&
+        (vAllNull || vExact)
+    def vPort(c: Column): Column =
+      if (vdt.contains("date"))
+        date_from_unix_date(c.cast("int")).cast("string")
+      else c.cast("string")
+    val classified = joined
+      .withColumn("__interior", interiorFlag)
+      .withColumn("__g", when(gAllNull, lit(null).cast("string"))
+        .otherwise(gval))
+      .withColumn("__vmin", when(vAllNull, lit(null).cast("string"))
+        .otherwise(vPort(col("v_lmin"))))
+      .withColumn("__vmax", when(vAllNull, lit(null).cast("string"))
+        .otherwise(vPort(col("v_lmax"))))
+    val gdtName = gdt.getOrElse("string")
+    val vdtName = vdt.getOrElse("string")
+    // cast BEFORE aggregating: extrema compare in the recorded type's
+    // order, never lexicographically on the portable strings
+    val interiorAgg = classified.filter(col("__interior"))
+      .select(col("__g").cast(gdtName).as(groupCol),
+        col("__vmin").cast(vdtName).as("vmin"),
+        col("__vmax").cast(vdtName).as("vmax"))
+      .groupBy(col(groupCol))
+      .agg(min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+    val interiorDf =
+      if (interiorAgg.head(1).isEmpty) None else Some(interiorAgg)
+    val boundary = classified.filter(!col("__interior"))
+      .select(col("file")).distinct().as[String].collect().toSeq.sorted
+    val boundaryDf =
+      if (boundary.isEmpty) None
+      else {
+        val scan0 = DeletionVectors.applyVectors(
+          spark.read.option("mergeSchema", "true")
+            .parquet(boundary: _*), dvOpt)
+        val scan1 =
+          if (scan0.columns.contains(groupCol)) scan0
+          else scan0.withColumn(groupCol, lit(null).cast(gdtName))
+        val scan =
+          if (scan1.columns.contains(valueCol)) scan1
+          else scan1.withColumn(valueCol, lit(null).cast(vdtName))
+        Some(scan.groupBy(col(groupCol))
+          .agg(min(col(valueCol)).as("vmin"),
+            max(col(valueCol)).as("vmax")))
+      }
+    val parts = interiorDf.toSeq ++ boundaryDf.toSeq
+    require(parts.nonEmpty,
+      s"minMaxByGroup: index at $indexDir describes no files")
+    parts.reduce(_ unionByName _)
+      .groupBy(col(groupCol))
+      .agg(min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+  }
+
   /** Scan only the files that can satisfy `ranges`, then re-apply the
     * exact predicate — the index prunes, the filter decides. Row-group
     * pruning inside the surviving files still happens via the pushed

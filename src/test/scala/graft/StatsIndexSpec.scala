@@ -1553,4 +1553,161 @@ class StatsIndexSpec extends SparkSpec {
           s"$got vs $want")
     }
   }
+
+  // ---- minMaxByGroup (r14 — the metadata-answerable family's
+  // min/max member) --------------------------------------------------
+
+  test("minMaxByGroup equals the plain grouped min/max on a " +
+    "group-clustered lake — and the all-interior answer SURVIVES " +
+    "DELETING THE DATA (proof of zero I/O)") {
+    val dir = Files.createTempDirectory("graft_mmg_").toString
+    (0 until 8).foreach { g =>
+      spark.range(1000L * (g + 1)).select(lit(g).as("g"),
+          (col("id") + g * 7).as("v"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    }
+    StatsIndex.build(spark, s"$dir/data", Seq("g", "v"), s"$dir/idx")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getLong(1), r.getLong(2))
+    val want = spark.read.parquet(s"$dir/data").groupBy(col("g"))
+      .agg(min(col("v")), max(col("v"))).collect().map(key).toSet
+    val got = StatsIndex.minMaxByGroup(spark, s"$dir/data",
+      s"$dir/idx", "g", "v").collect().map(key).toSet
+    assert(got == want, s"$got vs $want")
+    new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    val fromMeta = StatsIndex.minMaxByGroup(spark, s"$dir/data",
+      s"$dir/idx", "g", "v").collect().map(key).toSet
+    assert(fromMeta == want,
+      "an all-interior grouped min/max must never open a data file")
+  }
+
+  test("minMaxByGroup: mixed boundary file, NULL group, and an " +
+    "ALL-NULL value group (typed-NULL extrema) reconcile with the " +
+    "plain aggregate") {
+    val dir = Files.createTempDirectory("graft_mmg_s_").toString
+    Seq("en", "de", "fr").zipWithIndex.foreach { case (lang, i) =>
+      spark.range(500L * (i + 1)).select(lit(lang).as("lang"),
+        (col("id") * (i + 1)).as("v")).coalesce(1)
+        .write.mode("append").parquet(s"$dir/data")
+    }
+    // a single-group file whose VALUE is all-null: min/max = NULL
+    // from metadata alone (its group has no other rows)
+    spark.range(40).select(lit("nullish").as("lang"),
+        lit(null).cast("long").as("v")).coalesce(1)
+      .write.mode("append").parquet(s"$dir/data")
+    // a mixed file incl. NULL-group rows — must scan
+    spark.range(300).select(
+        when(col("id") % 3 === 0, lit("en"))
+          .when(col("id") % 3 === 1, lit("zz"))
+          .otherwise(lit(null).cast("string")).as("lang"),
+        (col("id") - 1000).as("v"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    StatsIndex.build(spark, s"$dir/data", Seq("lang", "v"), s"$dir/idx")
+    def key(r: org.apache.spark.sql.Row) =
+      (Option(r.get(0)).map(_.toString),
+        Option(r.get(1)).map(_.toString),
+        Option(r.get(2)).map(_.toString))
+    val want = spark.read.parquet(s"$dir/data").groupBy(col("lang"))
+      .agg(min(col("v")), max(col("v"))).collect().map(key).toSet
+    val got = StatsIndex.minMaxByGroup(spark, s"$dir/data",
+      s"$dir/idx", "lang", "v").collect().map(key).toSet
+    assert(got == want, s"$got vs $want")
+    assert(got.exists(k => k._1.contains("nullish") && k._2.isEmpty),
+      "the all-null value group must surface with NULL extrema")
+  }
+
+  test("minMaxByGroup DV discipline: a covered file is NEVER answered " +
+    "from metadata (the dead row could be the extremum) — scans and " +
+    "stays exact; a fractional value column degrades to the scan") {
+    import graft.sources.{DeletionVectors, Occ}
+    val dir = Files.createTempDirectory("graft_mmg_dv_").toString
+    val lake = s"$dir/lake"
+    (0 until 4).foreach { g =>
+      assert(Occ.append(spark, lake,
+        spark.range(200).select(lit(g).as("g"),
+          (col("id") + g * 1000).as("v")), numFiles = 1) >= 0L)
+    }
+    // kill group 2's maximum (v = 2199): footer bounds still claim it
+    assert(DeletionVectors.deleteMor(spark, lake, "v = 2199") == 1L)
+    StatsIndex.build(spark, lake, Seq("g", "v"), s"$dir/idx")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getLong(1), r.getLong(2))
+    val want = DeletionVectors.readMor(spark, lake).groupBy(col("g"))
+      .agg(min(col("v")), max(col("v"))).collect().map(key).toSet
+    val got = StatsIndex.minMaxByGroup(spark, lake, s"$dir/idx",
+      "g", "v").collect().map(key).toSet
+    assert(got == want, s"$got vs $want")
+    assert(got.contains((2, 2000L, 2198L)),
+      "the deleted extremum must not resurrect from footer bounds")
+    // fractional: ulp-widened bounds must never be served as extrema
+    val d2 = Files.createTempDirectory("graft_mmg_d_").toString
+    (0 until 3).foreach { g =>
+      spark.range(100).select(lit(g).as("g"),
+          (col("id") / lit(7.0)).as("v")).coalesce(1)
+        .write.mode("append").parquet(s"$d2/data")
+    }
+    StatsIndex.build(spark, s"$d2/data", Seq("g", "v"), s"$d2/idx")
+    val wantD = spark.read.parquet(s"$d2/data").groupBy(col("g"))
+      .agg(min(col("v")), max(col("v"))).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSet
+    val gotD = StatsIndex.minMaxByGroup(spark, s"$d2/data",
+      s"$d2/idx", "g", "v").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(gotD == wantD,
+      "double extrema must come from the scan, bit-exact")
+  }
+
+  test("minMaxByGroup property net: random group/value type x " +
+    "layout x nulls x vectors — always equals the plain grouped " +
+    "min/max") {
+    import graft.sources.{DeletionVectors, Occ}
+    for (seed <- Seq(37, 811)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"graft_mmgnet$seed").toString
+      val lake = s"$dir/lake"
+      val kind = rnd.nextInt(3) // group: 0 = int, 1 = string, 2 = date
+      val vDate = rnd.nextBoolean() // value: long or date
+      def gExpr(gi: Int) = kind match {
+        case 0 => lit(gi)
+        case 1 => lit(s"grp$gi")
+        case _ => date_add(lit(java.sql.Date.valueOf("2024-06-01")),
+          lit(gi))
+      }
+      def vExpr(shift: Int): org.apache.spark.sql.Column = {
+        val base = col("id") + shift
+        if (vDate) date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+          base.cast("int") % 3000)
+        else base
+      }
+      val nGroups = 3 + rnd.nextInt(4)
+      (0 until nGroups).foreach { gi =>
+        assert(Occ.append(spark, lake,
+          spark.range(100L + rnd.nextInt(200))
+            .select(gExpr(gi).as("g"), vExpr(gi * 1000).as("v"),
+              col("id").as("rid")), numFiles = 1) >= 0L)
+      }
+      if (rnd.nextBoolean()) // boundary file mixing two groups
+        assert(Occ.append(spark, lake,
+          spark.range(80).select(
+            when(col("id") % 2 === 0, gExpr(0)).otherwise(gExpr(1))
+              .as("g"), vExpr(500).as("v"),
+            (col("id") + 800000).as("rid")), numFiles = 1) > 0L)
+      if (rnd.nextBoolean())
+        DeletionVectors.deleteMor(spark, lake,
+          s"rid % ${3 + rnd.nextInt(4)} = 1"): Unit
+      StatsIndex.build(spark, lake, Seq("g", "v"), s"$dir/idx")
+      def key(r: org.apache.spark.sql.Row) =
+        (Option(r.get(0)).map(_.toString),
+          Option(r.get(1)).map(_.toString),
+          Option(r.get(2)).map(_.toString))
+      val want = DeletionVectors.readMor(spark, lake)
+        .groupBy(col("g")).agg(min(col("v")), max(col("v")))
+        .collect().map(key).toSet
+      val got = StatsIndex.minMaxByGroup(spark, lake, s"$dir/idx",
+        "g", "v").collect().map(key).toSet
+      assert(got == want,
+        s"seed $seed (kind=$kind vDate=$vDate): $got vs $want")
+    }
+  }
 }
