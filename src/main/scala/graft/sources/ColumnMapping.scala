@@ -387,9 +387,13 @@ object ColumnMapping {
     *  - any CARRYING file left the view (replaced by OPTIMIZE /
     *    compaction / another purge): retry — the staged rewrite
     *    embeds rows a newer version already replaced;
-    *  - the covered-vector set changed (concurrent MoR DML): retry —
-    *    the staged rewrite folded the PINNED vectors, a newer delete
-    *    on a carrying file would silently resurrect;
+    *  - covered-vector churn TOUCHING A CARRYING FILE (concurrent MoR
+    *    DML on the files being rewritten): retry — the staged rewrite
+    *    folded the PINNED vectors, a newer delete on a carrying file
+    *    would silently resurrect. Churn whose changed pairs name only
+    *    CLEAN files commutes: the changed sidecars are read under the
+    *    lock (∝ mid-purge churn, the rewriteSurvivorVectors cost
+    *    class) and the survivor rewrite folds the CURRENT vector set;
     *  - a file ADDED since the snapshot carries a tombstoned column
     *    (only reachable via raw-manifest surgery or [[CommitLog]]
     *    restore to a pre-drop version — every committed write path
@@ -490,49 +494,71 @@ object ColumnMapping {
             write(fs, lakeDir, Mapping(mNow.renames, Seq.empty))
             Some((0, filesNow.size))
           }
-        } else if (!carrying.forall(filesNow.contains) ||
-            dvNow != dvSnap || addedCarries) None
-        else {
-          // clean concurrent appends COMMUTE: publish over the
-          // CURRENT file set, carrying them through by name
-          val oldDv = DeletionVectors.coveredDvFiles(fs, lakeDir)
-          Occ.renameInto(fs, s"$stage/data", newFiles, lakeDir)
-          val survivorDv = dvOpt match {
-            case None => Seq.empty[String]
-            case Some(dv) => DeletionVectors.rewriteSurvivorVectors(
-              spark, fs, lakeDir, dv, carrying.toSet)
-          }
-          val maxId = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
-          // live rows preserved (dead rows were already invisible): an
-          // empty change-feed stamp keeps feed cursors flowing through
-          val gen =
-            if (!ChangeDataFeed.isEnabled(fs, lakeDir)) None
-            else {
-              val g = CommitLog.nextGen(fs, lakeDir)
-              ChangeDataFeed.writeEmpty(spark, lakeDir, maxId, g)
-              Some(g)
+        } else {
+          // dv churn since the snapshot commutes IFF none of the
+          // changed pairs names a carrying file (the common case: a
+          // MoR delete landing on recent clean files while old
+          // carriers purge). Changed sidecars are metadata-scale
+          // (16 bytes/deleted row), read here under the lock exactly
+          // like the survivor rewrite below.
+          def pairsTouchCarrying(names: Set[String]): Boolean =
+            names.nonEmpty &&
+              DeletionVectors.vectorsFor(spark, lakeDir, names).exists(
+                _.filter(col("file").isin(carrying: _*))
+                  .head(1).nonEmpty)
+          if (!carrying.forall(filesNow.contains) ||
+              pairsTouchCarrying(dvNow -- dvSnap) ||
+              pairsTouchCarrying(dvSnap -- dvNow) || addedCarries) None
+          else {
+            // clean concurrent appends COMMUTE: publish over the
+            // CURRENT file set, carrying them through by name
+            val oldDv = DeletionVectors.coveredDvFiles(fs, lakeDir)
+            Occ.renameInto(fs, s"$stage/data", newFiles, lakeDir)
+            // survivors fold from the CURRENT vector set (clean-file
+            // churn since the snapshot included; carrying-file pairs
+            // validated unchanged, so the staged rewrite's fold of
+            // the pinned set is still exact)
+            val survivorDv = DeletionVectors.vectorsFor(spark, lakeDir,
+                dvNow) match {
+              case None => Seq.empty[String]
+              case Some(dv) => DeletionVectors.rewriteSurvivorVectors(
+                spark, fs, lakeDir, dv, carrying.toSet)
             }
-          CommitLog.commitMutationCheckpoint(fs, lakeDir, maxId,
-            (filesNow.toSeq.filterNot(carrying.toSet) ++ newFiles)
-              .sorted,
-            dvNames = survivorDv, added = newFiles, removed = carrying,
-            gen = gen)
-          // tombstones lift atomically with the publish (same lock):
-          // the bytes are gone, so the name is safe to recreate —
-          // concurrent renames since the snapshot are preserved
-          // (mNow.renames; only the validated dropped set lifts)
-          write(fs, lakeDir, Mapping(mNow.renames, Seq.empty))
-          // replaced files and their retired sidecars: local files
-          // delete now; clone-source-resident ones just stop being
-          // referenced (the source's own vacuum owns those bytes)
-          carrying.foreach { n =>
-            fs.delete(new Path(lakeDir, n), false); ()
+            val maxId = math.max(
+              CommitLog.maxCommittedId(fs, lakeDir), -1L)
+            // live rows preserved (dead rows were already invisible):
+            // an empty change-feed stamp keeps feed cursors flowing
+            // through
+            val gen =
+              if (!ChangeDataFeed.isEnabled(fs, lakeDir)) None
+              else {
+                val g = CommitLog.nextGen(fs, lakeDir)
+                ChangeDataFeed.writeEmpty(spark, lakeDir, maxId, g)
+                Some(g)
+              }
+            CommitLog.commitMutationCheckpoint(fs, lakeDir, maxId,
+              (filesNow.toSeq.filterNot(carrying.toSet) ++ newFiles)
+                .sorted,
+              dvNames = survivorDv, added = newFiles,
+              removed = carrying, gen = gen)
+            // tombstones lift atomically with the publish (same
+            // lock): the bytes are gone, so the name is safe to
+            // recreate — concurrent renames since the snapshot are
+            // preserved (mNow.renames; only the validated dropped
+            // set lifts)
+            write(fs, lakeDir, Mapping(mNow.renames, Seq.empty))
+            // replaced files and their retired sidecars: local files
+            // delete now; clone-source-resident ones just stop being
+            // referenced (the source's own vacuum owns those bytes)
+            carrying.foreach { n =>
+              fs.delete(new Path(lakeDir, n), false); ()
+            }
+            oldDv.foreach { n =>
+              fs.delete(new Path(DeletionVectors.dvDir(lakeDir), n),
+                false); ()
+            }
+            Some((carrying.size, filesNow.size - carrying.size))
           }
-          oldDv.foreach { n =>
-            fs.delete(new Path(DeletionVectors.dvDir(lakeDir), n),
-              false); ()
-          }
-          Some((carrying.size, filesNow.size - carrying.size))
         }
       }
       fs.delete(new Path(stage), true)

@@ -542,6 +542,34 @@ class ColumnMappingSpec extends SparkSpec {
     assert(LayoutSink.readCommitted(spark, lake).count() == 100L)
   }
 
+  test("MoR DELETE churn on a CLEAN file commutes with the staged " +
+    "purge: no retry, the delete holds through the survivor sidecar") {
+    val lake = mkLake()
+    ColumnMapping.drop(spark, lake, "extra")
+    // a clean batch whose rows the mid-purge delete will target
+    assert(Occ.append(spark, lake,
+      (100 until 160).map(k => (k, 5L * k)).toDF("k", "v")) > 0L)
+    var hookCalls = 0
+    val (rewritten, carried) = ColumnMapping.purge(spark, lake,
+      beforeCommit = () => {
+        hookCalls += 1
+        // vectors landing ONLY on the clean file: the narrowed
+        // conflict rule reads the changed sidecars under the lock,
+        // sees no carrying pair, and publishes through
+        if (hookCalls == 1)
+          assert(DeletionVectors.deleteMor(spark, lake,
+            "k >= 150") == 10L)
+      })
+    assert(hookCalls == 1,
+      s"clean-file DV churn must not cost a retry ($hookCalls)")
+    assert(rewritten > 0 && carried > 0)
+    val got = DeletionVectors.readMor(spark, lake, mergeSchema = true)
+    assert(got.count() == 150L,
+      "purge rewrite + clean rows - mid-purge deletes")
+    assert(got.filter($"k" >= 150).count() == 0L,
+      "the mid-purge delete must hold through the purge publish")
+  }
+
   test("a purge that dies mid-prepare leaves the lake untouched (the " +
     "stage is invisible), and the aged stage sweeps on the next verb") {
     val lake = mkLake()
