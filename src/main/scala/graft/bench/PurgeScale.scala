@@ -120,8 +120,9 @@ object PurgeScale {
       var out: (Int, Int) = (0, 0)
       var purgeWall = 0.0
       val th = new Thread(() => {
-        purgeWall = t { out = ColumnMapping.purge(spark, lake) }
-        purgeDone = true
+        try purgeWall = t { out = ColumnMapping.purge(spark, lake) }
+        finally purgeDone = true // a throwing purge must not hang the
+        // append loop — the accounting require below reports it
       })
       th.start()
       // at least one racing append even if the purge wins the sprint

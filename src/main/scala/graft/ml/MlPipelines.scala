@@ -54,6 +54,12 @@ object MlPipelines {
     p.exists {
       case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
         true
+      // an ALREADY-MATERIALIZED AQE shuffle stage is a leaf wrapping
+      // its exchange — without this arm a cached-and-counted frame's
+      // plan reads as shuffle-free and the gate probes (or throws on)
+      // a legitimately-shuffled input
+      case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
+        true
       case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
         hasShuffle(im.relation.cachedPlan)
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>

@@ -428,6 +428,7 @@ object ColumnMapping {
       s"purge: targetFileBytes must be positive, got $targetFileBytes")
     Occ.sweepStaleStages(fs, lakeDir)
     var attempt = 0
+    var lastRace: Option[Throwable] = None
     while (true) {
       // ---- PREPARE, no lock held: pin ONE consistent snapshot ----
       val m = mapping(fs, lakeDir)
@@ -441,9 +442,16 @@ object ColumnMapping {
           m.dropped.toSet)
       val dvOpt = DeletionVectors.vectorsFor(spark, lakeDir, dvSnap)
       val stage = Occ.stageDir(lakeDir)
+      // the UNLOCKED rewrite reads pinned paths a concurrent physical
+      // rewriter (compaction, another purge) may delete mid-read —
+      // that is an OCC race, not an error: the failed prepare cleans
+      // its stage and re-runs on a fresh snapshot (the cause rides
+      // along if retries exhaust, so a genuine I/O fault still
+      // surfaces)
+      var prepRace: Boolean = false
       val newFiles: Seq[String] =
         if (carrying.isEmpty) Seq.empty
-        else {
+        else try {
           val carryingPaths =
             CommitLog.resolveDataPaths(fs, lakeDir, carrying)
           // replacement file count ∝ carrying bytes (dead-column share
@@ -467,10 +475,17 @@ object ColumnMapping {
             .repartition(nOut)
             .write.parquet(s"$stage/data")
           Occ.stagedNames(fs, s"$stage/data")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            prepRace = true
+            lastRace = Some(e)
+            Seq.empty
         }
-      beforeCommit()
+      if (!prepRace) beforeCommit()
       // ---- COMMIT SECTION: metadata-scale, conflict-validated ----
-      val outcome: Option[(Int, Int)] = CommitLog.withWriterLock(fs,
+      val outcome: Option[(Int, Int)] =
+        if (prepRace) None
+        else CommitLog.withWriterLock(fs,
           lakeDir, waitMs = commitWaitMs) {
         val mNow = mapping(fs, lakeDir)
         val (filesNow, dvNow) = CommitLog.committedView(fs, lakeDir)
@@ -498,17 +513,21 @@ object ColumnMapping {
           // dv churn since the snapshot commutes IFF none of the
           // changed pairs names a carrying file (the common case: a
           // MoR delete landing on recent clean files while old
-          // carriers purge). Changed sidecars are metadata-scale
-          // (16 bytes/deleted row), read here under the lock exactly
-          // like the survivor rewrite below.
+          // carriers purge). ADDED sidecars are in the view resolved
+          // under this lock, so their bytes cannot vanish while it is
+          // held — metadata-scale (16 bytes/deleted row), read here
+          // exactly like the survivor rewrite below. RETIRED sidecars
+          // (dvSnap -- dvNow) may already be physically deleted by
+          // the verb that replaced them (compaction retires debris),
+          // so retirement is a conservative CONFLICT, never a read.
           def pairsTouchCarrying(names: Set[String]): Boolean =
             names.nonEmpty &&
               DeletionVectors.vectorsFor(spark, lakeDir, names).exists(
                 _.filter(col("file").isin(carrying: _*))
                   .head(1).nonEmpty)
           if (!carrying.forall(filesNow.contains) ||
-              pairsTouchCarrying(dvNow -- dvSnap) ||
-              pairsTouchCarrying(dvSnap -- dvNow) || addedCarries) None
+              (dvSnap -- dvNow).nonEmpty ||
+              pairsTouchCarrying(dvNow -- dvSnap) || addedCarries) None
           else {
             // clean concurrent appends COMMUTE: publish over the
             // CURRENT file set, carrying them through by name
@@ -573,11 +592,14 @@ object ColumnMapping {
         case None => ()
       }
       attempt += 1
-      if (attempt > maxRetries)
-        throw new IllegalStateException(
+      if (attempt > maxRetries) {
+        val err = new IllegalStateException(
           s"purge: lost the commit race $attempt times on $lakeDir " +
             "(concurrent commits or tombstone churn) — raise " +
             "maxRetries or quiesce the writer matrix")
+        lastRace.foreach(err.initCause)
+        throw err
+      }
     }
     throw new IllegalStateException("unreachable")
   }

@@ -31,7 +31,12 @@ private[sources] object FsConfShip {
     * `io.*` key costs bytes; a missing `fs.*` key costs correctness
     * (an executor that cannot resolve the store at all). */
   private val Shipped: Seq[String] = Seq(
-    "fs.", "dfs.", "hadoop.", "io.", "parquet.", "viewfs.", "google.")
+    "fs.", "dfs.", "hadoop.", "io.", "parquet.", "viewfs.", "google.",
+    // the HDFS client's RPC plumbing: connection/retry tuning and
+    // payload caps (ipc.*) and NameNode-HA failover proxies (ha.*)
+    // are consulted by DistributedFileSystem opens — dropping them
+    // would silently revert executors to code defaults
+    "ipc.", "ha.")
 
   /** The shippable entries of `conf` — broadcast this (plain strings,
     * small, kryo-friendly), then [[rebuild]] per partition. */

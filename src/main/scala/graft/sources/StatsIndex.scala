@@ -1308,9 +1308,12 @@ object StatsIndex {
     val dtName = dt.getOrElse("string")
     val interiorAgg = classified.filter(col("__interior"))
       .groupBy(col("__g")).agg(sum(col("__live")).as("n"))
-    val hasInterior = interiorAgg.head(1).nonEmpty
+    // dt=None forces every file boundary (interiorFlag is literally
+    // false), and the "string"-typed empty interior frame would
+    // coerce the union's group type — drop the arm statically
+    // instead of probing it with an extra job
     val interiorDf =
-      if (!hasInterior) None
+      if (dt.isEmpty) None
       else Some(interiorAgg
         .select(col("__g").cast(dtName).as(groupCol), col("n")))
     val boundary = classified.filter(!col("__interior"))
@@ -1452,8 +1455,11 @@ object StatsIndex {
         col("__vmax").cast(vdtName).as("vmax"))
       .groupBy(col(groupCol))
       .agg(min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+    // gdt/vdt=None forces every file boundary — drop the arm
+    // statically (a typed-but-empty interior frame unions cleanly;
+    // only the census-less "string" fallback could coerce types)
     val interiorDf =
-      if (interiorAgg.head(1).isEmpty) None else Some(interiorAgg)
+      if (gdt.isEmpty || vdt.isEmpty) None else Some(interiorAgg)
     val boundary = classified.filter(!col("__interior"))
       .select(col("file")).distinct().as[String].collect().toSeq.sorted
     val boundaryDf =
