@@ -499,16 +499,41 @@ object ExtendedQueries {
     val fs = new org.apache.hadoop.fs.Path(lake)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val li = table(s, dir, "lineitem")
-    for (b <- 0 to 2) {
-      val before = CommitLog.dataFileNames(fs, lake)
-      li.filter(pmod(col("l_orderkey"), lit(3)) === b)
-        .write.mode("append").parquet(lake)
-      CommitLog.commit(fs, lake, b,
-        (CommitLog.dataFileNames(fs, lake) -- before).toSeq.sorted)
-    }
-    // crashed batch 3: its files land, its commit never does
-    li.filter(pmod(col("l_orderkey"), lit(3)) === 0).limit(1000)
-      .write.mode("append").parquet(lake)
+    // the four writes (3 committed batches + the orphan) are
+    // independent jobs — stage them CONCURRENTLY so each job's tail
+    // back-fills the others' idle cores (guide §2.6), then publish
+    // the commits sequentially with exact per-batch file attribution
+    // (the staged listing IS batch b's file set — no before/after
+    // diff). Resulting lake state is byte-identical in content to the
+    // sequential build: same rows per batch id, same orphans.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val staged = (0 to 3).map { b =>
+        scala.concurrent.Future {
+          val df =
+            if (b <= 2) li.filter(pmod(col("l_orderkey"), lit(3)) === b)
+            // crashed batch 3: its files land, its commit never does
+            else li.filter(pmod(col("l_orderkey"), lit(3)) === 0)
+              .limit(1000)
+          df.write.parquet(s"$work/stage$b")
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/stage$b"))
+            .map(_.getPath.getName)
+            .filter(n => !n.startsWith("_") && !n.startsWith("."))
+            .sorted.toSeq
+        }(ec)
+      }
+      fs.mkdirs(new org.apache.hadoop.fs.Path(lake))
+      staged.zipWithIndex.foreach { case (fut, b) =>
+        val names = scala.concurrent.Await.result(fut,
+          scala.concurrent.duration.Duration.Inf)
+        names.foreach { n =>
+          fs.rename(new org.apache.hadoop.fs.Path(s"$work/stage$b/$n"),
+            new org.apache.hadoop.fs.Path(s"$lake/$n"))
+        }
+        if (b <= 2) CommitLog.commit(fs, lake, b, names)
+      }
+    } finally pool.shutdown()
     lake
   }
 
@@ -711,30 +736,48 @@ object ExtendedQueries {
     val bySource = Seq(
       BySourceUpdate(Map("l_discount" -> "0.99"),
         Some("t.l_linestatus = 'O'")))
-    // CoW arm: disjoint appender inside the window — zero retries
-    val lakeCow = loggedLake(s, dir, tempWork("graft_q91c_"))
-    val cowCalls = new java.util.concurrent.atomic.AtomicInteger(0)
-    Occ.mergeClauses(s, lakeCow, src, keys, matched, notMatched,
-      bySource, beforeCommit = () => {
-        if (cowCalls.incrementAndGet() == 1)
-          require(Occ.append(s, lakeCow,
-            li.filter(col("l_orderkey") % 17 === 3)) > 0)
-      })
-    require(cowCalls.get() == 1,
-      s"q91: an interleaved APPEND must not conflict a clause merge " +
-        s"(${cowCalls.get()} attempts)")
-    // MoR arm: conflicting delete inside the window — exactly 1 retry
-    val lakeMor = loggedLake(s, dir, tempWork("graft_q91m_"))
-    val morCalls = new java.util.concurrent.atomic.AtomicInteger(0)
-    Occ.mergeClausesMor(s, lakeMor, src, keys, matched, notMatched,
-      bySource, beforeCommit = () => {
-        if (morCalls.incrementAndGet() == 1)
-          require(Occ.deleteMor(s, lakeMor,
-            "l_orderkey % 19 = 4") > 0)
-      })
-    require(morCalls.get() == 2,
-      s"q91: an interleaved MUTATION must conflict a MoR clause " +
-        s"merge exactly once (${morCalls.get()} attempts)")
+    // the two arms mutate DISJOINT lakes and assert independent
+    // counters — run them as concurrent driver jobs (guide §2.6: each
+    // arm's many small jobs back-fill the other's stragglers and
+    // driver gaps). Each arm's internal order — and therefore its
+    // result — is exactly the sequential version's.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val (lakeCow, lakeMor) = try {
+      val cowArm = scala.concurrent.Future {
+        // CoW arm: disjoint appender inside the window — zero retries
+        val lakeCow = loggedLake(s, dir, tempWork("graft_q91c_"))
+        val cowCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+        Occ.mergeClauses(s, lakeCow, src, keys, matched, notMatched,
+          bySource, beforeCommit = () => {
+            if (cowCalls.incrementAndGet() == 1)
+              require(Occ.append(s, lakeCow,
+                li.filter(col("l_orderkey") % 17 === 3)) > 0)
+          })
+        require(cowCalls.get() == 1,
+          s"q91: an interleaved APPEND must not conflict a clause merge " +
+            s"(${cowCalls.get()} attempts)")
+        lakeCow
+      }(ec)
+      val morArm = scala.concurrent.Future {
+        // MoR arm: conflicting delete inside the window — exactly 1 retry
+        val lakeMor = loggedLake(s, dir, tempWork("graft_q91m_"))
+        val morCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+        Occ.mergeClausesMor(s, lakeMor, src, keys, matched, notMatched,
+          bySource, beforeCommit = () => {
+            if (morCalls.incrementAndGet() == 1)
+              require(Occ.deleteMor(s, lakeMor,
+                "l_orderkey % 19 = 4") > 0)
+          })
+        require(morCalls.get() == 2,
+          s"q91: an interleaved MUTATION must conflict a MoR clause " +
+            s"merge exactly once (${morCalls.get()} attempts)")
+        lakeMor
+      }(ec)
+      import scala.concurrent.duration.Duration
+      (scala.concurrent.Await.result(cowArm, Duration.Inf),
+        scala.concurrent.Await.result(morArm, Duration.Inf))
+    } finally pool.shutdown()
     val agg = (df: org.apache.spark.sql.DataFrame, mode: String) => df
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"),

@@ -102,9 +102,16 @@ object MergeInto {
     val fs0 = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keys = keys0.map(ColumnMapping.mapping(fs0, lakeDir).physicalOf)
+    // pin the update frame and its key set once (same rationale as
+    // clausesPlanFor): they feed the uniqueness gate, discovery, the
+    // survivor anti-join and up to three change-feed joins — without
+    // the pin each execution re-runs the caller's source plan
     val updates0 = GeneratedColumns.fill(spark, lakeDir,
       ColumnMapping.toPhysical(spark, lakeDir, updates))
+      .localCheckpoint()
     requireUniqueKeys(updates0, keys, "merge")
+    val updKeys = updates0.select(keys.map(col): _*).distinct()
+      .localCheckpoint()
     mutate(spark, lakeDir, "merge", filesPerRewrite,
         indexDir) { (lake, committed, cdcWanted) =>
       requireFullRowCompatible(lake, updates0, "merge", evolveSchema)
@@ -126,8 +133,7 @@ object MergeInto {
       // pass (correct, just not accelerated).
       def touchedIn(base: DataFrame): Set[String] = base
         .select(col("_metadata.file_path").as("__file") +: keys.map(col): _*)
-        .join(updates0.select(keys.map(col): _*).distinct(), keys,
-          "left_semi")
+        .join(updKeys, keys, "left_semi")
         .select(col("__file")).distinct()
         .collect().map(r => new Path(r.getString(0)).getName).toSet
       val touchedViaIndex: Option[Set[String]] =
@@ -148,8 +154,7 @@ object MergeInto {
         else spark.read.schema(lake.schema)
           .parquet(CommitLog.resolveDataPaths(spark, lakeDir,
             touched.toSeq.sorted): _*)
-          .join(updates0.select(keys.map(col): _*).distinct(), keys,
-            "left_anti")
+          .join(updKeys, keys, "left_anti")
           .unionByName(updates0, allowMissingColumns = true)
       // change feed: matched lake rows are pre-images, their update
       // rows post-images, the rest of the updates inserts — change
@@ -166,8 +171,7 @@ object MergeInto {
                 touched.toSeq.sorted): _*)
             val baseKeys = base.select(keys.map(col): _*).distinct()
             val pre = base
-              .join(updates0.select(keys.map(col): _*).distinct(), keys,
-                "left_semi")
+              .join(updKeys, keys, "left_semi")
               .withColumn(ct, lit("update_preimage"))
             val post = updates0.join(baseKeys, keys, "left_semi")
               .withColumn(ct, lit("update_postimage"))
@@ -252,7 +256,15 @@ object MergeInto {
     val fs0 = new Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keys = keys0.map(ColumnMapping.mapping(fs0, lakeDir).physicalOf)
+    // pin the source once (the mergeClausesMor discipline): its plan —
+    // typically scans + unions + filters — was re-executed by the
+    // uniqueness gate, both discovery passes, the staged rewrite, the
+    // insert anti-join and the change feed (guide §1: five-plus
+    // executions of one subtree). localCheckpoint materializes it to
+    // cached blocks, so every later pass reads memory, and an OCC
+    // retry re-reads a STABLE source.
     val source = ColumnMapping.toPhysical(spark, lakeDir, source0)
+      .localCheckpoint()
     require(!source.columns.contains("__m") &&
       !source.columns.contains("__c"),
       s"$verb: source columns __m/__c collide with merge markers")
@@ -260,6 +272,10 @@ object MergeInto {
     require(missingKeys.isEmpty, s"$verb: source lacks key " +
       s"columns ${missingKeys.toSeq.sorted.mkString(", ")}")
     requireUniqueKeys(source, keys, verb)
+    // the distinct key set feeds 2-4 joins per attempt — pin it too
+    // (it is exactly as stable as the pinned source)
+    val srcKeysPinned = source.select(keys.map(col): _*).distinct()
+      .localCheckpoint()
     val allSets = (matched.collect { case MatchedUpdate(s, _) => s } ++
       notMatchedBySource.collect { case BySourceUpdate(s, _) => s })
       .flatMap(_.keySet).toSet
@@ -279,7 +295,7 @@ object MergeInto {
           s"columns ${need.toSeq.sorted.mkString(", ")} (or assign " +
           "them explicitly)")
       }
-      val srcKeys = source.select(keys.map(col): _*).distinct()
+      val srcKeys = srcKeysPinned
       // (a) matched-side discovery — needed for any matched clause
       // AND for insert-side match detection; index key-pruning first
       def matchedIn(base: DataFrame): Set[String] = base
@@ -288,29 +304,56 @@ object MergeInto {
         .join(srcKeys, keys, "left_semi")
         .select(col("__file")).distinct()
         .collect().map(r => new Path(r.getString(0)).getName).toSet
-      val matchedFiles: Set[String] =
-        if (matched.isEmpty && notMatched.isEmpty) Set.empty
-        else keyCandidateFiles(spark, source, keys, indexDir,
-            committed).map {
-          case cand if cand.isEmpty => Set.empty[String]
-          case cand => matchedIn(
-            spark.read.schema(lake.schema).parquet(cand: _*))
-        }.getOrElse(matchedIn(lake))
-      // (b) by-source discovery — files holding a NOT-matched row
-      // some by-source condition claims (unconditional clause ⇒ any
-      // not-matched row)
-      val bySourceFiles: Set[String] =
-        if (notMatchedBySource.isEmpty) Set.empty
-        else {
+      // when BOTH a matched-side pass and a by-source pass would run,
+      // they are the same full-lake scan keyed the same way — fold
+      // them into ONE pass (guide §2.4): left-join the pinned key set
+      // once and partial-aggregate both per-file flags. Row semantics
+      // are unchanged: isM ⇔ the semi-join kept the row, !isM ∧ claims
+      // ⇔ the anti-join + filter kept it.
+      val bothPasses = notMatchedBySource.nonEmpty &&
+        (matched.nonEmpty || notMatched.nonEmpty)
+      val (matchedFiles, bySourceFiles): (Set[String], Set[String]) =
+        if (bothPasses) {
           val claims = notMatchedBySource.map(c => holds(c.condition))
             .reduce(_ || _)
-          lake.withColumn("__file", col("_metadata.file_path"))
+          val isM = coalesce(col("s.__m"), lit(false))
+          val flags = lake
+            .withColumn("__file", col("_metadata.file_path"))
             .alias("t")
-            .join(srcKeys.alias("s"),
+            .join(srcKeys.withColumn("__m", lit(true)).alias("s"),
               keys.map(k => col(s"t.$k") === col(s"s.$k"))
-                .reduce(_ && _), "left_anti")
-            .filter(claims).select(col("__file")).distinct()
-            .collect().map(r => new Path(r.getString(0)).getName).toSet
+                .reduce(_ && _), "left")
+            .groupBy(col("__file"))
+            .agg(max(when(isM, 1).otherwise(0)).as("__anym"),
+              max(when(!isM && claims, 1).otherwise(0)).as("__anyb"))
+            .collect()
+          (flags.filter(_.getInt(1) == 1)
+              .map(r => new Path(r.getString(0)).getName).toSet,
+            flags.filter(_.getInt(2) == 1)
+              .map(r => new Path(r.getString(0)).getName).toSet)
+        } else {
+          val m: Set[String] =
+            if (matched.isEmpty && notMatched.isEmpty) Set.empty
+            else keyCandidateFiles(spark, source, keys, indexDir,
+                committed).map {
+              case cand if cand.isEmpty => Set.empty[String]
+              case cand => matchedIn(
+                spark.read.schema(lake.schema).parquet(cand: _*))
+            }.getOrElse(matchedIn(lake))
+          val b: Set[String] =
+            if (notMatchedBySource.isEmpty) Set.empty
+            else {
+              val claims = notMatchedBySource.map(c => holds(c.condition))
+                .reduce(_ || _)
+              lake.withColumn("__file", col("_metadata.file_path"))
+                .alias("t")
+                .join(srcKeys.alias("s"),
+                  keys.map(k => col(s"t.$k") === col(s"s.$k"))
+                    .reduce(_ && _), "left_anti")
+                .filter(claims).select(col("__file")).distinct()
+                .collect().map(r => new Path(r.getString(0)).getName).toSet
+            }
+          (m, b)
         }
       val rewriteFiles =
         (if (matched.nonEmpty) matchedFiles else Set.empty[String]) ++

@@ -477,6 +477,11 @@ object Occ {
       val updates0 = GeneratedColumns.fill(spark, lakeDir, updates)
         .localCheckpoint()
       MergeInto.requireUniqueKeys(updates0, keys, "merge(occ)")
+      // pin the distinct key set once per attempt — it feeds the
+      // discovery semi-join, the survivor anti-join and the change
+      // feed; unpinned, each execution re-runs the distinct shuffle
+      val updKeys = updates0.select(keys.map(col): _*).distinct()
+        .localCheckpoint()
       val committed = filesSnap.toSeq.sorted
       val lake = spark.read.option("mergeSchema", "true")
         .parquet(CommitLog.resolveDataPaths(fs, lakeDir, committed): _*)
@@ -485,8 +490,7 @@ object Occ {
       def touchedIn(base: DataFrame): Set[String] = base
         .select(col("_metadata.file_path").as("__file") +:
           keys.map(col): _*)
-        .join(updates0.select(keys.map(col): _*).distinct(), keys,
-          "left_semi")
+        .join(updKeys, keys, "left_semi")
         .select(col("__file")).distinct()
         .collect().map(r => new Path(r.getString(0)).getName).toSet
       val touched = MergeInto.keyCandidateFiles(spark, updates0, keys,
@@ -501,8 +505,7 @@ object Occ {
         else spark.read.schema(lake.schema)
           .parquet(CommitLog.resolveDataPaths(fs, lakeDir,
             touched.toSeq.sorted): _*)
-          .join(updates0.select(keys.map(col): _*).distinct(), keys,
-            "left_anti")
+          .join(updKeys, keys, "left_anti")
           .unionByName(updates0, allowMissingColumns = true)
       val stage = stageDir(lakeDir)
       survivors.repartition(filesPerRewrite).write
@@ -524,8 +527,7 @@ object Occ {
               .parquet(CommitLog.resolveDataPaths(fs, lakeDir,
                 touched.toSeq.sorted): _*)
             val baseKeys = base.select(keys.map(col): _*).distinct()
-            base.join(updates0.select(keys.map(col): _*).distinct(),
-                keys, "left_semi")
+            base.join(updKeys, keys, "left_semi")
               .withColumn(ct, lit("update_preimage"))
               .unionByName(updates0.join(baseKeys, keys, "left_semi")
                 .withColumn(ct, lit("update_postimage")),
