@@ -166,11 +166,17 @@ object E2EBench {
     // cache the assembled/scaled frames: three scaler fits and two PCA
     // fits scan them (the reference re-executes the assembly chain per
     // fit — same replayed WORK here, minus the recomputation sin, like
-    // fitPredict's cache-before-randomSplit)
+    // fitPredict's cache-before-randomSplit). Both caches are projected
+    // down to JUST the vector column the fits consume: the assembler
+    // keeps all 60 input columns, and materializing them doubled the
+    // fill cost of the cell's largest phase (va_cache ~6 s of a ~15 s
+    // steady-state cell — SCALE.md §"e2e_svm_pca phase split"). The
+    // fits' results and the cell's AUC are untouched: the SVC trains
+    // from `labeled`, not from these frames.
     val va = MlPipelines.assembler(StockSchema.rfRawFeatures, "all_features")
-      .transform(labeled).cache()
+      .transform(labeled).select(col("all_features")).cache()
     val scaled = MlPipelines.scaler("all_features", "scaled_all_features")
-      .fit(va).transform(va).cache()
+      .fit(va).transform(va).select(col("scaled_all_features")).cache()
     MlPipelines.scaler("all_features", "scaled_corr_features").fit(va)
     MlPipelines.scaler("all_features", "scaled_non_corr_features").fit(va)
     val nComp = StockSchema.rfRawFeatures.length

@@ -45,12 +45,12 @@ object SvmPcaProbe {
       t("label_cache") = secs { labeled.count(): Unit }
       val va = MlPipelines
         .assembler(StockSchema.rfRawFeatures, "all_features")
-        .transform(labeled).cache()
+        .transform(labeled).select(col("all_features")).cache()
       t("va_cache") = secs { va.count(): Unit }
       var scaledDf: org.apache.spark.sql.DataFrame = null
       t("scaler_fit_main") = secs {
         scaledDf = MlPipelines.scaler("all_features", "scaled_all_features")
-          .fit(va).transform(va).cache()
+          .fit(va).transform(va).select(col("scaled_all_features")).cache()
       }
       t("scaled_cache") = secs { scaledDf.count(): Unit }
       t("scaler_fit_corr") = secs {

@@ -386,7 +386,13 @@ object DeletionVectors {
             .join(pairs.select(col("file").as(FileCol),
               col("pos").as(PosCol)), Seq(FileCol, PosCol), "left_semi")
             .drop(FileCol, PosCol)
+          // pin the matched key set: unpinned, the feed union below
+          // executes `pre` (a full lake scan + pair join) once for the
+          // pre-image branch and AGAIN inside each of the two key
+          // joins — three lake scans in one write. Pinned, the lake is
+          // scanned once here and once in the union.
           val matchedKeys = pre.select(keys.map(col): _*).distinct()
+            .localCheckpoint()
           ChangeDataFeed.writeChanges(spark, lakeDir, id, g,
             pre.withColumn(ct, lit("update_preimage"))
               .unionByName(updates0

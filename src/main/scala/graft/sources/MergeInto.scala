@@ -169,7 +169,11 @@ object MergeInto {
             val base = spark.read.schema(lake.schema)
               .parquet(CommitLog.resolveDataPaths(spark, lakeDir,
                 touched.toSeq.sorted): _*)
+            // pinned: baseKeys feeds the post semi-join AND the
+            // insert anti-join — unpinned, the one feed write scans
+            // the touched files three times (pre + twice via baseKeys)
             val baseKeys = base.select(keys.map(col): _*).distinct()
+              .localCheckpoint()
             val pre = base
               .join(updKeys, keys, "left_semi")
               .withColumn(ct, lit("update_preimage"))

@@ -526,7 +526,10 @@ object Occ {
             val base = spark.read.schema(lake.schema)
               .parquet(CommitLog.resolveDataPaths(fs, lakeDir,
                 touched.toSeq.sorted): _*)
+            // pinned: feeds two joins below — unpinned, one feed
+            // write scans the touched files three times
             val baseKeys = base.select(keys.map(col): _*).distinct()
+              .localCheckpoint()
             base.join(updKeys, keys, "left_semi")
               .withColumn(ct, lit("update_preimage"))
               .unionByName(updates0.join(baseKeys, keys, "left_semi")
@@ -770,7 +773,11 @@ object Occ {
             Seq(DeletionVectors.FileCol, DeletionVectors.PosCol),
             "left_semi")
           .drop(DeletionVectors.FileCol, DeletionVectors.PosCol)
+        // pinned: feeds two joins below — unpinned, the one staged
+        // feed write executes `pre` (full snapshot scan + pair join)
+        // three times
         val matchedKeys = pre.select(keys.map(col): _*).distinct()
+          .localCheckpoint()
         pre.withColumn(ct, lit("update_preimage"))
           .unionByName(updates0.join(matchedKeys, keys, "left_semi")
             .withColumn(ct, lit("update_postimage")),
