@@ -47,11 +47,23 @@ import graft.operators.SimilaritySearch
   * {{{
   *   indexDir/
   *     CURRENT              one line: the live generation's name
-  *     vNNNNN/
-  *       centroids/         (centroid_id int, centroid array<float>)
-  *       codebook/          (code_id int, codevec array<float>) — PQ only
-  *       meta/              (kind string, name string): pinned committed
-  *                          data-file names + SEGMENT references + params
+  *     vNNNNN/meta.txt      ONE driver-written text file: pinned
+  *                          committed data-file names, SEGMENT
+  *                          references, the CENTROIDS/CODEBOOK
+  *                          references, and the build params. A
+  *                          generation is pure metadata — publishing
+  *                          or reading one launches ZERO Spark jobs
+  *                          (r15: the parquet meta cost a Spark job
+  *                          per read/write, ~5 fixed jobs per
+  *                          refresh — the [[CommitLog]] rule applies
+  *                          here too: metadata ops are driver FS I/O)
+  *     aux/cent-<uuid>/     (centroid_id int, centroid array<float>)
+  *     aux/code-<uuid>/     (code_id int, codevec array<float>) — PQ
+  *                          only. Both written ONCE per [[build]] and
+  *                          carried BY REFERENCE through every
+  *                          refresh/compact publish (they are pinned
+  *                          at build time by contract — rewriting
+  *                          them per publish was two more fixed jobs)
   *     segments/seg-<uuid>/ immutable assignment increments,
   *                          partitionBy(bucket): (vec_id, embedding,
   *                          [carryCols,] file, pos[, pq_packed]) —
@@ -132,7 +144,8 @@ object VectorIndex {
   /** Write a new generation via `body` (into a fresh vNNNNN dir),
     * then atomically flip CURRENT to it; keep the previous live
     * generation for in-flight readers, sweep everything older
-    * (including dangling dirs from crashed publishes). */
+    * (including dangling dirs from crashed publishes). Pure driver FS
+    * I/O — a publish launches no Spark job of its own. */
   private def publishGeneration(spark: SparkSession, indexDir: String)(
       body: Path => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -159,10 +172,10 @@ object VectorIndex {
       if (VersionRe.findFirstIn(n).isDefined && !keep.contains(n))
         fs.delete(st.getPath, true)
     }
-    // segment GC: everything the kept generations still reference
+    // segment/aux GC: everything the kept generations still reference
     // survives; crashed publishes' segments and dropped generations'
-    // exclusive segments go
-    sweepSegments(spark, indexDir,
+    // exclusive segments/centroid dirs go
+    sweepUnreferenced(fs, indexDir,
       keep.toSeq.sorted.map(new Path(root, _)))
   }
 
@@ -205,13 +218,16 @@ object VectorIndex {
     }
   }
 
-  /** A generation's whole meta record, ONE parquet read (a dozen
-    * rows): the pinned data-file snapshot, the assignment segment
+  /** A generation's whole meta record, ONE text-file read (driver FS
+    * I/O, zero Spark jobs): the pinned data-file snapshot, the
+    * assignment segment references, the centroid/codebook directory
     * references, and the build params. Every lifecycle verb reads
-    * this once — per-key reads were a Spark job each, and the fixed
-    * overhead dominated a churn-sized refresh. */
+    * this once — the pre-r15 parquet meta cost a Spark job per
+    * read/write, and that fixed overhead dominated a churn-sized
+    * refresh (~5 meta jobs per refresh measured at sf0.1). */
   private final case class Meta(files: Set[String],
-      segments: Seq[String], paramsMap: Map[String, String]) {
+      segments: Seq[String], centsDir: String, codebookDir: String,
+      paramsMap: Map[String, String]) {
     def param(key: String): String = paramsMap(key)
     def params: Params = Params(
       c = param("c").toInt, idCol = param("idCol"),
@@ -221,19 +237,43 @@ object VectorIndex {
         .split(',').toSeq.filter(_.nonEmpty))
   }
 
-  private def readMeta(spark: SparkSession, gen: Path): Meta = {
-    val rows = spark.read.parquet(new Path(gen, "meta").toString)
-      .collect().map(r => (r.getString(0), r.getString(1)))
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
+      gen: Path): Meta = {
+    val in = fs.open(new Path(gen, "meta.txt"))
+    val lines =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, "UTF-8").split("\n").iterator
+          .map(_.trim).filter(_.nonEmpty).toSeq
+      } finally in.close()
+    def of(kind: String): Seq[String] = lines
+      .filter(_.startsWith(kind + "\t")).map(_.substring(kind.length + 1))
     Meta(
-      rows.collect { case ("file", n) => n }.toSet,
-      rows.collect { case ("segment", n) => n }.toSeq.sorted,
-      rows.collect { case (k, v) if k.startsWith("param:") =>
-        (k.substring(6), v) }.toMap)
+      of("file").toSet,
+      of("segment").sorted,
+      of("centroids").headOption.getOrElse(
+        throw new IllegalStateException(
+          s"vector-index generation $gen has no centroids reference")),
+      of("codebook").headOption.getOrElse(""),
+      lines.filter(_.startsWith("param:")).map { l =>
+        // an empty value loses its tab to the line trim — treat a
+        // tabless param line as (key, "")
+        val t = l.indexOf('\t')
+        if (t < 0) (l.substring(6), "")
+        else (l.substring(6, t), l.substring(t + 1))
+      }.toMap)
   }
 
-  private def readCodebook(spark: SparkSession,
-      gen: Path): Seq[Array[Float]] =
-    spark.read.parquet(new Path(gen, "codebook").toString)
+  private def auxRoot(indexDir: String): Path = new Path(indexDir, "aux")
+
+  private def centsPath(indexDir: String, meta: Meta): Path =
+    new Path(auxRoot(indexDir), meta.centsDir)
+
+  private def readCodebook(spark: SparkSession, indexDir: String,
+      meta: Meta): Seq[Array[Float]] =
+    spark.read.parquet(
+        new Path(auxRoot(indexDir), meta.codebookDir).toString)
       .orderBy(col("code_id"))
       .collect().map(_.getSeq[Float](1).toArray).toSeq
 
@@ -279,11 +319,26 @@ object VectorIndex {
   private def segmentsRoot(indexDir: String): Path =
     new Path(indexDir, "segments")
 
-  /** Write `assigned` as one new immutable segment; returns its name. */
+  /** Write `assigned` as one new immutable segment; returns its name.
+    * The rows are CLUSTERED BY BUCKET before the partitionBy write
+    * (guide §6 — Iceberg's hash write-distribution): without the
+    * shuffle every writer task holds every bucket and the segment
+    * lands as tasks × buckets tiny files (measured ~32 × c at sf0.1 —
+    * 512 files for 1 600 rows; at a 100 TB build, writers × buckets is
+    * a small-file catastrophe every later probe pays). A deterministic
+    * id-hash SALT (guide §2.5 — never `rand()`) keeps `⌈parallelism /
+    * c⌉` writers per bucket, so write parallelism survives the
+    * clustering and the file count is ~max(parallelism, c) per
+    * segment, independent of scale. */
   private def writeSegment(spark: SparkSession, indexDir: String,
-      assigned: DataFrame): String = {
+      assigned: DataFrame, p: Params): String = {
     val name = s"seg-${java.util.UUID.randomUUID()}"
-    assigned.write.partitionBy("bucket")
+    val salts = math.max(1L,
+      (spark.sparkContext.defaultParallelism + p.c - 1L) / p.c)
+    assigned
+      .repartition((p.c * salts).toInt, col("bucket"),
+        pmod(xxhash64(col(p.idCol)), lit(salts)))
+      .write.partitionBy("bucket")
       .parquet(new Path(segmentsRoot(indexDir), name).toString)
     name
   }
@@ -303,44 +358,55 @@ object VectorIndex {
     // carry no `_asim` — they read as null, which avg() skips
     }.reduce(_.unionByName(_, allowMissingColumns = true))
 
-  /** Delete segments no KEPT generation references (crashed publishes'
-    * debris, dropped-generation leftovers). Runs after the pointer
-    * flip, when `keptGens` = the new live generation + the previous
-    * one (in-flight reader grace). */
-  private def sweepSegments(spark: SparkSession, indexDir: String,
-      keptGens: Seq[Path]): Unit = {
-    val fs = fsOf(spark, indexDir)
-    val root = segmentsRoot(indexDir)
-    if (!fs.exists(root)) return
-    val referenced = keptGens.filter(g => fs.exists(g))
-      .flatMap(g => readMeta(spark, g).segments).toSet
-    fs.listStatus(root).foreach { st =>
-      if (!referenced.contains(st.getPath.getName)) {
+  /** Delete segments and aux (centroid/codebook) dirs no KEPT
+    * generation references (crashed publishes' debris,
+    * dropped-generation leftovers). Runs after the pointer flip, when
+    * `keptGens` = the new live generation + the previous one
+    * (in-flight reader grace). Driver FS I/O only. */
+  private def sweepUnreferenced(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String, keptGens: Seq[Path]): Unit = {
+    val metas = keptGens.filter(g => fs.exists(g))
+      .map(g => readMeta(fs, g))
+    val segRefs = metas.flatMap(_.segments).toSet
+    val auxRefs = metas.flatMap(m =>
+      Seq(m.centsDir, m.codebookDir)).filter(_.nonEmpty).toSet
+    val segs = segmentsRoot(indexDir)
+    if (fs.exists(segs)) fs.listStatus(segs).foreach { st =>
+      if (!segRefs.contains(st.getPath.getName)) {
+        fs.delete(st.getPath, true); ()
+      }
+    }
+    val aux = auxRoot(indexDir)
+    if (fs.exists(aux)) fs.listStatus(aux).foreach { st =>
+      if (!auxRefs.contains(st.getPath.getName)) {
         fs.delete(st.getPath, true); ()
       }
     }
   }
 
-  private def writeGeneration(spark: SparkSession, gen: Path,
-      cents: DataFrame, segments: Seq[String],
-      codebook: Seq[Array[Float]], files: Set[String],
+  /** Publish one generation record: a single driver-written text file
+    * naming the pinned lake files, the segment list, the
+    * centroid/codebook references and the params — zero Spark jobs
+    * (the data dirs it references were written before; a generation
+    * flip moves metadata only). */
+  private def writeGeneration(fs: org.apache.hadoop.fs.FileSystem,
+      gen: Path, centsDir: String, segments: Seq[String],
+      codebookDir: String, files: Set[String],
       p: Params, extraParams: Seq[(String, String)] = Nil): Unit = {
-    import spark.implicits._
-    cents.repartition(1).write.parquet(new Path(gen, "centroids").toString)
-    if (p.pqM > 0)
-      codebook.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
-        .toDF("code_id", "codevec")
-        .repartition(1).write.parquet(new Path(gen, "codebook").toString)
-    val meta =
-      files.toSeq.sorted.map(f => ("file", f)) ++
-        segments.sorted.map(sg => ("segment", sg)) ++ Seq(
-        ("param:c", p.c.toString), ("param:idCol", p.idCol),
-        ("param:vecCol", p.vecCol), ("param:pqM", p.pqM.toString),
-        ("param:pqK", p.pqK.toString),
-        ("param:carryCols", p.carryCols.mkString(","))) ++
-        extraParams.map { case (k, v) => (s"param:$k", v) }
-    meta.toDF("kind", "name").repartition(1)
-      .write.parquet(new Path(gen, "meta").toString)
+    val lines =
+      files.toSeq.sorted.map(f => s"file\t$f") ++
+        segments.sorted.map(sg => s"segment\t$sg") ++
+        Seq(s"centroids\t$centsDir") ++
+        (if (codebookDir.nonEmpty) Seq(s"codebook\t$codebookDir")
+         else Nil) ++
+        (Seq(("c", p.c.toString), ("idCol", p.idCol),
+          ("vecCol", p.vecCol), ("pqM", p.pqM.toString),
+          ("pqK", p.pqK.toString),
+          ("carryCols", p.carryCols.mkString(","))) ++ extraParams)
+          .map { case (k, v) => s"param:$k\t$v" }
+    val out = fs.create(new Path(gen, "meta.txt"), false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   // ---- centroid-drift probe -------------------------------------------
@@ -401,7 +467,7 @@ object VectorIndex {
 
   def driftReport(spark: SparkSession,
       indexDir: String): Option[DriftReport] = {
-    val meta = readMeta(spark, liveGen(spark, indexDir))
+    val meta = readMeta(fsOf(spark, indexDir), liveGen(spark, indexDir))
     for {
       b <- meta.paramsMap.get("driftBaseMean").map(_.toDouble)
       l <- meta.paramsMap.get("driftLastMean").map(_.toDouble)
@@ -444,7 +510,26 @@ object VectorIndex {
       rows.repartition(spark.sparkContext.defaultParallelism,
         col(params.idCol)),
       cents, codebook, params)
-    val segment = writeSegment(spark, indexDir, assigned)
+    val segment = writeSegment(spark, indexDir, assigned, params)
+    // centroids/codebook land ONCE as immutable aux dirs — every later
+    // refresh/compact publish carries them by reference (they are
+    // pinned at build time by contract, so rewriting them per publish
+    // was pure fixed cost)
+    val fs = fsOf(spark, indexDir)
+    val centsDir = s"cent-${java.util.UUID.randomUUID()}"
+    cents.repartition(1).write.parquet(
+      new Path(auxRoot(indexDir), centsDir).toString)
+    val codebookDir =
+      if (params.pqM == 0) ""
+      else {
+        import spark.implicits._
+        val d = s"code-${java.util.UUID.randomUUID()}"
+        codebook.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+          .toDF("code_id", "codevec")
+          .repartition(1).write.parquet(
+            new Path(auxRoot(indexDir), d).toString)
+        d
+      }
     // drift baseline: how well the just-trained centroids fit their
     // own training corpus — the reference level [[driftReport]]
     // compares refresh batches against
@@ -457,8 +542,9 @@ object VectorIndex {
     CommitLog.withWriterLock(fsOf(spark, lakeDir), lakeDir,
         waitMs = 30000L) {
       publishGeneration(spark, indexDir) { gen =>
-        writeGeneration(spark, gen, cents, Seq(segment), codebook, files,
-          params, extraParams = driftParams(base, None))
+        fs.mkdirs(gen)
+        writeGeneration(fs, gen, centsDir, Seq(segment), codebookDir,
+          files, params, extraParams = driftParams(base, None))
       }
     }
   }
@@ -476,7 +562,7 @@ object VectorIndex {
       indexDir: String,
       beforePublish: () => Unit = () => ()): (Int, Long) = {
     val gen = liveGen(spark, indexDir)
-    val meta = readMeta(spark, gen)
+    val meta = readMeta(fsOf(spark, indexDir), gen)
     val pinned = meta.files
     val current = committedFiles(spark, lakeDir)
     val retired = (pinned -- current).toSeq.sorted
@@ -488,10 +574,11 @@ object VectorIndex {
     val added = (current -- pinned).toSeq.sorted
     if (added.isEmpty) return (0, 0L)
     val p = meta.params
-    val cents = spark.read.parquet(new Path(gen, "centroids").toString)
+    val cents = spark.read.parquet(centsPath(indexDir, meta).toString)
       .localCheckpoint()
     val codebook =
-      if (p.pqM == 0) Seq.empty[Array[Float]] else readCodebook(spark, gen)
+      if (p.pqM == 0) Seq.empty[Array[Float]]
+      else readCodebook(spark, indexDir, meta)
     // fan the churn batch out BEFORE the N·C assignment: an appended
     // batch often arrives as one file, and without this the whole
     // decimal-cosine argmax would run on one core (measured: a 10%
@@ -504,7 +591,7 @@ object VectorIndex {
     // REFERENCE (the new generation lists the old segments), so the
     // publish is metadata + O(churn) bytes, never O(index)
     val segment = writeSegment(spark, indexDir,
-      assignRows(fresh, cents, codebook, p))
+      assignRows(fresh, cents, codebook, p), p)
     val segments = meta.segments :+ segment
     // drift probe, free at this point: the batch's winning cosines are
     // already in the segment bytes — one column scan vs the baseline
@@ -542,7 +629,9 @@ object VectorIndex {
             s"${if (retiredNow.size > 3) ", …" else ""}) — rebuild the " +
             "index")
       publishGeneration(spark, indexDir) { out =>
-        writeGeneration(spark, out, cents, segments, codebook, current, p,
+        fs.mkdirs(out)
+        writeGeneration(fs, out, meta.centsDir, segments,
+          meta.codebookDir, current, p,
           extraParams = driftParams(base, freshMean))
       }
     }
@@ -557,16 +646,12 @@ object VectorIndex {
   def compactSegments(spark: SparkSession, lakeDir: String,
       indexDir: String): Int = {
     val gen = liveGen(spark, indexDir)
-    val meta = readMeta(spark, gen)
+    val meta = readMeta(fsOf(spark, indexDir), gen)
     val segs = meta.segments
     if (segs.size <= 1) return segs.size
     val p = meta.params
-    val cents = spark.read.parquet(new Path(gen, "centroids").toString)
-      .localCheckpoint()
-    val codebook =
-      if (p.pqM == 0) Seq.empty[Array[Float]] else readCodebook(spark, gen)
     val folded = writeSegment(spark, indexDir,
-      readAssign(spark, indexDir, segs, None))
+      readAssign(spark, indexDir, segs, None), p)
     val files = meta.files
     // same commit-section discipline as refresh: the fold must not
     // publish over a generation it did not read
@@ -587,9 +672,12 @@ object VectorIndex {
             s"${retiredNow.size} pinned file(s) while this fold " +
             "prepared — rebuild the index")
       publishGeneration(spark, indexDir) { out =>
-        // a fold is a pure reshuffle — the drift state rides along
-        writeGeneration(spark, out, cents, Seq(folded), codebook, files,
-          p, extraParams = meta.paramsMap.toSeq
+        // a fold is a pure reshuffle — the drift state and the
+        // centroid/codebook references ride along
+        fs.mkdirs(out)
+        writeGeneration(fs, out, meta.centsDir, Seq(folded),
+          meta.codebookDir, files, p,
+          extraParams = meta.paramsMap.toSeq
             .filter(_._1.startsWith("drift")).sortBy(_._1))
       }
     }
@@ -597,9 +685,10 @@ object VectorIndex {
   }
 
   /** The stored centroids of the live generation. */
-  def centroids(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(
-      new Path(liveGen(spark, indexDir), "centroids").toString)
+  def centroids(spark: SparkSession, indexDir: String): DataFrame = {
+    val meta = readMeta(fsOf(spark, indexDir), liveGen(spark, indexDir))
+    spark.read.parquet(centsPath(indexDir, meta).toString)
+  }
 
   /** Fail unless the pinned snapshot matches the lake's committed
     * file set exactly — the query-time soundness gate. Returns the
@@ -607,7 +696,7 @@ object VectorIndex {
   private def currentGenOrFail(spark: SparkSession, lakeDir: String,
       indexDir: String): (Path, Meta) = {
     val gen = liveGen(spark, indexDir)
-    val meta = readMeta(spark, gen)
+    val meta = readMeta(fsOf(spark, indexDir), gen)
     val pinned = meta.files
     val current = committedFiles(spark, lakeDir)
     val retired = (pinned -- current).toSeq.sorted
@@ -633,9 +722,9 @@ object VectorIndex {
     * partitionBy(bucket) layout) and drop MoR-deleted rows against the
     * live deletion vectors. */
   private def probedLive(spark: SparkSession, lakeDir: String,
-      indexDir: String, gen: Path, segments: Seq[String],
+      indexDir: String, meta: Meta, segments: Seq[String],
       queryVec: Seq[Float], probes: Int): DataFrame = {
-    val cents = spark.read.parquet(new Path(gen, "centroids").toString)
+    val cents = spark.read.parquet(centsPath(indexDir, meta).toString)
     val probeIds = cents
       .withColumn("qsim", graft.functions.VectorFunctions.cosineExact(
         col("centroid"), typedLit(queryVec)))
@@ -655,10 +744,10 @@ object VectorIndex {
     * (idCol, sim). */
   def query(spark: SparkSession, lakeDir: String, indexDir: String,
       queryVec: Seq[Float], k: Int, probes: Int): DataFrame = {
-    val (gen, meta) = currentGenOrFail(spark, lakeDir, indexDir)
+    val (_, meta) = currentGenOrFail(spark, lakeDir, indexDir)
     val p = meta.param("idCol")
     val vecCol = meta.param("vecCol")
-    probedLive(spark, lakeDir, indexDir, gen, meta.segments, queryVec,
+    probedLive(spark, lakeDir, indexDir, meta, meta.segments, queryVec,
         probes)
       .select(col(p), graft.functions.VectorFunctions.cosineExact(
         col(vecCol), typedLit(queryVec)).as("sim"))
@@ -677,10 +766,10 @@ object VectorIndex {
   def queryFiltered(spark: SparkSession, lakeDir: String,
       indexDir: String, pred: org.apache.spark.sql.Column,
       queryVec: Seq[Float], k: Int, probes: Int): DataFrame = {
-    val (gen, meta) = currentGenOrFail(spark, lakeDir, indexDir)
+    val (_, meta) = currentGenOrFail(spark, lakeDir, indexDir)
     val p = meta.param("idCol")
     val vecCol = meta.param("vecCol")
-    probedLive(spark, lakeDir, indexDir, gen, meta.segments, queryVec,
+    probedLive(spark, lakeDir, indexDir, meta, meta.segments, queryVec,
         probes)
       .filter(pred)
       .select(col(p), graft.functions.VectorFunctions.cosineExact(
@@ -696,13 +785,13 @@ object VectorIndex {
   def queryPq(spark: SparkSession, lakeDir: String, indexDir: String,
       queryVec: Array[Float], k: Int, probes: Int,
       shortlist: Int): DataFrame = {
-    val (gen, meta) = currentGenOrFail(spark, lakeDir, indexDir)
+    val (_, meta) = currentGenOrFail(spark, lakeDir, indexDir)
     val p = meta.param("idCol")
     val vecCol = meta.param("vecCol")
     val m = meta.param("pqM").toInt
     require(m > 0, s"vector index $indexDir was built without PQ codes")
-    val codebook = readCodebook(spark, gen)
-    val probed = probedLive(spark, lakeDir, indexDir, gen, meta.segments,
+    val codebook = readCodebook(spark, indexDir, meta)
+    val probed = probedLive(spark, lakeDir, indexDir, meta, meta.segments,
       queryVec.toSeq, probes)
       .localCheckpoint()
     val short = SimilaritySearch.pqAdcTopKPacked(
