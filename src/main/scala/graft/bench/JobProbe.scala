@@ -18,7 +18,12 @@ object JobProbe {
       site: String)
 
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("q87_merge_clauses")
+    // comma-separated names run IN SEQUENCE in one session (bisecting
+    // session-state contamination between queries); the LAST one is
+    // the probed query, the earlier ones just execute
+    val names = args.headOption.getOrElse("q87_merge_clauses")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val name = names.last
     val sfDir =
       if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,6 +39,17 @@ object JobProbe {
     try fn(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count()
     catch { case t: Throwable => println(s"[probe] warmup failed: $t") }
     spark.sharedState.cacheManager.clearCache()
+    // predecessors (untimed): reproduce session-state effects
+    names.dropRight(1).foreach { p =>
+      try {
+        graft.SparkEntry.queries(p)(spark, sfDir)
+          .queryExecution.toRdd.count(): Unit
+        println(s"[probe] predecessor $p ok")
+      } catch { case t: Throwable =>
+        println(s"[probe] predecessor $p FAILED: $t")
+      }
+      spark.sharedState.cacheManager.clearCache()
+    }
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRow]()
     val listener = new SparkListener {

@@ -230,9 +230,9 @@ object DeletionVectors {
         case Some(dv) => hits.join(dv, Seq("file", "pos"), "left_anti")
       }
       // count + write in one materialization: localCheckpoint the tiny
-      // pair set so the count never re-runs the predicate scan
-      val pairs = fresh.localCheckpoint()
-      val n = pairs.count()
+      // pair set so the count never re-runs the predicate scan; the
+      // count itself rides the materialization job (Pins.pinCounted)
+      val (pairs, n) = Pins.pinCounted(fresh)
       if (n > 0) {
         val newDv = writePairs(fs, lakeDir, pairs)
         val id = math.max(CommitLog.maxCommittedId(fs, lakeDir), -1L)
@@ -311,7 +311,10 @@ object DeletionVectors {
     val updates0 = GeneratedColumns.fill(spark, lakeDir,
       ColumnMapping.toPhysical(spark, lakeDir, updates))
       .localCheckpoint()
-    MergeInto.requireUniqueKeys(updates0, keys, "mergeMor")
+    // one job gates uniqueness AND counts the rows that size the
+    // delta files below (the separate count() job was pure fixed cost)
+    val appended = Pins.requireUniqueKeysCounted(updates0, keys,
+      "mergeMor")
     requireNoClash(updates0, "mergeMor")
     require(fs.exists(new Path(CommitLog.logDir(lakeDir))),
       s"mergeMor: $lakeDir has no commit log — cannot publish atomically")
@@ -347,16 +350,14 @@ object DeletionVectors {
         case None => hits
         case Some(dv) => hits.join(dv, Seq("file", "pos"), "left_anti")
       }
-      val pairs = fresh.localCheckpoint()
-      val matched = pairs.count()
+      val (pairs, matched) = Pins.pinCounted(fresh)
       val newDv =
         if (matched == 0) Seq.empty else writePairs(fs, lakeDir, pairs)
       // TARGET-SIZED delta files: ⌈rows / target⌉ writer tasks, so a
       // sparse upsert keeps today's one-file shape while a bulk one
       // neither funnels through a single task nor emits one oversized
-      // file compaction must later split. The count reads the
-      // checkpointed partitions — never the caller's DAG.
-      val appended = updates0.count()
+      // file compaction must later split. `appended` rode the
+      // uniqueness gate's job above — never the caller's DAG.
       val nDelta = math.max(1L,
         (appended + targetRowsPerDelta - 1) / targetRowsPerDelta).toInt
       val before = CommitLog.dataFileNames(fs, lakeDir)
@@ -611,12 +612,11 @@ object DeletionVectors {
       // ONE materialized pass holds everything downstream needs:
       // positions (the DV pairs), the claiming clause, post-SET rows,
       // pre-images
-      val prepared = joined.withColumn("__c", clauseIdx)
-        .filter(col("__c") >= 0)
-        .select(Seq(col(FileCol), col(PosCol), col("__c")) ++
-          values ++ preCols: _*)
-        .localCheckpoint()
-      val nMarked = prepared.count()
+      val (prepared, nMarked) = Pins.pinCounted(
+        joined.withColumn("__c", clauseIdx)
+          .filter(col("__c") >= 0)
+          .select(Seq(col(FileCol), col(PosCol), col("__c")) ++
+            values ++ preCols: _*))
       val pairs = prepared
         .select(col(FileCol).as("file"), col(PosCol).as("pos"))
       val updated =
@@ -755,10 +755,8 @@ object DeletionVectors {
           dv.select(col("file").as(FileCol), col("pos").as(PosCol)),
           Seq(FileCol, PosCol), "left_anti")
       }
-      val matched = live
-        .filter(coalesce(expr(predicate), lit(false)))
-        .localCheckpoint()
-      val n = matched.count()
+      val (matched, n) = Pins.pinCounted(live
+        .filter(coalesce(expr(predicate), lit(false))))
       if (n > 0) {
         val pairs = matched
           .select(col(FileCol).as("file"), col(PosCol).as("pos"))
@@ -1125,13 +1123,16 @@ object DeletionVectors {
       if (newDvFiles.isEmpty) none
       else {
         import spark.implicits._
-        val newPairs = spark.read
-          .parquet(resolveDvPaths(fs, lakeDir, newDvFiles): _*)
-          .select(col("file"), col("pos")).distinct()
-          .join(from.files.toSeq.toDF("file"), Seq("file"), "left_semi")
-          .localCheckpoint()
-        val touched = newPairs.select(col("file")).distinct()
-          .as[String].collect().toSeq.sorted
+        // the touched-file list (metadata-bounded) rides the pin's
+        // materialization job instead of a second distinct+collect
+        val (newPairs, touched0) = Pins.pinWithDistinct(
+          spark.read
+            .parquet(resolveDvPaths(fs, lakeDir, newDvFiles): _*)
+            .select(col("file"), col("pos")).distinct()
+            .join(from.files.toSeq.toDF("file"), Seq("file"),
+              "left_semi"),
+          "file")
+        val touched = touched0.sorted
         if (touched.isEmpty) none
         else spark.read.schema(schema)
           .parquet(CommitLog.resolveDataPaths(fs, lakeDir, touched): _*)

@@ -185,12 +185,16 @@ object IncrementalView {
     *
     * `minMaxCols` adds `min_<c>`/`max_<c>` columns, maintained with
     * the standard MV trade: INSERTS fold in monotonically (min/max
-    * over old ∪ insert-side extrema), while DELETE-touched groups are
+    * over old ∪ insert-side extrema), while delete-AFFECTED groups are
     * RE-SCANNED at the pinned head — a delete of a group's extremum is
-    * not invertible from the aggregate alone. Cost stays ∝ churn: the
-    * rescan reads only rows of the groups the window deleted from
-    * (one broadcast semi-join), never the lake. The column set is
-    * fixed at the view's first refresh — changing it is a new view. */
+    * not invertible from the aggregate alone. Affected means a removed
+    * row TIED OR BEAT the stored extremum (r15): a delete strictly
+    * inside the stored open interval provably cannot move min/max, so
+    * those groups skip the rescan — the common churn case pays no
+    * rescan pass at all. Cost stays ∝ churn: the rescan reads only
+    * rows of the provably-affected groups (one broadcast semi-join),
+    * never the lake. The column set is fixed at the view's first
+    * refresh — changing it is a new view. */
   def refresh(spark: SparkSession, lakeDir: String, viewDir: String,
       groupCols: Seq[String], sumCols: Seq[String],
       failBeforePublish: Boolean = false,
@@ -205,9 +209,10 @@ object IncrementalView {
       val live = DeletionVectors.readMorAt(spark, lakeDir, head)
       val auxes = distinctCols.map(c =>
         c -> auxOf(live, groupCols, c).localCheckpoint())
-      val full = joinNd(aggOf(live, groupCols, sumCols, minMaxCols),
-        groupCols, auxes).localCheckpoint()
-      ("full", full, full.count(), auxes)
+      val (full, n) = Pins.pinCounted(
+        joinNd(aggOf(live, groupCols, sumCols, minMaxCols),
+          groupCols, auxes))
+      ("full", full, n, auxes)
     }
     val (mode, rows, touched, auxes) = cur match {
       case None => fullBuild()
@@ -230,16 +235,25 @@ object IncrementalView {
             else changes0.localCheckpoint()
           val isIns = col("_change_type") === "insert"
           val sign = when(isIns, 1L).otherwise(-1L)
+          // deleted-row extrema ride the same delta pass: a group needs
+          // the min/max rescan ONLY when a removed row TIED OR BEAT the
+          // stored extremum (a delete strictly inside the stored open
+          // interval provably cannot move min/max, and insert extrema
+          // fold monotonically) — so the rescan below narrows from
+          // "every delete-touched group" to the provably-affected ones
           val deltaAggs = (sum(sign).as("n") +:
             sumCols.map(c => sum(col(c) * sign).as(s"sum_$c"))) ++
             minMaxCols.flatMap(c => Seq(
               min(when(isIns, col(c))).as(s"min_$c"),
-              max(when(isIns, col(c))).as(s"max_$c"))) :+
+              max(when(isIns, col(c))).as(s"max_$c"),
+              min(when(!isIns, col(c))).as(s"__dmin_$c"),
+              max(when(!isIns, col(c))).as(s"__dmax_$c"))) :+
             max(when(isIns, 0).otherwise(1)).as("_has_del")
-          val delta = changes.groupBy(groupCols.map(col): _*)
-            .agg(deltaAggs.head, deltaAggs.tail: _*)
-            .localCheckpoint()
-          val deltaGroups = delta.count()
+          val (delta, deltaGroups) = Pins.pinCounted(
+            changes.groupBy(groupCols.map(col): _*)
+              .agg(deltaAggs.head, deltaAggs.tail: _*))
+          val deltaAux = Seq("_has_del") ++
+            minMaxCols.flatMap(c => Seq(s"__dmin_$c", s"__dmax_$c"))
           // counts/sums re-merge under ±1 signing (bit-exact for
           // integral columns); min/max fold in the INSERT extrema the
           // same way — valid wherever the window deleted nothing
@@ -257,14 +271,29 @@ object IncrementalView {
               .localCheckpoint()
           }
           val merged = old.drop(distinctCols.map(ndName): _*)
-            .unionByName(delta.drop("_has_del"))
+            .unionByName(delta.drop(deltaAux: _*))
             .groupBy(groupCols.map(col): _*)
             .agg(mergeAggs.head, mergeAggs.tail: _*)
             .filter(col("n") > 0)
           val out =
             if (minMaxCols.isEmpty) merged
             else {
+              // rescan ONLY groups where a removed row tied or beat the
+              // stored extremum (or the group is unknown to the stored
+              // view — conservative): the common churn case — deletes
+              // strictly inside every stored interval — skips the lake
+              // rescan pass entirely
+              val oldMm = old.select((groupCols.map(col) ++
+                minMaxCols.flatMap(c => Seq(
+                  col(s"min_$c").as(s"__omin_$c"),
+                  col(s"max_$c").as(s"__omax_$c")))): _*)
+              val hit = minMaxCols.map(c =>
+                col(s"__omin_$c").isNull ||
+                  col(s"__dmin_$c") <= col(s"__omin_$c") ||
+                  col(s"__dmax_$c") >= col(s"__omax_$c")).reduce(_ || _)
               val touchedDel = delta.filter(col("_has_del") === 1)
+                .join(oldMm, groupCols.toSeq, "left")
+                .filter(hit)
                 .select(groupCols.map(col): _*).localCheckpoint()
               if (touchedDel.isEmpty) merged
               else {
@@ -385,9 +414,10 @@ object IncrementalView {
       val live = DeletionVectors.readMor(spark, lakeDir)
       val auxes = distinctCols.map(c =>
         c -> auxOf(live, groupCols, c).localCheckpoint())
-      val full = joinNd(aggOf(live, groupCols, sumCols, minMaxCols),
-        groupCols, auxes).localCheckpoint()
-      ("full", full, full.count(), auxes)
+      val (full, n) = Pins.pinCounted(
+        joinNd(aggOf(live, groupCols, sumCols, minMaxCols),
+          groupCols, auxes))
+      ("full", full, n, auxes)
     }
     while (true) {
       val head = ChangeDataFeed.currentVersion(spark, lakeDir)
@@ -413,17 +443,27 @@ object IncrementalView {
             val isDrop = col("_change_type")
               .isin("delete", "update_preimage")
             val sign = when(isAdd, 1L).when(isDrop, -1L).otherwise(0L)
+            // dropped-row extrema ride the delta pass — same
+            // rescan-narrowing as [[refresh]]: only groups where a
+            // removed row tied or beat the stored extremum rescan.
+            // Sound for the NON-NET feed too: a row born AND dropped
+            // inside the window either stays within the stored bounds
+            // (its insert extremum is masked by the monotone fold) or
+            // crosses them (its drop extremum trips the rescan).
             val deltaAggs = (sum(sign).as("n") +:
               sumCols.map(c => sum(col(c) * sign).as(s"sum_$c"))) ++
               minMaxCols.flatMap(c => Seq(
                 min(when(isAdd, col(c))).as(s"min_$c"),
-                max(when(isAdd, col(c))).as(s"max_$c"))) :+
+                max(when(isAdd, col(c))).as(s"max_$c"),
+                min(when(isDrop, col(c))).as(s"__dmin_$c"),
+                max(when(isDrop, col(c))).as(s"__dmax_$c"))) :+
               max(when(isDrop, 1).otherwise(0)).as("_has_drop")
-            val delta = changes.filter(isAdd || isDrop)
-              .groupBy(groupCols.map(col): _*)
-              .agg(deltaAggs.head, deltaAggs.tail: _*)
-              .localCheckpoint()
-            val deltaGroups = delta.count()
+            val (delta, deltaGroups) = Pins.pinCounted(
+              changes.filter(isAdd || isDrop)
+                .groupBy(groupCols.map(col): _*)
+                .agg(deltaAggs.head, deltaAggs.tail: _*))
+            val deltaAux = Seq("_has_drop") ++
+              minMaxCols.flatMap(c => Seq(s"__dmin_$c", s"__dmax_$c"))
             val mergeAggs = (sum(col("n")).as("n") +:
               sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))) ++
               minMaxCols.flatMap(c => Seq(
@@ -435,14 +475,24 @@ object IncrementalView {
                   sign), groupCols).localCheckpoint()
             }
             val merged = old.drop(distinctCols.map(ndName): _*)
-              .unionByName(delta.drop("_has_drop"))
+              .unionByName(delta.drop(deltaAux: _*))
               .groupBy(groupCols.map(col): _*)
               .agg(mergeAggs.head, mergeAggs.tail: _*)
               .filter(col("n") > 0)
             val out =
               if (minMaxCols.isEmpty) merged
               else {
+                val oldMm = old.select((groupCols.map(col) ++
+                  minMaxCols.flatMap(c => Seq(
+                    col(s"min_$c").as(s"__omin_$c"),
+                    col(s"max_$c").as(s"__omax_$c")))): _*)
+                val hit = minMaxCols.map(c =>
+                  col(s"__omin_$c").isNull ||
+                    col(s"__dmin_$c") <= col(s"__omin_$c") ||
+                    col(s"__dmax_$c") >= col(s"__omax_$c")).reduce(_ || _)
                 val touchedDrop = delta.filter(col("_has_drop") === 1)
+                  .join(oldMm, groupCols.toSeq, "left")
+                  .filter(hit)
                   .select(groupCols.map(col): _*).localCheckpoint()
                 if (touchedDrop.isEmpty) merged
                 else {

@@ -236,8 +236,7 @@ object Occ {
         case None => hits
         case Some(dv) => hits.join(dv, Seq("file", "pos"), "left_anti")
       }
-      val pairs = fresh.localCheckpoint()
-      val n = pairs.count()
+      val (pairs, n) = Pins.pinCounted(fresh)
       if (n == 0) return 0L
       val stage = stageDir(lakeDir)
       pairs.repartition(1).write.parquet(s"$stage/dv")
@@ -707,9 +706,9 @@ object Occ {
       val defsSnap = defsSnapshot(fs, lakeDir)
       val updates0 = GeneratedColumns.fill(spark, lakeDir, updates)
         .localCheckpoint()
-      MergeInto.requireUniqueKeys(updates0, keys, "mergeMor(occ)")
+      val appended = Pins.requireUniqueKeysCounted(updates0, keys,
+        "mergeMor(occ)")
       DeletionVectors.requireNoClash(updates0, "mergeMor(occ)")
-      val appended = updates0.count()
       if (appended == 0) return (0L, 0L)
       require(filesSnap.nonEmpty,
         s"mergeMor(occ): no committed files in $lakeDir — ingest first")
@@ -741,8 +740,7 @@ object Occ {
         case None => hits
         case Some(dv) => hits.join(dv, Seq("file", "pos"), "left_anti")
       }
-      val pairs = fresh.localCheckpoint()
-      val matched = pairs.count()
+      val (pairs, matched) = Pins.pinCounted(fresh)
       val stage = stageDir(lakeDir)
       val newDv =
         if (matched == 0) Seq.empty[String]

@@ -583,10 +583,10 @@ object VectorIndex {
     // batch often arrives as one file, and without this the whole
     // decimal-cosine argmax would run on one core (measured: a 10%
     // churn refresh cost MORE than the full 16-file build)
-    val fresh = rowsOf(spark, lakeDir, added, p)
-      .repartition(spark.sparkContext.defaultParallelism, col(p.idCol))
-      .localCheckpoint()
-    val nRows = fresh.count()
+    val (fresh, nRows) = Pins.pinCounted(
+      rowsOf(spark, lakeDir, added, p)
+        .repartition(spark.sparkContext.defaultParallelism,
+          col(p.idCol)))
     // ONE churn-sized segment write; carried rows are carried BY
     // REFERENCE (the new generation lists the old segments), so the
     // publish is metadata + O(churn) bytes, never O(index)

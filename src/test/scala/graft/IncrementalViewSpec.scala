@@ -273,6 +273,60 @@ class IncrementalViewSpec extends SparkSpec {
     assert(e.getMessage.contains("different columns"), e.getMessage)
   }
 
+  test("min/max rescan narrowing (r15): interior deletes skip the " +
+    "rescan and stay exact; a TIE with the stored extremum rescans " +
+    "(a surviving duplicate keeps the bound); a row born AND dead " +
+    "outside the stored bounds inside one feed window stays exact") {
+    import graft.sources.ChangeDataFeed
+    val lake = mkLake()
+    val dir = Files.createTempDirectory("graft_ivn_").toString + "/view"
+    IncrementalView.refresh(spark, lake, dir, Seq("g"), Seq("v"),
+      minMaxCols = Seq("v"))
+    // (a) interior-only deletes: every removed v sits strictly inside
+    // every group's stored (min, max) — the skip path must still equal
+    // the recompute
+    DeletionVectors.deleteMor(spark, lake, "v >= 30 AND v < 60")
+    val sA = IncrementalView.refresh(spark, lake, dir, Seq("g"),
+      Seq("v"), minMaxCols = Seq("v"))
+    assert(sA.mode == "incremental")
+    assert(viewMM(dir) == recomputeMM(lake), "interior-delete skip drifted")
+    // (b) TIE case: plant a duplicate of g0's minimum, fold it in,
+    // then delete exactly ONE of the two copies — the tie trips the
+    // rescan and the surviving copy keeps min_v unchanged
+    val g0min = recomputeMM(lake).find(_._1 == "g0").get._4
+    DeletionVectors.mergeMor(spark, lake,
+      Seq((8001, "g0", g0min)).toDF("k", "g", "v"), Seq("k"))
+    IncrementalView.refresh(spark, lake, dir, Seq("g"), Seq("v"),
+      minMaxCols = Seq("v"))
+    DeletionVectors.deleteMor(spark, lake, "k = 8001")
+    val sB = IncrementalView.refresh(spark, lake, dir, Seq("g"),
+      Seq("v"), minMaxCols = Seq("v"))
+    assert(sB.mode == "incremental")
+    assert(viewMM(dir) == recomputeMM(lake), "tie-delete drifted")
+    assert(viewMM(dir).find(_._1 == "g0").get._4 == g0min,
+      "the surviving duplicate must keep the stored minimum")
+    // (c) feed window where a row is born ABOVE the stored max and
+    // dies in the SAME window: the non-net feed carries both images;
+    // the fold must not leak the dead row's extremum (MoR verbs — the
+    // lake carries covered vectors, which gate CoW DML)
+    ChangeDataFeed.enable(spark, lake)
+    val fdir = Files.createTempDirectory("graft_ivnf_").toString + "/view"
+    IncrementalView.refreshFeed(spark, lake, fdir, Seq("g"), Seq("v"),
+      minMaxCols = Seq("v"))
+    DeletionVectors.mergeMor(spark, lake,
+      Seq((9001, "g1", 77777777L)).toDF("k", "g", "v"), Seq("k"))
+    DeletionVectors.deleteMor(spark, lake, "k = 9001")
+    val sC = IncrementalView.refreshFeed(spark, lake, fdir, Seq("g"),
+      Seq("v"), minMaxCols = Seq("v"))
+    assert(sC.mode == "incremental")
+    def fview() = IncrementalView.readView(spark, fdir)
+      .select(col("g"), col("n"), col("sum_v"), col("min_v"),
+        col("max_v"))
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(fview() == recomputeMM(lake),
+      "a born-and-dead out-of-bounds row leaked into the fold")
+  }
+
   test("UpsertSink ViewSpec(minMaxCols) maintains min/max through the " +
     "stream: replaced extrema rescan their groups per batch") {
     val lake = mkLake()
