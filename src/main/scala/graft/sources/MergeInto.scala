@@ -267,6 +267,18 @@ object MergeInto {
     // executions of one subtree). localCheckpoint materializes it to
     // cached blocks, so every later pass reads memory, and an OCC
     // retry re-reads a STABLE source.
+    // FAULT TOLERANCE (r15, VERDICT r14 #2): the pin truncates
+    // lineage, so an executor loss after it makes the verb FAIL — by
+    // design LOUDLY and strictly BEFORE any publish (every write is
+    // staged; the crash contract already covers a verb dying at any
+    // point). Recovery is the ordinary retry: re-run the verb, which
+    // re-pins. DeletionVectorsSpec's "lost localCheckpoint pin" arm
+    // kills a pin's blocks mid-verb and proves fail-loud + converge.
+    // A lineage-preserving persist() was considered and rejected: the
+    // cacheManager keys cached plans by canonicalized logical plan, so
+    // a pinned source re-read by a LATER verb over a MUTATED lake
+    // could silently serve the stale cache — a correctness landmine
+    // worse than the retry.
     val source = ColumnMapping.toPhysical(spark, lakeDir, source0)
       .localCheckpoint()
     require(!source.columns.contains("__m") &&

@@ -405,9 +405,12 @@ object ZOrder {
     * the standard ingest-then-OPTIMIZE split). */
   def write(df: DataFrame, path: String, zCols: Seq[String],
       bits: Int = 12, numFiles: Int = 0,
-      mode: String = "overwrite"): Unit =
+      mode: String = "overwrite",
+      ranges: Option[Seq[(Double, Double)]] = None): Unit =
     writeByKey(df, path,
-      zValue(zCols.map(col), literalRanges(df, zCols), bits), numFiles, mode)
+      zValue(zCols.map(col),
+        ranges.getOrElse(literalRanges(df, zCols)), bits),
+      numFiles, mode)
 
   /** HILBERT-ordered write — [[write]]'s 2-D twin on the continuous
     * curve (measured in SCALE.md: the same box reads fewer files than
@@ -417,8 +420,9 @@ object ZOrder {
     * distant values into one cell and destroy the locality. */
   def hilbertWrite(df: DataFrame, path: String, xCol: String, yCol: String,
       bits: Int = 12, numFiles: Int = 0,
-      mode: String = "overwrite"): Unit = {
-    val ranges = literalRanges(df, Seq(xCol, yCol))
+      mode: String = "overwrite",
+      knownRanges: Option[Seq[(Double, Double)]] = None): Unit = {
+    val ranges = knownRanges.getOrElse(literalRanges(df, Seq(xCol, yCol)))
     val h = hilbertValue(
       scaleToBits(col(xCol), ranges(0)._1, ranges(0)._2, bits),
       scaleToBits(col(yCol), ranges(1)._1, ranges(1)._2, bits), bits)
@@ -432,10 +436,11 @@ object ZOrder {
     * set by file count anyway; 8 bits = 256 cells/dim is plenty). */
   def hilbertWriteN(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 12, numFiles: Int = 0,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite",
+      knownRanges: Option[Seq[(Double, Double)]] = None): Unit = {
     require(cols.size >= 2 && cols.size * bits <= 63,
       s"hilbertWriteN: dims·bits = ${cols.size * bits} exceeds long range")
-    val ranges = literalRanges(df, cols)
+    val ranges = knownRanges.getOrElse(literalRanges(df, cols))
     val h = hilbertValueN(cols.zip(ranges).map { case (c, (lo, hi)) =>
       scaleToBits(col(c), lo, hi, bits)
     }, bits)
@@ -447,13 +452,16 @@ object ZOrder {
     * count), "hilbert" = [[hilbertWrite]] for 2-D /
     * [[hilbertWriteN]] beyond (tighter box locality — SCALE.md). */
   def curveWrite(df: DataFrame, path: String, zCols: Seq[String],
-      bits: Int, numFiles: Int, mode: String, curve: String): Unit =
+      bits: Int, numFiles: Int, mode: String, curve: String,
+      ranges: Option[Seq[(Double, Double)]] = None): Unit =
     curve match {
-      case "morton" => write(df, path, zCols, bits, numFiles, mode)
+      case "morton" =>
+        write(df, path, zCols, bits, numFiles, mode, ranges)
       case "hilbert" if zCols.size == 2 =>
-        hilbertWrite(df, path, zCols(0), zCols(1), bits, numFiles, mode)
+        hilbertWrite(df, path, zCols(0), zCols(1), bits, numFiles, mode,
+          ranges)
       case "hilbert" =>
-        hilbertWriteN(df, path, zCols, bits, numFiles, mode)
+        hilbertWriteN(df, path, zCols, bits, numFiles, mode, ranges)
       case other =>
         throw new IllegalArgumentException(
           s"unknown curve '$other' (morton | hilbert)")
@@ -546,8 +554,19 @@ object ZOrder {
         DeletionVectors.applyVectors(base,
           DeletionVectors.vectors(spark, path))
       } else spark.read.option("mergeSchema", "true").parquet(path)
+    // scaling ranges from FOOTER stats when every committed file
+    // carries exact numeric bounds — a metadata job replaces the full
+    // data pass literalRanges would run (at 100 TB: a corpus scan).
+    // On a DV'd lake the footer range can be wider than the live
+    // rows' (dead rows count) — still a valid clamp range. Fallback:
+    // the data-pass aggregate, bit-identical to the pre-r15 behavior.
+    val ranges =
+      if (hasLog) StatsIndex.footerDoubleRanges(spark,
+        CommitLog.resolveDataPaths(fs,  path,
+          CommitLog.committedNames(fs, path).toSeq.sorted), zCols)
+      else None
     curveWrite(input, tmp.toString, zCols, bits, numFiles, "overwrite",
-      curve)
+      curve, ranges)
     if (hasLog) {
       // write the new lake's log INSIDE tmp before the swap, so the
       // published layout is never visible without its log

@@ -715,6 +715,50 @@ object StatsIndex {
 
   /** Distributed footer scan of `files` → one index row per
     * (file, column). */
+  /** Global (min, max) per column as doubles, from FOOTER stats only —
+    * one distributed metadata job over `files`, zero data rows read.
+    * `None` when any file lacks exact integral/floating stats for any
+    * column (missing column, stats-less chunk, string/temporal kind —
+    * temporal footer units differ from Spark's `cast("double")`), so
+    * callers fall back to the data-pass aggregate. Used by
+    * [[ZOrder.optimize]]: the scaling range a space-filling-curve
+    * rewrite needs is exactly what footers carry, and a 100 TB
+    * OPTIMIZE should not pay a full corpus scan to learn it (r15). On
+    * a lake with covered deletion vectors the footer range may be
+    * WIDER than the live rows' (dead rows count) — still a valid
+    * bounding range for scale-to-bits clamping. */
+  private[sources] def footerDoubleRanges(spark: SparkSession,
+      files: Seq[String], cols: Seq[String])
+      : Option[Seq[(Double, Double)]] = {
+    if (files.isEmpty) return None
+    val rows = statsFor(spark, files, cols)
+      .select(col("col"), col("kind"), col("lmin"), col("lmax"),
+        col("dmin"), col("dmax"), col("dtype"))
+      .collect()
+    val byCol = rows.groupBy(_.getString(0))
+    val ranges = cols.map { c =>
+      val rs = byCol.getOrElse(c, Array.empty)
+      if (rs.isEmpty || rs.length < files.size) None
+      else {
+        val ok = rs.forall { r =>
+          val kind = r.getString(1)
+          val dtype = if (r.isNullAt(6)) "" else r.getString(6)
+          (kind == "long" && Seq("int", "bigint", "smallint", "tinyint")
+            .contains(dtype) && !r.isNullAt(2) && !r.isNullAt(3)) ||
+            (kind == "double" && Seq("float", "double").contains(dtype) &&
+              !r.isNullAt(4) && !r.isNullAt(5))
+        }
+        if (!ok) None
+        else Some((
+          rs.map(r => if (r.getString(1) == "long") r.getLong(2).toDouble
+            else r.getDouble(4)).min,
+          rs.map(r => if (r.getString(1) == "long") r.getLong(3).toDouble
+            else r.getDouble(5)).max))
+      }
+    }
+    if (ranges.exists(_.isEmpty)) None else Some(ranges.map(_.get))
+  }
+
   private def statsFor(spark: SparkSession, files: Seq[String],
       cols: Seq[String]): DataFrame = {
     import spark.implicits._

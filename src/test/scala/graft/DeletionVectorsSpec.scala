@@ -661,4 +661,63 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(end.filter(col("k") < 120 && col("k") >= 0)
       .filter(col("v") =!= -2L).count() == 0L)
   }
+
+  test("a lost localCheckpoint pin mid-verb fails LOUDLY before any " +
+    "publish, and the standard retry converges (the executor-loss " +
+    "recovery story for the commit-window pins)") {
+    val lake = mkLake()
+    val f = fs(lake)
+    val before = CommitLog.committedView(f, lake)
+    // a clause-condition UDF that, ONCE, drops every pinned
+    // (localCheckpoint'd) RDD's blocks mid-prepare — in local mode the
+    // task thread shares the JVM, so this is exactly what an executor
+    // loss does to a pin: the blocks vanish and, lineage being
+    // truncated, the NEXT pass over the pin cannot recompute
+    spark.udf.register("graft_kill_pins",
+      udf { (v: Long) =>
+        if (PinKillSwitch.armed.compareAndSet(true, false)) {
+          val sc = org.apache.spark.SparkContext.getOrCreate()
+          sc.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+        v >= 0L
+      }.asNondeterministic())
+    PinKillSwitch.armed.set(true)
+    val src = (0 until 50).map(k => (k * 2, k.toLong)).toDF("k", "v")
+    def run(): (Long, Long) = DeletionVectors.mergeClausesMor(spark,
+      lake, src, Seq("k"),
+      matched = Seq(MergeInto.MatchedUpdate(Map("v" -> "t.v + 1"),
+        condition = Some("graft_kill_pins(s.v)"))),
+      notMatched = Seq(MergeInto.NotMatchedInsert()))
+    val failed =
+      try { run(); false }
+      catch { case _: org.apache.spark.SparkException => true }
+    assert(failed, "the verb must fail loudly when a pin's blocks die " +
+      "mid-verb (silent success would mean it recomputed a truncated " +
+      "lineage — impossible — or served wrong data)")
+    // nothing published: committed view and coverage are untouched
+    assert(CommitLog.committedView(f, lake) == before,
+      "a pin-loss failure must leave no published trace")
+    // the retry (what an OCC caller does on any pre-publish failure)
+    // converges to the correct merge
+    assert(!PinKillSwitch.armed.get)
+    val (marked, appended) = run()
+    assert(marked == 50 && appended == 50)
+    val got = DeletionVectors.readMor(spark, lake)
+      .filter(col("k") % 2 === 0 && col("k") < 100)
+      .agg(sum(col("v"))).head.getLong(0)
+    // evens 0..98: matched ones got v+1, the rest inserted v = k/2
+    val expect = (0 until 50).map { k2 =>
+      val k = k2 * 2
+      if (k < 100) k.toLong * 2 + 1 else k2.toLong
+    }.sum
+    assert(got == expect)
+  }
+}
+
+/** JVM-global kill switch for the pin-loss spec: closures are
+  * serialized per task even in local mode, so an instance field would
+  * reset per copy — an object field is a per-JVM static. */
+object PinKillSwitch {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
