@@ -14,8 +14,8 @@ import org.apache.spark.sql.SparkSession
   */
 object JobProbe {
 
-  final case class JobRow(id: Int, started: Long, var ended: Long = -1L,
-      site: String)
+  final case class JobRow(id: Int, started: Long,
+      @volatile var ended: Long = -1L, site: String)
 
   def main(args: Array[String]): Unit = {
     // comma-separated names run IN SEQUENCE in one session (bisecting

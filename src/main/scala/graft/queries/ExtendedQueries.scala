@@ -528,8 +528,12 @@ object ExtendedQueries {
         val names = scala.concurrent.Await.result(fut,
           scala.concurrent.duration.Duration.Inf)
         names.foreach { n =>
-          fs.rename(new org.apache.hadoop.fs.Path(s"$work/stage$b/$n"),
-            new org.apache.hadoop.fs.Path(s"$lake/$n"))
+          // loud on failure (ADVICE r14): a silently failed rename
+          // would commit a file name the lake dir doesn't hold
+          require(fs.rename(
+            new org.apache.hadoop.fs.Path(s"$work/stage$b/$n"),
+            new org.apache.hadoop.fs.Path(s"$lake/$n")),
+            s"loggedLake: staging rename failed for $n")
         }
         if (b <= 2) CommitLog.commit(fs, lake, b, names)
       }
